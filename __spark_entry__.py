@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship query; ``queries`` maps every
+implemented operator from SURVEY.md §2 to a (spark, sf_dir) callable;
+``oracle_sql`` provides the DuckDB twin for the correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from locopy_spark.queries import tpch
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1) on /root/testdata/sf0.001."""
+    return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "q3_top_unshipped": tpch.q3_top_unshipped,
+        "q5_region_volume": tpch.q5_region_volume,
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "q10_returned_items": tpch.q10_returned_items,
+        "q14_promo_revenue": tpch.q14_promo_revenue,
+        "q18_large_orders": tpch.q18_large_orders,
+        "q_topk_per_group": tpch.q_topk_per_group,
+        "q_mktseg_pivot": tpch.q_mktseg_pivot,
+        "q_rollup_sales": tpch.q_rollup_sales,
+        "q_distinct_counts": tpch.q_distinct_counts,
+        "q_approx_distinct": tpch.q_approx_distinct,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for each oracle-checkable query."""
+    return dict(tpch.ORACLE)
