@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from locopy_spark.queries import tpch
+from locopy_spark.queries import events, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,10 +34,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_sales": tpch.q_rollup_sales,
         "q_distinct_counts": tpch.q_distinct_counts,
         "q_approx_distinct": tpch.q_approx_distinct,
+        "q_events_window": events.q_events_window,
+        "q_events_sessionize": events.q_events_sessionize,
+        "q_events_json_props": events.q_events_json_props,
+        "q_events_funnel": events.q_events_funnel,
+        "q_orders_asof_events": events.q_orders_asof_events,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for each oracle-checkable query."""
-    return dict(tpch.ORACLE)
+    return {**tpch.ORACLE, **events.ORACLE}
