@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from locopy_spark.queries import events, tpch
+from locopy_spark.queries import docs, events, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,10 +39,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json_props": events.q_events_json_props,
         "q_events_funnel": events.q_events_funnel,
         "q_orders_asof_events": events.q_orders_asof_events,
+        "d_exact_dedup": docs.d_exact_dedup,
+        "d_ngram_jaccard": docs.d_ngram_jaccard,
+        "d_minhash_lsh": docs.d_minhash_lsh,
+        "d_simhash": docs.d_simhash,
+        "d_embedding_dedup": docs.d_embedding_dedup,
+        "s_knn_bruteforce": docs.s_knn_bruteforce,
+        "s_knn_lsh": docs.s_knn_lsh,
+        "t_lang_id": docs.t_lang_id,
+        "t_quality_score": docs.t_quality_score,
+        "t_token_count": docs.t_token_count,
+        "t_fingerprint": docs.t_fingerprint,
+        "m_multimodal_meta": docs.m_multimodal_meta,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for each oracle-checkable query."""
-    return {**tpch.ORACLE, **events.ORACLE}
+    return {**tpch.ORACLE, **events.ORACLE, **docs.ORACLE}

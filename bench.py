@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": dir}
+
+Query set: the scan/join/window-heavy headline queries — the ones whose
+plans must survive 100 TB. All-pairs verification baselines
+(d_ngram_jaccard, d_embedding_dedup) are excluded by design: their
+scale path is the LSH variants, which ARE benched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from locopy_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q_topk_per_group",
+    "q_mktseg_pivot",
+    "q_rollup_sales",
+    "q_distinct_counts",
+    "q_events_window",
+    "q_events_sessionize",
+    "q_events_funnel",
+    "q_orders_asof_events",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_simhash",
+    "s_knn_bruteforce",
+    "s_knn_lsh",
+    "t_lang_id",
+    "t_quality_score",
+    "t_token_count",
+    "t_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="locopy_spark_bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + file listing so q1 isn't charged for session startup
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,114 @@
+"""Column type inference — pandas / Spark DataFrame → warehouse types.
+
+Parity target: reference locopy/utility.py:270-470 ``find_column_type``
+(pandas + polars variants mapping dtypes to
+boolean/int/float/varchar/date/time/timestamp). Ours returns the same
+warehouse-type dict and additionally maps it onto a Spark schema for
+``createDataFrame``/DDL.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import pandas as pd
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import types as T
+
+_SPARK_TYPES = {
+    "boolean": T.BooleanType(),
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+    "varchar": T.StringType(),
+    "date": T.DateType(),
+    "time": T.StringType(),  # Spark has no TIME type — stored as string
+    "timestamp": T.TimestampType(),
+}
+
+_FROM_SPARK = {
+    "boolean": "boolean",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "string": "varchar",
+}
+
+
+def _pandas_column_type(data: pd.Series) -> str:
+    import re
+
+    dtype = str(data.dtype)
+    if data.size == 0:
+        return "varchar"
+    if dtype in ("datetime64[ns]", "M8[ns]") or re.match(
+        r"(datetime64\[ns\,\W)([a-zA-Z/_]+)(\])", dtype
+    ):
+        return "timestamp"
+    if dtype.lower().startswith("bool"):
+        return "boolean"
+    if dtype.lower().startswith(("int", "uint")):
+        return "int"
+    if dtype.lower().startswith("float"):
+        return "float"
+    if dtype.startswith("object"):
+        try:
+            pd.to_numeric(data)
+            return "float"
+        except (ValueError, TypeError):
+            pass
+        try:
+            converted = pd.to_datetime(data, format="mixed")
+            sample = converted.iloc[0]
+            if getattr(sample, "hour", 0) or getattr(sample, "minute", 0) or getattr(
+                sample, "second", 0
+            ):
+                return "timestamp"
+            return "date"
+        except (ValueError, TypeError):
+            pass
+        return "varchar"
+    return "varchar"
+
+
+def find_column_type(dataframe, warehouse_type: str = "spark") -> "OrderedDict[str, str]":
+    """Infer a warehouse type per column.
+
+    Accepts a pandas DataFrame (dtype-based inference with
+    object-column probing, mirroring the reference) or a Spark
+    DataFrame (authoritative from the schema — no sampling needed).
+    """
+    if isinstance(dataframe, SparkDataFrame):
+        return OrderedDict(
+            (f.name, _FROM_SPARK.get(f.dataType.simpleString(), "varchar"))
+            for f in dataframe.schema.fields
+        )
+    if isinstance(dataframe, pd.DataFrame):
+        out: "OrderedDict[str, str]" = OrderedDict()
+        for column in dataframe.columns:
+            data = dataframe[column].dropna().reset_index(drop=True)
+            out[column] = _pandas_column_type(data)
+        return out
+    raise TypeError("find_column_type expects a pandas or Spark DataFrame")
+
+
+def to_spark_schema(column_types: "OrderedDict[str, str]") -> T.StructType:
+    """Map a warehouse-type dict onto a Spark StructType."""
+    return T.StructType(
+        [
+            T.StructField(name, _SPARK_TYPES.get(t.lower().split("(")[0], T.StringType()))
+            for name, t in column_types.items()
+        ]
+    )
+
+
+def ddl_from_types(table_name: str, column_types: "OrderedDict[str, str]") -> str:
+    """CREATE TABLE DDL from the inferred types (reference builds this
+    string for the warehouse; useful for Spark SQL DDL too)."""
+    cols = ", ".join(f"{c} {t}" for c, t in column_types.items())
+    return f"CREATE TABLE {table_name} ({cols})"

@@ -1,0 +1,264 @@
+"""Document deduplication operators — exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design: the only all-pairs computation allowed is *within LSH
+candidate buckets*. Exact n-gram Jaccard (the oracle baseline) joins on
+shingle equality — fine at verification SF, superseded by
+``minhash_lsh_pairs`` at 100 TB where band-bucket equi-joins bound the
+candidate set. All hashing is ``md5(string)`` so the DuckDB oracle can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locopy_spark.functions.text import shingles_expr, tokens_expr
+
+DEFAULT_NHASH = 16
+DEFAULT_BANDS = 4  # 16 sigs = 4 bands × 4 rows → s-curve threshold ≈ 0.7
+
+
+def normalized_text_expr(text_col: str = "text") -> str:
+    """Normalization used for exact dedup: lower, trim, collapse runs
+    of whitespace."""
+    return f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the smallest id.
+
+    One shuffle on the 128-bit hash — uniform keys, no skew, scales
+    linearly.
+    """
+    h = F.expr(f"md5({normalized_text_expr(text_col)})")
+    return (
+        docs.select(F.col(id_col), h.alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, sh)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(tokens_expr(text_col)).alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(shingles_expr("toks", k))).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle-equality join.
+
+    The join key is the shingle itself; a shingle shared by d docs
+    produces d² candidate rows — acceptable at verification scale, and
+    the reason the LSH variant exists for production scale.
+    """
+    sh = shingle_sets(docs, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(common AS DOUBLE) / (na + nb - common)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = DEFAULT_NHASH,
+) -> DataFrame:
+    """MinHash signature per doc: m_i = MIN(md5('i:' || shingle)).
+
+    Lexicographic min over md5 hex — a valid permutation-min family and
+    bit-identical in any engine with md5. One shuffle (groupBy doc).
+    """
+    sh = shingle_sets(docs, id_col, text_col, k)
+    aggs = [
+        F.min(F.expr(f"md5('{i}:' || sh)")).alias(f"m{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = DEFAULT_NHASH,
+    bands: int = DEFAULT_BANDS,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Candidates come ONLY from band-hash bucket collisions (equi-join on
+    (band, band_hash) — one shuffle, no all-pairs). Estimated Jaccard =
+    fraction of agreeing signature positions; filtered at
+    ``est_threshold``.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    band_cols = [
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(f"m{b * rows + j}" for j in range(rows))
+            + "))"
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])),
+        )
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bh")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = " + ".join(f"cast(a{i} = b{i} as int)" for i in range(n_hashes))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.expr(f"({agree}) / cast({float(n_hashes)} as double)"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per doc from token md5 hex-digit parities.
+
+    Bit j of a token's contribution is the parity of hex digit j of
+    md5(token) — a pseudorandom bit family identical in every engine.
+    The per-doc bit is the sign of the vote sum over all token
+    occurrences.
+    """
+    odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.expr(tokens_expr(text_col)).alias("toks")
+        )
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .withColumn("m", F.expr("md5(tok)"))
+    )
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN substring(m, {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END")
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(*votes)
+        .withColumn("simhash", F.expr(bits))
+        .select("doc_id", "simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation buckets on each of the 4 hash bytes (pigeonhole:
+    hamming ≤ 4 pairs almost always share a byte; exact recall for
+    hamming ≤ 3 with 4 blocks) — equi-join, never all-pairs.
+    """
+    h = simhash(docs, id_col, text_col)
+    bucketed = h.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {8 * b}) & 255")
+                    for b in range(4)
+                ]
+            )
+        ),
+    ).withColumnRenamed("pos", "byte_idx").withColumnRenamed("col", "byte_val")
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.byte_idx") == F.col("y.byte_idx"))
+            & (F.col("x.byte_val") == F.col("y.byte_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(x.simhash ^ y.simhash) as int)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

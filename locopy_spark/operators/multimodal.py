@@ -1,0 +1,97 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` payload columns plus a typed metadata
+struct. The Spark-side machinery — schema, Arrow batch shape,
+``mapInPandas`` decode stage, partition sizing — is real and tested;
+the actual codec call is stubbed (``decode_stub``) because no
+image/audio libraries ship in this container. Swap ``_fake_decode``
+for a real decoder (PIL/librosa/av) without touching the plan.
+
+Scale notes: payloads are large — keep them out of shuffles. The
+decode stage is a narrow ``mapInPandas`` (no shuffle); downstream
+aggregations should ``select`` away the payload first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_FIELDS = "width int, height int, n_channels int, decoder string"
+
+DECODED_SCHEMA_SUFFIX = (
+    "payload_md5 string, byte_len int, "
+    + DECODED_FIELDS
+)
+
+
+def attach_payload(
+    docs: DataFrame, text_col: str = "text", mime: str = "text/plain"
+) -> DataFrame:
+    """Wrap a source column as a binary payload + metadata struct."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.expr("octet_length(payload)").alias("byte_len"),
+            F.expr("md5(payload)").alias("payload_md5"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for a real media decoder.
+
+    Derives fake dimensions from the payload digest so tests are
+    stable. A real deployment replaces ONLY this function.
+    """
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] * 4
+    height = 64 + digest[1] * 4
+    channels = 1 + digest[2] % 4
+    return width, height, channels, "stub"
+
+
+def decode_stub(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode stage: (id, payload) → decoded features.
+
+    ``mapInPandas`` keeps the payload bytes inside one Arrow batch per
+    partition — no per-row Python round-trips, no shuffle.
+    """
+    schema = f"{id_col} long, {DECODED_SCHEMA_SUFFIX}"
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                w, h, c, dec = _fake_decode(data)
+                rows.append(
+                    (
+                        rid,
+                        hashlib.md5(data).hexdigest(),
+                        len(data),
+                        w,
+                        h,
+                        c,
+                        dec,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "payload_md5",
+                    "byte_len",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "decoder",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(decode_batches, schema)

@@ -1,0 +1,430 @@
+"""LLM-data-pipeline queries over the documents / embeddings tables.
+
+Each Spark operator has a DuckDB twin generated from the same loops and
+constants, so signatures/hashes/scores match bit-for-bit (see
+functions.text / functions.vectors for the portability rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from locopy_spark.functions.text import (
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    BPE_ISH,
+    lang_pred_case,
+    marker_count_expr,
+    shingles_expr,
+    sql_marker_count,
+    sql_shingles,
+    sql_stopword_count,
+    sql_token_len_sum,
+    sql_tokens,
+    stopword_count_expr,
+    token_len_sum_expr,
+    tokens_expr,
+)
+from locopy_spark.functions.vectors import cosine_from_fixed, sql_fixed_dot
+from locopy_spark.operators import dedup, similarity
+from locopy_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NHASH,
+    SIMHASH_BITS,
+    _ODD_HEX,
+    normalized_text_expr,
+)
+from locopy_spark.sources.tables import load_table
+
+SHINGLE_K = 3
+JACCARD_T = 0.5
+MINHASH_EST_T = 0.5
+SIMHASH_MAX_HAM = 4
+EMB_DEDUP_T = 0.4
+KNN_K = 5
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("content_md5")
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, k=SHINGLE_K, threshold=JACCARD_T
+    ).orderBy("doc_a", "doc_b")
+
+
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    ).orderBy("doc_a", "doc_b")
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAM).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dedup_pairs(emb, threshold=EMB_DEDUP_T).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=KNN_K).orderBy(
+        "query_id", "rk"
+    )
+
+
+def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — engine-specific bucketing, rows-only check;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, query_ids=KNN_QUERY_IDS, k=KNN_K).orderBy(
+        "query_id", "rk"
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
+    scored = toks.select(
+        "doc_id",
+        *[
+            F.expr(marker_count_expr("toks", lg)).alias(f"s_{lg}")
+            for lg in sorted(LANG_MARKERS)
+        ],
+    )
+    pred = lang_pred_case({lg: f"s_{lg}" for lg in sorted(LANG_MARKERS)})
+    return scored.withColumn("lang_pred", F.expr(pred)).orderBy("doc_id")
+
+
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text", F.expr(tokens_expr("text")).alias("toks")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size("toks").alias("n_tokens"),
+            F.expr(f"regexp_count(text, '{PUNCT_CLASS}')").alias("n_punct"),
+            F.expr(stopword_count_expr("toks")).alias("n_stop"),
+            F.expr(token_len_sum_expr("toks")).alias("tok_chars"),
+        )
+        .withColumn(
+            "punct_ratio", F.expr("CAST(n_punct AS DOUBLE) / n_chars")
+        )
+        .withColumn(
+            "stop_ratio", F.expr("CAST(n_stop AS DOUBLE) / n_tokens")
+        )
+        .withColumn(
+            "mean_word_len", F.expr("CAST(tok_chars AS DOUBLE) / n_tokens")
+        )
+        .withColumn(
+            "quality_score",
+            F.expr(
+                "stop_ratio - punct_ratio + CAST(least(n_tokens, 100) AS DOUBLE) / 1000"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"size({tokens_expr('text')})").alias("n_ws_tokens"),
+            F.expr(f"regexp_count(text, '{BPE_ISH}')").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: normalized md5 + min-shingle (winnow-1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"md5({normalized_text_expr('text')})").alias("content_md5"),
+        F.expr(tokens_expr("text")).alias("toks"),
+    )
+    return (
+        toks.withColumn(
+            "min_shingle_md5",
+            F.expr(
+                "array_min(transform("
+                + shingles_expr("toks", SHINGLE_K)
+                + ", s -> md5(s)))"
+            ),
+        )
+        .select("doc_id", "content_md5", "min_shingle_md5", F.size("toks").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+def m_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: encode → typed metadata extraction.
+
+    The decode step itself is stubbed (no codec libs in-container) in
+    ``operators.multimodal``; this query verifies the Spark-side
+    schema/bytes handling against the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        .select(
+            "doc_id",
+            F.expr("octet_length(payload)").alias("byte_len"),
+            F.expr("md5(payload)").alias("payload_md5"),
+            F.lit("text/plain").alias("mime"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins
+# --------------------------------------------------------------------------
+
+def _sql_shingle_sets() -> str:
+    return f"""
+      t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest({sql_shingles('toks', SHINGLE_K)}) AS sh FROM t
+        )
+      )
+    """
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || sh)) AS m{i}" for i in range(DEFAULT_NHASH)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _oracle_minhash() -> str:
+    rows = DEFAULT_NHASH // DEFAULT_BANDS
+    band_case = " ".join(
+        f"WHEN {b} THEN md5(concat_ws('|', "
+        + ", ".join(f"m{b * rows + j}" for j in range(rows))
+        + "))"
+        for b in range(DEFAULT_BANDS)
+    )
+    agree = " + ".join(
+        f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(DEFAULT_NHASH)
+    )
+    return f"""
+      WITH {_sql_shingle_sets()}, {_sql_minhash()},
+      band AS (
+        SELECT doc_id, b, CASE b {band_case} END AS bh
+        FROM sig, (SELECT unnest(generate_series(0, {DEFAULT_BANDS - 1})) AS b)
+      ),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM band x JOIN band y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      )
+      SELECT doc_a, doc_b, ({agree}) / CAST({float(DEFAULT_NHASH)} AS DOUBLE) AS est_jaccard
+      FROM cand
+      JOIN sig sa ON cand.doc_a = sa.doc_id
+      JOIN sig sb ON cand.doc_b = sb.doc_id
+      WHERE ({agree}) / CAST({float(DEFAULT_NHASH)} AS DOUBLE) >= {MINHASH_EST_T}
+      ORDER BY doc_a, doc_b
+    """
+
+
+def _oracle_simhash() -> str:
+    odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+    votes = ", ".join(
+        f"SUM(CASE WHEN substring(m, {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+      WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+      tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM t),
+      v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+      h AS (SELECT doc_id, ({bits}) AS simhash FROM v),
+      bucketed AS (
+        SELECT doc_id, simhash, b AS byte_idx, (simhash >> (8 * b)) & 255 AS byte_val
+        FROM h, (SELECT unnest(generate_series(0, 3)) AS b)
+      )
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      FROM bucketed x JOIN bucketed y
+        ON x.byte_idx = y.byte_idx AND x.byte_val = y.byte_val
+           AND x.doc_id < y.doc_id
+      WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) <= {SIMHASH_MAX_HAM}
+      ORDER BY doc_a, doc_b
+    """
+
+
+def _oracle_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{sql_marker_count('toks', lg)} AS s_{lg}" for lg in langs
+    )
+    pred = lang_pred_case({lg: f"s_{lg}" for lg in langs})
+    cols = ", ".join(f"s_{lg}" for lg in langs)
+    return f"""
+      WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+      s AS (SELECT doc_id, {scores} FROM t)
+      SELECT doc_id, {cols}, {pred} AS lang_pred FROM s ORDER BY doc_id
+    """
+
+
+_EMB_COS = cosine_from_fixed("dot_fix", "na", "nb")
+
+ORACLE: dict[str, str] = {
+    "d_exact_dedup": f"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+        FROM documents GROUP BY 1 ORDER BY content_md5
+    """,
+    "d_ngram_jaccard": f"""
+      WITH {_sql_shingle_sets()},
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, common, na.n AS na, nb.n AS nb,
+             CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+      FROM common
+      JOIN sizes na ON common.doc_a = na.doc_id
+      JOIN sizes nb ON common.doc_b = nb.doc_id
+      WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {JACCARD_T}
+      ORDER BY doc_a, doc_b
+    """,
+    "d_minhash_lsh": _oracle_minhash(),
+    "d_simhash": _oracle_simhash(),
+    "d_embedding_dedup": f"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+        FROM embeddings
+      ),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {sql_fixed_dot('a.embedding', 'b.embedding')} AS dot_fix,
+               a.norm_fix AS na, b.norm_fix AS nb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, {_EMB_COS} AS cosine
+      FROM p WHERE {_EMB_COS} >= {EMB_DEDUP_T}
+      ORDER BY vec_a, vec_b
+    """,
+    "s_knn_bruteforce": f"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix,
+               q.norm_fix AS na, n.norm_fix AS nb
+        FROM e q JOIN e n ON q.vec_id != n.vec_id
+        WHERE q.vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, {_EMB_COS} AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_EMB_COS} DESC, neighbor_id ASC
+               ) AS rk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= {KNN_K}
+      ORDER BY query_id, rk
+    """,
+    "t_lang_id": _oracle_lang_id(),
+    "t_quality_score": f"""
+      WITH t AS (
+        SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{PUNCT_CLASS}')) AS INT) AS n_punct,
+               CAST({sql_stopword_count('toks')} AS INT) AS n_stop,
+               {sql_token_len_sum('toks')} AS tok_chars
+        FROM t
+      )
+      SELECT doc_id, n_chars, n_tokens, n_punct, n_stop, tok_chars,
+             CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             CAST(tok_chars AS DOUBLE) / n_tokens AS mean_word_len,
+             CAST(n_stop AS DOUBLE) / n_tokens
+               - CAST(n_punct AS DOUBLE) / n_chars
+               + CAST(least(n_tokens, 100) AS DOUBLE) / 1000 AS quality_score
+      FROM m ORDER BY doc_id
+    """,
+    "t_token_count": f"""
+      SELECT doc_id,
+             CAST(len({sql_tokens('text')}) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INT) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id
+    """,
+    "t_fingerprint": f"""
+      WITH t AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
+               {sql_tokens('text')} AS toks
+        FROM documents
+      )
+      SELECT doc_id, content_md5,
+             list_min(list_transform({sql_shingles('toks', SHINGLE_K)}, s -> md5(s)))
+               AS min_shingle_md5,
+             CAST(len(toks) AS INT) AS n_tokens
+      FROM t ORDER BY doc_id
+    """,
+    "m_multimodal_meta": """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS byte_len,
+             md5(text) AS payload_md5,
+             'text/plain' AS mime
+      FROM documents ORDER BY doc_id
+    """,
+}

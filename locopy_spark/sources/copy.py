@@ -1,0 +1,86 @@
+"""COPY — bulk load files into a Spark table/view.
+
+Parity target: the reference's COPY paths (reference:
+locopy/redshift.py:193-347 ``copy``/``load_and_copy``,
+locopy/snowflake.py:268-337 ``copy``). There, files are compressed,
+split, pushed to S3/stage and COPY'd by the warehouse; here Spark IS
+the warehouse: ``spark.read`` parallelizes over files/blocks natively,
+gzip is decoded inline, IGNOREHEADER maps to the csv header/skip
+options, and "splits" are simply input partitions. The COPY-option
+strings the reference accepts are parsed for compatibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from locopy_spark.errors import DBError
+from locopy_spark.utility import get_ignoreheader_number
+
+_DEFAULT_DATEFORMAT = "yyyy-MM-dd"
+_DEFAULT_TIMEFORMAT = "yyyy-MM-dd HH:mm:ss"
+
+
+def add_default_copy_options(copy_options: list[str] | None = None) -> list[str]:
+    """Append the reference's default COPY options when absent
+    (reference: locopy/redshift.py:47-71)."""
+    copy_options = list(copy_options or [])
+    default_options = ("DATEFORMAT 'auto'", "COMPUPDATE ON", "TRUNCATECOLUMNS")
+    first_words = [o.split()[0].upper() for o in copy_options]
+    for option in default_options:
+        if option.split()[0] not in first_words:
+            copy_options.append(option)
+    return copy_options
+
+
+def copy_files(
+    spark: SparkSession,
+    path: str | list[str],
+    table_name: str,
+    delim: str | None = "|",
+    file_format: str = "csv",
+    copy_options: list[str] | None = None,
+    schema=None,
+    mode: str = "overwrite",
+    temp_view: bool = True,
+) -> DataFrame:
+    """Load file(s) into ``table_name``.
+
+    Parameters mirror the reference ``copy`` (delimiter, options list
+    incl. ``IGNOREHEADER n``, gzip transparency); ``file_format`` adds
+    the snowflake-style csv/json/parquet choice. With ``temp_view``
+    (default) the loaded data is registered as a temp view — zero-copy;
+    otherwise it is written to a managed table (``saveAsTable``) for
+    cross-session durability.
+    """
+    opts = copy_options or []
+    ignore_header = get_ignoreheader_number(opts)
+    fmt = file_format.lower()
+    try:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt == "csv":
+            reader = reader.options(
+                sep=delim or "|",
+                header=ignore_header > 0,
+                inferSchema=schema is None,
+                dateFormat=_DEFAULT_DATEFORMAT,
+                timestampFormat=_DEFAULT_TIMEFORMAT,
+                # gzip etc. handled natively by extension
+            )
+            df = reader.csv(path)
+        elif fmt == "json":
+            df = reader.json(path)
+        elif fmt == "parquet":
+            df = reader.parquet(*path if isinstance(path, list) else [path])
+        else:
+            raise ValueError(f"unsupported file_format: {file_format}")
+    except Exception as e:
+        raise DBError(f"Error loading {path} into {table_name}.") from e
+    if temp_view:
+        df.createOrReplaceTempView(table_name)
+    else:
+        df.write.mode(mode).saveAsTable(table_name)
+        df = spark.table(table_name)
+    return df

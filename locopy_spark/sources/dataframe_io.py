@@ -1,0 +1,59 @@
+"""DataFrame → table insert with schema inference.
+
+Parity target: reference locopy/redshift.py:532-666 and
+locopy/snowflake.py:412-512 ``insert_dataframe_to_table`` (infer column
+types → CREATE TABLE → batched INSERT). Spark-first: the pandas frame
+crosses once over Arrow (``createDataFrame``) and lands via
+``saveAsTable``/temp view — no row batching, no string-built INSERTs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from locopy_spark.errors import DBError
+from locopy_spark.functions.schema_inference import find_column_type, to_spark_schema
+
+
+def insert_dataframe_to_table(
+    spark: SparkSession,
+    dataframe: pd.DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    create: bool = True,
+    metadata: dict[str, str] | None = None,
+    mode: str = "append",
+    temp_view: bool = False,
+) -> DataFrame:
+    """Insert a pandas DataFrame into a Spark table.
+
+    ``metadata`` (column → warehouse type) overrides inference, like
+    the reference. ``create=False`` appends to an existing table and
+    validates column compatibility via Spark's own resolution.
+    """
+    if dataframe is None or len(dataframe.columns) == 0:
+        raise DBError("DataFrame is empty.")
+    pdf = dataframe[columns] if columns else dataframe
+    try:
+        if metadata:
+            schema = to_spark_schema(metadata)
+            sdf = spark.createDataFrame(pdf, schema=schema)
+        else:
+            inferred = find_column_type(pdf)
+            sdf = spark.createDataFrame(pdf, schema=to_spark_schema(inferred))
+        if temp_view:
+            sdf.createOrReplaceTempView(table_name)
+            return sdf
+        writer = sdf.write
+        if create:
+            writer.mode("overwrite" if mode == "overwrite" else "errorifexists").saveAsTable(
+                table_name
+            ) if mode != "append" else writer.mode("append").saveAsTable(table_name)
+        else:
+            writer.insertInto(table_name)
+        return spark.table(table_name)
+    except DBError:
+        raise
+    except Exception as e:
+        raise DBError(f"Error inserting dataframe into {table_name}.") from e

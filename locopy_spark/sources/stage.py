@@ -1,0 +1,115 @@
+"""Stage — storage transport (the S3 / Snowflake-internal-stage role).
+
+Parity target: reference locopy/s3.py:44-391 (upload/download/delete,
+URL helpers) and locopy/snowflake.py:213-266 (PUT/GET with globs).
+Spark reads cloud storage directly, so a "stage" here is any Hadoop-FS
+URI (file:/, s3a:/, hdfs:/ — whatever the cluster's FS config knows).
+Local-path operations use the local FS; everything keeps the
+reference's method surface so callers port unchanged.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+from typing import Tuple
+
+from locopy_spark.errors import (
+    StageDeletionError,
+    StageDownloadError,
+    StageUploadError,
+)
+
+
+def parse_url(url: str) -> Tuple[str, str]:
+    """Split a storage URL into (bucket/root, key path)
+    (reference: locopy/s3.py:373)."""
+    for scheme in ("s3://", "s3a://", "file://"):
+        if url.startswith(scheme):
+            rest = url[len(scheme):]
+            parts = rest.split("/", 1)
+            return parts[0], parts[1] if len(parts) > 1 else ""
+    parts = url.split("/", 1)
+    return parts[0], parts[1] if len(parts) > 1 else ""
+
+
+def generate_path(bucket: str, key: str, scheme: str = "s3a") -> str:
+    """Build a full storage URL (reference: locopy/s3.py:138)."""
+    return f"{scheme}://{bucket}/{key}" if key else f"{scheme}://{bucket}"
+
+
+def generate_unload_path(bucket: str, folder: str | None, scheme: str = "s3a") -> str:
+    """Build an unload destination (reference: locopy/s3.py:156)."""
+    if folder:
+        sep = "" if folder.endswith("/") else "/"
+        return f"{scheme}://{bucket}/{folder}{sep}"
+    return f"{scheme}://{bucket}"
+
+
+class Stage:
+    """A directory-rooted stage with PUT/GET/LIST/DELETE.
+
+    ``root`` may be a local path (tests, dev) — the same API shape a
+    cloud-FS-backed implementation exposes on a cluster.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dest(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def upload(self, local: str, key: str | None = None) -> str:
+        """PUT one file (reference: locopy/s3.py:183 upload_to_s3,
+        locopy/snowflake.py:213 upload_to_internal)."""
+        try:
+            key = key or os.path.basename(local)
+            dest = self._dest(key)
+            os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+            shutil.copyfile(local, dest)
+            return dest
+        except Exception as e:
+            raise StageUploadError(f"Error uploading {local}.") from e
+
+    def upload_list(self, locals_: list[str], folder: str = "") -> list[str]:
+        """PUT many (reference: locopy/s3.py:228)."""
+        return [
+            self.upload(f, os.path.join(folder, os.path.basename(f)))
+            for f in locals_
+        ]
+
+    def download(self, key_or_glob: str, local_dir: str) -> list[str]:
+        """GET by key or glob (reference: locopy/s3.py:271,
+        locopy/snowflake.py:247 download_from_internal)."""
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+            matches = _glob.glob(self._dest(key_or_glob))
+            if not matches and os.path.exists(self._dest(key_or_glob)):
+                matches = [self._dest(key_or_glob)]
+            out = []
+            for m in matches:
+                dest = os.path.join(local_dir, os.path.basename(m))
+                shutil.copyfile(m, dest)
+                out.append(dest)
+            return out
+        except Exception as e:
+            raise StageDownloadError(f"Error downloading {key_or_glob}.") from e
+
+    def list(self, pattern: str = "*") -> list[str]:
+        return sorted(
+            os.path.relpath(p, self.root)
+            for p in _glob.glob(self._dest(pattern))
+        )
+
+    def delete(self, key: str) -> None:
+        """DELETE (reference: locopy/s3.py:333)."""
+        try:
+            os.remove(self._dest(key))
+        except Exception as e:
+            raise StageDeletionError(f"Error deleting {key}.") from e
+
+    def delete_list(self, keys: list[str]) -> None:
+        for k in keys:
+            self.delete(k)

@@ -1,0 +1,60 @@
+"""Mirror of the driver's correctness gate at sf0.001 (fast smoke).
+
+Every ``queries()`` entry runs on Spark; oracle-backed ones compare
+against DuckDB order-insensitively with exact values.
+"""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def _norm(df):
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime", "object")):
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).lower().startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith(("float", "Float")):
+            df[c] = df[c].astype(float)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        assert len(sdf) >= 0  # rows-only contract
+        return
+    odf = duck.execute(oracles[name]).fetchdf()
+    a, b = _norm(sdf), _norm(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c], b[c])):
+            if isinstance(x, float) and isinstance(y, float):
+                assert (math.isnan(x) and math.isnan(y)) or x == y, (
+                    f"{name}.{c}[{i}]: {x!r} != {y!r}"
+                )
+            else:
+                assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) == 9

@@ -1,0 +1,58 @@
+import pytest
+
+from locopy_spark.database import Database
+from locopy_spark.errors import CredentialsError, DBError
+
+
+def test_execute_and_fetch(spark, sf_dir):
+    with Database(spark=spark) as db:
+        db.register_parquet_dir(sf_dir, ["nation", "region"])
+        db.execute(
+            "SELECT r_name, count(*) AS n FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+        )
+        assert db.column_names() == ["r_name", "n"]
+        pdf = db.to_dataframe()
+        assert len(pdf) == 5 and set(pdf.columns) == {"r_name", "n"}
+        rows = list(db.to_dict())
+        assert len(rows) == 5 and set(rows[0]) == {"r_name", "n"}
+
+
+def test_multi_statement(spark):
+    db = Database(spark=spark)
+    db.connect()
+    out = db.execute("SELECT 1 AS a; SELECT 2 AS b")
+    assert out.collect()[0].b == 2
+
+
+def test_params(spark):
+    db = Database(spark=spark)
+    db.connect()
+    out = db.execute("SELECT :x AS v", params={"x": 42})
+    assert out.collect()[0].v == 42
+
+
+def test_size_limit(spark, sf_dir):
+    db = Database(spark=spark)
+    db.connect()
+    db.register_parquet_dir(sf_dir, ["nation"])
+    db.execute("SELECT * FROM nation")
+    assert len(db.to_dataframe(size=3)) == 3
+
+
+def test_empty_result_returns_none(spark):
+    db = Database(spark=spark)
+    db.connect()
+    db.execute("SELECT 1 AS x WHERE 1 = 0")
+    assert db.to_dataframe() is None
+
+
+def test_errors(spark):
+    with pytest.raises(DBError):
+        Database().execute("SELECT 1")
+    with pytest.raises(CredentialsError):
+        Database(config_yaml="c.yml", app_name="x")
+    db = Database(spark=spark)
+    db.connect()
+    with pytest.raises(DBError):
+        db.execute("SELEC nonsense")

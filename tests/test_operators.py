@@ -1,0 +1,117 @@
+import pandas as pd
+from pyspark.sql import functions as F
+
+from locopy_spark.operators.asof import asof_join
+from locopy_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from locopy_spark.operators.multimodal import attach_payload, decode_stub
+from locopy_spark.operators.sessionize import session_stats, sessionize
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+    )
+    out = {r.keep_id: r.n_dupes for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}  # case/whitespace-normalized group
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"
+    other = "completely different words in this unrelated document here now"
+    docs = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0].jaccard < 1.0
+
+
+def test_minhash_finds_what_jaccard_finds(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " extra"
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = _docs(spark, [(1, base), (2, near), (3, other)])
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok3 ", "tok3x ")
+    other = " ".join(f"q{i}" for i in range(60))
+    docs = _docs(spark, [(1, base), (2, near), (3, other)])
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_asof_join_inclusive_and_carry(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 250, "e2"), (2, 50, "e3")],
+        "k long, t long, ev string",
+    ).withColumnRenamed("k", "user_id").withColumnRenamed("t", "ts_us")
+    right = spark.createDataFrame(
+        [(1, 100, 11), (1, 200, 12), (2, 60, 21)],
+        "user_id long, rt long, order_id long",
+    )
+    out = {
+        r.ev: r.order_id
+        for r in asof_join(
+            left, right, "user_id", "ts_us", "rt", ["order_id"], tiebreak="order_id"
+        ).collect()
+    }
+    assert out == {"e1": 11, "e2": 12, "e3": None}  # inclusive at t=100
+
+
+def test_sessionize_islands(spark):
+    us = 60 * 1_000_000
+    rows = [
+        (1, 0 * us, 1.0),
+        (1, 10 * us, 1.0),
+        (1, 60 * us, 1.0),  # 50-min gap → new session
+        (2, 0 * us, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, value double")
+    ev = df.withColumn("ts", F.expr("timestamp_micros(t)")).withColumn(
+        "event_id", F.col("t")
+    )
+    s = sessionize(ev, gap_minutes=30)
+    per_user = {
+        (r.user_id, r.session_id)
+        for r in s.select("user_id", "session_id").collect()
+    }
+    assert per_user == {(1, 0), (1, 1), (2, 0)}
+    stats = {
+        (r.user_id, r.session_id): r.n_events
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_multimodal_plumbing(spark):
+    docs = _docs(spark, [(1, "hello"), (2, "world!")])
+    media = attach_payload(docs)
+    row = media.filter("doc_id = 1").collect()[0]
+    assert bytes(row.payload) == b"hello"
+    assert row.media_meta.byte_len == 5
+    decoded = decode_stub(media)
+    assert set(decoded.columns) == {
+        "doc_id", "payload_md5", "byte_len", "width", "height", "n_channels", "decoder",
+    }
+    d = {r.doc_id: r for r in decoded.collect()}
+    assert d[1].byte_len == 5 and d[1].decoder == "stub"
+    assert 64 <= d[1].width <= 64 + 255 * 4
+    # deterministic
+    again = {r.doc_id: r.width for r in decode_stub(media).collect()}
+    assert again[1] == d[1].width

@@ -1,0 +1,59 @@
+import pandas as pd
+
+from locopy_spark.functions.schema_inference import (
+    ddl_from_types,
+    find_column_type,
+    to_spark_schema,
+)
+
+
+def test_pandas_dtypes():
+    pdf = pd.DataFrame(
+        {
+            "b": [True],
+            "i": [1],
+            "f": [1.5],
+            "s": ["x"],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"]),
+            "numstr": ["1.25"],
+            "datestr": ["2024-01-02"],
+            "timestr": ["2024-01-02 10:11:12"],
+        }
+    )
+    t = find_column_type(pdf)
+    assert t["b"] == "boolean"
+    assert t["i"] == "int"
+    assert t["f"] == "float"
+    assert t["s"] == "varchar"
+    assert t["ts"] == "timestamp"
+    assert t["numstr"] == "float"
+    assert t["datestr"] == "date"
+    assert t["timestr"] == "timestamp"
+
+
+def test_empty_column_is_varchar():
+    pdf = pd.DataFrame({"e": [None, None]})
+    assert find_column_type(pdf)["e"] == "varchar"
+
+
+def test_spark_dataframe_types(spark):
+    sdf = spark.sql(
+        "SELECT 1 AS i, 1.5d AS f, 'x' AS s, true AS b, "
+        "timestamp'2024-01-01' AS ts, date'2024-01-01' AS d"
+    )
+    t = find_column_type(sdf)
+    assert t == {
+        "i": "int",
+        "f": "float",
+        "s": "varchar",
+        "b": "boolean",
+        "ts": "timestamp",
+        "d": "date",
+    }
+
+
+def test_schema_and_ddl():
+    types = find_column_type(pd.DataFrame({"a": [1], "b": ["x"]}))
+    schema = to_spark_schema(types)
+    assert [f.dataType.simpleString() for f in schema.fields] == ["bigint", "string"]
+    assert ddl_from_types("t", types) == "CREATE TABLE t (a int, b varchar)"

@@ -1,0 +1,49 @@
+from locopy_spark.operators.similarity import (
+    embedding_dedup_pairs,
+    hyperplane_signs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from locopy_spark.sources.tables import load_table
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(emb, query_ids=[0, 1], k=3).collect()
+    assert len(out) == 6
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.rk, r.cosine, r.neighbor_id))
+    for q, rows in per_q.items():
+        rows.sort()
+        cosines = [c for _, c, _ in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(n != q for _, _, n in rows)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, query_ids=[0, 1, 2], k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_lsh(emb, query_ids=[0, 1, 2], k=5, n_planes=4).collect()
+    }
+    # approximate: some overlap expected, buckets bound candidates
+    assert approx, "LSH returned nothing"
+    assert len(exact & approx) > 0
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplane_signs(4, 16)
+    b = hyperplane_signs(4, 16)
+    assert a == b
+    assert all(s in (-1, 1) for row in a for s in row)
+
+
+def test_embedding_dedup_threshold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dedup_pairs(emb, threshold=0.35).collect()
+    assert all(p.vec_a < p.vec_b and p.cosine >= 0.35 for p in pairs)

@@ -1,0 +1,156 @@
+import glob
+import gzip
+import os
+
+import pandas as pd
+import pytest
+
+from locopy_spark.errors import DBError, StageDeletionError
+from locopy_spark.sources.copy import add_default_copy_options, copy_files
+from locopy_spark.sources.dataframe_io import insert_dataframe_to_table
+from locopy_spark.sources.files import write_single, write_split
+from locopy_spark.sources.stage import (
+    Stage,
+    generate_unload_path,
+    parse_url,
+)
+from locopy_spark.sources.unload import unload, unload_and_fetch
+
+
+def test_copy_csv_with_header_and_delim(spark, tmp_path):
+    f = tmp_path / "d.csv"
+    f.write_text("a|b\n1|x\n2|y\n")
+    df = copy_files(
+        spark, str(f), "t_copy", delim="|", copy_options=["IGNOREHEADER 1"]
+    )
+    rows = sorted((r[0], r[1]) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y")]
+    assert spark.table("t_copy").count() == 2
+
+
+def test_copy_gzip_native(spark, tmp_path):
+    f = tmp_path / "d.csv.gz"
+    with gzip.open(str(f), "wt") as g:
+        g.write("1|a\n2|b\n")
+    df = copy_files(spark, str(f), "t_gz", delim="|")
+    assert df.count() == 2
+
+
+def test_copy_json_and_parquet(spark, tmp_path, sf_dir):
+    j = tmp_path / "d.json"
+    j.write_text('{"a": 1}\n{"a": 2}\n')
+    assert copy_files(spark, str(j), "t_json", file_format="json").count() == 2
+    p = os.path.join(sf_dir, "region.parquet")
+    assert copy_files(spark, p, "t_parq", file_format="parquet").count() == 5
+
+
+def test_copy_bad_format(spark):
+    with pytest.raises(DBError):
+        copy_files(spark, "/nonexistent", "t_bad", file_format="xml")
+
+
+def test_default_copy_options():
+    opts = add_default_copy_options(["IGNOREHEADER 1", "DATEFORMAT 'custom'"])
+    assert "DATEFORMAT 'custom'" in opts
+    assert sum(o.startswith("DATEFORMAT") for o in opts) == 1
+    assert any(o.startswith("COMPUPDATE") for o in opts)
+
+
+def test_unload_splits_and_header(spark, tmp_path, sf_dir):
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).createOrReplaceTempView(
+        "nation_u"
+    )
+    out = str(tmp_path / "out")
+    unload(
+        spark,
+        "SELECT n_nationkey, n_name FROM nation_u",
+        out,
+        splits=3,
+        header=True,
+        delim=",",
+    )
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 3
+    # round-trip
+    back = spark.read.options(header=True, sep=",").csv(out)
+    assert back.count() == 25
+
+
+def test_unload_gzip_single(spark, tmp_path):
+    out = str(tmp_path / "gzout")
+    unload(spark, "SELECT 1 AS a", out, splits=1, compression="gzip")
+    assert glob.glob(os.path.join(out, "part-*.gz"))
+
+
+def test_unload_partition_by(spark, tmp_path, sf_dir):
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).createOrReplaceTempView(
+        "nation_p"
+    )
+    out = str(tmp_path / "pout")
+    unload(
+        spark,
+        "SELECT n_name, n_regionkey FROM nation_p",
+        out,
+        file_format="parquet",
+        partition_by=["n_regionkey"],
+    )
+    assert glob.glob(os.path.join(out, "n_regionkey=*"))
+
+
+def test_unload_and_fetch(spark):
+    pdf = unload_and_fetch(spark, "SELECT 1 AS A, 'x' AS B")
+    assert list(pdf.columns) == ["a", "b"] and len(pdf) == 1
+
+
+def test_stage_roundtrip(tmp_path):
+    st = Stage(str(tmp_path / "stage"))
+    src = tmp_path / "f.txt"
+    src.write_text("data")
+    st.upload(str(src), "folder/f.txt")
+    assert st.list("folder/*") == ["folder/f.txt"]
+    got = st.download("folder/*.txt", str(tmp_path / "dl"))
+    assert open(got[0]).read() == "data"
+    st.delete("folder/f.txt")
+    assert st.list("folder/*") == []
+    with pytest.raises(StageDeletionError):
+        st.delete("missing")
+
+
+def test_parse_and_generate_urls():
+    assert parse_url("s3://bucket/key/path.txt") == ("bucket", "key/path.txt")
+    assert parse_url("s3a://bucket") == ("bucket", "")
+    assert generate_unload_path("b", "folder") == "s3a://b/folder/"
+    assert generate_unload_path("b", None) == "s3a://b"
+
+
+def test_insert_dataframe(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": [1, 2],
+            "f": [1.5, 2.5],
+            "s": ["a", "b"],
+            "b": [True, False],
+        }
+    )
+    sdf = insert_dataframe_to_table(spark, pdf, "t_ins", temp_view=True)
+    assert dict(sdf.dtypes) == {
+        "i": "bigint",
+        "f": "double",
+        "s": "string",
+        "b": "boolean",
+    }
+    assert spark.table("t_ins").count() == 2
+
+
+def test_insert_empty_raises(spark):
+    with pytest.raises(DBError):
+        insert_dataframe_to_table(spark, pd.DataFrame(), "t_e")
+
+
+def test_write_split_and_single(spark, tmp_path):
+    df = spark.range(100).toDF("n")
+    parts = write_split(df, str(tmp_path / "s"), splits=4)
+    assert len(parts) == 4
+    one = write_single(df, str(tmp_path / "one"))
+    assert len(one) == 1
+    assert spark.read.csv(str(tmp_path / "one")).count() == 100
