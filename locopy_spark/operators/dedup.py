@@ -107,8 +107,17 @@ def minhash_signatures(
 
     Lexicographic min over md5 hex — a valid permutation-min family and
     bit-identical in any engine with md5. One shuffle (groupBy doc).
+    MIN is duplicate-insensitive, so the shingles are NOT deduplicated
+    first — that saves a full shuffle of the exploded data versus
+    ``shingle_sets`` (identical result).
     """
-    sh = shingle_sets(docs, id_col, text_col, k)
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(tokens_expr(text_col)).alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(shingles_expr("toks", k))).alias("sh"))
+    )
     aggs = [
         F.min(F.expr(f"md5('{i}:' || sh)")).alias(f"m{i}") for i in range(n_hashes)
     ]
@@ -132,6 +141,9 @@ def minhash_lsh_pairs(
     ``est_threshold``.
     """
     rows = n_hashes // bands
+    # the signature table feeds four plan subtrees (band self-join sides
+    # + both est joins); identical exchanges collapse via ReusedExchange,
+    # so no explicit persist is needed (verified neutral in A/B)
     sig = minhash_signatures(docs, id_col, text_col, k, n_hashes)
     band_cols = [
         F.expr(
@@ -196,16 +208,23 @@ def simhash(
     occurrences.
     """
     odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+    # pre-aggregate occurrence counts per (doc, token): md5 + 32 digit
+    # probes then run once per DISTINCT token instead of per occurrence
+    # (votes weighted by count — bit-identical integer result)
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.expr(tokens_expr(text_col)).alias("toks")
         )
         .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("m", F.expr("md5(tok)"))
     )
     votes = [
         F.sum(
-            F.expr(f"CASE WHEN substring(m, {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END")
+            F.expr(
+                f"CASE WHEN substring(m, {j + 1}, 1) IN ({odd}) THEN cnt ELSE -cnt END"
+            )
         ).alias(f"v{j}")
         for j in range(SIMHASH_BITS)
     ]

@@ -1,0 +1,64 @@
+"""Plan-shape assertions — the scale-discipline gate.
+
+These tests fail if a refactor silently drops predicate pushdown,
+column pruning, a broadcast, or introduces a cartesian product.
+"""
+
+import __spark_entry__ as entrymod
+from locopy_spark.plans import audit
+
+
+def _q(spark, sf_dir, name):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    df = _q(spark, sf_dir, "q6_forecast_revenue")
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    schemas = audit.read_schemas(_q(spark, sf_dir, "q6_forecast_revenue"))
+    assert len(schemas) == 1
+    # 4 columns read, not 11
+    assert schemas[0].count(":") == 4
+    assert "l_orderkey" not in schemas[0]
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = _q(spark, sf_dir, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in audit.pushed_filters(df))
+    assert all("l_orderkey" not in s for s in audit.read_schemas(df))
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = _q(spark, sf_dir, "q5_region_volume")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+
+
+def test_dedup_no_cartesian(spark, sf_dir):
+    for name in ("d_minhash_lsh", "d_simhash", "d_ngram_jaccard"):
+        df = _q(spark, sf_dir, name)
+        assert not audit.has_cartesian(df), name
+        assert not audit.has_broadcast_nested_loop(df), name
+
+
+def test_knn_is_broadcast_not_shuffle_cartesian(spark, sf_dir):
+    # broadcast nested loop over the small query side is the intended
+    # plan; a CartesianProduct (shuffle both sides) is not
+    df = _q(spark, sf_dir, "s_knn_bruteforce")
+    assert audit.has_broadcast_nested_loop(df)
+    assert not audit.has_cartesian(df)
+
+
+def test_asof_single_shuffle_per_side(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_orders_asof_events")
+    # union + one window partitioning; no join-induced extra exchanges
+    assert audit.shuffle_count(df) <= 2
+    assert not audit.has_cartesian(df)
+
+
+def test_codegen_present(spark, sf_dir):
+    assert audit.codegen_stage_count(_q(spark, sf_dir, "q1_pricing_summary")) >= 1
