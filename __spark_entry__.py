@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from locopy_spark.queries import docs, events, tpch
+from locopy_spark.queries import docs, events, tpch, tpch_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,6 +34,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_sales": tpch.q_rollup_sales,
         "q_distinct_counts": tpch.q_distinct_counts,
         "q_approx_distinct": tpch.q_approx_distinct,
+        "q4_order_priority": tpch_ext.q4_order_priority,
+        "q7_nation_volume": tpch_ext.q7_nation_volume,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q9_product_profit": tpch_ext.q9_product_profit,
+        "q12_late_lines": tpch_ext.q12_late_lines,
+        "q13_customer_orders": tpch_ext.q13_customer_orders,
+        "q15_top_supplier": tpch_ext.q15_top_supplier,
+        "q16_supplier_cnt": tpch_ext.q16_supplier_cnt,
+        "q17_small_quantity": tpch_ext.q17_small_quantity,
+        "q19_disjunctive": tpch_ext.q19_disjunctive,
+        "q21_waiting_supplier": tpch_ext.q21_waiting_supplier,
+        "q22_dormant_customers": tpch_ext.q22_dormant_customers,
+        "q_running_total": tpch_ext.q_running_total,
+        "q_moving_avg": tpch_ext.q_moving_avg,
+        "q_cube_returns": tpch_ext.q_cube_returns,
+        "q_except_customers": tpch_ext.q_except_customers,
         "q_events_window": events.q_events_window,
         "q_events_sessionize": events.q_events_sessionize,
         "q_events_json_props": events.q_events_json_props,
@@ -57,4 +73,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for each oracle-checkable query."""
-    return {**tpch.ORACLE, **events.ORACLE, **docs.ORACLE}
+    return {**tpch.ORACLE, **tpch_ext.ORACLE, **events.ORACLE, **docs.ORACLE}

@@ -1,0 +1,596 @@
+"""Extended TPC-H-style coverage: semi/anti joins, correlated
+subqueries, interval arithmetic, running/moving windows, cube, set ops.
+
+Same determinism rules as ``tpch``: exact scaled-bigint sums, NTZ
+timestamp literals, explicit double casts, total orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from locopy_spark.functions.numeric import SCALE, exact_sum, sql_exact_sum
+from locopy_spark.sources.tables import load_table
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(name: str):
+    return F.lit(name).cast("timestamp_ntz")
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: orders with at least one line shipped after
+    the order date — EXISTS as a left-semi join (no row duplication,
+    early-out per key)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _t("1996-07-01"))
+        & (F.col("o_orderdate") < _t("1996-10-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year."""
+    n1, n2 = "NATION_3", "NATION_7"
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _t("1996-01-01"))
+        & (F.col("l_shipdate") < _t("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(exact_sum(F.expr(_DISC), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional order volume by year
+    (conditional aggregation over a 7-table star)."""
+    target = "NATION_5"
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _t("1996-01-01"))
+        & (F.col("o_orderdate") < _t("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk"))
+    )
+    target_vol = F.when(F.col("supp_nation") == target, F.expr(_DISC)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            exact_sum(target_vol, "nation_volume"),
+            exact_sum(F.expr(_DISC), "total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.expr("nation_volume / total_volume")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp): profit by supplier nation and
+    year for widget parts."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(F.expr(_DISC), "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode): late-shipment ratio per order
+    priority; interval arithmetic on NTZ timestamps."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL '90' DAY")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late.cast("int")).alias("n_late"),
+        )
+        .withColumn("late_ratio", F.expr("CAST(n_late AS DOUBLE) / n_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders per customer (left outer join
+    keeps zero-order customers)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
+    scalar-subquery-on-aggregate via a max join (deterministic: exact
+    sums make the max unambiguous)."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _t("1996-01-01"))
+        & (F.col("l_shipdate") < _t("1996-04-01"))
+    )
+    rev = l.groupBy("l_suppkey").agg(exact_sum(F.expr(_DISC), "total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct suppliers per (brand, size),
+    excluding a supplier set — NOT IN as a left-anti join."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size").isin(1, 5, 9, 13, 17))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").contains("3"))
+        .select(F.col("s_suppkey").alias("x_suppkey"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(excl), l.l_suppkey == F.col("x_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders below 20% of the part's average
+    quantity. The correlated scalar subquery becomes a window average
+    per part (quantities are integer-valued doubles → exact sums →
+    order-independent average)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    w = W.partitionBy("p_partkey")
+    qualified = joined.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return qualified.agg(
+        (exact_sum("l_extendedprice", "s")).alias("s")
+    ).select((F.col("s") / F.lit(7.0)).alias("avg_yearly"))
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate across the part join — tests
+    that disjunctive pushdown doesn't break the join."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(exact_sum(F.expr(_DISC), "revenue"))
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: suppliers involved in multi-supplier 'F'
+    orders — EXISTS-with-inequality as a semi join."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = load_table(spark, sf_dir, "lineitem")
+    l2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    base = l1.join(o, l1.l_orderkey == o.o_orderkey)
+    multi = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    return (
+        multi.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: above-average-balance customers with no
+    recent orders — scalar aggregate threshold + NOT EXISTS anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _t("2001-01-01")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        exact_sum("c_acctbal", "s"), F.count(F.lit(1)).alias("n")
+    ).select((F.col("s") / F.col("n")).alias("thr"))
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order total per customer — exact scaled-bigint window
+    sum (order-deterministic at any parallelism)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    scaled = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    return (
+        o.withColumn(
+            "running_total",
+            (F.sum(scaled).over(w).cast("double") / F.lit(float(SCALE))),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "running_total",
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue — windows over exact
+    scaled sums so every engine agrees bit-for-bit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        l.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(f"cast(floor(({_DISC}) * {SCALE} + 0.5) as bigint)")
+            ).alias("rev_fix")
+        )
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "mov_avg_7d",
+            (
+                F.sum("rev_fix").over(w).cast("double")
+                / F.lit(float(SCALE))
+                / F.count("rev_fix").over(w)
+            ),
+        )
+        .withColumn(
+            "revenue", F.expr(f"CAST(rev_fix AS DOUBLE) / {SCALE}.0")
+        )
+        .select("day", "revenue", "mov_avg_7d")
+        .orderBy("day")
+    )
+
+
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping ids."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers active in 1996 but not in 1997."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= _t("1996-01-01"))
+        & (F.col("o_orderdate") < _t("1997-01-01"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= _t("1997-01-01"))
+        & (F.col("o_orderdate") < _t("1998-01-01"))
+    ).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics; exceptAll would keep
+    # multiplicity and leak customers with more '96 than '97 orders)
+    return y96.subtract(y97).orderBy("o_custkey")
+
+
+ORACLE: dict[str, str] = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q7_nation_volume": f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {sql_exact_sum(_DISC, "revenue")}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+            OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        SELECT year(o_orderdate) AS o_year,
+               {sql_exact_sum(
+                   "CASE WHEN ns.n_name = 'NATION_5' THEN " + _DISC + " ELSE 0.0 END",
+                   "nation_volume",
+               )},
+               {sql_exact_sum(_DISC, "total_volume")},
+               ({sql_exact_sum(
+                   "CASE WHEN ns.n_name = 'NATION_5' THEN " + _DISC + " ELSE 0.0 END"
+               )}) / ({sql_exact_sum(_DISC)}) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               {sql_exact_sum(_DISC, "profit")}
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    "q12_late_lines": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_ratio
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q13_customer_orders": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey, {sql_exact_sum(_DISC, "total_rev")}
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_cnt": """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type != 'PROMO' AND p_size IN (1, 5, 9, 13, 17)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3%'
+          )
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "q17_small_quantity": f"""
+        WITH j AS (
+          SELECT l_extendedprice, l_quantity,
+                 AVG(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'
+        )
+        SELECT ({sql_exact_sum("l_extendedprice")}) / 7.0 AS avg_yearly
+        FROM j WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q19_disjunctive": f"""
+        SELECT {sql_exact_sum(_DISC, "revenue")}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+    """,
+    "q21_waiting_supplier": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey != l1.l_suppkey
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    "q22_dormant_customers": f"""
+        WITH thr AS (
+          SELECT ({sql_exact_sum("c_acctbal")}) / COUNT(*) AS thr
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               {sql_exact_sum("c_acctbal", "totacctbal")}
+        FROM customer, thr
+        WHERE c_acctbal > thr
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "q_running_total": f"""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_totalprice,
+               CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / {SCALE}.0 AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "q_moving_avg": f"""
+        WITH daily AS (
+          SELECT CAST(l_shipdate AS DATE) AS day,
+                 SUM(CAST(FLOOR(({_DISC}) * {SCALE} + 0.5) AS BIGINT)) AS rev_fix
+          FROM lineitem GROUP BY 1
+        )
+        SELECT day,
+               CAST(rev_fix AS DOUBLE) / {SCALE}.0 AS revenue,
+               CAST(SUM(rev_fix) OVER w AS DOUBLE) / {SCALE}.0
+                 / COUNT(rev_fix) OVER w AS mov_avg_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    "q_cube_returns": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_exact_sum("l_quantity", "sum_qty")},
+               COUNT(*) AS n_rows,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+    "q_except_customers": """
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ORDER BY o_custkey
+    """,
+}
