@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from locopy_spark.queries import docs, events, tpch, tpch_ext
+from locopy_spark.queries import docs, docs_ext, events, events_ext, tpch, tpch_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,12 +50,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moving_avg": tpch_ext.q_moving_avg,
         "q_cube_returns": tpch_ext.q_cube_returns,
         "q_except_customers": tpch_ext.q_except_customers,
+        "q_retention_cohorts": events_ext.q_retention_cohorts,
+        "q_percentiles": events_ext.q_percentiles,
         "q_events_window": events.q_events_window,
         "q_events_sessionize": events.q_events_sessionize,
         "q_events_json_props": events.q_events_json_props,
         "q_events_funnel": events.q_events_funnel,
         "q_orders_asof_events": events.q_orders_asof_events,
         "d_exact_dedup": docs.d_exact_dedup,
+        "d_dup_clusters": docs_ext.d_dup_clusters,
+        "s_knn_ivf": docs_ext.s_knn_ivf,
+        "d_hash_split": docs_ext.d_hash_split,
+        "t_quality_filter": docs_ext.t_quality_filter,
+        "t_pii_scrub": docs_ext.t_pii_scrub,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,
         "d_simhash": docs.d_simhash,
@@ -73,4 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for each oracle-checkable query."""
-    return {**tpch.ORACLE, **tpch_ext.ORACLE, **events.ORACLE, **docs.ORACLE}
+    return {
+        **tpch.ORACLE,
+        **tpch_ext.ORACLE,
+        **events.ORACLE,
+        **events_ext.ORACLE,
+        **docs.ORACLE,
+        **docs_ext.ORACLE,
+    }

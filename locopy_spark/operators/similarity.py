@@ -148,6 +148,96 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Coarse quantizer: ``n_centroids`` vectors picked deterministically
+    (lowest md5 of id — a uniform pseudorandom sample; production would
+    k-means them, the plan shape is identical). Every vector is
+    assigned to its nearest centroid (broadcast nested-loop against the
+    tiny centroid set — map-side, no shuffle), queries probe their
+    ``n_probe`` nearest lists, and exact scoring runs only inside the
+    probed lists (equi-join shuffle on centroid id). Scanned fraction
+    ≈ n_probe / n_centroids, independent of table size.
+    """
+    base = with_fixed_norm(emb, vec_col)
+    cent = (
+        base.withColumn("ck", F.expr(f"md5(cast({id_col} as string))"))
+        .orderBy("ck")
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_emb"),
+            F.col("norm_fix").alias("c_norm"),
+        )
+    )
+
+    def assign(df: DataFrame, side: str, probes: int) -> DataFrame:
+        scored = (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "c_cos",
+                F.expr(
+                    cosine_from_fixed(
+                        fixed_dot_expr(f"{side}_emb", "c_emb"),
+                        f"{side}_norm",
+                        "c_norm",
+                    )
+                ),
+            )
+        )
+        w = W.partitionBy(f"{side}_id").orderBy(
+            F.desc("c_cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= probes)
+            .drop("c_emb", "c_norm", "c_cos", "crk")
+        )
+
+    vecs = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_emb"),
+        F.col("norm_fix").alias("n_norm"),
+    )
+    lists = assign(vecs, "n", 1)  # each vector lives in ONE list
+    q = base.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.col("norm_fix").alias("q_norm"),
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("q_id").isin(query_ids))
+    probes = assign(q, "q", n_probe)
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+        .withColumn(
+            "cosine", F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm"))
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            "cosine",
+            "rk",
+        )
+    )
+
+
 def embedding_dedup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -237,7 +237,10 @@ def _sql_minhash() -> str:
     return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
 
 
-def _oracle_minhash() -> str:
+def sql_minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, est_jaccard)`` — the
+    DuckDB twin of ``dedup.minhash_lsh_pairs``; shared by the pair
+    oracle and the cluster-resolution oracle in ``docs_ext``."""
     rows = DEFAULT_NHASH // DEFAULT_BANDS
     band_case = " ".join(
         f"WHEN {b} THEN md5(concat_ws('|', "
@@ -249,7 +252,7 @@ def _oracle_minhash() -> str:
         f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(DEFAULT_NHASH)
     )
     return f"""
-      WITH {_sql_shingle_sets()}, {_sql_minhash()},
+      {_sql_shingle_sets()}, {_sql_minhash()},
       band AS (
         SELECT doc_id, b, CASE b {band_case} END AS bh
         FROM sig, (SELECT unnest(generate_series(0, {DEFAULT_BANDS - 1})) AS b)
@@ -258,13 +261,22 @@ def _oracle_minhash() -> str:
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM band x JOIN band y
           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      ),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               ({agree}) / CAST({float(DEFAULT_NHASH)} AS DOUBLE) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON cand.doc_a = sa.doc_id
+        JOIN sig sb ON cand.doc_b = sb.doc_id
+        WHERE ({agree}) / CAST({float(DEFAULT_NHASH)} AS DOUBLE) >= {MINHASH_EST_T}
       )
-      SELECT doc_a, doc_b, ({agree}) / CAST({float(DEFAULT_NHASH)} AS DOUBLE) AS est_jaccard
-      FROM cand
-      JOIN sig sa ON cand.doc_a = sa.doc_id
-      JOIN sig sb ON cand.doc_b = sb.doc_id
-      WHERE ({agree}) / CAST({float(DEFAULT_NHASH)} AS DOUBLE) >= {MINHASH_EST_T}
-      ORDER BY doc_a, doc_b
+    """
+
+
+def _oracle_minhash() -> str:
+    return f"""
+      WITH {sql_minhash_pair_ctes()}
+      SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b
     """
 
 

@@ -1,0 +1,188 @@
+"""Training-data-pipeline queries, batch 2: duplicate-cluster
+resolution, deterministic hash splits, quality filtering, PII /
+denylist scrubbing.
+
+Same portability rules as ``docs``: md5-only hashing, RE2∩Java regex
+subset, exact integer arithmetic — every query has a byte-identical
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from locopy_spark.functions.text import sql_tokens, tokens_expr
+from locopy_spark.operators import cluster, dedup, scrub, similarity
+from locopy_spark.queries.docs import (
+    MINHASH_EST_T,
+    SHINGLE_K,
+    sql_minhash_pair_ctes,
+)
+from locopy_spark.sources.tables import load_table
+
+# deterministic split fractions via md5 prefix: [00,0d) test ≈ 5%,
+# [0d,1a) val ≈ 5%, rest train — stable under re-runs and resharding.
+SPLIT_TEST_HI = "0d"
+SPLIT_VAL_HI = "1a"
+
+# quality gates tuned so the synthetic corpus splits both ways
+QF_MIN_TOKENS = 24
+QF_MAX_TOKENS = 90
+QF_MIN_DISTINCT_RATIO = 0.35
+QF_MAX_TOP_RATIO = 0.12
+
+DENYLIST = ("customer", "vector")
+
+
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve MinHash-LSH near-dup pairs into clusters (connected
+    components, Hash-Min label propagation) and mark the kept doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    return cluster.dedup_resolution(pairs).orderBy("doc_id")
+
+
+def d_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from an md5 prefix of
+    the doc id — reproducible on any engine, any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    return (
+        docs.select("doc_id", "lang", hk.alias("hk"))
+        .withColumn(
+            "split",
+            F.when(F.col("hk") < SPLIT_TEST_HI, "test")
+            .when(F.col("hk") < SPLIT_VAL_HI, "val")
+            .otherwise("train"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — engine-specific list assignment, rows-only check;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rk")
+
+
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gate: token-count bounds, distinct-token
+    ratio, max-single-token frequency. Emits per-doc metrics + keep
+    flag (all JVM array expressions, no UDFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
+    m = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " t -> size(filter(toks, x -> x = t))))"
+        ).alias("top_freq"),
+    )
+    return (
+        m.withColumn(
+            "distinct_ratio", F.expr("CAST(n_distinct AS DOUBLE) / n_tokens")
+        )
+        .withColumn("top_ratio", F.expr("CAST(top_freq AS DOUBLE) / n_tokens"))
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("n_tokens") <= QF_MAX_TOKENS)
+            & (F.col("distinct_ratio") >= QF_MIN_DISTINCT_RATIO)
+            & (F.col("top_ratio") <= QF_MAX_TOP_RATIO),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern + denylist entity scrub: per-pattern match counts on
+    the raw text and the md5 of the scrubbed text (chained JVM
+    regexp_replace; RE2-safe patterns so DuckDB reproduces the bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    patterns = scrub.PII_PATTERNS + (
+        ("denylist", scrub.denylist_pattern(DENYLIST), "[ENT]"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            *scrub.match_counts("text", patterns),
+            F.md5(scrub.scrub_expr("text", patterns)).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dup_clusters() -> str:
+    # full transitive closure by recursive CTE — fine at oracle scale;
+    # the Spark side is the scalable path.
+    return f"""
+      WITH RECURSIVE {sql_minhash_pair_ctes()},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      )
+      SELECT src AS doc_id,
+             LEAST(src, MIN(dst)) AS cluster_id,
+             src = LEAST(src, MIN(dst)) AS is_kept
+      FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
+def _oracle_pii_scrub() -> str:
+    patterns = scrub.PII_PATTERNS + (
+        ("denylist", scrub.denylist_pattern(DENYLIST), "[ENT]"),
+    )
+    counts = ", ".join(scrub.sql_match_counts("text", patterns))
+    return f"""
+      SELECT doc_id, {counts},
+             md5({scrub.sql_scrub("text", patterns)}) AS scrubbed_md5
+      FROM documents ORDER BY doc_id
+    """
+
+
+ORACLE: dict[str, str] = {
+    "d_dup_clusters": _oracle_dup_clusters(),
+    "d_hash_split": f"""
+      SELECT doc_id, lang,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TEST_HI}' THEN 'test'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_HI}' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id
+    """,
+    "t_quality_filter": f"""
+      WITH t AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    t2 -> len(list_filter(toks, x -> x = t2)))) AS INT) AS top_freq
+        FROM t
+      )
+      SELECT doc_id, n_tokens, n_distinct, top_freq,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+             CAST(top_freq AS DOUBLE) / n_tokens AS top_ratio,
+             (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+              AND CAST(n_distinct AS DOUBLE) / n_tokens >= {QF_MIN_DISTINCT_RATIO}
+              AND CAST(top_freq AS DOUBLE) / n_tokens <= {QF_MAX_TOP_RATIO}) AS keep
+      FROM m ORDER BY doc_id
+    """,
+    "t_pii_scrub": _oracle_pii_scrub(),
+}

@@ -1,0 +1,120 @@
+"""Event analytics, batch 2: cohort retention and exact distributed
+percentiles.
+
+Week bucketing is pure integer epoch math (µs div day div 7) so every
+engine and every session time zone agrees; percentiles use the
+discrete (type-1) definition over exact scaled bigints — rank
+selection, no float interpolation — which is bit-identical at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from locopy_spark.functions.numeric import SCALE
+from locopy_spark.sources.tables import load_table
+
+US_PER_DAY = 86_400_000_000
+PCTS = (0.50, 0.90, 0.99)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week,
+    counted per week offset.
+
+    Two shuffles total: distinct (user, week), then the cohort groupBy;
+    the cohort join is on user_id (co-partitioned with the distinct's
+    output — AQE reuses the exchange).
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {US_PER_DAY} div 7").alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of order value per priority.
+
+    Rank-selection percentile (value at ceil(p·n)) over exact scaled
+    bigints: one sort-within-partition window + one groupBy. At 100 TB
+    the same shape works because the partition key (priority) bounds
+    each sort; for percentile-over-everything use approx_percentile.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    base = o.select("o_orderpriority", v.alias("v"))
+    wr = W.partitionBy("o_orderpriority").orderBy("v")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = base.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [
+        (
+            F.max(
+                F.expr(
+                    f"case when rn = cast(ceil({p} * n) as bigint) then v end"
+                )
+            ).cast("double")
+            / F.lit(float(SCALE))
+        ).alias(f"p{int(p * 100)}")
+        for p in PCTS
+    ]
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), *aggs)
+        .orderBy("o_orderpriority")
+    )
+
+
+def _oracle_percentiles() -> str:
+    sel = ", ".join(
+        f"CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END)"
+        f" AS DOUBLE) / {SCALE}.0 AS p{int(p * 100)}"
+        for p in PCTS
+    )
+    return f"""
+      WITH r AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+      )
+      SELECT o_orderpriority, COUNT(*) AS n_orders, {sel}
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+ORACLE: dict[str, str] = {
+    "q_retention_cohorts": f"""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {US_PER_DAY} // 7 AS wk
+        FROM events
+      ),
+      cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+      )
+      SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+             COUNT(DISTINCT uw.user_id) AS n_users
+      FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_percentiles": _oracle_percentiles(),
+}

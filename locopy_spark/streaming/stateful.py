@@ -1,0 +1,82 @@
+"""Custom stateful streaming operators.
+
+``stream_user_totals`` is the pattern for operators Spark's built-in
+windowed aggregations can't express: arbitrary per-key state carried
+across micro-batches via ``applyInPandasWithState`` (Arrow-batched —
+the grouped rows arrive as pandas frames, state is a tuple, output is
+emitted per batch). State size is O(keys), bounded; at 100 TB the
+grouping key shuffles once per micro-batch and state lives in the
+state store (RocksDB in production).
+
+``stream_dedup`` is exactly-once event dedup: state-store-backed
+``dropDuplicates`` on the event id, watermark-bounded so state ages
+out instead of growing forever.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_fix", T.LongType()),  # scaled 1e3 exact
+    ]
+)
+
+USER_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s_fix", T.LongType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n, s_fix = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # exact scaled-int sum — associative, replay-safe
+        s_fix += int(
+            sum(math.floor(v * 1000 + 0.5) for v in pdf["value"].tolist())
+        )
+    state.update((n, s_fix))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value_fix": [s_fix]}
+    )
+
+
+def stream_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user (count, exact sum) across micro-batches."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once dedup on event_id, state bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -115,3 +115,52 @@ def test_multimodal_plumbing(spark):
     # deterministic
     again = {r.doc_id: r.width for r in decode_stub(media).collect()}
     assert again[1] == d[1].width
+
+
+def test_connected_components_chain_and_clique(spark):
+    from locopy_spark.operators.cluster import connected_components, dedup_resolution
+
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    kept = {
+        r.doc_id for r in dedup_resolution(pairs).filter("is_kept").collect()
+    }
+    assert kept == {1, 10, 20}
+
+
+def test_scrub_patterns(spark):
+    from locopy_spark.operators import scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com ssn 123-45-6789 ip 10.0.0.1 phone 555-123-4567 x")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        *scrub.match_counts("text"),
+        scrub.scrub_expr("text").alias("scrubbed"),
+    ).collect()[0]
+    assert (out.n_email, out.n_ssn, out.n_phone, out.n_ipv4) == (1, 1, 1, 1)
+    assert out.scrubbed == "mail [EMAIL] ssn [SSN] ip [IP] phone [PHONE] x"
+
+
+def test_denylist_scrub(spark):
+    from locopy_spark.operators import scrub
+
+    pats = (("deny", scrub.denylist_pattern(("foo", "bar")), "[X]"),)
+    df = spark.createDataFrame(
+        [(1, "foo sees bar but not foobar")], "doc_id long, text string"
+    )
+    out = df.select(scrub.scrub_expr("text", pats).alias("s")).collect()[0]
+    assert out.s == "[X] sees [X] but not foobar"

@@ -47,3 +47,23 @@ def test_embedding_dedup_threshold(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_dedup_pairs(emb, threshold=0.35).collect()
     assert all(p.vec_a < p.vec_b and p.cosine >= 0.35 for p in pairs)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from locopy_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(
+            emb, query_ids=qids, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert approx, "IVF returned nothing"
+    # probing half the lists should recover a good share of true top-k
+    assert len(exact & approx) >= len(exact) // 3

@@ -40,3 +40,40 @@ def test_stream_sessionize_runs(spark, sf_dir):
     total_events = sum(r.n_events for r in rows)
     assert total_events == load_table(spark, sf_dir, "events").count()
     assert all(r.session_start_us <= r.session_end_us for r in rows)
+
+
+def test_stream_user_totals_stateful(spark, sf_dir):
+    from locopy_spark.streaming.stateful import stream_user_totals
+
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory(stream_user_totals(stream), "totals_out", mode="update")
+    # last update per user is the final running total
+    got = {
+        r.user_id: (r.n_events, r.sum_value_fix)
+        for r in spark.sql("SELECT * FROM totals_out").collect()
+    }
+    assert got, "stateful op produced no rows"
+    batch = {
+        r.user_id: (r.n, r.s_fix)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias(
+                "s_fix"
+            ),
+        )
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup(spark, sf_dir):
+    from locopy_spark.streaming.stateful import stream_dedup
+
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory(stream_dedup(stream), "dedup_out", mode="append")
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM dedup_out").collect()[0].n
+    total = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    assert n == total
+    assert total == load_table(spark, sf_dir, "events").select("event_id").distinct().count()
