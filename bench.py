@@ -30,6 +30,14 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q12_late_lines",
+    "q13_customer_orders",
+    "q21_waiting_supplier",
+    "q_running_total",
+    "q_moving_avg",
+    "q_cube_returns",
     "q_topk_per_group",
     "q_mktseg_pivot",
     "q_rollup_sales",
@@ -38,15 +46,22 @@ BENCH_QUERIES = [
     "q_events_sessionize",
     "q_events_funnel",
     "q_orders_asof_events",
+    "q_retention_cohorts",
+    "q_percentiles",
     "d_exact_dedup",
     "d_minhash_lsh",
     "d_simhash",
+    "d_dup_clusters",
+    "d_hash_split",
     "s_knn_bruteforce",
     "s_knn_lsh",
+    "s_knn_ivf",
     "t_lang_id",
     "t_quality_score",
     "t_token_count",
     "t_fingerprint",
+    "t_quality_filter",
+    "t_pii_scrub",
 ]
 
 

@@ -72,7 +72,7 @@ def ngram_jaccard_pairs(
     produces d² candidate rows — acceptable at verification scale, and
     the reason the LSH variant exists for production scale.
     """
-    sh = shingle_sets(docs, id_col, text_col, k)
+    sh = shingle_sets(docs, id_col, text_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -103,13 +103,17 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = DEFAULT_NHASH,
 ) -> DataFrame:
-    """MinHash signature per doc: m_i = MIN(md5('i:' || shingle)).
+    """MinHash signature per doc: m_i = MIN(32-bit hash_i(shingle)).
 
-    Lexicographic min over md5 hex — a valid permutation-min family and
-    bit-identical in any engine with md5. One shuffle (groupBy doc).
-    MIN is duplicate-insensitive, so the shingles are NOT deduplicated
-    first — that saves a full shuffle of the exploded data versus
-    ``shingle_sets`` (identical result).
+    The ``n_hashes`` independent hash values per shingle are 8-hex-char
+    slices of ceil(n/4) concatenated md5 digests — 4× fewer digest
+    computations than one md5 per position, and still bit-identical in
+    any engine with md5 (lexicographic MIN on fixed-width lowercase hex
+    == numeric min). One shuffle (groupBy doc); the md5s evaluate
+    map-side inside partial aggregation. MIN is duplicate-insensitive,
+    so the shingles are NOT deduplicated first — that saves a full
+    shuffle of the exploded data versus ``shingle_sets`` (identical
+    result).
     """
     sh = (
         docs.select(
@@ -118,10 +122,14 @@ def minhash_signatures(
         )
         .select("doc_id", F.explode(F.expr(shingles_expr("toks", k))).alias("sh"))
     )
+    n_md5 = (n_hashes + 3) // 4  # 4 × 32-bit slices per 128-bit digest
+    hb = "concat(" + ", ".join(f"md5('{d}:' || sh)" for d in range(n_md5)) + ")"
+    banked = sh.select("doc_id", F.expr(hb).alias("hb"))
     aggs = [
-        F.min(F.expr(f"md5('{i}:' || sh)")).alias(f"m{i}") for i in range(n_hashes)
+        F.min(F.expr(f"substring(hb, {8 * i + 1}, 8)")).alias(f"m{i}")
+        for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return banked.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -142,9 +150,12 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     # the signature table feeds four plan subtrees (band self-join sides
-    # + both est joins); identical exchanges collapse via ReusedExchange,
-    # so no explicit persist is needed (verified neutral in A/B)
-    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    # + both est joins). Materialize it once: A/B at sf0.1 shows 4×
+    # (4.6s → 1.15s) — ReusedExchange does NOT collapse the est-join
+    # broadcast subtrees. At 100 TB the signature table is
+    # n_docs × n_hashes × 8 B (≪ input text); MEMORY_AND_DISK spills
+    # safely if not.
+    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes).persist()
     band_cols = [
         F.expr(
             "md5(concat_ws('|', "
@@ -210,7 +221,10 @@ def simhash(
     odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
     # pre-aggregate occurrence counts per (doc, token): md5 + 32 digit
     # probes then run once per DISTINCT token instead of per occurrence
-    # (votes weighted by count — bit-identical integer result)
+    # (votes weighted by count — bit-identical integer result). This
+    # explode+hash-aggregate shape beats an in-row higher-order-function
+    # fold ~3× in A/B: HOF lambdas are interpreted, hash aggregation is
+    # whole-stage-codegen'd.
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.expr(tokens_expr(text_col)).alias("toks")

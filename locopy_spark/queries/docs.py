@@ -231,10 +231,16 @@ def _sql_shingle_sets() -> str:
 
 
 def _sql_minhash() -> str:
+    n_md5 = (DEFAULT_NHASH + 3) // 4
+    hb = " || ".join(f"md5('{d}:' || sh)" for d in range(n_md5))
     mins = ", ".join(
-        f"MIN(md5('{i}:' || sh)) AS m{i}" for i in range(DEFAULT_NHASH)
+        f"MIN(substring(hb, {8 * i + 1}, 8)) AS m{i}"
+        for i in range(DEFAULT_NHASH)
     )
-    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    return (
+        f"hbt AS (SELECT doc_id, {hb} AS hb FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hbt GROUP BY doc_id)"
+    )
 
 
 def sql_minhash_pair_ctes() -> str:

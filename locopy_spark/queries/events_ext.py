@@ -25,22 +25,29 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-active week,
     counted per week offset.
 
-    Two shuffles total: distinct (user, week), then the cohort groupBy;
-    the cohort join is on user_id (co-partitioned with the distinct's
-    output — AQE reuses the exchange).
+    Two shuffles total: one groupBy(user) building the per-user week
+    SET (collect_set — the cohort week is its min, so no self-join),
+    then the final (cohort, offset) groupBy. Each user contributes a
+    given (cohort, offset) at most once by construction, so a plain
+    COUNT replaces the two-phase COUNT DISTINCT.
     """
     e = load_table(spark, sf_dir, "events")
-    uw = e.select(
-        "user_id",
-        F.expr(f"unix_micros(ts) div {US_PER_DAY} div 7").alias("wk"),
-    ).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    per_user = (
+        e.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {US_PER_DAY} div 7").alias("wk"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
     return (
-        uw.join(cohort, "user_id")
+        per_user.select(
+            F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk")
+        )
         .groupBy(
             "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_wk", "wk_offset")
     )
 
