@@ -77,10 +77,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # drop the superseded checkpoint — keeps storage O(1) in
+        # iteration count instead of accumulating every round
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    out = labels.select("node", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out
 
 
 def dedup_resolution(

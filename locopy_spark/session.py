@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Wide codegen'd aggregates (16-32 agg exprs) across many
+        # queries in one JVM overflow the default 240 MB JIT code
+        # cache; when it fills, HotSpot disables compilation and
+        # whole-stage-codegen'd operators run interpreted (10-25×
+        # stalls that move between queries). Size it up and let the
+        # sweeper reclaim cold compiled code.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     builder = builder.master(master or f"local[{cores}]")
     for k, v in (extra_conf or {}).items():
