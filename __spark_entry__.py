@@ -11,7 +11,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from locopy_spark.queries import docs, docs_ext, events, events_ext, tpch, tpch_ext
+from locopy_spark.queries import (
+    docs,
+    docs_ext,
+    etl_ext,
+    events,
+    events_ext,
+    tpch,
+    tpch_ext,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,6 +58,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moving_avg": tpch_ext.q_moving_avg,
         "q_cube_returns": tpch_ext.q_cube_returns,
         "q_except_customers": tpch_ext.q_except_customers,
+        "q_stats_moments": tpch_ext.q_stats_moments,
+        "q_grouping_sets": tpch_ext.q_grouping_sets,
+        "q_intersect_customers": tpch_ext.q_intersect_customers,
+        "q_dow_revenue": tpch_ext.q_dow_revenue,
+        "q_merge_upsert": etl_ext.q_merge_upsert,
+        "q_scd2_history": etl_ext.q_scd2_history,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
         "q_percentiles": events_ext.q_percentiles,
         "q_events_window": events.q_events_window,
@@ -63,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_hash_split": docs_ext.d_hash_split,
         "t_quality_filter": docs_ext.t_quality_filter,
         "t_pii_scrub": docs_ext.t_pii_scrub,
+        "t_term_stats": docs_ext.t_term_stats,
+        "t_ngram_top": docs_ext.t_ngram_top,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,
         "d_simhash": docs.d_simhash,
@@ -85,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         **tpch_ext.ORACLE,
         **events.ORACLE,
         **events_ext.ORACLE,
+        **etl_ext.ORACLE,
         **docs.ORACLE,
         **docs_ext.ORACLE,
     }

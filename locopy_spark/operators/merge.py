@@ -1,0 +1,117 @@
+"""Warehouse-style MERGE (upsert) and SCD-2 snapshot operators.
+
+locopy users run MERGE/upsert against Redshift/Snowflake after a COPY
+(reference: locopy/redshift.py:532 inserts, with upsert left to user
+SQL). Spark-native: an upsert is a keyed outer join that prefers the
+update side; SCD-2 history is the same join with validity intervals.
+Both are pure DataFrame plans — one shuffle on the merge key,
+broadcast when the update side is small (the common case: daily delta
+into a 100 TB dimension).
+
+In production these writes land on a transactional table format
+(Delta/Iceberg `MERGE INTO`); this module is the engine-side semantics
+those formats execute, so results are testable against a SQL oracle
+without a table-format dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """UPSERT: update rows whose key matches, insert the rest.
+
+    Equivalent to ``MERGE INTO target USING updates ON key WHEN MATCHED
+    UPDATE SET * WHEN NOT MATCHED INSERT *``. The update side wins on
+    every non-key column. Expressed as (target ANTI-JOIN update-keys)
+    ∪ updates — identical result to the textbook full-outer-join
+    formulation, but the anti join broadcasts a small delta (Spark
+    cannot broadcast a full outer join), so merging a daily delta into
+    a 100 TB table is a map-side filter + union, zero shuffles.
+    """
+    cols = target.columns
+    keys = updates.select(F.col(key))
+    if broadcast_updates:
+        keys = F.broadcast(keys)
+    kept = target.join(keys, key, "left_anti")
+    return kept.unionByName(updates.select(*cols))
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close changed rows, append new
+    versions.
+
+    ``current`` must carry ``valid_from``/``valid_to`` (null
+    ``valid_to`` = open row). Updates close the open row at the
+    update's ``effective_col`` and insert a new open row when any
+    ``compare_cols`` value changed (all non-key data columns when
+    omitted).
+    """
+    data_cols = compare_cols or [
+        c
+        for c in updates.columns
+        if c not in (key, effective_col)
+    ]
+    open_rows = current.filter(F.col("valid_to").isNull())
+    closed_rows = current.filter(F.col("valid_to").isNotNull())
+    u = F.broadcast(
+        updates.select(
+            F.col(key).alias("__k"),
+            F.col(effective_col).alias("__eff"),
+            *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        )
+    )
+    j = open_rows.join(u, F.col(key) == F.col("__k"), "left")
+    changed = F.col("__k").isNotNull() & ~F.struct(
+        *[F.col(c) for c in data_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__u_{c}").alias(c) for c in data_cols]))
+    # open rows: closed if changed, untouched otherwise
+    still = j.select(
+        key,
+        *data_cols,
+        "valid_from",
+        F.when(changed, F.col("__eff")).otherwise(F.col("valid_to")).alias(
+            "valid_to"
+        ),
+    )
+    # new open versions for changed keys
+    fresh = (
+        j.filter(changed)
+        .select(
+            key,
+            *[F.col(f"__u_{c}").alias(c) for c in data_cols],
+            F.col("__eff").alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        )
+    )
+    # brand-new keys (no open row)
+    anti = updates.join(
+        open_rows.select(F.col(key).alias("__ok")),
+        F.col(key) == F.col("__ok"),
+        "left_anti",
+    ).select(
+        key,
+        *data_cols,
+        F.col(effective_col).alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    out_cols = [key, *data_cols, "valid_from", "valid_to"]
+    return (
+        closed_rows.select(*out_cols)
+        .unionByName(still)
+        .unionByName(fresh)
+        .unionByName(anti)
+    )

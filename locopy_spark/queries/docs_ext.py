@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from locopy_spark.functions.text import sql_tokens, tokens_expr
+from locopy_spark.functions.text import sql_shingles, sql_tokens, tokens_expr
 from locopy_spark.operators import cluster, dedup, scrub, similarity
 from locopy_spark.queries.docs import (
     MINHASH_EST_T,
@@ -120,6 +120,53 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: document frequency, collection term
+    frequency, and tf/df (linear inverse-doc-frequency weight — exact
+    double division; natural-log idf is libm-dependent across engines
+    and deliberately avoided in the oracle-checked output).
+
+    One explode + one groupBy(term) — the canonical inverted-index
+    build shape; partial aggregation keeps the shuffle at
+    |vocabulary| not |tokens|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("ctf"),
+        )
+        .join(F.broadcast(nd))
+        .withColumn("idf_lin", F.col("n_docs") / F.col("df"))
+        .drop("n_docs")
+        .orderBy("term")
+    )
+
+
+def t_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus trigrams by frequency — shingle explode +
+    count + global top-k (rank ties broken by the shingle itself for a
+    total order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(tokens_expr("text")).alias("toks"))
+    from locopy_spark.functions.text import shingles_expr
+
+    grams = toks.select(
+        F.explode(F.expr(shingles_expr("toks", SHINGLE_K))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )
+
+
 def _oracle_dup_clusters() -> str:
     # full transitive closure by recursive CTE — fine at oracle scale;
     # the Spark side is the scalable path.
@@ -185,4 +232,18 @@ ORACLE: dict[str, str] = {
       FROM m ORDER BY doc_id
     """,
     "t_pii_scrub": _oracle_pii_scrub(),
+    "t_term_stats": f"""
+      WITH t AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+      )
+      SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS ctf,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(DISTINCT doc_id) AS idf_lin
+      FROM t GROUP BY term ORDER BY term
+    """,
+    "t_ngram_top": f"""
+      WITH t AS (SELECT {sql_tokens('text')} AS toks FROM documents),
+      g AS (SELECT unnest({{shingles}}) AS gram FROM t)
+      SELECT gram, COUNT(*) AS n FROM g
+      GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+    """.format(shingles=sql_shingles("toks", SHINGLE_K)),
 }

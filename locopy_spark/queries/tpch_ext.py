@@ -594,3 +594,129 @@ ORACLE: dict[str, str] = {
         ORDER BY o_custkey
     """,
 }
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample stddev of order value per priority from exact
+    integer power sums (DECIMAL(38) accumulators — overflow-safe at any
+    SF; the variance formula runs in double with the identical
+    expression text on both engines, so results are bit-stable)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
+    )
+    return (
+        v.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(v as decimal(38,0))")).alias("s"),
+            F.sum(F.expr("cast(v * v as decimal(38,0))")).alias("s2"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.expr("CAST(s AS DOUBLE) / n").alias("mean_val"),
+            F.expr(
+                "sqrt((CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) * n / (n - 1))"
+            ).alias("stddev_val"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (priority), (status), and grand total
+    in one pass (Catalyst expands to a single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {''}CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {SCALE}.0 AS sum_price,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers active in both 1996 and 1997."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def _yr(y: int):
+        return o.filter(
+            (F.col("o_orderdate") >= _t(f"{y}-01-01"))
+            & (F.col("o_orderdate") < _t(f"{y + 1}-01-01"))
+        ).select("o_custkey")
+
+    return _yr(1996).intersect(_yr(1997)).orderBy("o_custkey")
+
+
+def q_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by day-of-week, computed as (epoch_day + 4) % 7
+    (0=Sunday) — pure integer math, identical in every engine and
+    session time zone (engine-native dayofweek() functions disagree on
+    numbering)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dow = F.expr(
+        "(datediff(cast(l_shipdate as date), date'1970-01-01') + 4) % 7"
+    )
+    return (
+        l.groupBy(dow.alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(F.expr(_DISC), "revenue"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE.update(
+    {
+        "q_stats_moments": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
+               sqrt((CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+                     - (CAST(SUM(v) AS DOUBLE) / COUNT(*)) * (CAST(SUM(v) AS DOUBLE) / COUNT(*)))
+                    * COUNT(*) / (COUNT(*) - 1)) AS stddev_val
+        FROM (
+          SELECT o_orderpriority,
+                 CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+          FROM orders
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_grouping_sets": f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+        """,
+        "q_intersect_customers": """
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ORDER BY o_custkey
+        """,
+        "q_dow_revenue": f"""
+        SELECT (datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 4) % 7 AS dow,
+               COUNT(*) AS n_lines,
+               {sql_exact_sum(_DISC, 'revenue')}
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+        """,
+    }
+)
