@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_history": etl_ext.q_scd2_history,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
         "q_percentiles": events_ext.q_percentiles,
+        "q_range_join": events_ext.q_range_join,
+        "q_order_gaps": events_ext.q_order_gaps,
         "q_events_window": events.q_events_window,
         "q_events_sessionize": events.q_events_sessionize,
         "q_events_json_props": events.q_events_json_props,

@@ -86,6 +86,71 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute attribution window
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join: views/clicks of the same user inside
+    the 30 minutes before each purchase — interval containment via the
+    bucketed range join (equi-join on (user, bucket), never a nested
+    loop)."""
+    from locopy_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    points = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("p_type"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.unix_micros("ts") - F.lit(ATTR_WINDOW_US)).alias("lo_us"),
+        F.unix_micros("ts").alias("hi_us"),
+    )
+    return (
+        range_join(
+            points,
+            intervals,
+            point_col="p_us",
+            lo_col="lo_us",
+            hi_col="hi_us",
+            bucket=ATTR_WINDOW_US,
+            keys=["user_id"],
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.sum(F.expr("cast(p_type = 'view' as int)")).alias("n_views"),
+            F.sum(F.expr("cast(p_type = 'click' as int)")).alias("n_clicks"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag window);
+    first order ⇒ -1."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    od = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", od.alias("od_us"))
+        .withColumn(
+            "gap_days",
+            F.coalesce(
+                (F.col("od_us") - F.lag("od_us").over(w)) / F.lit(US_PER_DAY),
+                F.lit(-1.0),
+            ),
+        )
+        .select("o_custkey", "o_orderkey", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 def _oracle_percentiles() -> str:
     sel = ", ".join(
         f"CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END)"
@@ -124,4 +189,25 @@ ORACLE: dict[str, str] = {
       GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q_percentiles": _oracle_percentiles(),
+    "q_range_join": f"""
+      SELECT p.event_id AS purchase_id,
+             CAST(SUM(CASE WHEN x.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+             CAST(SUM(CASE WHEN x.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+      FROM events p JOIN events x
+        ON p.event_type = 'purchase'
+       AND x.event_type IN ('view', 'click')
+       AND x.user_id = p.user_id
+       AND epoch_us(x.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
+       AND epoch_us(x.ts) < epoch_us(p.ts)
+      GROUP BY 1 ORDER BY 1
+    """,
+    "q_order_gaps": f"""
+      SELECT o_custkey, o_orderkey,
+             COALESCE((epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch_us(o_orderdate), o_orderkey
+             )) / {US_PER_DAY}.0, -1.0) AS gap_days
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """,
 }

@@ -164,3 +164,41 @@ def test_denylist_scrub(spark):
     )
     out = df.select(scrub.scrub_expr("text", pats).alias("s")).collect()[0]
     assert out.s == "[X] sees [X] but not foobar"
+
+
+def test_range_join_containment(spark):
+    from locopy_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (1, 15), (1, 25), (2, 5)], "k long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 10, 30, "b"), (2, 100, 200, "c")],
+        "k long, lo long, hi long, tag string",
+    )
+    got = {
+        (r.k, r.p, r.tag)
+        for r in range_join(
+            points, intervals, "p", "lo", "hi", bucket=7, keys=["k"]
+        ).collect()
+    }
+    assert got == {(1, 5, "a"), (1, 15, "b"), (1, 25, "b")}
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    from locopy_spark.operators.rangejoin import salted_join
+    from locopy_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment").count().collect()
+    )
+    salted = (
+        salted_join(o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey")
+        .groupBy("c_mktsegment").count().collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
