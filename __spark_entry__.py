@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_history": etl_ext.q_scd2_history,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
         "q_percentiles": events_ext.q_percentiles,
+        "q_approx_percentiles": events_ext.q_approx_percentiles,
         "q_range_join": events_ext.q_range_join,
         "q_order_gaps": events_ext.q_order_gaps,
         "q_events_window": events.q_events_window,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_filter": docs_ext.t_quality_filter,
         "t_pii_scrub": docs_ext.t_pii_scrub,
         "t_term_stats": docs_ext.t_term_stats,
+        "m_frame_sample": docs_ext.m_frame_sample,
         "t_ngram_top": docs_ext.t_ngram_top,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,

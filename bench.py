@@ -48,6 +48,14 @@ BENCH_QUERIES = [
     "q_orders_asof_events",
     "q_retention_cohorts",
     "q_percentiles",
+    "q_range_join",
+    "q_order_gaps",
+    "q_stats_moments",
+    "q_grouping_sets",
+    "q_dow_revenue",
+    "q_intersect_customers",
+    "q_merge_upsert",
+    "q_scd2_history",
     "d_exact_dedup",
     "d_minhash_lsh",
     "d_simhash",
@@ -62,6 +70,8 @@ BENCH_QUERIES = [
     "t_fingerprint",
     "t_quality_filter",
     "t_pii_scrub",
+    "t_term_stats",
+    "t_ngram_top",
 ]
 
 

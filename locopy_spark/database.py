@@ -129,8 +129,8 @@ class Database:
         chunked ``fetchmany``); None fetches everything via Arrow.
         Returns None when the result is empty, matching the reference.
         """
-        if df_type not in ("pandas", "spark"):
-            raise ValueError("df_type must be `pandas` or `spark`.")
+        if df_type not in ("pandas", "polars", "spark"):
+            raise ValueError("df_type must be `pandas`, `polars` or `spark`.")
         if self._result is None:
             raise DBError("No query has been executed.")
         if df_type == "spark":
@@ -143,6 +143,15 @@ class Database:
         if len(pdf) == 0:
             return None
         pdf.columns = [c.lower() for c in pdf.columns]
+        if df_type == "polars":
+            # reference parity (snowflake.py:514); polars is optional
+            try:
+                import polars as pl
+            except ImportError as e:  # pragma: no cover
+                raise DBError(
+                    "polars is not installed; use df_type='pandas'."
+                ) from e
+            return pl.from_pandas(pdf)
         return pdf
 
     def to_dict(self) -> Generator[dict, None, None]:

@@ -43,6 +43,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size the iteration's parallelism to the GRAPH, not the session
+    # default: duplicate graphs are tiny relative to the corpus, and a
+    # 32-partition shuffle of 500 edges costs more in task scheduling
+    # than the work itself. ~100k edges per partition, capped at the
+    # session parallelism for big graphs.
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(parts, "dst").localCheckpoint(eager=True)
     # label(x) starts at min(x, min direct neighbor)
     labels = (
         edges.groupBy("src")

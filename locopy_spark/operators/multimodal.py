@@ -56,6 +56,39 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, "stub"
 
 
+def frame_sample(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    step: int = 4,
+) -> DataFrame:
+    """Sample every ``step``-th fixed-size frame from a binary payload.
+
+    The video-pipeline shape: payload → frame offsets → sampled chunks,
+    computed entirely JVM-side (sequence + substring on binary — no
+    Python, no shuffle; one row per sampled frame). A real container
+    format would parse frame boundaries in the decode stage; fixed-size
+    chunking is the plumbing contract.
+    """
+    nf = f"(octet_length(payload) + {frame_bytes - 1}) div {frame_bytes}"
+    frames = (
+        f"transform(sequence(0, cast({nf} as int) - 1, {step}), i -> "
+        f"named_struct("
+        f"'frame_idx', i, "
+        f"'frame_md5', md5(substring(payload, i * {frame_bytes} + 1, {frame_bytes})), "
+        f"'frame_len', octet_length(substring(payload, i * {frame_bytes} + 1, {frame_bytes}))))"
+    )
+    return (
+        media.select(id_col, F.explode(F.expr(frames)).alias("f"))
+        .select(
+            id_col,
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.frame_md5").alias("frame_md5"),
+            F.col("f.frame_len").alias("frame_len"),
+        )
+    )
+
+
 def decode_stub(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode stage: (id, payload) → decoded features.
 

@@ -167,6 +167,24 @@ def t_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64
+FRAME_STEP = 4
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary frame sampling over the encoded payload (every 4th
+    64-byte chunk). Oracle note: the synthetic corpus is pure ASCII, so
+    byte offsets == character offsets and DuckDB can reproduce the
+    chunk hashes with string slicing."""
+    from locopy_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs)
+    return frame_sample(
+        media, frame_bytes=FRAME_BYTES, step=FRAME_STEP
+    ).orderBy("doc_id", "frame_idx")
+
+
 def _oracle_dup_clusters() -> str:
     # full transitive closure by recursive CTE — fine at oracle scale;
     # the Spark side is the scalable path.
@@ -239,6 +257,20 @@ ORACLE: dict[str, str] = {
       SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS ctf,
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(DISTINCT doc_id) AS idf_lin
       FROM t GROUP BY term ORDER BY term
+    """,
+    "m_frame_sample": f"""
+      WITH t AS (
+        SELECT doc_id, text, length(text) AS bl FROM documents
+      ),
+      idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(bl / {FRAME_BYTES}.0) AS INT), {FRAME_STEP})) AS frame_idx
+        FROM t
+      )
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5,
+             CAST(length(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INT) AS frame_len
+      FROM idx ORDER BY doc_id, frame_idx
     """,
     "t_ngram_top": f"""
       WITH t AS (SELECT {sql_tokens('text')} AS toks FROM documents),

@@ -151,6 +151,31 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna via
+    approx_percentile) — the single-pass mergeable path for
+    percentile-over-everything at 100 TB, where the rank-select window
+    of ``q_percentiles`` would need a global sort. Engine-specific
+    sketch ⇒ rows-only check; accuracy vs the exact answer is asserted
+    in tests/test_operators.py."""
+    o = load_table(spark, sf_dir, "orders")
+    pcts = list(PCTS)
+    acc = 10_000
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            *[
+                F.expr(
+                    f"approx_percentile(o_totalprice, {p}, {acc})"
+                ).alias(f"p{int(p * 100)}")
+                for p in pcts
+            ],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _oracle_percentiles() -> str:
     sel = ", ".join(
         f"CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END)"

@@ -202,3 +202,20 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert {(r.c_mktsegment, r["count"]) for r in plain} == {
         (r.c_mktsegment, r["count"]) for r in salted
     }
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from locopy_spark.queries.events_ext import q_approx_percentiles, q_percentiles
+
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90, r.p99)
+        for r in q_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.p50, r.p90, r.p99)
+        for r in q_approx_percentiles(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(e - a) / max(abs(e), 1.0) < 0.05, (k, e, a)
