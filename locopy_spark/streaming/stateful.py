@@ -75,6 +75,16 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (broadcast) static dimension — the streaming COPY-enrich-land
+    pattern. No state: the dim is re-resolved per batch, so slowly
+    refreshing it (a view over a managed table) is safe."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once dedup on event_id, state bounded by the watermark."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

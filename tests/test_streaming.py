@@ -77,3 +77,29 @@ def test_stream_dedup(spark, sf_dir):
     total = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
     assert n == total
     assert total == load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+
+
+def test_stream_enrich_static_join(spark, sf_dir):
+    from locopy_spark.streaming.stateful import stream_enrich
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory(
+        stream_enrich(stream, dim, on="user_id"), "enrich_out", mode="append"
+    )
+    got = spark.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM enrich_out GROUP BY 1"
+    ).collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r.n) for r in got} == {
+        (r.c_mktsegment, r["count"]) for r in batch
+    }
