@@ -101,3 +101,18 @@ def test_retention_no_extra_shuffles(spark, sf_dir):
     # distinct + cohort agg + join + final agg — bounded exchanges
     assert audit.shuffle_count(df) <= 3  # groupBy(user) + final agg + presentation sort
     assert not audit.has_cartesian(df)
+
+
+def test_range_join_is_equijoin_not_nested_loop(spark, sf_dir):
+    # the bucketed rewrite must produce a hash/merge equi-join;
+    # a BroadcastNestedLoopJoin would mean the rewrite regressed to
+    # the naive interval plan
+    df = _q(spark, sf_dir, "q_range_join")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_merge_upsert_broadcasts_delta(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_merge_upsert")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
