@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_returns": tpch_ext.q_cube_returns,
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
+        "q20_excess_suppliers": tpch_ext.q20_excess_suppliers,
+        "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,
         "q_intersect_customers": tpch_ext.q_intersect_customers,
         "q_dow_revenue": tpch_ext.q_dow_revenue,
@@ -82,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": docs_ext.t_pii_scrub,
         "t_term_stats": docs_ext.t_term_stats,
         "m_frame_sample": docs_ext.m_frame_sample,
+        "d_embedding_centroids": docs_ext.d_embedding_centroids,
         "t_ngram_top": docs_ext.t_ngram_top,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,

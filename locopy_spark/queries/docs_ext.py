@@ -167,6 +167,41 @@ def t_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+EMB_SCALE = 1_000_000_000  # 1e9: float32 → 9 digits kept, decimal-safe sums
+
+
+def d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean) of the embedding column —
+    the mean-pooling / cluster-centroid primitive. posexplode →
+    groupBy(label, dim) with exact fixed-point sums in DECIMAL(38)
+    accumulators (overflow-safe and bit-stable at any row count); one
+    shuffle on (label, dim) — uniform keys, scales linearly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.expr(
+            f"cast(cast(floor(cast(val as double) * {EMB_SCALE} + 0.5) as bigint) as decimal(38,0))"
+        ).alias("v_fix"),
+    )
+    return (
+        ex.groupBy("label", "dim_idx")
+        .agg(F.sum("v_fix").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim_idx",
+            (F.expr("CAST(s AS DOUBLE)") / F.lit(float(EMB_SCALE)) / F.col("n")).alias(
+                "centroid_val"
+            ),
+            "n",
+        )
+        .orderBy("label", "dim_idx")
+    )
+
+
 FRAME_BYTES = 64
 FRAME_STEP = 4
 
@@ -257,6 +292,17 @@ ORACLE: dict[str, str] = {
       SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS ctf,
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(DISTINCT doc_id) AS idf_lin
       FROM t GROUP BY term ORDER BY term
+    """,
+    "d_embedding_centroids": f"""
+      WITH ex AS (
+        SELECT label, i AS dim_idx,
+               CAST(FLOOR(embedding[i]::DOUBLE * {EMB_SCALE} + 0.5) AS BIGINT) AS v_fix
+        FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+      )
+      SELECT label, CAST(dim_idx AS INT) AS dim_idx,
+             CAST(SUM(v_fix) AS DOUBLE) / {EMB_SCALE}.0 / COUNT(*) AS centroid_val,
+             COUNT(*) AS n
+      FROM ex GROUP BY label, dim_idx ORDER BY label, dim_idx
     """,
     "m_frame_sample": f"""
       WITH t AS (

@@ -720,3 +720,84 @@ ORACLE.update(
         """,
     }
 )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp): suppliers whose shipped
+    quantity of widget parts in 1996 exceeds a threshold — semi join
+    against an aggregate-derived key set."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _t("1996-01-01"))
+        & (F.col("l_shipdate") < _t("1997-01-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    qual = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(exact_sum("l_quantity", "qty"))
+        .filter(F.col("qty") > 100.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value deciles (ntile over an exact total order) with
+    per-decile stats — the LTV-binning shape."""
+    from locopy_spark.operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    deciled = global_ntile(
+        o.select("o_orderkey", v.alias("v")),
+        order_cols=["v", "o_orderkey"],
+        n=10,
+        out_col="decile",
+    )
+    return (
+        deciled
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(f"CAST(SUM(v) AS DOUBLE) / {SCALE}.0").alias("sum_price"),
+            F.expr(f"CAST(MIN(v) AS DOUBLE) / {SCALE}.0").alias("min_price"),
+            F.expr(f"CAST(MAX(v) AS DOUBLE) / {SCALE}.0").alias("max_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE.update(
+    {
+        "q20_excess_suppliers": f"""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%widget%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING {sql_exact_sum('l_quantity')} > 100.0
+        )
+        ORDER BY s_suppkey
+        """,
+        "q_value_deciles": f"""
+        WITH r AS (
+          SELECT o_orderkey,
+                 CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v,
+                 NTILE(10) OVER (ORDER BY CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT), o_orderkey) AS decile
+          FROM orders
+        )
+        SELECT decile, COUNT(*) AS n_orders,
+               CAST(SUM(v) AS DOUBLE) / {SCALE}.0 AS sum_price,
+               CAST(MIN(v) AS DOUBLE) / {SCALE}.0 AS min_price,
+               CAST(MAX(v) AS DOUBLE) / {SCALE}.0 AS max_price
+        FROM r GROUP BY decile ORDER BY decile
+        """,
+    }
+)

@@ -219,3 +219,34 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(e - a) / max(abs(e), 1.0) < 0.05, (k, e, a)
+
+
+def test_global_ranking_matches_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+    from locopy_spark.operators.ranking import global_ntile, global_row_number
+    from locopy_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dist = {
+        r.o_orderkey: r.rn
+        for r in global_row_number(
+            o, ["o_totalprice", "o_orderkey"], out_col="rn"
+        ).collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    single = {
+        r.o_orderkey: r.rn
+        for r in o.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert dist == single
+    dist_t = {
+        r.o_orderkey: r.t
+        for r in global_ntile(
+            o, ["o_totalprice", "o_orderkey"], 7, out_col="t"
+        ).collect()
+    }
+    single_t = {
+        r.o_orderkey: r.t
+        for r in o.withColumn("t", F.ntile(7).over(w)).collect()
+    }
+    assert dist_t == single_t
