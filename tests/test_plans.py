@@ -5,6 +5,7 @@ column pruning, a broadcast, or introduces a cartesian product.
 """
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 from locopy_spark.plans import audit
 
 
@@ -116,3 +117,29 @@ def test_merge_upsert_broadcasts_delta(spark, sf_dir):
     df = _q(spark, sf_dir, "q_merge_upsert")
     assert audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    from locopy_spark.sources.bucketed import bucketed_join, write_bucketed
+    from locopy_spark.sources.tables import load_table
+
+    # managed tables land in the session's warehouse dir (static conf);
+    # DROP TABLE in the finally block removes the files
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed(o, "b_orders", "o_custkey", n_buckets=4, sort_cols=["o_custkey"])
+    write_bucketed(c, "b_customer", "o_custkey", n_buckets=4, sort_cols=["o_custkey"])
+    # disable broadcast so the co-located sort-merge path is exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "b_orders", "b_customer", on="o_custkey")
+        assert audit.shuffle_count(j) == 0, audit.simple_plan(j)
+        # result sanity: same count as the plain join
+        plain = o.join(c, "o_custkey").count()
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
