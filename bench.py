@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q_intersect_customers",
     "q_merge_upsert",
     "q_scd2_history",
+    "q_value_deciles",
+    "q20_excess_suppliers",
+    "q_approx_percentiles",
     "d_exact_dedup",
     "d_minhash_lsh",
     "d_simhash",
@@ -72,6 +75,8 @@ BENCH_QUERIES = [
     "t_pii_scrub",
     "t_term_stats",
     "t_ngram_top",
+    "d_embedding_centroids",
+    "m_frame_sample",
 ]
 
 
