@@ -167,6 +167,40 @@ def t_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates: MinHash proposes,
+    levenshtein disposes. The expensive O(len²) distance runs ONLY on
+    bucket-collision pairs — the standard two-stage near-dup design.
+    Both engines implement classic Levenshtein, so the distances (and
+    the normalized similarity) are oracle-comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    norm = dedup.normalized_text_expr("text")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.expr(norm).alias("txt_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.expr(norm).alias("txt_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("txt_a", "txt_b").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - F.levenshtein("txt_a", "txt_b")
+                / F.greatest(F.length("txt_a"), F.length("txt_b"))
+            ).alias("edit_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 EMB_DIM = 64
 EMB_SCALE = 1_000_000_000  # 1e9: float32 → 9 digits kept, decimal-safe sums
 
@@ -293,6 +327,21 @@ ORACLE: dict[str, str] = {
              (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(DISTINCT doc_id) AS idf_lin
       FROM t GROUP BY term ORDER BY term
     """,
+    "d_edit_verify": f"""
+      WITH {{pair_ctes}},
+      n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS txt
+        FROM documents
+      )
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(na.txt, nb.txt) AS INT) AS edit_dist,
+             1.0 - levenshtein(na.txt, nb.txt)
+                   / CAST(greatest(length(na.txt), length(nb.txt)) AS DOUBLE) AS edit_sim
+      FROM pairs
+      JOIN n na ON pairs.doc_a = na.doc_id
+      JOIN n nb ON pairs.doc_b = nb.doc_id
+      ORDER BY doc_a, doc_b
+    """.format(pair_ctes=sql_minhash_pair_ctes()),
     "d_embedding_centroids": f"""
       WITH ex AS (
         SELECT label, i AS dim_idx,

@@ -176,6 +176,25 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing (from_json with an explicit schema — the
+    production path for semi-structured columns; the regex variant in
+    ``events.q_events_json_props`` is the fallback for ragged data).
+    Integer sums are exact, so the aggregate is oracle-stable."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k LONG").getField("k")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.expr("CAST(SUM(k) AS DOUBLE) / COUNT(k)").alias("mean_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _oracle_percentiles() -> str:
     sel = ", ".join(
         f"CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END)"
@@ -225,6 +244,13 @@ ORACLE: dict[str, str] = {
        AND epoch_us(x.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
        AND epoch_us(x.ts) < epoch_us(p.ts)
       GROUP BY 1 ORDER BY 1
+    """,
+    "q_events_json_typed": """
+      SELECT event_type, COUNT(*) AS n_events,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mean_k
+      FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q_order_gaps": f"""
       SELECT o_custkey, o_orderkey,
