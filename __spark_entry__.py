@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": events_ext.q_range_join,
         "q_order_gaps": events_ext.q_order_gaps,
         "q_events_json_typed": events_ext.q_events_json_typed,
+        "q_incr_rollup": events_ext.q_incr_rollup,
         "q_events_window": events.q_events_window,
         "q_events_sessionize": events.q_events_sessionize,
         "q_events_json_props": events.q_events_json_props,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": docs_ext.m_frame_sample,
         "d_embedding_centroids": docs_ext.d_embedding_centroids,
         "d_edit_verify": docs_ext.d_edit_verify,
+        "p_clean_corpus": docs_ext.p_clean_corpus,
         "t_ngram_top": docs_ext.t_ngram_top,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,

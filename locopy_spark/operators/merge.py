@@ -44,6 +44,28 @@ def merge_upsert(
     return kept.unionByName(updates.select(*cols))
 
 
+def merge_additive(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a delta of partial
+    aggregates into a state table by ADDING the measure columns.
+
+    The continuous-rollup pattern: instead of re-aggregating 100 TB of
+    history per refresh, aggregate only the new partition and merge —
+    valid for any commutative-monoid measure (counts, exact scaled
+    sums, HLL sketches). One shuffle on the grouping keys, sized to
+    |state|+|delta| groups, not raw rows.
+    """
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in add_cols])
+    )
+
+
 def scd2_apply(
     current: DataFrame,
     updates: DataFrame,

@@ -219,9 +219,9 @@ def m_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twins
 # --------------------------------------------------------------------------
 
-def _sql_shingle_sets() -> str:
+def _sql_shingle_sets(src: str = "documents") -> str:
     return f"""
-      t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+      t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM {src}),
       sh AS (
         SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest({sql_shingles('toks', SHINGLE_K)}) AS sh FROM t
@@ -243,7 +243,7 @@ def _sql_minhash() -> str:
     )
 
 
-def sql_minhash_pair_ctes() -> str:
+def sql_minhash_pair_ctes(src: str = "documents") -> str:
     """CTE chain ending in ``pairs(doc_a, doc_b, est_jaccard)`` — the
     DuckDB twin of ``dedup.minhash_lsh_pairs``; shared by the pair
     oracle and the cluster-resolution oracle in ``docs_ext``."""
@@ -258,7 +258,7 @@ def sql_minhash_pair_ctes() -> str:
         f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(DEFAULT_NHASH)
     )
     return f"""
-      {_sql_shingle_sets()}, {_sql_minhash()},
+      {_sql_shingle_sets(src)}, {_sql_minhash()},
       band AS (
         SELECT doc_id, b, CASE b {band_case} END AS bh
         FROM sig, (SELECT unnest(generate_series(0, {DEFAULT_BANDS - 1})) AS b)

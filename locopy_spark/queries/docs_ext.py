@@ -254,6 +254,113 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline:
+
+    1. quality gate (token bounds, distinct ratio, repetition)
+    2. exact dedup (normalized-md5, keep min doc id)
+    3. near-dup resolution (MinHash-LSH pairs among survivors →
+       connected components → keep cluster representative)
+
+    Emits the surviving corpus. Each stage is one of the verified
+    standalone operators; the composite is the shape a real 100 TB
+    cleaning job runs nightly. Oracle: the same three stages as SQL
+    CTEs (recursive CTE for the clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
+    m = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " t -> size(filter(toks, x -> x = t))))"
+        ).alias("top_freq"),
+    )
+    quality = m.filter(
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("n_tokens") <= QF_MAX_TOKENS)
+        & (F.expr("CAST(n_distinct AS DOUBLE) / n_tokens") >= QF_MIN_DISTINCT_RATIO)
+        & (F.expr("CAST(top_freq AS DOUBLE) / n_tokens") <= QF_MAX_TOP_RATIO)
+    ).select("doc_id")
+    qdocs = docs.join(quality, "doc_id", "left_semi")
+    exact_keep = (
+        qdocs.select(
+            "doc_id",
+            F.expr(f"md5({dedup.normalized_text_expr('text')})").alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sdocs = docs.join(exact_keep, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(
+        sdocs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    dropped = (
+        cluster.connected_components(pairs)
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        sdocs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_clean_corpus() -> str:
+    return f"""
+      WITH RECURSIVE
+      qtok AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+      ),
+      qm AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               list_max(list_transform(list_distinct(toks),
+                    t2 -> len(list_filter(toks, x -> x = t2)))) AS top_freq
+        FROM qtok
+      ),
+      quality AS (
+        SELECT doc_id FROM qm
+        WHERE n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+          AND CAST(n_distinct AS DOUBLE) / n_tokens >= {QF_MIN_DISTINCT_RATIO}
+          AND CAST(top_freq AS DOUBLE) / n_tokens <= {QF_MAX_TOP_RATIO}
+      ),
+      exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM quality)
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ),
+      survivors AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+      ),
+      {sql_minhash_pair_ctes(src="survivors")},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      dropped AS (
+        SELECT src AS doc_id FROM reach
+        GROUP BY src HAVING src != LEAST(src, MIN(dst))
+      )
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM survivors)
+        AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id
+    """
+
+
 def _oracle_dup_clusters() -> str:
     # full transitive closure by recursive CTE — fine at oracle scale;
     # the Spark side is the scalable path.
@@ -290,6 +397,7 @@ def _oracle_pii_scrub() -> str:
 
 ORACLE: dict[str, str] = {
     "d_dup_clusters": _oracle_dup_clusters(),
+    "p_clean_corpus": _oracle_clean_corpus(),
     "d_hash_split": f"""
       SELECT doc_id, lang,
              substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk,

@@ -195,6 +195,48 @@ def q_events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUTOVER_DAY = 19_740  # epoch day splitting "history" from "delta"
+
+
+def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: hourly per-type aggregates built
+    as state (events before the cutover) + delta (after), merged
+    additively. The ORACLE is the one-shot full aggregate — the check
+    proves incremental == batch, the property that lets a 100 TB
+    rollup refresh by touching only new partitions."""
+    from locopy_spark.operators.merge import merge_additive
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {US_PER_DAY}")
+
+    def rollup(df):
+        return df.groupBy(
+            F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_ts"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * 1000 + 0.5) as bigint)")
+            ).alias("sum_value_fix"),
+        )
+
+    state = rollup(e.filter(day < CUTOVER_DAY))
+    delta = rollup(e.filter(day >= CUTOVER_DAY))
+    return (
+        merge_additive(
+            state,
+            delta,
+            keys=["hour_ts", "event_type"],
+            add_cols=["n_events", "sum_value_fix"],
+        )
+        .withColumn(
+            "sum_value", F.expr("CAST(sum_value_fix AS DOUBLE) / 1000.0")
+        )
+        .drop("sum_value_fix")
+        .orderBy("hour_ts", "event_type")
+    )
+
+
 def _oracle_percentiles() -> str:
     sel = ", ".join(
         f"CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END)"
@@ -244,6 +286,12 @@ ORACLE: dict[str, str] = {
        AND epoch_us(x.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
        AND epoch_us(x.ts) < epoch_us(p.ts)
       GROUP BY 1 ORDER BY 1
+    """,
+    "q_incr_rollup": """
+      SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_ts,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q_events_json_typed": """
       SELECT event_type, COUNT(*) AS n_events,
