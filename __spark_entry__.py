@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": tpch_ext.q_grouping_sets,
         "q_intersect_customers": tpch_ext.q_intersect_customers,
         "q_dow_revenue": tpch_ext.q_dow_revenue,
+        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
+        "q11_important_parts": tpch_ext.q11_important_parts,
+        "q_hash_sample": tpch_ext.q_hash_sample,
+        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
@@ -96,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_embedding_dedup": docs.d_embedding_dedup,
         "s_knn_bruteforce": docs.s_knn_bruteforce,
         "s_knn_lsh": docs.s_knn_lsh,
+        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         "t_lang_id": docs.t_lang_id,
         "t_quality_score": docs.t_quality_score,
         "t_token_count": docs.t_token_count,

@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "t_ngram_top",
     "d_embedding_centroids",
     "m_frame_sample",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q_hash_sample",
+    "q_unpivot_metrics",
+    "s_tfidf_pairs",
 ]
 
 

@@ -482,3 +482,115 @@ ORACLE: dict[str, str] = {
       GROUP BY gram ORDER BY n DESC, gram LIMIT 20
     """.format(shingles=sql_shingles("toks", SHINGLE_K)),
 }
+
+
+# TF-IDF pair similarity: rare-token blocking bounds the self-join —
+# only terms with df/n_docs <= 0.3 are weighted, so each term
+# contributes at most (0.3n)² pair rows and stopwords never explode
+# the join. Linear inverse-collection-frequency (floor(1000·n/df))
+# instead of ln-idf keeps the weights integral and engine-portable.
+TFIDF_MAXDF_NUM = 3  # keep term iff 10*df <= 3*n_docs
+TFIDF_TAU = 0.9
+
+
+def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine document-pair similarity via a sparse inverted
+    index: tokenize → tf per (doc,term) → df-pruned integer weights →
+    posting-list self-join on term → exact decimal dot products →
+    cosine ≥ τ. All accumulation is integer/decimal (order-independent);
+    the only float ops are the final sqrt/divide with identical
+    expression text on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
+    )
+    # tf feeds df-counts AND weights; w feeds norms AND both join sides.
+    # Catalyst re-executes multi-consumer subtrees (ReusedExchange does
+    # not fire across broadcast-join inputs), so persist both — same
+    # lesson as the minhash signature table (4x speedup there).
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        dfreq.join(F.broadcast(nd))
+        .filter(F.lit(10) * F.col("df") <= F.lit(TFIDF_MAXDF_NUM) * F.col("n_docs"))
+        .select(
+            "term",
+            F.expr("cast(floor(1000.0 * n_docs / df) as bigint)").alias("icf"),
+        )
+    )
+    w = (
+        tf.join(F.broadcast(keep), "term")
+        .select("doc_id", "term", (F.col("tf") * F.col("icf")).alias("w"))
+        .persist()
+    )
+    wdec = F.expr("cast(w as decimal(19,0))")
+    norms = w.groupBy("doc_id").agg(F.sum(wdec * wdec).alias("ss"))
+    a = w.select(
+        F.col("term"), F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("term"), F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.expr("cast(wa as decimal(19,0)) * cast(wb as decimal(19,0))")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos_sim",
+            F.expr(
+                "CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE)))"
+            ),
+        )
+        .filter(F.col("cos_sim") >= F.lit(TFIDF_TAU))
+        .select("doc_a", "doc_b", "cos_sim")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE["s_tfidf_pairs"] = f"""
+  WITH t AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+  ),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+  df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+  nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+  k AS (
+    SELECT term, CAST(FLOOR(1000.0 * n_docs / df) AS BIGINT) AS icf
+    FROM df, nd WHERE 10 * df <= {TFIDF_MAXDF_NUM} * n_docs
+  ),
+  w AS (
+    SELECT doc_id, tf.term, tf * icf AS w
+    FROM tf JOIN k ON tf.term = k.term
+  ),
+  norms AS (
+    SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS ss FROM w GROUP BY 1
+  ),
+  dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cos_sim
+  FROM dots
+  JOIN norms na ON doc_a = na.doc_id
+  JOIN norms nb ON doc_b = nb.doc_id
+  WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) >= {TFIDF_TAU}
+  ORDER BY doc_a, doc_b
+"""

@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from locopy_spark.functions.numeric import SCALE, exact_sum, sql_exact_sum
+from locopy_spark.functions.numeric import (
+    SCALE,
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
 from locopy_spark.sources.tables import load_table
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -770,6 +776,190 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp): for STANDARD size-5 parts, the
+    ASIA supplier(s) offering the minimum observed unit price. The
+    correlated MIN subquery becomes a per-part window min; MIN over
+    doubles (no summation) is order-independent, so the double compare
+    is engine-stable. Dims broadcast; the only shuffle is the
+    (part, supplier) aggregation."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_ps = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(F.expr("l_extendedprice / l_quantity")).alias("unit_cost"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        per_ps.withColumn("mc", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("mc"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q11_FRACTION = 0.002
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp): parts whose shipped value from
+    NATION_2 suppliers exceeds a fraction of that nation's total. The
+    group-vs-global HAVING threshold is a broadcast scalar join; both
+    the per-part and total values come from the SAME scaled-bigint
+    partial sums, so the strict > compare is exact."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_2"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    scaled = F.expr(f"cast(floor(({_DISC}) * {SCALE} + 0.5) as bigint)")
+    per_part = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(scaled).alias("vfix"))
+    )
+    total = per_part.agg(F.sum("vfix").alias("tfix"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("vfix").cast("double")
+            > F.lit(Q11_FRACTION) * F.col("tfix").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.expr(f"CAST(vfix AS DOUBLE) / {SCALE}.0").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 Bernoulli sample of orders via an md5-prefix
+    gate (same row set on any engine, any partitioning, any re-run —
+    unlike rand()-based sampling), with per-priority sample stats and
+    the scaled-up population estimate. The filter is a pure row-local
+    predicate: no shuffle added, pushes through to the scan stage."""
+    o = load_table(spark, sf_dir, "orders")
+    sampled = o.filter(
+        F.expr("substring(md5(cast(o_orderkey as string)), 1, 1)") == "0"
+    )
+    return (
+        sampled.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+        .withColumn("est_total_orders", F.col("n_sample") * F.lit(16))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape: per-status aggregates unpivoted to
+    (status, metric, value) rows with stack() — the inverse of
+    q_mktseg_pivot. stack is a row-local generator: one shuffle for
+    the aggregation, none for the reshape."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        exact_sum("o_totalprice", "sum_price"),
+        exact_avg("o_totalprice", "avg_price"),
+    )
+    return (
+        wide.selectExpr(
+            "o_orderstatus",
+            "stack(3, 'avg_price', avg_price, 'n_orders', n_orders, "
+            "'sum_price', sum_price) AS (metric, value)",
+        )
+        .orderBy("o_orderstatus", "metric")
+    )
+
+
+ORACLE.update(
+    {
+        "q2_min_cost_supplier": """
+        WITH per_ps AS (
+          SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+                 MIN(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE p_size = 5 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT p_partkey, p_name, s_name, n_name, unit_cost
+        FROM (
+          SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS mc
+          FROM per_ps
+        )
+        WHERE unit_cost = mc
+        ORDER BY p_partkey, s_name
+        """,
+        "q11_important_parts": f"""
+        WITH per_part AS (
+          SELECT l_partkey,
+                 SUM(CAST(FLOOR(({_DISC}) * {SCALE} + 0.5) AS BIGINT)) AS vfix
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_2'
+          GROUP BY 1
+        )
+        SELECT l_partkey, CAST(vfix AS DOUBLE) / {SCALE}.0 AS part_value
+        FROM per_part
+        WHERE CAST(vfix AS DOUBLE)
+              > {Q11_FRACTION} * (SELECT CAST(SUM(vfix) AS DOUBLE) FROM per_part)
+        ORDER BY part_value DESC, l_partkey
+        """,
+        "q_hash_sample": f"""
+        SELECT o_orderpriority, COUNT(*) AS n_sample,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               COUNT(*) * 16 AS est_total_orders
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        "q_unpivot_metrics": f"""
+        WITH wide AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                 {sql_exact_sum('o_totalprice', 'sum_price')},
+                 {sql_exact_avg('o_totalprice', 'avg_price')}
+          FROM orders GROUP BY 1
+        )
+        SELECT o_orderstatus, metric, value FROM (
+          SELECT o_orderstatus, 'avg_price' AS metric, avg_price AS value FROM wide
+          UNION ALL
+          SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+          UNION ALL
+          SELECT o_orderstatus, 'sum_price', sum_price FROM wide
+        )
+        ORDER BY o_orderstatus, metric
+        """,
+    }
+)
 
 
 ORACLE.update(
