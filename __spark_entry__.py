@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_bruteforce": docs.s_knn_bruteforce,
         "s_knn_lsh": docs.s_knn_lsh,
         "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
+        "s_kmeans": docs_ext.s_kmeans,
         "t_lang_id": docs.t_lang_id,
         "t_quality_score": docs.t_quality_score,
         "t_token_count": docs.t_token_count,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_hash_sample",
     "q_unpivot_metrics",
     "s_tfidf_pairs",
+    "s_kmeans",
 ]
 
 

@@ -594,3 +594,28 @@ ORACLE["s_tfidf_pairs"] = f"""
           / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) >= {TFIDF_TAU}
   ORDER BY doc_a, doc_b
 """
+
+
+def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means cluster profile: 10 clusters × 3 Lloyd
+    iterations over the embeddings table (assign = broadcast-centroid
+    argmax, update = exact fixed-point means — operators.kmeans).
+    Rows-only check: iterative refinement is not single-SQL; the
+    algorithmic invariants are unit-tested instead."""
+    from locopy_spark.operators.kmeans import kmeans_spherical
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_spherical(emb, k=10, iters=3)
+    return (
+        assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (
+                F.sum(F.expr("cast(floor(cos * 1000000 + 0.5) as bigint)"))
+                .cast("double")
+                / F.lit(1_000_000.0)
+                / F.count(F.lit(1))
+            ).alias("avg_cos"),
+        )
+        .orderBy("cluster_id")
+    )

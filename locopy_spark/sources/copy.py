@@ -74,6 +74,8 @@ def copy_files(
             df = reader.json(path)
         elif fmt == "parquet":
             df = reader.parquet(*path if isinstance(path, list) else [path])
+        elif fmt == "orc":
+            df = reader.orc(path)
         else:
             raise ValueError(f"unsupported file_format: {file_format}")
     except Exception as e:

@@ -52,6 +52,8 @@ def unload(
             writer.json(path)
         elif fmt == "parquet":
             writer.parquet(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
             raise ValueError(f"unsupported file_format: {file_format}")
         return df

@@ -97,3 +97,54 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_stream_join(
+    events: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each view event matched to the
+    same user's purchase events within ``within`` after the view.
+
+    Both sides carry watermarks and the join has a two-sided time
+    constraint, so Spark can bound the join state and emit/expire rows
+    as the watermark advances — the production pattern for
+    click-to-conversion attribution. Batch twin: the identical join on
+    the static events table (checked in tests)."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND purchase_ts >= view_ts "
+                f"AND purchase_ts <= view_ts + INTERVAL {within}"
+            ),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            F.unix_micros("view_ts").alias("view_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            "purchase_value",
+        )
+    )

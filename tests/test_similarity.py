@@ -67,3 +67,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert approx, "IVF returned nothing"
     # probing half the lists should recover a good share of true top-k
     assert len(exact & approx) >= len(exact) // 3
+
+
+def test_kmeans_converges_deterministic_full_coverage(spark, sf_dir):
+    from locopy_spark.operators.kmeans import kmeans_spherical
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a1, _ = kmeans_spherical(emb, k=8, iters=1)
+    a3, c3 = kmeans_spherical(emb, k=8, iters=3)
+    rows1, rows3 = a1.collect(), a3.collect()
+    # every vector assigned exactly once
+    assert len(rows3) == n
+    assert len({r.vec_id for r in rows3}) == n
+    assert {r.centroid_id for r in rows3} <= set(range(8))
+    # Lloyd objective (sum of cosines) is non-decreasing across iters
+    obj1 = sum(r.cos for r in rows1)
+    obj3 = sum(r.cos for r in rows3)
+    assert obj3 >= obj1 - 1e-9
+    # deterministic: re-run gives identical assignments and centroids
+    a3b, c3b = kmeans_spherical(emb, k=8, iters=3)
+    key = lambda rows: sorted((r.vec_id, r.centroid_id) for r in rows)
+    assert key(rows3) == key(a3b.collect())
+    assert c3 == c3b

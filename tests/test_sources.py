@@ -154,3 +154,14 @@ def test_write_split_and_single(spark, tmp_path):
     one = write_single(df, str(tmp_path / "one"))
     assert len(one) == 1
     assert spark.read.csv(str(tmp_path / "one")).count() == 100
+
+
+def test_orc_round_trip(spark, tmp_path, sf_dir):
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).createOrReplaceTempView(
+        "nation_orc_src"
+    )
+    out = str(tmp_path / "orcout")
+    unload(spark, "SELECT * FROM nation_orc_src", out, file_format="orc", splits=2)
+    back = copy_files(spark, out, "t_orc", file_format="orc")
+    assert back.count() == spark.table("nation_orc_src").count()
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}

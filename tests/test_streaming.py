@@ -103,3 +103,36 @@ def test_stream_enrich_static_join(spark, sf_dir):
     assert {(r.c_mktsegment, r.n) for r in got} == {
         (r.c_mktsegment, r["count"]) for r in batch
     }
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from locopy_spark.streaming.jobs import stream_stream_join
+
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory(stream_stream_join(stream), "ssj_out", mode="append")
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got and got == batch
