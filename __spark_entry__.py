@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": tpch_ext.q11_important_parts,
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
+        "q_window_funcs": tpch_ext.q_window_funcs,
+        "q_histogram": tpch_ext.q_histogram,
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
@@ -102,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_lsh": docs.s_knn_lsh,
         "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         "s_kmeans": docs_ext.s_kmeans,
+        "d_source_dedup": docs_ext.d_source_dedup,
+        "d_contamination": docs_ext.d_contamination,
         "t_lang_id": docs.t_lang_id,
         "t_quality_score": docs.t_quality_score,
         "t_token_count": docs.t_token_count,

@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "q_unpivot_metrics",
     "s_tfidf_pairs",
     "s_kmeans",
+    "q_window_funcs",
+    "q_histogram",
+    "d_source_dedup",
+    "d_contamination",
 ]
 
 

@@ -619,3 +619,115 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# benchmark-contamination gate: eval set = md5-prefix sample of docs
+EVAL_HI = "10"  # ≈ 6% of docs held out as the "benchmark" set
+
+
+def d_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/source-level dedup: keep the longest doc per source (ties →
+    lowest doc_id). Argmax-per-group via one ranked window — the
+    canonical 'best page per URL' crawl-dedup shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    grp = W.partitionBy("source")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_in_source", F.count(F.lit(1)).over(grp))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_chars", "n_in_source")
+        .orderBy("source")
+    )
+
+
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word shingles that also occur in a held-out eval set
+    (md5-prefix split, so the partition is engine-stable). The eval
+    shingle vocabulary is DISTINCT'd then broadcast — at 100 TB the
+    train side streams map-side through a broadcast semi join, no
+    shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    docs = docs.withColumn("hk", hk)
+    from locopy_spark.functions.text import shingles_expr
+
+    def shingle_set(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id", F.expr(tokens_expr("text")).alias("toks")
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(F.expr(shingles_expr("toks", SHINGLE_K))).alias("sh"),
+        ).distinct()
+
+    train = shingle_set(docs.filter(F.col("hk") >= EVAL_HI))
+    eval_sh = (
+        shingle_set(docs.filter(F.col("hk") < EVAL_HI))
+        .select("sh")
+        .distinct()
+    )
+    hits = (
+        train.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
+        )
+        .withColumn(
+            "contamination",
+            F.expr("CAST(n_contaminated AS DOUBLE) / n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE.update(
+    {
+        "d_source_dedup": """
+        SELECT doc_id, source, n_chars, n_in_source FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n_in_source
+          FROM documents
+        )
+        WHERE rk = 1
+        ORDER BY source
+        """,
+        "d_contamination": f"""
+        WITH d AS (
+          SELECT doc_id, {sql_tokens('text')} AS toks,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, hk, unnest({sql_shingles('toks', 3)}) AS sh
+          FROM d WHERE len(toks) >= 3
+        ),
+        train AS (SELECT doc_id, sh FROM sh WHERE hk >= '{EVAL_HI}'),
+        ev AS (SELECT DISTINCT sh FROM sh WHERE hk < '{EVAL_HI}'),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_contaminated
+          FROM train WHERE sh IN (SELECT sh FROM ev)
+          GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+        SELECT totals.doc_id AS doc_id, n_shingles,
+               COALESCE(n_contaminated, 0) AS n_contaminated,
+               CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles AS contamination
+        FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+        ORDER BY doc_id
+        """,
+    }
+)

@@ -991,3 +991,82 @@ ORACLE.update(
         """,
     }
 )
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window showcase: percent_rank / cume_dist plus
+    first/last/nth over an explicit full-partition frame. The ordering
+    key is (scaled price, orderkey) — unique, so every window result
+    is deterministic at any parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    base = o.select("o_orderkey", "o_orderpriority", v.alias("v"))
+    wo = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        base.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr(f"CAST(v AS DOUBLE) / {SCALE}.0").alias("price"),
+            F.percent_rank().over(wo).alias("pct_rank"),
+            F.cume_dist().over(wo).alias("cume"),
+            F.first_value("o_orderkey").over(wf).alias("cheapest_key"),
+            F.last_value("o_orderkey").over(wf).alias("priciest_key"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+HIST_BUCKET = 20000
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values — integer bucketing is a
+    row-local expression, so the whole query is one partial-aggregated
+    shuffle on a few dozen bucket keys."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.expr(f"cast(floor(o_totalprice / {HIST_BUCKET}) as int)")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * F.lit(HIST_BUCKET))
+        .orderBy("bucket")
+    )
+
+
+ORACLE.update(
+    {
+        "q_window_funcs": f"""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(v AS DOUBLE) / {SCALE}.0 AS price,
+               percent_rank() OVER wo AS pct_rank,
+               cume_dist() OVER wo AS cume,
+               first_value(o_orderkey) OVER wf AS cheapest_key,
+               last_value(o_orderkey) OVER wf AS priciest_key,
+               nth_value(o_orderkey, 2) OVER wf AS second_key
+        FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v
+          FROM orders
+        )
+        WINDOW
+          wo AS (PARTITION BY o_orderpriority ORDER BY v, o_orderkey),
+          wf AS (PARTITION BY o_orderpriority ORDER BY v, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderpriority, o_orderkey
+        """,
+        "q_histogram": f"""
+        SELECT CAST(FLOOR(o_totalprice / {HIST_BUCKET}) AS INT) AS bucket,
+               COUNT(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               CAST(FLOOR(o_totalprice / {HIST_BUCKET}) AS INT) * {HIST_BUCKET} AS bucket_lo
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+        """,
+    }
+)

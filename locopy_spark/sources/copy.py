@@ -76,6 +76,9 @@ def copy_files(
             df = reader.parquet(*path if isinstance(path, list) else [path])
         elif fmt == "orc":
             df = reader.orc(path)
+        elif fmt == "text":
+            # raw line-per-row ingestion (column: value) — corpus landing
+            df = reader.text(path)
         else:
             raise ValueError(f"unsupported file_format: {file_format}")
     except Exception as e:

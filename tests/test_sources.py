@@ -165,3 +165,11 @@ def test_orc_round_trip(spark, tmp_path, sf_dir):
     back = copy_files(spark, out, "t_orc", file_format="orc")
     assert back.count() == spark.table("nation_orc_src").count()
     assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_copy_text_lines(spark, tmp_path):
+    f = tmp_path / "corpus.txt"
+    f.write_text("line one\nline two\nline three\n")
+    df = copy_files(spark, str(f), "t_text", file_format="text")
+    assert df.count() == 3
+    assert df.columns == ["value"]
