@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "q_window_funcs": tpch_ext.q_window_funcs,
         "q_histogram": tpch_ext.q_histogram,
+        "q_key_skew": tpch_ext.q_key_skew,
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
         "q_retention_cohorts": events_ext.q_retention_cohorts,

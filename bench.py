@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_histogram",
     "d_source_dedup",
     "d_contamination",
+    "q_key_skew",
 ]
 
 

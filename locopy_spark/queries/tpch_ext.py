@@ -1070,3 +1070,34 @@ ORACLE.update(
         """,
     }
 )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 heaviest lineitem order keys
+    with their share of total rows — the report that decides whether a
+    downstream join needs salting or AQE skew handling. One partial
+    aggregation + a top-k; the total arrives via a 1-row broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_key = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(F.sum("n").alias("tot"))
+    return (
+        per_key.join(F.broadcast(total))
+        .withColumn("share", F.expr("CAST(n AS DOUBLE) / tot"))
+        .select("l_orderkey", "n", "share")
+        .orderBy(F.desc("n"), "l_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE.update(
+    {
+        "q_key_skew": """
+        WITH k AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+             t AS (SELECT SUM(n) AS tot FROM k)
+        SELECT l_orderkey, n, CAST(n AS DOUBLE) / tot AS share
+        FROM k, t
+        ORDER BY n DESC, l_orderkey
+        LIMIT 20
+        """,
+    }
+)

@@ -43,6 +43,7 @@ def copy_files(
     schema=None,
     mode: str = "overwrite",
     temp_view: bool = True,
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Load file(s) into ``table_name``.
 
@@ -60,6 +61,10 @@ def copy_files(
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
+        if reader_options:
+            # passthrough for format-specific knobs (mergeSchema,
+            # recursiveFileLookup, pathGlobFilter, ...)
+            reader = reader.options(**reader_options)
         if fmt == "csv":
             reader = reader.options(
                 sep=delim or "|",

@@ -143,3 +143,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned fact + selective broadcast dim → Spark must
+    inject a dynamicpruning subquery on the partition column (only the
+    matching partitions are scanned — the 100 TB time-travel pattern)."""
+    from locopy_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1996, "keep"), (1997, "drop")], "d_year int, tag string"
+    ).filter(F.col("tag") == "keep")
+    j = fact.join(dim, fact.o_year == dim.d_year).groupBy("d_year").count()
+    plan = audit.formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

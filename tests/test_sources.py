@@ -173,3 +173,22 @@ def test_copy_text_lines(spark, tmp_path):
     df = copy_files(spark, str(f), "t_text", file_format="text")
     assert df.count() == 3
     assert df.columns == ["value"]
+
+
+def test_copy_parquet_merge_schema(spark, tmp_path):
+    base = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        str(base / "batch1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(str(base / "batch2"))
+    df = copy_files(
+        spark,
+        [str(base / "batch1"), str(base / "batch2")],
+        "t_evolved",
+        file_format="parquet",
+        reader_options={"mergeSchema": "true"},
+    )
+    assert set(df.columns) == {"id", "name", "score"}
+    assert df.count() == 2
