@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": tpch_ext.q_key_skew,
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
+        "q_cdc_apply": etl_ext.q_cdc_apply,
+        "q_snapshot_diff": etl_ext.q_snapshot_diff,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
         "q_percentiles": events_ext.q_percentiles,
         "q_approx_percentiles": events_ext.q_approx_percentiles,

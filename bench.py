@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "d_source_dedup",
     "d_contamination",
     "q_key_skew",
+    "q_cdc_apply",
+    "q_snapshot_diff",
 ]
 
 

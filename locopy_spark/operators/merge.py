@@ -66,6 +66,84 @@ def merge_additive(
     )
 
 
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture log (I/U/D rows) to a snapshot.
+
+    ``changelog`` rows carry ``op_col`` ∈ {'I','U','D'}, a monotonically
+    increasing ``seq_col`` per key, and the full payload. Latest change
+    per key wins (one window shuffle over the *changelog*, which is
+    small relative to a 100 TB snapshot); a final 'D' removes the key,
+    a final 'I'/'U' replaces-or-inserts the row. The snapshot itself is
+    touched only by a broadcast-able anti join + union — the same
+    zero-shuffle shape as :func:`merge_upsert`, so replaying a day of
+    changes never reshuffles the base table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = snapshot.columns
+    touched = F.broadcast(latest.select(F.col(key)))
+    kept = snapshot.join(touched, key, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*cols)
+    return kept.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table → (key, change ∈
+    {added, deleted, changed}) plus both payloads' compared columns.
+
+    The reverse of :func:`cdc_apply`: derive a changelog from two
+    versions. One full outer join on the key (a single co-partitioned
+    shuffle of both sides; at 100 TB both sides bucket-store on the key
+    and the exchange disappears). Unchanged rows are filtered out
+    *after* the join but *before* any wide projection, so the output is
+    proportional to the churn, not the table.
+    """
+    compare_cols = compare_cols or [c for c in old.columns if c != key]
+    o = old.select(
+        F.col(key).alias("__ok"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("__nk"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
+    old_s = F.struct(*[F.col(f"old_{c}") for c in compare_cols])
+    new_s = F.struct(*[F.col(f"new_{c}") for c in compare_cols])
+    change = (
+        F.when(F.col("__ok").isNull(), F.lit("added"))
+        .when(F.col("__nk").isNull(), F.lit("deleted"))
+        .when(~old_s.eqNullSafe(new_s), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("__ok"), F.col("__nk")).alias(key),
+            "change",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
 def scd2_apply(
     current: DataFrame,
     updates: DataFrame,

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from locopy_spark.operators.merge import merge_upsert, scd2_apply
+from locopy_spark.operators.merge import (
+    cdc_apply,
+    merge_upsert,
+    scd2_apply,
+    snapshot_diff,
+)
 from locopy_spark.sources.tables import load_table
 
 NEW_KEY_OFFSET = 1_000_000
@@ -87,7 +92,140 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "valid_from", "c_mktsegment")
 
 
+def _changelog(c: DataFrame) -> DataFrame:
+    """Deterministic I/U/D changelog over customer: two successive
+    updates for every 10th key (latest must win), a later delete for
+    every 30th (trumping its updates), fresh inserts for every 100th."""
+    pay = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    u1 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+        F.lit("CDC_U1").alias("c_mktsegment"),
+    )
+    u2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 80.0).alias("c_acctbal"),
+        F.lit("CDC_U2").alias("c_mktsegment"),
+    )
+    types = dict(c.dtypes)
+    d = c.filter(F.col("c_custkey") % 30 == 0).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+        *[F.lit(None).cast(types[p]).alias(p) for p in pay],
+    )
+    ins = c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + NEW_KEY_OFFSET).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("CDC_I").alias("c_mktsegment"),
+    )
+    return u1.unionByName(u2).unionByName(d).unionByName(ins)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay an I/U/D changelog onto the customer snapshot
+    (latest-change-per-key wins; deletes drop the key)."""
+    c = load_table(spark, sf_dir, "customer")
+    return cdc_apply(c, _changelog(c), key="c_custkey", seq_col="seq").orderBy(
+        "c_custkey"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction: diff two versions of orders → added / deleted /
+    changed rows only (churn-proportional output)."""
+    o = load_table(spark, sf_dir, "orders")
+    new = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + NEW_KEY_OFFSET).alias("o_orderkey"),
+                *[c for c in o.columns if c != "o_orderkey"],
+            )
+        )
+    )
+    return snapshot_diff(
+        o, new, key="o_orderkey", compare_cols=["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey", "change")
+
+
 ORACLE: dict[str, str] = {
+    "q_cdc_apply": f"""
+      WITH chg AS (
+        SELECT c_custkey, 'U' AS op, 1 AS seq, c_name, c_nationkey,
+               c_acctbal + 50.0 AS c_acctbal, 'CDC_U1' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 'U', 2, c_name, c_nationkey,
+               c_acctbal + 80.0, 'CDC_U2'
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 'D', 3, NULL, NULL, NULL, NULL
+        FROM customer WHERE c_custkey % 30 = 0
+        UNION ALL
+        SELECT c_custkey + {NEW_KEY_OFFSET}, 'I', 1, 'new_' || c_name,
+               c_nationkey, 0.0, 'CDC_I'
+        FROM customer WHERE c_custkey % 100 = 0
+      ),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+          FROM chg) WHERE rn = 1
+      )
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+             c.c_mktsegment
+      FROM customer c
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM latest WHERE op <> 'D'
+      ORDER BY c_custkey
+    """,
+    "q_snapshot_diff": f"""
+      WITH newv AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + {NEW_KEY_OFFSET}, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 1000 = 0
+      ),
+      oldv AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'deleted'
+                  ELSE 'changed' END AS change,
+             o.o_totalprice AS old_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_totalprice <> n.o_totalprice
+         OR o.o_orderstatus <> n.o_orderstatus
+      ORDER BY o_orderkey, change
+    """,
     "q_merge_upsert": f"""
       WITH {_SQL_UPDATES}
       SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
