@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": docs_ext.t_pii_scrub,
         "t_term_stats": docs_ext.t_term_stats,
         "m_frame_sample": docs_ext.m_frame_sample,
+        "m_feature_extract": docs_ext.m_feature_extract,
+        "m_resize": docs_ext.m_resize,
         "d_embedding_centroids": docs_ext.d_embedding_centroids,
         "d_edit_verify": docs_ext.d_edit_verify,
         "p_clean_corpus": docs_ext.p_clean_corpus,

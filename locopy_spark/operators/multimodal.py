@@ -89,6 +89,87 @@ def frame_sample(
     )
 
 
+FEATURE_DIM = 16
+
+
+def feature_extract(
+    media: DataFrame, id_col: str = "doc_id", dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Arrow-batched feature extraction: payload → ``array<float>``.
+
+    The embedding-encoder stage of a multimodal pipeline. The feature
+    here is an L1-normalized high-nibble byte histogram — deterministic
+    and computed vectorized with numpy per Arrow batch — standing in
+    for a model forward pass. The UDF signature, batch shape, and the
+    downstream ``array<float>`` column contract are exactly what a real
+    encoder needs; swap the histogram for the model call only. Narrow
+    stage: no shuffle, payload never leaves the scan partition.
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, feature array<float>, feat_l2 double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, norms = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size:
+                    hist = np.bincount(arr >> 4, minlength=dim).astype(
+                        "float64"
+                    )
+                    vec = hist / hist.sum()
+                else:
+                    vec = np.zeros(dim)
+                ids.append(rid)
+                feats.append(vec.astype("float32").tolist())
+                norms.append(float(np.sqrt(float((vec * vec).sum()))))
+            yield pd.DataFrame(
+                {id_col: ids, "feature": feats, "feat_l2": norms}
+            )
+
+    return media.select(id_col, "payload").mapInPandas(run, schema)
+
+
+def resize_stub(
+    media: DataFrame, id_col: str = "doc_id", max_dim: int = 256
+) -> DataFrame:
+    """Resize stage: decode dims → aspect-preserving scale to
+    ``max_dim`` → deterministic fake resized-payload digest.
+
+    The geometry (scale factor, output dims, no-upscale clamp) is real;
+    only the pixel resample is stubbed — a real deployment replaces the
+    digest line with the codec call. Single narrow ``mapInPandas``
+    stage fused with decode: payload bytes cross into Python once.
+    """
+    schema = (
+        f"{id_col} long, width int, height int, out_w int, out_h int, "
+        "scale double, resized_md5 string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                w, h, _, _ = _fake_decode(data)
+                scale = min(1.0, max_dim / max(w, h))
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                digest = hashlib.md5(
+                    data + f"{ow}x{oh}".encode()
+                ).hexdigest()
+                rows.append((rid, w, h, ow, oh, scale, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "out_w", "out_h",
+                    "scale", "resized_md5",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(run, schema)
+
+
 def decode_stub(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode stage: (id, payload) → decoded features.
 

@@ -254,6 +254,26 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal feature extraction (encoder stand-in):
+    payload → L1-normalized byte histogram as array<float>. Rows-only
+    check; exact histogram values unit-tested against pure Python."""
+    from locopy_spark.operators.multimodal import attach_payload, feature_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_extract(attach_payload(docs)).orderBy("doc_id")
+
+
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: stub decode → aspect-preserving scale
+    geometry → deterministic resized digest. Rows-only check; geometry
+    unit-tested."""
+    from locopy_spark.operators.multimodal import attach_payload, resize_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_stub(attach_payload(docs)).orderBy("doc_id")
+
+
 def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning pipeline:
 

@@ -250,3 +250,54 @@ def test_global_ranking_matches_window(spark, sf_dir):
         for r in o.withColumn("t", F.ntile(7).over(w)).collect()
     }
     assert dist_t == single_t
+
+
+def test_feature_extract_histogram_exact(spark):
+    """mapInPandas feature vector == pure-Python byte histogram."""
+    from collections import Counter
+
+    from locopy_spark.operators.multimodal import feature_extract
+
+    texts = [(1, "hello world"), (2, "AAAA"), (3, "")]
+    df = attach_payload(spark.createDataFrame(texts, "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in feature_extract(df).collect()}
+    for doc_id, text in texts:
+        data = text.encode()
+        counts = Counter(b >> 4 for b in data)
+        tot = sum(counts.values())
+        expected = [
+            (counts.get(i, 0) / tot if tot else 0.0) for i in range(16)
+        ]
+        got = out[doc_id]["feature"]
+        assert len(got) == 16
+        assert all(abs(g - e) < 1e-6 for g, e in zip(got, expected)), (
+            doc_id,
+            got,
+            expected,
+        )
+
+
+def test_resize_geometry(spark):
+    """Aspect-preserving scale, no upscale, deterministic digest."""
+    from locopy_spark.operators.multimodal import (
+        _fake_decode,
+        resize_stub,
+    )
+
+    df = attach_payload(
+        spark.createDataFrame(
+            [(1, "some image bytes"), (2, "x")], "doc_id long, text string"
+        )
+    )
+    rows = {r["doc_id"]: r for r in resize_stub(df, max_dim=100).collect()}
+    for doc_id, text in [(1, "some image bytes"), (2, "x")]:
+        w, h, _, _ = _fake_decode(text.encode())
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["scale"] == min(1.0, 100 / max(w, h))
+        assert max(r["out_w"], r["out_h"]) <= max(100, 1)
+        # aspect ratio preserved within rounding
+        assert abs(r["out_w"] / r["out_h"] - w / h) < 0.05
+    # determinism across runs
+    again = {r["doc_id"]: r["resized_md5"] for r in resize_stub(df, max_dim=100).collect()}
+    assert again == {k: v["resized_md5"] for k, v in rows.items()}
