@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_key_skew",
     "q_cdc_apply",
     "q_snapshot_diff",
+    "d_balanced_sample",
 ]
 
 

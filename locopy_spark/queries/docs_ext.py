@@ -254,6 +254,19 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def d_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus rebalancing: at most 50 docs per language,
+    selected by deterministic md5(doc_id) order. Salted two-level
+    bounded top-K — no single-task-per-stratum window, shuffles are
+    output-sized (strata × salts × K), not input-sized."""
+    from locopy_spark.operators.sampling import balanced_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", "doc_id", k=50).orderBy(
+        "lang", "doc_id"
+    )
+
+
 def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal feature extraction (encoder stand-in):
     payload → L1-normalized byte histogram as array<float>. Rows-only
@@ -416,6 +429,16 @@ def _oracle_pii_scrub() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "d_balanced_sample": """
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 50
+      ORDER BY lang, doc_id
+    """,
     "d_dup_clusters": _oracle_dup_clusters(),
     "p_clean_corpus": _oracle_clean_corpus(),
     "d_hash_split": f"""

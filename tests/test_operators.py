@@ -301,3 +301,24 @@ def test_resize_geometry(spark):
     # determinism across runs
     again = {r["doc_id"]: r["resized_md5"] for r in resize_stub(df, max_dim=100).collect()}
     assert again == {k: v["resized_md5"] for k, v in rows.items()}
+
+
+def test_balanced_sample_exact_topk(spark):
+    """Salted two-level top-K == naive window top-K, any salt count."""
+    import hashlib
+
+    from locopy_spark.operators.sampling import balanced_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_sample(df, "lang", "doc_id", k=10, salt_buckets=7)
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    expected = set()
+    for lang in ("en", "fr"):
+        ids = [i for i, lg in rows if lg == lang]
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expected |= {(lang, i) for i in ids[:10]}
+    assert got == expected
+    # stratum smaller than K → keep everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
+    assert balanced_sample(tiny, "lang", "doc_id", k=10).count() == 2

@@ -82,3 +82,16 @@ def test_read_config_yaml(tmp_path):
     y.write_text("app_name: test\nshuffle_partitions: 4\n")
     cfg = read_config_yaml(str(y))
     assert cfg == {"app_name": "test", "shuffle_partitions": 4}
+
+
+def test_get_logger_idempotent():
+    """Repeated calls never stack duplicate handlers."""
+    import logging
+
+    from locopy_spark.logger import get_logger
+
+    lg1 = get_logger("locopy_spark.t", logging.DEBUG)
+    lg2 = get_logger("locopy_spark.t", logging.WARNING)
+    assert lg1 is lg2
+    assert len(lg1.handlers) == 1
+    assert lg1.level == logging.WARNING
