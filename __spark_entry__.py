@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_ivf": docs_ext.s_knn_ivf,
         "d_hash_split": docs_ext.d_hash_split,
         "d_balanced_sample": docs_ext.d_balanced_sample,
+        "t_doc_chunks": docs_ext.t_doc_chunks,
         "t_quality_filter": docs_ext.t_quality_filter,
         "t_pii_scrub": docs_ext.t_pii_scrub,
         "t_term_stats": docs_ext.t_term_stats,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_cdc_apply",
     "q_snapshot_diff",
     "d_balanced_sample",
+    "t_doc_chunks",
 ]
 
 

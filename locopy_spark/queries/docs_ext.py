@@ -254,6 +254,49 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def t_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: split each document into overlapping
+    ``CHUNK_TOKENS``-token windows every ``CHUNK_STRIDE`` tokens — the
+    pretraining pack/chunk step. Pure built-ins (split → sequence →
+    explode → slice → array_join): a row-local generator, no shuffle
+    except the output sort; chunk text is emitted as md5 so the output
+    stays hashable and bytes-light."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_toks", F.size("toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_toks") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        d.select("doc_id", "toks", "n_toks", F.explode(starts).alias("chunk_start"))
+        .filter(F.col("chunk_start") < F.col("n_toks"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n_toks") - F.col("chunk_start")
+            ).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"), F.col("chunk_start") + 1, CHUNK_TOKENS
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
 def d_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced corpus rebalancing: at most 50 docs per language,
     selected by deterministic md5(doc_id) order. Salted two-level
@@ -429,6 +472,24 @@ def _oracle_pii_scrub() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "t_doc_chunks": f"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+      ),
+      s AS (
+        SELECT doc_id, toks, len(toks) AS n_toks,
+               unnest(range(0, GREATEST(len(toks), 1), {CHUNK_STRIDE})) AS chunk_start
+        FROM t
+      )
+      SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+             CAST(LEAST({CHUNK_TOKENS}, n_toks - chunk_start) AS INT) AS n_tokens,
+             md5(array_to_string(
+               toks[chunk_start + 1 : chunk_start + {CHUNK_TOKENS}], ' '
+             )) AS chunk_md5
+      FROM s WHERE chunk_start < n_toks
+      ORDER BY doc_id, chunk_start
+    """,
     "d_balanced_sample": """
       SELECT lang, doc_id FROM (
         SELECT lang, doc_id,
