@@ -28,96 +28,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering note: the driver's correctness gate covers the first 50
+    entries.  Round 1 verified the TPC-H/window/ETL families, so round 2
+    leads with the 31 LLM-pipeline ops and 7 events queries the round-1
+    window did not reach, followed by the queries modified this round;
+    round-1-green TPC-H queries sit at the tail.
+    """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "q1_pricing_summary": tpch.q1_pricing_summary,
-        "q3_top_unshipped": tpch.q3_top_unshipped,
-        "q5_region_volume": tpch.q5_region_volume,
-        "q6_forecast_revenue": tpch.q6_forecast_revenue,
-        "q10_returned_items": tpch.q10_returned_items,
-        "q14_promo_revenue": tpch.q14_promo_revenue,
-        "q18_large_orders": tpch.q18_large_orders,
-        "q_topk_per_group": tpch.q_topk_per_group,
-        "q_mktseg_pivot": tpch.q_mktseg_pivot,
-        "q_rollup_sales": tpch.q_rollup_sales,
-        "q_distinct_counts": tpch.q_distinct_counts,
+        # --- LLM-pipeline ops (§2.3) — driver-unchecked in round 1 ---
+        "d_exact_dedup": docs.d_exact_dedup,
+        "d_ngram_jaccard": docs.d_ngram_jaccard,
+        "d_minhash_lsh": docs.d_minhash_lsh,
+        "d_simhash": docs.d_simhash,
+        "d_embedding_dedup": docs.d_embedding_dedup,
+        "d_dup_clusters": docs_ext.d_dup_clusters,
+        "d_hash_split": docs_ext.d_hash_split,
+        "d_balanced_sample": docs_ext.d_balanced_sample,
+        "d_source_dedup": docs_ext.d_source_dedup,
+        "d_contamination": docs_ext.d_contamination,
+        "d_edit_verify": docs_ext.d_edit_verify,
+        "d_embedding_centroids": docs_ext.d_embedding_centroids,
+        "s_knn_bruteforce": docs.s_knn_bruteforce,
+        "s_knn_lsh": docs.s_knn_lsh,
+        "s_knn_ivf": docs_ext.s_knn_ivf,
+        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
+        "s_kmeans": docs_ext.s_kmeans,
+        "t_lang_id": docs.t_lang_id,
+        "t_quality_score": docs.t_quality_score,
+        "t_token_count": docs.t_token_count,
+        "t_fingerprint": docs.t_fingerprint,
+        "t_quality_filter": docs_ext.t_quality_filter,
+        "t_pii_scrub": docs_ext.t_pii_scrub,
+        "t_term_stats": docs_ext.t_term_stats,
+        "t_ngram_top": docs_ext.t_ngram_top,
+        "t_doc_chunks": docs_ext.t_doc_chunks,
+        "m_multimodal_meta": docs.m_multimodal_meta,
+        "m_frame_sample": docs_ext.m_frame_sample,
+        "m_feature_extract": docs_ext.m_feature_extract,
+        "m_resize": docs_ext.m_resize,
+        "p_clean_corpus": docs_ext.p_clean_corpus,
+        # --- events queries (§2.2) — driver-unchecked in round 1 ---
+        "q_events_window": events.q_events_window,
+        "q_events_sessionize": events.q_events_sessionize,
+        "q_events_json_props": events.q_events_json_props,
+        "q_events_funnel": events.q_events_funnel,
+        "q_orders_asof_events": events.q_orders_asof_events,
+        "q_events_json_typed": events_ext.q_events_json_typed,
+        "q_incr_rollup": events_ext.q_incr_rollup,
+        # --- modified / strengthened this round — re-verify ---
         "q_approx_distinct": tpch.q_approx_distinct,
-        "q4_order_priority": tpch_ext.q4_order_priority,
-        "q7_nation_volume": tpch_ext.q7_nation_volume,
-        "q8_market_share": tpch_ext.q8_market_share,
-        "q9_product_profit": tpch_ext.q9_product_profit,
-        "q12_late_lines": tpch_ext.q12_late_lines,
-        "q13_customer_orders": tpch_ext.q13_customer_orders,
-        "q15_top_supplier": tpch_ext.q15_top_supplier,
-        "q16_supplier_cnt": tpch_ext.q16_supplier_cnt,
-        "q17_small_quantity": tpch_ext.q17_small_quantity,
-        "q19_disjunctive": tpch_ext.q19_disjunctive,
-        "q21_waiting_supplier": tpch_ext.q21_waiting_supplier,
-        "q22_dormant_customers": tpch_ext.q22_dormant_customers,
-        "q_running_total": tpch_ext.q_running_total,
-        "q_moving_avg": tpch_ext.q_moving_avg,
-        "q_cube_returns": tpch_ext.q_cube_returns,
-        "q_except_customers": tpch_ext.q_except_customers,
-        "q_stats_moments": tpch_ext.q_stats_moments,
-        "q20_excess_suppliers": tpch_ext.q20_excess_suppliers,
-        "q_value_deciles": tpch_ext.q_value_deciles,
-        "q_grouping_sets": tpch_ext.q_grouping_sets,
-        "q_intersect_customers": tpch_ext.q_intersect_customers,
-        "q_dow_revenue": tpch_ext.q_dow_revenue,
-        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
-        "q11_important_parts": tpch_ext.q11_important_parts,
-        "q_hash_sample": tpch_ext.q_hash_sample,
-        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
+        "q_approx_percentiles": events_ext.q_approx_percentiles,
         "q_window_funcs": tpch_ext.q_window_funcs,
-        "q_histogram": tpch_ext.q_histogram,
-        "q_key_skew": tpch_ext.q_key_skew,
+        # --- round-1 driver-green (rows+schema+hash pass) ---
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
         "q_percentiles": events_ext.q_percentiles,
-        "q_approx_percentiles": events_ext.q_approx_percentiles,
         "q_range_join": events_ext.q_range_join,
         "q_order_gaps": events_ext.q_order_gaps,
-        "q_events_json_typed": events_ext.q_events_json_typed,
-        "q_incr_rollup": events_ext.q_incr_rollup,
-        "q_events_window": events.q_events_window,
-        "q_events_sessionize": events.q_events_sessionize,
-        "q_events_json_props": events.q_events_json_props,
-        "q_events_funnel": events.q_events_funnel,
-        "q_orders_asof_events": events.q_orders_asof_events,
-        "d_exact_dedup": docs.d_exact_dedup,
-        "d_dup_clusters": docs_ext.d_dup_clusters,
-        "s_knn_ivf": docs_ext.s_knn_ivf,
-        "d_hash_split": docs_ext.d_hash_split,
-        "d_balanced_sample": docs_ext.d_balanced_sample,
-        "t_doc_chunks": docs_ext.t_doc_chunks,
-        "t_quality_filter": docs_ext.t_quality_filter,
-        "t_pii_scrub": docs_ext.t_pii_scrub,
-        "t_term_stats": docs_ext.t_term_stats,
-        "m_frame_sample": docs_ext.m_frame_sample,
-        "m_feature_extract": docs_ext.m_feature_extract,
-        "m_resize": docs_ext.m_resize,
-        "d_embedding_centroids": docs_ext.d_embedding_centroids,
-        "d_edit_verify": docs_ext.d_edit_verify,
-        "p_clean_corpus": docs_ext.p_clean_corpus,
-        "t_ngram_top": docs_ext.t_ngram_top,
-        "d_ngram_jaccard": docs.d_ngram_jaccard,
-        "d_minhash_lsh": docs.d_minhash_lsh,
-        "d_simhash": docs.d_simhash,
-        "d_embedding_dedup": docs.d_embedding_dedup,
-        "s_knn_bruteforce": docs.s_knn_bruteforce,
-        "s_knn_lsh": docs.s_knn_lsh,
-        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
-        "s_kmeans": docs_ext.s_kmeans,
-        "d_source_dedup": docs_ext.d_source_dedup,
-        "d_contamination": docs_ext.d_contamination,
-        "t_lang_id": docs.t_lang_id,
-        "t_quality_score": docs.t_quality_score,
-        "t_token_count": docs.t_token_count,
-        "t_fingerprint": docs.t_fingerprint,
-        "m_multimodal_meta": docs.m_multimodal_meta,
+        "q_histogram": tpch_ext.q_histogram,
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
+        "q3_top_unshipped": tpch.q3_top_unshipped,
+        "q4_order_priority": tpch_ext.q4_order_priority,
+        "q5_region_volume": tpch.q5_region_volume,
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "q7_nation_volume": tpch_ext.q7_nation_volume,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q9_product_profit": tpch_ext.q9_product_profit,
+        "q10_returned_items": tpch.q10_returned_items,
+        "q11_important_parts": tpch_ext.q11_important_parts,
+        "q12_late_lines": tpch_ext.q12_late_lines,
+        "q13_customer_orders": tpch_ext.q13_customer_orders,
+        "q14_promo_revenue": tpch.q14_promo_revenue,
+        "q15_top_supplier": tpch_ext.q15_top_supplier,
+        "q16_supplier_cnt": tpch_ext.q16_supplier_cnt,
+        "q17_small_quantity": tpch_ext.q17_small_quantity,
+        "q18_large_orders": tpch.q18_large_orders,
+        "q19_disjunctive": tpch_ext.q19_disjunctive,
+        "q20_excess_suppliers": tpch_ext.q20_excess_suppliers,
+        "q21_waiting_supplier": tpch_ext.q21_waiting_supplier,
+        "q22_dormant_customers": tpch_ext.q22_dormant_customers,
+        "q_topk_per_group": tpch.q_topk_per_group,
+        "q_mktseg_pivot": tpch.q_mktseg_pivot,
+        "q_rollup_sales": tpch.q_rollup_sales,
+        "q_distinct_counts": tpch.q_distinct_counts,
+        "q_running_total": tpch_ext.q_running_total,
+        "q_moving_avg": tpch_ext.q_moving_avg,
+        "q_cube_returns": tpch_ext.q_cube_returns,
+        "q_except_customers": tpch_ext.q_except_customers,
+        "q_stats_moments": tpch_ext.q_stats_moments,
+        "q_value_deciles": tpch_ext.q_value_deciles,
+        "q_grouping_sets": tpch_ext.q_grouping_sets,
+        "q_intersect_customers": tpch_ext.q_intersect_customers,
+        "q_dow_revenue": tpch_ext.q_dow_revenue,
+        "q_hash_sample": tpch_ext.q_hash_sample,
+        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
+        "q_key_skew": tpch_ext.q_key_skew,
     }
     return q
 

@@ -322,3 +322,37 @@ def test_balanced_sample_exact_topk(spark):
     # stratum smaller than K → keep everything
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
     assert balanced_sample(tiny, "lang", "doc_id", k=10).count() == 2
+
+
+def test_uniform_hash_prefilter_bounds_and_exactness(spark):
+    """Pre-filter keeps ~8k+32 rows per stratum (bounded state), and the
+    top-K over survivors equals the top-K over the full skewed stratum."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from locopy_spark.operators.sampling import (
+        balanced_sample,
+        uniform_hash_prefilter,
+    )
+
+    # one giant stratum (the skew case the operator exists for) + one tiny
+    rows = [(i, "big" if i < 4900 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k = 5
+    h = df.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+    kept = uniform_hash_prefilter(h, "lang", "__h", k=k)
+    per = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    target = 8 * k + 32  # ~72 expected survivors per stratum
+    assert k <= per["small"] <= 100  # frac = 72/100 keeps ~72 of 100
+    assert k <= per["big"] <= 3 * target  # bounded, nowhere near 4900
+    # end-to-end exactness on the skewed data
+    out = balanced_sample(df, "lang", "doc_id", k=k)
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    expected = set()
+    for lang in ("big", "small"):
+        ids = [i for i, lg in rows if lg == lang]
+        ids.sort(key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        expected |= {(lang, i) for i in ids[:k]}
+    assert got == expected
