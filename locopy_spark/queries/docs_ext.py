@@ -588,31 +588,55 @@ ORACLE: dict[str, str] = {
 }
 
 
-# TF-IDF pair similarity: rare-token blocking bounds the self-join —
-# only terms with df/n_docs <= 0.3 are weighted, so each term
-# contributes at most (0.3n)² pair rows and stopwords never explode
-# the join. Linear inverse-collection-frequency (floor(1000·n/df))
-# instead of ln-idf keeps the weights integral and engine-portable.
+# TF-IDF pair similarity. Two pruning layers:
+#   * semantic: stopword removal — only terms with df/n_docs <= 0.3 get
+#     nonzero weight (mirrored exactly in the oracle);
+#   * candidate generation: ppjoin-style SYMMETRIC PREFIX FILTERING
+#     (Bayardo et al. WWW'07 / Xiao et al. ppjoin) — each doc indexes
+#     only its rarest terms (the "prefix"), chosen so the leftover
+#     "suffix" has squared norm strictly < (tau/2)^2 of the doc's total.
+#     If a pair shares no term in BOTH prefixes, then
+#     cos <= |a_suf|/|a| + |b_suf|/|b| < tau — so joining prefix
+#     postings with themselves generates a complete candidate set
+#     while dissimilar docs (which only share common terms) produce
+#     ZERO pair rows. Round 1 self-joined the FULL posting lists,
+#     which is O(n^2) pair rows at a fractional df cap; candidates are
+#     now bounded by genuinely-similar pairs plus rare-term collisions.
+# Linear inverse-collection-frequency (floor(1000·n/df)) instead of
+# ln-idf keeps the weights integral and engine-portable; the prefix
+# test uses exact decimal arithmetic (cum·400 < ss·81 for tau=0.9,
+# (tau/2)^2 = 81/400) so candidate completeness never hinges on float
+# rounding.
 TFIDF_MAXDF_NUM = 3  # keep term iff 10*df <= 3*n_docs
 TFIDF_TAU = 0.9
+TFIDF_TAU_SQ_NUM = 81  # (TFIDF_TAU/2)^2 == 81/400, kept as an exact ratio
+TFIDF_TAU_SQ_DEN = 400
 
 
 def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine document-pair similarity via a sparse inverted
-    index: tokenize → tf per (doc,term) → df-pruned integer weights →
-    posting-list self-join on term → exact decimal dot products →
-    cosine ≥ τ. All accumulation is integer/decimal (order-independent);
-    the only float ops are the final sqrt/divide with identical
-    expression text on both engines."""
+    index with prefix-filtered candidate generation: tokenize → tf per
+    (doc,term) → df-pruned integer weights → per-doc rarity-ordered
+    prefix (suffix sq-norm < (τ/2)²·total, exact decimal test) →
+    prefix-postings self-join → candidate pairs → exact decimal dot
+    over the FULL vectors of each candidate → cosine ≥ τ.  The result
+    set is provably identical to the all-postings self-join (see module
+    comment), so the oracle is the straightforward exact SQL.  All
+    accumulation is integer/decimal (order-independent); the only float
+    ops are the final sqrt/divide with identical expression text on
+    both engines."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
     )
-    # tf feeds df-counts AND weights; w feeds norms AND both join sides.
-    # Catalyst re-executes multi-consumer subtrees (ReusedExchange does
-    # not fire across broadcast-join inputs), so persist both — same
-    # lesson as the minhash signature table (4x speedup there).
+    # tf feeds df-counts AND weights; w feeds norms, prefix selection
+    # AND both verify-join sides.  Catalyst re-executes multi-consumer
+    # subtrees (ReusedExchange does not fire across broadcast-join
+    # inputs), so persist both — same lesson as the minhash signature
+    # table (4x speedup there).
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     keep = (
@@ -620,25 +644,55 @@ def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(10) * F.col("df") <= F.lit(TFIDF_MAXDF_NUM) * F.col("n_docs"))
         .select(
             "term",
+            "df",
             F.expr("cast(floor(1000.0 * n_docs / df) as bigint)").alias("icf"),
         )
     )
     w = (
         tf.join(F.broadcast(keep), "term")
-        .select("doc_id", "term", (F.col("tf") * F.col("icf")).alias("w"))
+        .select(
+            "doc_id", "term", "df", (F.col("tf") * F.col("icf")).alias("w")
+        )
         .persist()
     )
-    wdec = F.expr("cast(w as decimal(19,0))")
-    norms = w.groupBy("doc_id").agg(F.sum(wdec * wdec).alias("ss"))
+    wsq = F.expr("cast(w as decimal(19,0)) * cast(w as decimal(19,0))")
+    norms = w.groupBy("doc_id").agg(F.sum(wsq).alias("ss"))
+    # Prefix selection: walk each doc's terms commonest-first, absorb
+    # terms into the suffix while the running sq-norm stays strictly
+    # under (tau/2)^2 of the total (exact: cum*DEN < ss*NUM).  The
+    # complement — the rarest terms — is the indexed prefix.  Window is
+    # per-doc (n_docs keys, uniform) and each partition is one doc's
+    # term list, so no skew ceiling.
+    order = Window.partitionBy("doc_id").orderBy(
+        F.col("df").desc(), F.col("term").desc()
+    )
+    cum = F.sum(wsq).over(order.rowsBetween(Window.unboundedPreceding, 0))
+    flagged = (
+        w.join(norms, "doc_id")
+        .withColumn(
+            "in_suffix",
+            cum * F.lit(TFIDF_TAU_SQ_DEN) < F.col("ss") * F.lit(TFIDF_TAU_SQ_NUM),
+        )
+    )
+    prefix = flagged.filter(~F.col("in_suffix")).select("term", "doc_id")
+    cand = (
+        prefix.select("term", F.col("doc_id").alias("doc_a"))
+        .join(prefix.select("term", F.col("doc_id").alias("doc_b")), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Verify: exact decimal dot over the full vectors of each candidate
+    # pair — candidate-bounded equi-joins, never an all-postings join.
     a = w.select(
-        F.col("term"), F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
+        F.col("doc_id").alias("doc_a"), F.col("term"), F.col("w").alias("wa")
     )
     b = w.select(
-        F.col("term"), F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+        F.col("doc_id").alias("doc_b"), F.col("term"), F.col("w").alias("wb")
     )
     dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "term"])
         .groupBy("doc_a", "doc_b")
         .agg(
             F.sum(
