@@ -155,24 +155,39 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (Greenwald-Khanna via
     approx_percentile) — the single-pass mergeable path for
     percentile-over-everything at 100 TB, where the rank-select window
-    of ``q_percentiles`` would need a global sort. Engine-specific
-    sketch ⇒ rows-only check; accuracy vs the exact answer is asserted
-    in tests/test_operators.py."""
+    of ``q_percentiles`` would need a global sort.  Oracle-hardened:
+    raw sketch values are engine-specific, so the output carries the
+    exact group counts plus booleans asserting each GK estimate landed
+    within 5% of the exact interpolated percentile (computed Spark-side
+    purely for verification; the production path is the sketch alone —
+    ``percentile`` holds per-group value maps, fine at verify SF,
+    not the 100 TB plan)."""
     o = load_table(spark, sf_dir, "orders")
     pcts = list(PCTS)
     acc = 10_000
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            *[
-                F.expr(
-                    f"approx_percentile(o_totalprice, {p}, {acc})"
-                ).alias(f"p{int(p * 100)}")
-                for p in pcts
-            ],
-        )
-        .orderBy("o_orderpriority")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        *[
+            F.expr(f"approx_percentile(o_totalprice, {p}, {acc})").alias(
+                f"__a{int(p * 100)}"
+            )
+            for p in pcts
+        ],
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"__e{int(p * 100)}")
+            for p in pcts
+        ],
+    )
+    ok = [
+        (
+            F.abs(F.col(f"__a{int(p * 100)}") - F.col(f"__e{int(p * 100)}"))
+            * F.lit(100)
+            <= F.lit(5) * F.abs(F.col(f"__e{int(p * 100)}"))
+        ).alias(f"p{int(p * 100)}_ok")
+        for p in pcts
+    ]
+    return agg.select("o_orderpriority", "n_orders", *ok).orderBy(
+        "o_orderpriority"
     )
 
 
@@ -275,6 +290,14 @@ ORACLE: dict[str, str] = {
       GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q_percentiles": _oracle_percentiles(),
+    # Sketch query: counts are cross-engine; *_ok booleans are TRUE iff
+    # Spark's GK sketch is within 5% of the exact percentile (asserted
+    # Spark-side; a drifting sketch flips a boolean and hash-mismatches).
+    "q_approx_percentiles": """
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q_range_join": f"""
       SELECT p.event_id AS purchase_id,
              CAST(SUM(CASE WHEN x.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,

@@ -275,14 +275,31 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distincts (no DuckDB twin — the sketch
-    is engine-specific; driver records rows-only)."""
+    """HyperLogLog++ approximate distincts, oracle-hardened: the sketch
+    value itself is engine-specific, so the output carries the EXACT
+    distinct counts (DuckDB-checkable) plus booleans asserting the HLL
+    estimate (rsd=0.01) landed within 5% of exact.  A drifting sketch
+    flips a boolean and fails the hash gate — far stronger than the
+    rows-only check this query had in round 1.  The exact side-channel
+    is the verification harness; the production path at scale is the
+    sketch alone (mergeable, constant memory)."""
     l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("__ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("__ap"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) * F.lit(100) <= F.lit(5) * F.col(e)
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        agg.select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            within("__ao", "exact_orders").alias("orders_ok"),
+            within("__ap", "exact_parts").alias("parts_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -423,5 +440,18 @@ ORACLE: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    # Sketch query: exact counts are cross-engine; the *_ok booleans are
+    # TRUE iff Spark's HLL estimate is within 5% of exact, which the
+    # oracle asserts by construction (a drifting sketch hash-mismatches).
+    "q_approx_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS orders_ok,
+               TRUE AS parts_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
 }
