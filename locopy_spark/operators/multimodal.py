@@ -111,21 +111,27 @@ def feature_extract(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats, norms = [], [], []
-            for rid, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if arr.size:
-                    hist = np.bincount(arr >> 4, minlength=dim).astype(
-                        "float64"
-                    )
-                    vec = hist / hist.sum()
-                else:
-                    vec = np.zeros(dim)
-                ids.append(rid)
-                feats.append(vec.astype("float32").tolist())
-                norms.append(float(np.sqrt(float((vec * vec).sum()))))
+            n = len(pdf)
+            # whole-batch vectorization (forward-pass shape): one buffer
+            # concat + a single segmented bincount — no per-row Python.
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n
+            )
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = np.bincount(
+                row_ids * dim + (buf >> 4), minlength=n * dim
+            ).reshape(n, dim)
+            sums = hist.sum(axis=1, keepdims=True)
+            vec = hist / np.where(sums == 0, 1, sums)  # exact int/int div
+            norms = np.sqrt((vec * vec).sum(axis=1))
             yield pd.DataFrame(
-                {id_col: ids, "feature": feats, "feat_l2": norms}
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "feature": list(vec.astype(np.float32)),
+                    "feat_l2": norms,
+                }
             )
 
     return media.select(id_col, "payload").mapInPandas(run, schema)
@@ -141,6 +147,9 @@ def resize_stub(
     only the pixel resample is stubbed — a real deployment replaces the
     digest line with the codec call. Single narrow ``mapInPandas``
     stage fused with decode: payload bytes cross into Python once.
+    Rounding is floor(x + 0.5) — half-up, engine-portable — rather than
+    Python's banker's ``round``, so the DuckDB oracle can reproduce the
+    output dims exactly.
     """
     schema = (
         f"{id_col} long, width int, height int, out_w int, out_h int, "
@@ -154,7 +163,8 @@ def resize_stub(
                 data = bytes(payload)
                 w, h, _, _ = _fake_decode(data)
                 scale = min(1.0, max_dim / max(w, h))
-                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                ow = max(1, int(w * scale + 0.5))
+                oh = max(1, int(h * scale + 0.5))
                 digest = hashlib.md5(
                     data + f"{ow}x{oh}".encode()
                 ).hexdigest()

@@ -312,18 +312,37 @@ def d_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal feature extraction (encoder stand-in):
-    payload → L1-normalized byte histogram as array<float>. Rows-only
-    check; exact histogram values unit-tested against pure Python."""
+    payload → L1-normalized high-nibble byte histogram as array<float>.
+    Oracle-checkable projection: the float32 vector is exploded to
+    (doc_id, bin, v_fix) fixed-point rows — the corpus is pure ASCII,
+    so DuckDB reproduces the histogram from code points and the exact
+    int/int division + float32 downcast is bit-identical cross-engine.
+    (feat_l2 stays an operator output but is excluded here: numpy's
+    pairwise summation order differs from SQL list aggregation.)"""
     from locopy_spark.operators.multimodal import attach_payload, feature_extract
 
     docs = load_table(spark, sf_dir, "documents")
-    return feature_extract(attach_payload(docs)).orderBy("doc_id")
+    fe = feature_extract(attach_payload(docs))
+    return (
+        fe.select("doc_id", F.posexplode("feature").alias("bin", "v"))
+        .select(
+            "doc_id",
+            "bin",
+            F.expr(
+                "cast(floor(cast(v as double) * 1000000 + 0.5) as bigint)"
+            ).alias("v_fix"),
+        )
+        .orderBy("doc_id", "bin")
+    )
 
 
 def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage: stub decode → aspect-preserving scale
-    geometry → deterministic resized digest. Rows-only check; geometry
-    unit-tested."""
+    geometry → deterministic resized digest. Fully oracle-checked: the
+    stub dims are md5-derived and the corpus is ASCII, so DuckDB
+    re-derives dims by hex-parsing md5(text), replays the identical
+    double geometry (same operands ⇒ same IEEE results), and recomputes
+    the resized digest."""
     from locopy_spark.operators.multimodal import attach_payload, resize_stub
 
     docs = load_table(spark, sf_dir, "documents")
@@ -585,6 +604,64 @@ ORACLE: dict[str, str] = {
       SELECT gram, COUNT(*) AS n FROM g
       GROUP BY gram ORDER BY n DESC, gram LIMIT 20
     """.format(shingles=sql_shingles("toks", SHINGLE_K)),
+    # Corpus is pure ASCII ⇒ byte == code point, so DuckDB reproduces
+    # the high-nibble histogram; int/int division then float32 downcast
+    # is bit-identical cross-engine, fixed-pointed at 1e6.
+    "m_feature_extract": """
+      WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents
+      ),
+      hist AS (
+        SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) // 16 AS nib,
+               COUNT(*) AS cnt
+        FROM pos GROUP BY 1, 2
+      ),
+      tot AS (SELECT doc_id, SUM(cnt) AS s FROM hist GROUP BY 1),
+      bins AS (
+        SELECT d.doc_id, CAST(b.bin AS INT) AS bin, COALESCE(h.cnt, 0) AS cnt, t.s
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.nib = b.bin
+        JOIN tot t ON t.doc_id = d.doc_id
+      )
+      SELECT doc_id, bin,
+             CAST(FLOOR(
+               CAST(CAST(CAST(cnt AS DOUBLE) / s AS FLOAT) AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS v_fix
+      FROM bins ORDER BY doc_id, bin
+    """,
+    # Stub dims are md5-derived: hex-parse md5(text) for bytes 0/1,
+    # replay the identical double geometry (same operands ⇒ same IEEE
+    # doubles), recompute the resized digest.
+    "m_resize": """
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      b AS (
+        SELECT doc_id, text,
+          64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4 AS width,
+          64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4 AS height
+        FROM hx
+      ),
+      g AS (
+        SELECT doc_id, text, width, height,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     CAST(256.0 AS DOUBLE) / GREATEST(width, height)) AS scale
+        FROM b
+      ),
+      o AS (
+        SELECT doc_id, text, width, height, scale,
+               CAST(GREATEST(1, FLOOR(width * scale + 0.5)) AS INT) AS out_w,
+               CAST(GREATEST(1, FLOOR(height * scale + 0.5)) AS INT) AS out_h
+        FROM g
+      )
+      SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+             out_w, out_h, scale,
+             md5(text || CAST(out_w AS VARCHAR) || 'x'
+                      || CAST(out_h AS VARCHAR)) AS resized_md5
+      FROM o ORDER BY doc_id
+    """,
 }
 
 
