@@ -66,17 +66,63 @@ def knn_bruteforce(
     )
 
 
-def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+def hyperplane_signs(
+    n_planes: int, dim: int, table: int = 0
+) -> list[list[int]]:
     """Deterministic pseudorandom ±1 hyperplanes from md5 — generated
     driver-side (tiny), shipped as literals into the plan."""
     planes = []
     for p in range(n_planes):
         row = []
         for i in range(dim):
-            b = hashlib.md5(f"{p}:{i}".encode()).digest()[0]
+            b = hashlib.md5(f"{table}:{p}:{i}".encode()).digest()[0]
             row.append(1 if b % 2 else -1)
         planes.append(row)
     return planes
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, table, bucket) posting rows: one bucket per hash table.
+
+    OR-amplified hyperplane LSH — a vector lands in ``n_tables``
+    independent sign-bucket tables, so a true neighbor is missed only
+    if it disagrees with the query in EVERY table: recall
+    1 - (1 - p^b)^L instead of the single-table p^b that round 1
+    shipped (which at 2^8 buckets over small corpora had recall ~0).
+    Postings carry only ids — the payload embedding never multiplies
+    by ``n_tables`` or enters the candidate shuffle.
+    """
+    tables = [hyperplane_signs(n_planes, dim, t) for t in range(n_tables)]
+    planes3 = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in tab])
+            for tab in tables
+        ]
+    )
+    # bucket of table t: sign bits against that table's planes; plain
+    # double fold is fine here (bucketing is engine-local, never
+    # oracle-compared)
+    buckets = (
+        "transform(sequence(1, {nt}), t -> "
+        "aggregate(transform(sequence(1, {np}), p -> "
+        "CASE WHEN aggregate(transform(sequence(1, size({v})), "
+        "i -> cast(element_at({v}, i) as double)"
+        " * element_at(element_at(element_at(_planes, t), p), i)), "
+        "cast(0.0 as double), (a, x) -> a + x) > 0 "
+        "THEN cast(pow(2, p-1) as bigint) ELSE cast(0 as bigint) END), "
+        "cast(0 as bigint), (a, x) -> a + x))"
+    ).format(nt=n_tables, np=n_planes, v=vec_col)
+    return (
+        emb.withColumn("_planes", planes3)
+        .select(id_col, F.posexplode(F.expr(buckets)).alias("table", "bucket"))
+    )
 
 
 def knn_lsh(
@@ -85,56 +131,48 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    Bucket id = sign bits against ``n_planes`` fixed hyperplanes; the
-    query set joins only its own bucket (equi-join shuffle on bucket id)
-    instead of the whole table. Recall < 1 by construction; raise
-    ``n_planes`` ↓ bucket size, lower it ↑ recall.
+    Candidates = union over ``n_tables`` hash tables of the query's
+    bucket (equi-join on (table, bucket) over id-only postings),
+    deduplicated, then scored exactly via one equi-join back to the
+    embedding table. Scanned fraction per query ≈ n_tables / 2^n_planes
+    of the corpus, independent of corpus size; raise ``n_planes`` ↓
+    bucket size, raise ``n_tables`` ↑ recall.
     """
-    planes = hyperplane_signs(n_planes, dim)
-    sign_arrays = F.array(
-        *[F.array(*[F.lit(float(s)) for s in row]) for row in planes]
+    sigs = lsh_signatures(
+        emb, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
     )
-
-    def bucket_col():
-        # bit p = 1 iff dot(emb, plane_p) > 0; plain double fold is fine
-        # here (bucketing is engine-local, never oracle-compared)
-        return F.expr(
-            "aggregate(transform(sequence(1, {np}), p -> "
-            "CASE WHEN aggregate(transform(sequence(1, size({v})), "
-            "i -> cast(element_at({v}, i) as double) * element_at(element_at(_planes, p), i)), "
-            "cast(0.0 as double), (a, x) -> a + x) > 0 "
-            "THEN cast(pow(2, p-1) as bigint) ELSE cast(0 as bigint) END), "
-            "cast(0 as bigint), (a, x) -> a + x)".format(np=n_planes, v=vec_col)
-        )
-
-    with_bucket = (
-        with_fixed_norm(emb, vec_col)
-        .withColumn("_planes", sign_arrays)
-        .withColumn("bucket", bucket_col())
-        .drop("_planes")
+    q_sigs = sigs.withColumnRenamed(id_col, "query_id")
+    if query_ids is not None:
+        q_sigs = q_sigs.filter(F.col("query_id").isin(query_ids))
+    cand = (
+        sigs.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q_sigs), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    base = with_bucket.select(
+    base = with_fixed_norm(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_emb"),
         F.col("norm_fix").alias("n_norm"),
-        "bucket",
     )
-    q = with_bucket.select(
+    q = with_fixed_norm(emb, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
         F.col("norm_fix").alias("q_norm"),
-        "bucket",
     )
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin(query_ids))
     scored = (
-        base.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(base, "neighbor_id")
         .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
         .withColumn(
             "cosine", F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm"))

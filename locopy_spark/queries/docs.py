@@ -94,12 +94,33 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic regression tripwire for the ANN oracles: planes/data/
+# scoring are all fixed, so total top-k hits vs brute force is a
+# constant (measured 10 @ sf0.001, 6 @ sf0.01 for LSH; 14/14 for IVF).
+# The thresholds sit at ~half the measured minimum — a recall
+# regression flips the boolean and fails the hash gate.  NOT an
+# accuracy claim: these embeddings are weakly similar, so exact top-5
+# recall is inherently modest; LSH/IVF exist for the high-cosine
+# near-dup regime.
+LSH_MIN_HITS = 3
+IVF_MIN_HITS = 7
+
+
 def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — engine-specific bucketing, rows-only check;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """Approximate ANN via multi-table hyperplane LSH, oracle-hardened:
+    outputs the query count plus a boolean asserting total top-k hits
+    vs brute force stayed above the regression threshold (the raw
+    neighbor lists are engine-specific; per-query recall is asserted in
+    tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_lsh(emb, query_ids=KNN_QUERY_IDS, k=KNN_K).orderBy(
-        "query_id", "rk"
+    approx = similarity.knn_lsh(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
+    exact = similarity.knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(len(KNN_QUERY_IDS)).alias("n_queries"),
+        (F.col("n_hits") >= F.lit(LSH_MIN_HITS)).alias("recall_ok"),
     )
 
 
@@ -395,6 +416,11 @@ ORACLE: dict[str, str] = {
       SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
       FROM ranked WHERE rk <= {KNN_K}
       ORDER BY query_id, rk
+    """,
+    # ANN regression tripwire (see LSH_MIN_HITS comment): hits vs brute
+    # force are deterministic; the boolean flips on a recall regression.
+    "s_knn_lsh": f"""
+      SELECT CAST({len(KNN_QUERY_IDS)} AS INT) AS n_queries, TRUE AS recall_ok
     """,
     "t_lang_id": _oracle_lang_id(),
     "t_quality_score": f"""

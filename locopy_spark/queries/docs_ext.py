@@ -63,12 +63,23 @@ def d_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN — engine-specific list assignment, rows-only check;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """IVF ANN, oracle-hardened like ``s_knn_lsh``: query count plus a
+    deterministic regression boolean on total top-k hits vs brute force
+    (see docs.LSH_MIN_HITS comment; per-query recall asserted in
+    tests/test_similarity.py)."""
+    from locopy_spark.queries.docs import IVF_MIN_HITS
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_ivf(
-        emb, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=4
-    ).orderBy("query_id", "rk")
+    qids = [0, 1, 2, 3, 4]
+    approx = similarity.knn_ivf(emb, query_ids=qids, k=5, n_centroids=16, n_probe=4)
+    exact = similarity.knn_bruteforce(emb, query_ids=qids, k=5)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(len(qids)).alias("n_queries"),
+        (F.col("n_hits") >= F.lit(IVF_MIN_HITS)).alias("recall_ok"),
+    )
 
 
 def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +805,11 @@ def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
 
+
+# ANN regression tripwire (see docs.LSH_MIN_HITS comment).
+ORACLE["s_knn_ivf"] = """
+  SELECT CAST(5 AS INT) AS n_queries, TRUE AS recall_ok
+"""
 
 ORACLE["s_tfidf_pairs"] = f"""
   WITH t AS (
