@@ -22,6 +22,47 @@ from locopy_spark.utility import read_config_yaml
 logger = logging.getLogger(__name__)
 
 
+def _split_sql_statements(sql: str) -> list[str]:
+    """Split on ``;`` only at top level — quotes (``'``/``"``/backtick,
+    with ``''`` escaping), line comments (``--``) and block comments
+    (``/* */``) are honored, so ``SELECT ';' AS c`` stays one statement.
+    """
+    statements, buf = [], []
+    quote: str | None = None  # active quote char
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            buf.append(ch)
+            if quote in "'\"`" and ch == quote:
+                if ch == "'" and i + 1 < n and sql[i + 1] == "'":
+                    buf.append("'")
+                    i += 1  # escaped '' inside a string literal
+                else:
+                    quote = None
+            elif quote == "--" and ch == "\n":
+                quote = None
+            elif quote == "/*" and ch == "/" and sql[i - 1] == "*":
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch == "-" and sql[i : i + 2] == "--":
+            quote = "--"
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            quote = "/*"
+        elif ch == ";":
+            statements.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    statements.append("".join(buf))
+    return [s.strip() for s in statements if s.strip()]
+
+
 class Database:
     """Manage a SparkSession and execute queries against it.
 
@@ -88,26 +129,44 @@ class Database:
             return False
 
     # -- execution ---------------------------------------------------------
-    def execute(self, sql: str, commit: bool = True, params=None, verbose: bool = True):
+    def execute(
+        self,
+        sql: str,
+        commit: bool = True,
+        params=None,
+        many: bool = False,
+        verbose: bool = True,
+    ):
         """Execute SQL (reference: database.py:131).
 
-        Multiple ``;``-separated statements run in order; the last
+        Multiple ``;``-separated statements run in order (split
+        quote-aware, so literals containing ``;`` survive); the last
         result is retained for ``to_dataframe``/``to_dict``. ``params``
         maps to Spark named-parameter SQL (``:name`` placeholders).
-        Returns the last result DataFrame (lazily evaluated).
+        With ``many=True`` (reference database.py:136 executemany),
+        ``params`` is an iterable of parameter sets and the statement
+        runs once per set. Returns the last result DataFrame (lazily
+        evaluated).
         """
         if not self._is_connected():
             raise DBError("Cannot execute SQL on a closed connection.")
         start = time.time()
         if verbose:
             logger.info("Running SQL: %s", sql)
-        statements = [s.strip() for s in sql.split(";") if s.strip()]
+        statements = _split_sql_statements(sql)
         try:
             for stmt in statements:
-                if params:
+                if many:
+                    if not params:
+                        raise DBError("execute(many=True) requires a params sequence.")
+                    for p in params:
+                        self._result = self.spark.sql(stmt, args=p)
+                elif params:
                     self._result = self.spark.sql(stmt, args=params)
                 else:
                     self._result = self.spark.sql(stmt)
+        except DBError:
+            raise
         except Exception as e:
             logger.error("Error running SQL query. err: %s", e)
             raise DBError("Error running SQL query.") from e

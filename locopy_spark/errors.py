@@ -38,6 +38,10 @@ class StageError(LocopyError):
     """Base class for stage (storage transport) errors."""
 
 
+class StageInitializationError(StageError):
+    """Raised when the stage client cannot be initialized."""
+
+
 class StageCredentialsError(StageError):
     """Raised when stage credentials are invalid."""
 
@@ -56,6 +60,7 @@ class StageDeletionError(StageError):
 
 # Aliases keeping the reference's S3-flavored names importable.
 S3Error = StageError
+S3InitializationError = StageInitializationError
 S3CredentialsError = StageCredentialsError
 S3UploadError = StageUploadError
 S3DownloadError = StageDownloadError

@@ -76,11 +76,66 @@ def _pandas_column_type(data: pd.Series) -> str:
     return "varchar"
 
 
+def _is_polars(obj) -> bool:
+    # duck-typed so polars stays an optional dependency: a polars
+    # DataFrame identifies itself by module, no import needed here
+    return type(obj).__module__.split(".")[0] == "polars"
+
+
+def find_column_type_polars(dataframe, warehouse_type: str = "spark") -> "OrderedDict[str, str]":
+    """Polars variant of :func:`find_column_type` (parity target:
+    reference locopy/utility.py:383 ``find_column_type_polars``).
+
+    Dtype mapping mirrors the reference: temporal → date/time/timestamp,
+    bool → boolean, integer → int, other numeric → float; string
+    columns are probed (numeric cast, then date, time, datetime
+    parses — date first, since datetime parsing is a superset).
+    """
+    import polars as pl  # optional dependency, gated at call time
+
+    def _probe_string(data) -> str:
+        for caster, t in (
+            (lambda s: s.cast(pl.Float64), "float"),
+            (lambda s: s.str.to_date(), "date"),
+            (lambda s: s.str.to_time(), "time"),
+            (lambda s: s.str.to_datetime(), "timestamp"),
+        ):
+            try:
+                caster(data)
+                return t
+            except Exception:
+                continue
+        return "varchar"
+
+    out: "OrderedDict[str, str]" = OrderedDict()
+    for column in dataframe.columns:
+        data = dataframe.lazy().select(column).drop_nulls().collect().to_series()
+        if data.shape[0] == 0:
+            out[column] = "varchar"
+        elif data.dtype.is_temporal():
+            if data.dtype == pl.Date:
+                out[column] = "date"
+            elif data.dtype == pl.Time:
+                out[column] = "time"
+            else:
+                out[column] = "timestamp"
+        elif str(data.dtype).lower().startswith("bool"):
+            out[column] = "boolean"
+        elif data.dtype.is_integer():
+            out[column] = "int"
+        elif data.dtype.is_numeric():
+            out[column] = "float"
+        else:
+            out[column] = _probe_string(data)
+    return out
+
+
 def find_column_type(dataframe, warehouse_type: str = "spark") -> "OrderedDict[str, str]":
     """Infer a warehouse type per column.
 
     Accepts a pandas DataFrame (dtype-based inference with
-    object-column probing, mirroring the reference) or a Spark
+    object-column probing, mirroring the reference), a polars DataFrame
+    (dispatches to :func:`find_column_type_polars`), or a Spark
     DataFrame (authoritative from the schema — no sampling needed).
     """
     if isinstance(dataframe, SparkDataFrame):
@@ -94,7 +149,9 @@ def find_column_type(dataframe, warehouse_type: str = "spark") -> "OrderedDict[s
             data = dataframe[column].dropna().reset_index(drop=True)
             out[column] = _pandas_column_type(data)
         return out
-    raise TypeError("find_column_type expects a pandas or Spark DataFrame")
+    if _is_polars(dataframe):
+        return find_column_type_polars(dataframe, warehouse_type)
+    raise TypeError("find_column_type expects a pandas, polars or Spark DataFrame")
 
 
 def to_spark_schema(column_types: "OrderedDict[str, str]") -> T.StructType:

@@ -62,6 +62,7 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # pull the min label over neighbors through one join shuffle
         msg = (
@@ -91,7 +92,15 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # labels are still moving: emitting them would silently keep
+        # multiple representatives of one component downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(long-chain graph?). Raise max_iter or use star-contraction."
+        )
     out = labels.select("node", F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out

@@ -79,3 +79,72 @@ def global_ntile(
         ).otherwise(F.lit(None))
     )
     return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")
+
+
+def grouped_global_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "rn",
+    size_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based row number *within each group* under ``order_cols``
+    — without ``Window.partitionBy(group)``'s one-task-per-group sort.
+
+    Built for the few-groups/many-rows regime (order priorities,
+    languages, market segments …) where a partitioned window serializes:
+    range-partition on (group, order) so every partition holds a
+    contiguous slice of one-or-more groups' sort order, rank locally,
+    then add per-(partition, group) offsets (≤ P + G - 1 numbers through
+    the driver — the ranges overlap at most G-1 group boundaries).
+    ``size_col`` additionally attaches the group's total row count
+    (broadcast G-row join), enabling percent_rank/cume_dist arithmetic.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt_rows = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_group: dict[tuple, list] = {}
+    for r in cnt_rows:
+        per_group.setdefault(tuple(r[g] for g in group_cols), []).append(
+            (r["__pid"], r["cnt"])
+        )
+    off_rows, size_rows = [], []
+    for gk, lst in per_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            off_rows.append((*gk, pid, acc))
+            acc += cnt
+        size_rows.append((*gk, acc))
+    spark = df.sparkSession
+    gfields = [f for f in df.schema.fields if f.name in group_cols]
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        gfields
+        + [T.StructField("__pid", T.IntegerType()), T.StructField("__off", T.LongType())]
+    )
+    off_df = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    out = (
+        ranged.join(off_df, ["__pid", *group_cols])
+        .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+    if size_col:
+        size_schema = T.StructType(
+            gfields + [T.StructField(size_col, T.LongType())]
+        )
+        out = out.join(
+            F.broadcast(spark.createDataFrame(size_rows, size_schema)), group_cols
+        )
+    return out

@@ -995,24 +995,61 @@ ORACLE.update(
 
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window showcase: percent_rank / cume_dist plus
-    first/last/nth over an explicit full-partition frame. The ordering
-    key is (scaled price, orderkey) — unique, so every window result
-    is deterministic at any parallelism."""
+    first/last/nth over an explicit full-partition frame.
+
+    Scale shape: ``o_orderpriority`` has 5 distinct values, so a plain
+    ``Window.partitionBy`` would sort 20% of the table per task. Instead
+    the per-group rank comes from the range-partitioned
+    ``grouped_global_row_number`` (full parallelism); with the unique
+    ordering key (scaled price, orderkey), percent_rank = (rn-1)/(n-1)
+    and cume_dist = rn/n, and the full-frame first/last/nth collapse to
+    the rows at rn ∈ {1, 2, n} — a 15-row broadcast join."""
     o = load_table(spark, sf_dir, "orders")
     v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
     base = o.select("o_orderkey", "o_orderpriority", v.alias("v"))
-    wo = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-    wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    ranked = grouped_global_row_number(
+        base, ["o_orderpriority"], ["v", "o_orderkey"],
+        out_col="__rn", size_col="__n",
+    )
+    extremes = (
+        ranked.filter(
+            (F.col("__rn") == 1)
+            | (F.col("__rn") == 2)
+            | (F.col("__rn") == F.col("__n"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("o_orderkey"))).alias(
+                "cheapest_key"
+            ),
+            F.max(F.when(F.col("__rn") == F.col("__n"), F.col("o_orderkey"))).alias(
+                "priciest_key"
+            ),
+            F.max(
+                F.when(
+                    (F.col("__rn") == 2) & (F.col("__n") >= 2), F.col("o_orderkey")
+                )
+            ).alias("second_key"),
+        )
+    )
     return (
-        base.select(
+        ranked.join(F.broadcast(extremes), "o_orderpriority")
+        .select(
             "o_orderkey",
             "o_orderpriority",
             F.expr(f"CAST(v AS DOUBLE) / {SCALE}.0").alias("price"),
-            F.percent_rank().over(wo).alias("pct_rank"),
-            F.cume_dist().over(wo).alias("cume"),
-            F.first_value("o_orderkey").over(wf).alias("cheapest_key"),
-            F.last_value("o_orderkey").over(wf).alias("priciest_key"),
-            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.col("__rn").cast("double") / F.col("__n")).alias("cume"),
+            "cheapest_key",
+            "priciest_key",
+            "second_key",
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )

@@ -57,6 +57,15 @@ def copy_files(
     opts = copy_options or []
     ignore_header = get_ignoreheader_number(opts)
     fmt = file_format.lower()
+    if fmt == "csv" and ignore_header > 1:
+        # Spark's csv header option can only skip ONE leading line per
+        # file; silently mapping IGNOREHEADER n>1 onto it would load the
+        # extra header lines as data. Fail loud instead.
+        raise DBError(
+            f"IGNOREHEADER {ignore_header} is not supported: Spark's csv "
+            "reader can skip at most one header line per file. Strip the "
+            "extra lines upstream or pass IGNOREHEADER 1."
+        )
     try:
         reader = spark.read
         if schema is not None:

@@ -13,7 +13,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from locopy_spark.errors import DBError
-from locopy_spark.functions.schema_inference import find_column_type, to_spark_schema
+from locopy_spark.functions.schema_inference import (
+    _is_polars,
+    find_column_type,
+    to_spark_schema,
+)
 
 
 def insert_dataframe_to_table(
@@ -30,10 +34,21 @@ def insert_dataframe_to_table(
 
     ``metadata`` (column → warehouse type) overrides inference, like
     the reference. ``create=False`` appends to an existing table and
-    validates column compatibility via Spark's own resolution.
+    validates column compatibility via Spark's own resolution. Polars
+    DataFrames are accepted symmetrically with ``to_dataframe('polars')``
+    (reference snowflake.py:412 accepts both): types are inferred via
+    the polars dtype mapping, then the frame crosses once over Arrow.
     """
     if dataframe is None or len(dataframe.columns) == 0:
         raise DBError("DataFrame is empty.")
+    if _is_polars(dataframe):
+        inferred_pl = find_column_type(
+            dataframe.select(columns) if columns else dataframe
+        )
+        dataframe = (dataframe.select(columns) if columns else dataframe).to_pandas()
+        columns = None
+        if not metadata:
+            metadata = inferred_pl
     pdf = dataframe[columns] if columns else dataframe
     try:
         if metadata:

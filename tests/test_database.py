@@ -56,3 +56,40 @@ def test_errors(spark):
     db.connect()
     with pytest.raises(DBError):
         db.execute("SELEC nonsense")
+
+
+def test_semicolon_inside_literal(spark):
+    db = Database(spark=spark)
+    db.connect()
+    out = db.execute("SELECT ';' AS c, '--not a comment; really' AS d")
+    row = out.collect()[0]
+    assert row.c == ";" and row.d == "--not a comment; really"
+
+
+def test_split_sql_statements_edges():
+    from locopy_spark.database import _split_sql_statements
+
+    assert _split_sql_statements("SELECT 1; SELECT 2") == ["SELECT 1", "SELECT 2"]
+    assert _split_sql_statements("SELECT ';' AS c") == ["SELECT ';' AS c"]
+    assert _split_sql_statements("SELECT 'it''s; fine'") == ["SELECT 'it''s; fine'"]
+    assert _split_sql_statements("SELECT 1 -- trailing; comment\n; SELECT 2") == [
+        "SELECT 1 -- trailing; comment",
+        "SELECT 2",
+    ]
+    assert _split_sql_statements("SELECT /* a;b */ 1; SELECT 2") == [
+        "SELECT /* a;b */ 1",
+        "SELECT 2",
+    ]
+    assert _split_sql_statements('SELECT ";" AS q') == ['SELECT ";" AS q']
+
+
+def test_execute_many(spark):
+    db = Database(spark=spark)
+    db.connect()
+    out = db.execute(
+        "SELECT :x AS v", params=[{"x": 1}, {"x": 2}, {"x": 3}], many=True
+    )
+    # reference executemany retains the last statement's result
+    assert out.collect()[0].v == 3
+    with pytest.raises(DBError):
+        db.execute("SELECT :x AS v", many=True)

@@ -1,4 +1,5 @@
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from locopy_spark.operators.asof import asof_join
@@ -355,3 +356,38 @@ def test_uniform_hash_prefilter_bounds_and_exactness(spark):
         ids.sort(key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
         expected |= {(lang, i) for i in ids[:k]}
     assert got == expected
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from locopy_spark.operators.cluster import connected_components
+
+    # a 12-node chain needs several rounds; max_iter=1 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_grouped_global_row_number_matches_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"),
+        # non-monotone, unique-per-group ordering value
+        ((F.col("id") * 2654435761) % 100003).alias("v"),
+        F.col("id"),
+    )
+    got = grouped_global_row_number(
+        df, ["g"], ["v", "id"], out_col="rn", size_col="n", num_partitions=16
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    assert (
+        got.join(want, ["g", "v", "id", "rn", "n"]).count() == 5000
+    ), "grouped rank diverges from window semantics"

@@ -57,3 +57,33 @@ def test_schema_and_ddl():
     schema = to_spark_schema(types)
     assert [f.dataType.simpleString() for f in schema.fields] == ["bigint", "string"]
     assert ddl_from_types("t", types) == "CREATE TABLE t (a int, b varchar)"
+
+
+def test_find_column_type_rejects_unknown():
+    with pytest.raises(TypeError):
+        find_column_type([1, 2, 3])
+
+
+def test_find_column_type_polars_roundtrip(spark):
+    pl = pytest.importorskip("polars")
+    df = pl.DataFrame(
+        {
+            "i": [1, 2],
+            "f": [1.5, 2.5],
+            "b": [True, False],
+            "s": ["x", "y"],
+            "d": ["2021-01-02", "2021-03-04"],
+        }
+    )
+    types = find_column_type(df)
+    assert types == {
+        "i": "int",
+        "f": "float",
+        "b": "boolean",
+        "s": "varchar",
+        "d": "date",
+    }
+    from locopy_spark.sources.dataframe_io import insert_dataframe_to_table
+
+    out = insert_dataframe_to_table(spark, df, "t_polars_rt", temp_view=True)
+    assert out.count() == 2

@@ -192,3 +192,25 @@ def test_copy_parquet_merge_schema(spark, tmp_path):
     )
     assert set(df.columns) == {"id", "name", "score"}
     assert df.count() == 2
+
+
+def test_ignoreheader_gt1_raises(spark, tmp_path):
+    from locopy_spark.errors import DBError
+    from locopy_spark.sources.copy import copy_files
+
+    f = tmp_path / "two_headers.csv"
+    f.write_text("junk\na|b\n1|2\n")
+    with pytest.raises(DBError, match="IGNOREHEADER 2"):
+        copy_files(spark, str(f), "t_hdr2", delim="|", copy_options=["IGNOREHEADER 2"])
+
+
+def test_s3_error_alias_parity():
+    # reference users port `except S3InitializationError` unchanged
+    from locopy_spark.errors import (
+        S3InitializationError,
+        StageError,
+        StageInitializationError,
+    )
+
+    assert issubclass(S3InitializationError, StageError)
+    assert S3InitializationError is StageInitializationError
