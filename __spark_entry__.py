@@ -17,6 +17,7 @@ from locopy_spark.queries import (
     etl_ext,
     events,
     events_ext,
+    io_rt,
     tpch,
     tpch_ext,
 )
@@ -81,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": tpch.q_approx_distinct,
         "q_approx_percentiles": events_ext.q_approx_percentiles,
         "q_window_funcs": tpch_ext.q_window_funcs,
+        # --- IO round-trips (P7/P9) — first driver verification ---
+        "q_copy_csv": io_rt.q_copy_csv,
+        "q_unload_roundtrip": io_rt.q_unload_roundtrip,
         # --- round-1 driver-green (rows+schema+hash pass) ---
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
@@ -143,4 +147,5 @@ def oracle_sql() -> dict[str, str]:
         **etl_ext.ORACLE,
         **docs.ORACLE,
         **docs_ext.ORACLE,
+        **io_rt.ORACLE,
     }

@@ -130,3 +130,35 @@ def concatenate_files(input_list: list[str], output_file: str, remove: bool = Tr
                     os.remove(f)
     except Exception as e:
         raise LocopyConcatError("Error concatenating files.") from e
+
+
+class ProgressPercentage:
+    """Byte-progress callback for stage uploads/downloads.
+
+    Parity target: reference locopy/utility.py:473 ``ProgressPercentage``
+    (the boto3 S3Transfer callback protocol: constructed with a
+    filename, invoked repeatedly with byte deltas). Thread-safe so a
+    multipart transfer's worker threads can share one instance;
+    ``Stage.upload``/``download`` accept it as their ``callback``.
+    """
+
+    def __init__(self, filename: str):
+        import os
+        import threading
+
+        self._filename = filename
+        self._size = float(os.path.getsize(filename)) or 1.0
+        self._seen_so_far = 0
+        self._lock = threading.Lock()
+
+    def __call__(self, bytes_amount: int) -> None:
+        import sys
+
+        with self._lock:
+            self._seen_so_far += bytes_amount
+            pct = (self._seen_so_far / self._size) * 100
+            sys.stdout.write(
+                f"\r{self._filename}  {self._seen_so_far} / "
+                f"{self._size:.0f}  ({pct:.2f}%)"
+            )
+            sys.stdout.flush()

@@ -1,3 +1,4 @@
+import pytest
 import pandas as pd
 
 from locopy_spark.functions.schema_inference import (
