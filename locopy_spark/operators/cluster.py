@@ -12,11 +12,11 @@ iterated to fixpoint. Each round is one equi-join shuffle on node id +
 one groupBy — no driver-side graph, no collect. Rounds needed =
 component diameter; duplicate clusters are near-cliques (diameter ≤ 2-3
 in practice), so convergence is fast. For adversarial long-chain graphs
-at 100 TB, swap the propagation step for alternating large-star /
-small-star contraction (Kiveris et al., "Connected Components in
-MapReduce"), which converges in O(log n) rounds over the same
-join/groupBy primitives. ``localCheckpoint`` truncates lineage each
-round so plans don't grow with iteration count.
+at 100 TB, :func:`connected_components_star` implements alternating
+large-star / small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond"), which converges in O(log n)
+rounds over the same join/groupBy primitives. ``localCheckpoint``
+truncates lineage each round so plans don't grow with iteration count.
 """
 
 from __future__ import annotations
@@ -99,9 +99,103 @@ def connected_components(
         # multiple representatives of one component downstream
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(long-chain graph?). Raise max_iter or use star-contraction."
+            "(long-chain graph?). Raise max_iter or use "
+            "connected_components_star (O(log n) star contraction)."
         )
     out = labels.select("node", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge set: every neighbor
+    strictly larger than u re-attaches to min(Γ(u) ∪ {u})."""
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select("u", F.least("u", "nbr_min").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward the smaller id,
+    then re-attach each node's smaller neighbors (and itself) to their
+    minimum."""
+    oriented = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return rewired.union(self_links).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log n) rounds even on long-chain
+    graphs where Hash-Min label propagation needs diameter rounds.
+
+    Same output contract as :func:`connected_components`: (node,
+    cluster_id) with cluster_id = component minimum. Each round is two
+    groupBy-join passes over an edge set that only shrinks (stars
+    collapse onto their centers), so the per-round shuffle is bounded
+    by the current edge count. Use this for adversarial graphs (URL
+    chains, transitive near-dup runs); the default Hash-Min is cheaper
+    on the near-clique graphs real dedup candidates form.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges_next = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        sig_row = edges_next.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of row hashes: order-independent set signature
+            # with no ANSI overflow (edges are distinct, so no
+            # cancellation concerns)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        edges.unpersist()
+        edges = edges_next
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds."
+        )
+    # fixpoint: every edge points a node at its component min (star)
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    out = members.union(roots).distinct()
     edges.unpersist()
     return out
 

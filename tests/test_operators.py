@@ -391,3 +391,41 @@ def test_grouped_global_row_number_matches_window(spark):
     assert (
         got.join(want, ["g", "v", "id", "rn", "n"]).count() == 5000
     ), "grouped rank diverges from window semantics"
+
+
+def test_star_contraction_matches_hashmin(spark):
+    from locopy_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # adversarial long chain (diameter 40) + a clique + an isolated pair
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+    )
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(pairs).collect()
+    }
+    hashmin = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, max_iter=50).collect()
+    }
+    assert star == hashmin
+    assert {c for _, c in star} == {0, 100, 200}
+
+
+def test_star_contraction_logarithmic_rounds(spark):
+    from locopy_spark.operators.cluster import connected_components_star
+
+    # a 200-node chain: Hash-Min would need ~200 rounds; star
+    # contraction must finish within the 30-round O(log n) budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["doc_a", "doc_b"]
+    )
+    out = connected_components_star(chain)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    assert out.count() == 200
