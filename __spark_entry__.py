@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "q_key_skew": tpch_ext.q_key_skew,
+        # --- added round 2 (repo-gate verified; outside driver window) ---
+        "t_repetition": docs_ext.t_repetition,
     }
     return q
 

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "d_balanced_sample",
     "t_doc_chunks",
+    "t_repetition",
 ]
 
 

@@ -159,6 +159,8 @@ def resize_stub(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            # per-item loop is the real shape here: a codec resample
+            # (PIL/av) is a per-item call, not batch-vectorizable
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
                 w, h, _, _ = _fake_decode(data)
@@ -191,6 +193,8 @@ def decode_stub(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            # per-item loop is the real shape here: image/audio decode
+            # is a per-item codec call, not batch-vectorizable
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
                 w, h, c, dec = _fake_decode(data)

@@ -744,6 +744,11 @@ def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     wsq = F.expr("cast(w as decimal(19,0)) * cast(w as decimal(19,0))")
+    # norms/prefix are multi-consumer too, but persisting them LOSES
+    # (A/B at sf0.1: best 2.99 s persisted vs 2.32 s replayed): their
+    # recomputation is one cheap agg/window over the already-persisted
+    # w, less than the cache-materialization barrier they'd introduce.
+    # The analyzed-plan shuffle count in PLANS.md counts these replays.
     norms = w.groupBy("doc_id").agg(F.sum(wsq).alias("ss"))
     # Prefix selection: walk each doc's terms commonest-first, absorb
     # terms into the suffix while the running sq-norm stays strictly
@@ -982,3 +987,84 @@ ORACLE.update(
         """,
     }
 )
+
+
+REPETITION_THRESHOLD = 0.2
+
+
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicate word
+    trigrams per document.
+
+    Pretraining corpora drop documents whose n-grams repeat heavily
+    (boilerplate, keyword stuffing, template spam). Shape: shingle
+    explode → (doc, gram) count → per-doc aggregate — two
+    partial-aggregated shuffles keyed by doc_id(+gram), no windows, no
+    Python. dup_frac = 1 - distinct/total over each doc's trigrams;
+    division by two exact ints is IEEE-portable so the boolean flag
+    hash-matches the oracle.
+    """
+    from locopy_spark.functions.text import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(shingles_expr(tokens_expr("text"), 3))
+        ).alias("gram"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                (F.col("n_grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .withColumn(
+            "is_repetitive", F.col("dup_frac") > F.lit(REPETITION_THRESHOLD)
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["t_repetition"] = f"""
+  WITH t AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+  ), g AS (
+    SELECT doc_id, unnest({sql_shingles('toks', 3)}) AS gram FROM t
+  ), c AS (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+  ), p AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct
+    FROM c GROUP BY 1
+  )
+  SELECT d.doc_id,
+         COALESCE(p.n_grams, 0) AS n_grams,
+         COALESCE(p.n_distinct, 0) AS n_distinct,
+         CASE WHEN COALESCE(p.n_grams, 0) > 0
+              THEN CAST(p.n_grams - p.n_distinct AS DOUBLE) / p.n_grams
+              ELSE 0.0 END AS dup_frac,
+         CASE WHEN COALESCE(p.n_grams, 0) > 0
+              THEN CAST(p.n_grams - p.n_distinct AS DOUBLE) / p.n_grams
+              ELSE 0.0 END > {REPETITION_THRESHOLD} AS is_repetitive
+  FROM documents d LEFT JOIN p USING (doc_id)
+  ORDER BY doc_id
+"""
