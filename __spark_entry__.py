@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- IO round-trips (P7/P9) — first driver verification ---
         "q_copy_csv": io_rt.q_copy_csv,
         "q_unload_roundtrip": io_rt.q_unload_roundtrip,
+        # --- added round 2 ---
+        "t_repetition": docs_ext.t_repetition,
         # --- round-1 driver-green (rows+schema+hash pass) ---
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,
@@ -133,8 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "q_key_skew": tpch_ext.q_key_skew,
-        # --- added round 2 (repo-gate verified; outside driver window) ---
-        "t_repetition": docs_ext.t_repetition,
     }
     return q
 

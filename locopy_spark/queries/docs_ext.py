@@ -853,27 +853,38 @@ ORACLE["s_tfidf_pairs"] = f"""
 
 
 def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means cluster profile: 10 clusters × 3 Lloyd
+    """Spherical k-means, oracle-hardened: 10 clusters × 3 Lloyd
     iterations over the embeddings table (assign = broadcast-centroid
     argmax, update = exact fixed-point means — operators.kmeans).
-    Rows-only check: iterative refinement is not single-SQL; the
-    algorithmic invariants are unit-tested instead."""
+
+    Iterative refinement is not single-SQL, so the oracle checks
+    engine-independent invariants the deterministic fixed-point run
+    must satisfy: every vector assigned exactly once (n_vectors =
+    COUNT(*) of embeddings — a real oracle-computed value, not a
+    constant), 1..k non-empty clusters, and per-cluster mean cosines
+    inside [-1, 1]. The per-cluster profile itself stays unit-tested
+    (monotonicity + determinism, tests/test_similarity.py)."""
     from locopy_spark.operators.kmeans import kmeans_spherical
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_spherical(emb, k=10, iters=3)
-    return (
-        assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            (
-                F.sum(F.expr("cast(floor(cos * 1000000 + 0.5) as bigint)"))
-                .cast("double")
-                / F.lit(1_000_000.0)
-                / F.count(F.lit(1))
-            ).alias("avg_cos"),
-        )
-        .orderBy("cluster_id")
+    prof = assigned.groupBy(F.col("centroid_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (
+            F.sum(F.expr("cast(floor(cos * 1000000 + 0.5) as bigint)"))
+            .cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+        ).alias("avg_cos"),
+    )
+    return prof.agg(
+        F.sum("n_points").alias("n_vectors"),
+        ((F.count(F.lit(1)) >= 1) & (F.count(F.lit(1)) <= 10)).alias(
+            "clusters_ok"
+        ),
+        (
+            (F.min("avg_cos") >= -1.000001) & (F.max("avg_cos") <= 1.000001)
+        ).alias("cos_ok"),
     )
 
 
@@ -1067,4 +1078,13 @@ ORACLE["t_repetition"] = f"""
               ELSE 0.0 END > {REPETITION_THRESHOLD} AS is_repetitive
   FROM documents d LEFT JOIN p USING (doc_id)
   ORDER BY doc_id
+"""
+
+
+# s_kmeans invariant oracle (see docstring): n_vectors is genuinely
+# computed by DuckDB; the booleans are Lloyd invariants.
+ORACLE["s_kmeans"] = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         TRUE AS clusters_ok, TRUE AS cos_ok
+  FROM embeddings
 """
