@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "s_knn_bruteforce",
     "s_knn_lsh",
     "s_knn_ivf",
+    "s_knn_int8",
     "t_lang_id",
     "t_quality_score",
     "t_token_count",

@@ -301,3 +301,114 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def with_int8_codes(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach per-vector symmetric int8 quantization codes.
+
+    code_i = floor(v_i / amax(v) * 127 + 0.5) ∈ [-127, 127] — at rest
+    these pack into a BYTE array, 4× narrower than float32 (the scan-
+    byte reduction is the point at 100 TB; in-plan they are int). The
+    per-vector scale cancels in the cosine proxy, so the shortlist
+    ranks by quantized cosine with no dequantization.
+    """
+    amax = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    codes = (
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" / {amax} * 127 + 0.5) as int))"
+    )
+    return emb.withColumn("codes", F.expr(codes)).withColumn(
+        "code_norm", F.expr(_int_dot("codes", "codes"))
+    )
+
+
+def _int_dot(a: str, b: str) -> str:
+    """Exact integer dot product of two int arrays (no overflow: 64
+    dims × 127² ≪ 2^63)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def knn_int8(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    oversample: int = 4,
+) -> DataFrame:
+    """Top-k cosine via int8-quantized shortlist + exact rerank.
+
+    Stage 1 streams the quantized codes (4× fewer scan bytes than
+    float32 at rest) against the broadcast query codes and keeps the
+    top ``oversample·k`` per query by quantized cosine. Stage 2 rejoins
+    only the shortlist to the full-precision embeddings and reranks
+    with the exact fixed-point dot — so quantization error can only
+    cost recall (bounded by the oversample margin), never wrong
+    ordering within the final k. The standard scan-cheap/rerank-exact
+    retrieval split (FAISS SQ8-style), expressed as two broadcast
+    equi-joins.
+    """
+    coded = with_int8_codes(emb, vec_col)
+    base_c = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("n_codes"),
+        F.col("code_norm").alias("n_cnorm"),
+    )
+    q_c = coded.select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("code_norm").alias("q_cnorm"),
+    )
+    if query_ids is not None:
+        q_c = q_c.filter(F.col("query_id").isin(query_ids))
+    approx = (
+        base_c.crossJoin(F.broadcast(q_c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("idot", F.expr(_int_dot("q_codes", "n_codes")))
+        .withColumn(
+            "qcos",
+            F.expr(
+                "CAST(idot AS DOUBLE)"
+                " / (sqrt(CAST(q_cnorm AS DOUBLE)) * sqrt(CAST(n_cnorm AS DOUBLE)))"
+            ),
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    shortlist = (
+        approx.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank over the shortlist only
+    normed = with_fixed_norm(emb, vec_col)
+    base = normed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_emb"),
+        F.col("norm_fix").alias("n_norm"),
+    )
+    q = normed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.col("norm_fix").alias("q_norm"),
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    scored = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(base, "neighbor_id")
+        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+        .withColumn(
+            "cosine", F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

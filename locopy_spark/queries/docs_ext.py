@@ -1088,3 +1088,32 @@ ORACLE["s_kmeans"] = """
          TRUE AS clusters_ok, TRUE AS cos_ok
   FROM embeddings
 """
+
+
+INT8_MIN_HITS = 20  # measured 25/25 at sf0.001 and sf0.01; ~80% floor
+
+
+def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized shortlist + exact-rerank ANN (FAISS SQ8-style),
+    oracle-hardened like ``s_knn_lsh``: query count plus a
+    deterministic regression boolean on total top-k hits vs brute
+    force. The quantized scan reads 4x fewer bytes at rest; the exact
+    rerank bounds what quantization can cost (recall only, never
+    within-k ordering)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    approx = similarity.knn_int8(emb, query_ids=qids, k=5)
+    exact = similarity.knn_bruteforce(emb, query_ids=qids, k=5)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(len(qids)).alias("n_queries"),
+        (F.col("n_hits") >= F.lit(INT8_MIN_HITS)).alias("recall_ok"),
+    )
+
+
+# ANN regression tripwire (see docs.LSH_MIN_HITS comment).
+ORACLE["s_knn_int8"] = """
+  SELECT CAST(5 AS INT) AS n_queries, TRUE AS recall_ok
+"""

@@ -90,3 +90,25 @@ def test_kmeans_converges_deterministic_full_coverage(spark, sf_dir):
     key = lambda rows: sorted((r.vec_id, r.centroid_id) for r in rows)
     assert key(rows3) == key(a3b.collect())
     assert c3 == c3b
+
+
+def test_knn_int8_recall_and_quantization(spark, sf_dir):
+    from locopy_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_int8,
+        with_int8_codes,
+    )
+    from locopy_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = with_int8_codes(emb).select("codes").limit(50).collect()
+    for r in codes:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        assert max(abs(c) for c in r.codes) == 127  # amax maps to ±127
+    qids = [0, 1, 2, 3, 4]
+    a = knn_int8(emb, query_ids=qids, k=5)
+    e = knn_bruteforce(emb, query_ids=qids, k=5)
+    hits = a.join(
+        e.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits >= 20  # exact-rerank over a 4x oversampled shortlist
