@@ -95,3 +95,15 @@ def test_get_logger_idempotent():
     assert lg1 is lg2
     assert len(lg1.handlers) == 1
     assert lg1.level == logging.WARNING
+
+
+def test_progress_percentage(tmp_path, capsys):
+    from locopy_spark.utility import ProgressPercentage
+
+    f = tmp_path / "payload.bin"
+    f.write_bytes(b"x" * 100)
+    cb = ProgressPercentage(str(f))
+    cb(40)
+    cb(60)
+    out = capsys.readouterr().out
+    assert "100.00%" in out and str(f) in out
