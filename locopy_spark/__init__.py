@@ -19,9 +19,13 @@ from locopy_spark.errors import (
     StageError,
 )
 from locopy_spark.session import get_spark
+from locopy_spark.warehouse import Redshift, Snowflake, Warehouse
 
 __all__ = [
     "Database",
+    "Warehouse",
+    "Redshift",
+    "Snowflake",
     "get_spark",
     "LocopyError",
     "DBError",

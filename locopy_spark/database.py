@@ -34,6 +34,10 @@ def _split_sql_statements(sql: str) -> list[str]:
         ch = sql[i]
         if quote:
             buf.append(ch)
+            if quote in "'\"" and ch == "\\" and i + 1 < n:
+                buf.append(sql[i + 1])  # Spark backslash escape: \' \" \\
+                i += 2
+                continue
             if quote in "'\"`" and ch == quote:
                 if ch == "'" and i + 1 < n and sql[i + 1] == "'":
                     buf.append("'")

@@ -93,3 +93,10 @@ def test_execute_many(spark):
     assert out.collect()[0].v == 3
     with pytest.raises(DBError):
         db.execute("SELECT :x AS v", many=True)
+
+
+def test_split_sql_backslash_escapes():
+    from locopy_spark.database import _split_sql_statements as sp
+
+    assert sp(r"SELECT 'a\';' AS x") == [r"SELECT 'a\';' AS x"]
+    assert sp(r"SELECT 'a\\'; SELECT 2") == [r"SELECT 'a\\'", "SELECT 2"]
