@@ -62,6 +62,17 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    def _sig(lbl: DataFrame) -> tuple:
+        # one map-side-combined agg scan — labels only ever decrease,
+        # so the xor-fold signature changes iff any label changed;
+        # strictly cheaper than a new-vs-old join at scale
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, label))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(labels)
     converged = False
     for _ in range(max_iter):
         # pull the min label over neighbors through one join shuffle
@@ -80,20 +91,15 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        sig = _sig(new_labels)
         # drop the superseded checkpoint — keeps storage O(1) in
         # iteration count instead of accumulating every round
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
     if not converged:
         # labels are still moving: emitting them would silently keep
         # multiple representatives of one component downstream
