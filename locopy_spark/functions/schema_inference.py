@@ -40,12 +40,30 @@ _FROM_SPARK = {
 }
 
 
+def _arrow_column_type(pa_dtype) -> str:
+    """pyarrow-backed pandas column → warehouse type (reference
+    utility.py:331 check_column_type_pyarrow)."""
+    import pyarrow as pa
+
+    if pa.types.is_temporal(pa_dtype):
+        return "timestamp"
+    if pa.types.is_boolean(pa_dtype):
+        return "boolean"
+    if pa.types.is_integer(pa_dtype):
+        return "int"
+    if pa.types.is_floating(pa_dtype):
+        return "float"
+    return "varchar"
+
+
 def _pandas_column_type(data: pd.Series) -> str:
     import re
 
     dtype = str(data.dtype)
     if data.size == 0:
         return "varchar"
+    if isinstance(data.dtype, pd.ArrowDtype):
+        return _arrow_column_type(data.dtype.pyarrow_dtype)
     if dtype in ("datetime64[ns]", "M8[ns]") or re.match(
         r"(datetime64\[ns\,\W)([a-zA-Z/_]+)(\])", dtype
     ):

@@ -88,3 +88,25 @@ def test_find_column_type_polars_roundtrip(spark):
 
     out = insert_dataframe_to_table(spark, df, "t_polars_rt", temp_view=True)
     assert out.count() == 2
+
+
+def test_find_column_type_arrow_backed():
+    df = pd.DataFrame(
+        {
+            "i": pd.array([1, 2], dtype="int64[pyarrow]"),
+            "f": pd.array([1.5, 2.5], dtype="double[pyarrow]"),
+            "b": pd.array([True, False], dtype="bool[pyarrow]"),
+            "s": pd.array(["x", "y"], dtype="string[pyarrow]"),
+            "t": pd.array(
+                [pd.Timestamp("2021-01-02"), pd.Timestamp("2021-03-04")],
+                dtype="timestamp[ns][pyarrow]",
+            ),
+        }
+    )
+    assert find_column_type(df) == {
+        "i": "int",
+        "f": "float",
+        "b": "boolean",
+        "s": "varchar",
+        "t": "timestamp",
+    }
