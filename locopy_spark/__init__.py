@@ -19,13 +19,19 @@ from locopy_spark.errors import (
     StageError,
 )
 from locopy_spark.session import get_spark
+from locopy_spark.sources.stage import Stage
 from locopy_spark.warehouse import Redshift, Snowflake, Warehouse
+
+# reference export name (locopy/__init__.py exports S3)
+S3 = Stage
 
 __all__ = [
     "Database",
     "Warehouse",
     "Redshift",
     "Snowflake",
+    "S3",
+    "Stage",
     "get_spark",
     "LocopyError",
     "DBError",

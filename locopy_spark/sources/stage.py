@@ -113,3 +113,39 @@ class Stage:
     def delete_list(self, keys: list[str]) -> None:
         for k in keys:
             self.delete(k)
+
+    # -- reference-named aliases (locopy/s3.py:183-373) ------------------
+    # The reference S3 client addresses objects as (bucket, key); the
+    # Stage root plays the storage base, so bucket maps to a prefix
+    # directory under it. These let reference call-sites port verbatim.
+
+    def upload_to_s3(self, local: str, bucket: str, key: str) -> str:
+        return self.upload(local, os.path.join(bucket, key))
+
+    def upload_list_to_s3(
+        self, local_list: list[str], bucket: str, folder: str | None = None
+    ) -> list[str]:
+        prefix = os.path.join(bucket, folder) if folder else bucket
+        return self.upload_list(local_list, prefix)
+
+    def download_from_s3(self, bucket: str, key: str, local: str) -> list[str]:
+        return self.download(os.path.join(bucket, key), local)
+
+    def download_list_from_s3(
+        self, keys: list[str], local: str = "."
+    ) -> list[str]:
+        out: list[str] = []
+        for k in keys:
+            out.extend(self.download(k, local))
+        return out
+
+    def delete_from_s3(self, bucket: str, key: str) -> None:
+        self.delete(os.path.join(bucket, key))
+
+    def delete_list_from_s3(self, keys: list[str]) -> None:
+        for k in keys:
+            self.delete(k)
+
+    @staticmethod
+    def parse_s3_url(url: str) -> Tuple[str, str]:
+        return parse_url(url)

@@ -214,3 +214,21 @@ def test_s3_error_alias_parity():
 
     assert issubclass(S3InitializationError, StageError)
     assert S3InitializationError is StageInitializationError
+
+
+def test_s3_named_aliases(tmp_path):
+    from locopy_spark import S3
+
+    stage = S3(str(tmp_path / "store"))
+    f = tmp_path / "data.txt"
+    f.write_text("payload")
+    stage.upload_to_s3(str(f), "bkt", "folder/data.txt")
+    assert stage.list("bkt/**") == ["bkt/folder/data.txt"] or stage.list(
+        "bkt/folder/*"
+    ) == ["bkt/folder/data.txt"]
+    got = stage.download_from_s3("bkt", "folder/data.txt", str(tmp_path / "dl"))
+    assert len(got) == 1 and open(got[0]).read() == "payload"
+    bucket, key = stage.parse_s3_url("s3://bkt/folder/data.txt")
+    assert (bucket, key) == ("bkt", "folder/data.txt")
+    stage.delete_from_s3("bkt", "folder/data.txt")
+    assert stage.list("bkt/folder/*") == []
