@@ -19,7 +19,14 @@ from locopy_spark.functions.vectors import cosine_from_fixed, fixed_dot_expr
 
 
 def with_fixed_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the fixed-point squared norm (bigint, deterministic)."""
+    """Attach the fixed-point squared norm (bigint, deterministic).
+
+    Idempotent: a frame that already carries ``norm_fix`` (e.g. a
+    persisted pre-normed table shared by an approximate path and its
+    brute-force recall check) passes through untouched, so the norm
+    fold isn't recomputed over cached data."""
+    if "norm_fix" in emb.columns:
+        return emb
     return emb.withColumn("norm_fix", F.expr(fixed_dot_expr(vec_col, vec_col)))
 
 

@@ -69,7 +69,11 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py)."""
     from locopy_spark.queries.docs import IVF_MIN_HITS
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # shared normed table for the IVF path + brute-force recall check
+    # (same persist win as s_knn_lsh)
+    emb = similarity.with_fixed_norm(
+        load_table(spark, sf_dir, "embeddings")
+    ).persist()
     qids = [0, 1, 2, 3, 4]
     approx = similarity.knn_ivf(emb, query_ids=qids, k=5, n_centroids=16, n_probe=4)
     exact = similarity.knn_bruteforce(emb, query_ids=qids, k=5)
