@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added round 2 ---
         "t_repetition": docs_ext.t_repetition,
         "s_knn_int8": docs_ext.s_knn_int8,
+        "p_mix_weights": docs_ext.p_mix_weights,
         # --- round-1 driver-green (rows+schema+hash pass) ---
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,

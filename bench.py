@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "d_balanced_sample",
     "t_doc_chunks",
     "t_repetition",
+    "p_mix_weights",
 ]
 
 

@@ -1121,3 +1121,63 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["s_knn_int8"] = """
   SELECT CAST(5 AS INT) AS n_queries, TRUE AS recall_ok
 """
+
+
+def p_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: per-source token mass and the
+    sampling multiplier that would rebalance the mixture to uniform.
+
+    The standard pretraining mixing step (DoReMi/The Pile publish
+    per-domain weights; this computes the uniform-target variant):
+    weight_s = (1/n_sources) / token_share_s — sources over-represented
+    in tokens get weight < 1, rare sources > 1. Shape: one row-local
+    token count (no explode), one partial-aggregated shuffle on the
+    handful of source keys, one broadcast of the two scalar totals.
+    All inputs to the doubles are exact bigint counts, so the division
+    is IEEE-portable and hash-matches the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", F.expr(f"size({tokens_expr('text')})").alias("n_toks")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tot_tokens")).alias(
+                "token_share"
+            ),
+            (
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("n_tokens").cast("double") / F.col("tot_tokens"))
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["p_mix_weights"] = f"""
+  WITH p AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+  ), t AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_sources FROM p
+  )
+  SELECT p.source, p.n_docs, p.n_tokens,
+         CAST(p.n_tokens AS DOUBLE) / t.tot_tokens AS token_share,
+         (1.0 / t.n_sources) / (CAST(p.n_tokens AS DOUBLE) / t.tot_tokens)
+           AS mix_weight
+  FROM p, t ORDER BY p.source
+"""
