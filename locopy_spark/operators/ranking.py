@@ -21,9 +21,14 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "rn",
     num_partitions: int | None = None,
-) -> DataFrame:
+    _return_total: bool = False,
+):
     """Exact 1-based global row number under ``order_cols`` (which must
-    be a total order for a deterministic result)."""
+    be a total order for a deterministic result).
+
+    ``_return_total=True`` additionally returns the total row count —
+    already known from the partition-count round-trip, so callers that
+    need it (``global_ntile``) don't replay the rank plan to count."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # materialize ONCE: the ranged frame feeds both the counts job and
     # the ranking plan; repartitionByRange boundaries come from a
@@ -49,11 +54,12 @@ def global_row_number(
         )
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    out = (
         ranged.join(off_df, "__pid")
         .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
+    return (out, acc) if _return_total else out
 
 
 def global_ntile(
@@ -64,8 +70,9 @@ def global_ntile(
 ) -> DataFrame:
     """Exact NTILE(n) from the distributed global rank (same SQL
     semantics: first ``n_rows % n`` tiles get the extra row)."""
-    ranked = global_row_number(df, order_cols, out_col="__grn")
-    total = ranked.count()
+    ranked, total = global_row_number(
+        df, order_cols, out_col="__grn", _return_total=True
+    )
     base, rem = divmod(total, n)
     # rank r (1-based) → tile: the first `rem` tiles hold base+1 rows
     cut = rem * (base + 1)
