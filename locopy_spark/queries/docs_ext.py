@@ -86,11 +86,12 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style quality gate: token-count bounds, distinct-token
-    ratio, max-single-token frequency. Emits per-doc metrics + keep
-    flag (all JVM array expressions, no UDFs)."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style quality gate as a stateless column stage:
+    token-count bounds, distinct-token ratio, max-single-token
+    frequency → per-doc metrics + keep flag (all JVM array
+    expressions, no UDFs). Shared by the batch query and the
+    streaming twin (``streaming.jobs.stream_quality_filter``)."""
     toks = docs.select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
     m = toks.select(
         "doc_id",
@@ -113,7 +114,14 @@ def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("distinct_ratio") >= QF_MIN_DISTINCT_RATIO)
             & (F.col("top_ratio") <= QF_MAX_TOP_RATIO),
         )
-        .orderBy("doc_id")
+    )
+
+
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch quality gate over the documents table (see
+    :func:`quality_metrics`)."""
+    return quality_metrics(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
     )
 
 

@@ -148,3 +148,37 @@ def stream_stream_join(
             "purchase_value",
         )
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (production: the
+    crawl landing directory)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def stream_quality_filter(docs: DataFrame) -> DataFrame:
+    """Streaming quality gate: the batch ``quality_metrics`` stage
+    (stateless JVM column expressions) applied on a document stream —
+    corpus filtering as data lands, no state, no shuffle (a pure map
+    stage per micro-batch; the batch twin is the oracle-checked
+    ``t_quality_filter``, and the test asserts stream == batch on the
+    same files)."""
+    from locopy_spark.queries.docs_ext import quality_metrics
+
+    return quality_metrics(docs)

@@ -136,3 +136,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got and got == batch
+
+
+def test_stream_quality_filter_matches_batch(spark, sf_dir):
+    from locopy_spark.queries.docs_ext import t_quality_filter
+    from locopy_spark.streaming.jobs import (
+        read_document_stream,
+        stream_quality_filter,
+    )
+
+    out = stream_quality_filter(read_document_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq_filter")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.n_tokens, r.keep)
+            for r in spark.sql("SELECT * FROM sq_filter").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.doc_id, r.n_tokens, r.keep)
+        for r in t_quality_filter(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
