@@ -163,3 +163,43 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     j = fact.join(dim, fact.o_year == dim.d_year).groupBy("d_year").count()
     plan = audit.formatted_plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_repetition_bounded_shuffles(spark, sf_dir):
+    # shingle explode → (doc,gram) agg → doc agg → left join back:
+    # partial-aggregated shuffles only, no window, no cartesian
+    df = _q(spark, sf_dir, "t_repetition")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 4
+
+
+def test_knn_int8_no_shuffle_cartesian(spark, sf_dir):
+    # both the quantized shortlist and the exact rerank broadcast the
+    # query side; the only NL join is the broadcast scoring pass
+    df = _q(spark, sf_dir, "s_knn_int8")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)
+
+
+def test_mix_weights_single_agg_shuffle(spark, sf_dir):
+    # token count is row-local; one shuffle to the source keys plus the
+    # scalar-totals broadcast
+    df = _q(spark, sf_dir, "p_mix_weights")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 3
+
+
+def test_window_funcs_no_small_key_window(spark, sf_dir):
+    # the rank must come from range-partitioned (__pid, group) windows —
+    # full parallelism — never Window.partitionBy(o_orderpriority)
+    # alone (5 keys → 5 tasks sorting 20% of orders each)
+    df = _q(spark, sf_dir, "q_window_funcs")
+    plan = audit.simple_plan(df)
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert "__pid" in spec, f"window not keyed by partition id: {spec}"
+    assert not audit.has_cartesian(df)
