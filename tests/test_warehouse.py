@@ -8,6 +8,13 @@ def test_facade_roundtrip(spark, tmp_path):
 
     wh = Redshift(spark=spark, stage_root=str(tmp_path / "stage"))
     wh.connect()
+    # managed-table leftovers from prior runs break saveAsTable: drop
+    # the catalog entry AND the warehouse directory
+    import shutil
+
+    for t in ("wh_src", "wh_back", "wh_lac"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     # insert → unload → stage hop → copy back
     pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
     wh.insert_dataframe_to_table(pdf, "wh_src")
