@@ -165,3 +165,79 @@ def test_stream_quality_filter_matches_batch(spark, sf_dir):
         for r in t_quality_filter(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-arrival semantics: events older than the watermark are
+    dropped, and append mode only emits windows the watermark has
+    closed."""
+    import pyspark.sql.functions as F
+
+    from locopy_spark.streaming.jobs import stream_window_agg
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / name))
+
+    hr = "2024-01-01 {:02d}:{:02d}:00"
+    # batch 1: three events inside the 10:00-11:00 window
+    write_batch(
+        "b1",
+        [
+            (1, __import__("datetime").datetime(2024, 1, 1, 10, 5), 1, "view", 1.0),
+            (2, __import__("datetime").datetime(2024, 1, 1, 10, 15), 2, "view", 1.0),
+            (3, __import__("datetime").datetime(2024, 1, 1, 10, 45), 1, "view", 1.0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    out = stream_window_agg(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still inside the window: nothing finalized yet
+        assert spark.sql("SELECT * FROM wm_test").count() == 0
+        # batch 2: an event at 14:00. The watermark only advances AFTER
+        # this batch completes (to 14:00 - 30min = 13:30)
+        write_batch(
+            "b2",
+            [(4, __import__("datetime").datetime(2024, 1, 1, 14, 0), 3, "view", 1.0)],
+        )
+        q.processAllAvailable()
+        # batch 3: a LATE event back at 10:30 — now behind the 13:30
+        # watermark, so it must be dropped, and the closed 10-11 window
+        # flushes with its original contents
+        write_batch(
+            "b3",
+            [(5, __import__("datetime").datetime(2024, 1, 1, 10, 30), 9, "view", 99.0)],
+        )
+        q.processAllAvailable()
+        # one more epoch so any pending finalized windows flush
+        write_batch(
+            "b4",
+            [(6, __import__("datetime").datetime(2024, 1, 1, 14, 5), 3, "view", 1.0)],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["window"].start.hour, r.n_events, float(r.sum_value))
+            for r in spark.sql("SELECT * FROM wm_test").collect()
+        }
+    finally:
+        q.stop()
+    # 10:00 window finalized with the ORIGINAL 3 events — the late
+    # 10:30 row (value 99.0) was dropped, not merged
+    assert (10, 3, 3.0) in rows
+    assert not any(v == 99.0 or n == 4 for _, n, v in rows)
