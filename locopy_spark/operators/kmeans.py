@@ -17,8 +17,9 @@ Determinism (same result on any partitioning, any cluster size):
    never O(n).
 
 Iterative refinement is inherently non-single-SQL, so the entry-point
-query (``s_kmeans``) is a rows-only check; the invariants are covered
-by unit tests (objective monotonicity, determinism, full coverage).
+query (``s_kmeans``) reports an invariant row the oracle CAN check
+(DuckDB-computed vector count + cluster/cosine bounds); objective
+monotonicity, determinism and full coverage are unit-tested.
 
 Reference analog: capitalone/locopy has no ML surface; this extends
 the engine for the embedding-pipeline workloads (SURVEY §2.3).
@@ -29,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window as W
 
 from locopy_spark.functions.vectors import cosine_from_fixed, fixed_dot_expr
 from locopy_spark.operators.similarity import with_fixed_norm
@@ -74,6 +74,10 @@ def kmeans_spherical(
     cents = [(i, [float(x) for x in row[0]]) for i, row in enumerate(seeds)]
 
     def assign(cent_df: DataFrame) -> DataFrame:
+        # argmax per vector as a hash aggregate (max over a
+        # (cos, -centroid_id) struct = best cosine, ties to the lowest
+        # centroid id) — same result as a row_number window but with
+        # map-side partial aggregation and no per-partition sort
         scored = base.crossJoin(F.broadcast(cent_df)).withColumn(
             "cos",
             F.expr(
@@ -82,11 +86,20 @@ def kmeans_spherical(
                 )
             ),
         )
-        w = W.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(id_col, vec_col, "centroid_id", "cos")
+        m = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col("centroid_id")).alias("ncid"),
+                    F.col(vec_col).alias("v"),
+                )
+            ).alias("m")
+        )
+        return m.select(
+            id_col,
+            F.col("m.v").alias(vec_col),
+            (-F.col("m.ncid")).cast("int").alias("centroid_id"),
+            F.col("m.cos").alias("cos"),
         )
 
     assigned = assign(_centroid_frame(spark, cents))
