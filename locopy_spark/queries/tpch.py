@@ -205,7 +205,14 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by retail price per brand — window row_number.
 
     Partial top-k per partition happens via the window's rank filter;
-    at scale this is the standard one-shuffle top-k-per-group plan.
+    with one task per brand (25 keys) this is the canonical
+    one-shuffle top-k-per-group plan and parallelism scales with key
+    cardinality. When the group count is small relative to the
+    cluster (a handful of priorities/languages), use the bounded
+    two-level salted top-K instead (``operators/sampling.py``, used by
+    ``d_balanced_sample``) or the range-partitioned rank
+    (``operators/ranking.grouped_global_row_number``, used by
+    ``q_window_funcs``).
     """
     p = load_table(spark, sf_dir, "part")
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
