@@ -155,3 +155,57 @@ def grouped_global_row_number(
             F.broadcast(spark.createDataFrame(size_rows, size_schema)), group_cols
         )
     return out
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact exclusive prefix sum of ``value_col`` under the global
+    order ``order_cols`` (a total order), without a one-partition
+    window.
+
+    Same shape as :func:`global_row_number`: range-partition on the
+    order, one tiny driver round-trip of per-partition SUMS → exclusive
+    offsets, then a per-partition running sum plus the offset. Powers
+    order-dependent assignment at scale — sequence packing, quota
+    fills, cumulative budgets.  ``out_col`` excludes the current row
+    (sum of everything strictly before it).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)) + F.col("__off"),
+        )
+        .drop("__pid", "__off")
+    )

@@ -1189,3 +1189,82 @@ ORACLE["p_mix_weights"] = f"""
            AS mix_weight
   FROM p, t ORDER BY p.source
 """
+
+
+PACK_TARGET = 512  # tokens per training example
+
+
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate non-overlapping document chunks
+    into ~``PACK_TARGET``-token training examples, reported per bin.
+
+    The pretraining step after chunking: examples are filled greedily
+    in a deterministic global order (doc_id, chunk_start), so bin
+    boundaries are the token-budget crossings of an exclusive running
+    sum. The running sum is the distributed
+    ``operators.ranking.global_running_sum`` (range-partitioned prefix
+    sum — no one-partition window), making order-dependent packing
+    scale-safe; the oracle reproduces it with a plain window SUM.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_toks", F.size("toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_toks") - 1, F.lit(0)),
+        F.lit(CHUNK_TOKENS),
+    )
+    chunks = (
+        d.select("doc_id", "n_toks", F.explode(starts).alias("chunk_start"))
+        .filter(F.col("chunk_start") < F.col("n_toks"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n_toks") - F.col("chunk_start")
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    packed = global_running_sum(
+        chunks, ["doc_id", "chunk_start"], "n_tokens", out_col="cum"
+    ).withColumn(
+        "bin_id",
+        F.expr(f"CAST(floor(cum / {PACK_TARGET}.0) AS BIGINT)"),
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE["p_pack_sequences"] = f"""
+  WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+  ), c AS (
+    SELECT doc_id, i AS chunk_start,
+           CAST(LEAST({CHUNK_TOKENS}, len(toks) - i) AS BIGINT) AS n_tokens
+    FROM t, unnest(range(0, GREATEST(len(toks), 1), {CHUNK_TOKENS})) AS u(i)
+    WHERE i < len(toks)
+  ), r AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id, chunk_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM c
+  )
+  SELECT CAST(FLOOR(cum / {PACK_TARGET}.0) AS BIGINT) AS bin_id,
+         COUNT(*) AS n_chunks,
+         CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM r GROUP BY 1 ORDER BY 1
+"""

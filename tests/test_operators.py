@@ -429,3 +429,22 @@ def test_star_contraction_logarithmic_rounds(spark):
     out = connected_components_star(chain)
     assert out.filter(F.col("cluster_id") != 0).count() == 0
     assert out.count() == 200
+
+
+def test_global_running_sum_matches_window(spark):
+    from pyspark.sql.window import Window
+
+    from locopy_spark.operators.ranking import global_running_sum
+
+    df = spark.range(0, 3000).select(
+        ((F.col("id") * 2654435761) % 99991).alias("k"),
+        F.col("id"),
+        (F.col("id") % 17 + 1).alias("v"),
+    )
+    got = global_running_sum(df, ["k", "id"], "v", out_col="cum", num_partitions=16)
+    w = (
+        Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("cum", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert got.join(want, ["k", "id", "v", "cum"]).count() == 3000
