@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "t_doc_chunks",
     "t_repetition",
     "p_mix_weights",
+    "p_pack_sequences",
 ]
 
 
