@@ -29,6 +29,7 @@ def _split_sql_statements(sql: str) -> list[str]:
     """
     statements, buf = [], []
     quote: str | None = None  # active quote char
+    comment_start = -1  # index of '/' opening the active block comment
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
@@ -46,7 +47,12 @@ def _split_sql_statements(sql: str) -> list[str]:
                     quote = None
             elif quote == "--" and ch == "\n":
                 quote = None
-            elif quote == "/*" and ch == "/" and sql[i - 1] == "*":
+            elif (
+                quote == "/*"
+                and ch == "/"
+                and sql[i - 1] == "*"
+                and i >= comment_start + 3  # the opener's '*' can't close it: '/*/'
+            ):
                 quote = None
             i += 1
             continue
@@ -56,6 +62,7 @@ def _split_sql_statements(sql: str) -> list[str]:
             quote = "--"
         elif ch == "/" and sql[i : i + 2] == "/*":
             quote = "/*"
+            comment_start = i
         elif ch == ";":
             statements.append("".join(buf))
             buf = []
@@ -158,11 +165,16 @@ class Database:
         if verbose:
             logger.info("Running SQL: %s", sql)
         statements = _split_sql_statements(sql)
+        if many:
+            # materialize: generators would be exhausted by the first
+            # statement (the loop below re-iterates per statement) and an
+            # empty iterator must raise, not silently run zero times
+            params = list(params) if params is not None else []
+            if not params:
+                raise DBError("execute(many=True) requires a non-empty params sequence.")
         try:
             for stmt in statements:
                 if many:
-                    if not params:
-                        raise DBError("execute(many=True) requires a params sequence.")
                     for p in params:
                         self._result = self.spark.sql(stmt, args=p)
                 elif params:

@@ -42,7 +42,12 @@ _FROM_SPARK = {
 
 def _arrow_column_type(pa_dtype) -> str:
     """pyarrow-backed pandas column → warehouse type (reference
-    utility.py:331 check_column_type_pyarrow)."""
+    utility.py:331 check_column_type_pyarrow).
+
+    Note: ALL temporal dtypes (incl. date32) map to "timestamp" — that
+    matches the reference's pyarrow path verbatim, even though the
+    polars path maps Date → "date"; the asymmetry is the reference's
+    own contract, kept deliberately."""
     import pyarrow as pa
 
     if pa.types.is_temporal(pa_dtype):

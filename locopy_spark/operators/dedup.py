@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from locopy_spark.functions.text import shingles_expr, tokens_expr
+from locopy_spark.functions.cache import managed_persist
 
 DEFAULT_NHASH = 16
 DEFAULT_BANDS = 4  # 16 sigs = 4 bands × 4 rows → s-curve threshold ≈ 0.7
@@ -72,7 +73,7 @@ def ngram_jaccard_pairs(
     produces d² candidate rows — acceptable at verification scale, and
     the reason the LSH variant exists for production scale.
     """
-    sh = shingle_sets(docs, id_col, text_col, k).persist()
+    sh = managed_persist(shingle_sets(docs, id_col, text_col, k), "ngram_jaccard")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -155,7 +156,9 @@ def minhash_lsh_pairs(
     # broadcast subtrees. At 100 TB the signature table is
     # n_docs × n_hashes × 8 B (≪ input text); MEMORY_AND_DISK spills
     # safely if not.
-    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes).persist()
+    sig = managed_persist(
+        minhash_signatures(docs, id_col, text_col, k, n_hashes), "minhash_lsh"
+    )
     band_cols = [
         F.expr(
             "md5(concat_ws('|', "

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from locopy_spark.functions.vectors import cosine_from_fixed, fixed_dot_expr
 from locopy_spark.operators.similarity import with_fixed_norm
+from locopy_spark.functions.cache import managed_persist
 
 KM_SCALE = 1_000_000_000  # 1e9: per-dimension fixed-point for mean update
 
@@ -62,7 +63,7 @@ def kmeans_spherical(
     """
     spark = emb.sparkSession
     base = emb.select(id_col, vec_col)
-    base = with_fixed_norm(base, vec_col).persist()
+    base = managed_persist(with_fixed_norm(base, vec_col), "kmeans")
 
     seeds = (
         base.withColumn("ck", F.expr(f"md5(cast({id_col} as string))"))

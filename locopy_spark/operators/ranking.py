@@ -133,7 +133,9 @@ def grouped_global_row_number(
             acc += cnt
         size_rows.append((*gk, acc))
     spark = df.sparkSession
-    gfields = [f for f in df.schema.fields if f.name in group_cols]
+    # off_rows tuples are in group_cols order — the schema must match it,
+    # not df.schema order (they differ when the caller reorders keys)
+    gfields = [df.schema[c] for c in group_cols]
     from pyspark.sql import types as T
 
     off_schema = T.StructType(
@@ -181,19 +183,32 @@ def global_running_sum(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    sums = {
-        r["__pid"]: r["s"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
+    sums_df = ranged.groupBy("__pid").agg(F.sum(value_col).alias("s"))
+    sum_type = sums_df.schema["s"].dataType  # long/double/decimal per input
+    sums = {r["__pid"]: r["s"] for r in sums_df.collect()}
     offsets, acc = {}, 0
     for pid in sorted(sums):
         offsets[pid] = acc
         acc += sums[pid] or 0
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__off", sum_type),
+        ]
+    )
+    if isinstance(sum_type, T.DoubleType):
+        coerce = float
+    elif isinstance(sum_type, T.DecimalType):
+        from decimal import Decimal
+
+        coerce = Decimal
+    else:
+        coerce = int
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+            [(pid, coerce(off)) for pid, off in offsets.items()], off_schema
         )
     )
     w = (

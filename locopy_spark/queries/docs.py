@@ -36,6 +36,7 @@ from locopy_spark.operators.dedup import (
     normalized_text_expr,
 )
 from locopy_spark.sources.tables import load_table
+from locopy_spark.functions.cache import managed_persist
 
 SHINGLE_K = 3
 JACCARD_T = 0.5
@@ -114,9 +115,10 @@ def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py)."""
     # persist the normed table once — the LSH path and its brute-force
     # recall check share it (A/B: 4.8 s vs 5.3 s at sf0.1)
-    emb = similarity.with_fixed_norm(
-        load_table(spark, sf_dir, "embeddings")
-    ).persist()
+    emb = managed_persist(
+        similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings")),
+        "knn_lsh",
+    )
     approx = similarity.knn_lsh(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
     exact = similarity.knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
     hits = approx.join(

@@ -20,6 +20,7 @@ from locopy_spark.queries.docs import (
     sql_minhash_pair_ctes,
 )
 from locopy_spark.sources.tables import load_table
+from locopy_spark.functions.cache import managed_persist
 
 # deterministic split fractions via md5 prefix: [00,0d) test ≈ 5%,
 # [0d,1a) val ≈ 5%, rest train — stable under re-runs and resharding.
@@ -71,9 +72,10 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shared normed table for the IVF path + brute-force recall check
     # (same persist win as s_knn_lsh)
-    emb = similarity.with_fixed_norm(
-        load_table(spark, sf_dir, "embeddings")
-    ).persist()
+    emb = managed_persist(
+        similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings")),
+        "knn_ivf",
+    )
     qids = [0, 1, 2, 3, 4]
     approx = similarity.knn_ivf(emb, query_ids=qids, k=5, n_centroids=16, n_probe=4)
     exact = similarity.knn_bruteforce(emb, query_ids=qids, k=5)
@@ -737,7 +739,9 @@ def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees (ReusedExchange does not fire across broadcast-join
     # inputs), so persist both — same lesson as the minhash signature
     # table (4x speedup there).
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = managed_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")), "tfidf"
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     keep = (
         dfreq.join(F.broadcast(nd))
@@ -748,12 +752,11 @@ def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(1000.0 * n_docs / df) as bigint)").alias("icf"),
         )
     )
-    w = (
-        tf.join(F.broadcast(keep), "term")
-        .select(
+    w = managed_persist(
+        tf.join(F.broadcast(keep), "term").select(
             "doc_id", "term", "df", (F.col("tf") * F.col("icf")).alias("w")
-        )
-        .persist()
+        ),
+        "tfidf",
     )
     wsq = F.expr("cast(w as decimal(19,0)) * cast(w as decimal(19,0))")
     # norms/prefix are multi-consumer too, but persisting them LOSES
@@ -1112,7 +1115,13 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     force. The quantized scan reads 4x fewer bytes at rest; the exact
     rerank bounds what quantization can cost (recall only, never
     within-k ordering)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # share one persisted normed table across the quantized scan, the
+    # rerank and the brute-force recall check (with_fixed_norm is
+    # idempotent, so both paths reuse the cached norms)
+    emb = managed_persist(
+        similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings")),
+        "knn_int8",
+    )
     qids = [0, 1, 2, 3, 4]
     approx = similarity.knn_int8(emb, query_ids=qids, k=5)
     exact = similarity.knn_bruteforce(emb, query_ids=qids, k=5)

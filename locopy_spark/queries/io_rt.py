@@ -12,7 +12,23 @@ inference, float round-trip) flips the hash.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
+
+
+def _rt_dir(name: str) -> str:
+    """Fixed per-query scratch dir, wiped on entry.
+
+    ``mkdtemp`` per call leaked a new directory every bench trial /
+    driver run; a stable path bounds accumulation to one dir per query.
+    (The returned DataFrame reads these files lazily, so the dir must
+    outlive the call — cleanup happens on the NEXT invocation.)
+    """
+    d = os.path.join(tempfile.gettempdir(), f"locopy_spark_rt_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,7 +46,7 @@ def q_copy_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference end-to-end; the oracle is simply the source table, so the
     hash proves the round-trip is lossless.
     """
-    out_dir = tempfile.mkdtemp(prefix="locopy_copy_rt_")
+    out_dir = _rt_dir("copy_csv")
     nation = load_table(spark, sf_dir, "nation")
     (
         nation.coalesce(1)
@@ -61,7 +77,7 @@ def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet — a value mismatch anywhere in the unload→reload path
     (split boundaries, header rows, double text round-trip) shows up.
     """
-    out_dir = tempfile.mkdtemp(prefix="locopy_unload_rt_")
+    out_dir = _rt_dir("unload")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("unload_rt_orders")
     unload(
         spark,

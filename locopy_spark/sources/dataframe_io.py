@@ -20,6 +20,39 @@ from locopy_spark.functions.schema_inference import (
 )
 
 
+def _coerce_to_types(pdf: pd.DataFrame, types: dict[str, str]) -> pd.DataFrame:
+    """Convert object/string columns to the inferred/declared warehouse
+    type before the Arrow crossing.
+
+    Inference (``find_column_type`` and its polars twin) classifies
+    string columns by *probing* parses ("2021-01-02" → date) but leaves
+    the data as strings; ``createDataFrame`` with the mapped Spark type
+    would then reject every row. The reference never hits this because
+    its warehouses coerce on COPY — Spark's strict verifier doesn't.
+    Only object-dtyped columns are touched; typed columns pass through.
+    """
+    out = pdf.copy(deep=False)
+    for col, t in types.items():
+        if col not in out.columns:
+            continue
+        base = t.lower().split("(")[0]
+        s = out[col]
+        if str(s.dtype) != "object":
+            continue
+        try:
+            if base == "float":
+                out[col] = pd.to_numeric(s)
+            elif base == "int":
+                out[col] = pd.to_numeric(s).astype("Int64")
+            elif base == "timestamp":
+                out[col] = pd.to_datetime(s, format="mixed")
+            elif base == "date":
+                out[col] = pd.to_datetime(s, format="mixed").dt.date
+        except (ValueError, TypeError):
+            pass  # leave as-is; Spark's verifier reports the bad column
+    return out
+
+
 def insert_dataframe_to_table(
     spark: SparkSession,
     dataframe: pd.DataFrame,
@@ -51,12 +84,11 @@ def insert_dataframe_to_table(
             metadata = inferred_pl
     pdf = dataframe[columns] if columns else dataframe
     try:
-        if metadata:
-            schema = to_spark_schema(metadata)
-            sdf = spark.createDataFrame(pdf, schema=schema)
-        else:
-            inferred = find_column_type(pdf)
-            sdf = spark.createDataFrame(pdf, schema=to_spark_schema(inferred))
+        if not metadata:
+            metadata = find_column_type(pdf)
+        sdf = spark.createDataFrame(
+            _coerce_to_types(pdf, metadata), schema=to_spark_schema(metadata)
+        )
         if temp_view:
             sdf.createOrReplaceTempView(table_name)
             return sdf

@@ -47,6 +47,25 @@ def generate_unload_path(bucket: str, folder: str | None, scheme: str = "s3a") -
     return f"{scheme}://{bucket}"
 
 
+_CHUNK = 1 << 20  # 1 MiB transfer chunks (drives progress callbacks)
+
+
+def _copy_file(src: str, dst: str, callback=None) -> None:
+    """Chunked file copy invoking ``callback(bytes_amount)`` per chunk —
+    the boto3 S3Transfer callback protocol
+    (:class:`locopy_spark.utility.ProgressPercentage` fits)."""
+    if callback is None:
+        shutil.copyfile(src, dst)
+        return
+    with open(src, "rb") as fsrc, open(dst, "wb") as fdst:
+        while True:
+            chunk = fsrc.read(_CHUNK)
+            if not chunk:
+                break
+            fdst.write(chunk)
+            callback(len(chunk))
+
+
 class Stage:
     """A directory-rooted stage with PUT/GET/LIST/DELETE.
 
@@ -61,14 +80,16 @@ class Stage:
     def _dest(self, key: str) -> str:
         return os.path.join(self.root, key)
 
-    def upload(self, local: str, key: str | None = None) -> str:
+    def upload(self, local: str, key: str | None = None, callback=None) -> str:
         """PUT one file (reference: locopy/s3.py:183 upload_to_s3,
-        locopy/snowflake.py:213 upload_to_internal)."""
+        locopy/snowflake.py:213 upload_to_internal). ``callback`` is
+        invoked with byte deltas during the transfer (reference passes
+        ``ProgressPercentage`` to boto3 the same way, s3.py:207)."""
         try:
             key = key or os.path.basename(local)
             dest = self._dest(key)
             os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
-            shutil.copyfile(local, dest)
+            _copy_file(local, dest, callback)
             return dest
         except Exception as e:
             raise StageUploadError(f"Error uploading {local}.") from e
@@ -80,9 +101,10 @@ class Stage:
             for f in locals_
         ]
 
-    def download(self, key_or_glob: str, local_dir: str) -> list[str]:
+    def download(self, key_or_glob: str, local_dir: str, callback=None) -> list[str]:
         """GET by key or glob (reference: locopy/s3.py:271,
-        locopy/snowflake.py:247 download_from_internal)."""
+        locopy/snowflake.py:247 download_from_internal). ``callback``
+        receives byte deltas per transferred chunk."""
         try:
             os.makedirs(local_dir, exist_ok=True)
             matches = _glob.glob(self._dest(key_or_glob))
@@ -91,7 +113,7 @@ class Stage:
             out = []
             for m in matches:
                 dest = os.path.join(local_dir, os.path.basename(m))
-                shutil.copyfile(m, dest)
+                _copy_file(m, dest, callback)
                 out.append(dest)
             return out
         except Exception as e:

@@ -47,8 +47,16 @@ def _parse_unload_options(unload_options: list[str] | None) -> dict:
             out["header"] = True
         elif up == "GZIP":
             out["compression"] = "gzip"
-        elif up.startswith("DELIMITER"):
-            out["delim"] = u.split("'")[1]
+        elif up.startswith("DELIMITER "):
+            # both Redshift forms: DELIMITER '|' and DELIMITER |
+            rest = u[len("DELIMITER ") :].strip()
+            if rest.upper().startswith("AS "):  # DELIMITER AS '|'
+                rest = rest[3:].strip()
+            if len(rest) >= 2 and rest[0] == "'" and rest[-1] == "'":
+                rest = rest[1:-1]
+            if not rest:
+                raise DBError(f"Malformed UNLOAD DELIMITER option: {opt!r}")
+            out["delim"] = rest
         else:
             raise DBError(f"Unsupported UNLOAD option: {opt!r}")
     return out

@@ -100,3 +100,28 @@ def test_split_sql_backslash_escapes():
 
     assert sp(r"SELECT 'a\';' AS x") == [r"SELECT 'a\';' AS x"]
     assert sp(r"SELECT 'a\\'; SELECT 2") == [r"SELECT 'a\\'", "SELECT 2"]
+
+
+def test_split_sql_overlapping_comment_open_close():
+    # regression: '/*/' is an UNTERMINATED comment opener — the
+    # opener's own '*' must not close it
+    from locopy_spark.database import _split_sql_statements as sp
+
+    assert sp("SELECT 1 /*/ ; */ 2") == ["SELECT 1 /*/ ; */ 2"]
+    assert sp("SELECT /**/ 1; SELECT 2") == ["SELECT /**/ 1", "SELECT 2"]
+    assert sp("SELECT /* * / ; */ 1") == ["SELECT /* * / ; */ 1"]
+
+
+def test_execute_many_generator_and_empty(spark):
+    db = Database(spark=spark)
+    db.connect()
+    # generator params must survive multi-statement re-iteration
+    out = db.execute(
+        "SELECT :x AS v; SELECT :x + 10 AS v",
+        params=({"x": i} for i in (1, 2)),
+        many=True,
+    )
+    assert out.collect()[0].v == 12
+    # an exhausted/empty iterator must raise, not silently no-op
+    with pytest.raises(DBError):
+        db.execute("SELECT :x AS v", params=iter([]), many=True)

@@ -448,3 +448,61 @@ def test_global_running_sum_matches_window(spark):
     )
     want = df.withColumn("cum", F.coalesce(F.sum("v").over(w), F.lit(0)))
     assert got.join(want, ["k", "id", "v", "cum"]).count() == 3000
+
+
+def test_grouped_rank_group_cols_not_in_schema_order(spark):
+    # regression: offset tuples are built in group_cols order — the
+    # broadcast schema must follow group_cols, not df.schema order
+    # (same-typed columns made the mismatch silent, not a crash)
+    from pyspark.sql.window import Window
+
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 5).cast("string").alias("b"),
+        ((F.col("id") * 2654435761) % 99991).alias("v"),
+        F.col("id"),
+    )
+    got = grouped_global_row_number(
+        df, ["b", "a"], ["v", "id"], out_col="rn", num_partitions=8
+    )
+    w = Window.partitionBy("b", "a").orderBy("v", "id")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert got.join(want, ["a", "b", "v", "id", "rn"]).count() == 2000
+
+
+def test_global_running_sum_double_values(spark):
+    # regression: the offset schema was hardcoded long — double value
+    # columns (the docstring's 'cumulative budgets') crashed
+    from pyspark.sql.window import Window
+
+    from locopy_spark.operators.ranking import global_running_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 13 * 0.25).alias("v")
+    )
+    got = global_running_sum(df, ["id"], "v", out_col="cum", num_partitions=8)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("cum", F.coalesce(F.sum("v").over(w), F.lit(0.0)))
+    mismatches = (
+        got.alias("g")
+        .join(want.alias("w"), ["id", "v"])
+        .where(F.abs(F.col("g.cum") - F.col("w.cum")) > 1e-9)
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_managed_persist_releases_previous_scope(spark):
+    from locopy_spark.functions import cache
+
+    a = spark.range(10)
+    b = spark.range(20)
+    cache.managed_persist(a, "scope_a")
+    assert a.storageLevel.useMemory
+    cache.managed_persist(b, "scope_b")
+    assert not a.storageLevel.useMemory, "old scope should be released"
+    assert b.storageLevel.useMemory
+    cache.release_persists()
+    assert not b.storageLevel.useMemory

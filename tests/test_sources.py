@@ -232,3 +232,52 @@ def test_s3_named_aliases(tmp_path):
     assert (bucket, key) == ("bkt", "folder/data.txt")
     stage.delete_from_s3("bkt", "folder/data.txt")
     assert stage.list("bkt/folder/*") == []
+
+
+def test_insert_coerces_probed_string_columns(spark):
+    # regression: inference probes "2021-01-02" → date and "1.5" →
+    # float, but the data stayed strings — createDataFrame then
+    # rejected every row. The insert must coerce to the inferred type.
+    import pandas as pd
+
+    from locopy_spark.sources.dataframe_io import insert_dataframe_to_table
+
+    pdf = pd.DataFrame(
+        {
+            "d": ["2021-01-02", "2021-03-04"],
+            "x": ["1.5", "2.5"],
+            "ts": ["2021-01-02 03:04:05", "2021-01-02 06:07:08"],
+            "s": ["keep", "as-is"],
+        }
+    )
+    out = insert_dataframe_to_table(
+        spark, pdf, "coerce_probe_t", temp_view=True
+    )
+    types = dict(out.dtypes)
+    assert types["d"] == "date"
+    assert types["x"] == "double"
+    assert types["ts"] == "timestamp"
+    assert types["s"] == "string"
+    rows = {r.s: r for r in out.collect()}
+    assert str(rows["keep"].d) == "2021-01-02"
+    assert rows["keep"].x == 1.5
+
+
+def test_stage_transfer_callback(tmp_path):
+    # ProgressPercentage wiring: upload/download drive the callback
+    # with byte deltas summing to the file size
+    from locopy_spark.sources.stage import Stage
+    from locopy_spark.utility import ProgressPercentage
+
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"x" * (3 * 1024 * 1024 + 17))
+    stage = Stage(str(tmp_path / "stage"))
+
+    seen = []
+    stage.upload(str(src), "payload.bin", callback=seen.append)
+    assert sum(seen) == src.stat().st_size
+    assert len(seen) >= 3  # chunked, not one shot
+
+    pp = ProgressPercentage(str(src))
+    stage.download("payload.bin", str(tmp_path / "out"), callback=pp)
+    assert pp._seen_so_far == src.stat().st_size

@@ -63,3 +63,20 @@ def test_facade_errors(spark):
         closed.copy("t", "/tmp/x")
     with pytest.raises(DBError):
         closed.unload("SELECT 1", "/tmp/x")
+
+
+def test_unload_option_delimiter_forms():
+    from locopy_spark.errors import DBError
+    from locopy_spark.warehouse import _parse_unload_options
+
+    # all three Redshift spellings parse to the same delimiter
+    assert _parse_unload_options(["DELIMITER '|'"]) == {"delim": "|"}
+    assert _parse_unload_options(["DELIMITER |"]) == {"delim": "|"}
+    assert _parse_unload_options(["DELIMITER AS ','"]) == {"delim": ","}
+    # malformed/unknown raise DBError, never IndexError
+    import pytest
+
+    with pytest.raises(DBError):
+        _parse_unload_options(["DELIMITER "])
+    with pytest.raises(DBError):
+        _parse_unload_options(["DELIMITERX '|'"])
