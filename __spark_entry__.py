@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_int8": docs_ext.s_knn_int8,
         "p_mix_weights": docs_ext.p_mix_weights,
         "p_pack_sequences": docs_ext.p_pack_sequences,
+        "t_unigram_rarity": docs_ext.t_unigram_rarity,
         # --- round-1 driver-green (rows+schema+hash pass) ---
         "q_merge_upsert": etl_ext.q_merge_upsert,
         "q_scd2_history": etl_ext.q_scd2_history,

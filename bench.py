@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "t_repetition",
     "p_mix_weights",
     "p_pack_sequences",
+    "t_unigram_rarity",
 ]
 
 

@@ -1277,3 +1277,73 @@ ORACLE["p_pack_sequences"] = f"""
          COUNT(DISTINCT doc_id) AS n_docs
   FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def t_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-rarity document score: the mean corpus frequency of a
+    document's tokens — a cheap unigram-LM proxy (low mean = rare/noisy
+    vocabulary, high mean = boilerplate of stopwords) used to bucket
+    pretraining text by "typicalness" without a model.
+
+    Scale shape (token-count inputs, vocab-sized intermediates): tokens
+    pre-aggregate to (doc, term, tf) so the frequency join carries
+    |distinct doc-term pairs|, not |tokens|; corpus counts aggregate to
+    |vocab| with map-side combine; the join shuffles on term (vocab can
+    exceed broadcast size at 100 TB, so a shuffle join is the honest
+    default — AQE downgrades it to broadcast when the vocab is small).
+    All outputs are exact integers — the mean is floor-scaled integer
+    division (``DIV``), never a libm double — so the oracle hash is
+    portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    per_doc = (
+        tf.join(ctf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ctf")).alias("sum_ctf"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("sum_ctf", F.lit(0)).cast("bigint").alias("sum_ctf"),
+            F.coalesce(
+                F.expr("CAST((1000 * sum_ctf) DIV n_tokens AS BIGINT)"),
+                F.lit(0),
+            ).alias("mean_ctf_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["t_unigram_rarity"] = f"""
+  WITH t AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+  ), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+  ), ctf AS (
+    SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1
+  ), p AS (
+    SELECT tf.doc_id, SUM(tf.tf) AS n_tokens, SUM(tf.tf * ctf.ctf) AS sum_ctf
+    FROM tf JOIN ctf USING (term) GROUP BY 1
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(p.sum_ctf, 0) AS BIGINT) AS sum_ctf,
+         CAST(COALESCE((1000 * p.sum_ctf) // p.n_tokens, 0) AS BIGINT)
+           AS mean_ctf_milli
+  FROM documents d LEFT JOIN p USING (doc_id)
+  ORDER BY doc_id
+"""
