@@ -17,10 +17,40 @@ stay below 2^53 up to ~sf100 so the bigint→double conversion is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 SCALE = 1000  # 3 decimal digits retained
+
+# Spark 4 reads parquet timestamps without a UTC flag as TIMESTAMP_NTZ
+# (spark.sql.parquet.inferTimestampNTZ.enabled defaults true), on which
+# unix_micros() is an analysis error; older runtimes read the same files
+# as TIMESTAMP (LTZ), on which the NTZ-literal timestampdiff idiom is
+# session-TZ-dependent. epoch_us() resolves the expression's actual type
+# (schema analysis only — no job) and picks the correct idiom, so query
+# code is byte-identical under either runtime and either timestamp type.
+
+_NTZ_EPOCH = "timestamp_ntz'1970-01-01 00:00:00'"
+
+
+def sql_epoch_us(df: DataFrame, expr: str) -> str:
+    """SQL fragment: epoch microseconds (BIGINT) of a timestamp
+    expression, robust to both TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    DuckDB twin: ``epoch_us(expr)`` — both yield the same integers on
+    parquet data (µs truncation agrees; NTZ diff against the naive
+    epoch equals DuckDB's epoch of the naive timestamp).
+    """
+    dtype = df.select(F.expr(expr)).schema[0].dataType
+    if isinstance(dtype, TimestampNTZType):
+        return f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ({expr}))"
+    return f"unix_micros({expr})"
+
+
+def epoch_us(df: DataFrame, expr: str) -> Column:
+    """Column form of :func:`sql_epoch_us`."""
+    return F.expr(sql_epoch_us(df, expr))
 
 
 def _as_col(expr: Column | str) -> Column:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from locopy_spark.functions.numeric import exact_sum
+from locopy_spark.functions.numeric import epoch_us, exact_sum
 
 
 def sessionize(
@@ -25,7 +25,7 @@ def sessionize(
 ) -> DataFrame:
     """Assign session ids per user; timestamps compared in exact µs."""
     gap_us = gap_minutes * 60 * 1_000_000
-    t = F.unix_micros(F.col(ts_col))
+    t = epoch_us(events, ts_col)
     w = W.partitionBy(user_col).orderBy(t, F.col(order_tiebreak))
     flagged = events.withColumn(
         "_new_session",
@@ -49,7 +49,7 @@ def session_stats(
 ) -> DataFrame:
     """Per-session rollup: bounds (epoch µs), event count, value sum."""
     s = sessionize(events, user_col, ts_col, gap_minutes)
-    t = F.unix_micros(F.col(ts_col))
+    t = epoch_us(events, ts_col)
     return (
         s.groupBy(user_col, "session_id")
         .agg(

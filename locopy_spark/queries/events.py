@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from locopy_spark.functions.numeric import exact_sum, sql_exact_sum
+from locopy_spark.functions.numeric import (
+    epoch_us,
+    exact_sum,
+    sql_epoch_us,
+    sql_exact_sum,
+)
 from locopy_spark.operators.asof import asof_join
 from locopy_spark.operators.sessionize import session_stats
 from locopy_spark.sources.tables import load_table
@@ -30,7 +35,9 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(
             # floor-to-hour in pure integer epoch math: identical in any
             # session time zone (date_trunc on an LTZ column is not)
-            F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_ts"),
+            F.expr(f"({sql_epoch_us(e, 'ts')}) div 3600000000 * 3600").alias(
+                "hour_ts"
+            ),
             "event_type",
         )
         .agg(
@@ -71,7 +78,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel per user (conditional mins)."""
     e = load_table(spark, sf_dir, "events")
-    t = F.unix_micros(F.col("ts"))
+    t = epoch_us(e, "ts")
     agg = (
         e.groupBy("user_id")
         .agg(
@@ -96,16 +103,10 @@ def q_orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     or before the event time (union+window merge, one shuffle)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     o = load_table(spark, sf_dir, "orders")
-    left = e.select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
+    left = e.select("user_id", "event_id", epoch_us(e, "ts").alias("ts_us"))
     right = o.select(
         F.col("o_custkey").alias("user_id"),
-        # o_orderdate is TIMESTAMP_NTZ: diff against the NTZ epoch is
-        # session-TZ-independent (unix_micros would not be)
-        F.expr(
-            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
-        ).alias("od_us"),
+        epoch_us(o, "o_orderdate").alias("od_us"),
         "o_orderkey",
         "o_totalprice",
     )

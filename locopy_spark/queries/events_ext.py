@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from locopy_spark.functions.numeric import SCALE
+from locopy_spark.functions.numeric import SCALE, epoch_us, sql_epoch_us
 from locopy_spark.sources.tables import load_table
 
 US_PER_DAY = 86_400_000_000
@@ -35,7 +35,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
         e.select(
             "user_id",
-            F.expr(f"unix_micros(ts) div {US_PER_DAY} div 7").alias("wk"),
+            F.expr(f"({sql_epoch_us(e, 'ts')}) div {US_PER_DAY} div 7").alias(
+                "wk"
+            ),
         )
         .groupBy("user_id")
         .agg(F.collect_set("wk").alias("wks"))
@@ -97,16 +99,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locopy_spark.operators.rangejoin import range_join
 
     e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
     points = e.filter(F.col("event_type").isin("view", "click")).select(
         "user_id",
         F.col("event_type").alias("p_type"),
-        F.unix_micros("ts").alias("p_us"),
+        ts_us.alias("p_us"),
     )
     intervals = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        (F.unix_micros("ts") - F.lit(ATTR_WINDOW_US)).alias("lo_us"),
-        F.unix_micros("ts").alias("hi_us"),
+        (ts_us - F.lit(ATTR_WINDOW_US)).alias("lo_us"),
+        ts_us.alias("hi_us"),
     )
     return (
         range_join(
@@ -133,9 +136,7 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     from pyspark.sql.window import Window
 
-    od = F.expr(
-        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
-    )
+    od = epoch_us(o, "o_orderdate")
     w = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
     return (
         o.select("o_custkey", "o_orderkey", od.alias("od_us"))
@@ -222,11 +223,12 @@ def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locopy_spark.operators.merge import merge_additive
 
     e = load_table(spark, sf_dir, "events")
-    day = F.expr(f"unix_micros(ts) div {US_PER_DAY}")
+    ts_us_sql = sql_epoch_us(e, "ts")
+    day = F.expr(f"({ts_us_sql}) div {US_PER_DAY}")
 
     def rollup(df):
         return df.groupBy(
-            F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_ts"),
+            F.expr(f"({ts_us_sql}) div 3600000000 * 3600").alias("hour_ts"),
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -318,7 +320,9 @@ ORACLE: dict[str, str] = {
     """,
     "q_events_json_typed": """
       SELECT event_type, COUNT(*) AS n_events,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which the
+             -- driver hasher types differently from Spark's BIGINT
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mean_k
       FROM events GROUP BY event_type ORDER BY event_type

@@ -116,7 +116,9 @@ ORACLE: dict[str, str] = {
     "q_unload_roundtrip": f"""
       SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
              COUNT(*) AS n_orders,
-             SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+             -- outer CAST: DuckDB SUM(BIGINT) returns HUGEINT, which
+             -- the driver hasher types differently from Spark's BIGINT
+             CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
              {sql_exact_sum('o_totalprice', 'sum_price')}
       FROM orders WHERE o_orderkey % 10 = 0
       GROUP BY 1 ORDER BY 1
