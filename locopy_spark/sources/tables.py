@@ -1,11 +1,14 @@
 """Canonical testdata table loader.
 
 All tables are plain parquet scans (columnar, predicate-pushdown-able).
-``events`` needs special handling: the parquet stores
-``TIMESTAMP(NANOS)`` which Spark 4 refuses to read natively, so we read
-nanos as a long (``spark.sql.legacy.parquet.nanosAsLong``) and derive a
-microsecond ``ts`` via integer division — exactly matching DuckDB's
-native ns→µs truncation, which keeps oracle comparisons bit-identical.
+``events`` stores ``TIMESTAMP(NANOS)``, which reads differently across
+runtimes: Spark 4.1 reads it natively as µs-truncated TIMESTAMP_NTZ
+(and ignores the legacy conf); older runtimes need
+``spark.sql.legacy.parquet.nanosAsLong`` and deliver bigint nanos, from
+which we derive a microsecond ``ts`` by integer division. Both paths
+match DuckDB's native ns→µs truncation, keeping oracle comparisons
+bit-identical; queries consume ``ts`` through the type-robust
+``functions.numeric.epoch_us`` helper.
 """
 
 from __future__ import annotations
