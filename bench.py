@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "s_knn_lsh",
     "s_knn_ivf",
     "s_knn_int8",
+    "s_knn_lsh_prod",
+    "s_knn_ivf_prod",
+    "s_knn_int8_prod",
     "t_lang_id",
     "t_quality_score",
     "t_token_count",
@@ -100,10 +103,55 @@ BENCH_QUERIES = [
 ]
 
 
+def _ann_prod_queries():
+    """Production-path ANN timings: the oracle-gated s_knn_* queries run
+    the approximate path PLUS a brute-force recall tripwire (~2x cost by
+    construction); these *_prod twins time the deployable plan alone."""
+    from locopy_spark.functions.cache import managed_persist
+    from locopy_spark.operators import similarity
+    from locopy_spark.queries.docs import KNN_K, KNN_QUERY_IDS
+    from locopy_spark.sources.tables import load_table
+
+    def _normed(spark, sf_dir, scope):
+        # the persist is part of the production plan: the multi-table
+        # LSH / IVF probe paths consume the normed table several times
+        return managed_persist(
+            similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings")),
+            scope,
+        )
+
+    def lsh(spark, sf_dir):
+        return similarity.knn_lsh(
+            _normed(spark, sf_dir, "knn_lsh_prod"),
+            query_ids=KNN_QUERY_IDS,
+            k=KNN_K,
+        )
+
+    def ivf(spark, sf_dir):
+        return similarity.knn_ivf(
+            _normed(spark, sf_dir, "knn_ivf_prod"),
+            query_ids=[0, 1, 2, 3, 4],
+            k=5,
+            n_centroids=16,
+            n_probe=4,
+        )
+
+    def int8(spark, sf_dir):
+        return similarity.knn_int8(
+            _normed(spark, sf_dir, "knn_int8_prod"), query_ids=[0, 1, 2, 3, 4], k=5
+        )
+
+    return {
+        "s_knn_lsh_prod": lsh,
+        "s_knn_ivf_prod": ivf,
+        "s_knn_int8_prod": int8,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="locopy_spark_bench")
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **_ann_prod_queries()}
     timings: dict[str, float] = {}
     # warm the JVM + file listing so q1 isn't charged for session startup
     qs["q1_pricing_summary"](spark, sf_dir).count()
