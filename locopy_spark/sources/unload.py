@@ -13,8 +13,27 @@ parallel — ``splits`` maps to output partitions (``repartition``),
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from locopy_spark.errors import DBError
+
+
+def _estimate_row_bytes(df: DataFrame, delim: str, sample_rows: int = 10_000) -> float:
+    """Average serialized row size (bytes) from a bounded sample.
+
+    Drives the MAXFILESIZE → ``maxRecordsPerFile`` translation: one
+    small job over ``limit(sample_rows)`` (never a full scan), +1 for
+    the newline. Like Redshift's MAXFILESIZE, the resulting bound is
+    approximate — rows vary around the mean.
+    """
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    row = (
+        df.limit(sample_rows)
+        .select((F.length(F.concat_ws(delim or ",", *cols)) + 1).alias("b"))
+        .agg(F.avg("b").alias("avg"))
+        .collect()[0]
+    )
+    return float(row.avg) if row.avg is not None else 64.0
 
 
 def unload(
@@ -28,12 +47,17 @@ def unload(
     splits: int | None = None,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    max_file_mb: float | None = None,
 ) -> DataFrame:
     """Run ``query`` and write the result under ``path``.
 
     ``splits=None`` keeps the plan's natural partitioning (cluster
     decides); an int forces that many output files; ``partition_by``
     produces hive-style directory partitioning for pruning on re-read.
+    ``max_file_mb`` bounds output file size (Redshift UNLOAD
+    ``MAXFILESIZE``): translated to Spark's per-file record cap using a
+    sampled row-size estimate, so it composes with ``splits`` (each
+    partition rolls to a new file when the cap is hit).
     """
     try:
         df = spark.sql(query)
@@ -41,6 +65,13 @@ def unload(
         if splits is not None:
             out = df.coalesce(splits) if splits == 1 else df.repartition(splits)
         writer = out.write.mode(mode)
+        if max_file_mb is not None:
+            if max_file_mb <= 0:
+                raise DBError(f"max_file_mb must be positive, got {max_file_mb}")
+            rows = max(
+                1, int(max_file_mb * 1024 * 1024 / _estimate_row_bytes(df, delim))
+            )
+            writer = writer.option("maxRecordsPerFile", rows)
         if compression:
             writer = writer.option("compression", compression)
         if partition_by:

@@ -35,8 +35,11 @@ def _parse_unload_options(unload_options: list[str] | None) -> dict:
     Recognized (reference redshift.py:443 passes these verbatim to the
     warehouse): ``PARALLEL OFF`` → single output file, ``HEADER`` →
     header row, ``GZIP`` → gzip codec, ``DELIMITER 'x'`` → field
-    delimiter. Unknown options raise rather than silently no-op.
+    delimiter, ``MAXFILESIZE [AS] n [MB|GB]`` → size-bounded output
+    files. Unknown options raise rather than silently no-op.
     """
+    import re
+
     out: dict = {}
     for opt in unload_options or []:
         u = opt.strip()
@@ -57,8 +60,70 @@ def _parse_unload_options(unload_options: list[str] | None) -> dict:
             if not rest:
                 raise DBError(f"Malformed UNLOAD DELIMITER option: {opt!r}")
             out["delim"] = rest
+        elif up.startswith("MAXFILESIZE"):
+            rest = u[len("MAXFILESIZE") :].strip()
+            if rest.upper().startswith("AS "):  # MAXFILESIZE AS 6.2 GB
+                rest = rest[3:].strip()
+            m = re.match(r"^([0-9]*\.?[0-9]+)\s*(MB|GB)?$", rest, re.IGNORECASE)
+            if not m:
+                raise DBError(f"Malformed UNLOAD MAXFILESIZE option: {opt!r}")
+            val = float(m.group(1))
+            if (m.group(2) or "MB").upper() == "GB":
+                val *= 1024
+            out["max_file_mb"] = val
         else:
             raise DBError(f"Unsupported UNLOAD option: {opt!r}")
+    return out
+
+
+# Snowflake FILE_FORMAT format options accepted per file type — the
+# subset with an exact Spark equivalent (reference snowflake.py:40-60
+# COPY_FORMAT_OPTIONS / UNLOAD_FORMAT_OPTIONS enumerate the full set;
+# unsupported names raise rather than silently no-op).
+_FMT_TYPES = {"csv", "json", "parquet"}
+
+
+def _parse_format_options(
+    file_type: str, format_options: list[str] | None
+) -> dict:
+    """Map Snowflake ``FILE_FORMAT = (TYPE=.. a=b c=d)`` option strings
+    onto copy/unload kwargs (reference snowflake.py:268,339 pass these
+    as ``["a=b", ...]``).
+
+    Returns kwargs: ``file_format``, optionally ``delim`` and
+    ``copy_options`` / ``compression`` fragments.
+    """
+    ft = file_type.lower()
+    if ft not in _FMT_TYPES:
+        raise ValueError(
+            f"Invalid file_type. Must be one of {sorted(_FMT_TYPES)}"
+        )
+    out: dict = {"file_format": ft}
+    copy_opts: list[str] = []
+    for opt in format_options or []:
+        if "=" not in opt:
+            raise DBError(f"Malformed format option: {opt!r}")
+        name, _, value = opt.partition("=")
+        name = name.strip().upper()
+        value = value.strip()
+        if len(value) >= 2 and value[0] == "'" and value[-1] == "'":
+            value = value[1:-1]
+        if name == "FIELD_DELIMITER":
+            out["delim"] = value
+        elif name == "SKIP_HEADER":
+            if int(value) > 0:
+                copy_opts.append(f"IGNOREHEADER {int(value)}")
+        elif name == "COMPRESSION":
+            v = value.lower()
+            if v in ("gzip", "none", "auto"):
+                if v == "gzip":
+                    out["compression"] = "gzip"
+            else:
+                raise DBError(f"Unsupported COMPRESSION: {value!r}")
+        else:
+            raise DBError(f"Unsupported format option: {opt!r}")
+    if copy_opts:
+        out["copy_options"] = copy_opts
     return out
 
 
@@ -81,6 +146,40 @@ class Warehouse(Database):
     ):
         super().__init__(spark=spark, config_yaml=config_yaml, **kwargs)
         self._stage = Stage(stage_root) if stage_root else None
+        self._file_formats: dict[str, dict] = {}
+
+    # -- named file formats (reference snowflake.py file_format_name:
+    #    "CREATE FILE FORMAT" objects referenced by name) ----------------
+    def create_file_format(
+        self,
+        name: str,
+        file_type: str = "csv",
+        format_options: list[str] | None = None,
+    ) -> None:
+        """Register a named file format (Snowflake ``CREATE FILE
+        FORMAT`` parity): later ``copy``/``unload`` calls reference it
+        via ``file_format_name`` and it overrides file_type +
+        format_options, exactly as the reference documents."""
+        self._file_formats[name] = _parse_format_options(
+            file_type, format_options
+        )
+
+    def _resolve_format(
+        self,
+        file_type: str | None,
+        format_options: list[str] | None,
+        file_format_name: str,
+    ) -> dict | None:
+        if file_format_name:
+            if file_format_name not in self._file_formats:
+                raise DBError(
+                    f"Unknown file_format_name: {file_format_name!r} "
+                    "(register it with create_file_format)."
+                )
+            return dict(self._file_formats[file_format_name])
+        if file_type is not None or format_options:
+            return _parse_format_options(file_type or "csv", format_options)
+        return None
 
     # -- stage transport (reference snowflake.py:213,247; s3.py) ----------
     def _require_stage(self) -> Stage:
@@ -107,11 +206,24 @@ class Warehouse(Database):
         delim: str | None = "|",
         copy_options: list[str] | None = None,
         file_format: str = "csv",
+        file_type: str | None = None,
+        format_options: list[str] | None = None,
+        file_format_name: str = "",
     ) -> DataFrame:
         """COPY files into ``table_name`` (reference redshift.py:193:
-        same (table, path, delim, copy_options) argument order)."""
+        same (table, path, delim, copy_options) argument order; the
+        snowflake.py:268 ``file_type``/``format_options``/
+        ``file_format_name`` FILE_FORMAT surface is also accepted and,
+        as in the reference, a named format overrides the others)."""
         if not self._is_connected():
             raise DBError("No connection object is present.")
+        fmt = self._resolve_format(file_type, format_options, file_format_name)
+        if fmt is not None:
+            file_format = fmt.get("file_format", file_format)
+            delim = fmt.get("delim", delim)
+            copy_options = list(copy_options or []) + fmt.get(
+                "copy_options", []
+            )
         return copy_files(
             self.spark,
             path,
@@ -144,12 +256,27 @@ class Warehouse(Database):
         query: str,
         path: str,
         unload_options: list[str] | None = None,
+        file_type: str | None = None,
+        format_options: list[str] | None = None,
+        file_format_name: str = "",
+        header: bool | None = None,
     ) -> DataFrame:
         """UNLOAD ``query`` results to files under ``path`` (reference
-        redshift.py:443: same (query, path, options) argument order)."""
+        redshift.py:443: same (query, path, options) argument order;
+        the snowflake.py:339 FILE_FORMAT surface is also accepted)."""
         if not self._is_connected():
             raise DBError("No connection object is present.")
-        return _unload(self.spark, query, path, **_parse_unload_options(unload_options))
+        kwargs = _parse_unload_options(unload_options)
+        fmt = self._resolve_format(file_type, format_options, file_format_name)
+        if fmt is not None:
+            kwargs.setdefault("file_format", fmt.get("file_format", "csv"))
+            if "delim" in fmt:
+                kwargs.setdefault("delim", fmt["delim"])
+            if "compression" in fmt:
+                kwargs.setdefault("compression", fmt["compression"])
+        if header is not None:
+            kwargs["header"] = header
+        return _unload(self.spark, query, path, **kwargs)
 
     def unload_and_copy(
         self,

@@ -80,3 +80,84 @@ def test_unload_option_delimiter_forms():
         _parse_unload_options(["DELIMITER "])
     with pytest.raises(DBError):
         _parse_unload_options(["DELIMITERX '|'"])
+
+
+def test_unload_option_maxfilesize_forms():
+    from locopy_spark.errors import DBError
+    from locopy_spark.warehouse import _parse_unload_options
+
+    assert _parse_unload_options(["MAXFILESIZE 100 MB"]) == {"max_file_mb": 100.0}
+    assert _parse_unload_options(["MAXFILESIZE AS 6.2 GB"]) == {
+        "max_file_mb": 6.2 * 1024
+    }
+    assert _parse_unload_options(["MAXFILESIZE 50"]) == {"max_file_mb": 50.0}
+    with pytest.raises(DBError):
+        _parse_unload_options(["MAXFILESIZE big"])
+
+
+def test_unload_maxfilesize_bounds_files(spark, sf_dir, tmp_path):
+    """MAXFILESIZE splits output into several size-bounded files whose
+    union round-trips losslessly."""
+    import glob
+
+    from locopy_spark.sources.tables import load_table
+
+    wh = Redshift(spark=spark)
+    wh.connect()
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("mfs_nation")
+    out_dir = str(tmp_path / "mfs")
+    # nation at sf0.001 is ~1-2 KB serialized; a tiny cap forces splits
+    wh.unload(
+        "SELECT n_nationkey, n_name FROM mfs_nation",
+        out_dir,
+        unload_options=["PARALLEL OFF", "MAXFILESIZE 0.0001 MB"],
+    )
+    files = glob.glob(out_dir + "/*.csv")
+    assert len(files) > 1  # the cap split the single partition
+    back = spark.read.options(sep="|").csv(out_dir)
+    assert back.count() == 25
+
+
+def test_snowflake_file_format_surface(spark, tmp_path):
+    """file_type/format_options and named file formats drive copy and
+    unload exactly like FILE_FORMAT in the reference."""
+    wh = Snowflake(spark=spark)
+    wh.connect()
+    raw = tmp_path / "ff.csv"
+    raw.write_text("k,v\n1,a\n2,b\n")
+    loaded = wh.copy(
+        "wh_ff",
+        str(raw),
+        file_type="csv",
+        format_options=["FIELD_DELIMITER=','", "SKIP_HEADER=1"],
+    )
+    assert {(r.k, r.v) for r in loaded.collect()} == {(1, "a"), (2, "b")}
+    # named format overrides everything (reference semantics)
+    wh.create_file_format(
+        "myfmt", file_type="csv", format_options=["FIELD_DELIMITER=';'"]
+    )
+    raw2 = tmp_path / "ff2.csv"
+    raw2.write_text("3;c\n")
+    loaded2 = wh.copy("wh_ff2", str(raw2), file_format_name="myfmt")
+    assert [tuple(r) for r in loaded2.collect()] == [(3, "c")]
+    # unload through the same surface
+    spark.sql("SELECT 1 AS k UNION ALL SELECT 2").createOrReplaceTempView(
+        "ff_src"
+    )
+    out = str(tmp_path / "ff_out")
+    wh.unload(
+        "SELECT k FROM ff_src ORDER BY k",
+        out,
+        file_type="csv",
+        format_options=["FIELD_DELIMITER=';'", "COMPRESSION=GZIP"],
+        header=True,
+    )
+    back = spark.read.options(sep=";", header=True).csv(out)
+    assert sorted(r.k for r in back.collect()) == ["1", "2"]
+    # unknown named format / bad options raise
+    from locopy_spark.errors import DBError
+
+    with pytest.raises(DBError, match="file_format_name"):
+        wh.copy("t", str(raw), file_format_name="nope")
+    with pytest.raises(DBError, match="Unsupported format option"):
+        wh.copy("t", str(raw), file_type="csv", format_options=["X=1"])
