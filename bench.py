@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "p_mix_weights",
     "p_pack_sequences",
     "t_unigram_rarity",
+    "t_bigram_pmi",
 ]
 
 

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from locopy_spark.functions.text import sql_shingles, sql_tokens, tokens_expr
+from locopy_spark.functions.text import (
+    shingles_expr,
+    sql_shingles,
+    sql_tokens,
+    tokens_expr,
+)
 from locopy_spark.operators import cluster, dedup, scrub, similarity
 from locopy_spark.queries.docs import (
     MINHASH_EST_T,
@@ -1346,4 +1351,113 @@ ORACLE["t_unigram_rarity"] = f"""
            AS mean_ctf_milli
   FROM documents d LEFT JOIN p USING (doc_id)
   ORDER BY doc_id
+"""
+
+
+def t_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-PMI document score: the mean pointwise-mutual-information
+    RATIO ``P(w1 w2) / (P(w1)·P(w2))`` over a document's bigrams,
+    estimated from corpus counts — the collocation-strength companion
+    to ``t_unigram_rarity``: word-salad and shuffled text score ~1
+    (independent words) while natural prose scores high, a signal
+    unigram frequency cannot see. No trained model, no libm: the
+    per-bigram ratio is a fixed sequence of exactly-rounded IEEE ops
+    (identical in any engine), fixed-pointed to a bigint before the
+    SUM so the aggregate is associative and the oracle hash portable
+    (ln-based PMI is deliberately avoided — ``ln`` differs by ulps
+    across libm implementations).
+
+    Scale shape: bigrams pre-aggregate to (doc, bigram, n) so the count
+    join carries |distinct doc-bigram pairs|, not |bigrams|; the corpus
+    bigram table aggregates with map-side combine to |bigram vocab|;
+    unigram counts join twice on the token key (head-token skew is
+    AQE's skew-join case); the two scalar totals broadcast. This is the
+    standard distributed LM-count build — at 100 TB every intermediate
+    is vocabulary-sized, never corpus-sized.
+
+    Overflow note: the double numerator ``cbg·Nt·Nt`` stays exact below
+    2^53 up to ~10 B tokens; beyond that the score loses ulps but the
+    plan is unchanged (the oracle gate runs at verify SF, far below).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(tokens_expr("text")).alias("toks"))
+    # (doc, bigram, n) — pre-aggregated, joins stay |distinct pairs|
+    bgn = (
+        toks.select(
+            "doc_id", F.explode(F.expr(shingles_expr("toks", 2))).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cbg = bgn.groupBy("bg").agg(F.sum("n").alias("cbg"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    nt = uni.agg(F.sum("cw").alias("nt"))  # total tokens
+    nb = cbg.agg(F.sum("cbg").alias("nb"))  # total bigrams
+    scored = (
+        bgn.join(cbg, "bg")
+        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bg, ' ')[1]"))
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2")), "w2")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nb))
+        # explicit parenthesization: both engines evaluate the same
+        # rounded-double sequence, then fixed-point per bigram
+        .withColumn(
+            "fix",
+            F.expr(
+                "CAST(FLOOR(((CAST(cbg AS DOUBLE) * nt) * nt)"
+                " / ((CAST(nb AS DOUBLE) * cw1) * cw2)"
+                " * 1000.0 + 0.5) AS BIGINT) * n"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum("fix").alias("pmi_fix_sum"),
+            F.expr(
+                "(CAST(SUM(fix) AS DOUBLE) / 1000.0) / SUM(n)"
+            ).alias("avg_pmi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["t_bigram_pmi"] = f"""
+  WITH t AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+  ), g AS (
+    SELECT doc_id, unnest({sql_shingles('toks', 2)}) AS bg FROM t
+  ), bgn AS (
+    SELECT doc_id, bg, COUNT(*) AS n FROM g GROUP BY 1, 2
+  ), cb AS (
+    SELECT bg, SUM(n) AS cbg FROM bgn GROUP BY 1
+  ), u AS (
+    SELECT unnest(toks) AS w FROM t
+  ), cu AS (
+    SELECT w, COUNT(*) AS cw FROM u GROUP BY 1
+  ), nt AS (SELECT COUNT(*) AS nt FROM u),
+  nb AS (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM bgn),
+  s AS (
+    SELECT bgn.doc_id, bgn.n,
+           CAST(FLOOR(((CAST(cb.cbg AS DOUBLE) * nt.nt) * nt.nt)
+                / ((CAST(nb.nb AS DOUBLE) * c1.cw) * c2.cw)
+                * 1000.0 + 0.5) AS BIGINT) * bgn.n AS fix
+    FROM bgn
+    JOIN cb USING (bg)
+    JOIN cu c1 ON c1.w = string_split(bgn.bg, ' ')[1]
+    JOIN cu c2 ON c2.w = string_split(bgn.bg, ' ')[2]
+    CROSS JOIN nt CROSS JOIN nb
+  )
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         CAST(SUM(fix) AS BIGINT) AS pmi_fix_sum,
+         (CAST(SUM(fix) AS DOUBLE) / 1000.0) / SUM(n) AS avg_pmi
+  FROM s GROUP BY doc_id ORDER BY doc_id
 """
