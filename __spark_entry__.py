@@ -35,10 +35,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the window rotates each round.  Round 3 re-proved the
     LLM-pipeline + events + IO families; round 4 leads with the 9
     queries fixed this round (TIMESTAMP_NTZ sweep + oracle typing),
-    then the 45 entries whose last driver check was round 1 (TPC-H,
-    windows, ETL).  q_hash_sample, q_unpivot_metrics and q_key_skew sit
-    at positions 51-53 (just outside the window — rotate them in round
-    5); the round-3-green families form the tail.
+    then the round-4 additions, then the entries whose last driver
+    check was round 1 (TPC-H, windows, ETL).  q_dow_revenue,
+    q_hash_sample, q_unpivot_metrics and q_key_skew sit at positions
+    51-54 (just outside the window — rotate them in round 5); the
+    round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- fixed this round (NTZ sweep / oracle typing) — verify ---
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unload_roundtrip": io_rt.q_unload_roundtrip,
         # --- added round 4 — never driver-checked ---
         "t_bigram_pmi": docs_ext.t_bigram_pmi,
+        "d_semantic_dedup": docs.d_semantic_dedup,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
@@ -93,8 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,
         "q_intersect_customers": tpch_ext.q_intersect_customers,
+        # --- positions 51-54: rotate into the round-5 window ---
         "q_dow_revenue": tpch_ext.q_dow_revenue,
-        # --- positions 51-53: rotate into the round-5 window ---
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "q_key_skew": tpch_ext.q_key_skew,

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "p_pack_sequences",
     "t_unigram_rarity",
     "t_bigram_pmi",
+    "d_semantic_dedup",
+    "d_semantic_dedup_prod",
 ]
 
 
@@ -142,10 +144,16 @@ def _ann_prod_queries():
             _normed(spark, sf_dir, "knn_int8_prod"), query_ids=[0, 1, 2, 3, 4], k=5
         )
 
+    def semdedup(spark, sf_dir):
+        return similarity.semantic_dedup_pairs(
+            _normed(spark, sf_dir, "semantic_dedup_prod")
+        )
+
     return {
         "s_knn_lsh_prod": lsh,
         "s_knn_ivf_prod": ivf,
         "s_knn_int8_prod": int8,
+        "d_semantic_dedup_prod": semdedup,
     }
 
 

@@ -84,6 +84,41 @@ def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# semantic-dedup recall tripwire: measured 0.909 @ sf0.001, 0.898 @
+# sf0.01, 0.939 @ sf0.1 (matches the 1-(1-p^5)^24 theory for the
+# corpus's 0.4-0.5 cosine band); the threshold sits at ~half the
+# measured minimum — an LSH regression flips the boolean.
+SEMANTIC_MIN_RECALL = 0.45
+
+
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH buckets — the production twin
+    of ``d_embedding_dedup`` (whose all-pairs broadcast join is the
+    verification baseline, quadratic in corpus size). Candidates come
+    from a (table, bucket) shuffle self-join over id-only postings, so
+    the shape holds at billions of vectors. Oracle-hardened: the exact
+    pair count is computed cross-engine (DuckDB runs the same all-pairs
+    SQL), plus a recall tripwire of the LSH subset against it."""
+    emb = managed_persist(
+        similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings")),
+        "semantic_dedup",
+    )
+    exact = similarity.embedding_dedup_pairs(emb, threshold=EMB_DEDUP_T)
+    found = similarity.semantic_dedup_pairs(emb, threshold=EMB_DEDUP_T)
+    hits = found.select("vec_a", "vec_b").join(
+        exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"]
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_exact.join(n_hit).select(
+        "n_exact_pairs",
+        (
+            F.col("n_hits").cast("double")
+            >= F.lit(SEMANTIC_MIN_RECALL) * F.col("n_exact_pairs")
+        ).alias("recall_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -397,6 +432,23 @@ ORACLE: dict[str, str] = {
       SELECT vec_a, vec_b, {_EMB_COS} AS cosine
       FROM p WHERE {_EMB_COS} >= {EMB_DEDUP_T}
       ORDER BY vec_a, vec_b
+    """,
+    # exact pair count computed by BOTH engines (same all-pairs SQL as
+    # d_embedding_dedup); recall_ok is the Spark-side LSH tripwire
+    "d_semantic_dedup": f"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+        FROM embeddings
+      ),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {sql_fixed_dot('a.embedding', 'b.embedding')} AS dot_fix,
+               a.norm_fix AS na, b.norm_fix AS nb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+      )
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+      FROM p WHERE {_EMB_COS} >= {EMB_DEDUP_T}
     """,
     "s_knn_bruteforce": f"""
       WITH e AS (
