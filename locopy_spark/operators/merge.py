@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     broadcast_updates: bool = True,
 ) -> DataFrame:
     """UPSERT: update rows whose key matches, insert the rest.
@@ -35,12 +35,14 @@ def merge_upsert(
     formulation, but the anti join broadcasts a small delta (Spark
     cannot broadcast a full outer join), so merging a daily delta into
     a 100 TB table is a map-side filter + union, zero shuffles.
+    ``key`` may be one column name or a composite key list.
     """
+    key_cols = [key] if isinstance(key, str) else list(key)
     cols = target.columns
-    keys = updates.select(F.col(key))
+    keys = updates.select(*[F.col(k) for k in key_cols])
     if broadcast_updates:
         keys = F.broadcast(keys)
-    kept = target.join(keys, key, "left_anti")
+    kept = target.join(keys, key_cols, "left_anti")
     return kept.unionByName(updates.select(*cols))
 
 

@@ -175,6 +175,73 @@ def stream_stream_join(
     )
 
 
+def stream_incr_rollup(
+    events: DataFrame,
+    state_view: str = "rollup_state",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuously-maintained hourly rollup: the streaming twin of
+    ``queries.events_ext.q_incr_rollup`` (whose oracle proves
+    incremental == batch).
+
+    Update-mode windowed aggregation emits each (hour, type) group's
+    NEW running totals per micro-batch; ``foreachBatch`` MERGEs them
+    into the rollup state by key (update side wins — the emissions are
+    totals, not deltas, so the merge is an upsert, not an add). This is
+    the streaming→warehouse maintenance pattern: in production the
+    upsert is a transactional ``MERGE INTO`` on Delta/Iceberg keyed by
+    the window — here the same engine-side semantics
+    (:func:`operators.merge.merge_upsert`) land in a GLOBAL temp view
+    (``foreachBatch`` runs in a cloned session whose plain temp views
+    are isolated; global views are catalog-shared) so the result is
+    testable without a table-format dependency. Returns the started
+    query; read ``global_temp.<state_view>`` after stopping.
+    """
+    from locopy_spark.operators.merge import merge_upsert
+
+    spark = events.sparkSession
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * 1000 + 0.5) as bigint)")
+            ).alias("sum_value_fix"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value_fix",
+        )
+    )
+    empty = spark.createDataFrame(
+        [],
+        "hour_us long, event_type string, n_events long, sum_value_fix long",
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        state = s.table(f"global_temp.{state_view}")
+        # localCheckpoint cuts the per-batch lineage growth (state =
+        # merge(merge(merge(...)))) and materializes before the view
+        # swap; update-side rows win on their (hour, type) key
+        merged = merge_upsert(
+            state, batch_df, key=["hour_us", "event_type"]
+        ).localCheckpoint()
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .queryName(f"incr_rollup_{state_view}")
+        .start()
+    )
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

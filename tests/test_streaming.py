@@ -241,3 +241,30 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 10:30 row (value 99.0) was dropped, not merged
     assert (10, 3, 3.0) in rows
     assert not any(v == 99.0 or n == 4 for _, n, v in rows)
+
+
+def test_stream_incr_rollup_matches_batch(spark, sf_dir):
+    """foreachBatch rollup maintenance converges to the one-shot batch
+    rollup — the streaming half of q_incr_rollup's incremental==batch
+    property."""
+    from locopy_spark.queries.events_ext import q_incr_rollup
+    from locopy_spark.streaming.jobs import read_event_stream, stream_incr_rollup
+
+    stream = read_event_stream(spark, sf_dir)
+    q = stream_incr_rollup(stream, state_view="rollup_state_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.hour_us // 1_000_000, r.event_type): (r.n_events, r.sum_value_fix)
+        for r in spark.table("global_temp.rollup_state_t").collect()
+    }
+    want = {
+        (r.hour_ts, r.event_type): (
+            r.n_events,
+            round(r.sum_value * 1000),
+        )
+        for r in q_incr_rollup(spark, sf_dir).collect()
+    }
+    assert got and got == want
