@@ -102,7 +102,9 @@ BENCH_QUERIES = [
     "p_pack_sequences",
     "t_unigram_rarity",
     "t_bigram_pmi",
-    "d_semantic_dedup",
+    # d_semantic_dedup (gated) is excluded like the other all-pairs
+    # verification baselines: its oracle side IS the quadratic
+    # baseline. The production path is benched:
     "d_semantic_dedup_prod",
 ]
 
@@ -147,7 +149,8 @@ def _ann_prod_queries():
 
     def semdedup(spark, sf_dir):
         return similarity.semantic_dedup_pairs(
-            _normed(spark, sf_dir, "semantic_dedup_prod")
+            _normed(spark, sf_dir, "semantic_dedup_prod"),
+            persist_scope="semantic_dedup_prod",
         )
 
     return {

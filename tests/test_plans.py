@@ -203,3 +203,30 @@ def test_window_funcs_no_small_key_window(spark, sf_dir):
     for spec in specs:
         assert "__pid" in spec, f"window not keyed by partition id: {spec}"
     assert not audit.has_cartesian(df)
+
+
+def test_semantic_dedup_bucketed_not_allpairs(spark, sf_dir):
+    """The production near-dup join must be a bucket equi-join: no
+    cartesian, and the candidate side must NOT be a broadcast nested
+    loop over the full corpus (that would be the all-pairs baseline)."""
+    from locopy_spark.operators.similarity import semantic_dedup_pairs
+    from locopy_spark.sources.tables import load_table
+
+    df = semantic_dedup_pairs(load_table(spark, sf_dir, "embeddings"))
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_asof_nearest_single_partitioning(spark, sf_dir):
+    """nearest = both direction carries over ONE key partitioning: the
+    dual window must not double the exchanges of the backward join."""
+    df = _q(spark, sf_dir, "q_asof_nearest")
+    assert audit.shuffle_count(df) <= 3  # union window + presentation sort
+    assert not audit.has_cartesian(df)
+
+
+def test_bigram_pmi_no_cartesian_and_pruned(spark, sf_dir):
+    df = _q(spark, sf_dir, "t_bigram_pmi")
+    assert not audit.has_cartesian(df)
+    # only doc_id + text should be read from the documents scan
+    assert all("source" not in s for s in audit.read_schemas(df))
