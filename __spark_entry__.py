@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bigram_pmi": docs_ext.t_bigram_pmi,
         "d_semantic_dedup": docs.d_semantic_dedup,
         "q_asof_nearest": events.q_asof_nearest,
+        "p_dedup_corpus": docs_ext.p_dedup_corpus,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

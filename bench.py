@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "p_pack_sequences",
     "t_unigram_rarity",
     "t_bigram_pmi",
+    "p_dedup_corpus",
     # d_semantic_dedup (gated) is excluded like the other all-pairs
     # verification baselines: its oracle side IS the quadratic
     # baseline. The production path is benched:

@@ -1461,3 +1461,75 @@ ORACLE["t_bigram_pmi"] = f"""
          (CAST(SUM(fix) AS DOUBLE) / 1000.0) / SUM(n) AS avg_pmi
   FROM s GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def p_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH pairs → connected
+    components → keep each cluster's minimum doc_id plus every
+    unclustered doc, then the per-source survivor rollup (docs kept /
+    dropped, tokens kept) — the step that turns pair evidence into the
+    deduplicated training corpus and its mixture bookkeeping.
+
+    Shape: the cluster resolution's own shapes (bucketed pair join +
+    Hash-Min rounds) plus one broadcast-able left join of the small
+    clustered-doc set onto the corpus and one groupBy(source). Nothing
+    beyond the cluster step touches more than |clustered docs| rows
+    twice. Oracle: the same recursive-CTE transitive closure as
+    d_dup_clusters, joined back to documents in SQL.
+    """
+    from locopy_spark.operators import cluster, dedup
+    from locopy_spark.queries.docs import MINHASH_EST_T, SHINGLE_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    resolution = cluster.dedup_resolution(pairs).select("doc_id", "is_kept")
+    kept = F.coalesce(F.col("is_kept"), F.lit(True))
+    toks = F.size(F.expr(tokens_expr("text"))).cast("long")
+    return (
+        docs.join(F.broadcast(resolution), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.sum(F.when(kept, toks).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_dedup_corpus() -> str:
+    from locopy_spark.queries.docs import sql_minhash_pair_ctes
+
+    return f"""
+      WITH RECURSIVE {sql_minhash_pair_ctes()},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      cl AS (
+        SELECT src AS doc_id, src = LEAST(src, MIN(dst)) AS is_kept
+        FROM reach GROUP BY src
+      )
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN COALESCE(cl.is_kept, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN COALESCE(cl.is_kept, TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN COALESCE(cl.is_kept, TRUE)
+                  THEN len({sql_tokens('d.text')}) ELSE 0 END) AS BIGINT) AS tokens_kept
+      FROM documents d LEFT JOIN cl USING (doc_id)
+      GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLE["p_dedup_corpus"] = _oracle_dedup_corpus()
