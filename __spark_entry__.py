@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_semantic_dedup": docs.d_semantic_dedup,
         "q_asof_nearest": events.q_asof_nearest,
         "p_dedup_corpus": docs_ext.p_dedup_corpus,
+        "q_session_overlap": events_ext.q_session_overlap,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

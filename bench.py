@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q_retention_cohorts",
     "q_percentiles",
     "q_range_join",
+    "q_session_overlap",
     "q_order_gaps",
     "q_stats_moments",
     "q_grouping_sets",

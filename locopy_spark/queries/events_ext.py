@@ -337,3 +337,91 @@ ORACLE: dict[str, str] = {
       ORDER BY o_custkey, o_orderkey
     """,
 }
+
+
+OVERLAP_BUCKET_US = 86_400_000_000  # 1-day interval-join buckets
+
+
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of DIFFERENT users whose
+    sessions overlap in time (co-presence analysis), aggregated per
+    user pair with the exact total overlap duration.
+
+    The interval×interval companion of ``q_range_join``'s
+    point-in-interval shape: each session interval explodes to the
+    day buckets it covers, candidates come from the bucket equi-join
+    (never an inequality nested loop), the exact overlap predicate
+    filters inside buckets, and cross-bucket double-counts collapse
+    with one distinct. At 100 TB the bucket width is the knob: wide
+    enough that intervals cover few buckets, narrow enough that a
+    bucket's sessions fit a task — a globally hot bucket is AQE's
+    skew-join case. All arithmetic is integer epoch micros, so the
+    aggregate is oracle-exact.
+    """
+    from locopy_spark.operators.sessionize import session_stats
+
+    e = load_table(spark, sf_dir, "events")
+    sess = session_stats(e).select(
+        "user_id",
+        "session_id",
+        F.col("session_start_us").alias("lo"),
+        F.col("session_end_us").alias("hi"),
+    )
+    B = OVERLAP_BUCKET_US
+    bucketed = sess.withColumn(
+        "b", F.explode(F.expr(f"sequence(lo div {B}, hi div {B})"))
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("ua"), F.col("session_id").alias("sa"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"), "b",
+    )
+    bside = bucketed.select(
+        F.col("user_id").alias("ub"), F.col("session_id").alias("sb"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"), "b",
+    )
+    pairs = (
+        a.join(bside, "b")
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a"))
+        )
+        .select("ua", "sa", "ub", "sb", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(
+            F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(
+                F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")
+            ).alias("overlap_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+ORACLE["q_session_overlap"] = f"""
+  WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+  ), f AS (
+    SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS ns
+    FROM e
+  ), s AS (
+    SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM f
+  ), sess AS (
+    SELECT user_id, sid, MIN(t) AS lo, MAX(t) AS hi FROM s GROUP BY 1, 2
+  )
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         COUNT(*) AS n_overlaps,
+         CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS BIGINT)
+           AS overlap_us
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
