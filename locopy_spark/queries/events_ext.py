@@ -339,7 +339,11 @@ ORACLE: dict[str, str] = {
 }
 
 
-OVERLAP_BUCKET_US = 86_400_000_000  # 1-day interval-join buckets
+OVERLAP_BUCKET_US = 3_600_000_000  # 1-hour interval-join buckets
+# bucket ~ interval scale: sessions last minutes-to-hours, so hour
+# buckets keep per-bucket candidate sets small while each interval
+# still covers only a couple of buckets (day buckets were measured
+# 20x more candidates at sf0.1)
 
 
 def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
