@@ -90,3 +90,59 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_asof_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    out_view: str = "asof_enrich_out",
+    tiebreak: str | None = None,
+):
+    """Temporal dimension lookup on a stream: each micro-batch is
+    as-of joined (backward) against the static dimension, attaching
+    the dimension row current AT each event's time — the streaming
+    form of ``operators.asof.asof_join`` (a plain stream-static
+    equi-join would attach the LATEST row, silently time-traveling
+    late events).
+
+    The join is stateless per event (the right side is a static
+    snapshot), so ``foreachBatch`` applies the batch operator verbatim
+    and appends results to a global temp view (plain temp views are
+    invisible across foreachBatch's cloned session;
+    ``localCheckpoint`` caps the union lineage). In production the
+    sink is a real table append. Returns the started query; read
+    ``global_temp.<out_view>`` after stopping.
+    """
+    from locopy_spark.operators.asof import asof_join
+
+    spark = events.sparkSession
+    holder = {"first": True}
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        joined = asof_join(
+            batch_df,
+            dim,
+            on=on,
+            left_time=left_time,
+            right_time=right_time,
+            value_cols=value_cols,
+            tiebreak=tiebreak,
+        ).localCheckpoint()
+        if holder["first"]:
+            holder["first"] = False
+            out = joined
+        else:
+            s = batch_df.sparkSession
+            out = s.table(f"global_temp.{out_view}").unionByName(joined)
+        out.createOrReplaceGlobalTempView(out_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(enrich)
+        .queryName(f"asof_enrich_{out_view}")
+        .start()
+    )

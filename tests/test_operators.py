@@ -562,3 +562,58 @@ def test_asof_join_equal_time_inclusive_and_tiebreak(spark):
         ).collect()
         # inclusive at equal time, greatest tiebreak wins in EVERY mode
         assert [(r.val, r.asof_match_t) for r in rows] == [(222, 10)], d
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent reference check: every direction/tolerance combo
+    must agree with pandas.merge_asof on a seeded random corpus.
+
+    Generation avoids the two tie cases the libraries break
+    differently by construction (duplicate right times per key, and
+    equal backward/forward distances — right times even, left odd), so
+    any disagreement is a real semantics bug, not a tiebreak choice.
+    """
+    import random
+
+    import pandas as pd
+
+    from locopy_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    lefts, rights = [], []
+    lid = 0
+    for k in range(30):
+        for _ in range(rng.randint(1, 8)):
+            lefts.append((k, rng.randrange(1, 201, 2), lid))  # odd times
+            lid += 1
+        seen = set()
+        for _ in range(rng.randint(0, 8)):
+            rt = rng.randrange(0, 202, 2)  # even times, unique per key
+            if rt in seen:
+                continue
+            seen.add(rt)
+            rights.append((k, rt, rng.randint(0, 999)))
+    left = spark.createDataFrame(lefts, "k long, t long, lid long")
+    right = spark.createDataFrame(rights, "k long, rt long, val long")
+    pl = pd.DataFrame(lefts, columns=["k", "t", "lid"]).sort_values("t")
+    pr = pd.DataFrame(rights, columns=["k", "rt", "val"]).sort_values("rt")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 20):
+            got = {
+                r.lid: r.val
+                for r in asof_join(
+                    left, right, on="k", left_time="t", right_time="rt",
+                    value_cols=["val"], direction=direction, tolerance=tol,
+                ).collect()
+            }
+            ref_df = pd.merge_asof(
+                pl, pr, left_on="t", right_on="rt", by="k",
+                direction=direction,
+                tolerance=tol if tol is None else int(tol),
+            )
+            ref = {
+                int(r.lid): (None if pd.isna(r.val) else int(r.val))
+                for r in ref_df.itertuples()
+            }
+            assert got == ref, (direction, tol)

@@ -268,3 +268,52 @@ def test_stream_incr_rollup_matches_batch(spark, sf_dir):
         for r in q_incr_rollup(spark, sf_dir).collect()
     }
     assert got and got == want
+
+
+def test_stream_asof_enrich_matches_batch(spark, sf_dir):
+    """Temporal dimension lookup on the stream equals the batch as-of
+    join on the same data — late events get the dimension state at
+    THEIR time, not the latest snapshot row."""
+    from locopy_spark.functions.numeric import epoch_us
+    from locopy_spark.operators.asof import asof_join
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_event_stream
+    from locopy_spark.streaming.stateful import stream_asof_enrich
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = o.select(
+        F.col("o_custkey").alias("user_id"),
+        epoch_us(o, "o_orderdate").alias("od_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    stream = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    q = stream_asof_enrich(
+        stream, dim, on="user_id", left_time="ts_us", right_time="od_us",
+        value_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+        out_view="asof_en_t",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_id, r.o_orderkey)
+        for r in spark.table("global_temp.asof_en_t").collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    left = e.select("user_id", "event_id", epoch_us(e, "ts").alias("ts_us"))
+    want = {
+        (r.event_id, r.o_orderkey)
+        for r in asof_join(
+            left, dim, on="user_id", left_time="ts_us", right_time="od_us",
+            value_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+        ).collect()
+    }
+    assert got and got == want
