@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_nearest": events.q_asof_nearest,
         "p_dedup_corpus": docs_ext.p_dedup_corpus,
         "q_session_overlap": events_ext.q_session_overlap,
+        "p_quality_mix_plan": docs_ext.p_quality_mix_plan,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "t_doc_chunks",
     "t_repetition",
     "p_mix_weights",
+    "p_quality_mix_plan",
     "p_pack_sequences",
     "t_unigram_rarity",
     "t_bigram_pmi",

@@ -1533,3 +1533,83 @@ def _oracle_dedup_corpus() -> str:
 
 
 ORACLE["p_dedup_corpus"] = _oracle_dedup_corpus()
+
+
+def p_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware mixture plan: the filter → rebalance composition a
+    real corpus build runs. Documents pass the Gopher-style quality
+    gate (``quality_metrics``), then per-source token mass and the
+    uniform-target sampling multiplier are computed over the KEPT
+    subset only — so the published weights describe the corpus that
+    will actually be sampled, not the raw crawl. A source whose
+    documents are entirely filtered leaves the mixture (and the
+    n_sources denominator) by construction.
+
+    Shape: the quality gate is a stateless map; one broadcast-able join
+    back to (doc, source); one partial-aggregated groupBy(source); two
+    scalar totals broadcast. Exact bigint counts feed every double
+    division, so the weights hash-match cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        quality_metrics(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tokens")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    per_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens_kept").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs_kept",
+            "n_tokens_kept",
+            (
+                F.col("n_tokens_kept").cast("double") / F.col("tot_tokens")
+            ).alias("token_share"),
+            (
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("n_tokens_kept").cast("double") / F.col("tot_tokens"))
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["p_quality_mix_plan"] = f"""
+  WITH t AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+  ), m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           CAST(list_max(list_transform(list_distinct(toks),
+                t2 -> len(list_filter(toks, x -> x = t2)))) AS INT) AS top_freq
+    FROM t
+  ), kept AS (
+    SELECT d.source, m.n_tokens
+    FROM m JOIN documents d USING (doc_id)
+    WHERE m.n_tokens >= {QF_MIN_TOKENS} AND m.n_tokens <= {QF_MAX_TOKENS}
+      AND CAST(m.n_distinct AS DOUBLE) / m.n_tokens >= {QF_MIN_DISTINCT_RATIO}
+      AND CAST(m.top_freq AS DOUBLE) / m.n_tokens <= {QF_MAX_TOP_RATIO}
+  ), p AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+    FROM kept GROUP BY source
+  ), tt AS (
+    SELECT CAST(SUM(n_tokens_kept) AS BIGINT) AS tot_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_sources FROM p
+  )
+  SELECT p.source, p.n_docs_kept, p.n_tokens_kept,
+         CAST(p.n_tokens_kept AS DOUBLE) / tt.tot_tokens AS token_share,
+         (1.0 / tt.n_sources) / (CAST(p.n_tokens_kept AS DOUBLE) / tt.tot_tokens)
+           AS mix_weight
+  FROM p, tt ORDER BY p.source
+"""

@@ -120,3 +120,22 @@ def test_stream_ts_matches_batch_ts(spark, sf_dir):
         for r in e.select("event_id", epoch_us(e, "ts").alias("us")).collect()
     }
     assert got == want
+
+
+def test_time_queries_are_session_tz_independent(spark, sf_dir):
+    """The whole time family claims session-TZ independence (pure
+    integer epoch math through epoch_us). Prove it: the same queries
+    must return identical rows under a +9h session time zone."""
+    from locopy_spark.queries.events import q_asof_nearest, q_events_window
+
+    base_w = q_events_window(spark, sf_dir).collect()
+    base_a = q_asof_nearest(spark, sf_dir).collect()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        shifted_w = q_events_window(spark, sf_dir).collect()
+        shifted_a = q_asof_nearest(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert base_w == shifted_w
+    assert base_a == shifted_a
