@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "d_simhash",
     "d_dup_clusters",
     "d_hash_split",
+    "d_incr_dedup",
     "s_knn_bruteforce",
     "s_knn_lsh",
     "s_knn_ivf",

@@ -133,6 +133,40 @@ def minhash_signatures(
     return banked.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = DEFAULT_NHASH,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, band, bh) posting rows — the banded-LSH key table that
+    both the pair join (:func:`minhash_lsh_pairs`) and the arrival
+    dedup (queries.docs.d_incr_dedup, streaming.stateful
+    stream_near_dedup) bucket on. No persist here: callers own the
+    reuse decision."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    band_cols = [
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(f"m{b * rows + j}" for j in range(rows))
+            + "))"
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    return (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])),
+        )
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bh")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -84,6 +84,40 @@ def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order near-dedup: a document is a duplicate if ANY of
+    its MinHash-LSH bands was already claimed by an earlier document
+    (arrival order = doc_id) — the single-pass first-seen-wins filter
+    a streaming ingest applies, computed in batch. Unlike the
+    pair/cluster path there is no second join back to signatures: one
+    groupBy(band) picks each band's owner, one join + groupBy(doc)
+    flags the doc. Streaming twin:
+    ``streaming.stateful.stream_near_dedup`` (band→owner as
+    foreachBatch state); the batch form is its deterministic oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs)
+    owner = bands.groupBy("band", "bh").agg(F.min("doc_id").alias("owner"))
+    flag = (
+        bands.join(owner, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias(
+                "_dup"
+            )
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("_dup"), F.lit(0)) == 1).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # semantic-dedup recall tripwire: measured 0.909 @ sf0.001, 0.898 @
 # sf0.01, 0.939 @ sf0.1 (matches the 1-(1-p^5)^24 theory for the
 # corpus's 0.4-0.5 cosine band); the threshold sits at ~half the
@@ -432,6 +466,23 @@ ORACLE: dict[str, str] = {
       SELECT vec_a, vec_b, {_EMB_COS} AS cosine
       FROM p WHERE {_EMB_COS} >= {EMB_DEDUP_T}
       ORDER BY vec_a, vec_b
+    """,
+    # arrival-order near-dedup: reuses the shingle/minhash/band CTE
+    # chain (the trailing cand/pairs CTEs go unreferenced — DuckDB only
+    # evaluates referenced CTEs)
+    "d_incr_dedup": f"""
+      WITH {sql_minhash_pair_ctes()},
+      owner AS (
+        SELECT b, bh, MIN(doc_id) AS owner FROM band GROUP BY 1, 2
+      ),
+      flag AS (
+        SELECT band.doc_id,
+               MAX(CASE WHEN o.owner < band.doc_id THEN 1 ELSE 0 END) AS dup
+        FROM band JOIN owner o USING (b, bh) GROUP BY band.doc_id
+      )
+      SELECT d.doc_id, COALESCE(flag.dup, 0) = 1 AS is_dup
+      FROM documents d LEFT JOIN flag USING (doc_id)
+      ORDER BY d.doc_id
     """,
     # exact pair count computed by BOTH engines (same all-pairs SQL as
     # d_embedding_dedup); recall_ok is the Spark-side LSH tripwire

@@ -92,6 +92,83 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_near_dedup(
+    docs: DataFrame,
+    out_view: str = "near_dedup_out",
+    state_view: str = "band_owner_state",
+    k: int = 3,
+):
+    """Streaming NEAR-dup filter: first-seen MinHash-LSH band wins.
+
+    ``stream_dedup`` drops exact id replays; this drops near-duplicate
+    TEXT as it lands — each micro-batch's band keys merge into a
+    band→owner state (owner = smallest doc_id seen so far), and a doc
+    is flagged duplicate when any of its bands is owned by an earlier
+    doc. With in-order arrival this equals the batch
+    ``queries.docs.d_incr_dedup`` exactly (the test asserts it); under
+    out-of-order arrival the result is arrival-consistent, which is
+    the honest streaming semantics. State is |distinct band keys| —
+    bounded by corpus vocabulary, not stream length; in production it
+    lives in a keyed table with TTL rather than a global temp view.
+    Returns the started query; read ``global_temp.<out_view>``.
+    """
+    from pyspark.sql import functions as F
+
+    from locopy_spark.operators.dedup import minhash_bands
+
+    spark = docs.sparkSession
+    empty_state = spark.createDataFrame(
+        [], "band int, bh string, owner long"
+    )
+    empty_state.createOrReplaceGlobalTempView(state_view)
+    empty_out = spark.createDataFrame([], "doc_id long, is_dup boolean")
+    empty_out.createOrReplaceGlobalTempView(out_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bands = minhash_bands(batch_df, k=k).localCheckpoint()
+        state = s.table(f"global_temp.{state_view}")
+        merged = (
+            bands.groupBy("band", "bh")
+            .agg(F.min("doc_id").alias("owner"))
+            .unionByName(state)
+            .groupBy("band", "bh")
+            .agg(F.min("owner").alias("owner"))
+            .localCheckpoint()
+        )
+        flag = (
+            bands.join(merged, ["band", "bh"])
+            .groupBy("doc_id")
+            .agg(
+                F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias(
+                    "_dup"
+                )
+            )
+        )
+        out_batch = (
+            batch_df.select("doc_id")
+            .join(flag, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("_dup"), F.lit(0)) == 1).alias("is_dup"),
+            )
+        )
+        out = (
+            s.table(f"global_temp.{out_view}")
+            .unionByName(out_batch)
+            .localCheckpoint()
+        )
+        out.createOrReplaceGlobalTempView(out_view)
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"near_dedup_{out_view}")
+        .start()
+    )
+
+
 def stream_asof_enrich(
     events: DataFrame,
     dim: DataFrame,

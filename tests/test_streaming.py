@@ -317,3 +317,29 @@ def test_stream_asof_enrich_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got and got == want
+
+
+def test_stream_near_dedup_matches_batch(spark, sf_dir):
+    """First-seen-band streaming near-dup equals the batch arrival
+    dedup when docs arrive in order (single-file stream)."""
+    from locopy_spark.queries.docs import d_incr_dedup
+    from locopy_spark.streaming.jobs import read_document_stream
+    from locopy_spark.streaming.stateful import stream_near_dedup
+
+    q = stream_near_dedup(
+        read_document_stream(spark, sf_dir), out_view="ndd_out",
+        state_view="ndd_state",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.is_dup)
+        for r in spark.table("global_temp.ndd_out").collect()
+    }
+    want = {
+        (r.doc_id, r.is_dup) for r in d_incr_dedup(spark, sf_dir).collect()
+    }
+    assert got and got == want
+    assert any(d for _, d in got)  # the corpus really contains near-dups
