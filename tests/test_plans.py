@@ -40,7 +40,7 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_dedup_no_cartesian(spark, sf_dir):
-    for name in ("d_minhash_lsh", "d_simhash", "d_ngram_jaccard"):
+    for name in ("d_minhash_lsh", "d_simhash", "d_ngram_jaccard", "d_incr_dedup"):
         df = _q(spark, sf_dir, name)
         assert not audit.has_cartesian(df), name
         assert not audit.has_broadcast_nested_loop(df), name
