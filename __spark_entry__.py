@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_overlap": events_ext.q_session_overlap,
         "p_quality_mix_plan": docs_ext.p_quality_mix_plan,
         "d_incr_dedup": docs.d_incr_dedup,
+        "q_trailing_window": events_ext.q_trailing_window,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q21_waiting_supplier",
     "q_running_total",
     "q_moving_avg",
+    "q_trailing_window",
     "q_cube_returns",
     "q_topk_per_group",
     "q_mktseg_pivot",

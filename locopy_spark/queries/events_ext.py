@@ -429,3 +429,62 @@ ORACLE["q_session_overlap"] = f"""
     ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
   GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+TRAILING_DAYS = 30
+
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE-frame window: for each order, the customer's
+    exact spend and order count over the TRAILING 30 days (inclusive)
+    — the frame every "rolling 30-day revenue" metric needs.  A ROWS
+    frame (``q_moving_avg``) counts a fixed number of rows; a RANGE
+    frame over integer epoch micros bounds by TIME, handles gaps, and
+    includes ties at the boundary identically in every engine, so no
+    tiebreak is needed for determinism.  One shuffle on the customer
+    key; the frame scan is linear within partition.  Money sums use
+    the floor-scaled bigint kernel, so the aggregate hash-matches.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_us(o, "o_orderdate").alias("od_us"),
+        F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)").alias(
+            "v_fix"
+        ),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("od_us")
+        .rangeBetween(-TRAILING_DAYS * US_PER_DAY, 0)
+    )
+    return (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            "od_us",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            (
+                F.sum("v_fix").over(w).cast("double") / F.lit(float(SCALE))
+            ).alias("trailing_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE["q_trailing_window"] = f"""
+  WITH b AS (
+    SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v_fix
+    FROM orders
+  )
+  SELECT o_custkey, o_orderkey, od_us,
+         COUNT(*) OVER w AS n_trailing,
+         CAST(SUM(v_fix) OVER w AS DOUBLE) / {SCALE}.0 AS trailing_spend
+  FROM b
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us
+               RANGE BETWEEN {TRAILING_DAYS * US_PER_DAY} PRECEDING
+                 AND CURRENT ROW)
+  ORDER BY o_custkey, o_orderkey
+"""
