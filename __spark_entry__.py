@@ -35,14 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the window rotates each round.  Round 3 re-proved the
     LLM-pipeline + events + IO families; round 4 leads with the 9
     queries fixed this round (TIMESTAMP_NTZ sweep + oracle typing) and
-    the 6 round-4 additions, then the entries whose last driver check
-    was round 1 (TPC-H, windows, ETL).  The last 8 of that r01 tail
-    (q_stats_moments, q_value_deciles, q_grouping_sets,
-    q_intersect_customers, q_dow_revenue, q_hash_sample,
-    q_unpivot_metrics, q_key_skew) sit at positions 51-58, just
-    outside the window — lead round 5 with them; all 8 pass the
-    repo's own full DuckDB gate (tools/check_correctness.py) today.
-    The round-3-green families form the tail.
+    the 8 round-4 additions, then the entries whose last driver check
+    was round 1 (TPC-H, windows, ETL).  The last 10 of that r01 tail
+    (q_cube_returns, q_except_customers, q_stats_moments,
+    q_value_deciles, q_grouping_sets, q_intersect_customers,
+    q_dow_revenue, q_hash_sample, q_unpivot_metrics, q_key_skew) sit
+    at positions 51-60, just outside the window — lead round 5 with
+    them; all 10 pass the repo's own full DuckDB gate
+    (tools/check_correctness.py, 103/103 green) today.  The
+    round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- fixed this round (NTZ sweep / oracle typing) — verify ---
