@@ -18,6 +18,7 @@ from locopy_spark.queries import (
     events,
     events_ext,
     io_rt,
+    timeseries,
     tpch,
     tpch_ext,
 )
@@ -65,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_quality_mix_plan": docs_ext.p_quality_mix_plan,
         "d_incr_dedup": docs.d_incr_dedup,
         "q_trailing_window": events_ext.q_trailing_window,
+        "q_resample_ohlc": timeseries.q_resample_ohlc,
+        "q_gap_fill": timeseries.q_gap_fill,
+        "q_hypertable_rollup": timeseries.q_hypertable_rollup,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
@@ -169,4 +173,5 @@ def oracle_sql() -> dict[str, str]:
         **docs.ORACLE,
         **docs_ext.ORACLE,
         **io_rt.ORACLE,
+        **timeseries.ORACLE,
     }

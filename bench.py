@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "q_orders_asof_events",
     "q_asof_nearest",
     "q_retention_cohorts",
+    "q_resample_ohlc",
+    "q_gap_fill",
+    "q_hypertable_rollup",
     "q_percentiles",
     "q_range_join",
     "q_session_overlap",

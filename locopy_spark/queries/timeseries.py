@@ -1,0 +1,235 @@
+"""Time-series / hypertable queries over the events stream: OHLC
+downsampling, gap-filled forward-filled resampling, and one-scan
+multi-granularity rollups.
+
+The reference (capitalone/locopy) is a warehouse loader client with no
+query engine of its own (reference: locopy/database.py, redshift.py);
+this family covers what its users run ON the warehouse after loading
+event data — downsample / resample / continuous-aggregate shapes, here
+expressed Spark-first.
+
+Determinism: every time bucket is pure integer epoch math over
+``epoch_us`` (session-TZ independent, NTZ-safe), selections (open /
+close) are ordered by the unique ``(ts_us, event_id)`` key, and sums
+go through the fixed-point ``exact_sum`` scheme — so results are
+bit-identical at any parallelism and across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from locopy_spark.functions.numeric import SCALE, sql_epoch_us
+from locopy_spark.sources.tables import load_table
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 86_400_000_000
+
+
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars of ``value`` per event type.
+
+    One shuffle: a single groupBy with partial aggregation — open and
+    close are ``min_by`` / ``max_by`` over the unique ``(ts_us,
+    event_id)`` struct ordering, so the map-side combiner keeps exactly
+    one candidate row per (hour, type) per partition and the reducer
+    merges candidates, never row lists. At 100 TB this is the shape
+    that works: no per-group sort, no window, state per group is O(1).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    return (
+        e.select(
+            F.expr(f"({ts_us}) div {US_PER_HOUR} * 3600").alias("hour_ts"),
+            "event_type",
+            "value",
+            F.expr(f"struct(({ts_us}) as ts_us, event_id)").alias("okey"),
+        )
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.expr("min_by(value, okey)").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.expr("max_by(value, okey)").alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                f"CAST(SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT))"
+                f" AS DOUBLE) / {SCALE}.0"
+            ).alias("sum_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per event type with forward fill.
+
+    Missing hours appear with ``n_events = 0`` and the last observed
+    hourly mean carried forward (the time-series ``locf`` resample).
+    Spine = ``sequence(min_hour, max_hour)`` exploded per series key
+    (spine size is time-range / granularity per key — bounded and tiny
+    relative to the data); fill = ``last(ignorenulls)`` over an
+    unbounded-preceding window partitioned by the series key, so each
+    series fills independently and in parallel. At 100 TB the window
+    partition is (type, ~720 hours/month) rows, never the raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr(f"({ts_us}) div {US_PER_HOUR}").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("obs_n"),
+            F.sum(
+                F.expr(f"CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT)")
+            ).alias("sum_fp"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("h")
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("obs_n", F.lit(0)).alias("n_events"),
+        F.expr(
+            f"CAST(sum_fp AS DOUBLE) / {SCALE}.0 / obs_n"
+        ).alias("mean_obs"),
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    return (
+        joined.select(
+            "event_type",
+            (F.col("h") * 3600).alias("hour_ts"),
+            "n_events",
+            F.last("mean_obs", ignorenulls=True).over(w).alias("mean_value"),
+            (F.col("n_events") > 0).alias("is_observed"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan multi-granularity rollup (hypertable continuous
+    aggregate): hourly, daily, and per-type totals from one GROUPING
+    SETS pass — Catalyst expands the sets into a single shuffle, so
+    maintaining three granularities costs one scan, not three.
+
+    The bucket hierarchy is aligned (hour ⊂ day), so at 100 TB the
+    coarser sets are cheap re-aggregations of the finest partial
+    aggregates; ``g_hour``/``g_day`` grouping flags disambiguate the
+    granularity of each output row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    e.select(
+        "event_type",
+        F.expr(f"({ts_us}) div {US_PER_DAY}").alias("day_id"),
+        F.expr(f"({ts_us}) div {US_PER_HOUR} * 3600").alias("hour_ts"),
+        "value",
+    ).createOrReplaceTempView("_ht_events")
+    return spark.sql(
+        f"""
+        SELECT event_type, day_id, hour_ts,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT))
+                    AS DOUBLE) / {SCALE}.0 AS sum_value,
+               CAST(GROUPING(day_id) AS INT) AS g_day,
+               CAST(GROUPING(hour_ts) AS INT) AS g_hour
+        FROM _ht_events
+        GROUP BY GROUPING SETS (
+          (event_type, day_id, hour_ts),
+          (event_type, day_id),
+          (event_type)
+        )
+        ORDER BY g_day, g_hour, event_type, day_id, hour_ts
+        """
+    )
+
+
+def _epoch_us_duck(expr: str = "ts") -> str:
+    return f"epoch_us({expr})"
+
+
+ORACLE: dict[str, str] = {
+    "q_resample_ohlc": f"""
+      WITH b AS (
+        SELECT epoch_us(ts) // {US_PER_HOUR} * 3600 AS hour_ts,
+               event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY epoch_us(ts) // {US_PER_HOUR}, event_type
+                 ORDER BY epoch_us(ts), event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                 PARTITION BY epoch_us(ts) // {US_PER_HOUR}, event_type
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+        FROM events
+      )
+      SELECT hour_ts, event_type,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+             MAX(value) AS high_v,
+             MIN(value) AS low_v,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {SCALE}.0 AS sum_value
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_gap_fill": f"""
+      WITH h AS (
+        SELECT event_type, epoch_us(ts) // {US_PER_HOUR} AS h,
+               COUNT(*) AS obs_n,
+               SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT)) AS sum_fp
+        FROM events GROUP BY 1, 2
+      ),
+      bounds AS (
+        SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM h GROUP BY 1
+      ),
+      spine AS (
+        SELECT event_type, UNNEST(generate_series(mn, mx)) AS h FROM bounds
+      ),
+      j AS (
+        SELECT s.event_type, s.h,
+               COALESCE(h.obs_n, 0) AS n_events,
+               CAST(h.sum_fp AS DOUBLE) / {SCALE}.0 / h.obs_n AS mean_obs
+        FROM spine s LEFT JOIN h ON s.event_type = h.event_type
+                                AND s.h = h.h
+      )
+      SELECT event_type, h * 3600 AS hour_ts, n_events,
+             LAST_VALUE(mean_obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h) AS mean_value,
+             n_events > 0 AS is_observed
+      FROM j ORDER BY event_type, hour_ts
+    """,
+    "q_hypertable_rollup": f"""
+      WITH b AS (
+        SELECT event_type,
+               epoch_us(ts) // {US_PER_DAY} AS day_id,
+               epoch_us(ts) // {US_PER_HOUR} * 3600 AS hour_ts,
+               value
+        FROM events
+      )
+      SELECT event_type, day_id, hour_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {SCALE}.0 AS sum_value,
+             CAST(GROUPING(day_id) AS INT) AS g_day,
+             CAST(GROUPING(hour_ts) AS INT) AS g_hour
+      FROM b
+      GROUP BY GROUPING SETS (
+        (event_type, day_id, hour_ts),
+        (event_type, day_id),
+        (event_type)
+      )
+      ORDER BY g_day, g_hour, event_type, day_id, hour_ts
+    """,
+}

@@ -230,3 +230,32 @@ def test_bigram_pmi_no_cartesian_and_pruned(spark, sf_dir):
     assert not audit.has_cartesian(df)
     # only doc_id + text should be read from the documents scan
     assert all("source" not in s for s in audit.read_schemas(df))
+
+
+def test_resample_ohlc_single_agg_no_window(spark, sf_dir):
+    """OHLC must come from one partial-aggregated groupBy (min_by /
+    max_by), never a per-bucket sort window; props/user_id pruned."""
+    df = _q(spark, sf_dir, "q_resample_ohlc")
+    assert audit.shuffle_count(df) <= 2  # agg + presentation sort
+    assert "windowspecdefinition" not in audit.simple_plan(df)
+    assert all("props" not in s and "user_id" not in s
+               for s in audit.read_schemas(df))
+
+
+def test_gap_fill_window_on_hourly_not_raw(spark, sf_dir):
+    """The forward-fill window runs over the hourly table (spine-sized),
+    and the raw-events scans stay pruned to the three used columns."""
+    df = _q(spark, sf_dir, "q_gap_fill")
+    assert audit.shuffle_count(df) <= 4
+    assert not audit.has_cartesian(df)
+    assert all("props" not in s and "user_id" not in s
+               for s in audit.read_schemas(df))
+
+
+def test_hypertable_rollup_one_scan(spark, sf_dir):
+    """Three granularities from ONE events scan (grouping-sets expand),
+    one aggregate shuffle plus the presentation sort."""
+    df = _q(spark, sf_dir, "q_hypertable_rollup")
+    assert len(audit.read_schemas(df)) == 1
+    assert audit.shuffle_count(df) <= 2
+    assert "Expand" in audit.simple_plan(df) or "expand" in audit.simple_plan(df).lower()
