@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from locopy_spark.queries import (
+    corpus,
     docs,
     docs_ext,
     etl_ext,
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_ohlc": timeseries.q_resample_ohlc,
         "q_gap_fill": timeseries.q_gap_fill,
         "q_hypertable_rollup": timeseries.q_hypertable_rollup,
+        "p_sample_corpus": corpus.p_sample_corpus,
+        "d_reservoir_sample": corpus.d_reservoir_sample,
+        "t_heavy_hitters": corpus.t_heavy_hitters,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
@@ -174,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
         **docs_ext.ORACLE,
         **io_rt.ORACLE,
         **timeseries.ORACLE,
+        **corpus.ORACLE,
     }

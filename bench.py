@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "p_pack_sequences",
     "t_unigram_rarity",
     "t_bigram_pmi",
+    "p_sample_corpus",
+    "d_reservoir_sample",
+    "t_heavy_hitters",
     "p_dedup_corpus",
     # d_semantic_dedup (gated) is excluded like the other all-pairs
     # verification baselines: its oracle side IS the quadratic

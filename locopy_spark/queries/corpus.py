@@ -1,0 +1,206 @@
+"""Corpus-construction operators, batch 3: deterministic mixture
+sampling, exact-K reservoir selection, and exact n-gram heavy hitters.
+
+These are the pretraining-pipeline steps downstream of the cleaning /
+dedup families in ``docs.py`` / ``docs_ext.py``: once mixture weights
+exist (``p_mix_weights``), actually EMIT the rebalanced sample; pull a
+fixed-size uniform document sample for eval/inspection; and find the
+n-grams dominating the corpus (boilerplate detection) without
+shuffling the full n-gram tail.
+
+Determinism: all sampling gates are md5-based (identical hex in Spark
+and DuckDB), so the selected row set is identical on any engine, any
+partitioning, any re-run — rand()-based sampling can never
+hash-match an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from locopy_spark.functions.text import (
+    shingles_expr,
+    sql_shingles,
+    sql_tokens,
+    tokens_expr,
+)
+from locopy_spark.sources.tables import load_table
+
+SAMPLE_ALPHA = 0.5  # global downsample factor applied to mix weights
+HASH_DENOM = 4294967296.0  # 2^32: md5-prefix → uniform u in [0, 1)
+RESERVOIR_K = 200
+HH_K = 5000  # heavy hitter = n-gram with count ≥ n_total / HH_K
+HH_CAP = 6000  # per-partition Misra-Gries capacity (must be ≥ HH_K)
+
+# u = first 8 md5 hex chars as an integer, scaled to [0, 1).
+_U_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+    f" AS BIGINT) / {HASH_DENOM}"
+)
+_U_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    f" AS BIGINT) / {HASH_DENOM}"
+)
+
+
+def p_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit the mixture-rebalanced corpus sample: each source keeps
+    documents at rate ``min(1, α·mix_weight)``, so over-represented
+    domains are downsampled toward the uniform mixture target.
+
+    The keep decision is a pure row-local predicate (md5 gate vs the
+    source's broadcast rate) — no shuffle touches the corpus rows; the
+    only shuffles aggregate the handful of per-source rows. The same
+    gate applied on 1000 executors selects the same documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
+        F.expr(_U_SPARK).alias("u"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per_src.join(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(SAMPLE_ALPHA)
+            * (
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("n_tokens").cast("double") / F.col("tot_tokens"))
+            ),
+        ).alias("rate"),
+    )
+    kept = per_doc.join(F.broadcast(rates.select("source", "rate")), "source")
+    return (
+        kept.filter(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_toks").alias("kept_tokens"),
+        )
+        .join(rates, "source")
+        .select("source", "n_docs", "n_kept", "kept_tokens", "rate")
+        .orderBy("source")
+    )
+
+
+def d_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K uniform document sample without replacement: the K
+    smallest md5 keys over the whole corpus.
+
+    Equivalent to a seeded reservoir sample, but deterministic and
+    mergeable: Catalyst plans the orderBy+limit as
+    TakeOrderedAndProject — each partition keeps its local top-K and
+    one reducer merges P×K candidates. No global sort, no full
+    shuffle, identical selection at any parallelism.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("md5(CAST(doc_id AS STRING))").alias("hk"),
+        )
+        .orderBy("hk")
+        .limit(RESERVOIR_K)
+    )
+
+
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-dominating 3-gram shingles (boilerplate scan):
+    every 3-gram with count ≥ n_total/{HH_K}, exact counts and shares.
+
+    Two-pass Misra-Gries + exact recount (operators/heavyhitters.py):
+    the candidate pass shuffles ≤ P×capacity summary rows instead of
+    the full distinct-n-gram tail (billions at 100 TB), the recount
+    aggregates only candidate keys, and the final exact filter makes
+    the output independent of sketch internals — so it hash-matches
+    the plain GROUP BY/HAVING oracle exactly.
+    """
+    from locopy_spark.operators.heavyhitters import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(tokens_expr("text")).alias("tk"))
+    grams = toks.select(
+        F.explode(F.expr(shingles_expr("tk", 3))).alias("g")
+    )
+    # total 3-gram count computed row-locally from array sizes — no
+    # explode, no extra pass over the gram stream
+    total = toks.agg(
+        F.sum(F.expr("greatest(size(tk) - 2, 0)")).alias("n_total")
+    )
+    return exact_heavy_hitters(
+        grams, "g", k=HH_K, capacity=HH_CAP, total=total
+    ).orderBy("g")
+
+
+ORACLE: dict[str, str] = {
+    "p_sample_corpus": f"""
+      WITH d AS (
+        SELECT doc_id, source,
+               len({sql_tokens('text')}) AS n_toks,
+               {_U_DUCK} AS u
+        FROM documents
+      ),
+      p AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source
+      ),
+      t AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_sources FROM p
+      ),
+      r AS (
+        SELECT p.source, p.n_docs,
+               LEAST(1.0, {SAMPLE_ALPHA} *
+                 ((1.0 / t.n_sources) /
+                  (CAST(p.n_tokens AS DOUBLE) / t.tot_tokens))) AS rate
+        FROM p, t
+      )
+      SELECT r.source, r.n_docs,
+             COUNT(*) AS n_kept,
+             CAST(SUM(d.n_toks) AS BIGINT) AS kept_tokens,
+             r.rate
+      FROM d JOIN r ON d.source = r.source
+      WHERE d.u < r.rate
+      GROUP BY r.source, r.n_docs, r.rate
+      ORDER BY r.source
+    """,
+    "d_reservoir_sample": f"""
+      SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents ORDER BY hk LIMIT {RESERVOIR_K}
+    """,
+    "t_heavy_hitters": f"""
+      WITH toks AS (
+        SELECT {sql_tokens('text')} AS tk FROM documents
+      ),
+      g AS (
+        SELECT UNNEST({sql_shingles('tk', 3)}) AS g FROM toks
+      ),
+      c AS (
+        SELECT g, COUNT(*) AS n_occ FROM g GROUP BY g
+      ),
+      n AS (
+        SELECT CAST(SUM(n_occ) AS BIGINT) AS n_total FROM c
+      )
+      SELECT c.g, c.n_occ,
+             CAST(c.n_occ AS DOUBLE) / n.n_total AS share
+      FROM c, n
+      WHERE c.n_occ * {HH_K} >= n.n_total
+      ORDER BY c.g
+    """,
+}

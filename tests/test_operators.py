@@ -617,3 +617,33 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 for r in ref_df.itertuples()
             }
             assert got == ref, (direction, tol)
+
+
+def test_mg_heavy_hitters_exact_under_truncation(spark):
+    """Adversarial: capacity far below the distinct-key count forces
+    per-partition truncation; the exact recount must still return
+    exactly the true heavy hitters."""
+    from pyspark.sql import functions as F
+    from locopy_spark.operators.heavyhitters import exact_heavy_hitters
+
+    # 2000 distinct tail keys (1x each) + 3 heavy keys; k=10 → heavy
+    # means count >= 2300/10 = 230
+    rows = [(f"tail{i}",) for i in range(2000)]
+    rows += [("hot_a",)] * 150 + [("hot_b",)] * 100 + [("hot_c",)] * 50
+    df = spark.createDataFrame(rows, "g string").repartition(8)
+    out = exact_heavy_hitters(df, "g", k=10, capacity=12).collect()
+    got = {r["g"]: r["n_occ"] for r in out}
+    # n_total = 2300, threshold = 230: no key qualifies at k=10
+    assert got == {}
+    out = exact_heavy_hitters(df, "g", k=25, capacity=40).collect()
+    got = {r["g"]: r["n_occ"] for r in out}
+    # threshold = 2300/25 = 92: hot_a (150) and hot_b (100) qualify
+    assert got == {"hot_a": 150, "hot_b": 100}
+
+
+def test_mg_capacity_validation():
+    import pytest as _pytest
+    from locopy_spark.operators.heavyhitters import exact_heavy_hitters
+
+    with _pytest.raises(ValueError):
+        exact_heavy_hitters(None, "g", k=10, capacity=5)

@@ -259,3 +259,29 @@ def test_hypertable_rollup_one_scan(spark, sf_dir):
     assert len(audit.read_schemas(df)) == 1
     assert audit.shuffle_count(df) <= 2
     assert "Expand" in audit.simple_plan(df) or "expand" in audit.simple_plan(df).lower()
+
+
+def test_reservoir_sample_take_ordered_no_shuffle(spark, sf_dir):
+    """Exact-K selection must plan as TakeOrderedAndProject (per-
+    partition top-K + single merge), never a global sort + limit."""
+    df = _q(spark, sf_dir, "d_reservoir_sample")
+    assert audit.shuffle_count(df) == 0
+    assert "TakeOrdered" in audit.simple_plan(df)
+
+
+def test_sample_corpus_gate_is_row_local(spark, sf_dir):
+    """Only source-key-sized aggregates shuffle; the keep gate joins
+    broadcast rates, so corpus rows never move."""
+    df = _q(spark, sf_dir, "p_sample_corpus")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 7  # all over ~20 source keys
+
+
+def test_heavy_hitters_bounded_shuffle(spark, sf_dir):
+    """The MG candidate pass + recount must shuffle candidate-sized
+    state only: candidate distinct, recount agg, presentation sort."""
+    df = _q(spark, sf_dir, "t_heavy_hitters")
+    assert audit.shuffle_count(df) <= 3
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
