@@ -343,3 +343,44 @@ def test_stream_near_dedup_matches_batch(spark, sf_dir):
     }
     assert got and got == want
     assert any(d for _, d in got)  # the corpus really contains near-dups
+
+
+def test_stream_cdc_apply_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched I/U/D replay converges to the batch cdc_apply:
+    the streaming dimension follows its changelog exactly."""
+    import shutil
+    from pathlib import Path
+
+    from locopy_spark.queries.etl_ext import _changelog, q_cdc_apply
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cdc_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    log = _changelog(c)
+    stream_dir = tmp_path / "cdc_stream"
+    stream_dir.mkdir()
+    # one file per seq epoch, named + mtime-ordered so the file source
+    # delivers the changelog in order with maxFilesPerTrigger=1
+    for s in (1, 2, 3):
+        staging = tmp_path / f"stage_{s}"
+        log.filter(F.col("seq") == s).coalesce(1).write.parquet(str(staging))
+        part = next(Path(staging).glob("part-*.parquet"))
+        shutil.move(str(part), str(stream_dir / f"{s:03d}.parquet"))
+    changes = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = stream_cdc_apply(
+        changes, c, key="c_custkey", seq_col="seq", state_view="cdc_state_t"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in
+        spark.table("global_temp.cdc_state_t").drop("__seq").collect()
+    )
+    want = sorted(tuple(r) for r in q_cdc_apply(spark, sf_dir).collect())
+    assert got and got == want
