@@ -19,6 +19,7 @@ from locopy_spark.queries import (
     events,
     events_ext,
     io_rt,
+    stats,
     timeseries,
     tpch,
     tpch_ext,
@@ -73,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_sample_corpus": corpus.p_sample_corpus,
         "d_reservoir_sample": corpus.d_reservoir_sample,
         "t_heavy_hitters": corpus.t_heavy_hitters,
+        "q_correlation": stats.q_correlation,
+        "q_profile_tables": stats.q_profile_tables,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
@@ -179,4 +182,5 @@ def oracle_sql() -> dict[str, str]:
         **io_rt.ORACLE,
         **timeseries.ORACLE,
         **corpus.ORACLE,
+        **stats.ORACLE,
     }

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q_session_overlap",
     "q_order_gaps",
     "q_stats_moments",
+    "q_correlation",
+    "q_profile_tables",
     "q_grouping_sets",
     "q_dow_revenue",
     "q_intersect_customers",

@@ -1,0 +1,197 @@
+"""Statistical / data-quality queries: exact correlation and
+column profiling.
+
+What locopy users run right after a COPY lands (reference:
+locopy/redshift.py:235 loads, validation left to user SQL): sanity
+profiles and relationship checks, expressed Spark-first.
+
+Determinism: correlation runs on DECIMAL(38) integer power sums
+(overflow-safe at any SF) with the final formula in double using
+byte-identical expression text on both engines — the
+``q_stats_moments`` scheme extended to cross moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from locopy_spark.functions.numeric import SCALE, sql_epoch_us
+from locopy_spark.sources.tables import load_table
+
+# Pearson r and sample covariance written ONCE, formatted for each
+# engine: every operand is an exact integer (bigint n, decimal/hugeint
+# power sums) cast to double at the same points, so the IEEE result is
+# bit-identical.
+_CORR = (
+    "({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+    " / (sqrt({n} * CAST({sx2} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+    " * sqrt({n} * CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+)
+_COV = (
+    "(CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})"
+    " / ({n} - 1)"
+)
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation + sample covariance of quantity vs
+    extended price per return flag.
+
+    One partial-aggregated shuffle carrying five DECIMAL(38) power
+    sums per group — the mergeable-moments shape that computes any
+    second-order statistic (corr/cov/stddev) over 100 TB in a single
+    pass. Built-in ``corr()`` is a running double accumulation
+    (partition-order dependent, can never hash-match an oracle);
+    integer power sums are exact and associative.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_returnflag",
+        F.expr(
+            f"cast(floor(l_quantity * {SCALE} + 0.5) as bigint)"
+        ).alias("x"),
+        F.expr(
+            f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)"
+        ).alias("y"),
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("sxy"),
+        F.sum(F.expr("cast(x * x as decimal(38,0))")).alias("sx2"),
+        F.sum(F.expr("cast(y * y as decimal(38,0))")).alias("sy2"),
+    )
+    fmt = dict(n="n", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2")
+    return (
+        agg.select(
+            "l_returnflag",
+            "n",
+            F.expr(_CORR.format(**fmt)).alias("corr_qty_price"),
+            F.expr(_COV.format(**fmt)).alias("cov_scaled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# (column, kind) pairs profiled over orders; kind drives which min/max
+# slot is populated: numeric → double, string → lexicographic string,
+# ts → epoch microseconds as double
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "ts"),
+]
+
+
+def q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile summary of orders: per column, null count, exact
+    distinct count, and typed min/max — the post-COPY validation scan.
+
+    One pass: a single global aggregate computes every column's
+    metrics (Catalyst plans the multi-column distinct via one Expand —
+    one shuffle of n×|cols| expanded rows), then a row-local ``stack``
+    reshapes wide→long. At 100 TB swap the exact ``count(distinct)``
+    for ``approx_count_distinct`` — same plan minus the Expand; kept
+    exact here so the profile hash-matches the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    od_us = sql_epoch_us(o, "o_orderdate")
+    exprs = []
+    for c, kind in _PROFILE_COLS:
+        exprs.append(
+            F.expr(f"COUNT(*) - COUNT({c})").alias(f"{c}__nulls")
+        )
+        exprs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(MIN({od_us}) AS DOUBLE)"
+            mx = f"CAST(MAX({od_us}) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        exprs.append(F.expr(mn).alias(f"{c}__mnn"))
+        exprs.append(F.expr(mx).alias(f"{c}__mxn"))
+        if kind == "str":
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        else:
+            ms = xs = "CAST(NULL AS STRING)"
+        exprs.append(F.expr(ms).alias(f"{c}__mns"))
+        exprs.append(F.expr(xs).alias(f"{c}__mxs"))
+    wide = o.agg(F.count(F.lit(1)).alias("n_rows"), *exprs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__mnn, {c}__mxn, {c}__mns, {c}__mxs"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    ).orderBy("col_name")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(MIN(epoch_us({c})) AS DOUBLE)"
+            mx = f"CAST(MAX(epoch_us({c})) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        if kind == "str":
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        else:
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"""
+            SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num,
+                   {ms} AS min_str, {xs} AS max_str
+            FROM orders
+            """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+_DUCK_FMT = dict(
+    n="n", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2"
+)
+
+ORACLE: dict[str, str] = {
+    "q_correlation": f"""
+      WITH b AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity * {SCALE} + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * {SCALE} + 0.5) AS BIGINT) AS y
+        FROM lineitem
+      ),
+      a AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sx2, SUM(y * y) AS sy2
+        FROM b GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             {_CORR.format(**_DUCK_FMT)} AS corr_qty_price,
+             {_COV.format(**_DUCK_FMT)} AS cov_scaled
+      FROM a ORDER BY l_returnflag
+    """,
+    "q_profile_tables": _profile_oracle(),
+}

@@ -285,3 +285,20 @@ def test_heavy_hitters_bounded_shuffle(spark, sf_dir):
     assert audit.shuffle_count(df) <= 3
     assert audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
+
+
+def test_correlation_single_power_sum_shuffle(spark, sf_dir):
+    """Second-order stats must flow through ONE partial-aggregated
+    shuffle of decimal power sums — no window, no second scan."""
+    df = _q(spark, sf_dir, "q_correlation")
+    assert audit.shuffle_count(df) <= 2  # agg + presentation sort
+    assert len(audit.read_schemas(df)) == 1
+    assert "windowspecdefinition" not in audit.simple_plan(df)
+
+
+def test_profile_one_scan_one_shuffle(spark, sf_dir):
+    """The whole-table profile is one scan + one Expand-based
+    multi-distinct aggregate; the reshape to long is row-local."""
+    df = _q(spark, sf_dir, "q_profile_tables")
+    assert len(audit.read_schemas(df)) == 1
+    assert audit.shuffle_count(df) <= 1
