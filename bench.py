@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "p_sample_corpus",
     "d_reservoir_sample",
     "t_heavy_hitters",
+    "p_shard_plan",
+    "t_bpe_pairs",
     "p_dedup_corpus",
     # d_semantic_dedup (gated) is excluded like the other all-pairs
     # verification baselines: its oracle side IS the quadratic

@@ -204,3 +204,126 @@ ORACLE: dict[str, str] = {
       ORDER BY c.g
     """,
 }
+
+
+N_SHARDS = 16
+
+
+def p_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: documents stream into
+    ``N_SHARDS`` output shards in md5 order, cut by cumulative token
+    count — every shard carries ~total/N tokens regardless of the doc
+    size distribution (naive count-based sharding skews bytes).
+
+    shard = floor(prefix_tokens · N / total): a pure function of the
+    exclusive running sum, computed by the distributed prefix-sum
+    operator (range partition + O(P) per-partition sums through the
+    driver + per-partition window — no one-partition global window).
+    Output is the per-shard plan (doc/token totals); writing is then
+    ``df.write.partitionBy("shard")``.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"size({tokens_expr('text')})").cast("long").alias("n_toks"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("hk"),
+    )
+    run = global_running_sum(
+        per_doc, order_cols=["hk"], value_col="n_toks", out_col="prefix_toks"
+    )
+    total = per_doc.agg(F.sum("n_toks").alias("tot"))
+    return (
+        run.join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_toks",
+            # integer division: float '/' + cast disagrees across
+            # engines at shard boundaries (truncate vs round)
+            F.expr(f"prefix_toks * {N_SHARDS} div tot").alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-character-pair frequencies over the corpus — the
+    counting step of the first BPE tokenizer merge.
+
+    The classic BPE-training trick applied distributively: aggregate
+    the corpus to (distinct word, count) FIRST (vocabulary-sized, tiny
+    vs the corpus), then expand each distinct word's pairs once and
+    weight by its count — pair expansion cost is O(vocab), not
+    O(corpus tokens). All JVM-side array expressions; no Python in the
+    hot path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr(tokens_expr("text"))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.expr(
+                # guard 1-char words: Spark's sequence(1, 0) DESCENDS
+                # ([1, 0]) rather than returning empty
+                "case when length(w) >= 2 then "
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+                "else array() end"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occ"))
+        .orderBy("pair")
+    )
+
+
+ORACLE["p_shard_plan"] = f"""
+  WITH d AS (
+    SELECT doc_id,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks,
+           md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+  ),
+  r AS (
+    SELECT doc_id, n_toks,
+           COALESCE(SUM(n_toks) OVER (
+             ORDER BY hk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS prefix_toks
+    FROM d
+  ),
+  t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot FROM d)
+  SELECT (r.prefix_toks * {N_SHARDS}) // t.tot AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(r.n_toks) AS BIGINT) AS shard_tokens
+  FROM r, t
+  GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["t_bpe_pairs"] = f"""
+  WITH w AS (
+    SELECT UNNEST({sql_tokens('text')}) AS w FROM documents
+  ),
+  v AS (
+    SELECT w, COUNT(*) AS n FROM w GROUP BY w
+  ),
+  p AS (
+    SELECT n, UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                    i -> substr(w, i, 2))) AS pair
+    FROM v
+  )
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ
+  FROM p GROUP BY pair ORDER BY pair
+"""

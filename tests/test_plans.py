@@ -302,3 +302,26 @@ def test_profile_one_scan_one_shuffle(spark, sf_dir):
     df = _q(spark, sf_dir, "q_profile_tables")
     assert len(audit.read_schemas(df)) == 1
     assert audit.shuffle_count(df) <= 1
+
+
+def test_shard_plan_distributed_prefix_sum(spark, sf_dir):
+    """The running sum must come from __pid-partitioned windows (the
+    distributed prefix-sum operator), never a global one-partition
+    window."""
+    df = _q(spark, sf_dir, "p_shard_plan")
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "__pid" in spec, f"global window: {spec}"
+    assert not audit.has_cartesian(df)
+
+
+def test_bpe_pairs_expands_vocab_not_corpus(spark, sf_dir):
+    """Pair expansion happens after the (distinct word, count)
+    aggregate: bounded shuffles, no cartesian, text-only scan."""
+    df = _q(spark, sf_dir, "t_bpe_pairs")
+    assert audit.shuffle_count(df) <= 3
+    assert not audit.has_cartesian(df)
+    assert all("source" not in s and "lang" not in s
+               for s in audit.read_schemas(df))
