@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_tables": stats.q_profile_tables,
         "p_shard_plan": corpus.p_shard_plan,
         "t_bpe_pairs": corpus.t_bpe_pairs,
+        "q_active_users": timeseries.q_active_users,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_resample_ohlc",
     "q_gap_fill",
     "q_hypertable_rollup",
+    "q_active_users",
     "q_percentiles",
     "q_range_join",
     "q_session_overlap",

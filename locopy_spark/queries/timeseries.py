@@ -233,3 +233,84 @@ ORACLE: dict[str, str] = {
       ORDER BY g_day, g_hour, event_type, day_id, hour_ts
     """,
 }
+
+
+TRAIL_DAYS = 7
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users per day (DAU/WAU).
+
+    Sliding COUNT DISTINCT is the canonical hard-at-scale window: a
+    literal per-day distinct-over-trailing-range recomputes every day's
+    set 7 times. Instead: reduce to the distinct (day, user) grid
+    first (one shuffle, grid-sized), then each grid row CONTRIBUTES to
+    its 7 covering target days (bounded x7 row-local explode), dedupe,
+    count. Work scales with |grid| x window/granularity, independent
+    of raw event volume; no window function at all. The ramp days
+    before the data's start are clipped to the observed day range.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    grid = (
+        e.select(
+            F.expr(f"({ts_us}) div {US_PER_DAY}").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    bounds = grid.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    contrib = (
+        grid.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, day + {TRAIL_DAYS - 1})")
+            ).alias("t_day"),
+        )
+        .join(F.broadcast(bounds))
+        .filter((F.col("t_day") >= F.col("mn")) & (F.col("t_day") <= F.col("mx")))
+        .select("t_day", "user_id")
+        .distinct()
+    )
+    wau = contrib.groupBy("t_day").agg(
+        F.count(F.lit(1)).alias("n_active_7d")
+    )
+    dau = grid.groupBy(F.col("day").alias("t_day")).agg(
+        F.count(F.lit(1)).alias("n_active_1d")
+    )
+    return (
+        dau.join(wau, "t_day")
+        .select(
+            (F.col("t_day") * 86400).alias("day_ts"),
+            "n_active_1d",
+            "n_active_7d",
+        )
+        .orderBy("day_ts")
+    )
+
+
+ORACLE["q_active_users"] = f"""
+  WITH grid AS (
+    SELECT DISTINCT epoch_us(ts) // {US_PER_DAY} AS day, user_id
+    FROM events
+  ),
+  b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM grid),
+  contrib AS (
+    SELECT DISTINCT g.user_id,
+           g.day + UNNEST(generate_series(0, {TRAIL_DAYS - 1})) AS t_day
+    FROM grid g
+  ),
+  wau AS (
+    SELECT c.t_day, COUNT(*) AS n_active_7d
+    FROM contrib c, b
+    WHERE c.t_day >= b.mn AND c.t_day <= b.mx
+    GROUP BY c.t_day
+  ),
+  dau AS (
+    SELECT day AS t_day, COUNT(*) AS n_active_1d FROM grid GROUP BY day
+  )
+  SELECT d.t_day * 86400 AS day_ts, d.n_active_1d, w.n_active_7d
+  FROM dau d JOIN wau w ON d.t_day = w.t_day
+  ORDER BY day_ts
+"""

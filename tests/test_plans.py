@@ -325,3 +325,14 @@ def test_bpe_pairs_expands_vocab_not_corpus(spark, sf_dir):
     assert not audit.has_cartesian(df)
     assert all("source" not in s and "lang" not in s
                for s in audit.read_schemas(df))
+
+
+def test_active_users_no_window_grid_sized(spark, sf_dir):
+    """Sliding distinct must reduce to the (day,user) grid before the
+    x7 contribution explode — no window function, no cartesian."""
+    df = _q(spark, sf_dir, "q_active_users")
+    plan = audit.simple_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert not audit.has_cartesian(df)
+    assert all("props" not in s and "value" not in s
+               for s in audit.read_schemas(df))
