@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_gap_fill",
     "q_hypertable_rollup",
     "q_active_users",
+    "q_event_transitions",
     "q_percentiles",
     "q_range_join",
     "q_session_overlap",

@@ -488,3 +488,71 @@ ORACLE["q_trailing_window"] = f"""
                  AND CURRENT ROW)
   ORDER BY o_custkey, o_orderkey
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov pair counts):
+    for consecutive events of each user, count (from_type, to_type)
+    pairs and each from-type's transition probability.
+
+    One shuffle to the user key for the lag window (per-user sequences
+    are short and bounded), then a transition-matrix-sized groupBy.
+    The probability divides exact bigint counts in double — portable.
+    Ordering inside a user is (ts, event_id): event_id breaks
+    same-microsecond ties so the sequence is a total order.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.select("user_id", "event_id", "event_type", ts_us.alias("ts_us"))
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    from_tot = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(from_tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            (F.col("n_trans").cast("double") / F.col("n_from")).alias(
+                "p_trans"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE["q_event_transitions"] = """
+  WITH s AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS next_type
+    FROM events
+  ),
+  p AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_trans
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+  ),
+  t AS (
+    SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+    FROM p GROUP BY from_type
+  )
+  SELECT p.from_type, p.to_type, p.n_trans,
+         CAST(p.n_trans AS DOUBLE) / t.n_from AS p_trans
+  FROM p JOIN t ON p.from_type = t.from_type
+  ORDER BY p.from_type, p.to_type
+"""

@@ -301,3 +301,51 @@ def stream_cdc_apply(
         .queryName(f"cdc_apply_{state_view}")
         .start()
     )
+
+
+def stream_topk(
+    docs: DataFrame,
+    score_col,
+    k: int = 50,
+    state_view: str = "topk_state",
+):
+    """Continuously-maintained global top-K: keep the K highest-scoring
+    documents seen so far on the stream.
+
+    Per micro-batch: the batch reduces to ITS top-K first
+    (TakeOrderedAndProject — per-partition heads, no batch sort), then
+    merges with the K-row state and trims back to K. State and
+    per-batch shuffle are both O(K) regardless of stream volume; the
+    deterministic (score desc, doc_id) tiebreak makes the maintained
+    state order-insensitive, so it equals the batch top-K over the
+    same data (the test asserts it). Returns the started query; read
+    ``global_temp.<state_view>`` after stopping.
+    """
+    spark = docs.sparkSession
+
+    def top(df: DataFrame) -> DataFrame:
+        return df.orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        ).limit(k)
+
+    scored_schema = "doc_id long, score double"
+    empty = spark.createDataFrame([], scored_schema)
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        scored = batch_df.select(
+            "doc_id", score_col.alias("score")
+        )
+        state = s.table(f"global_temp.{state_view}")
+        merged = top(state.unionByName(top(scored))).localCheckpoint()
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"topk_{state_view}")
+        .start()
+    )

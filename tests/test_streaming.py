@@ -384,3 +384,39 @@ def test_stream_cdc_apply_matches_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(tuple(r) for r in q_cdc_apply(spark, sf_dir).collect())
     assert got and got == want
+
+
+def test_stream_topk_matches_batch(spark, sf_dir):
+    """O(K)-state top-K maintenance over the stream equals the batch
+    top-K over the same documents."""
+    from locopy_spark.streaming.jobs import read_document_stream
+    from locopy_spark.streaming.stateful import stream_topk
+
+    score = F.expr(
+        "CAST(size(filter(split(lower(trim(text)), '\\\\s+'),"
+        " t -> t IN ('the', 'and', 'is', 'to', 'of', 'a', 'in', 'that',"
+        " 'it', 'on', 'for'))) AS DOUBLE) / size(split(lower(trim(text)), '\\\\s+'))"
+    )
+    stream = read_document_stream(spark, sf_dir)
+    q = stream_topk(stream, score, k=25, state_view="topk_state_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        (r.doc_id, r.score)
+        for r in spark.table("global_temp.topk_state_t")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .collect()
+    ]
+    from locopy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = [
+        (r.doc_id, r.score)
+        for r in docs.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(25)
+        .collect()
+    ]
+    assert got and got == want
