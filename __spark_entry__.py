@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_pairs": corpus.t_bpe_pairs,
         "q_active_users": timeseries.q_active_users,
         "q_event_transitions": events_ext.q_event_transitions,
+        "q_first_touch": events_ext.q_first_touch,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

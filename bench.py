@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_percentiles",
     "q_range_join",
+    "q_first_touch",
     "q_session_overlap",
     "q_order_gaps",
     "q_stats_moments",

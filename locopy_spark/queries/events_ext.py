@@ -556,3 +556,78 @@ ORACLE["q_event_transitions"] = """
   FROM p JOIN t ON p.from_type = t.from_type
   ORDER BY p.from_type, p.to_type
 """
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for each purchase, the EARLIEST view or
+    click of the same user in the preceding 30 minutes (the as-of
+    family's dual — ``q_orders_asof_events`` carries the latest state
+    backward; marketing attribution wants the first toucher).
+
+    Same bucketed range join as ``q_range_join`` (equi-join on
+    (user, bucket), never an inequality nested loop); the winner per
+    purchase is one ``min_by`` over the unique (ts, id) candidate
+    ordering — a partial-aggregated groupBy, no per-purchase sort.
+    """
+    from locopy_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    points = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        ts_us.alias("p_us"),
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (ts_us - F.lit(ATTR_WINDOW_US)).alias("lo_us"),
+        ts_us.alias("hi_us"),
+    )
+    cands = range_join(
+        points,
+        intervals,
+        point_col="p_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bucket=ATTR_WINDOW_US,
+        keys=["user_id"],
+    )
+    return (
+        cands.groupBy("purchase_id")
+        .agg(
+            F.expr("min_by(touch_id, struct(p_us, touch_id))").alias(
+                "first_touch_id"
+            ),
+            F.expr("min_by(touch_type, struct(p_us, touch_id))").alias(
+                "first_touch_type"
+            ),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE["q_first_touch"] = f"""
+  WITH c AS (
+    SELECT p.event_id AS purchase_id,
+           x.event_id AS touch_id, x.event_type AS touch_type,
+           epoch_us(x.ts) AS p_us,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.event_id
+             ORDER BY epoch_us(x.ts), x.event_id
+           ) AS rn
+    FROM events p JOIN events x
+      ON p.event_type = 'purchase'
+     AND x.event_type IN ('view', 'click')
+     AND x.user_id = p.user_id
+     AND epoch_us(x.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
+     AND epoch_us(x.ts) < epoch_us(p.ts)
+  )
+  SELECT purchase_id,
+         MAX(CASE WHEN rn = 1 THEN touch_id END) AS first_touch_id,
+         MAX(CASE WHEN rn = 1 THEN touch_type END) AS first_touch_type,
+         COUNT(*) AS n_touches
+  FROM c GROUP BY purchase_id ORDER BY purchase_id
+"""

@@ -336,3 +336,13 @@ def test_active_users_no_window_grid_sized(spark, sf_dir):
     assert not audit.has_cartesian(df)
     assert all("props" not in s and "value" not in s
                for s in audit.read_schemas(df))
+
+
+def test_first_touch_bucketed_not_nested_loop(spark, sf_dir):
+    """Attribution candidates must come from the bucketed equi range
+    join + one min_by groupBy — no inequality nested loop, no
+    per-purchase sort window."""
+    df = _q(spark, sf_dir, "q_first_touch")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+    assert "windowspecdefinition" not in audit.simple_plan(df)
