@@ -92,12 +92,15 @@ def q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile summary of orders: per column, null count, exact
     distinct count, and typed min/max — the post-COPY validation scan.
 
-    One pass: a single global aggregate computes every column's
-    metrics (Catalyst plans the multi-column distinct via one Expand —
-    one shuffle of n×|cols| expanded rows), then a row-local ``stack``
-    reshapes wide→long. At 100 TB swap the exact ``count(distinct)``
-    for ``approx_count_distinct`` — same plan minus the Expand; kept
-    exact here so the profile hash-matches the oracle.
+    Two aggregates over one table: the multi-column exact distinct
+    runs ALONE (Catalyst's Expand + hash aggregate — mixing it with
+    min/max/first aggregates was measured to flip the whole plan to a
+    SortAggregate over the n×|cols| expanded rows, ~20x slower), the
+    null/min/max pass is a plain partial-aggregated scan, and the two
+    1-row results cross-join before a row-local ``stack`` reshape. At
+    100 TB swap the exact ``count(distinct)`` for
+    ``approx_count_distinct`` — one pass, no Expand; kept exact here
+    so the profile hash-matches the oracle.
     """
     o = load_table(spark, sf_dir, "orders")
     od_us = sql_epoch_us(o, "o_orderdate")
@@ -106,7 +109,6 @@ def q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         exprs.append(
             F.expr(f"COUNT(*) - COUNT({c})").alias(f"{c}__nulls")
         )
-        exprs.append(F.countDistinct(c).alias(f"{c}__nd"))
         if kind == "num":
             mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
         elif kind == "ts":
@@ -122,7 +124,11 @@ def q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             ms = xs = "CAST(NULL AS STRING)"
         exprs.append(F.expr(ms).alias(f"{c}__mns"))
         exprs.append(F.expr(xs).alias(f"{c}__mxs"))
-    wide = o.agg(F.count(F.lit(1)).alias("n_rows"), *exprs)
+    basic = o.agg(F.count(F.lit(1)).alias("n_rows"), *exprs)
+    nd = o.agg(
+        *[F.countDistinct(c).alias(f"{c}__nd") for c, _ in _PROFILE_COLS]
+    )
+    wide = basic.crossJoin(nd)
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__nd, {c}__mnn, {c}__mxn, {c}__mns, {c}__mxs"
         for c, _ in _PROFILE_COLS

@@ -296,12 +296,19 @@ def test_correlation_single_power_sum_shuffle(spark, sf_dir):
     assert "windowspecdefinition" not in audit.simple_plan(df)
 
 
-def test_profile_one_scan_one_shuffle(spark, sf_dir):
-    """The whole-table profile is one scan + one Expand-based
-    multi-distinct aggregate; the reshape to long is row-local."""
+def test_profile_two_scans_one_shuffle(spark, sf_dir):
+    """The whole-table profile is two pruned scans (null/min/max pass
+    + the Expand multi-distinct alone — mixing them degrades the whole
+    aggregate to a SortAggregate), one shuffle, a 1-row cross join,
+    and a row-local reshape."""
     df = _q(spark, sf_dir, "q_profile_tables")
-    assert len(audit.read_schemas(df)) == 1
+    assert len(audit.read_schemas(df)) == 2
     assert audit.shuffle_count(df) <= 1
+    # the distinct pass must keep its hash/object-hash Expand plan;
+    # only the string-min/max pass may sort-aggregate (n rows, no
+    # Expand blowup)
+    plan = audit.simple_plan(df)
+    assert "Expand" in plan
 
 
 def test_shard_plan_distributed_prefix_sum(spark, sf_dir):
