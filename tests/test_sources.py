@@ -281,3 +281,43 @@ def test_stage_transfer_callback(tmp_path):
     pp = ProgressPercentage(str(src))
     stage.download("payload.bin", str(tmp_path / "out"), callback=pp)
     assert pp._seen_so_far == src.stat().st_size
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered output files must be compact rectangles in BOTH key
+    dimensions — a plain sort clusters only its leading column — so
+    parquet min/max stats can prune files for filters on either key."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from locopy_spark.sources.layout import write_zordered
+    from locopy_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_z")
+    write_zordered(o, out, "o_custkey", "o_totalprice", n_files=16)
+
+    spans = []
+    for f in Path(out).glob("part-*.parquet"):
+        t = pq.read_table(f, columns=["o_custkey", "o_totalprice"])
+        ck = t.column("o_custkey").to_pylist()
+        tp = t.column("o_totalprice").to_pylist()
+        if len(ck) < 10:
+            continue
+        spans.append((max(ck) - min(ck), max(tp) - min(tp)))
+    assert len(spans) >= 8
+    row = o.agg(
+        F.max("o_custkey") - F.min("o_custkey"),
+        F.max("o_totalprice") - F.min("o_totalprice"),
+    ).first()
+    g_ck, g_tp = float(row[0]), float(row[1])
+    mean_ck = sum(s[0] for s in spans) / len(spans)
+    mean_tp = sum(s[1] for s in spans) / len(spans)
+    # each file must cover well under the full range in BOTH dims;
+    # a 1-D sort gives ~1/16 in one dim and ~1.0 in the other
+    assert mean_ck / g_ck < 0.6
+    assert mean_tp / g_tp < 0.6
+    # round-trip integrity
+    assert spark.read.parquet(out).count() == o.count()
