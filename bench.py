@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_hypertable_rollup",
     "q_active_users",
     "q_event_transitions",
+    "q_events_variant",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

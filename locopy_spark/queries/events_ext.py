@@ -631,3 +631,42 @@ ORACLE["q_first_touch"] = f"""
          COUNT(*) AS n_touches
   FROM c GROUP BY purchase_id ORDER BY purchase_id
 """
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop aggregation through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` extraction — the scale path for semi-structured
+    columns (parse once, extract many, no per-access string re-parse;
+    shredded storage on modern table formats). Distribution stats of
+    ``k`` per event type, exact integer math only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = "variant_get(parse_json(props), '$.k', 'long')"
+    return (
+        e.select("event_type", F.expr(k).alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.expr("CAST(SUM(k % 10) AS BIGINT)").alias("sum_last_digit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_events_variant"] = """
+  WITH b AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+  )
+  SELECT event_type,
+         COUNT(k) AS n_with_k,
+         MIN(k) AS min_k, MAX(k) AS max_k,
+         CAST(SUM(k) AS BIGINT) AS sum_k,
+         CAST(SUM(k % 10) AS BIGINT) AS sum_last_digit
+  FROM b GROUP BY event_type ORDER BY event_type
+"""
