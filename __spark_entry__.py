@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": events_ext.q_event_transitions,
         "q_first_touch": events_ext.q_first_touch,
         "q_events_variant": events_ext.q_events_variant,
+        "q_user_streaks": timeseries.q_user_streaks,
+        "q_rolling_corr": stats.q_rolling_corr,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_active_users",
     "q_event_transitions",
     "q_events_variant",
+    "q_user_streaks",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",
@@ -62,6 +63,7 @@ BENCH_QUERIES = [
     "q_order_gaps",
     "q_stats_moments",
     "q_correlation",
+    "q_rolling_corr",
     "q_profile_tables",
     "q_grouping_sets",
     "q_dow_revenue",

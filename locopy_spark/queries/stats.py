@@ -201,3 +201,102 @@ ORACLE: dict[str, str] = {
     """,
     "q_profile_tables": _profile_oracle(),
 }
+
+
+ROLL_DAYS = 30
+
+# windowed Pearson r over exact integer power sums; CASE guards the
+# zero-variance/short-window denominator identically on both engines
+_ROLL_CORR = (
+    "CASE WHEN ({n} >= 10) AND"
+    " ({n} * CAST({sx2} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE)) > 0 AND"
+    " ({n} * CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)) > 0"
+    " THEN ({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+    " / (sqrt({n} * CAST({sx2} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+    " * sqrt({n} * CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+    " ELSE NULL END"
+)
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLL_DAYS}-day rolling correlation between daily
+    revenue and daily quantity — the mergeable-moments scheme of
+    ``q_correlation`` pushed through a RANGE-frame window, so any
+    second-order rolling statistic comes from six windowed integer
+    sums over the DAILY series (one row per calendar day), never a
+    rescan of raw lineitem per day.
+
+    The daily power values multiply as DECIMAL(38) (Spark) / HUGEINT
+    (DuckDB) — both exact, so the double formula is bit-identical.
+    Windows under 10 days or with zero variance yield NULL.
+    """
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        l.groupBy(
+            F.expr(
+                "datediff(cast(l_shipdate as date), date'1970-01-01')"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount) + 0.5)"
+                    " as bigint)"
+                )
+            ).alias("x"),
+            F.sum(
+                F.expr("cast(floor(l_quantity + 0.5) as bigint)")
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rangeBetween(-(ROLL_DAYS - 1), 0)
+    # unpartitioned RANGE window over the DAILY table: one row per
+    # calendar day (bounded, thousands of rows for decades) — same
+    # justified shape as q_moving_avg
+    fmt = dict(n="n", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2")
+    return (
+        daily.select(
+            "day",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).over(w).alias("sx"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).over(w).alias("sy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).over(w).alias("sxy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(w).alias("sx2"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).over(w).alias("sy2"),
+        )
+        .select(
+            "day",
+            F.col("n").alias("n_days"),
+            F.expr(_ROLL_CORR.format(**fmt)).alias("roll_corr"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q_rolling_corr"] = f"""
+  WITH daily AS (
+    SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) + 0.5)
+               AS BIGINT)) AS x,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS y
+    FROM lineitem GROUP BY 1
+  ),
+  win AS (
+    SELECT day,
+           COUNT(*) OVER w AS n,
+           SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+           SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+           SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) OVER w AS sx2,
+           SUM(CAST(y AS HUGEINT) * y) OVER w AS sy2
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+  )
+  SELECT day, n AS n_days,
+         {_ROLL_CORR.format(n="n", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2")}
+           AS roll_corr
+  FROM win ORDER BY day
+"""

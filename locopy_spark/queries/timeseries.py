@@ -314,3 +314,67 @@ ORACLE["q_active_users"] = f"""
   FROM dau d JOIN wau w ON d.t_day = w.t_day
   ORDER BY day_ts
 """
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-
+    islands): reduce to the distinct (user, day) grid, then
+    ``day - row_number`` is constant within each consecutive run — a
+    groupBy on that constant measures every streak without self-joins
+    or recursion. Output: per-user longest streak + streak count,
+    restricted to users with >= 2 streak days.
+
+    The row_number window partitions by user (bounded small: days per
+    user <= calendar days), never over raw events; both shuffles are
+    grid-sized.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    grid = (
+        e.select(
+            "user_id", F.expr(f"({ts_us}) div {US_PER_DAY}").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        grid.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("len").alias("active_days"),
+        )
+        .filter(F.col("active_days") >= 2)
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q_user_streaks"] = f"""
+  WITH grid AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day
+    FROM events
+  ),
+  s AS (
+    SELECT user_id,
+           day - ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY day) AS grp
+    FROM grid
+  ),
+  runs AS (
+    SELECT user_id, grp, COUNT(*) AS len FROM s GROUP BY 1, 2
+  )
+  SELECT user_id,
+         CAST(MAX(len) AS BIGINT) AS longest_streak,
+         COUNT(*) AS n_streaks,
+         CAST(SUM(len) AS BIGINT) AS active_days
+  FROM runs GROUP BY user_id
+  HAVING CAST(SUM(len) AS BIGINT) >= 2
+  ORDER BY user_id
+"""

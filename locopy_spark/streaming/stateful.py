@@ -349,3 +349,62 @@ def stream_topk(
         .queryName(f"topk_{state_view}")
         .start()
     )
+
+
+def stream_profile(
+    docs: DataFrame,
+    state_view: str = "profile_state",
+):
+    """Continuously-maintained data profile of a document stream:
+    row/null counts and doc_id / n_chars min-max, merged additively
+    across micro-batches.
+
+    Every metric is a commutative monoid (sum, min, max), so each
+    batch contributes ONE pre-aggregated row and the merge is a 2-row
+    aggregate — the mergeable half of ``queries.stats
+    .q_profile_tables`` (exact distinct is deliberately absent: it
+    does not merge; production uses an HLL sketch column here). State
+    is one row forever; the test checks the streamed profile equals
+    the batch aggregate over the same data.
+    """
+    spark = docs.sparkSession
+    schema = (
+        "n_rows long, n_null_text long, min_doc_id long, max_doc_id long,"
+        " min_chars long, max_chars long"
+    )
+    empty = spark.createDataFrame([], schema)
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("COUNT(*) - COUNT(text)").alias("n_null_text"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(row)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_null_text").alias("n_null_text"),
+                F.min("min_doc_id").alias("min_doc_id"),
+                F.max("max_doc_id").alias("max_doc_id"),
+                F.min("min_chars").alias("min_chars"),
+                F.max("max_chars").alias("max_chars"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"profile_{state_view}")
+        .start()
+    )

@@ -353,3 +353,26 @@ def test_first_touch_bucketed_not_nested_loop(spark, sf_dir):
     assert not audit.has_cartesian(df)
     assert not audit.has_broadcast_nested_loop(df)
     assert "windowspecdefinition" not in audit.simple_plan(df)
+
+
+def test_user_streaks_grid_sized_windows(spark, sf_dir):
+    """Islands detection must run on the (user, day) grid with
+    user-partitioned windows — never an unpartitioned window or a
+    self-join."""
+    df = _q(spark, sf_dir, "q_user_streaks")
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "user_id" in spec
+    assert not audit.has_cartesian(df)
+
+
+def test_rolling_corr_daily_series_window(spark, sf_dir):
+    """The rolling moments window runs over the daily table (one row
+    per calendar day), after a partial-aggregated daily groupBy; raw
+    lineitem is scanned once."""
+    df = _q(spark, sf_dir, "q_rolling_corr")
+    assert len(audit.read_schemas(df)) == 1
+    assert audit.shuffle_count(df) <= 3  # daily agg + window sort + presentation
+    assert not audit.has_cartesian(df)

@@ -420,3 +420,29 @@ def test_stream_topk_matches_batch(spark, sf_dir):
         .collect()
     ]
     assert got and got == want
+
+
+def test_stream_profile_matches_batch(spark, sf_dir):
+    """The additively-merged streaming profile equals the batch
+    aggregate — every metric is a commutative monoid, so arrival
+    order and batching cannot change the result."""
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_document_stream
+    from locopy_spark.streaming.stateful import stream_profile
+
+    stream = read_document_stream(spark, sf_dir)
+    q = stream_profile(stream, state_view="profile_state_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("global_temp.profile_state_t").collect()
+    assert len(got) == 1
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("COUNT(*) - COUNT(text)").alias("n_null_text"),
+        F.min("doc_id"), F.max("doc_id"),
+        F.min("n_chars"), F.max("n_chars"),
+    ).collect()
+    assert tuple(got[0]) == tuple(want[0])
