@@ -112,3 +112,78 @@ def test_sql_splitter_plain_statements_roundtrip():
 
     stmts = ["SELECT 1", "SELECT 'a;b'", 'SELECT ";" AS q', "SELECT 2 -- c"]
     assert _split_sql_statements("; ".join(stmts)) == stmts
+
+
+@given(st.lists(st.integers(0, 65535), min_size=2, max_size=2))
+@settings(max_examples=300, deadline=None)
+def test_morton_interleave_roundtrip(xy):
+    """zorder_value must be a bijection: de-interleaving the Morton
+    key recovers both inputs exactly (pure-Python mirror of the
+    Catalyst expression)."""
+    x, y = xy
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    z = morton(x, y)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (rx, ry) == (x, y)
+
+
+def test_morton_catalyst_matches_python(spark):
+    """The Catalyst bit expression computes the same Morton keys as
+    the reference Python implementation."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.sources.layout import zorder_value
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1024, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+@given(
+    st.lists(st.sampled_from([f"k{i}" for i in range(40)]), min_size=20, max_size=300),
+    st.integers(4, 12),
+)
+@settings(max_examples=30, deadline=None)
+def test_mg_candidates_superset_property(tokens, k):
+    """Property: for ANY token stream and ANY capacity >= k, the
+    Misra-Gries truncation logic (pure-Python mirror of the
+    mapInPandas partition pass) keeps every item with count >= n/k."""
+    cap = k + 3
+    counts = {}
+    # mirror of operators/heavyhitters.py run(): merge then truncate
+    import collections
+    for chunk_start in range(0, len(tokens), 50):
+        chunk = tokens[chunk_start:chunk_start + 50]
+        for t, c in collections.Counter(chunk).items():
+            counts[t] = counts.get(t, 0) + c
+        if len(counts) > cap:
+            d = sorted(counts.values(), reverse=True)[cap]
+            counts = {t: v - d for t, v in counts.items() if v > d}
+    true = collections.Counter(tokens)
+    n = len(tokens)
+    for t, c in true.items():
+        if c * k >= n:
+            assert t in counts, (t, c, n, k)
