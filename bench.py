@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "t_heavy_hitters",
     "p_shard_plan",
     "t_bpe_pairs",
+    "d_span_overlap",
     "p_dedup_corpus",
     # d_semantic_dedup (gated) is excluded like the other all-pairs
     # verification baselines: its oracle side IS the quadratic

@@ -327,3 +327,82 @@ ORACLE["t_bpe_pairs"] = f"""
   SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ
   FROM p GROUP BY pair ORDER BY pair
 """
+
+
+SPAN_K = 5  # shingle width: targets shared spans of >= 5 tokens
+SPAN_P = 4  # keep fingerprints with hash % P == 0 (1/P sampling)
+SPAN_MIN_SHARED = 3  # pairs must share >= this many sampled fingerprints
+
+
+def d_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-shared-span near-dup detection via sampled content
+    fingerprints — the scalable stand-in for exact substring dedup
+    (suffix-array style): documents sharing ≥ {SPAN_MIN_SHARED}
+    sampled {SPAN_K}-gram fingerprints almost surely share long
+    copied spans.
+
+    The 0-mod-p selection keeps a deterministic 1/{SPAN_P} of each
+    doc's shingle hashes (both docs of a copied span keep the SAME
+    survivors — unlike random sampling), so the exploded fingerprint
+    table, the groupBy, and the bucket self-join all shrink by
+    {SPAN_P}x. Buckets are distinctive {SPAN_K}-grams, so candidate
+    buckets stay tiny (bucket-bounded equi-join, never all-pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_expr("tk", SPAN_K)
+    fps = (
+        docs.select(
+            "doc_id", F.expr(tokens_expr("text")).alias("tk")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform({sh}, s -> md5(s))")
+            ).alias("h"),
+        )
+        .filter(
+            F.expr(
+                f"CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"
+                f" % {SPAN_P} = 0"
+            )
+        )
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= SPAN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE["d_span_overlap"] = f"""
+  WITH toks AS (
+    SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+  ),
+  g AS (
+    SELECT doc_id,
+           UNNEST(list_transform({sql_shingles('tk', SPAN_K)},
+                                 s -> md5(s))) AS h
+    FROM toks
+  ),
+  s AS (
+    SELECT DISTINCT doc_id, h FROM g
+    WHERE CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {SPAN_P} = 0
+  )
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_shared
+  FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {SPAN_MIN_SHARED}
+  ORDER BY 1, 2
+"""

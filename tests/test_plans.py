@@ -376,3 +376,13 @@ def test_rolling_corr_daily_series_window(spark, sf_dir):
     assert len(audit.read_schemas(df)) == 1
     assert audit.shuffle_count(df) <= 3  # daily agg + window sort + presentation
     assert not audit.has_cartesian(df)
+
+
+def test_span_overlap_bucket_join_not_allpairs(spark, sf_dir):
+    """Span candidates come from the fingerprint-bucket equi-join —
+    no cartesian, no nested loop, text-only scans."""
+    df = _q(spark, sf_dir, "d_span_overlap")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+    assert all("source" not in s and "lang" not in s
+               for s in audit.read_schemas(df))
