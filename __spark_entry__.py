@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_streaks": timeseries.q_user_streaks,
         "q_rolling_corr": stats.q_rolling_corr,
         "d_span_overlap": corpus.d_span_overlap,
+        "q_mad": stats.q_mad,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q_stats_moments",
     "q_correlation",
     "q_rolling_corr",
+    "q_mad",
     "q_profile_tables",
     "q_grouping_sets",
     "q_dow_revenue",

@@ -300,3 +300,95 @@ ORACLE["q_rolling_corr"] = f"""
            AS roll_corr
   FROM win ORDER BY day
 """
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median absolute deviation of order value per priority —
+    the robust-statistics outlier scale, computed as two rank-select
+    medians (type-1 discrete: value at ceil(n/2)) over exact scaled
+    bigints, so every engine and parallelism agrees bit-for-bit.
+
+    Phase 1 medians broadcast back onto the rows (5 groups — at any
+    scale the median table is |groups|-sized); phase 2 repeats the
+    rank-select on |v - med|. Both windows partition by the group key,
+    bounding each per-key sort.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    base = o.select("o_orderpriority", v.alias("v"))
+
+    def rank_median(df, col, out):
+        wr = Window.partitionBy("o_orderpriority").orderBy(col)
+        wn = Window.partitionBy("o_orderpriority")
+        return (
+            df.withColumn("__rn", F.row_number().over(wr))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.max(
+                    F.expr(
+                        f"case when __rn = cast(ceil(0.5 * __n) as bigint)"
+                        f" then {col} end"
+                    )
+                ).alias(out),
+                F.count(F.lit(1)).alias("__cnt"),
+            )
+            .drop("__cnt")
+        )
+
+    med = rank_median(base, "v", "med_v")
+    dev = base.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", F.expr("abs(v - med_v)").alias("d")
+    )
+    mad = rank_median(dev, "d", "mad_v")
+    return (
+        med.join(mad, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.expr(f"CAST(med_v AS DOUBLE) / {SCALE}.0").alias("median_price"),
+            F.expr(f"CAST(mad_v AS DOUBLE) / {SCALE}.0").alias("mad_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q_mad"] = f"""
+  WITH b AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  r1 AS (
+    SELECT o_orderpriority, v,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM b
+  ),
+  med AS (
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS med_v
+    FROM r1 GROUP BY 1
+  ),
+  d AS (
+    SELECT b.o_orderpriority, ABS(b.v - m.med_v) AS d
+    FROM b JOIN med m ON b.o_orderpriority = m.o_orderpriority
+  ),
+  r2 AS (
+    SELECT o_orderpriority, d,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY d) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM d
+  ),
+  mad AS (
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN d END) AS mad_v
+    FROM r2 GROUP BY 1
+  )
+  SELECT m.o_orderpriority,
+         CAST(m.med_v AS DOUBLE) / {SCALE}.0 AS median_price,
+         CAST(a.mad_v AS DOUBLE) / {SCALE}.0 AS mad_price
+  FROM med m JOIN mad a ON m.o_orderpriority = a.o_orderpriority
+  ORDER BY 1
+"""

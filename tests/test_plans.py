@@ -386,3 +386,16 @@ def test_span_overlap_bucket_join_not_allpairs(spark, sf_dir):
     assert not audit.has_broadcast_nested_loop(df)
     assert all("source" not in s and "lang" not in s
                for s in audit.read_schemas(df))
+
+
+def test_mad_grouped_windows_only(spark, sf_dir):
+    """Both rank-select phases must window on the group key (bounded
+    per-key sorts), with the |groups|-sized median table broadcast."""
+    df = _q(spark, sf_dir, "q_mad")
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "o_orderpriority" in spec
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
