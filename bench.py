@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "d_hash_split",
     "d_incr_dedup",
     "s_knn_bruteforce",
+    "d_knn_classify",
     "s_knn_lsh",
     "s_knn_ivf",
     "s_knn_int8",

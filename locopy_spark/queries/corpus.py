@@ -406,3 +406,101 @@ ORACLE["d_span_overlap"] = f"""
   HAVING COUNT(*) >= {SPAN_MIN_SHARED}
   ORDER BY 1, 2
 """
+
+
+CLS_QUERY_IDS = list(range(10))
+CLS_K = 5
+
+
+def d_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: classify query vectors by the majority
+    label of their 5 exact cosine neighbors — the eval-side companion
+    of the ANN family (auto-labeling / label-noise detection in
+    embedding space).
+
+    Reuses the fixed-point brute-force kNN (broadcast query side, one
+    top-k window); the vote is two tiny aggregates over q×k rows.
+    Ties break deterministically: vote count desc, best (lowest)
+    neighbor rank asc, label asc.
+    """
+    from locopy_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nbrs = knn_bruteforce(emb, query_ids=CLS_QUERY_IDS, k=CLS_K)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nbrs.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("rk").alias("best_rk"),
+        )
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.expr(
+            "max_by(n_label, struct(cnt, -best_rk, -n_label))"
+        ).alias("pred_label"),
+        F.max("cnt").alias("n_votes"),
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select("query_id", "true_label", "pred_label", "n_votes")
+        .orderBy("query_id")
+    )
+
+
+def _oracle_knn_classify() -> str:
+    from locopy_spark.functions.vectors import cosine_from_fixed, sql_fixed_dot
+
+    cos = cosine_from_fixed("dot_fix", "na", "nb")
+    ids = ", ".join(str(i) for i in CLS_QUERY_IDS)
+    return f"""
+      WITH e AS (
+        SELECT vec_id, embedding, label,
+               {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               n.label AS n_label,
+               {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix,
+               q.norm_fix AS na, n.norm_fix AS nb
+        FROM e q JOIN e n ON q.vec_id != n.vec_id
+        WHERE q.vec_id IN ({ids})
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, n_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {cos} DESC, neighbor_id ASC
+               ) AS rk
+        FROM scored
+      ),
+      votes AS (
+        SELECT query_id, n_label, COUNT(*) AS cnt, MIN(rk) AS best_rk
+        FROM ranked WHERE rk <= {CLS_K}
+        GROUP BY 1, 2
+      ),
+      win AS (
+        SELECT query_id, n_label AS pred_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cnt DESC, best_rk ASC, n_label ASC
+               ) AS vrk,
+               MAX(cnt) OVER (PARTITION BY query_id) AS n_votes
+        FROM votes
+      )
+      SELECT w.query_id, e.label AS true_label, w.pred_label,
+             CAST(w.n_votes AS BIGINT) AS n_votes
+      FROM win w JOIN e ON w.query_id = e.vec_id
+      WHERE w.vrk = 1
+      ORDER BY w.query_id
+    """
+
+
+ORACLE["d_knn_classify"] = _oracle_knn_classify()

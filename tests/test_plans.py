@@ -399,3 +399,11 @@ def test_mad_grouped_windows_only(spark, sf_dir):
         assert "o_orderpriority" in spec
     assert audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
+
+
+def test_knn_classify_broadcast_votes(spark, sf_dir):
+    """Scoring must broadcast the 10-query side (one NL pass over the
+    corpus), with vote aggregation over q*k rows only."""
+    df = _q(spark, sf_dir, "d_knn_classify")
+    assert audit.has_broadcast_nested_loop(df) or audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
