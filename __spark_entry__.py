@@ -38,17 +38,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the window rotates each round.  Round 3 re-proved the
     LLM-pipeline + events + IO families; round 4 leads with the 9
     queries fixed this round (TIMESTAMP_NTZ sweep + oracle typing),
-    the 19 round-4 additions (none ever driver-checked), then the
-    entries whose last driver check was round 1 (TPC-H, windows,
-    ETL).  The tail of that r01 block from q18_large_orders onward
-    (positions 51+: q18/q19/q20/q21/q22, q_topk_per_group,
-    q_mktseg_pivot, q_rollup_sales, q_distinct_counts,
-    q_running_total, q_moving_avg, q_cube_returns, q_except_customers,
-    q_stats_moments, q_value_deciles, q_grouping_sets,
-    q_intersect_customers, q_dow_revenue, q_hash_sample,
-    q_unpivot_metrics, q_key_skew) sits just outside the window —
-    lead round 5 with them; all pass the repo's own full DuckDB gate
-    (tools/check_correctness.py, 114/114 green) today.  The
+    then the 27 round-4 additions (none ever driver-checked), then
+    the entries whose last driver check was round 1 (TPC-H, windows,
+    ETL) — the window cutoff lands at q9_product_profit.  The r01
+    tail from q10_returned_items onward (q10-q22, q_topk_per_group
+    through q_key_skew) sits just outside the window — lead round 5
+    with it; all of it passes the repo's own full DuckDB gate
+    (tools/check_correctness.py, 122/122 green) today.  The
     round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
