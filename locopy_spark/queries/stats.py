@@ -392,3 +392,84 @@ ORACLE["q_mad"] = f"""
   FROM med m JOIN mad a ON m.o_orderpriority = a.o_orderpriority
   ORDER BY 1
 """
+
+
+def orphans(label, child, ckey, parent, pkey, bcast):
+    """1-row orphan count for one FK edge: child keys with no parent
+    (left-anti join; parent key set broadcast when dimension-sized)."""
+    pk = parent.select(F.col(pkey).alias(ckey)).distinct()
+    if bcast:
+        pk = F.broadcast(pk)
+    return child.select(ckey).join(pk, ckey, "left_anti").agg(
+        F.lit(label).alias("check_name"),
+        F.count(F.lit(1)).alias("n_bad"),
+    )
+
+
+def dup_pk(label, table, key):
+    """1-row count of rows participating in duplicated primary keys."""
+    return (
+        table.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.lit(label).alias("check_name"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_bad"),
+        )
+    )
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load referential-integrity audit: orphan counts for each
+    foreign-key edge of the star schema plus primary-key duplicate
+    counts — the validation suite a warehouse runs after COPY.
+
+    Every check is a left-anti join (orphans) or a groupBy-HAVING
+    (duplicate keys) — partial-aggregated, broadcast where the parent
+    side is dimension-sized; the per-check 1-row results union into
+    one small report. At 100 TB each check stays a single scan of the
+    child table with the parent key set broadcast (dims) or
+    co-shuffled (orders).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    checks = [
+        orphans("lineitem_orphan_orderkey", l, "l_orderkey", o, "o_orderkey", False),
+        orphans("orders_orphan_custkey", o, "o_custkey", c, "c_custkey", True),
+        orphans("customer_orphan_nationkey", c, "c_nationkey", n, "n_nationkey", True),
+        dup_pk("orders_dup_orderkey", o, "o_orderkey"),
+        dup_pk("customer_dup_custkey", c, "c_custkey"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.orderBy("check_name")
+
+
+ORACLE["q_fk_integrity"] = """
+  SELECT * FROM (
+    SELECT 'lineitem_orphan_orderkey' AS check_name, COUNT(*) AS n_bad
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey', COUNT(*)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_orphan_nationkey', COUNT(*)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           COALESCE(SUM(cnt), 0)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'customer_dup_custkey',
+           COALESCE(SUM(cnt), 0)
+    FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey
+          HAVING COUNT(*) > 1)
+  ) ORDER BY check_name
+"""

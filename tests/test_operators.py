@@ -647,3 +647,23 @@ def test_mg_capacity_validation():
 
     with _pytest.raises(ValueError):
         exact_heavy_hitters(None, "g", k=10, capacity=5)
+
+
+def test_fk_integrity_detects_planted_violations(spark):
+    """The audit helpers must count planted orphans and duplicate
+    keys exactly (the sf data is clean, so the gate only proves the
+    all-zero path)."""
+    from locopy_spark.queries.stats import dup_pk, orphans
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (100,)], "fk long"
+    )
+    r = orphans("o", child, "fk", parent, "pk", True).collect()[0]
+    assert (r.check_name, r.n_bad) == ("o", 2)
+    dup = spark.createDataFrame([(1,), (1,), (1,), (2,)], "pk long")
+    r = dup_pk("d", dup, "pk").collect()[0]
+    assert (r.check_name, r.n_bad) == ("d", 3)
+    clean = spark.createDataFrame([(1,), (2,)], "pk long")
+    r = dup_pk("c", clean, "pk").collect()[0]
+    assert (r.check_name, r.n_bad) == ("c", 0)
