@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad": stats.q_mad,
         "d_knn_classify": corpus.d_knn_classify,
         "q_fk_integrity": stats.q_fk_integrity,
+        "q_skyline": tpch_ext.q_skyline,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q_rolling_corr",
     "q_mad",
     "q_fk_integrity",
+    "q_skyline",
     "q_profile_tables",
     "q_grouping_sets",
     "q_dow_revenue",

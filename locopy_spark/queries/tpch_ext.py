@@ -335,7 +335,14 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily revenue — windows over exact
-    scaled sums so every engine agrees bit-for-bit."""
+    scaled sums so every engine agrees bit-for-bit.
+
+    The frame window is deliberately unpartitioned (it emits Spark's
+    single-partition warning): it runs over the DAILY aggregate — one
+    row per calendar day, a few thousand rows even for decades of 100
+    TB data — never over raw lineitem. The heavy lifting is the
+    partial-aggregated daily groupBy; a keyed series would use the
+    per-key window of ``q_trailing_window`` instead."""
     l = load_table(spark, sf_dir, "lineitem")
     daily = (
         l.groupBy(F.col("l_shipdate").cast("date").alias("day"))
@@ -1138,3 +1145,85 @@ ORACLE.update(
         """,
     }
 )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of orders per priority: orders not
+    dominated on (totalprice, orderdate) — no other order of the same
+    priority has BOTH a >= price and a >= date with one strict. The
+    classic multi-criteria shortlist (research literature: Borzsony
+    et al., ICDE'01), expressed without a quadratic self-join.
+
+    Sort-scan formulation: reduce to per-(priority, price) max date
+    (dominated-within-price rows fall out), then one cummax window
+    over the per-price rows in descending price order — a row
+    survives iff its date strictly exceeds every higher-price date.
+    Work: one partial-aggregated groupBy + a window over DISTINCT
+    prices per priority (bounded far below row count), then a
+    semi-join back to emit the surviving rows.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    d = F.expr(
+        "datediff(cast(o_orderdate as date), date'1970-01-01')"
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        v.alias("price_fix"),
+        d.alias("day"),
+    )
+    pp = base.groupBy("o_orderpriority", "price_fix").agg(
+        F.max("day").alias("max_day")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("price_fix"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        pp.withColumn("hi_day", F.max("max_day").over(w))
+        .filter(F.col("hi_day").isNull() | (F.col("max_day") > F.col("hi_day")))
+        .select("o_orderpriority", "price_fix", F.col("max_day").alias("day"))
+    )
+    return (
+        base.join(frontier, ["o_orderpriority", "price_fix", "day"])
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.expr(f"CAST(price_fix AS DOUBLE) / {SCALE}.0").alias("price"),
+            "day",
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+ORACLE["q_skyline"] = f"""
+  WITH b AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS price_fix,
+           CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+    FROM orders
+  ),
+  pp AS (
+    SELECT o_orderpriority, price_fix, MAX(day) AS max_day
+    FROM b GROUP BY 1, 2
+  ),
+  f AS (
+    SELECT o_orderpriority, price_fix, max_day AS day,
+           MAX(max_day) OVER (
+             PARTITION BY o_orderpriority ORDER BY price_fix DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS hi_day
+    FROM pp
+  )
+  SELECT b.o_orderpriority, b.o_orderkey,
+         CAST(b.price_fix AS DOUBLE) / {SCALE}.0 AS price, b.day
+  FROM b JOIN f
+    ON b.o_orderpriority = f.o_orderpriority
+   AND b.price_fix = f.price_fix AND b.day = f.day
+  WHERE f.hi_day IS NULL OR f.day > f.hi_day
+  ORDER BY b.o_orderpriority, b.o_orderkey
+"""

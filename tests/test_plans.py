@@ -407,3 +407,16 @@ def test_knn_classify_broadcast_votes(spark, sf_dir):
     df = _q(spark, sf_dir, "d_knn_classify")
     assert audit.has_broadcast_nested_loop(df) or audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """The Pareto frontier must come from the sort-scan formulation:
+    one groupBy + a per-priority window over distinct prices + a
+    semi-join back — never a quadratic dominance self-join (which
+    would show as a cartesian / nested loop)."""
+    df = _q(spark, sf_dir, "q_skyline")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs and all("o_orderpriority" in s for s in specs)
