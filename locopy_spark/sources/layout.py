@@ -107,3 +107,52 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Compact a small-file parquet directory into ~``target_mb``
+    files — the OPTIMIZE/compaction maintenance job every streaming
+    sink needs (each micro-batch writes a file; a day of 1-minute
+    batches is 1440 tiny files whose open/footer overhead dominates
+    scans at 100 TB).
+
+    Sizes the output from the CURRENT on-disk bytes (no sampling),
+    optionally re-sorts on ``sort_col`` to restore clustering, writes
+    to a staging directory, then atomically swaps it in. Returns the
+    output file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.coalesce(n_out)
+    staging = path.rstrip("/") + ".__compact_tmp"
+    df.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )

@@ -321,3 +321,25 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert mean_tp / g_tp < 0.6
     # round-trip integrity
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """20 micro-batch-sized files compact to a handful, preserving
+    every row; the original directory is atomically replaced."""
+    from pathlib import Path
+
+    from locopy_spark.sources.layout import compact_parquet
+    from locopy_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_small")
+    o.repartition(20).write.parquet(path)
+    n_before = len(list(Path(path).glob("part-*.parquet")))
+    assert n_before >= 15
+    total = o.count()
+    n_after = compact_parquet(spark, path, target_mb=128, sort_col="o_orderkey")
+    assert n_after < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    assert not Path(path + ".__compact_tmp").exists()
+    assert not Path(path + ".__compact_old").exists()
