@@ -305,7 +305,7 @@ ORACLE["p_shard_plan"] = f"""
     FROM d
   ),
   t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot FROM d)
-  SELECT (r.prefix_toks * {N_SHARDS}) // t.tot AS shard,
+  SELECT CAST((r.prefix_toks * {N_SHARDS}) // t.tot AS BIGINT) AS shard,
          COUNT(*) AS n_docs,
          CAST(SUM(r.n_toks) AS BIGINT) AS shard_tokens
   FROM r, t

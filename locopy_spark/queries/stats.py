@@ -463,12 +463,12 @@ ORACLE["q_fk_integrity"] = """
       SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
     UNION ALL
     SELECT 'orders_dup_orderkey',
-           COALESCE(SUM(cnt), 0)
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
     FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
           HAVING COUNT(*) > 1)
     UNION ALL
     SELECT 'customer_dup_custkey',
-           COALESCE(SUM(cnt), 0)
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
     FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey
           HAVING COUNT(*) > 1)
   ) ORDER BY check_name
