@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_knn_classify": corpus.d_knn_classify,
         "q_fk_integrity": stats.q_fk_integrity,
         "q_skyline": tpch_ext.q_skyline,
+        "q_time_weighted_avg": timeseries.q_time_weighted_avg,
+        "q_decay_score": timeseries.q_decay_score,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

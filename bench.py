@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",
+    "q_time_weighted_avg",
+    "q_decay_score",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -378,3 +378,142 @@ ORACLE["q_user_streaks"] = f"""
   HAVING CAST(SUM(len) AS BIGINT) >= 2
   ORDER BY user_id
 """
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type (TWAP): the
+    integral of the last-observation step function divided by the
+    covered duration — the correct mean for IRREGULARLY sampled
+    series, where the plain AVG over-weights bursts.
+
+    Each observation carries its value for the interval until the
+    next one (lead window on the type key); the integral is an exact
+    bigint sum of value_fix x gap_us, divided once at the end. One
+    window shuffle on the series key + one aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    stepped = (
+        e.select(
+            "event_type",
+            "event_id",
+            F.expr(f"({ts_us})").alias("ts_us"),
+            F.expr(
+                f"cast(floor(value * {SCALE} + 0.5) as bigint)"
+            ).alias("v_fix"),
+        )
+        .withColumn("next_us", F.lead("ts_us").over(w))
+        .filter(F.col("next_us").isNotNull())
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.expr("cast(v_fix as decimal(38,0)) * (next_us - ts_us)")
+            ).alias("integral_fix"),
+            F.sum(F.expr("next_us - ts_us")).alias("span_us"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            F.expr(
+                f"CAST(integral_fix AS DOUBLE) / span_us / {SCALE}.0"
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user: each event
+    contributes ``value / 2^age_days`` (half-life = 1 day, measured
+    from the corpus's max timestamp).
+
+    Unlike exp()-based decay (libm-dependent, engine-divergent),
+    powers of two are EXACT in IEEE doubles and age_days is a bounded
+    integer — so the per-row weight is bit-identical everywhere and
+    the sum runs over exact scaled integers: value_fix x 2^(max_age -
+    age) sums in DECIMAL(38), one final division by 2^max_age. Top-20
+    users by score, deterministic id tiebreak.
+
+    Range constraint: the integer weights hold while the corpus time
+    span stays under ~90 half-lives (2^90 < 10^38); beyond that,
+    clamp ages at ~50 half-lives first — contributions past 50
+    doublings are below one ulp of any realistic sum anyway.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = sql_epoch_us(e, "ts")
+    base = e.select(
+        "user_id",
+        F.expr(f"({ts_us}) div {US_PER_DAY}").alias("day"),
+        F.expr(f"cast(floor(value * {SCALE} + 0.5) as bigint)").alias(
+            "v_fix"
+        ),
+    )
+    bounds = base.agg(
+        F.max("day").alias("mx"), F.min("day").alias("mn")
+    )
+    scored = base.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.expr(
+            "cast(v_fix as decimal(38,0))"
+            " * cast(pow(2, (mx - mn) - (mx - day)) as decimal(38,0))"
+        ).alias("w_fix"),
+        (F.col("mx") - F.col("mn")).alias("max_age"),
+    )
+    return (
+        scored.groupBy("user_id", "max_age")
+        .agg(F.sum("w_fix").alias("s_fix"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                f"CAST(s_fix AS DOUBLE) / pow(2, max_age) / {SCALE}.0"
+            ).alias("decay_score"),
+        )
+        .orderBy(F.desc("decay_score"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE["q_time_weighted_avg"] = f"""
+  WITH s AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT) AS v_fix,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+           ) AS next_us
+    FROM events
+  )
+  SELECT event_type, COUNT(*) AS n_intervals,
+         CAST(SUM(CAST(v_fix AS HUGEINT) * (next_us - ts_us)) AS DOUBLE)
+           / CAST(SUM(next_us - ts_us) AS BIGINT) / {SCALE}.0 AS twap
+  FROM s WHERE next_us IS NOT NULL
+  GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["q_decay_score"] = f"""
+  WITH b AS (
+    SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day,
+           CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT) AS v_fix
+    FROM events
+  ),
+  bd AS (SELECT MAX(day) AS mx, MIN(day) AS mn FROM b),
+  s AS (
+    SELECT b.user_id,
+           CAST(b.v_fix AS HUGEINT)
+             * CAST(POW(2, (bd.mx - bd.mn) - (bd.mx - b.day)) AS HUGEINT)
+             AS w_fix,
+           bd.mx - bd.mn AS max_age
+    FROM b, bd
+  )
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(w_fix) AS DOUBLE) / POW(2, max_age) / {SCALE}.0
+           AS decay_score
+  FROM s GROUP BY user_id, max_age
+  ORDER BY decay_score DESC, user_id LIMIT 20
+"""

@@ -420,3 +420,14 @@ def test_skyline_no_self_join(spark, sf_dir):
     plan = audit.simple_plan(df)
     specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
     assert specs and all("o_orderpriority" in s for s in specs)
+
+
+def test_twap_single_series_window(spark, sf_dir):
+    """TWAP = one lead window on the series key + one aggregate; no
+    cartesian, value/props pruned to the used columns."""
+    df = _q(spark, sf_dir, "q_time_weighted_avg")
+    assert audit.shuffle_count(df) <= 3
+    assert not audit.has_cartesian(df)
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs and all("event_type" in s for s in specs)
