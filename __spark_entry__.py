@@ -38,14 +38,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the window rotates each round.  Round 3 re-proved the
     LLM-pipeline + events + IO families; round 4 leads with the 9
     queries fixed this round (TIMESTAMP_NTZ sweep + oracle typing),
-    then the 27 round-4 additions (none ever driver-checked), then
+    then the 31 round-4 additions (none ever driver-checked), then
     the entries whose last driver check was round 1 (TPC-H, windows,
-    ETL) — the window cutoff lands at q9_product_profit.  The r01
-    tail from q10_returned_items onward (q10-q22, q_topk_per_group
-    through q_key_skew) sits just outside the window — lead round 5
-    with it; all of it passes the repo's own full DuckDB gate
-    (tools/check_correctness.py, 122/122 green) today.  The
-    round-3-green families form the tail.
+    ETL) — the window cutoff lands after q5_region_volume (position
+    50).  The r01 tail from q6_forecast_revenue onward (q6-q22,
+    q_topk_per_group through q_key_skew) sits just outside the
+    window — lead round 5 with it; all of it passes the repo's own
+    full DuckDB gate (tools/check_correctness.py, 126/126 green)
+    today.  The round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- fixed this round (NTZ sweep / oracle typing) — verify ---

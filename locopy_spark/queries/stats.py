@@ -332,10 +332,8 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"case when __rn = cast(ceil(0.5 * __n) as bigint)"
                         f" then {col} end"
                     )
-                ).alias(out),
-                F.count(F.lit(1)).alias("__cnt"),
+                ).alias(out)
             )
-            .drop("__cnt")
         )
 
     med = rank_median(base, "v", "med_v")

@@ -157,10 +157,6 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _epoch_us_duck(expr: str = "ts") -> str:
-    return f"epoch_us({expr})"
-
-
 ORACLE: dict[str, str] = {
     "q_resample_ohlc": f"""
       WITH b AS (
@@ -279,12 +275,19 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = grid.groupBy(F.col("day").alias("t_day")).agg(
         F.count(F.lit(1)).alias("n_active_1d")
     )
+    # full in-range day spine: a day with zero same-day actives must
+    # still appear (n_active_1d = 0), not silently vanish from the
+    # series — inner-joining the observed days would drop it
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx)")).alias("t_day")
+    )
     return (
-        dau.join(wau, "t_day")
+        spine.join(dau, "t_day", "left")
+        .join(wau, "t_day", "left")
         .select(
             (F.col("t_day") * 86400).alias("day_ts"),
-            "n_active_1d",
-            "n_active_7d",
+            F.coalesce("n_active_1d", F.lit(0)).alias("n_active_1d"),
+            F.coalesce("n_active_7d", F.lit(0)).alias("n_active_7d"),
         )
         .orderBy("day_ts")
     )
@@ -310,8 +313,16 @@ ORACLE["q_active_users"] = f"""
   dau AS (
     SELECT day AS t_day, COUNT(*) AS n_active_1d FROM grid GROUP BY day
   )
-  SELECT d.t_day * 86400 AS day_ts, d.n_active_1d, w.n_active_7d
-  FROM dau d JOIN wau w ON d.t_day = w.t_day
+  ,
+  spine AS (
+    SELECT UNNEST(generate_series(mn, mx)) AS t_day FROM b
+  )
+  SELECT s.t_day * 86400 AS day_ts,
+         COALESCE(d.n_active_1d, 0) AS n_active_1d,
+         COALESCE(w.n_active_7d, 0) AS n_active_7d
+  FROM spine s
+  LEFT JOIN dau d ON s.t_day = d.t_day
+  LEFT JOIN wau w ON s.t_day = w.t_day
   ORDER BY day_ts
 """
 
@@ -328,8 +339,6 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     user <= calendar days), never over raw events; both shuffles are
     grid-sized.
     """
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     ts_us = sql_epoch_us(e, "ts")
     grid = (
@@ -338,7 +347,7 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("user_id").orderBy("day")
+    w = W.partitionBy("user_id").orderBy("day")
     streaks = (
         grid.withColumn("grp", F.col("day") - F.row_number().over(w))
         .groupBy("user_id", "grp")
@@ -391,11 +400,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint sum of value_fix x gap_us, divided once at the end. One
     window shuffle on the series key + one aggregate.
     """
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     ts_us = sql_epoch_us(e, "ts")
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    w = W.partitionBy("event_type").orderBy("ts_us", "event_id")
     stepped = (
         e.select(
             "event_type",

@@ -26,7 +26,13 @@ DEFAULT_BITS = 16
 
 
 def _scaled(col: str, lo: Column, hi: Column, bits: int) -> Column:
-    """Min-max scale a numeric column to [0, 2^bits) as a long."""
+    """Min-max scale a numeric column to [0, 2^bits) as a long.
+
+    NULL key values land in bucket 0 (greatest/least skip NULL
+    arguments), co-located with the genuine minimum — acceptable for a
+    layout key, but filter NULLs first if they are a large fraction
+    (they would skew one output file and dull pruning on the other
+    dimension)."""
     span = hi - lo
     unit = (F.col(col).cast("double") - lo) / F.when(span > 0, span).otherwise(
         F.lit(1.0)
@@ -123,13 +129,27 @@ def compact_parquet(
 
     Sizes the output from the CURRENT on-disk bytes (no sampling),
     optionally re-sorts on ``sort_col`` to restore clustering, writes
-    to a staging directory, then atomically swaps it in. Returns the
-    output file count.
+    to a staging directory, then swaps it in with two ``os.rename``
+    calls. The swap is crash-RECOVERABLE, not atomic (no portable
+    atomic directory replace exists outside a table format): each
+    rename is atomic, stale ``.__compact_tmp``/``.__compact_old``
+    leftovers from a crashed prior run are cleared up front, and a
+    crash between the two renames leaves the complete old data intact
+    at ``.__compact_old`` (recover by renaming it back). On a real
+    deployment this job runs under a table format's transactional
+    commit instead. Returns the output file count.
     """
     import math
     import os
     import shutil
 
+    staging = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    # clear leftovers from a crashed prior run: a pre-existing `old`
+    # directory would otherwise swallow the rename (move-into-dir)
+    for leftover in (staging, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -144,11 +164,9 @@ def compact_parquet(
         )
     else:
         df = df.coalesce(n_out)
-    staging = path.rstrip("/") + ".__compact_tmp"
     df.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + ".__compact_old"
-    shutil.move(path, old)
-    shutil.move(staging, path)
+    os.rename(path, old)
+    os.rename(staging, path)
     shutil.rmtree(old)
     return sum(
         1

@@ -242,22 +242,28 @@ def stream_cdc_apply(
     over the BATCH, which is delta-sized), discards changes stale
     versus the state's applied sequence (so out-of-order batches
     cannot regress a key), then merges: anti-join keeps untouched
-    state rows, 'D' drops the key, 'I'/'U' replaces-or-inserts. The
+    state rows, 'D' TOMBSTONES the key (payload nulled, ``__deleted``
+    true, ``__seq`` retained — dropping the row entirely would forget
+    the applied sequence and let a later-arriving STALE pre-delete
+    change resurrect the key), 'I'/'U' replaces-or-inserts. The
     snapshot-sized side is only ever touched by the broadcast anti
     join — per batch the work is O(delta), never O(snapshot), which is
     what lets a 100 TB dimension follow a Kafka changelog in
     production (there, the merge lands as a transactional MERGE INTO
-    on Delta/Iceberg; the global temp view keeps the same engine-side
-    semantics testable). Returns the started query; read
-    ``global_temp.<state_view>`` (payload columns + ``__seq``) after
-    stopping.
+    on Delta/Iceberg, with the same tombstone-retention need; a
+    periodic sweep can expire tombstones older than the maximum
+    out-of-order horizon). Returns the started query; read
+    ``global_temp.<state_view>`` filtered to ``NOT __deleted`` for the
+    live rows (payload columns + ``__seq`` + ``__deleted``).
     """
     from pyspark.sql import Window
 
     spark = changes.sparkSession
     cols = snapshot.columns
     base = snapshot.select(
-        "*", F.lit(0).cast("long").alias("__seq")
+        "*",
+        F.lit(0).cast("long").alias("__seq"),
+        F.lit(False).alias("__deleted"),
     ).localCheckpoint()
     base.createOrReplaceGlobalTempView(state_view)
 
@@ -289,9 +295,19 @@ def stream_cdc_apply(
         kept = state.join(
             F.broadcast(fresh.select(key)), key, "left_anti"
         )
-        upserts = fresh.filter(F.col(op_col) != "D").select(
-            *cols, F.col(seq_col).cast("long").alias("__seq")
-        )
+        payload = [c for c in cols if c != key]
+        types = dict(snapshot.dtypes)
+        upserts = fresh.select(
+            key,
+            *[
+                F.when(
+                    F.col(op_col) != "D", F.col(c)
+                ).otherwise(F.lit(None).cast(types[c])).alias(c)
+                for c in payload
+            ],
+            F.col(seq_col).cast("long").alias("__seq"),
+            (F.col(op_col) == "D").alias("__deleted"),
+        ).select(*cols, "__seq", "__deleted")
         merged = kept.unionByName(upserts).localCheckpoint()
         merged.createOrReplaceGlobalTempView(state_view)
 

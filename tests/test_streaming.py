@@ -380,7 +380,10 @@ def test_stream_cdc_apply_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     got = sorted(
         tuple(r) for r in
-        spark.table("global_temp.cdc_state_t").drop("__seq").collect()
+        spark.table("global_temp.cdc_state_t")
+        .filter(~F.col("__deleted"))
+        .drop("__seq", "__deleted")
+        .collect()
     )
     want = sorted(tuple(r) for r in q_cdc_apply(spark, sf_dir).collect())
     assert got and got == want
@@ -446,3 +449,50 @@ def test_stream_profile_matches_batch(spark, sf_dir):
         F.min("n_chars"), F.max("n_chars"),
     ).collect()
     assert tuple(got[0]) == tuple(want[0])
+
+
+def test_stream_cdc_apply_out_of_order_delete_sticks(spark, sf_dir, tmp_path):
+    """A stale pre-delete change arriving AFTER the delete must not
+    resurrect the key: the tombstone retains the applied sequence."""
+    import shutil
+    from pathlib import Path
+
+    from locopy_spark.streaming.stateful import stream_cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, val double"
+    )
+    log_schema = "k long, op string, seq long, name string, val double"
+    # file 001: delete k=1 at seq 5; file 002: STALE update at seq 3
+    batches = [
+        [(1, "D", 5, None, None)],
+        [(1, "U", 3, "stale", 99.0)],
+    ]
+    stream_dir = tmp_path / "ooo_cdc"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches, 1):
+        staging = tmp_path / f"ooo_stage_{i}"
+        spark.createDataFrame(rows, log_schema).coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = next(Path(staging).glob("part-*.parquet"))
+        shutil.move(str(part), str(stream_dir / f"{i:03d}.parquet"))
+    changes = (
+        spark.readStream.schema(log_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = stream_cdc_apply(
+        changes, snap, key="k", seq_col="seq", state_view="cdc_ooo_t"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = {
+        r.k: (r.name, r.val)
+        for r in spark.table("global_temp.cdc_ooo_t")
+        .filter(~F.col("__deleted"))
+        .collect()
+    }
+    assert live == {2: ("b", 20.0)}  # k=1 stays deleted
