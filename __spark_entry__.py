@@ -19,6 +19,7 @@ from locopy_spark.queries import (
     events,
     events_ext,
     io_rt,
+    mining,
     stats,
     timeseries,
     tpch,
@@ -90,6 +91,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": tpch_ext.q_skyline,
         "q_time_weighted_avg": timeseries.q_time_weighted_avg,
         "q_decay_score": timeseries.q_decay_score,
+        # --- added round 4 (second work block) — never driver-checked ---
+        "q_market_basket": mining.q_market_basket,
+        "q_outlier_iqr": mining.q_outlier_iqr,
+        "q_mom_growth": mining.q_mom_growth,
+        "q_ab_test": mining.q_ab_test,
+        "t_bm25": mining.t_bm25,
+        "t_keyword_extract": mining.t_keyword_extract,
+        "q_anomaly_days": mining.q_anomaly_days,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
@@ -197,4 +206,5 @@ def oracle_sql() -> dict[str, str]:
         **timeseries.ORACLE,
         **corpus.ORACLE,
         **stats.ORACLE,
+        **mining.ORACLE,
     }

@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "q_user_streaks",
     "q_time_weighted_avg",
     "q_decay_score",
+    "q_market_basket",
+    "q_outlier_iqr",
+    "q_mom_growth",
+    "q_ab_test",
+    "t_bm25",
+    "t_keyword_extract",
+    "q_anomaly_days",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -1,0 +1,573 @@
+"""Pattern-mining / experimentation / relevance queries: market-basket
+co-occurrence, robust outlier detection, growth trends, A/B testing,
+BM25 relevance, per-document keyword extraction, and trailing-window
+anomaly flags.
+
+The warehouse workloads locopy users run AFTER the COPY lands
+(reference: locopy/redshift.py:235 leaves analysis to user SQL),
+re-expressed Spark-first with the repo's determinism rules: counts and
+money stay exact integers through every shuffle; the only doubles are
+final formulas written ONCE and formatted into byte-identical
+expression text for Spark and DuckDB (the ``stats._CORR`` scheme), so
+IEEE arithmetic — +,-,*,/ and sqrt are all correctly rounded — gives
+bit-equal results on both engines. Integer ratio scores use floor
+division (Spark ``div`` / DuckDB ``//``) on non-negative operands,
+where the two semantics agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from locopy_spark.functions.cache import managed_persist
+from locopy_spark.functions.numeric import SCALE
+from locopy_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# -- market basket ----------------------------------------------------------
+
+MB_MIN_SUPPORT = 2  # pair must co-occur in >= 2 orders
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair co-occurrence with support counts and lift — market
+    basket affinity over order line items.
+
+    The pair expansion is a self-equi-join on ``l_orderkey``: both
+    sides shuffle ONCE on the order key and the quadratic blow-up is
+    bounded per order (TPC-H caps lines/order at 7 → ≤ 21 pairs), so
+    the candidate count stays linear in the fact table at any scale —
+    never an unkeyed cross product. Item supports join back broadcast
+    (|part|-sized dimension), and the order total rides in as a 1-row
+    broadcast cross join. Lift is computed in double from exact bigint
+    supports via engine-identical expression text.
+
+    The distinct (order, part) basket table feeds four plan subtrees
+    (both join sides, item supports, order total) — persisted once so
+    the fact table is scanned and de-duplicated a single time, not
+    four (ReusedExchange can't collapse the re-expansions: each
+    consumer re-partitions on a different key).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    op = managed_persist(
+        l.select("l_orderkey", "l_partkey").distinct(), "market_basket"
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= MB_MIN_SUPPORT)
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    out = (
+        pairs.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("pa"),
+                                    F.col("cnt").alias("cnt_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("pb"),
+                                    F.col("cnt").alias("cnt_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "pa",
+        "pb",
+        "pair_cnt",
+        "cnt_a",
+        "cnt_b",
+        F.expr(
+            "CAST(pair_cnt AS DOUBLE) * n_orders"
+            " / (CAST(cnt_a AS DOUBLE) * cnt_b)"
+        ).alias("lift"),
+    ).orderBy(F.desc("pair_cnt"), "pa", "pb")
+
+
+ORACLE["q_market_basket"] = f"""
+  WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS pair_cnt
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {MB_MIN_SUPPORT}
+  ),
+  item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
+  tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op)
+  SELECT pa, pb, pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+         CAST(pair_cnt AS DOUBLE) * n_orders
+           / (CAST(ia.cnt AS DOUBLE) * ib.cnt) AS lift
+  FROM pairs JOIN item ia ON ia.l_partkey = pa
+             JOIN item ib ON ib.l_partkey = pb
+             CROSS JOIN tot
+  ORDER BY pair_cnt DESC, pa, pb
+"""
+
+
+# -- robust outliers --------------------------------------------------------
+
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per return flag: exact discrete
+    quartiles (value at ``ceil(q*n)`` — the ``q_mad`` rank-select) on
+    scaled bigint prices, fences evaluated in doubled integers
+    (``2v > 2q3 + 3iqr``) so no fractional arithmetic ever appears.
+
+    One per-group rank window (bounded by the group's rows) computes
+    both quartiles in a single pass; the 3-row quartile table
+    broadcasts back onto the scan for the fence count.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_returnflag",
+        F.expr(
+            f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)"
+        ).alias("v"),
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    quart = (
+        base.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("__n").alias("n"),
+            F.max(
+                F.expr(
+                    "case when __rn = cast(ceil(0.25 * __n) as bigint)"
+                    " then v end"
+                )
+            ).alias("q1"),
+            F.max(
+                F.expr(
+                    "case when __rn = cast(ceil(0.75 * __n) as bigint)"
+                    " then v end"
+                )
+            ).alias("q3"),
+        )
+    )
+    flagged = (
+        base.join(F.broadcast(quart), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(2 * v > 2 * q3 + 3 * (q3 - q1)"
+                    " OR 2 * v < 2 * q1 - 3 * (q3 - q1) AS INT)"
+                )
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        quart.join(flagged, "l_returnflag")
+        .select("l_returnflag", "n", "q1", "q3", "n_outliers")
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q_outlier_iqr"] = f"""
+  WITH b AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_extendedprice * {SCALE} + 0.5) AS BIGINT) AS v
+    FROM lineitem
+  ),
+  r AS (
+    SELECT l_returnflag, v,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM b
+  ),
+  quart AS (
+    SELECT l_returnflag, MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS q1,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS q3
+    FROM r GROUP BY 1
+  )
+  SELECT q.l_returnflag, q.n, q.q1, q.q3,
+         CAST(SUM(CAST(2 * b.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                    OR 2 * b.v < 2 * q.q1 - 3 * (q.q3 - q.q1) AS INT))
+              AS BIGINT) AS n_outliers
+  FROM b JOIN quart q ON b.l_returnflag = q.l_returnflag
+  GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""
+
+
+# -- growth trend -----------------------------------------------------------
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: exact monthly cents via one
+    partial-aggregated shuffle, then ``lag`` over the ~|months|-row
+    aggregate (bounded at any SF — the unpartitioned window sorts the
+    MONTHLY table, never raw orders). Growth is a double ratio of
+    exact bigints with engine-identical text; the first month is NULL.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.expr("year(o_orderdate) * 100 + month(o_orderdate)").alias("ym")
+    ).agg(
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("rev")
+    )
+    w = Window.orderBy("ym")
+    return (
+        monthly.withColumn("prev_rev", F.lag("rev").over(w))
+        .select(
+            "ym",
+            "rev",
+            "prev_rev",
+            F.expr(
+                "CAST(rev - prev_rev AS DOUBLE) * 100.0"
+                " / CAST(prev_rev AS DOUBLE)"
+            ).alias("growth_pct"),
+        )
+        .orderBy("ym")
+    )
+
+
+ORACLE["q_mom_growth"] = f"""
+  WITH monthly AS (
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+  )
+  SELECT ym, rev, LAG(rev) OVER (ORDER BY ym) AS prev_rev,
+         CAST(rev - LAG(rev) OVER (ORDER BY ym) AS DOUBLE) * 100.0
+           / CAST(LAG(rev) OVER (ORDER BY ym) AS DOUBLE) AS growth_pct
+  FROM monthly ORDER BY ym
+"""
+
+
+# -- A/B test ---------------------------------------------------------------
+
+_Z = (
+    "(CAST({c1} AS DOUBLE) / {n1} - CAST({c0} AS DOUBLE) / {n0})"
+    " / sqrt((CAST({c0} + {c1} AS DOUBLE) / ({n0} + {n1}))"
+    " * (1.0 - CAST({c0} + {c1} AS DOUBLE) / ({n0} + {n1}))"
+    " * (1.0 / {n0} + 1.0 / {n1}))"
+)
+
+
+AB_CONV_VALUE = 150  # conversion = a purchase above this value
+# (plain "any purchase" converts 100% of users at every SF — the
+# synthetic event stream gives each user ~13 events — which zeroes the
+# pooled-variance denominator)
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic user split: variant =
+    ``user_id % 2``, conversion = the user fired a high-value purchase
+    (``value > AB_CONV_VALUE``).
+
+    Exact distinct-user counts come from one conditional
+    ``count_distinct`` aggregate (Catalyst expands to a single
+    hash-distinct pass over (variant, user) — user-grain, not
+    event-grain, so the shuffle carries |users| rows at 100 TB); the
+    pooled z-statistic is one double formula over the four exact
+    counts, byte-identical on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count_distinct(
+            F.expr("case when user_id % 2 = 0 then user_id end")
+        ).alias("n0"),
+        F.count_distinct(
+            F.expr("case when user_id % 2 = 1 then user_id end")
+        ).alias("n1"),
+        F.count_distinct(
+            F.expr(
+                "case when user_id % 2 = 0 and event_type = 'purchase'"
+                f" and value > {AB_CONV_VALUE} then user_id end"
+            )
+        ).alias("c0"),
+        F.count_distinct(
+            F.expr(
+                "case when user_id % 2 = 1 and event_type = 'purchase'"
+                f" and value > {AB_CONV_VALUE} then user_id end"
+            )
+        ).alias("c1"),
+    )
+    fmt = dict(n0="n0", n1="n1", c0="c0", c1="c1")
+    return agg.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr(_Z.format(**fmt)).alias("z_score"),
+    )
+
+
+ORACLE["q_ab_test"] = f"""
+  WITH agg AS (
+    SELECT
+      COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n0,
+      COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS n1,
+      COUNT(DISTINCT CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+            AND value > {AB_CONV_VALUE} THEN user_id END) AS c0,
+      COUNT(DISTINCT CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+            AND value > {AB_CONV_VALUE} THEN user_id END) AS c1
+    FROM events
+  )
+  SELECT n0, c0, n1, c1,
+         {_Z.format(n0="n0", n1="n1", c0="c0", c1="c1")} AS z_score
+  FROM agg
+"""
+
+
+# -- BM25 relevance ---------------------------------------------------------
+
+BM25_TERMS = ["spark", "vector", "stream"]
+BM25_TOPK = 10
+# k1 = 6/5, b = 3/4 as exact rationals: multiplying the per-term
+# saturation tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) through by
+# 20*L (avgdl = L/N) gives num = 44*tf*L, den = 20*L*tf + 6*L +
+# 18*dl*N — pure integers.
+
+
+def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance over ``documents`` for a fixed query,
+    top-k by score — the retrieval scorer of a training-data search
+    index, in exact integer arithmetic.
+
+    The classic k1/b saturation is cleared of fractions by scaling
+    through ``20*L`` (see module constant) and the log-idf is replaced
+    by the rational ``(N - df) * 1e6 div df`` — monotone in the same
+    direction, and floor division on non-negative bigints is
+    bit-identical across engines, where ``ln`` is only 1-ulp-accurate
+    and could flip a hash. Token/df/length stats are plain
+    explode→groupBy shuffles on term keys (bounded vocab); corpus
+    scalars ride in as a 1-row broadcast. At petabyte scale the bigint
+    products want DECIMAL(38) headroom — the shape is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # the token table feeds dl/stats and both query-term aggregates —
+    # persisted (MEMORY_AND_DISK) so the corpus is scanned+exploded
+    # once, not once per consumer
+    tok = managed_persist(
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        ).filter(F.col("term") != ""),
+        "bm25",
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("len_total")
+    )
+    qt = tok.filter(F.col("term").isin(BM25_TERMS))
+    df_ = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((n_docs - df) * 1000000 div df)"
+                " * ((tf * 44 * len_total * 1000)"
+                " div (20 * len_total * tf + 6 * len_total"
+                " + 18 * dl * n_docs))"
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLE["t_bm25"] = f"""
+  WITH tok AS (
+    SELECT doc_id, t.term FROM documents,
+         UNNEST(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+  ),
+  dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+  stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS len_total FROM dl),
+  qt AS (SELECT * FROM tok WHERE term IN ({_BM25_TERMS_SQL})),
+  dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2)
+  SELECT doc_id,
+         CAST(SUM(((n_docs - df) * 1000000 // df)
+              * ((tf * 44 * len_total * 1000)
+                 // (20 * len_total * tf + 6 * len_total
+                     + 18 * dl.dl * n_docs))) AS BIGINT) AS score_scaled
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY score_scaled DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+# -- keyword extraction -----------------------------------------------------
+
+KW_DOC_MOD = 20  # extract for doc_id % 20 == 0
+KW_TOPK = 3
+
+
+def t_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``KW_TOPK`` TF-IDF keywords per sampled document: corpus
+    document frequencies from one explode→distinct-groupBy pass, term
+    frequencies for the target docs only (filter pushed below the
+    explode), score = ``tf * 1e6 div df`` exact, ranked per doc by a
+    window bounded by the doc's vocabulary.
+
+    The df table is vocab-sized and broadcasts; at 100 TB the df
+    aggregate is the only corpus-wide shuffle and is partial-
+    aggregated on the term key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_all = managed_persist(
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        ).filter(F.col("term") != ""),
+        "keyword_extract",
+    )
+    df_ = tok_all.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tf = (
+        tok_all.filter(F.col("doc_id") % KW_DOC_MOD == 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * 1000000 div df").alias("score_scaled"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KW_TOPK)
+        .select("doc_id", "rk", "term", "tf", "df", "score_scaled")
+        .orderBy("doc_id", "rk")
+    )
+
+
+ORACLE["t_keyword_extract"] = f"""
+  WITH tok AS (
+    SELECT doc_id, t.term FROM documents,
+         UNNEST(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+  ),
+  dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+  tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok
+    WHERE doc_id % {KW_DOC_MOD} = 0 GROUP BY 1, 2
+  ),
+  scored AS (
+    SELECT doc_id, term, tf, df, tf * 1000000 // df AS score_scaled,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tf * 1000000 // df DESC, term) AS rk
+    FROM tf JOIN dfs USING (term)
+  )
+  SELECT doc_id, rk, term, tf, df, CAST(score_scaled AS BIGINT) AS score_scaled
+  FROM scored WHERE rk <= {KW_TOPK} ORDER BY doc_id, rk
+"""
+
+
+# -- trailing-window anomaly ------------------------------------------------
+
+ANOM_WIN_DAYS = 28
+ANOM_MIN_N = 20
+
+_ZDAY = (
+    "(CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+    " / sqrt((n * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (n - 1)))"
+)
+
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly detection: each day scored against the
+    TRAILING {ANOM_WIN_DAYS}-day window (strictly preceding — the
+    current day never contaminates its own baseline) via mergeable
+    integer power sums, ``q_rolling_corr``'s scheme with an offset
+    RANGE frame.
+
+    The window runs over the DAILY aggregate (one row per calendar
+    day — thousands of rows for decades of data), so the unpartitioned
+    sort is bounded at any SF; raw orders are touched once by the
+    partial-aggregated groupBy. z is the one double formula,
+    engine-identical; days with under {ANOM_MIN_N} trailing
+    observations are unscored and excluded.
+
+    Revenue is summed in WHOLE currency units (not the usual
+    milli-unit ``SCALE``): the squared power sum must stay below 2^64,
+    where DuckDB's HUGEINT→DOUBLE conversion goes through a two-part
+    upper*2^64+lower sum that double-rounds (1-ulp divergence from
+    Spark's correctly-rounded decimal cast — observed at sf0.01 with
+    milli-units). Whole units hold to ~sf1; past that, descale the
+    daily series further (z is scale-invariant).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice + 0.5) as bigint)")
+        ).alias("x")
+    )
+    w = (
+        Window.orderBy("day")
+        .rangeBetween(-ANOM_WIN_DAYS, -1)
+    )
+    win = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).over(w).alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(w).alias("s2"),
+    )
+    return (
+        win.filter(F.col("n") >= ANOM_MIN_N)
+        .select(
+            "day",
+            "x",
+            "n",
+            F.expr(_ZDAY).alias("z"),
+        )
+        .withColumn("is_anomaly", F.expr("abs(z) > 2.0"))
+        .orderBy("day")
+    )
+
+
+ORACLE["q_anomaly_days"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS day,
+           SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+  ),
+  win AS (
+    SELECT day, x,
+           COUNT(*) OVER w AS n,
+           SUM(CAST(x AS HUGEINT)) OVER w AS s1,
+           SUM(CAST(x AS HUGEINT) * x) OVER w AS s2
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN {ANOM_WIN_DAYS} PRECEDING
+                       AND 1 PRECEDING)
+  )
+  SELECT day, x, n, {_ZDAY} AS z, abs({_ZDAY}) > 2.0 AS is_anomaly
+  FROM win WHERE n >= {ANOM_MIN_N} ORDER BY day
+"""
