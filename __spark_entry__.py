@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25": mining.t_bm25,
         "t_keyword_extract": mining.t_keyword_extract,
         "q_anomaly_days": mining.q_anomaly_days,
+        "d_containment": docs.d_containment,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -97,6 +97,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Broder-containment pairs: ``common / min(|A|, |B|)`` —
+    the asymmetric near-dup metric that catches a short document
+    embedded inside a long one, which Jaccard dilutes below any usable
+    threshold (|A∩B|/|A∪B| → |A|/|B| for full inclusion).
+
+    Same shingle-equality join shape as ``ngram_jaccard_pairs``: the
+    join key is the shingle, so candidates are bucketed, never
+    all-pairs; a shingle shared by d docs still costs d² rows, so hot
+    shingles (boilerplate) dominate — at production scale pre-drop
+    shingles above a df ceiling (they can't certify containment of
+    anything specific) or use the sampled-fingerprint
+    ``d_span_overlap`` path for long-span inclusion.
+    """
+    sh = managed_persist(
+        shingle_sets(docs, id_col, text_col, k), "containment"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "containment",
+            F.expr("CAST(common AS DOUBLE) / LEAST(na, nb)"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "common", "na", "nb", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

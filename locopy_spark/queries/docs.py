@@ -63,6 +63,18 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+CONTAIN_T = 0.5
+
+
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric Broder-containment pairs (doc-inside-doc detection);
+    see ``operators.dedup.containment_pairs`` for the scale notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, k=SHINGLE_K, threshold=CONTAIN_T
+    ).orderBy("doc_a", "doc_b")
+
+
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -447,6 +459,22 @@ ORACLE: dict[str, str] = {
       JOIN sizes na ON common.doc_a = na.doc_id
       JOIN sizes nb ON common.doc_b = nb.doc_id
       WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {JACCARD_T}
+      ORDER BY doc_a, doc_b
+    """,
+    "d_containment": f"""
+      WITH {_sql_shingle_sets()},
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, common, na.n AS na, nb.n AS nb,
+             CAST(common AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+      FROM common
+      JOIN sizes na ON common.doc_a = na.doc_id
+      JOIN sizes nb ON common.doc_b = nb.doc_id
+      WHERE CAST(common AS DOUBLE) / LEAST(na.n, nb.n) >= {CONTAIN_T}
       ORDER BY doc_a, doc_b
     """,
     "d_minhash_lsh": _oracle_minhash(),

@@ -424,3 +424,87 @@ def stream_profile(
         .queryName(f"profile_{state_view}")
         .start()
     )
+
+
+ANOM_WIN_DAYS = 28
+ANOM_MIN_N = 5
+
+_ANOM_Z = (
+    "(CAST(x_fix AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+    " / sqrt((n * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (n - 1)))"
+)
+
+
+def score_daily_anomalies(daily: DataFrame) -> DataFrame:
+    """Score a daily series ``(day, x_fix)`` against its trailing
+    {ANOM_WIN_DAYS}-day window — the z-formula of
+    ``queries.mining.q_anomaly_days`` (offset RANGE frame, exact
+    integer power sums, double z). Shared by the streaming state view
+    and the batch twin so the comparison tests series maintenance,
+    not two copies of the scorer."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rangeBetween(-ANOM_WIN_DAYS, -1)
+    win = daily.select(
+        "day",
+        "x_fix",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.expr("CAST(x_fix AS DECIMAL(38,0))")).over(w).alias("s1"),
+        F.sum(F.expr("CAST(x_fix AS DECIMAL(38,0)) * x_fix")).over(w).alias(
+            "s2"
+        ),
+    )
+    return (
+        win.filter(F.col("n") >= ANOM_MIN_N)
+        .select("day", "x_fix", "n", F.expr(_ANOM_Z).alias("z"))
+        .withColumn("is_anomaly", F.expr("abs(z) > 2.0"))
+    )
+
+
+def stream_daily_anomaly(
+    events: DataFrame,
+    state_view: str = "daily_anomaly_state",
+):
+    """Incrementally-maintained daily value series for anomaly
+    scoring: each micro-batch contributes per-day exact scaled sums
+    (value × 1e3 floor-rounded — the repo's portable money idiom),
+    merged ADDITIVELY into the state view, so arrival order and
+    batch boundaries cannot change the series. State is O(days);
+    late events simply add to their day's sum (no watermark needed —
+    the merge is commutative). Scoring is
+    :func:`score_daily_anomalies` over the state table — a bounded
+    window over thousands of rows, run on demand rather than per
+    batch (the series is the expensive part at 100 TB, not the
+    scan-free scoring pass).
+    """
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "day long, x_fix long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        rows = batch_df.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias(
+                "x_fix"
+            ),
+        ).groupBy("day").agg(F.sum("x_fix").alias("x_fix"))
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(rows)
+            .groupBy("day")
+            .agg(F.sum("x_fix").alias("x_fix"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"daily_anomaly_{state_view}")
+        .start()
+    )

@@ -496,3 +496,43 @@ def test_stream_cdc_apply_out_of_order_delete_sticks(spark, sf_dir, tmp_path):
         .collect()
     }
     assert live == {2: ("b", 20.0)}  # k=1 stays deleted
+
+
+def test_stream_daily_anomaly_matches_batch(spark, sf_dir):
+    """The additively-merged daily series (and its trailing-window
+    z-scores) equals the batch aggregate over the same events —
+    per-day sums are commutative monoids, so batching cannot change
+    the series, and both sides share ONE scorer."""
+    from locopy_spark.functions.numeric import sql_epoch_us
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_event_stream
+    from locopy_spark.streaming.stateful import (
+        score_daily_anomalies,
+        stream_daily_anomaly,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    q = stream_daily_anomaly(stream, state_view="daily_anomaly_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in score_daily_anomalies(
+            spark.table("global_temp.daily_anomaly_t")
+        ).orderBy("day").collect()
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"{sql_epoch_us(ev, 'ts')} div 86400000000").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(value * 1000 + 0.5) as bigint)")
+        ).alias("x_fix")
+    )
+    want = [
+        tuple(r)
+        for r in score_daily_anomalies(daily).orderBy("day").collect()
+    ]
+    assert got and got == want
