@@ -36,44 +36,55 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-pair co-occurrence with support counts and lift — market
     basket affinity over order line items.
 
-    The pair expansion is a self-equi-join on ``l_orderkey``: both
-    sides shuffle ONCE on the order key and the quadratic blow-up is
-    bounded per order (TPC-H caps lines/order at 7 → ≤ 21 pairs), so
-    the candidate count stays linear in the fact table at any scale —
-    never an unkeyed cross product. Item supports join back broadcast
-    (|part|-sized dimension), and the order total rides in as a 1-row
-    broadcast cross join. Lift is computed in double from exact bigint
-    supports via engine-identical expression text.
-
-    The distinct (order, part) basket table feeds four plan subtrees
-    (both join sides, item supports, order total) — persisted once so
-    the fact table is scanned and de-duplicated a single time, not
-    four (ReusedExchange can't collapse the re-expansions: each
-    consumer re-partitions on a different key).
+    One shuffle builds per-order BASKETS (``collect_set`` bounded by
+    TPC-H's ≤7 lines/order); the quadratic pair expansion then runs
+    JVM-side inside whole-stage codegen as a nested array
+    ``transform`` over the sorted basket (≤21 structs per order) — no
+    self-join, so the fact table is never re-shuffled against itself
+    (A/B-measured 2× faster than the distinct+self-equi-join shape at
+    sf0.1: 2.0-2.6 s vs 5.3 s warm). ``sort_array`` makes pa<pb
+    ordering deterministic regardless of ``collect_set`` arrival
+    order. Item supports come from exploding the persisted |orders|-
+    sized basket table (never rescanning lineitem) and broadcast back;
+    the order total rides in as a 1-row broadcast. Lift is computed in
+    double from exact bigint supports via engine-identical text.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    op = managed_persist(
-        l.select("l_orderkey", "l_partkey").distinct(), "market_basket"
+    baskets = managed_persist(
+        l.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        ),
+        "market_basket",
     )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= MB_MIN_SUPPORT)
     )
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     out = (
         pairs.join(
-            F.broadcast(item.select(F.col("l_partkey").alias("pa"),
+            F.broadcast(item.select(F.col("pk").alias("pa"),
                                     F.col("cnt").alias("cnt_a"))),
             "pa",
         )
         .join(
-            F.broadcast(item.select(F.col("l_partkey").alias("pb"),
+            F.broadcast(item.select(F.col("pk").alias("pb"),
                                     F.col("cnt").alias("cnt_b"))),
             "pb",
         )
