@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_keyword_extract": mining.t_keyword_extract,
         "q_anomaly_days": mining.q_anomaly_days,
         "d_containment": docs.d_containment,
+        "t_novelty": docs.t_novelty,
+        "q_funnel_windows": mining.q_funnel_windows,
+        "q_hll_union": mining.q_hll_union,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

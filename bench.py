@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "t_bm25",
     "t_keyword_extract",
     "q_anomaly_days",
+    "q_funnel_windows",
+    "q_hll_union",
+    "t_novelty",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

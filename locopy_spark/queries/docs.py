@@ -63,6 +63,45 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty score: the fraction of a doc's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min doc_id
+    over docs containing the shingle) is the doc itself — the
+    curation signal that separates genuinely new material from
+    recombinations of already-seen text.
+
+    Two shuffles, both on the shingle key: the first-occurrence table
+    (groupBy-min, |shingles|-sized, partial-aggregated) equi-joins
+    back to the per-doc shingle sets co-partitioned — never all-pairs,
+    never broadcast of a corpus-sized side. Score is exact integer
+    ppm (floor div), so the gate hashes bit-identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = managed_persist(
+        dedup.shingle_sets(docs, k=SHINGLE_K), "novelty"
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.expr("CAST(first_doc < doc_id AS INT)")
+            ).alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_seen",
+            F.expr("(n_sh - n_seen) * 1000000 div n_sh").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CONTAIN_T = 0.5
 
 
@@ -460,6 +499,16 @@ ORACLE: dict[str, str] = {
       JOIN sizes nb ON common.doc_b = nb.doc_id
       WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {JACCARD_T}
       ORDER BY doc_a, doc_b
+    """,
+    "t_novelty": f"""
+      WITH {_sql_shingle_sets()},
+      first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT sh.doc_id, COUNT(*) AS n_sh,
+             CAST(SUM(CAST(first_doc < sh.doc_id AS INT)) AS BIGINT) AS n_seen,
+             CAST((COUNT(*) - SUM(CAST(first_doc < sh.doc_id AS INT)))
+               * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM sh JOIN first USING (sh)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id
     """,
     "d_containment": f"""
       WITH {_sql_shingle_sets()},

@@ -582,3 +582,127 @@ ORACLE["q_anomaly_days"] = f"""
   SELECT day, x, n, {_ZDAY} AS z, abs({_ZDAY}) > 2.0 AS is_anomaly
   FROM win WHERE n >= {ANOM_MIN_N} ORDER BY day
 """
+
+
+# -- time-bounded funnel ----------------------------------------------------
+
+FUNNEL_W_US = 24 * 3600 * 1_000_000  # each step within 24 h of the previous
+
+
+def q_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: first view → first click within 24 h
+    of it → first purchase within 24 h of that, per user — the
+    time-bounded variant of ``q_events_funnel`` (whose ordered funnel
+    admits a purchase years after the view).
+
+    Three conditional-min aggregates chained on the user key: each
+    stage joins the |users|-sized previous-stage table back to events
+    co-shuffled on user_id and keeps the earliest qualifying event.
+    All comparisons are exact epoch-microsecond integers via the
+    type-robust ``epoch_us``. Stage populations cross-join as 1-row
+    broadcasts into the single-row report.
+    """
+    from locopy_spark.functions.numeric import epoch_us
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "event_type", epoch_us(e, "ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + FUNNEL_W_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + FUNNEL_W_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_24h"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+        )
+    )
+
+
+ORACLE["q_funnel_windows"] = f"""
+  WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+  v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+  c AS (SELECT ev.user_id, MIN(us) AS c_us FROM ev JOIN v USING (user_id)
+        WHERE event_type = 'click' AND us > v_us
+          AND us <= v_us + {FUNNEL_W_US} GROUP BY 1),
+  p AS (SELECT ev.user_id, MIN(us) AS p_us FROM ev JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND us > c_us
+          AND us <= c_us + {FUNNEL_W_US} GROUP BY 1)
+  SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+         (SELECT COUNT(*) FROM c) AS n_click_24h,
+         (SELECT COUNT(*) FROM p) AS n_purchase_24h
+"""
+
+
+# -- mergeable-sketch distinct rollup ---------------------------------------
+
+HLL_TOL = 0.10  # HLL estimate must land within 10% of exact
+
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mergeable distinct counting: per-event-type HLL sketches
+    of the user set, merged with ``hll_union_agg`` into a global
+    estimate — the rollup shape that lets 100 TB of per-partition /
+    per-day distinct state merge in O(sketch bytes) instead of
+    reshuffling raw keys (exact distincts do not merge).
+
+    Correctness contract is the tolerance-tripwire pattern of
+    ``q_approx_distinct``: exact counts are computed cross-engine and
+    hashed; the Spark-only HLL estimate appears as a boolean
+    within-10% check (DuckDB's approx sketch is a different algorithm
+    and can never hash-match).
+    """
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact_type"),
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("n_exact_type").alias("max_exact_type"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("n_exact"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_sources",
+        "max_exact_type",
+        "n_exact",
+        F.expr(
+            f"abs(est - CAST(n_exact AS DOUBLE)) <= {HLL_TOL} * n_exact"
+        ).alias("est_within_tol"),
+    )
+
+
+ORACLE["q_hll_union"] = """
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sources,
+         (SELECT CAST(MAX(n) AS BIGINT) FROM (
+            SELECT COUNT(DISTINCT user_id) AS n FROM events GROUP BY event_type
+          )) AS max_exact_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+         TRUE AS est_within_tol
+  FROM events
+"""
