@@ -431,3 +431,41 @@ def test_twap_single_series_window(spark, sf_dir):
     plan = audit.simple_plan(df)
     specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
     assert specs and all("event_type" in s for s in specs)
+
+
+def test_market_basket_no_self_join(spark, sf_dir):
+    """Pair expansion is an array transform over per-order baskets —
+    one groupBy(orderkey) shuffle feeds it, never a fact-fact
+    self-join (and the only nested loop is the 1-row totals
+    broadcast)."""
+    df = _q(spark, sf_dir, "q_market_basket")
+    assert not audit.has_cartesian(df)
+    # the basket table is cached: every consumer reads the
+    # InMemoryRelation, so lineitem is scanned once at runtime (the
+    # plan text re-prints the defining FileScan per consumer — those
+    # are cache re-expansions, not executed scans)
+    assert "InMemory" in audit.simple_plan(df)
+
+
+def test_novelty_bounded_shuffles(spark, sf_dir):
+    """first-occurrence table joins back on the shingle key:
+    shuffles stay O(1) count (shingle groupBy-min, shingle join,
+    doc groupBy, presentation sort)."""
+    df = _q(spark, sf_dir, "t_novelty")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+    assert audit.shuffle_count(df) <= 6
+
+
+def test_funnel_windows_co_shuffled(spark, sf_dir):
+    """Each funnel stage joins the previous user-grain table back to
+    events on user_id — no cartesian, no nested loop beyond the
+    1-row stage-count broadcasts."""
+    df = _q(spark, sf_dir, "q_funnel_windows")
+    assert not audit.has_cartesian(df)
+
+
+def test_outlier_iqr_broadcasts_quartiles(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_outlier_iqr")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
