@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_novelty": docs.t_novelty,
         "q_funnel_windows": mining.q_funnel_windows,
         "q_hll_union": mining.q_hll_union,
+        "p_epoch_plan": mining.p_epoch_plan,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

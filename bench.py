@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_funnel_windows",
     "q_hll_union",
     "t_novelty",
+    "p_epoch_plan",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -706,3 +706,85 @@ ORACLE["q_hll_union"] = """
          TRUE AS est_within_tol
   FROM events
 """
+
+
+# -- epoch planning under a token budget ------------------------------------
+
+EPOCH_BUDGET_X = 3  # train-token budget = 3x the corpus token mass
+EPOCH_MAX_PPM = 4_000_000  # repeat any source at most 4 epochs
+
+
+def p_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning: given a training-token budget
+    (``EPOCH_BUDGET_X`` × corpus mass) and a uniform per-source target
+    share, compute each source's repeat factor (epochs, ppm) capped at
+    ``EPOCH_MAX_PPM`` — the recipe step that decides how many times
+    each domain is traversed when the desired mixture wants more
+    tokens than the domain has.
+
+    Shape mirrors ``p_mix_weights``: row-local token counts (no
+    explode), one partial-aggregated shuffle on the handful of source
+    keys, scalar totals broadcast back. The repeat factor is exact
+    integer ppm (floor div on non-negative bigints), so the plan
+    hash-matches cross-engine; achieved tokens = n_tokens ×
+    epochs_ppm / 1e6, also exact.
+    """
+    from locopy_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source", F.expr(f"size({tokens_expr('text')})").alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"least(CAST({EPOCH_MAX_PPM} AS BIGINT),"
+                f" tot_tokens * {EPOCH_BUDGET_X} * 1000000"
+                " div (n_sources * n_tokens))"
+            ).alias("epochs_ppm"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.expr("n_tokens * epochs_ppm div 1000000"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["p_epoch_plan"] = f"""
+  WITH per_src AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+             AS n_tokens
+    FROM documents GROUP BY 1
+  ),
+  totals AS (
+    SELECT SUM(n_tokens) AS tot_tokens, COUNT(*) AS n_sources
+    FROM per_src
+  )
+  SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(least(CAST({EPOCH_MAX_PPM} AS BIGINT),
+              tot_tokens * {EPOCH_BUDGET_X} * 1000000
+                // (n_sources * n_tokens)) AS BIGINT) AS epochs_ppm,
+         CAST(n_tokens * least(CAST({EPOCH_MAX_PPM} AS BIGINT),
+              tot_tokens * {EPOCH_BUDGET_X} * 1000000
+                // (n_sources * n_tokens)) // 1000000 AS BIGINT)
+           AS planned_tokens
+  FROM per_src CROSS JOIN totals
+  ORDER BY source
+"""

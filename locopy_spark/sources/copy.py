@@ -13,12 +13,52 @@ strings the reference accepts are parsed for compatibility.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from locopy_spark.errors import DBError
-from locopy_spark.utility import get_ignoreheader_number
+from locopy_spark.utility import get_ignoreheader_number, get_maxerror_number
 
 _DEFAULT_DATEFORMAT = "yyyy-MM-dd"
 _DEFAULT_TIMEFORMAT = "yyyy-MM-dd HH:mm:ss"
+_CORRUPT_COL = "_corrupt_record"
+
+
+def load_errors_view(table_name: str) -> str:
+    """Name of the per-table load-errors view populated by a MAXERROR
+    COPY — the engine's analog of Redshift's STL_LOAD_ERRORS."""
+    return f"{table_name}__load_errors"
+
+
+def _apply_maxerror(
+    spark: SparkSession, df: DataFrame, table_name: str, max_error: int
+) -> DataFrame:
+    """Enforce Redshift MAXERROR semantics on a PERMISSIVE csv read:
+    rows whose raw line failed schema parsing are counted; beyond
+    ``max_error`` the load fails (DBError), otherwise the bad rows are
+    dropped from the result and kept queryable in
+    ``<table>__load_errors`` (raw line + a reason placeholder), the
+    STL_LOAD_ERRORS shape.
+
+    The frame is persisted before the corrupt-column filter — Spark
+    requires the raw parse to be materialized before a query can
+    reference ONLY the corrupt column (SPARK-38523 semantics), and the
+    count + clean split then reuse one scan.
+    """
+    df = df.cache()
+    bad = df.filter(F.col(_CORRUPT_COL).isNotNull())
+    n_bad = bad.count()
+    if n_bad > max_error:
+        df.unpersist()
+        raise DBError(
+            f"COPY into {table_name} aborted: {n_bad} unparseable rows "
+            f"exceed MAXERROR {max_error}"
+        )
+    bad.select(
+        F.col(_CORRUPT_COL).alias("raw_line"),
+        F.lit("row failed schema parse").alias("err_reason"),
+    ).createOrReplaceTempView(load_errors_view(table_name))
+    return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
 
 
 def add_default_copy_options(copy_options: list[str] | None = None) -> list[str]:
@@ -56,7 +96,16 @@ def copy_files(
     """
     opts = copy_options or []
     ignore_header = get_ignoreheader_number(opts)
+    max_error = get_maxerror_number(opts)
     fmt = file_format.lower()
+    if max_error is not None and (fmt != "csv" or schema is None):
+        # Redshift MAXERROR semantics need per-row parse verdicts: only
+        # the csv reader in PERMISSIVE mode against an EXPLICIT schema
+        # produces them (inferSchema relaxes every column to string and
+        # nothing can fail). Fail loud instead of silently ignoring.
+        raise DBError(
+            "MAXERROR requires file_format='csv' and an explicit schema"
+        )
     if fmt == "csv" and ignore_header > 1:
         # Spark's csv header option can only skip ONE leading line per
         # file; silently mapping IGNOREHEADER n>1 onto it would load the
@@ -83,6 +132,17 @@ def copy_files(
                 timestampFormat=_DEFAULT_TIMEFORMAT,
                 # gzip etc. handled natively by extension
             )
+            if max_error is not None:
+                reader = (
+                    reader.schema(
+                        T.StructType(
+                            list(schema.fields)
+                            + [T.StructField(_CORRUPT_COL, T.StringType())]
+                        )
+                    )
+                    .option("mode", "PERMISSIVE")
+                    .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+                )
             df = reader.csv(path)
         elif fmt == "json":
             df = reader.json(path)
@@ -97,6 +157,10 @@ def copy_files(
             raise ValueError(f"unsupported file_format: {file_format}")
     except Exception as e:
         raise DBError(f"Error loading {path} into {table_name}.") from e
+    if fmt == "csv" and max_error is not None:
+        # outside the wrapper: a MAXERROR abort is its own diagnosis,
+        # not a generic load failure
+        df = _apply_maxerror(spark, df, table_name, max_error)
     if temp_view:
         df.createOrReplaceTempView(table_name)
     else:

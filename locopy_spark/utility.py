@@ -18,6 +18,7 @@ from typing import IO, Union
 from locopy_spark.errors import (
     CompressionError,
     CredentialsError,
+    DBError,
     LocopyConcatError,
     LocopyIgnoreHeaderError,
     LocopySplitError,
@@ -52,6 +53,20 @@ def get_ignoreheader_number(options: list[str]) -> int:
     if len(ignore) == 1:
         return int(ignore[0].strip().split(" ")[-1])
     raise LocopyIgnoreHeaderError("Found more than one IGNOREHEADER in the options")
+
+
+def get_maxerror_number(options: list[str]) -> int | None:
+    """Return ``n`` from a Redshift-style ``MAXERROR [AS] n`` option,
+    or None when absent. Redshift's COPY continues past up to ``n``
+    unparseable rows and fails beyond that; locopy users pass the
+    option through ``copy_options`` (reference: locopy/redshift.py:282
+    passes options verbatim to the warehouse)."""
+    found = [i for i in options or [] if i.upper().startswith("MAXERROR")]
+    if len(found) == 0:
+        return None
+    if len(found) == 1:
+        return int(found[0].strip().split(" ")[-1])
+    raise DBError("Found more than one MAXERROR in the options")
 
 
 def write_file(data, delimiter: str, filepath: str, mode: str = "w") -> None:

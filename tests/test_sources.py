@@ -343,3 +343,55 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     assert back.count() == total
     assert not Path(path + ".__compact_tmp").exists()
     assert not Path(path + ".__compact_old").exists()
+
+
+def test_copy_maxerror_tolerates_bad_rows(spark, tmp_path):
+    """MAXERROR n: up to n unparseable rows are dropped, kept in the
+    <table>__load_errors view (STL_LOAD_ERRORS analog)."""
+    from pyspark.sql import types as T
+
+    from locopy_spark.sources.copy import load_errors_view
+
+    f = tmp_path / "m.csv"
+    f.write_text("1|x\n2|y\nnot_an_int|z\n3|w\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = copy_files(
+        spark,
+        str(f),
+        "t_maxerr",
+        delim="|",
+        schema=schema,
+        copy_options=["MAXERROR 2"],
+    )
+    rows = sorted((r.a, r.b) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y"), (3, "w")]
+    errs = spark.table(load_errors_view("t_maxerr")).collect()
+    assert len(errs) == 1 and "not_an_int" in errs[0].raw_line
+
+
+def test_copy_maxerror_exceeded_fails(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    f = tmp_path / "m2.csv"
+    f.write_text("1|x\nbad|z\nworse|q\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    with pytest.raises(DBError, match="MAXERROR"):
+        copy_files(
+            spark,
+            str(f),
+            "t_maxerr2",
+            delim="|",
+            schema=schema,
+            copy_options=["MAXERROR 1"],
+        )
+
+
+def test_copy_maxerror_requires_schema(spark, tmp_path):
+    f = tmp_path / "m3.csv"
+    f.write_text("1|x\n")
+    with pytest.raises(DBError, match="explicit schema"):
+        copy_files(spark, str(f), "t_maxerr3", copy_options=["MAXERROR 5"])
