@@ -41,12 +41,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries fixed this round (TIMESTAMP_NTZ sweep + oracle typing),
     then the 31 round-4 additions (none ever driver-checked), then
     the entries whose last driver check was round 1 (TPC-H, windows,
-    ETL) — the window cutoff lands after q5_region_volume (position
-    50).  The r01 tail from q6_forecast_revenue onward (q6-q22,
-    q_topk_per_group through q_key_skew) sits just outside the
-    window — lead round 5 with it; all of it passes the repo's own
-    full DuckDB gate (tools/check_correctness.py, 126/126 green)
-    today.  The round-3-green families form the tail.
+    ETL).  After the round-4b2 additions the window cutoff (position
+    50) lands after q_funnel_windows: q_hll_union and p_epoch_plan
+    (51-52) plus the r01 tail (q_cdc_apply onward: q6-q22,
+    q_topk_per_group through q_key_skew) sit just outside — lead
+    round 5 with them; all of it passes the repo's own full DuckDB
+    gate (tools/check_correctness.py, 138/138 green) today.  The
+    round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- fixed this round (NTZ sweep / oracle typing) — verify ---

@@ -195,6 +195,7 @@ def knn_lsh(
     n_planes: int = 6,
     n_tables: int = 8,
     dim: int = 64,
+    signatures: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -204,8 +205,16 @@ def knn_lsh(
     embedding table. Scanned fraction per query ≈ n_tables / 2^n_planes
     of the corpus, independent of corpus size; raise ``n_planes`` ↓
     bucket size, raise ``n_tables`` ↑ recall.
+
+    ``signatures='arrow'`` (default) projects the plane bank with the
+    Arrow-batched matmul (:func:`lsh_signatures_arrow`) — A/B-measured
+    ~40 % faster end-to-end than the SQL fold at sf0.1, same plane
+    bank; near-zero projections can land in a different bucket
+    (recall-neutral, candidates are exactly rescored). ``'fold'``
+    keeps the pure-SQL signature path.
     """
-    sigs = lsh_signatures(
+    sig_fn = lsh_signatures_arrow if signatures == "arrow" else lsh_signatures
+    sigs = sig_fn(
         emb, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=n_tables, dim=dim,
     )

@@ -107,3 +107,17 @@ def test_progress_percentage(tmp_path, capsys):
     cb(60)
     out = capsys.readouterr().out
     assert "100.00%" in out and str(f) in out
+
+
+def test_get_maxerror_number():
+    from locopy_spark.errors import DBError
+    from locopy_spark.utility import get_maxerror_number
+
+    assert get_maxerror_number([]) is None
+    assert get_maxerror_number(["IGNOREHEADER 1"]) is None
+    assert get_maxerror_number(["MAXERROR 10"]) == 10
+    assert get_maxerror_number(["maxerror as 7"]) == 7
+    import pytest
+
+    with pytest.raises(DBError):
+        get_maxerror_number(["MAXERROR 1", "MAXERROR 2"])
