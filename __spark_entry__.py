@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_windows": mining.q_funnel_windows,
         "q_hll_union": mining.q_hll_union,
         "p_epoch_plan": mining.p_epoch_plan,
+        "q_cusum": mining.q_cusum,
+        "p_stratified_split": mining.p_stratified_split,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_hll_union",
     "t_novelty",
     "p_epoch_plan",
+    "q_cusum",
+    "p_stratified_split",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -788,3 +788,144 @@ ORACLE["p_epoch_plan"] = f"""
   FROM per_src CROSS JOIN totals
   ORDER BY source
 """
+
+
+# -- change-point detection -------------------------------------------------
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily revenue series: the
+    day maximizing |cumulative deviation from the global mean| — the
+    classic level-shift locator, fraction-free.
+
+    ``cusum_k = Σ_{i≤k} x_i − k·mean`` multiplied through by ``n``
+    becomes ``n·prefix_k − k·s`` — pure bigint/decimal arithmetic, so
+    the argmax is exact on every engine (no float drift over long
+    prefixes). One partial-aggregated shuffle to the daily grain, one
+    prefix-sum window over the bounded daily series, one 1-row
+    broadcast of (n, s), and a 1-row TakeOrdered for the argmax
+    (deterministic tie-break on the earlier day).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice + 0.5) as bigint)")
+        ).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).over(w).alias("prefix"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("s"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "k",
+            "n",
+            F.expr("CAST(n * prefix - k * s AS DECIMAL(38,0))").alias(
+                "drift_n"
+            ),
+        )
+        .orderBy(F.expr("abs(drift_n)").desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            "k",
+            F.expr("CAST(drift_n AS DOUBLE) / CAST(n * n AS DOUBLE)").alias(
+                "mean_shift_area"
+            ),
+            "n",
+        )
+    )
+
+
+ORACLE["q_cusum"] = """
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS day,
+           SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+  ),
+  pre AS (
+    SELECT day,
+           SUM(CAST(x AS HUGEINT)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+           ROW_NUMBER() OVER (ORDER BY day) AS k
+    FROM daily
+  ),
+  tot AS (
+    SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s FROM daily
+  )
+  SELECT day AS change_day, k,
+         CAST(n * prefix - k * s AS DOUBLE)
+           / CAST(n * n AS DOUBLE) AS mean_shift_area,
+         CAST(n AS BIGINT) AS n
+  FROM pre CROSS JOIN tot
+  ORDER BY abs(n * prefix - k * s) DESC, day LIMIT 1
+"""
+
+
+# -- stratified split -------------------------------------------------------
+
+STRAT_TEST = 10  # percent
+STRAT_VAL = 10
+
+
+def p_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test assignment: EXACT ``ceil``-quota
+    proportions inside every (source, lang) stratum — the guarantee
+    the uniform md5-gate split (``d_hash_split``) can't give for small
+    strata, where binomial noise can leave a stratum with no eval rows
+    at all.
+
+    Rows rank inside their stratum by md5(doc_id) (uniform
+    pseudorandom, engine-portable, tie-broken by doc_id); the first
+    ceil(10%·n) are test, the next ceil(10%·n) val. One rank window
+    per stratum — bounded by the stratum's rows, the same shape at any
+    corpus size; no global sort, no collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.expr("md5(cast(doc_id as string))"), "doc_id"
+    )
+    wn = Window.partitionBy("source", "lang")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "split",
+            F.expr(
+                f"case when rn <= ceil(0.{STRAT_TEST:02d} * n) then 'test'"
+                f" when rn <= ceil(0.{STRAT_TEST + STRAT_VAL:02d} * n)"
+                " then 'val' else 'train' end"
+            ),
+        )
+        .select("doc_id", "source", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["p_stratified_split"] = f"""
+  WITH r AS (
+    SELECT doc_id, source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source, lang) AS n
+    FROM documents
+  )
+  SELECT doc_id, source, lang,
+         CASE WHEN rn <= CEIL(0.{STRAT_TEST:02d} * n) THEN 'test'
+              WHEN rn <= CEIL(0.{STRAT_TEST + STRAT_VAL:02d} * n) THEN 'val'
+              ELSE 'train' END AS split
+  FROM r ORDER BY doc_id
+"""
