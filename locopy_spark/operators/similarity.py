@@ -139,6 +139,7 @@ def lsh_signatures_arrow(
     n_planes: int = 6,
     n_tables: int = 8,
     dim: int = 64,
+    include_vector: bool = False,
 ) -> DataFrame:
     """Arrow-batched twin of :func:`lsh_signatures`: the same
     deterministic plane bank, projected with one numpy matmul per
@@ -174,15 +175,18 @@ def lsh_signatures_arrow(
             bits = bits.reshape(len(pdf), n_tables, n_planes)
             buckets = (bits * weights).sum(axis=2)  # (n, T)
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1),
+            }
+            if include_vector:
+                out[vec_col] = pdf[vec_col].repeat(n_tables).to_numpy()
+            yield pd.DataFrame(out)
 
     schema = f"{id_col} long, table int, bucket long"
+    if include_vector:
+        schema += f", {vec_col} array<float>"
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
@@ -346,6 +350,80 @@ def knn_ivf(
     )
 
 
+def _bucket_pair_scorer(id_col: str, vec_col: str, threshold: float):
+    """applyInPandas scorer for one LSH bucket: every in-bucket pair's
+    fixed-point dot, computed with the EXACT arithmetic of
+    ``fixed_dot_expr`` (per-element double product → ×FIXED_SCALE →
+    floor(+0.5) → int64 sum), vectorized in numpy and chunked so a hot
+    bucket never materializes an m×m×dim tensor."""
+    import numpy as np
+    import pandas as pd
+
+    from locopy_spark.functions.vectors import FIXED_SCALE
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "dot_fix": pd.Series(dtype="int64"),
+            "na": pd.Series(dtype="int64"),
+            "nb": pd.Series(dtype="int64"),
+        }
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        v = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        selfdot = (
+            np.floor(v * v * FIXED_SCALE + 0.5).astype(np.int64).sum(axis=1)
+        )
+        rows_a, rows_b, dots = [], [], []
+        chunk = max(1, (1 << 22) // (m * v.shape[1]))  # ~32 MB f64 blocks
+        for s in range(0, m, chunk):
+            blk = v[s : s + chunk]
+            d = (
+                np.floor(
+                    blk[:, None, :] * v[None, :, :] * FIXED_SCALE + 0.5
+                )
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            # norms multiply in FLOAT64 before sqrt — same op order as
+            # cosine_from_fixed's CAST(na AS DOUBLE) * nb (int64 would
+            # overflow at ~1e24)
+            cos = d / np.sqrt(
+                selfdot[s : s + chunk, None].astype(np.float64)
+                * selfdot[None, :].astype(np.float64)
+            )
+            for r in range(len(blk)):
+                gi = s + r
+                js = np.nonzero(cos[r, gi + 1 :] >= threshold)[0] + gi + 1
+                if len(js):
+                    rows_a.append(np.full(len(js), ids[gi]))
+                    rows_b.append(ids[js])
+                    dots.append(d[r, js])
+        if not rows_a:
+            return empty
+        a = np.concatenate(rows_a)
+        b = np.concatenate(rows_b)
+        idx = {int(i): n for n, i in enumerate(ids)}
+        return pd.DataFrame(
+            {
+                "vec_a": a,
+                "vec_b": b,
+                "dot_fix": np.concatenate(dots),
+                "na": selfdot[[idx[int(x)] for x in a]],
+                "nb": selfdot[[idx[int(x)] for x in b]],
+            }
+        )
+
+    return score
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -356,6 +434,7 @@ def semantic_dedup_pairs(
     dim: int = 64,
     persist_scope: str | None = "semantic_dedup",
     signatures: str = "arrow",
+    rescoring: str = "bucket",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, found inside LSH candidate
     buckets — the production twin of :func:`embedding_dedup_pairs`.
@@ -381,6 +460,31 @@ def semantic_dedup_pairs(
     projects the wide plane bank with an Arrow-batched matmul
     (:func:`lsh_signatures_arrow`); ``'fold'`` keeps the pure-SQL fold.
     """
+    if rescoring == "bucket":
+        # one mapInPandas pass emits (id, table, bucket, vector); one
+        # shuffle groups each bucket; pairwise fixed-point dots run as
+        # chunked numpy inside the bucket. Data moved: corpus×n_tables
+        # vector rows — in the weak-threshold regime (candidates >>
+        # corpus) this is orders of magnitude less than the join
+        # rescorer's 2 vectors per candidate pair. Hot buckets bound
+        # the m² work per task: raise n_planes to split them.
+        tagged = lsh_signatures_arrow(
+            emb, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, dim=dim,
+            include_vector=True,
+        )
+        scored = tagged.groupBy("table", "bucket").applyInPandas(
+            _bucket_pair_scorer(id_col, vec_col, threshold),
+            "vec_a long, vec_b long, dot_fix long, na long, nb long",
+        )
+        return (
+            scored.distinct()
+            .withColumn(
+                "cosine", F.expr(cosine_from_fixed("dot_fix", "na", "nb"))
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
     sig_fn = lsh_signatures_arrow if signatures == "arrow" else lsh_signatures
     sigs = sig_fn(
         emb, id_col=id_col, vec_col=vec_col,
