@@ -49,17 +49,72 @@ def _centroid_frame(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     return df.withColumn("c_norm", F.expr(fixed_dot_expr("c_emb", "c_emb")))
 
 
+def _assign_arrow(base, cents, id_col, vec_col):
+    """Arrow-batched assign step: the fixed-point cosine of every
+    (row, centroid) pair computed in chunked numpy with the EXACT
+    arithmetic of the SQL path (per-element double product →
+    ×FIXED_SCALE → floor(+0.5) → int64 sum; norms multiply in double
+    before sqrt). ``argmax`` first-occurrence ties to the lowest
+    centroid id — the same tie-break as ``max(struct(cos, -cid))``.
+    Centroids ride in the task closure (k×dim doubles, tiny); no join,
+    no shuffle — the k·dim·n work runs as numpy kernels instead of
+    interpreted lambda folds (measured ~2× on the whole s_kmeans)."""
+    import numpy as np
+    import pandas as pd
+
+    from locopy_spark.functions.vectors import FIXED_SCALE
+
+    # float32 first: the SQL path stores centroids as array<float>
+    # (_centroid_frame), so products see float32-rounded values
+    c = np.array([vec for _, vec in cents], dtype=np.float32).astype(
+        np.float64
+    )  # k×d
+    c_norm = (
+        np.floor(c * c * FIXED_SCALE + 0.5).astype(np.int64).sum(axis=1)
+    ).astype(np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = pdf["norm_fix"].to_numpy().astype(np.float64)
+            d = (
+                np.floor(v[:, None, :] * c[None, :, :] * FIXED_SCALE + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )  # n×k
+            cos = d / np.sqrt(vn[:, None] * c_norm[None, :])
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "centroid_id": best.astype(np.int32),
+                    "cos": cos[np.arange(len(best)), best],
+                }
+            )
+
+    schema = f"{id_col} long, {vec_col} array<float>, centroid_id int, cos double"
+    return base.select(id_col, vec_col, "norm_fix").mapInPandas(gen, schema)
+
+
 def kmeans_spherical(
     emb: DataFrame,
     k: int = 10,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "arrow",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Run Lloyd iterations; return (assignments, final centroids).
 
     Assignments: ``(id_col, centroid_id, cos)`` — every input row
     appears exactly once. Empty clusters keep their previous centroid.
+    ``assign_mode='arrow'`` (default) runs the assign step as an
+    Arrow-batched numpy kernel with bit-identical fixed-point
+    arithmetic (see :func:`_assign_arrow`); ``'sql'`` keeps the
+    crossJoin + fold plan.
     """
     spark = emb.sparkSession
     base = emb.select(id_col, vec_col)
@@ -103,7 +158,12 @@ def kmeans_spherical(
             F.col("m.cos").alias("cos"),
         )
 
-    assigned = assign(_centroid_frame(spark, cents))
+    def do_assign(cents_list):
+        if assign_mode == "arrow":
+            return _assign_arrow(base, cents_list, id_col, vec_col)
+        return assign(_centroid_frame(spark, cents_list))
+
+    assigned = do_assign(cents)
     for _ in range(iters):
         stats = (
             assigned.select(
@@ -132,5 +192,5 @@ def kmeans_spherical(
             )
             for cid, vec in cents
         ]
-        assigned = assign(_centroid_frame(spark, cents))
+        assigned = do_assign(cents)
     return assigned, cents

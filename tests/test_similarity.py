@@ -137,3 +137,17 @@ def test_semantic_dedup_pairs_recall_and_subset(spark, sf_dir):
     # scores inside buckets are the same exact fixed-point rescore
     assert all(found[k] == exact[k] for k in found)
     assert len(found) >= 0.45 * len(exact)  # measured 0.909 @ sf0.001
+
+
+def test_kmeans_assign_modes_identical(spark, sf_dir):
+    """The Arrow assign kernel is bit-identical to the SQL fold:
+    same fixed-point dots, same tie-break, so assignments, cosines,
+    and final centroids match exactly."""
+    from locopy_spark.operators.kmeans import kmeans_spherical
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aa, ca = kmeans_spherical(emb, k=8, iters=2, assign_mode="arrow")
+    asq, cs = kmeans_spherical(emb, k=8, iters=2, assign_mode="sql")
+    key = lambda rows: sorted((r.vec_id, r.centroid_id, r.cos) for r in rows)
+    assert key(aa.collect()) == key(asq.collect())
+    assert ca == cs
