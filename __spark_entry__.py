@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_epoch_plan": mining.p_epoch_plan,
         "q_cusum": mining.q_cusum,
         "p_stratified_split": mining.p_stratified_split,
+        "d_kmv_overlap": corpus.d_kmv_overlap,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "p_epoch_plan",
     "q_cusum",
     "p_stratified_split",
+    "d_kmv_overlap",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",
