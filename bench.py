@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_cusum",
     "p_stratified_split",
     "d_kmv_overlap",
+    "q_incr_join_view",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -217,3 +217,55 @@ def scd2_apply(
         .unionByName(fresh)
         .unionByName(anti)
     )
+
+
+def incremental_join(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    keys: list[tuple[str, str]],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Delta maintenance of a JOIN view (the join-side twin of
+    :func:`merge_additive`'s aggregate maintenance).
+
+    For a materialized view V = A ⋈ B, the rows added by new data
+    (A = A₀ ⊎ ΔA, B = B₀ ⊎ ΔB) are exactly
+
+        ΔV = (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    so a refresh touches each base side once with a delta-sized build
+    side instead of re-joining the full tables. Each term broadcasts
+    its delta (the common case: a daily increment against a 100 TB
+    base), making the whole refresh three map-side hash joins — zero
+    base-sized shuffles. Returns ΔV; the caller unions it with the
+    stored V (or feeds it to ``merge_additive`` when the view is an
+    aggregate over the join).
+    """
+    a_keys = [k for k, _ in keys]
+
+    def cond(lhs, rhs):
+        c = None
+        for ak, bk in keys:
+            t = lhs[ak] == rhs[bk]
+            c = t if c is None else (c & t)
+        return c
+
+    def bc(df):
+        return F.broadcast(df) if broadcast_deltas else df
+
+    # drop B's key columns: equal to A's by the join condition
+    def proj(joined, lhs, rhs):
+        return joined.select(
+            *[lhs[c] for c in base_a.columns],
+            *[rhs[c] for c in base_b.columns if c not in {b for _, b in keys}],
+        )
+
+    da, db = delta_a.alias("da"), delta_b.alias("db")
+    a0, b0 = base_a.alias("a0"), base_b.alias("b0")
+    return (
+        proj(b0.join(bc(da), cond(da, b0)), da, b0)
+        .unionByName(proj(a0.join(bc(db), cond(a0, db)), a0, db))
+        .unionByName(proj(da.join(db, cond(da, db)), da, db))
+    )

@@ -254,3 +254,68 @@ ORACLE: dict[str, str] = {
       ORDER BY c_custkey, valid_from, c_mktsegment
     """,
 }
+
+
+IVM_CUT = "1995-06-01"  # arrival cutover for the join-view refresh
+
+
+def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the orders ⋈ lineitem
+    revenue view refreshed as stored-view + delta (operators.merge.
+    incremental_join: ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, each term broadcasting
+    its delta — no base-sized shuffle). Both tables split at IVM_CUT
+    on their own date column (orders by o_orderdate, lineitem by
+    l_shipdate), so the deltas genuinely cross-join the opposite base.
+    The ORACLE is the one-shot full join: incremental == batch, the
+    property that lets a 100 TB join view refresh by touching only
+    the new partitions.
+    """
+    from locopy_spark.functions.numeric import exact_sum
+    from locopy_spark.operators.merge import incremental_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cut = F.lit(IVM_CUT).cast("date")
+    o0, do = o.filter(F.col("o_orderdate") < cut), o.filter(
+        F.col("o_orderdate") >= cut
+    )
+    l0, dl = li.filter(F.col("l_shipdate") < cut), li.filter(
+        F.col("l_shipdate") >= cut
+    )
+    stored = o0.join(l0, o0["o_orderkey"] == l0["l_orderkey"]).select(
+        *o.columns, "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    delta = incremental_join(
+        o0, do, l0, dl, keys=[("o_orderkey", "l_orderkey")]
+    )
+    view = stored.unionByName(delta)
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _oracle_incr_join_view() -> str:
+    from locopy_spark.functions.numeric import sql_exact_sum
+
+    return f"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             {sql_exact_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLE["q_incr_join_view"] = _oracle_incr_join_view()

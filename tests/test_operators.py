@@ -721,3 +721,28 @@ def test_kmv_sketch_exact_prefix_and_estimator(spark, sf_dir):
         errs.append(abs(e - j))
     assert max(errs) <= 0.08  # measured 0.029 max @ sf0.001, k=256
     assert sum(errs) / len(errs) <= 0.03  # measured 0.007
+
+
+def test_incremental_join_equals_batch(spark):
+    """ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB is exactly the new-row set: stored ∪ delta
+    is multiset-equal to the one-shot join of the full tables."""
+    from locopy_spark.operators.merge import incremental_join
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(10)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 7, i, f"b{i}") for i, k in enumerate(range(20))],
+        "bk long, i long, bv string",
+    )
+    a0, da = a.filter("k < 6"), a.filter("k >= 6")
+    b0, db = b.filter("i < 11"), b.filter("i >= 11")
+    stored = a0.join(b0, a0["k"] == b0["bk"]).select("k", "av", "i", "bv")
+    delta = incremental_join(a0, da, b0, db, keys=[("k", "bk")])
+    got = sorted(
+        map(tuple, stored.unionByName(delta).collect())
+    )
+    want = sorted(
+        map(tuple, a.join(b, a["k"] == b["bk"]).select("k", "av", "i", "bv").collect())
+    )
+    assert got == want and len(want) > 0
