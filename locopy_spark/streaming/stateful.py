@@ -487,8 +487,13 @@ def stream_daily_anomaly(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        from locopy_spark.functions.numeric import sql_epoch_us
+
+        # type-robust epoch: the stream source may deliver TIMESTAMP or
+        # TIMESTAMP_NTZ (Spark 4 reads plain parquet µs as NTZ, where
+        # bare unix_micros() fails analysis)
         rows = batch_df.select(
-            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr(f"({sql_epoch_us(batch_df, 'ts')}) div 86400000000").alias("day"),
             F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias(
                 "x_fix"
             ),
@@ -506,5 +511,75 @@ def stream_daily_anomaly(
         events.writeStream.outputMode("append")
         .foreachBatch(step)
         .queryName(f"daily_anomaly_{state_view}")
+        .start()
+    )
+
+
+def stream_kmv_sketch(
+    docs: DataFrame,
+    k: int = 64,
+    shingle_k: int = 3,
+    state_view: str = "kmv_state",
+):
+    """Continuously-maintained per-source KMV shingle sketches — the
+    streaming feed for the ``d_kmv_overlap`` source-overlap matrix.
+
+    KMV merge (k smallest of the union) is commutative, associative
+    AND idempotent, so the maintained sketch equals the batch
+    ``operators.sketches.kmv_sketch`` over the same documents on ANY
+    batching, arrival order, or replay (the test asserts array
+    equality) — no watermark needed. Per batch the work is delta-sized
+    (each micro-batch reduces to ≤ k hashes per source before touching
+    state); state is O(sources × k) forever. For bulk backfill batches
+    the bounded-admission batch operator applies verbatim inside
+    ``foreachBatch``; overlap estimates come from
+    ``operators.sketches.kmv_jaccard_matrix`` over the state view, on
+    demand.
+    """
+    from locopy_spark.functions.text import shingles_expr, tokens_expr
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "source string, kmv array<string>")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch_sk = (
+            batch_df.select(
+                "source", F.expr(tokens_expr("text")).alias("toks")
+            )
+            .select(
+                "source",
+                F.explode(F.expr(shingles_expr("toks", shingle_k))).alias(
+                    "sh"
+                ),
+            )
+            .select("source", F.md5("sh").alias("h"))
+            .groupBy("source")
+            .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmv"))
+        )
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(batch_sk)
+            .groupBy("source")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("kmv")))
+                    ),
+                    1,
+                    k,
+                ).alias("kmv")
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"kmv_{state_view}")
         .start()
     )

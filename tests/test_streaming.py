@@ -536,3 +536,42 @@ def test_stream_daily_anomaly_matches_batch(spark, sf_dir):
         for r in score_daily_anomalies(daily).orderBy("day").collect()
     ]
     assert got and got == want
+
+
+def test_stream_kmv_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """KMV merge is a commutative idempotent monoid, so the sketch
+    maintained across 4 out-of-order micro-batches equals the batch
+    operator over the full corpus — exact array equality."""
+    from locopy_spark.functions.text import shingles_expr, tokens_expr
+    from locopy_spark.operators.sketches import kmv_sketch
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 4 chunks, written out of doc_id order to exercise order-invariance
+    for i, pred in enumerate(["3", "1", "0", "2"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"chunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "chunk*"))
+    )
+    q = stream_kmv_sketch(stream, k=64, state_view="kmv_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.source: list(r.kmv)
+        for r in spark.table("global_temp.kmv_t").collect()
+    }
+    sh = docs.select(
+        "source", F.expr(tokens_expr("text")).alias("toks")
+    ).select("source", F.explode(F.expr(shingles_expr("toks", 3))).alias("sh"))
+    want = {
+        r.source: list(r.kmv)
+        for r in kmv_sketch(sh, "source", "sh", k=64).collect()
+    }
+    assert got and got == want
