@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "d_kmv_overlap",
     "q_incr_join_view",
     "s_hard_negatives",
+    "p_train_order",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

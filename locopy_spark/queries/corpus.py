@@ -560,3 +560,90 @@ ORACLE["d_kmv_overlap"] = f"""
   FROM kmv a JOIN kmv b ON a.source < b.source
   ORDER BY source_a, source_b
 """
+
+
+TRAIN_ORDER_N = 200  # emitted prefix of the order (the gate's window)
+
+
+def p_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved training order: stride scheduling of
+    documents across sources, so a trainer consuming the stream head
+    sees every source early instead of whole sources back-to-back.
+
+    Each source's r-th doc (r = md5-rank within source — reproducible
+    shuffle) gets virtual time vt = r × n_tokens(source): token-heavy
+    sources stride slower per doc, token-light sources surface more
+    often, equalizing per-source progress weighted by token mass —
+    the ordering twin of p_mix_weights' uniform-token target. All vt
+    arithmetic is exact bigint (rank × exact token sum), so the global
+    (vt, source, doc_id) order is engine-portable with no float ties.
+
+    Scale shape: per-source ranks via grouped_global_row_number (range
+    partition + O(P+G) offsets — no one-task-per-source window), a
+    G-row broadcast for the strides, and a TakeOrdered head for the
+    emitted prefix; the full ordering is a plain range-partitioned
+    sort when materializing shards. Emits the first TRAIN_ORDER_N
+    positions.
+    """
+    from pyspark.sql.window import Window as W
+
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("ntok")
+    )
+    rk = grouped_global_row_number(
+        per_doc, ["source"], ["__h", "doc_id"], out_col="rn"
+    )
+    vt = (
+        rk.join(F.broadcast(per_src), "source")
+        .withColumn("vt", (F.col("rn").cast("long") * F.col("ntok")))
+    )
+    head = vt.orderBy("vt", "source", "doc_id").limit(TRAIN_ORDER_N)
+    w = W.orderBy("vt", "source", "doc_id")  # 200 rows: single task is fine
+    return head.select(
+        F.row_number().over(w).alias("pos"),
+        "source",
+        "doc_id",
+        "n_toks",
+        "vt",
+    )
+
+
+ORACLE["p_train_order"] = f"""
+  WITH per_doc AS (
+    SELECT source, doc_id,
+           CAST(len({sql_tokens('text')}) AS INT) AS n_toks,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  ),
+  per_src AS (
+    SELECT source, CAST(SUM(n_toks) AS BIGINT) AS ntok
+    FROM per_doc GROUP BY source
+  ),
+  rk AS (
+    SELECT d.source, d.doc_id, d.n_toks,
+           row_number() OVER (
+             PARTITION BY d.source ORDER BY d.h, d.doc_id
+           ) AS rn
+    FROM per_doc d
+  ),
+  vt AS (
+    SELECT rk.source, rk.doc_id, rk.n_toks,
+           CAST(rk.rn * per_src.ntok AS BIGINT) AS vt
+    FROM rk JOIN per_src USING (source)
+  ),
+  ord AS (
+    SELECT *, row_number() OVER (ORDER BY vt, source, doc_id) AS pos
+    FROM vt
+  )
+  SELECT CAST(pos AS INT) AS pos, source, doc_id, n_toks, vt
+  FROM ord WHERE pos <= {TRAIN_ORDER_N} ORDER BY pos
+"""

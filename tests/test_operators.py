@@ -746,3 +746,22 @@ def test_incremental_join_equals_batch(spark):
         map(tuple, a.join(b, a["k"] == b["bk"]).select("k", "av", "i", "bv").collect())
     )
     assert got == want and len(want) > 0
+
+
+def test_train_order_interleaves_sources(spark, sf_dir):
+    """The emitted head of the training order interleaves: every source
+    shows up in the first 200 positions (no whole-source runs), and
+    positions are 1..N contiguous."""
+    from locopy_spark.queries.corpus import p_train_order
+
+    rows = p_train_order(spark, sf_dir).collect()
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    n_sources = 20
+    seen = {r.source for r in rows}
+    assert len(seen) == n_sources
+    # stride discipline: per-source rank within the head is bounded by
+    # a fair share (no source hogs the head)
+    from collections import Counter
+
+    c = Counter(r.source for r in rows)
+    assert max(c.values()) <= 3 * (len(rows) // n_sources)
