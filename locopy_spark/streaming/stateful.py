@@ -583,3 +583,103 @@ def stream_kmv_sketch(
         .queryName(f"kmv_{state_view}")
         .start()
     )
+
+
+QH_BIN_W_FIX = 500  # bin width 0.5 in the ×1e3 fixed-point domain
+QH_PCTS = (0.5, 0.9, 0.99)
+
+
+def binned_counts(events: DataFrame) -> DataFrame:
+    """Per-bin exact counts of ``value`` — bin = floor(value_fix / W)
+    on the repo's ×1e3 fixed-point rounding, so the binning itself is
+    engine-portable and merge-exact. Shared by the streaming state and
+    the batch twin."""
+    return (
+        events.select(
+            F.expr(
+                f"cast(floor(value * 1000 + 0.5) as bigint)"
+                f" div {QH_BIN_W_FIX}"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(bins: DataFrame) -> DataFrame:
+    """Quantiles from a (bin, n) histogram: for each p, the upper edge
+    of the first bin whose cumulative count reaches ceil(p × N). The
+    histogram is O(domain/width) rows, so the cumulative window is a
+    driver-trivial sort; the answer is exact to one bin width — a
+    DETERMINISTIC error bound, unlike percentile_approx's sketch."""
+    from pyspark.sql.window import Window as W
+
+    cum = bins.select(
+        "bin",
+        "n",
+        F.sum("n").over(W.orderBy("bin")).alias("cum"),
+        F.sum("n").over(
+            W.orderBy("bin").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qs = [
+        cum.filter(
+            F.col("cum") >= F.expr(f"CAST(ceil({p} * total) AS BIGINT)")
+        )
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            F.lit(p).alias("p"),
+            (
+                (F.col("bin") + 1).cast("double")
+                * F.lit(QH_BIN_W_FIX)
+                / 1000.0
+            ).alias("q_upper"),
+            "total",
+        )
+        for p in QH_PCTS
+    ]
+    out = qs[0]
+    for q in qs[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def stream_quantiles(
+    events: DataFrame,
+    state_view: str = "quantile_state",
+):
+    """Continuously-maintained value quantiles: each micro-batch adds
+    its exact per-bin counts into the histogram state (additive
+    commutative merge — batching and arrival order cannot change the
+    state), and quantiles read off the state on demand. State is
+    O(value domain / bin width) rows forever, independent of stream
+    length; the deterministic one-bin-width error bound survives any
+    merge, which no quantile SKETCH with per-batch compaction
+    guarantees. Batch twin: ``histogram_quantiles(binned_counts(e))``
+    — the test asserts exact equality."""
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "bin long, n long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(binned_counts(batch_df))
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"quantiles_{state_view}")
+        .start()
+    )

@@ -575,3 +575,39 @@ def test_stream_kmv_sketch_matches_batch(spark, sf_dir, tmp_path):
         for r in kmv_sketch(sh, "source", "sh", k=64).collect()
     }
     assert got and got == want
+
+
+def test_stream_quantiles_matches_batch(spark, sf_dir):
+    """The additively-merged histogram state yields the same quantiles
+    as the batch binning over the full events table, and each quantile
+    brackets the exact percentile within one bin width."""
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_event_stream
+    from locopy_spark.streaming.stateful import (
+        binned_counts,
+        histogram_quantiles,
+        stream_quantiles,
+    )
+
+    q = stream_quantiles(
+        read_event_stream(spark, sf_dir), state_view="qh_t"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.p: (r.q_upper, r.total)
+        for r in histogram_quantiles(spark.table("global_temp.qh_t")).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.p: (r.q_upper, r.total)
+        for r in histogram_quantiles(binned_counts(ev)).collect()
+    }
+    assert got and got == want
+    exact = ev.selectExpr(
+        "percentile(value, array(0.5, 0.9, 0.99)) as qs"
+    ).collect()[0].qs
+    for p, x in zip((0.5, 0.9, 0.99), exact):
+        assert abs(got[p][0] - x) <= 0.5 + 1e-9  # one bin width
