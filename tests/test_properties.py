@@ -187,3 +187,55 @@ def test_mg_candidates_superset_property(tokens, k):
     for t, c in true.items():
         if c * k >= n:
             assert t in counts, (t, c, n, k)
+
+
+def _kmv(values, k):
+    """Model of operators.sketches.kmv_sketch: k smallest distinct."""
+    return sorted(set(values))[:k]
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef0123", min_size=1, max_size=6)),
+    st.lists(st.text(alphabet="abcdef0123", min_size=1, max_size=6)),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_merge_is_a_monoid(xs, ys, k):
+    """KMV merge (k smallest of the union) must be commutative,
+    idempotent, and equal to the sketch of the union — the property
+    that makes stream_kmv_sketch batching-invariant."""
+    sa, sb = _kmv(xs, k), _kmv(ys, k)
+    merged = sorted(set(sa) | set(sb))[:k]
+    assert merged == sorted(set(sb) | set(sa))[:k]  # commutative
+    assert sorted(set(merged) | set(sa))[:k] == merged  # idempotent-ish
+    assert merged == _kmv(xs + ys, k)  # sketch(union) == merge(sketches)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=30),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=30),
+    st.randoms(),
+)
+@settings(max_examples=200, deadline=None)
+def test_incremental_join_algebra_complete(a_rows, b_rows, rnd):
+    """The delta-join identity behind operators.merge.incremental_join:
+    for ANY split of each side, base⋈base ∪ Δa⋈b0 ∪ a0⋈Δb ∪ Δa⋈Δb is
+    multiset-equal to the full join."""
+    from collections import Counter
+
+    idx = [rnd.random() < 0.5 for _ in a_rows]
+    a0 = [r for r, t in zip(a_rows, idx) if t]
+    da = [r for r, t in zip(a_rows, idx) if not t]
+    idy = [rnd.random() < 0.5 for _ in b_rows]
+    b0 = [r for r, t in zip(b_rows, idy) if t]
+    db = [r for r, t in zip(b_rows, idy) if not t]
+
+    def join(xs, ys):
+        return Counter(
+            (xk, xv, yv) for xk, xv in xs for yk, yv in ys if xk == yk
+        )
+
+    incremental = (
+        join(a0, b0) + join(da, b0) + join(a0, db) + join(da, db)
+    )
+    assert incremental == join(a_rows, b_rows)
