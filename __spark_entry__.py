@@ -39,14 +39,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the window rotates each round.  Round 3 re-proved the
     LLM-pipeline + events + IO families; round 4 leads with the 9
     queries fixed this round (TIMESTAMP_NTZ sweep + oracle typing),
-    then the 31 round-4 additions (none ever driver-checked), then
-    the entries whose last driver check was round 1 (TPC-H, windows,
-    ETL).  After the round-4b2 additions the window cutoff (position
-    50) lands after q_funnel_windows: q_hll_union and p_epoch_plan
-    (51-52) plus the r01 tail (q_cdc_apply onward: q6-q22,
-    q_topk_per_group through q_key_skew) sit just outside — lead
-    round 5 with them; all of it passes the repo's own full DuckDB
-    gate (tools/check_correctness.py, 138/138 green) today.  The
+    then the round-4 additions (never driver-checked), then the
+    entries whose last driver check was round 1 (TPC-H, windows,
+    ETL).  The window cutoff (position 50) lands after
+    q_funnel_windows: positions 51-58 (q_hll_union, p_epoch_plan,
+    q_cusum, p_stratified_split, and the r4c quartet d_kmv_overlap /
+    q_incr_join_view / s_hard_negatives / p_train_order) plus the r01
+    tail (q_cdc_apply onward: q6-q22, q_topk_per_group through
+    q_key_skew) sit just outside — lead round 5 with them; all of it
+    passes the repo's own full DuckDB gate
+    (tools/check_correctness.py, 144/144 green) today.  The
     round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from locopy_spark.functions.text import shingles_expr, tokens_expr
 from locopy_spark.functions.cache import managed_persist
+from locopy_spark.functions.parallel import ensure_map_parallelism
 
 DEFAULT_NHASH = 16
 DEFAULT_BANDS = 4  # 16 sigs = 4 bands × 4 rows → s-curve threshold ≈ 0.7
@@ -49,7 +50,12 @@ def exact_dedup(
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (doc_id, sh)."""
+    """Distinct k-word shingles per document: (doc_id, sh).
+
+    The tokenize + shingle explode and the distinct's map-side partial
+    aggregation are the heavy part; the parallelism guard keeps them
+    off a single input split (see functions.parallel)."""
+    docs = ensure_map_parallelism(docs)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -165,14 +171,20 @@ def minhash_signatures(
 
     Entirely ROW-LOCAL: the per-shingle digests and the 16 minima are
     higher-order array functions inside one whole-stage-codegen
-    projection — no explode, no aggregate, zero shuffles (a narrow map
-    at any scale). A/B vs the explode + 16-way min groupBy formulation
-    at sf0.1: 0.56 s vs 2.23 s warm, outputs bit-identical (the
-    explode path pushed 1.5 M (doc_id, digest) rows through a hash
-    aggregate; this never leaves the row). Docs with fewer than ``k``
-    tokens have no shingles and are dropped, matching the explode
-    path's semantics.
+    projection — no explode, no aggregate, no shuffle of the shingle
+    stream (the explode formulation pushed 1.5 M (doc_id, digest) rows
+    through a 16-way min hash aggregate; outputs are bit-identical).
+    Because ALL the md5 work now happens in the map, the input's
+    partition count caps parallelism — a small corpus read from one
+    parquet file would hash single-threaded — so inputs with fewer
+    partitions than the session's parallelism are repartitioned first
+    (3 MB shuffle vs 6× wall: A/B at sf0.1 cold, 6.3 s → 1.1 s to
+    materialize the signature table; at 100 TB the input has far more
+    partitions than cores and the guard is a no-op). Docs with fewer
+    than ``k`` tokens have no shingles and are dropped, matching the
+    explode path's semantics.
     """
+    docs = ensure_map_parallelism(docs)
     n_md5 = (n_hashes + 3) // 4  # 4 × 32-bit slices per 128-bit digest
     hb = "concat(" + ", ".join(f"md5('{d}:' || s)" for d in range(n_md5)) + ")"
     base = (

@@ -187,6 +187,11 @@ def lsh_signatures_arrow(
     schema = f"{id_col} long, table int, bucket long"
     if include_vector:
         schema += f", {vec_col} array<float>"
+    # NOTE: deliberately NO ensure_map_parallelism here — the matmul is
+    # a few ms at any batch size numpy sees, and an A/B at sf0.1 showed
+    # the guard's repartition costs more than it saves on the knn path
+    # (s_knn_lsh_prod 0.72 → 1.25 s); at scale the input partitioning
+    # already exceeds the cores.
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
