@@ -153,6 +153,26 @@ def copy_files(
         elif fmt == "text":
             # raw line-per-row ingestion (column: value) — corpus landing
             df = reader.text(path)
+        elif fmt == "xml":
+            # native in Spark 4 (SPARK-44265); rowTag defaults to "row",
+            # override via reader_options={"rowTag": ...}
+            xml_reader = reader.format("xml")
+            if not (reader_options and "rowTag" in reader_options):
+                xml_reader = xml_reader.option("rowTag", "row")
+            df = xml_reader.load(path)
+        elif fmt == "binaryfile":
+            # whole-file payload ingestion (path, modificationTime,
+            # length, content binary) — the multimodal landing format;
+            # pathGlobFilter via reader_options scopes the scan
+            df = reader.format("binaryFile").load(path)
+        elif fmt == "avro":
+            # built-in but an EXTERNAL module (spark-avro jar) since
+            # Spark 2.4 — absent in this deployment; fail with the fix
+            # rather than the generic unsupported message
+            raise ValueError(
+                "file_format='avro' needs the spark-avro package on the "
+                "session classpath (--packages org.apache.spark:spark-avro)"
+            )
         else:
             raise ValueError(f"unsupported file_format: {file_format}")
     except Exception as e:

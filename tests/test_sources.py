@@ -395,3 +395,42 @@ def test_copy_maxerror_requires_schema(spark, tmp_path):
     f.write_text("1|x\n")
     with pytest.raises(DBError, match="explicit schema"):
         copy_files(spark, str(f), "t_maxerr3", copy_options=["MAXERROR 5"])
+
+
+def test_copy_xml_native(spark, tmp_path):
+    """Spark 4 native XML lands through the same COPY surface."""
+    f = tmp_path / "rows.xml"
+    f.write_text(
+        "<rows><row><a>1</a><b>x</b></row>"
+        "<row><a>2</a><b>y</b></row></rows>"
+    )
+    df = copy_files(spark, str(f), "t_xml", file_format="xml")
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_copy_binaryfile_payloads(spark, tmp_path):
+    """binaryFile COPY: whole-file multimodal payload ingestion with
+    path/length/content columns, glob-scoped."""
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "skip.txt").write_text("no")
+    df = copy_files(
+        spark,
+        str(tmp_path),
+        "t_bin",
+        file_format="binaryfile",
+        reader_options={"pathGlobFilter": "*.bin"},
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].length == 9 and bytes(rows[0].content) == b"\x00\x01payload"
+
+
+def test_copy_avro_fails_with_fix(spark, tmp_path):
+    """Avro needs the external spark-avro jar: the error must say so."""
+    import pytest as _pytest
+
+    from locopy_spark.errors import DBError
+
+    with _pytest.raises(DBError) as ei:
+        copy_files(spark, str(tmp_path / "x.avro"), "t_av", file_format="avro")
+    assert "spark-avro" in str(ei.value.__cause__ or ei.value)
