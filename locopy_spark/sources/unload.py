@@ -85,6 +85,9 @@ def unload(
             writer.parquet(path)
         elif fmt == "orc":
             writer.orc(path)
+        elif fmt == "xml":
+            # native Spark-4 XML writer; <row> elements under <rows>
+            writer.format("xml").option("rowTag", "row").save(path)
         else:
             raise ValueError(f"unsupported file_format: {file_format}")
         return df

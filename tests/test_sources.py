@@ -434,3 +434,25 @@ def test_copy_avro_fails_with_fix(spark, tmp_path):
     with _pytest.raises(DBError) as ei:
         copy_files(spark, str(tmp_path / "x.avro"), "t_av", file_format="avro")
     assert "spark-avro" in str(ei.value.__cause__ or ei.value)
+
+
+def test_unload_xml_roundtrip(spark, tmp_path, sf_dir):
+    """UNLOAD to native XML and COPY it back: values survive."""
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.sources.unload import unload
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("n_rt")
+    out = tmp_path / "xml_out"
+    unload(
+        spark,
+        "SELECT n_nationkey, n_name FROM n_rt",
+        str(out),
+        file_format="xml",
+        splits=1,
+    )
+    back = copy_files(spark, str(out), "t_xml_rt", file_format="xml",
+                      reader_options={"rowTag": "row"})
+    want = {(r.n_nationkey, r.n_name)
+            for r in spark.table("n_rt").select("n_nationkey", "n_name").collect()}
+    got = {(r.n_nationkey, r.n_name) for r in back.collect()}
+    assert got == want and len(got) == 25
