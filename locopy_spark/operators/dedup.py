@@ -159,6 +159,7 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = DEFAULT_NHASH,
+    spread: bool = True,
 ) -> DataFrame:
     """MinHash signature per doc: m_i = MIN(32-bit hash_i(shingle)).
 
@@ -180,11 +181,17 @@ def minhash_signatures(
     partitions than the session's parallelism are repartitioned first
     (3 MB shuffle vs 6× wall: A/B at sf0.1 cold, 6.3 s → 1.1 s to
     materialize the signature table; at 100 TB the input has far more
-    partitions than cores and the guard is a no-op). Docs with fewer
-    than ``k`` tokens have no shingles and are dropped, matching the
-    explode path's semantics.
+    partitions than cores and the guard is a no-op; ``spread=False``
+    skips it — right for per-micro-batch streaming callers where the
+    batch is tiny and the repartition would cost more than it saves).
+    Docs with fewer than ``k`` tokens have no shingles and are
+    dropped, matching the explode path's semantics. CONTRACT:
+    ``id_col`` must be unique — one signature row per input row (the
+    old explode+groupBy formulation silently merged duplicate ids
+    into one union signature; no caller relied on that).
     """
-    docs = ensure_map_parallelism(docs)
+    if spread:
+        docs = ensure_map_parallelism(docs)
     n_md5 = (n_hashes + 3) // 4  # 4 × 32-bit slices per 128-bit digest
     hb = "concat(" + ", ".join(f"md5('{d}:' || s)" for d in range(n_md5)) + ")"
     base = (
@@ -216,14 +223,16 @@ def minhash_bands(
     k: int = 3,
     n_hashes: int = DEFAULT_NHASH,
     bands: int = DEFAULT_BANDS,
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, band, bh) posting rows — the banded-LSH key table that
     both the pair join (:func:`minhash_lsh_pairs`) and the arrival
     dedup (queries.docs.d_incr_dedup, streaming.stateful
     stream_near_dedup) bucket on. No persist here: callers own the
-    reuse decision."""
+    reuse decision. ``spread=False`` skips the map-parallelism guard
+    (streaming micro-batches)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes, spread=spread)
     band_cols = [
         F.expr(
             "md5(concat_ws('|', "

@@ -267,5 +267,8 @@ def incremental_join(
     return (
         proj(b0.join(bc(da), cond(da, b0)), da, b0)
         .unionByName(proj(a0.join(bc(db), cond(a0, db)), a0, db))
-        .unionByName(proj(da.join(db, cond(da, db)), da, db))
+        # the delta-delta term hints too: without it Spark may plan a
+        # sort-merge join (fresh file-scan deltas often lack stats),
+        # reintroducing the shuffle this function exists to avoid
+        .unionByName(proj(bc(da).join(db, cond(da, db)), da, db))
     )

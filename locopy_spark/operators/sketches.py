@@ -73,9 +73,17 @@ def kmv_sketch(
     Returns ``(stratum_col, kmv array<string>, n_sketch int)`` with
     ``kmv`` the sorted k smallest md5(element) hex digests.
     """
-    h = elems.select(
-        F.col(stratum_col).alias("__s"),
-        F.md5(F.col(elem_col).cast("string")).alias("__h"),
+    from locopy_spark.functions.cache import managed_persist
+
+    # the hashed element stream feeds BOTH passes (HLL count, then
+    # admission filter) — persist it so the upstream tokenize/explode
+    # doesn't run twice (the corpus pass is the whole cost)
+    h = managed_persist(
+        elems.select(
+            F.col(stratum_col).alias("__s"),
+            F.md5(F.col(elem_col).cast("string")).alias("__h"),
+        ),
+        "kmv_sketch",
     )
     # pass 1: approximate distinct-element count per stratum (tiny)
     counts = h.groupBy("__s").agg(

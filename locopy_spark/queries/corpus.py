@@ -589,12 +589,19 @@ def p_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from locopy_spark.operators.ranking import grouped_global_row_number
 
+    from locopy_spark.functions.cache import managed_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "source",
-        "doc_id",
-        F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
-        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    # persist: the stride aggregate and the rank path both consume the
+    # tokenized projection — without it the corpus tokenize runs twice
+    per_doc = managed_persist(
+        docs.select(
+            "source",
+            "doc_id",
+            F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        ),
+        "train_order",
     )
     per_src = per_doc.groupBy("source").agg(
         F.sum("n_toks").cast("long").alias("ntok")

@@ -280,11 +280,16 @@ def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     cut = F.lit(IVM_CUT).cast("date")
-    o0, do = o.filter(F.col("o_orderdate") < cut), o.filter(
-        F.col("o_orderdate") >= cut
+    # exhaustive split: NULL dates fail BOTH < and >= predicates and
+    # would silently vanish from the view — route them to the delta
+    # side (unknown arrival time == treat as new)
+    o0 = o.filter(F.col("o_orderdate") < cut)
+    do = o.filter(
+        (F.col("o_orderdate") >= cut) | F.col("o_orderdate").isNull()
     )
-    l0, dl = li.filter(F.col("l_shipdate") < cut), li.filter(
-        F.col("l_shipdate") >= cut
+    l0 = li.filter(F.col("l_shipdate") < cut)
+    dl = li.filter(
+        (F.col("l_shipdate") >= cut) | F.col("l_shipdate").isNull()
     )
     stored = o0.join(l0, o0["o_orderkey"] == l0["l_orderkey"]).select(
         *o.columns, "l_shipdate", "l_extendedprice", "l_discount"

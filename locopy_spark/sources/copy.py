@@ -155,9 +155,15 @@ def copy_files(
             df = reader.text(path)
         elif fmt == "xml":
             # native in Spark 4 (SPARK-44265); rowTag defaults to "row",
-            # override via reader_options={"rowTag": ...}
+            # override via reader_options={"rowTag": ...}. Spark reader
+            # options are case-INsensitive, so match the user's key that
+            # way — a later .option("rowTag", "row") would clobber a
+            # user-supplied "rowtag".
             xml_reader = reader.format("xml")
-            if not (reader_options and "rowTag" in reader_options):
+            has_rowtag = reader_options and any(
+                k.lower() == "rowtag" for k in reader_options
+            )
+            if not has_rowtag:
                 xml_reader = xml_reader.option("rowTag", "row")
             df = xml_reader.load(path)
         elif fmt == "binaryfile":
@@ -167,12 +173,19 @@ def copy_files(
             df = reader.format("binaryFile").load(path)
         elif fmt == "avro":
             # built-in but an EXTERNAL module (spark-avro jar) since
-            # Spark 2.4 — absent in this deployment; fail with the fix
-            # rather than the generic unsupported message
-            raise ValueError(
-                "file_format='avro' needs the spark-avro package on the "
-                "session classpath (--packages org.apache.spark:spark-avro)"
-            )
+            # Spark 2.4: try it — deployments that ship the jar just
+            # work — and on the classpath-miss enrich the error with
+            # the full resolvable coordinate
+            try:
+                df = reader.format("avro").load(path)
+            except Exception as avro_err:
+                if "avro" in str(avro_err).lower():
+                    raise ValueError(
+                        "file_format='avro' needs the spark-avro package "
+                        "on the session classpath, e.g. --packages "
+                        "org.apache.spark:spark-avro_2.13:<spark-version>"
+                    ) from avro_err
+                raise
         else:
             raise ValueError(f"unsupported file_format: {file_format}")
     except Exception as e:

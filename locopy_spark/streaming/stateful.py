@@ -126,7 +126,10 @@ def stream_near_dedup(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        bands = minhash_bands(batch_df, k=k).localCheckpoint()
+        # spread=False: a micro-batch is delta-sized, and the guard's
+        # per-batch .rdd plan build + repartition would cost more than
+        # the single-split map it avoids
+        bands = minhash_bands(batch_df, k=k, spread=False).localCheckpoint()
         state = s.table(f"global_temp.{state_view}")
         merged = (
             bands.groupBy("band", "bh")
@@ -596,9 +599,12 @@ def binned_counts(events: DataFrame) -> DataFrame:
     the batch twin."""
     return (
         events.select(
+            # floor division, NOT `div`: `div` truncates toward zero, so
+            # negative values would get a double-width bin 0 and break
+            # the one-bin-width error bound
             F.expr(
-                f"cast(floor(value * 1000 + 0.5) as bigint)"
-                f" div {QH_BIN_W_FIX}"
+                f"cast(floor(floor(value * 1000 + 0.5)"
+                f" / {QH_BIN_W_FIX}) as bigint)"
             ).alias("bin")
         )
         .groupBy("bin")

@@ -611,3 +611,16 @@ def test_stream_quantiles_matches_batch(spark, sf_dir):
     ).collect()[0].qs
     for p, x in zip((0.5, 0.9, 0.99), exact):
         assert abs(got[p][0] - x) <= 0.5 + 1e-9  # one bin width
+
+
+def test_binned_counts_negative_values(spark):
+    """Floor division (not `div` truncation): negative values must get
+    uniform-width bins so the one-bin-width quantile bound holds."""
+    from locopy_spark.streaming.stateful import binned_counts
+
+    df = spark.createDataFrame(
+        [(-0.7,), (-0.3,), (0.3,), (0.7,)], "value double"
+    )
+    got = {r.bin: r.n for r in binned_counts(df).collect()}
+    # width 0.5: -0.7 -> bin -2, -0.3 -> bin -1, 0.3 -> bin 0, 0.7 -> bin 1
+    assert got == {-2: 1, -1: 1, 0: 1, 1: 1}
