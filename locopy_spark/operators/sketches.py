@@ -73,21 +73,18 @@ def kmv_sketch(
     Returns ``(stratum_col, kmv array<string>, n_sketch int)`` with
     ``kmv`` the sorted k smallest md5(element) hex digests.
     """
-    from locopy_spark.functions.cache import managed_persist
-
-    # the hashed element stream feeds BOTH passes (HLL count, then
-    # admission filter) — persist it so the upstream tokenize/explode
-    # doesn't run twice (the corpus pass is the whole cost)
-    h = managed_persist(
-        elems.select(
-            F.col(stratum_col).alias("__s"),
-            F.md5(F.col(elem_col).cast("string")).alias("__h"),
-        ),
-        "kmv_sketch",
+    h = elems.select(
+        F.col(stratum_col).alias("__s"),
+        F.md5(F.col(elem_col).cast("string")).alias("__h"),
     )
-    # pass 1: approximate distinct-element count per stratum (tiny)
-    counts = h.groupBy("__s").agg(
-        F.approx_count_distinct("__h").alias("__n")
+    # pass 1: approximate distinct-element count per stratum (tiny).
+    # Counted on the RAW element, not its digest — same cardinality,
+    # so the md5 work runs once (pass 2 only). The input is scanned
+    # twice by design: persisting the exploded element stream would
+    # materialize corpus-sized state at 100 TB, while a second
+    # streaming pass costs only the (cheap, codegen'd) re-expansion.
+    counts = elems.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.approx_count_distinct(elem_col).alias("__n")
     )
     target = float(oversample * k + slack)
     thresholds = counts.select(
