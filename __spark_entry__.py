@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incr_join_view": etl_ext.q_incr_join_view,
         "s_hard_negatives": docs.s_hard_negatives,
         "p_train_order": corpus.p_train_order,
+        "d_centroid_drift": docs_ext.d_centroid_drift,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

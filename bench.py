@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q_incr_join_view",
     "s_hard_negatives",
     "p_train_order",
+    "d_centroid_drift",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

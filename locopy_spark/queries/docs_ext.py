@@ -1613,3 +1613,108 @@ ORACLE["p_quality_mix_plan"] = f"""
            AS mix_weight
   FROM p, tt ORDER BY p.source
 """
+
+
+DRIFT_DOT_SCALE = 1_000_000_000_000  # 1e12 fixed-point for centroid dots
+
+
+def d_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into two
+    deterministic halves (md5(vec_id) first hex digit), compute each
+    label's per-half centroid, and report the cosine between the two
+    half-centroids — the "did my embedding space shift between
+    builds/batches" check, here exercised as an A/A test (halves of one
+    corpus, so cosines sit near 1 and a drop flags real drift).
+
+    Deterministic end-to-end: centroids come from exact DECIMAL(38)
+    fixed-point sums (the d_embedding_centroids kernel), and the
+    cross-centroid dot/norms floor-scale each per-dim product to
+    bigint before summing — no float accumulation order anywhere, so
+    DuckDB reproduces every byte. One (label, half, dim) shuffle +
+    one label-sized aggregate. Labels with an empty half (impossible
+    at these sizes) would drop via the inner join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    in_a = F.expr(
+        "substring(md5(cast(vec_id as string)), 1, 1)"
+        " in ('0','1','2','3','4','5','6','7')"
+    )
+    ex = emb.select(
+        "label", in_a.alias("in_a"), F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "in_a",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.expr(
+            f"cast(cast(floor(cast(val as double) * {EMB_SCALE} + 0.5)"
+            " as bigint) as decimal(38,0))"
+        ).alias("v_fix"),
+    )
+    cent = ex.groupBy("label", "in_a", "dim_idx").agg(
+        (
+            F.expr("CAST(SUM(v_fix) AS DOUBLE)")
+            / F.lit(float(EMB_SCALE))
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter("in_a").select(
+        "label", "dim_idx", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter("NOT in_a").select(
+        "label", "dim_idx", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    j = a.join(b, ["label", "dim_idx"])
+    fix = lambda e: f"cast(floor(({e}) * {DRIFT_DOT_SCALE} + 0.5) as bigint)"
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(F.expr(fix("ca * cb"))).alias("dot"),
+            F.sum(F.expr(fix("ca * ca"))).alias("na2"),
+            F.sum(F.expr(fix("cb * cb"))).alias("nb2"),
+        )
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(dot AS DOUBLE)"
+                " / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))"
+            ).alias("drift_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["d_centroid_drift"] = f"""
+  WITH ex AS (
+    SELECT label,
+           substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7') AS in_a,
+           i AS dim_idx,
+           CAST(FLOOR(embedding[i]::DOUBLE * {EMB_SCALE} + 0.5) AS BIGINT) AS v_fix
+    FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+  ),
+  cent AS (
+    SELECT label, in_a, dim_idx,
+           CAST(SUM(v_fix) AS DOUBLE) / {EMB_SCALE}.0 / COUNT(*) AS c,
+           COUNT(*) AS n
+    FROM ex GROUP BY 1, 2, 3
+  ),
+  j AS (
+    SELECT a.label, a.dim_idx, a.c AS ca, b.c AS cb, a.n AS n_a, b.n AS n_b
+    FROM cent a JOIN cent b
+      ON a.label = b.label AND a.dim_idx = b.dim_idx
+     AND a.in_a AND NOT b.in_a
+  )
+  SELECT label,
+         CAST(MAX(n_a) AS BIGINT) AS n_a,
+         CAST(MAX(n_b) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(FLOOR(ca * cb * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+           / sqrt(CAST(SUM(CAST(FLOOR(ca * ca * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+                * CAST(SUM(CAST(FLOOR(cb * cb * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE))
+           AS drift_cos
+  FROM j GROUP BY label ORDER BY label
+"""

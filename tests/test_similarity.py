@@ -170,3 +170,21 @@ def test_hard_negatives_excludes_same_label(spark, sf_dir):
     }
     for r in got:
         assert knn[(r.query_id, r.rk)] >= r.cosine - 1e-12
+
+
+def test_centroid_drift_shape_and_determinism(spark, sf_dir):
+    """Every label appears with both halves populated, cosines are
+    valid, and the whole report is bit-identical across runs (no float
+    accumulation order anywhere). NOTE: these synthetic embeddings are
+    weakly clustered (per the ANN tripwire docs), so the A/A cosine is
+    small by construction — the operator's job is the exact,
+    reproducible number, not a near-1 value on noise centroids."""
+    from locopy_spark.queries.docs_ext import d_centroid_drift
+
+    rows = d_centroid_drift(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_a > 0 and r.n_b > 0
+        assert -1.0 - 1e-9 <= r.drift_cos <= 1.0 + 1e-9
+    again = d_centroid_drift(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
