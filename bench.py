@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "s_hard_negatives",
     "p_train_order",
     "d_centroid_drift",
+    "q_graph_triangles",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

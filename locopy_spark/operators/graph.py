@@ -1,0 +1,97 @@
+"""Distributed graph analytics over an edge-list DataFrame.
+
+``triangle_census`` is the degree-oriented triangle counter (the
+edge-iterator form of Suri & Vassilvitskii, "Counting Triangles and
+the Curse of the Last Reducer", WWW'11): orient each undirected edge
+from its lower-(degree, id) endpoint — which bounds every out-degree
+by O(√m) — and count each triangle exactly once at its lowest-ordered
+corner as a row-local out-adjacency intersection. The O(m^{3/2})
+wedge stream is never materialized; the only shuffles are |E|-sized
+(degrees, orientation, one adjacency aggregation).
+
+Connected components live in ``operators.cluster``; this module holds
+the counting/census side of the graph surface.
+
+Reference analog: capitalone/locopy has no graph surface; this
+extends the engine's analytics families (SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_census(e: DataFrame) -> DataFrame:
+    """One-row census of an undirected simple graph.
+
+    ``e`` must be the distinct edge list with columns ``(a, b)``,
+    ``a < b`` (bigint node ids). Returns ``(n_nodes, n_edges,
+    n_wedges, n_triangles, closed_ratio)`` where ``closed_ratio`` is
+    the global clustering coefficient n_triangles / n_wedges over the
+    degree-ORIENTED wedges (each triangle closes exactly one).
+    Deterministic: every number is an exact integer count; the ratio
+    is one int/int double division.
+    """
+    spark = e.sparkSession
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # o/adj deliberately NOT persisted: A/B at sf0.1 showed caching
+    # them costs more in materialization than the recomputation they
+    # save (8.2-9.2 s vs 7.0 s best-of-2) — both re-read the caller's
+    # persisted edge table and everything above it is cheap column work
+    o = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    adj = o.groupBy("u").agg(
+        F.sort_array(F.collect_list("w")).alias("nbrs"),
+        F.count(F.lit(1)).alias("outd"),
+    )
+    n_wedges = adj.agg(
+        F.sum(F.expr("outd * (outd - 1) div 2")).alias("w")
+    ).collect()[0]["w"]
+    au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
+    aw = adj.select(F.col("u").alias("w"), F.col("nbrs").alias("nw"))
+    n_tri = (
+        o.join(F.broadcast(au), "u")
+        .join(F.broadcast(aw), "w", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nu",
+                    F.coalesce("nw", F.expr("cast(array() as array<bigint>)")),
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("t"))
+        .collect()[0]["t"]
+    )
+    n_nodes = deg.count()
+    n_edges = e.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                int(n_wedges or 0),
+                int(n_tri or 0),
+                float(n_tri or 0) / float(n_wedges) if n_wedges else 0.0,
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long,"
+        " closed_ratio double",
+    )

@@ -765,3 +765,23 @@ def test_train_order_interleaves_sources(spark, sf_dir):
 
     c = Counter(r.source for r in rows)
     assert max(c.values()) <= 3 * (len(rows) // n_sources)
+
+
+def test_triangle_census_known_graphs(spark):
+    """K4: 4 triangles, 6 edges; oriented wedges = triangles-closing
+    count differs from Σ C(deg,2)/... — verified against hand counts.
+    Path P4: zero triangles. Each triangle counted exactly once."""
+    from locopy_spark.operators.graph import triangle_census
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    r = triangle_census(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # degree-oriented wedges of K4: every vertex has out-deg from the
+    # total order (3,2,1,0) -> C(3,2)+C(2,2) = 3+1 = 4; all closed
+    assert r.n_wedges == 4 and r.closed_ratio == 1.0
+
+    p4 = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    r = triangle_census(p4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 3, 0)
