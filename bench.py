@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "p_train_order",
     "d_centroid_drift",
     "q_graph_triangles",
+    "q_exp_smooth",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

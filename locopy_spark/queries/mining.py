@@ -1004,3 +1004,77 @@ ORACLE["q_graph_triangles"] = """
          CAST((SELECT count(*) FROM tri) AS DOUBLE)
            / CAST((SELECT count(*) FROM wedges) AS DOUBLE) AS closed_ratio
 """
+
+
+# -- exponential smoothing ---------------------------------------------------
+
+SES_START = "1997-10-01"  # fixed trailing window: bounds the sequential scan
+
+
+def q_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer exponential smoothing (α = ½) of daily order revenue —
+    the forecasting/trend primitive, made engine-exact: the smoothing
+    recurrence runs on cent-scaled bigints as s_t = (x_t + s_{t-1})
+    div 2, so there is NO float accumulation anywhere and DuckDB's
+    recursive CTE reproduces every value bit-for-bit (α = ½ keeps the
+    recurrence a pure integer halving; arbitrary α would need
+    rationals). The aggregation to the daily series is fully
+    distributed; the recurrence itself is inherently sequential and
+    runs as ONE Arrow task over the bounded trailing window
+    (|days| ≤ ~300 rows — the same driver-small regime as k-means
+    centroids), not a driver loop.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate") >= F.lit(SES_START).cast("date"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                )
+            ).alias("x")
+        )
+    )
+
+    def ses(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s, out = None, []
+        for x in pdf["x"].tolist():
+            s = x if s is None else (x + s) // 2
+            out.append(s)
+        pdf["s"] = out
+        return pdf
+
+    sm = (
+        daily.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(ses, "__g int, day date, x long, s long")
+    )
+    return sm.select(
+        "day",
+        (F.col("x").cast("double") / 100.0).alias("revenue"),
+        (F.col("s").cast("double") / 100.0).alias("smoothed"),
+    ).orderBy("day")
+
+
+ORACLE["q_exp_smooth"] = f"""
+  WITH RECURSIVE d AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM orders WHERE o_orderdate >= DATE '{SES_START}' GROUP BY 1
+  ),
+  idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d),
+  ses(t, day, x, s) AS (
+    SELECT t, day, x, x FROM idx WHERE t = 1
+    UNION ALL
+    SELECT i.t, i.day, i.x, (i.x + ses.s) // 2
+    FROM idx i JOIN ses ON i.t = ses.t + 1
+  )
+  SELECT day, CAST(x AS DOUBLE) / 100.0 AS revenue,
+         CAST(s AS DOUBLE) / 100.0 AS smoothed
+  FROM ses ORDER BY day
+"""
