@@ -22,16 +22,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_census(e: DataFrame) -> DataFrame:
+def triangle_census(e: DataFrame, broadcast_adj: bool = True) -> DataFrame:
     """One-row census of an undirected simple graph.
 
     ``e`` must be the distinct edge list with columns ``(a, b)``,
     ``a < b`` (bigint node ids). Returns ``(n_nodes, n_edges,
-    n_wedges, n_triangles, closed_ratio)`` where ``closed_ratio`` is
-    the global clustering coefficient n_triangles / n_wedges over the
-    degree-ORIENTED wedges (each triangle closes exactly one).
-    Deterministic: every number is an exact integer count; the ratio
-    is one int/int double division.
+    n_wedges, n_triangles, clustering_coeff)``: ``n_wedges`` counts
+    UNDIRECTED wedges (Σ_v C(deg(v), 2) — every unordered path of
+    length 2), and ``clustering_coeff`` is the standard global
+    clustering coefficient 3·triangles / wedges (each triangle closes
+    three undirected wedges). Deterministic: every number is an exact
+    integer count; the ratio is one int/int double division.
+
+    ``broadcast_adj`` (default) ships the out-adjacency table to every
+    task — right whenever its |E| total entries fit the broadcast
+    limit (~8 GB / driver memory). On larger graphs pass ``False``:
+    the intersection pass becomes two shuffle joins on u/w, still
+    |E|-sized, and nothing is driver-collected.
     """
     spark = e.sparkSession
     deg = (
@@ -61,14 +68,16 @@ def triangle_census(e: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("w")).alias("nbrs"),
         F.count(F.lit(1)).alias("outd"),
     )
-    n_wedges = adj.agg(
-        F.sum(F.expr("outd * (outd - 1) div 2")).alias("w")
+    # undirected wedge count from the UNDIRECTED degrees
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w")
     ).collect()[0]["w"]
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     aw = adj.select(F.col("u").alias("w"), F.col("nbrs").alias("nw"))
+    bc = F.broadcast if broadcast_adj else (lambda df: df)
     n_tri = (
-        o.join(F.broadcast(au), "u")
-        .join(F.broadcast(aw), "w", "left")
+        o.join(bc(au), "u")
+        .join(bc(aw), "w", "left")
         .select(
             F.size(
                 F.array_intersect(
@@ -89,9 +98,9 @@ def triangle_census(e: DataFrame) -> DataFrame:
                 n_edges,
                 int(n_wedges or 0),
                 int(n_tri or 0),
-                float(n_tri or 0) / float(n_wedges) if n_wedges else 0.0,
+                3.0 * float(n_tri or 0) / float(n_wedges) if n_wedges else 0.0,
             )
         ],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long,"
-        " closed_ratio double",
+        " clustering_coeff double",
     )

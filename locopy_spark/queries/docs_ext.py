@@ -234,6 +234,23 @@ def d_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM = 64
 EMB_SCALE = 1_000_000_000  # 1e9: float32 → 9 digits kept, decimal-safe sums
 
+# exact centroid kernel (shared by d_embedding_centroids and
+# d_centroid_drift — ONE copy of the determinism-critical text)
+V_FIX_EXPR = (
+    f"cast(cast(floor(cast(val as double) * {EMB_SCALE} + 0.5)"
+    " as bigint) as decimal(38,0))"
+)
+
+
+def centroid_mean_col():
+    """Exact per-cell centroid mean: decimal sum → double, divided in
+    the same order on both engines."""
+    return (
+        F.expr("CAST(SUM(v_fix) AS DOUBLE)")
+        / F.lit(float(EMB_SCALE))
+        / F.count(F.lit(1))
+    )
+
 
 def d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (element-wise mean) of the embedding column —
@@ -247,21 +264,15 @@ def d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("pos") + 1).alias("dim_idx"),
-        F.expr(
-            f"cast(cast(floor(cast(val as double) * {EMB_SCALE} + 0.5) as bigint) as decimal(38,0))"
-        ).alias("v_fix"),
+        F.expr(V_FIX_EXPR).alias("v_fix"),
     )
     return (
         ex.groupBy("label", "dim_idx")
-        .agg(F.sum("v_fix").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            "dim_idx",
-            (F.expr("CAST(s AS DOUBLE)") / F.lit(float(EMB_SCALE)) / F.col("n")).alias(
-                "centroid_val"
-            ),
-            "n",
+        .agg(
+            centroid_mean_col().alias("centroid_val"),
+            F.count(F.lit(1)).alias("n"),
         )
+        .select("label", "dim_idx", "centroid_val", "n")
         .orderBy("label", "dim_idx")
     )
 
@@ -1645,17 +1656,10 @@ def d_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "in_a",
         (F.col("pos") + 1).alias("dim_idx"),
-        F.expr(
-            f"cast(cast(floor(cast(val as double) * {EMB_SCALE} + 0.5)"
-            " as bigint) as decimal(38,0))"
-        ).alias("v_fix"),
+        F.expr(V_FIX_EXPR).alias("v_fix"),
     )
     cent = ex.groupBy("label", "in_a", "dim_idx").agg(
-        (
-            F.expr("CAST(SUM(v_fix) AS DOUBLE)")
-            / F.lit(float(EMB_SCALE))
-            / F.count(F.lit(1))
-        ).alias("c"),
+        centroid_mean_col().alias("c"),
         F.count(F.lit(1)).alias("n"),
     )
     a = cent.filter("in_a").select(

@@ -32,6 +32,17 @@ ORACLE: dict[str, str] = {}
 MB_MIN_SUPPORT = 2  # pair must co-occur in >= 2 orders
 
 
+def basket_pairs_expr(ps: str, a: str, b: str) -> str:
+    """Ordered within-basket pair expansion over a SORTED array column
+    — the shared kernel of q_market_basket and q_graph_triangles (one
+    expression text, so a semantics fix cannot miss a copy)."""
+    return (
+        f"flatten(transform({ps}, (x, i) ->"
+        f" transform(slice({ps}, i + 2, size({ps})),"
+        f" y -> struct(x AS {a}, y AS {b}))))"
+    )
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-pair co-occurrence with support counts and lift — market
     basket affinity over order line items.
@@ -58,13 +69,7 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS pa, y AS pb))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(basket_pairs_expr("ps", "pa", "pb"))).alias("p")
         )
         .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
@@ -944,8 +949,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem self-join) builds the distinct edge list once
     (persisted: the census walks it four times), then only |E|-sized
     shuffles and broadcast degree/adjacency joins inside the census.
-    Output is one row of exact counts + the closed-wedge ratio
-    (global clustering coefficient).
+    Output is one row of exact counts + the standard global
+    clustering coefficient 3T/W (W = undirected wedges).
     """
     from locopy_spark.operators.graph import triangle_census
 
@@ -955,13 +960,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = managed_persist(
         baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
         )
         .select("p.a", "p.b")
         .distinct(),
@@ -989,20 +988,21 @@ ORACLE["q_graph_triangles"] = """
            CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS w
     FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
   ),
-  wedges AS (
+  owedges AS (
     SELECT o1.u, o1.w AS x, o2.w AS y
     FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
   ),
   tri AS (
-    SELECT w.* FROM wedges w
+    SELECT w.* FROM owedges w
     JOIN e ON e.a = least(w.x, w.y) AND e.b = greatest(w.x, w.y)
-  )
+  ),
+  wd AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
   SELECT (SELECT count(*) FROM deg) AS n_nodes,
          (SELECT count(*) FROM e) AS n_edges,
-         (SELECT count(*) FROM wedges) AS n_wedges,
+         (SELECT w FROM wd) AS n_wedges,
          (SELECT count(*) FROM tri) AS n_triangles,
-         CAST((SELECT count(*) FROM tri) AS DOUBLE)
-           / CAST((SELECT count(*) FROM wedges) AS DOUBLE) AS closed_ratio
+         3.0 * CAST((SELECT count(*) FROM tri) AS DOUBLE)
+           / CAST((SELECT w FROM wd) AS DOUBLE) AS clustering_coeff
 """
 
 
@@ -1021,8 +1021,8 @@ def q_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals). The aggregation to the daily series is fully
     distributed; the recurrence itself is inherently sequential and
     runs as ONE Arrow task over the bounded trailing window
-    (|days| ≤ ~300 rows — the same driver-small regime as k-means
-    centroids), not a driver loop.
+    (|days| ≤ ~1,400 rows — the synthetic dates run to 2001; the same
+    bounded-series regime as k-means centroids), not a driver loop.
     """
     o = load_table(spark, sf_dir, "orders")
     daily = (

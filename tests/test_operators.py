@@ -778,10 +778,22 @@ def test_triangle_census_known_graphs(spark):
     )
     r = triangle_census(k4).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
-    # degree-oriented wedges of K4: every vertex has out-deg from the
-    # total order (3,2,1,0) -> C(3,2)+C(2,2) = 3+1 = 4; all closed
-    assert r.n_wedges == 4 and r.closed_ratio == 1.0
+    # undirected wedges of K4: 4 vertices x C(3,2) = 12; 3T/W = 1
+    assert r.n_wedges == 12 and r.clustering_coeff == 1.0
 
     p4 = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
     r = triangle_census(p4).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 3, 0)
+    assert r.n_wedges == 2 and r.clustering_coeff == 0.0
+
+    # triangle + pendant edge: gcc = 3*1 / (1+1+3+0) = 0.6 — the case
+    # where the oriented-closure ratio would (wrongly) read 1.0
+    tp = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    r = triangle_census(tp).collect()[0]
+    assert (r.n_triangles, r.n_wedges) == (1, 5)
+    assert abs(r.clustering_coeff - 0.6) < 1e-12
+    # shuffle-join path gives identical results
+    r2 = triangle_census(tp, broadcast_adj=False).collect()[0]
+    assert tuple(r2) == tuple(r)
