@@ -689,3 +689,96 @@ def stream_quantiles(
         .queryName(f"quantiles_{state_view}")
         .start()
     )
+
+
+def stream_triangle_count(
+    edges: DataFrame,
+    state_view: str = "tri_state",
+    count_view: str = "tri_count",
+):
+    """Incrementally-maintained triangle count of a growing graph —
+    the streaming twin of ``operators.graph.triangle_census``.
+
+    Invariant that makes the stream match the batch census on ANY
+    batching: every triangle has exactly one LAST edge, so counting a
+    triangle precisely when that edge arrives counts it exactly once.
+    Per micro-batch, each genuinely-new edge (x, y) with within-batch
+    order index i contributes |{v : (x,v) and (y,v) both arrived
+    earlier}| — "earlier" = in the adjacency state from prior batches
+    OR earlier in this batch's deterministic (a, b) order. Replayed
+    duplicate edges are dropped against the state (exactly-once), so
+    the maintained count equals ``triangle_census`` over the distinct
+    union of all batches (the test asserts it across out-of-order
+    chunks).
+
+    Scale: per batch the work is two delta×adjacency equi-joins (the
+    delta side is the small one) + one |Δ|² within-batch term; state
+    is the undirected edge list (|E|, the same asymptotics as the
+    batch algorithm's input). Expects batch columns ``(a, b)`` with
+    ``a < b``.
+    """
+    spark = edges.sparkSession
+    empty = spark.createDataFrame([], "a long, b long")
+    empty.createOrReplaceGlobalTempView(state_view)
+    spark.createDataFrame([(0,)], "n_triangles long").createOrReplaceGlobalTempView(
+        count_view
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        state = s.table(f"global_temp.{state_view}")
+        # exactly-once: drop in-batch duplicates and state replays
+        new = (
+            batch_df.select("a", "b")
+            .distinct()
+            .join(state, ["a", "b"], "left_anti")
+            .localCheckpoint()
+        )
+        # deterministic within-batch order index
+        from pyspark.sql.window import Window as W
+
+        idx = new.withColumn(
+            "i", F.row_number().over(W.orderBy("a", "b"))
+        ).localCheckpoint()
+        # "arrived earlier" adjacency: state (index 0) + earlier batch
+        # edges, both directions
+        def both_dirs(df, icol):
+            return df.select(
+                F.col("a").alias("u"), F.col("b").alias("v"), F.col(icol).alias("j")
+            ).unionByName(
+                df.select(
+                    F.col("b").alias("u"), F.col("a").alias("v"), F.col(icol).alias("j")
+                )
+            )
+
+        earlier = both_dirs(state.withColumn("i0", F.lit(0)), "i0").unionByName(
+            both_dirs(idx, "i")
+        )
+        nx = earlier.select(
+            F.col("u").alias("a"), F.col("v").alias("cn"), F.col("j").alias("jx")
+        )
+        ny = earlier.select(
+            F.col("u").alias("b"), F.col("v").alias("cn"), F.col("j").alias("jy")
+        )
+        closed = (
+            idx.join(nx, "a")
+            .filter(F.col("jx") < F.col("i"))
+            .join(ny, ["b", "cn"])
+            .filter(F.col("jy") < F.col("i"))
+        )
+        delta = closed.count()
+        prev = s.table(f"global_temp.{count_view}").collect()[0]["n_triangles"]
+        s.createDataFrame(
+            [(int(prev) + int(delta),)], "n_triangles long"
+        ).createOrReplaceGlobalTempView(count_view)
+        merged = state.unionByName(new.select("a", "b")).localCheckpoint()
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        edges.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"triangles_{state_view}")
+        .start()
+    )

@@ -624,3 +624,44 @@ def test_binned_counts_negative_values(spark):
     got = {r.bin: r.n for r in binned_counts(df).collect()}
     # width 0.5: -0.7 -> bin -2, -0.3 -> bin -1, 0.3 -> bin 0, 0.7 -> bin 1
     assert got == {-2: 1, -1: 1, 0: 1, 1: 1}
+
+
+def test_stream_triangle_count_matches_batch(spark, sf_dir, tmp_path):
+    """Count-at-last-edge: the incrementally-maintained triangle count
+    over 4 out-of-order edge chunks equals the batch census on the
+    full edge set (every triangle has exactly one last edge)."""
+    from locopy_spark.functions.cache import managed_persist
+    from locopy_spark.operators.graph import triangle_census
+    from locopy_spark.queries.mining import basket_pairs_expr
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_triangle_count
+
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = managed_persist(
+        baskets.select(
+            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct(),
+        "tri_stream_test",
+    )
+    want = triangle_census(e).collect()[0].n_triangles
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        e.filter(f"pmod(a + b, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"echunk{i}"))
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "echunk*"))
+    )
+    q = stream_triangle_count(stream, state_view="tri_s", count_view="tri_c")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("global_temp.tri_c").collect()[0].n_triangles
+    assert got == want and want > 0
