@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "d_centroid_drift",
     "q_graph_triangles",
     "q_exp_smooth",
+    "q_pagerank",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -1078,3 +1078,111 @@ ORACLE["q_exp_smooth"] = f"""
          CAST(s AS DOUBLE) / 100.0 AS smoothed
   FROM ses ORDER BY day
 """
+
+
+# -- PageRank ---------------------------------------------------------------
+
+PR_ITERS = 6
+PR_SCALE = 1_000_000_000_000  # initial rank mass per node (integer)
+PR_TOPK = 20
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (undirected) co-purchase graph — the canonical
+    iterative graph algorithm, made engine-exact: ranks live as scaled
+    BIGINTs and every step is integer arithmetic (contribution =
+    r div deg, damping = 85·Σ div 100, teleport = a constant), so
+    there is no float accumulation order anywhere and the DuckDB
+    oracle (the same {PR_ITERS} iterations unrolled as chained CTEs —
+    recursive CTEs cannot aggregate in the recursive term) reproduces
+    every rank bit-for-bit. Remainders dropped by the integer
+    divisions mean total mass decays slightly — identically on both
+    engines; relative ranking is what PageRank is for.
+
+    Shape: degree rides with the persisted edge table (joined once),
+    so each iteration is ONE |E|-sized shuffle (contributions grouped
+    by destination) plus a broadcast of the |V|-sized rank table;
+    ranks localCheckpoint each round (the operators/cluster.py
+    Hash-Min pattern) so lineage stays O(1). At a |V| beyond the
+    broadcast limit the rank join becomes a plain shuffle join on src
+    — one extra |E| shuffle per round, nothing driver-sized. Output:
+    the top-{PR_TOPK} parts by rank, exact.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        baskets.select(
+            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree rides WITH the edge, joined once and persisted — each
+    # iteration then needs only a broadcast of the |V|-sized rank
+    # table and ONE shuffle (contributions grouped by destination)
+    edges_deg = managed_persist(edges.join(deg, "src"), "pagerank")
+    ranks = deg.select(
+        "src", F.lit(PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint()
+    teleport = 15 * PR_SCALE // 100
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(F.broadcast(ranks), "src").select(
+            "dst", F.expr("r div d").alias("c")
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.expr(f"{teleport} + (85 * sum(c)) div 100").alias("r")
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(F.col("src").alias("part"), F.col("r").alias("rank_fix"))
+        .orderBy(F.desc("rank_fix"), "part")
+        .limit(PR_TOPK)
+    )
+
+
+def _oracle_pagerank() -> str:
+    # unrolled iterations: pr0 -> pr1 -> ... (recursive CTEs cannot
+    # aggregate in the recursive member)
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT e.dst AS v,
+             {15 * PR_SCALE // 100} + (85 * SUM(p.r // deg.d)) // 100 AS r
+      FROM edges e JOIN deg ON e.src = deg.v JOIN pr{i - 1} p ON e.src = p.v
+      GROUP BY e.dst
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+  WITH b AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e0 AS (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  edges AS (
+    SELECT a AS src, b AS dst FROM e0
+    UNION ALL SELECT b, a FROM e0
+  ),
+  deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY 1),
+  pr0 AS (SELECT v, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+  {chain}
+  SELECT v AS part, CAST(r AS BIGINT) AS rank_fix
+  FROM pr{PR_ITERS} ORDER BY rank_fix DESC, part LIMIT {PR_TOPK}
+"""
+
+
+ORACLE["q_pagerank"] = _oracle_pagerank()
