@@ -43,6 +43,23 @@ def basket_pairs_expr(ps: str, a: str, b: str) -> str:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edge list (a < b): parts sharing an order.
+    The ONE copy of the basket → pair-expansion → distinct scaffolding
+    shared by q_graph_triangles, q_pagerank, and their tests."""
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        baskets.select(
+            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-pair co-occurrence with support counts and lift — market
     basket affinity over order line items.
@@ -954,18 +971,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from locopy_spark.operators.graph import triangle_census
 
-    l = load_table(spark, sf_dir, "lineitem")
-    baskets = l.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    e = managed_persist(
-        baskets.select(
-            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
-        )
-        .select("p.a", "p.b")
-        .distinct(),
-        "graph_triangles",
-    )
+    e = managed_persist(copurchase_edges(spark, sf_dir), "graph_triangles")
     return triangle_census(e)
 
 
@@ -1103,22 +1109,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each iteration is ONE |E|-sized shuffle (contributions grouped
     by destination) plus a broadcast of the |V|-sized rank table;
     ranks localCheckpoint each round (the operators/cluster.py
-    Hash-Min pattern) so lineage stays O(1). At a |V| beyond the
-    broadcast limit the rank join becomes a plain shuffle join on src
-    — one extra |E| shuffle per round, nothing driver-sized. Output:
-    the top-{PR_TOPK} parts by rank, exact.
+    Hash-Min pattern) so lineage stays O(1). The broadcast of the
+    rank table is an EXPLICIT hint, right while |V| fits the
+    broadcast limit; at a |V| beyond it, drop the hint (one extra
+    |E| shuffle join on src per round, nothing driver-sized) — the
+    hint as written would force the broadcast and fail rather than
+    degrade. Output: the top-{PR_TOPK} parts by rank, exact.
     """
-    l = load_table(spark, sf_dir, "lineitem")
-    baskets = l.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    e = (
-        baskets.select(
-            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
-        )
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     edges = e.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1138,7 +1136,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = (
             contrib.groupBy(F.col("dst").alias("src"))
             .agg(
-                F.expr(f"{teleport} + (85 * sum(c)) div 100").alias("r")
+                # DECIMAL(38) accumulator: 85 * a hub's summed bigint
+                # contributions can pass 2^63 at large graphs, where
+                # Spark long arithmetic would silently wrap while the
+                # DuckDB oracle promotes to int128 — decimal keeps the
+                # two engines (and the math) exact; div on decimals
+                # floors like bigint div
+                F.expr(
+                    f"{teleport} + cast((85 * sum(cast(c as"
+                    " decimal(38,0)))) div 100 as bigint)"
+                ).alias("r")
             )
             .localCheckpoint()
         )

@@ -702,32 +702,41 @@ def stream_triangle_count(
     Invariant that makes the stream match the batch census on ANY
     batching: every triangle has exactly one LAST edge, so counting a
     triangle precisely when that edge arrives counts it exactly once.
-    Per micro-batch, each genuinely-new edge (x, y) with within-batch
-    order index i contributes |{v : (x,v) and (y,v) both arrived
-    earlier}| — "earlier" = in the adjacency state from prior batches
-    OR earlier in this batch's deterministic (a, b) order. Replayed
-    duplicate edges are dropped against the state (exactly-once), so
-    the maintained count equals ``triangle_census`` over the distinct
-    union of all batches (the test asserts it across out-of-order
-    chunks).
+    Per micro-batch, each genuinely-new edge (x, y) contributes
+    |{v : (x,v) and (y,v) both arrived earlier}| — "earlier" = in the
+    adjacency state from prior batches OR smaller in this batch's
+    deterministic (a, b) lexicographic order (a struct comparison, no
+    global row_number window serializing the delta through one task).
+    Replayed duplicate edges are dropped against the state
+    (exactly-once), and the count view records the last applied
+    batch_id so a foreachBatch RETRY of the same batch is a no-op
+    rather than a double count. The maintained count equals
+    ``triangle_census`` over the distinct union of all batches (the
+    test asserts it across out-of-order chunks).
 
     Scale: per batch the work is two delta×adjacency equi-joins (the
-    delta side is the small one) + one |Δ|² within-batch term; state
-    is the undirected edge list (|E|, the same asymptotics as the
-    batch algorithm's input). Expects batch columns ``(a, b)`` with
-    ``a < b``.
+    delta side is the small one) + one |Δ|² within-batch term. State
+    is the undirected edge list — |E|, the same asymptotics as the
+    batch algorithm's input; like the other foreachBatch jobs here it
+    lives in a localCheckpoint-backed global temp view (rewritten per
+    batch; superseded blocks freed by GC) — in production it is a
+    keyed Delta/Iceberg table with delta appends + periodic
+    compaction. Expects batch columns ``(a, b)`` with ``a < b``.
     """
     spark = edges.sparkSession
     empty = spark.createDataFrame([], "a long, b long")
     empty.createOrReplaceGlobalTempView(state_view)
-    spark.createDataFrame([(0,)], "n_triangles long").createOrReplaceGlobalTempView(
-        count_view
-    )
+    spark.createDataFrame(
+        [(0, -1)], "n_triangles long, last_batch long"
+    ).createOrReplaceGlobalTempView(count_view)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        prev = s.table(f"global_temp.{count_view}").collect()[0]
+        if batch_id <= prev["last_batch"]:
+            return  # retried batch: already applied
         state = s.table(f"global_temp.{state_view}")
         # exactly-once: drop in-batch duplicates and state replays
         new = (
@@ -736,42 +745,53 @@ def stream_triangle_count(
             .join(state, ["a", "b"], "left_anti")
             .localCheckpoint()
         )
-        # deterministic within-batch order index
-        from pyspark.sql.window import Window as W
 
-        idx = new.withColumn(
-            "i", F.row_number().over(W.orderBy("a", "b"))
-        ).localCheckpoint()
-        # "arrived earlier" adjacency: state (index 0) + earlier batch
-        # edges, both directions
-        def both_dirs(df, icol):
-            return df.select(
-                F.col("a").alias("u"), F.col("b").alias("v"), F.col(icol).alias("j")
-            ).unionByName(
+        # "arrived earlier" adjacency, both directions. State entries
+        # are earlier than everything; batch entries carry their own
+        # (a, b) token and are earlier iff lexicographically smaller.
+        def both_dirs(df, is_state):
+            tok = (
+                F.struct(F.col("a").alias("ta"), F.col("b").alias("tb"))
+            )
+            base = df.select(
+                F.col("a").alias("u"),
+                F.col("b").alias("v"),
+                F.lit(is_state).alias("st"),
+                tok.alias("tok"),
+            )
+            return base.unionByName(
                 df.select(
-                    F.col("b").alias("u"), F.col("a").alias("v"), F.col(icol).alias("j")
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.lit(is_state).alias("st"),
+                    tok.alias("tok"),
                 )
             )
 
-        earlier = both_dirs(state.withColumn("i0", F.lit(0)), "i0").unionByName(
-            both_dirs(idx, "i")
-        )
+        earlier = both_dirs(state, True).unionByName(both_dirs(new, False))
+        cur = F.struct(F.col("a").alias("ta"), F.col("b").alias("tb"))
         nx = earlier.select(
-            F.col("u").alias("a"), F.col("v").alias("cn"), F.col("j").alias("jx")
+            F.col("u").alias("a"),
+            F.col("v").alias("cn"),
+            F.col("st").alias("stx"),
+            F.col("tok").alias("tokx"),
         )
         ny = earlier.select(
-            F.col("u").alias("b"), F.col("v").alias("cn"), F.col("j").alias("jy")
+            F.col("u").alias("b"),
+            F.col("v").alias("cn"),
+            F.col("st").alias("sty"),
+            F.col("tok").alias("toky"),
         )
         closed = (
-            idx.join(nx, "a")
-            .filter(F.col("jx") < F.col("i"))
+            new.join(nx, "a")
+            .filter(F.col("stx") | (F.col("tokx") < cur))
             .join(ny, ["b", "cn"])
-            .filter(F.col("jy") < F.col("i"))
+            .filter(F.col("sty") | (F.col("toky") < cur))
         )
         delta = closed.count()
-        prev = s.table(f"global_temp.{count_view}").collect()[0]["n_triangles"]
         s.createDataFrame(
-            [(int(prev) + int(delta),)], "n_triangles long"
+            [(int(prev["n_triangles"]) + int(delta), int(batch_id))],
+            "n_triangles long, last_batch long",
         ).createOrReplaceGlobalTempView(count_view)
         merged = state.unionByName(new.select("a", "b")).localCheckpoint()
         merged.createOrReplaceGlobalTempView(state_view)

@@ -632,22 +632,10 @@ def test_stream_triangle_count_matches_batch(spark, sf_dir, tmp_path):
     full edge set (every triangle has exactly one last edge)."""
     from locopy_spark.functions.cache import managed_persist
     from locopy_spark.operators.graph import triangle_census
-    from locopy_spark.queries.mining import basket_pairs_expr
-    from locopy_spark.sources.tables import load_table
+    from locopy_spark.queries.mining import copurchase_edges
     from locopy_spark.streaming.stateful import stream_triangle_count
 
-    l = load_table(spark, sf_dir, "lineitem")
-    baskets = l.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    e = managed_persist(
-        baskets.select(
-            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
-        )
-        .select("p.a", "p.b")
-        .distinct(),
-        "tri_stream_test",
-    )
+    e = managed_persist(copurchase_edges(spark, sf_dir), "tri_stream_test")
     want = triangle_census(e).collect()[0].n_triangles
     for i, pred in enumerate(["2", "0", "3", "1"]):
         e.filter(f"pmod(a + b, 4) = {pred}").coalesce(1).write.mode(
