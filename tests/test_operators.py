@@ -797,3 +797,26 @@ def test_triangle_census_known_graphs(spark):
     # shuffle-join path gives identical results
     r2 = triangle_census(tp, broadcast_adj=False).collect()[0]
     assert tuple(r2) == tuple(r)
+
+
+def test_pagerank_star_graph_hand_computed(spark, monkeypatch, tmp_path):
+    """One iteration of the integer PR recurrence on a 3-leaf star,
+    hand-computed: hub has deg 3 (r div 3 per leaf), leaves deg 1.
+    Verifies the exact arithmetic (teleport + 85·Σ div 100) and the
+    deterministic top-k ordering."""
+    import locopy_spark.queries.mining as M
+
+    # star: hub 1 — leaves 2,3,4 ; lineitem-shaped input via a tiny
+    # parquet dir so the query runs unchanged
+    rows = [(10, 1), (10, 2), (11, 1), (11, 3), (12, 1), (12, 4)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    (tmp_path / "d").mkdir()
+    df.write.parquet(str(tmp_path / "d" / "lineitem.parquet"))
+    monkeypatch.setattr(M, "PR_ITERS", 1)
+    out = {r.part: r.rank_fix for r in M.q_pagerank(spark, str(tmp_path / "d")).collect()}
+    S = M.PR_SCALE
+    tele = 15 * S // 100
+    # hub receives S div 1 from each of 3 leaves; leaf receives S div 3
+    assert out[1] == tele + (85 * 3 * S) // 100
+    for leaf in (2, 3, 4):
+        assert out[leaf] == tele + (85 * (S // 3)) // 100
