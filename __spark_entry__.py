@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_triangles": mining.q_graph_triangles,
         "q_exp_smooth": mining.q_exp_smooth,
         "q_pagerank": mining.q_pagerank,
+        "p_budget_trim": corpus.p_budget_trim,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

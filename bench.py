@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q_graph_triangles",
     "q_exp_smooth",
     "q_pagerank",
+    "p_budget_trim",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -654,3 +654,75 @@ ORACLE["p_train_order"] = f"""
   SELECT CAST(pos AS INT) AS pos, source, doc_id, n_toks, vt
   FROM ord WHERE pos <= {TRAIN_ORDER_N} ORDER BY pos
 """
+
+
+BUDGET_TOKENS_PER_SOURCE = 1000  # uniform per-source token budget (trims at every test SF)
+
+
+def p_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget enforcement: per source, keep the md5-order
+    prefix of documents whose cumulative token count stays within the
+    budget — the EMIT step that turns p_epoch_plan/p_mix_weights
+    budgets into an actual document set (p_sample_corpus emits by
+    RATE; this emits by exact cumulative cap, so the kept set's token
+    total is the largest achievable ≤ budget in the deterministic
+    md5 order). A doc is kept iff the running sum INCLUDING it fits.
+
+    Output: per-source kept/dropped doc and token totals (the trim
+    report the corpus build logs). Shape here: one window per source
+    (fine at any per-source doc count that fits a task's scan — the
+    window is a running SUM, not a sort buffer); at extreme per-source
+    cardinality the ranking.global_running_sum prefix-sum operator
+    applies per source exactly as p_shard_plan uses it globally.
+    Oracle: the same windowed cumulative sum in DuckDB.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"size({tokens_expr('text')})").cast("long").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    w = W.partitionBy("source").orderBy("__h", "doc_id")
+    cum = per_doc.withColumn("cum", F.sum("n_toks").over(w))
+    kept = F.col("cum") <= F.lit(BUDGET_TOKENS_PER_SOURCE)
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+            F.sum("n_toks").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["p_budget_trim"] = f"""
+  WITH per_doc AS (
+    SELECT source, doc_id,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  ),
+  cum AS (
+    SELECT source, n_toks,
+           SUM(n_toks) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM per_doc
+  )
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN cum <= {BUDGET_TOKENS_PER_SOURCE}
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN cum <= {BUDGET_TOKENS_PER_SOURCE}
+              THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+         CAST(SUM(n_toks) AS BIGINT) AS tokens_total
+  FROM cum GROUP BY source ORDER BY source
+"""
