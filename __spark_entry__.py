@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plus the r01 tail (q_cdc_apply onward: q6-q22, q_topk_per_group through
     q_key_skew) sit just outside — lead round 5 with them; all of it
     passes the repo's own full DuckDB gate
-    (tools/check_correctness.py, 148/148 green) today.  The
+    (tools/check_correctness.py, 149/149 green) today.  The
     round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
