@@ -42,10 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the round-4 additions (never driver-checked), then the
     entries whose last driver check was round 1 (TPC-H, windows,
     ETL).  The window cutoff (position 50) lands after
-    q_funnel_windows: positions 51-62 (q_hll_union, p_epoch_plan,
+    q_funnel_windows: positions 51-63 (q_hll_union, p_epoch_plan,
     q_cusum, p_stratified_split, and the r4c additions d_kmv_overlap /
     q_incr_join_view / s_hard_negatives / p_train_order /
-    d_centroid_drift / q_graph_triangles / q_exp_smooth / q_pagerank)
+    d_centroid_drift / q_graph_triangles / q_exp_smooth / q_pagerank /
+    p_budget_trim)
     plus the r01 tail (q_cdc_apply onward: q6-q22, q_topk_per_group through
     q_key_skew) sit just outside — lead round 5 with them; all of it
     passes the repo's own full DuckDB gate
