@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exp_smooth": mining.q_exp_smooth,
         "q_pagerank": mining.q_pagerank,
         "p_budget_trim": corpus.p_budget_trim,
+        "d_lsh_calibration": docs_ext.d_lsh_calibration,
         # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,

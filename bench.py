@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q_exp_smooth",
     "q_pagerank",
     "p_budget_trim",
+    "d_lsh_calibration",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -1722,3 +1722,103 @@ ORACLE["d_centroid_drift"] = f"""
            AS drift_cos
   FROM j GROUP BY label ORDER BY label
 """
+
+
+CALIB_J_SCALE = 1_000_000_000  # 1e9 fixed-point for exact-jaccard sums
+
+
+def d_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration report for MinHash-LSH: bucket the
+    candidate pairs by estimated-Jaccard decile and report, per
+    bucket, the pair count and the mean EXACT shingle Jaccard — the
+    table that tells an operator whether est_threshold=T actually
+    corresponds to the intended true-similarity cut on THIS corpus
+    (the s-curve in numbers, measured not assumed).
+
+    Exact Jaccards run only on the LSH candidate set (bounded), each
+    pair as a ROW-LOCAL intersection of the two docs' distinct-shingle
+    arrays (bounded by doc length — a shingle-key equi-join here is a
+    trap: Catalyst may reorder it into a shingle×shingle frequency²
+    blowup, measured 146 s at sf0.1 vs ~1 s for the array form).
+    Determinism: est = agree/16 and bucket = floor(est·10) are exact
+    binary arithmetic; each pair's exact Jaccard is an int/int double
+    floored to a 1e9 bigint before the per-bucket SUM, so no float
+    accumulation order exists and the mean is one division of exact
+    integers.
+    """
+    from locopy_spark.functions.text import shingles_expr, tokens_expr
+    from locopy_spark.operators import dedup
+    from locopy_spark.queries.docs import MINHASH_EST_T, SHINGLE_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    arrs = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct({shingles_expr(f'({tokens_expr()})', SHINGLE_K)})"
+        ).alias("arr"),
+    )
+    per_pair = (
+        pairs.select("doc_a", "doc_b", "est_jaccard")
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("aa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("ab")),
+            "doc_b",
+        )
+        .select(
+            F.expr("cast(floor(est_jaccard * 10) as int)").alias("est_decile"),
+            F.expr(
+                "cast(floor(cast(size(array_intersect(aa, ab)) as double)"
+                " / (size(aa) + size(ab) - size(array_intersect(aa, ab)))"
+                f" * {CALIB_J_SCALE} + 0.5) as bigint)"
+            ).alias("j_fix"),
+        )
+    )
+    return (
+        per_pair.groupBy("est_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                f"cast(sum(j_fix) as double) / {CALIB_J_SCALE} / count(1)"
+            ).alias("mean_exact_jaccard"),
+        )
+        .orderBy("est_decile")
+    )
+
+
+def _oracle_lsh_calibration() -> str:
+    from locopy_spark.queries.docs import sql_minhash_pair_ctes
+
+    return f"""
+      WITH {sql_minhash_pair_ctes()},
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT p.doc_a, p.doc_b, p.est_jaccard, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2, 3
+      ),
+      per_pair AS (
+        SELECT CAST(FLOOR(c.est_jaccard * 10) AS INT) AS est_decile,
+               CAST(FLOOR(CAST(c.n_common AS DOUBLE)
+                    / (na.n + nb.n - c.n_common) * {CALIB_J_SCALE} + 0.5)
+                    AS BIGINT) AS j_fix
+        FROM common c
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+      )
+      SELECT est_decile,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(j_fix) AS DOUBLE) / {CALIB_J_SCALE} / COUNT(*)
+               AS mean_exact_jaccard
+      FROM per_pair GROUP BY est_decile ORDER BY est_decile
+    """
+
+
+ORACLE["d_lsh_calibration"] = _oracle_lsh_calibration()
