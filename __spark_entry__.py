@@ -46,11 +46,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cusum, p_stratified_split, and the r4c additions d_kmv_overlap /
     q_incr_join_view / s_hard_negatives / p_train_order /
     d_centroid_drift / q_graph_triangles / q_exp_smooth / q_pagerank /
-    p_budget_trim)
+    p_budget_trim / d_lsh_calibration)
     plus the r01 tail (q_cdc_apply onward: q6-q22, q_topk_per_group through
     q_key_skew) sit just outside — lead round 5 with them; all of it
     passes the repo's own full DuckDB gate
-    (tools/check_correctness.py, 149/149 green) today.  The
+    (tools/check_correctness.py, 150/150 green) today.  The
     round-3-green families form the tail.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
