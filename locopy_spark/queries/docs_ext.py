@@ -1798,10 +1798,13 @@ def _oracle_lsh_calibration() -> str:
       WITH {sql_minhash_pair_ctes()},
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       common AS (
-        SELECT p.doc_a, p.doc_b, p.est_jaccard, COUNT(*) AS n_common
+        -- LEFT join + COUNT(matches) so a candidate pair with zero
+        -- shared shingles survives with n_common = 0, mirroring the
+        -- Spark array_intersect semantics (an inner join would drop it)
+        SELECT p.doc_a, p.doc_b, p.est_jaccard, COUNT(b.sh) AS n_common
         FROM pairs p
         JOIN sh a ON a.doc_id = p.doc_a
-        JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        LEFT JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
         GROUP BY 1, 2, 3
       ),
       per_pair AS (

@@ -271,7 +271,8 @@ ORACLE["q_mom_growth"] = f"""
            SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)) AS rev
     FROM orders GROUP BY 1
   )
-  SELECT ym, rev, LAG(rev) OVER (ORDER BY ym) AS prev_rev,
+  SELECT ym, CAST(rev AS BIGINT) AS rev,
+         CAST(LAG(rev) OVER (ORDER BY ym) AS BIGINT) AS prev_rev,
          CAST(rev - LAG(rev) OVER (ORDER BY ym) AS DOUBLE) * 100.0
            / CAST(LAG(rev) OVER (ORDER BY ym) AS DOUBLE) AS growth_pct
   FROM monthly ORDER BY ym
@@ -601,7 +602,8 @@ ORACLE["q_anomaly_days"] = f"""
                  RANGE BETWEEN {ANOM_WIN_DAYS} PRECEDING
                        AND 1 PRECEDING)
   )
-  SELECT day, x, n, {_ZDAY} AS z, abs({_ZDAY}) > 2.0 AS is_anomaly
+  SELECT day, CAST(x AS BIGINT) AS x, n, {_ZDAY} AS z,
+         abs({_ZDAY}) > 2.0 AS is_anomaly
   FROM win WHERE n >= {ANOM_MIN_N} ORDER BY day
 """
 

@@ -40,6 +40,23 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     if name not in oracles:
         assert len(sdf) >= 0  # rows-only contract
         return
+    # Tripwire for the failure mode that burned rounds 3 AND 4: DuckDB
+    # SUM(BIGINT) returns HUGEINT, which the driver's hasher types
+    # differently from Spark's bigint even when values are identical.
+    # The local gate normalizes dtypes, so an uncast aggregate passes
+    # here and fails only at the driver — catch it from the bound plan
+    # types before any normalization.
+    rel = duck.sql(oracles[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT column(s) {bad} — the driver's "
+        "hash compare will mismatch Spark's bigint; CAST(... AS BIGINT) "
+        "in the oracle SQL"
+    )
     odf = duck.execute(oracles[name]).fetchdf()
     a, b = _norm(sdf), _norm(odf)
     assert list(a.columns) == list(b.columns)

@@ -81,6 +81,16 @@ def main() -> int:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
+            rel = con.sql(oracles[name])
+            bad = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+            ]
+            if bad:
+                failures.append(name)
+                print(f"FAIL  {name}: oracle emits HUGEINT column(s) {bad}")
+                continue
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
