@@ -243,17 +243,27 @@ def main() -> int:
         # so later queries aren't measured under earlier queries' cache
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    print(json.dumps(payload))
+    # durability: the driver captures stdout with a bounded tail, which
+    # has truncated past runs — persist the full per-query record
+    # in-repo so every run's numbers survive verbatim
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_local.json"),
+            "w",
+        ) as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
     spark.stop()
     return 0
 

@@ -53,6 +53,29 @@ def epoch_us(df: DataFrame, expr: str) -> Column:
     return F.expr(sql_epoch_us(df, expr))
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def sql_epoch_day(df: DataFrame, expr: str) -> str:
+    """SQL fragment: FLOORED epoch day (BIGINT) of a timestamp
+    expression. Plain ``div`` truncates toward zero, which collapses
+    all pre-1970 timestamps into a double-width day-0 bin; this floors
+    toward negative infinity in exact integer arithmetic (``%`` in
+    Spark follows the dividend's sign, so a negative non-exact
+    remainder marks the rows that need the -1 correction — no float
+    division, so no ulp risk at day boundaries).
+
+    DuckDB twin: ``datediff('day', DATE '1970-01-01', CAST(x AS
+    DATE))`` (date truncation floors), or the same div/remainder form
+    over ``epoch_us``.
+    """
+    us = sql_epoch_us(df, expr)
+    return (
+        f"((({us}) div {_US_PER_DAY})"
+        f" - (case when (({us}) % {_US_PER_DAY}) < 0 then 1 else 0 end))"
+    )
+
+
 def _as_col(expr: Column | str) -> Column:
     return F.col(expr) if isinstance(expr, str) else expr
 

@@ -1095,7 +1095,9 @@ PR_SCALE = 1_000_000_000_000  # initial rank mass per node (integer)
 PR_TOPK = 20
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pagerank(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool = True
+) -> DataFrame:
     """PageRank over the (undirected) co-purchase graph — the canonical
     iterative graph algorithm, made engine-exact: ranks live as scaled
     BIGINTs and every step is integer arithmetic (contribution =
@@ -1111,13 +1113,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each iteration is ONE |E|-sized shuffle (contributions grouped
     by destination) plus a broadcast of the |V|-sized rank table;
     ranks localCheckpoint each round (the operators/cluster.py
-    Hash-Min pattern) so lineage stays O(1). The broadcast of the
-    rank table is an EXPLICIT hint, right while |V| fits the
-    broadcast limit; at a |V| beyond it, drop the hint (one extra
-    |E| shuffle join on src per round, nothing driver-sized) — the
-    hint as written would force the broadcast and fail rather than
-    degrade. Output: the top-{PR_TOPK} parts by rank, exact.
+    Hash-Min pattern) so lineage stays O(1). ``broadcast_ranks``
+    (default) is the EXPLICIT broadcast hint, right while |V| fits
+    the broadcast limit; a forced hint past that limit FAILS rather
+    than degrades, so on such graphs pass ``False`` — the rank join
+    becomes one extra |E|-sized shuffle on src per round (same shape
+    as ``triangle_census(broadcast_adj=False)``, graph.py:25),
+    nothing driver-sized, identical results (unit-tested). Output:
+    the top-{PR_TOPK} parts by rank, exact.
     """
+    bc = F.broadcast if broadcast_ranks else (lambda df: df)
     e = copurchase_edges(spark, sf_dir)
     edges = e.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -1132,7 +1137,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     teleport = 15 * PR_SCALE // 100
     for _ in range(PR_ITERS):
-        contrib = edges_deg.join(F.broadcast(ranks), "src").select(
+        contrib = edges_deg.join(bc(ranks), "src").select(
             "dst", F.expr("r div d").alias("c")
         )
         ranks = (

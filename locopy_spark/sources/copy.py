@@ -61,6 +61,42 @@ def _apply_maxerror(
     return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
 
 
+def _lines_after_header(spark: SparkSession, path, n_skip: int):
+    """RDD of csv lines with the first ``n_skip`` lines of EACH file
+    removed — the Redshift ``IGNOREHEADER n`` (n > 1) semantics that
+    Spark's csv reader (one header line max per file) cannot express
+    (reference: locopy/redshift.py:193 passes the option through to
+    the warehouse, which skips n lines per file).
+
+    Per file, ``zipWithIndex`` assigns exact in-file line numbers
+    (the read itself stays distributed over the file's blocks; the
+    index pass adds one small count job per file), so the skip is
+    exact regardless of how splits are packed into partitions — a
+    ``monotonically_increasing_id`` over the multi-file text read
+    would not be, because Spark packs splits by size, not file
+    order. Lines transit Python once here, which makes this the
+    compat path for legacy multi-line-header files; single-header
+    loads (the common case) keep the native JVM csv reader.
+    """
+    sc = spark.sparkContext
+    # enumerate leaf files (handles dirs, globs, .gz transparently)
+    files = sorted(
+        r.f
+        for r in spark.read.text(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    rdds = [
+        sc.textFile(f)
+        .zipWithIndex()
+        .filter(lambda kv: kv[1] >= n_skip)
+        .map(lambda kv: kv[0])
+        for f in files
+    ]
+    return sc.union(rdds) if rdds else sc.emptyRDD()
+
+
 def add_default_copy_options(copy_options: list[str] | None = None) -> list[str]:
     """Append the reference's default COPY options when absent
     (reference: locopy/redshift.py:47-71)."""
@@ -106,15 +142,6 @@ def copy_files(
         raise DBError(
             "MAXERROR requires file_format='csv' and an explicit schema"
         )
-    if fmt == "csv" and ignore_header > 1:
-        # Spark's csv header option can only skip ONE leading line per
-        # file; silently mapping IGNOREHEADER n>1 onto it would load the
-        # extra header lines as data. Fail loud instead.
-        raise DBError(
-            f"IGNOREHEADER {ignore_header} is not supported: Spark's csv "
-            "reader can skip at most one header line per file. Strip the "
-            "extra lines upstream or pass IGNOREHEADER 1."
-        )
     try:
         reader = spark.read
         if schema is not None:
@@ -126,7 +153,9 @@ def copy_files(
         if fmt == "csv":
             reader = reader.options(
                 sep=delim or "|",
-                header=ignore_header > 0,
+                # n>1 headers are stripped below before parsing, so the
+                # native single-header option applies only when n == 1
+                header=ignore_header == 1,
                 inferSchema=schema is None,
                 dateFormat=_DEFAULT_DATEFORMAT,
                 timestampFormat=_DEFAULT_TIMEFORMAT,
@@ -143,7 +172,15 @@ def copy_files(
                     .option("mode", "PERMISSIVE")
                     .option("columnNameOfCorruptRecord", _CORRUPT_COL)
                 )
-            df = reader.csv(path)
+            if ignore_header > 1:
+                # per-file exact n-line skip; the resulting string RDD
+                # goes through the same csv parser (all options incl.
+                # PERMISSIVE/corrupt-record apply)
+                df = reader.csv(
+                    _lines_after_header(spark, path, ignore_header)
+                )
+            else:
+                df = reader.csv(path)
         elif fmt == "json":
             df = reader.json(path)
         elif fmt == "parquet":

@@ -490,13 +490,14 @@ def stream_daily_anomaly(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        from locopy_spark.functions.numeric import sql_epoch_us
+        from locopy_spark.functions.numeric import sql_epoch_day
 
-        # type-robust epoch: the stream source may deliver TIMESTAMP or
-        # TIMESTAMP_NTZ (Spark 4 reads plain parquet µs as NTZ, where
-        # bare unix_micros() fails analysis)
+        # type-robust epoch day: the stream source may deliver TIMESTAMP
+        # or TIMESTAMP_NTZ (Spark 4 reads plain parquet µs as NTZ, where
+        # bare unix_micros() fails analysis); sql_epoch_day floors toward
+        # -inf so pre-1970 rows don't collapse into a wide day-0 bin
         rows = batch_df.select(
-            F.expr(f"({sql_epoch_us(batch_df, 'ts')}) div 86400000000").alias("day"),
+            F.expr(sql_epoch_day(batch_df, "ts")).alias("day"),
             F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias(
                 "x_fix"
             ),

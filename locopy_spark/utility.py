@@ -61,12 +61,24 @@ def get_maxerror_number(options: list[str]) -> int | None:
     unparseable rows and fails beyond that; locopy users pass the
     option through ``copy_options`` (reference: locopy/redshift.py:282
     passes options verbatim to the warehouse)."""
-    found = [i for i in options or [] if i.upper().startswith("MAXERROR")]
+    # match the token exactly (first word == MAXERROR) so unrelated
+    # options sharing the prefix are not swallowed
+    found = [
+        i
+        for i in options or []
+        if (i.strip().split(" ", 1)[0] if i.strip() else "").upper()
+        == "MAXERROR"
+    ]
     if len(found) == 0:
         return None
-    if len(found) == 1:
+    if len(found) > 1:
+        raise DBError("Found more than one MAXERROR in the options")
+    try:
         return int(found[0].strip().split(" ")[-1])
-    raise DBError("Found more than one MAXERROR in the options")
+    except ValueError as e:
+        raise DBError(
+            f"Could not parse MAXERROR count from option {found[0]!r}"
+        ) from e
 
 
 def write_file(data, delimiter: str, filepath: str, mode: str = "w") -> None:

@@ -16,7 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from locopy_spark.functions.numeric import epoch_us, sql_epoch_us
+from locopy_spark.functions.numeric import epoch_us, sql_epoch_day, sql_epoch_us
 from locopy_spark.sources.tables import load_table
 
 # 2024-03-01 12:30:45.123456 UTC in epoch microseconds
@@ -60,6 +60,32 @@ def test_epoch_us_is_analysis_only(spark, tmp_path):
     # and it composes inside further expressions
     n = df.select(F.expr(f"({frag}) div 3600000000").alias("h")).count()
     assert n == 1
+
+
+def test_epoch_day_floors_pre_1970(spark, tmp_path):
+    """sql_epoch_day floors toward -inf: 1969-12-31 18:00 is day -1,
+    not the day-0 bin plain ``div`` (truncate-toward-zero) produces;
+    exact day boundaries map to their own day on both signs."""
+    rows = [
+        (datetime.datetime(1969, 12, 31, 18, 0, 0), -1),
+        (datetime.datetime(1969, 12, 31, 0, 0, 0), -1),  # exact boundary
+        (datetime.datetime(1969, 12, 30, 23, 59, 59), -2),
+        (datetime.datetime(1970, 1, 1, 0, 0, 0), 0),
+        (datetime.datetime(1970, 1, 1, 6, 0, 0), 0),
+        (datetime.datetime(1970, 1, 2, 0, 0, 0), 1),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("want", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = df.select(
+        F.expr(sql_epoch_day(df, "ts")).alias("day"), "want"
+    ).collect()
+    for r in got:
+        assert r.day == r.want, (r.day, r.want)
 
 
 def test_events_ts_loads_and_epoch_us_resolves(spark, sf_dir):

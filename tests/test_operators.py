@@ -820,3 +820,12 @@ def test_pagerank_star_graph_hand_computed(spark, monkeypatch, tmp_path):
     assert out[1] == tele + (85 * 3 * S) // 100
     for leaf in (2, 3, 4):
         assert out[leaf] == tele + (85 * (S // 3)) // 100
+    # shuffle-join path (beyond-broadcast |V| escape hatch) is
+    # bit-identical to the hinted plan
+    out2 = {
+        r.part: r.rank_fix
+        for r in M.q_pagerank(
+            spark, str(tmp_path / "d"), broadcast_ranks=False
+        ).collect()
+    }
+    assert out2 == out

@@ -194,14 +194,53 @@ def test_copy_parquet_merge_schema(spark, tmp_path):
     assert df.count() == 2
 
 
-def test_ignoreheader_gt1_raises(spark, tmp_path):
-    from locopy_spark.errors import DBError
+def test_ignoreheader_gt1_skips_per_file(spark, tmp_path):
+    """IGNOREHEADER 2 drops exactly the first two lines of EACH input
+    file (Redshift semantics, reference locopy/redshift.py:193) — even
+    when a data line duplicates the header text."""
+    from pyspark.sql import types as T
+
     from locopy_spark.sources.copy import copy_files
 
-    f = tmp_path / "two_headers.csv"
-    f.write_text("junk\na|b\n1|2\n")
-    with pytest.raises(DBError, match="IGNOREHEADER 2"):
-        copy_files(spark, str(f), "t_hdr2", delim="|", copy_options=["IGNOREHEADER 2"])
+    d = tmp_path / "mh"
+    d.mkdir()
+    (d / "f1.csv").write_text("junk title\na|b\n1|2\n3|4\n")
+    (d / "f2.csv").write_text("junk title\na|b\n5|6\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    df = copy_files(
+        spark,
+        str(d),
+        "t_hdr2",
+        delim="|",
+        schema=schema,
+        copy_options=["IGNOREHEADER 2"],
+    )
+    got = sorted((r.a, r.b) for r in df.collect())
+    assert got == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_ignoreheader_gt1_with_inference_and_gzip(spark, tmp_path):
+    """The n>1 skip path composes with schema inference and gzip
+    transparency (sc.textFile decodes .gz natively)."""
+    import gzip as _gzip
+
+    from locopy_spark.sources.copy import copy_files
+
+    d = tmp_path / "mhgz"
+    d.mkdir()
+    with _gzip.open(d / "f1.csv.gz", "wt") as fh:
+        fh.write("comment line\nsecond comment\nanother\n10|x\n20|y\n")
+    df = copy_files(
+        spark,
+        str(d),
+        "t_hdr3",
+        delim="|",
+        copy_options=["IGNOREHEADER 3"],
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [(10, "x"), (20, "y")]
 
 
 def test_s3_error_alias_parity():

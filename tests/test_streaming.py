@@ -503,7 +503,7 @@ def test_stream_daily_anomaly_matches_batch(spark, sf_dir):
     z-scores) equals the batch aggregate over the same events —
     per-day sums are commutative monoids, so batching cannot change
     the series, and both sides share ONE scorer."""
-    from locopy_spark.functions.numeric import sql_epoch_us
+    from locopy_spark.functions.numeric import sql_epoch_day
     from locopy_spark.sources.tables import load_table
     from locopy_spark.streaming.jobs import read_event_stream
     from locopy_spark.streaming.stateful import (
@@ -525,7 +525,7 @@ def test_stream_daily_anomaly_matches_batch(spark, sf_dir):
     ]
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
-        F.expr(f"{sql_epoch_us(ev, 'ts')} div 86400000000").alias("day")
+        F.expr(sql_epoch_day(ev, "ts")).alias("day")
     ).agg(
         F.sum(
             F.expr("cast(floor(value * 1000 + 0.5) as bigint)")

@@ -121,3 +121,11 @@ def test_get_maxerror_number():
 
     with pytest.raises(DBError):
         get_maxerror_number(["MAXERROR 1", "MAXERROR 2"])
+    # exact-token match: an unrelated option sharing the prefix is
+    # not swallowed
+    assert get_maxerror_number(["MAXERRORX 5"]) is None
+    # malformed count raises DBError, not a bare ValueError
+    with pytest.raises(DBError):
+        get_maxerror_number(["MAXERROR"])
+    with pytest.raises(DBError):
+        get_maxerror_number(["MAXERROR AS"])
