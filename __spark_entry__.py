@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moving_avg": tpch_ext.q_moving_avg,
         "q_cube_returns": tpch_ext.q_cube_returns,
         # ------- position 50 cutoff: window ends above this line -------
+        # --- added round 5 — lead the round-6 window ---
+        "s_mips": docs.s_mips,
+        "p_length_histogram": corpus.p_length_histogram,
+        "p_curriculum_stages": corpus.p_curriculum_stages,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

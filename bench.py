@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "q_pagerank",
     "p_budget_trim",
     "d_lsh_calibration",
+    "s_mips",
+    "p_length_histogram",
+    "p_curriculum_stages",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -73,6 +73,47 @@ def knn_bruteforce(
     )
 
 
+def mips_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by MAX INNER PRODUCT (un-normalized dot) — the
+    retrieval scoring for embedding families where vector norm carries
+    signal (e.g. DPR-style retrievers), where cosine's normalization
+    would re-rank.
+
+    Same scale shape as :func:`knn_bruteforce`: queries broadcast, the
+    big side streams without a shuffle, per-query top-k window bounded
+    by the broadcast query count. Scores are the fixed-point bigint
+    dot (exact cross-engine, deterministic ties by neighbor_id). The
+    LSH/IVF shortlists compose in front of this scorer the same way
+    they do for cosine (shortlist ∪ exact rerank) when the table stops
+    fitting a scan-per-query budget.
+    """
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_emb")
+    )
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("dot_fix"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dot_fix", "rk")
+    )
+
+
 def hyperplane_signs(
     n_planes: int, dim: int, table: int = 0
 ) -> list[list[int]]:

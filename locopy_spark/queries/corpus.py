@@ -726,3 +726,184 @@ ORACLE["p_budget_trim"] = f"""
          CAST(SUM(n_toks) AS BIGINT) AS tokens_total
   FROM cum GROUP BY source ORDER BY source
 """
+
+
+# -- sequence-length planning -----------------------------------------------
+
+LEN_BIN_TOKENS = 64  # histogram bin width (tokens)
+LEN_BIN_MAX = 32     # overflow bucket: everything ≥ 2048 tokens
+
+
+def p_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: doc token counts binned at
+    {LEN_BIN_TOKENS}-token width (overflow bucket {LEN_BIN_MAX}), with
+    per-bin doc count, token mass, and exact cumulative token share
+    (ppm) — the table that picks the packing target for
+    ``p_pack_sequences`` (what context length wastes the least padding
+    for THIS corpus) and sizes truncation loss.
+
+    One partial-aggregated groupBy over the corpus; the cumulative
+    window runs over the ≤{LEN_BIN_MAX}+1-row AGGREGATE, so the
+    unpartitioned sort is bounded at any SF. The ppm is exact integer
+    arithmetic via a DECIMAL(38) product (bigint cum × 1e6 would
+    overflow past ~9e12 corpus tokens — a real 100 TB number), floored
+    identically on both engines.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = f"cast(size({tokens_expr('text')}) as bigint)"
+    per_doc = docs.select(
+        F.expr(
+            f"cast(least(({n_toks}) div {LEN_BIN_TOKENS}, {LEN_BIN_MAX}) as int)"
+        ).alias("bin"),
+        F.expr(n_toks).alias("n_toks"),
+    )
+    agg = per_doc.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("tokens"),
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    return (
+        agg.withColumn("cum_tokens", F.sum("tokens").over(w_cum))
+        .withColumn("total_tokens", F.sum("tokens").over(w_all))
+        .select(
+            "bin",
+            "n_docs",
+            "tokens",
+            F.expr(
+                "cast((cast(cum_tokens as decimal(38,0)) * 1000000)"
+                " div total_tokens as bigint)"
+            ).alias("cum_token_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE["p_length_histogram"] = f"""
+  WITH per_doc AS (
+    SELECT CAST(LEAST(CAST(len({sql_tokens('text')}) AS BIGINT)
+                      // {LEN_BIN_TOKENS}, {LEN_BIN_MAX}) AS INT) AS bin,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks
+    FROM documents
+  ),
+  agg AS (
+    SELECT bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens
+    FROM per_doc GROUP BY 1
+  )
+  SELECT bin, n_docs, tokens,
+         CAST((SUM(tokens) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1000000) // SUM(tokens) OVER () AS BIGINT)
+           AS cum_token_ppm
+  FROM agg ORDER BY bin
+"""
+
+
+# -- quality-curriculum staging ---------------------------------------------
+
+CURRICULUM_STAGES = 10
+
+
+def p_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum plan: rank every document by the corpus
+    quality score (``t_quality_score``'s formula) and cut the ranking
+    into {CURRICULUM_STAGES} exact NTILE stages — the schedule a
+    curriculum trainer consumes (stage 1 = highest quality first),
+    reported as per-stage doc count, token mass, and mean quality.
+
+    The global ranking uses ``operators.ranking.global_ntile``
+    (range-partition + per-partition rank + P-number driver offsets)
+    — no one-partition ``Window.orderBy`` — so the sort scales like
+    any range-partitioned sort. Mean quality is an exact fixed-point
+    sum (floor(q·1e6 + 0.5) bigints) divided once, so the double is
+    bit-identical cross-engine.
+    """
+    from locopy_spark.functions.text import PUNCT_CLASS, stopword_count_expr
+    from locopy_spark.operators.ranking import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text", F.expr(tokens_expr("text")).alias("toks")
+    )
+    scored = (
+        toks.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
+            F.expr(f"regexp_count(text, '{PUNCT_CLASS}')").alias("n_punct"),
+            F.expr(stopword_count_expr("toks")).alias("n_stop"),
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "CAST(n_stop AS DOUBLE) / n_tokens"
+                " - CAST(n_punct AS DOUBLE) / n_chars"
+                " + CAST(least(n_tokens, 100) AS DOUBLE) / 1000"
+            ),
+        )
+        # descending quality via an ascending negated key (global_ntile
+        # range-partitions ascending); doc_id makes the order total
+        .withColumn("neg_q", -F.col("q"))
+    )
+    staged = global_ntile(
+        scored, ["neg_q", "doc_id"], CURRICULUM_STAGES, out_col="stage"
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.expr(
+                "cast(sum(cast(floor(q * 1000000 + 0.5) as bigint))"
+                " as double) / 1000000 / count(1)"
+            ).alias("mean_quality"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _oracle_curriculum() -> str:
+    from locopy_spark.functions.text import (
+        PUNCT_CLASS,
+        sql_stopword_count,
+    )
+
+    return f"""
+      WITH t AS (
+        SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{PUNCT_CLASS}'))
+                    AS INT) AS n_punct,
+               CAST({sql_stopword_count('toks')} AS INT) AS n_stop
+        FROM t
+      ),
+      q AS (
+        SELECT doc_id, n_tokens,
+               CAST(n_stop AS DOUBLE) / n_tokens
+                 - CAST(n_punct AS DOUBLE) / n_chars
+                 + CAST(least(n_tokens, 100) AS DOUBLE) / 1000 AS q
+        FROM m
+      ),
+      r AS (
+        SELECT n_tokens, q,
+               NTILE({CURRICULUM_STAGES}) OVER (ORDER BY q DESC, doc_id)
+                 AS stage
+        FROM q
+      )
+      SELECT CAST(stage AS INT) AS stage,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             CAST(SUM(CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*) AS mean_quality
+      FROM r GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLE["p_curriculum_stages"] = _oracle_curriculum()

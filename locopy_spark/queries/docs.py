@@ -215,6 +215,18 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval by MAX INNER PRODUCT (un-normalized dot) — the
+    scoring regime for norm-carrying embedding families, where cosine
+    would re-rank (operators/similarity.py:mips_bruteforce). Scores
+    are exact fixed-point bigints, so the oracle matches every rank
+    and score bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mips_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).orderBy("query_id", "rk")
+
+
 # Deterministic regression tripwire for the ANN oracles: planes/data/
 # scoring are all fixed, so total top-k hits vs brute force is a
 # constant (measured 10 @ sf0.001, 6 @ sf0.01 for LSH; 14/14 for IVF).
@@ -695,6 +707,27 @@ ORACLE["s_hard_negatives"] = f"""
   )
   SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
          CAST(rk AS INT) AS rk
+  FROM ranked WHERE rk <= {KNN_K}
+  ORDER BY query_id, rk
+"""
+
+
+ORACLE["s_mips"] = f"""
+  WITH scored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix
+    FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+  ),
+  ranked AS (
+    SELECT query_id, neighbor_id, dot_fix,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY dot_fix DESC, neighbor_id ASC
+           ) AS rk
+    FROM scored
+  )
+  SELECT query_id, neighbor_id, dot_fix, CAST(rk AS INT) AS rk
   FROM ranked WHERE rk <= {KNN_K}
   ORDER BY query_id, rk
 """
