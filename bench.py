@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "s_mips",
     "p_length_histogram",
     "p_curriculum_stages",
+    "d_cluster_stats",
+    "p_tokenizer_fertility",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -907,3 +907,78 @@ def _oracle_curriculum() -> str:
 
 
 ORACLE["p_curriculum_stages"] = _oracle_curriculum()
+
+
+# -- tokenizer fertility ----------------------------------------------------
+
+def p_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per (source, lang): chars per
+    BPE-ish token and BPE tokens per whitespace word — the planning
+    numbers that turn a byte budget into a token budget per domain
+    (fertility varies by language/domain; a corpus plan priced in
+    bytes mis-budgets tokens without this table).
+
+    One partial-aggregated groupBy over the corpus (both token counts
+    are row-local regexp/array work inside the scan projection — no
+    explode, nothing but the (source, lang) aggregate ever shuffles).
+    Ratios are exact milli-units via DECIMAL(38) products (bigint
+    chars × 1000 overflows past ~9e15 corpus chars — a 100 TB-real
+    number), floored identically on both engines.
+    """
+    from locopy_spark.functions.text import BPE_ISH
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        F.expr("cast(length(text) as bigint)").alias("n_chars"),
+        F.expr(f"cast(regexp_count(text, '{BPE_ISH}') as bigint)").alias(
+            "n_bpe"
+        ),
+        F.expr(f"cast(size({tokens_expr('text')}) as bigint)").alias("n_ws"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.expr(
+                "cast((cast(sum(n_chars) as decimal(38,0)) * 1000)"
+                " div sum(n_bpe) as bigint)"
+            ).alias("chars_per_bpe_milli"),
+            F.expr(
+                "cast((cast(sum(n_bpe) as decimal(38,0)) * 1000)"
+                " div sum(n_ws) as bigint)"
+            ).alias("bpe_per_ws_milli"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _oracle_tokenizer_fertility() -> str:
+    from locopy_spark.functions.text import BPE_ISH as _BPE
+
+    return f"""
+      WITH per AS (
+        SELECT source, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT)
+                 AS n_bpe,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_ws
+        FROM documents
+      )
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+             CAST(SUM(n_chars) * 1000 // SUM(n_bpe) AS BIGINT)
+               AS chars_per_bpe_milli,
+             CAST(SUM(n_bpe) * 1000 // SUM(n_ws) AS BIGINT)
+               AS bpe_per_ws_milli
+      FROM per GROUP BY 1, 2 ORDER BY 1, 2
+    """.format(bpe=_BPE)
+
+
+ORACLE["p_tokenizer_fertility"] = _oracle_tokenizer_fertility()

@@ -1825,3 +1825,85 @@ def _oracle_lsh_calibration() -> str:
 
 
 ORACLE["d_lsh_calibration"] = _oracle_lsh_calibration()
+
+
+# -- dedup diagnostics ------------------------------------------------------
+
+def d_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram — the dedup diagnostic an
+    operator reads before committing a keep-one policy: how much of
+    the corpus sits in 2-doc mirror pairs vs mega-clusters (boilerplate
+    explosions), plus the singleton mass the pair pipeline never sees.
+
+    Shape: connected components over the MinHash-LSH candidate pairs
+    (operators/cluster.py Hash-Min — metadata-only shuffles), then two
+    tiny groupBys (cluster sizes → histogram); the singleton row is
+    exact arithmetic over two 1-row counts. Every shuffle after CC is
+    |clusters|-sized, not corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    cc = cluster.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    n_in = cc.agg(F.count(F.lit(1)).alias("ni"))
+    singles = n_docs.join(n_in).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.expr("nd - ni").alias("n_clusters"),
+    )
+    return (
+        hist.unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr("cluster_size * n_clusters").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _oracle_cluster_stats() -> str:
+    from locopy_spark.queries.docs import sql_minhash_pair_ctes
+
+    return f"""
+      WITH RECURSIVE {sql_minhash_pair_ctes()},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      comp AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+      ),
+      sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+      ),
+      hist AS (
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
+      ),
+      singles AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               (SELECT COUNT(*) FROM documents)
+                 - (SELECT COUNT(*) FROM comp) AS n_clusters
+      )
+      SELECT cluster_size, n_clusters,
+             CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+      FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+      ORDER BY cluster_size
+    """
+
+
+ORACLE["d_cluster_stats"] = _oracle_cluster_stats()
