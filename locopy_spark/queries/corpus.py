@@ -748,10 +748,20 @@ def p_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic via a DECIMAL(38) product (bigint cum × 1e6 would
     overflow past ~9e12 corpus tokens — a real 100 TB number), floored
     identically on both engines.
-    """
-    from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    Split into :func:`length_bins` (additive monoid — the streaming
+    twin ``streaming.stateful.stream_length_histogram`` maintains it
+    per batch) and :func:`length_report` (the bounded finisher both
+    sides share).
+    """
+    return length_report(
+        length_bins(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def length_bins(docs: DataFrame) -> DataFrame:
+    """Per-bin (n_docs, tokens) counts — a commutative additive monoid,
+    shared by the batch query and the streaming state maintainer."""
     n_toks = f"cast(size({tokens_expr('text')}) as bigint)"
     per_doc = docs.select(
         F.expr(
@@ -759,14 +769,20 @@ def p_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
         F.expr(n_toks).alias("n_toks"),
     )
-    agg = per_doc.groupBy("bin").agg(
+    return per_doc.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("tokens"),
     )
+
+
+def length_report(bins: DataFrame) -> DataFrame:
+    """Cumulative-share finisher over the ≤{LEN_BIN_MAX}+1 bin rows."""
+    from pyspark.sql.window import Window as W
+
     w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
     w_all = W.partitionBy()
     return (
-        agg.withColumn("cum_tokens", F.sum("tokens").over(w_cum))
+        bins.withColumn("cum_tokens", F.sum("tokens").over(w_cum))
         .withColumn("total_tokens", F.sum("tokens").over(w_all))
         .select(
             "bin",
@@ -924,10 +940,22 @@ def p_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are exact milli-units via DECIMAL(38) products (bigint
     chars × 1000 overflows past ~9e15 corpus chars — a 100 TB-real
     number), floored identically on both engines.
+
+    Split into :func:`fertility_counts` (additive monoid — the
+    streaming twin ``streaming.stateful.stream_fertility`` maintains
+    it per batch) and :func:`fertility_report` (the shared ratio
+    finisher).
     """
+    return fertility_report(
+        fertility_counts(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def fertility_counts(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) additive counts — a commutative monoid,
+    shared by the batch query and the streaming state maintainer."""
     from locopy_spark.functions.text import BPE_ISH
 
-    docs = load_table(spark, sf_dir, "documents")
     per = docs.select(
         "source",
         "lang",
@@ -937,24 +965,32 @@ def p_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"cast(size({tokens_expr('text')}) as bigint)").alias("n_ws"),
     )
-    return (
-        per.groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("chars"),
-            F.sum("n_bpe").alias("bpe_tokens"),
-            F.sum("n_ws").alias("ws_tokens"),
-            F.expr(
-                "cast((cast(sum(n_chars) as decimal(38,0)) * 1000)"
-                " div sum(n_bpe) as bigint)"
-            ).alias("chars_per_bpe_milli"),
-            F.expr(
-                "cast((cast(sum(n_bpe) as decimal(38,0)) * 1000)"
-                " div sum(n_ws) as bigint)"
-            ).alias("bpe_per_ws_milli"),
-        )
-        .orderBy("source", "lang")
+    return per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.sum("n_ws").alias("ws_tokens"),
     )
+
+
+def fertility_report(counts: DataFrame) -> DataFrame:
+    """Exact milli-unit ratio finisher over the (source, lang) counts."""
+    return counts.select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars",
+        "bpe_tokens",
+        "ws_tokens",
+        F.expr(
+            "cast((cast(chars as decimal(38,0)) * 1000)"
+            " div bpe_tokens as bigint)"
+        ).alias("chars_per_bpe_milli"),
+        F.expr(
+            "cast((cast(bpe_tokens as decimal(38,0)) * 1000)"
+            " div ws_tokens as bigint)"
+        ).alias("bpe_per_ws_milli"),
+    ).orderBy("source", "lang")
 
 
 def _oracle_tokenizer_fertility() -> str:

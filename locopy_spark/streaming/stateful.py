@@ -803,3 +803,96 @@ def stream_triangle_count(
         .queryName(f"triangles_{state_view}")
         .start()
     )
+
+
+def stream_fertility(
+    docs: DataFrame,
+    state_view: str = "fertility_state",
+):
+    """Continuously-maintained tokenizer-fertility counts per
+    (source, lang): each micro-batch reduces to its own additive
+    count rows (``queries.corpus.fertility_counts`` — a commutative
+    monoid of sums), merged by key into the state view, so ANY
+    batching or arrival order yields the same counts as the batch
+    pass. Per batch the work is delta-sized; state is
+    O(sources × langs) forever. The ratio finisher
+    (``queries.corpus.fertility_report``) runs over the state on
+    demand — the test asserts stream state + finisher == batch
+    ``p_tokenizer_fertility`` exactly.
+    """
+    from locopy_spark.queries.corpus import fertility_counts
+
+    spark = docs.sparkSession
+    schema = (
+        "source string, lang string, n_docs long, chars long,"
+        " bpe_tokens long, ws_tokens long"
+    )
+    empty = spark.createDataFrame([], schema)
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(fertility_counts(batch_df))
+            .groupBy("source", "lang")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("chars").alias("chars"),
+                F.sum("bpe_tokens").alias("bpe_tokens"),
+                F.sum("ws_tokens").alias("ws_tokens"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"fertility_{state_view}")
+        .start()
+    )
+
+
+def stream_length_histogram(
+    docs: DataFrame,
+    state_view: str = "length_hist_state",
+):
+    """Continuously-maintained sequence-length histogram: per-batch
+    per-bin (n_docs, tokens) counts (``queries.corpus.length_bins`` —
+    additive monoid) merged by bin into O(bins) state; the cumulative-
+    share finisher (``queries.corpus.length_report``) runs over the
+    ≤33-row state on demand. Batching-invariant by construction; the
+    test asserts stream state + finisher == batch
+    ``p_length_histogram`` exactly.
+    """
+    from locopy_spark.queries.corpus import length_bins
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "bin int, n_docs long, tokens long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(length_bins(batch_df))
+            .groupBy("bin")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("tokens").alias("tokens"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"length_hist_{state_view}")
+        .start()
+    )

@@ -653,3 +653,72 @@ def test_stream_triangle_count_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     got = spark.table("global_temp.tri_c").collect()[0].n_triangles
     assert got == want and want > 0
+
+
+def test_stream_fertility_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(source,lang) fertility counts are an additive monoid, so
+    the state maintained across 4 out-of-order micro-batches + the
+    shared ratio finisher equals batch p_tokenizer_fertility exactly."""
+    from locopy_spark.queries.corpus import (
+        fertility_report,
+        p_tokenizer_fertility,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"fchunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "fchunk*"))
+    )
+    q = stream_fertility(stream, state_view="fertility_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in fertility_report(
+            spark.table("global_temp.fertility_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in p_tokenizer_fertility(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_length_histogram_matches_batch(spark, sf_dir, tmp_path):
+    """Per-bin histogram counts merge additively, so stream state +
+    the shared cumulative finisher equals batch p_length_histogram on
+    any batching/order."""
+    from locopy_spark.queries.corpus import length_report, p_length_histogram
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_length_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"lchunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lchunk*"))
+    )
+    q = stream_length_histogram(stream, state_view="length_hist_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in length_report(
+            spark.table("global_temp.length_hist_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in p_length_histogram(spark, sf_dir).collect()]
+    assert got and got == want
