@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_curriculum_stages": corpus.p_curriculum_stages,
         "d_cluster_stats": docs_ext.d_cluster_stats,
         "p_tokenizer_fertility": corpus.p_tokenizer_fertility,
+        "s_ivf_tuning": docs_ext.s_ivf_tuning,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "p_curriculum_stages",
     "d_cluster_stats",
     "p_tokenizer_fertility",
+    "s_ivf_tuning",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -1907,3 +1907,92 @@ def _oracle_cluster_stats() -> str:
 
 
 ORACLE["d_cluster_stats"] = _oracle_cluster_stats()
+
+
+# -- ANN tuning -------------------------------------------------------------
+
+# measured hits vs brute force at (sf0.001, sf0.01, sf0.1):
+#   n_probe 1 → (7, 5, 8); 2 → (9, 9, 10); 4 → (14, 14, 14);
+#   8 → (16, 17, 17); 16 (exhaustive) → 25 = k·|queries| at every SF.
+# Tripwires sit at ~half the measured minimum; the exhaustive row is an
+# EXACT equality (probing all lists IS brute force), and hits are
+# monotone in n_probe because the probed-list candidate set is nested.
+IVF_TUNE_PROBES = (1, 2, 4, 8, 16)
+IVF_TUNE_MIN_HITS = {1: 2, 2: 4, 4: 7, 8: 8}
+IVF_TUNE_CENTROIDS = 16
+
+
+def s_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF operating-curve tuning table: recall tripwires at every
+    n_probe operating point — the ANN analog of ``d_lsh_calibration``
+    (which measures the MinHash s-curve). An operator reads this to
+    pick the scanned-fraction / recall trade-off; the driver gate
+    holds the whole curve, not one point.
+
+    One persisted normed table + one persisted brute-force top-k feed
+    all {len(IVF_TUNE_PROBES)} probe settings; each setting is the
+    standard bucketed IVF plan (scanned fraction ≈ n_probe/n_lists).
+    Two EXACT cross-engine properties anchor the curve: the
+    exhaustive setting (n_probe = n_centroids) must equal brute force
+    bit-for-bit, and hits are monotone in n_probe (nested candidate
+    sets). The intermediate points are regression booleans against
+    measured floors.
+    """
+    from pyspark.sql.window import Window as W
+
+    from locopy_spark.queries.docs import KNN_K, KNN_QUERY_IDS
+
+    emb = managed_persist(
+        similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings")),
+        "ivf_tuning",
+    )
+    exact = managed_persist(
+        similarity.knn_bruteforce(
+            emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        ).select("query_id", "neighbor_id"),
+        "ivf_tuning_bf",
+    )
+    per = None
+    for np_ in IVF_TUNE_PROBES:
+        a = similarity.knn_ivf(
+            emb,
+            query_ids=KNN_QUERY_IDS,
+            k=KNN_K,
+            n_centroids=IVF_TUNE_CENTROIDS,
+            n_probe=np_,
+        )
+        h = (
+            a.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(np_).cast("int").alias("n_probe"), "n_hits")
+        )
+        per = h if per is None else per.unionByName(h)
+    full = len(KNN_QUERY_IDS) * KNN_K
+    thresh = " ".join(
+        f"WHEN n_probe = {p} THEN n_hits >= {t}"
+        for p, t in IVF_TUNE_MIN_HITS.items()
+    )
+    w = W.orderBy("n_probe")
+    return (
+        per.withColumn("prev_hits", F.lag("n_hits").over(w))
+        .select(
+            "n_probe",
+            F.lit(len(KNN_QUERY_IDS)).cast("int").alias("n_queries"),
+            F.expr(
+                f"CASE {thresh} ELSE n_hits = {full} END"
+            ).alias("hits_ok"),
+            F.expr("coalesce(n_hits >= prev_hits, TRUE)").alias(
+                "ge_prev_ok"
+            ),
+        )
+        .orderBy("n_probe")
+    )
+
+
+ORACLE["s_ivf_tuning"] = f"""
+  SELECT * FROM (VALUES
+    {", ".join(f"(CAST({p} AS INT), CAST(5 AS INT), TRUE, TRUE)"
+               for p in IVF_TUNE_PROBES)}
+  ) AS t(n_probe, n_queries, hits_ok, ge_prev_ok)
+  ORDER BY n_probe
+"""
