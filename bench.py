@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "d_cluster_stats",
     "p_tokenizer_fertility",
     "s_ivf_tuning",
+    "q_fuzzy_match",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

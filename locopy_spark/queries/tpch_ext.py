@@ -1227,3 +1227,61 @@ ORACLE["q_skyline"] = f"""
   WHERE f.hi_day IS NULL OR f.day > f.hi_day
   ORDER BY b.o_orderpriority, b.o_orderkey
 """
+
+
+# -- entity resolution ------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over the part catalog: candidate merge
+    pairs of DISTINCT product names within Levenshtein distance
+    {FUZZY_MAX_DIST}, with the row mass each name covers — the
+    block → verify pattern every dedup/ER pipeline uses (catalog
+    normalization, "red rod" vs "red ring").
+
+    Scale shape: names collapse to a VOCABULARY-sized distinct table
+    before any pairing (the fact table contributes only a count per
+    name), blocking on the first token bounds each join bucket to one
+    block's names, and the O(|a|·|b|) edit-distance verify runs
+    row-local on candidates only. The full-catalog cross join never
+    exists; at 100 TB the shuffle carries the name vocabulary, not
+    the rows. Both engines implement standard DP levenshtein, so
+    distances (and the output set) are exact cross-engine.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_rows").alias("rows_a"),
+        F.expr("split_part(p_name, ' ', 1)").alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_rows").alias("rows_b"),
+        F.expr("split_part(p_name, ' ', 1)").alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "rows_a", "rows_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE["q_fuzzy_match"] = f"""
+  WITH n AS (
+    SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY 1
+  )
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+         a.n_rows AS rows_a, b.n_rows AS rows_b
+  FROM n a JOIN n b
+    ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+   AND a.p_name < b.p_name
+   AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+  ORDER BY name_a, name_b
+"""
