@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_tokenizer_fertility": corpus.p_tokenizer_fertility,
         "s_ivf_tuning": docs_ext.s_ivf_tuning,
         "q_fuzzy_match": tpch_ext.q_fuzzy_match,
+        "t_freq_drift": docs_ext.t_freq_drift,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "p_tokenizer_fertility",
     "s_ivf_tuning",
     "q_fuzzy_match",
+    "t_freq_drift",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

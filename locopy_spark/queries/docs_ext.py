@@ -1996,3 +1996,90 @@ ORACLE["s_ivf_tuning"] = f"""
   ) AS t(n_probe, n_queries, hits_ok, ge_prev_ok)
   ORDER BY n_probe
 """
+
+
+# -- distribution drift -----------------------------------------------------
+
+def t_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency drift monitor per source: chi-square-style
+    distance between the unigram distributions of a deterministic A/A
+    split (doc_id parity) — the text-side twin of
+    ``d_centroid_drift`` (which watches the embedding distribution).
+    In production the two sides are consecutive corpus snapshots; the
+    A/A form calibrates the metric's noise floor (scores here ARE the
+    false-alarm level).
+
+    All arithmetic is exact integers: per-side token frequencies in
+    ppm (count·1e6 div total), per-token term (pA−pB)² div (pA+pB)
+    (each term ≤ 1e6, so the per-source sum stays far below 2^63 at
+    any vocabulary), summed per source. Shuffles: one token-level
+    partial-aggregated groupBy (vocabulary-sized after the map-side
+    combine), one (source, token) pivot aggregate, one per-source
+    rollup — nothing corpus-sized past the first combine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.expr("pmod(doc_id, 2)").alias("half"),
+        F.explode(F.expr(tokens_expr("text"))).alias("token"),
+    )
+    cnt = tok.groupBy("source", "half", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("source", "half").agg(F.sum("c").alias("t"))
+    ppm = cnt.join(tot, ["source", "half"]).select(
+        "source",
+        "token",
+        "half",
+        F.expr("c * 1000000 div t").alias("p"),
+    )
+    wide = ppm.groupBy("source", "token").agg(
+        F.coalesce(
+            F.max(F.expr("case when half = 0 then p end")), F.lit(0)
+        ).alias("pa"),
+        F.coalesce(
+            F.max(F.expr("case when half = 1 then p end")), F.lit(0)
+        ).alias("pb"),
+    )
+    return (
+        wide.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(
+                F.expr("(pa - pb) * (pa - pb) div (pa + pb)")
+            ).alias("chi2_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["t_freq_drift"] = f"""
+  WITH tok AS (
+    SELECT source, doc_id % 2 AS half,
+           unnest({sql_tokens('text')}) AS token
+    FROM documents
+  ),
+  cnt AS (
+    SELECT source, half, token, COUNT(*) AS c
+    FROM tok GROUP BY 1, 2, 3
+  ),
+  tot AS (
+    SELECT source, half, CAST(SUM(c) AS BIGINT) AS t
+    FROM cnt GROUP BY 1, 2
+  ),
+  ppm AS (
+    SELECT cnt.source, cnt.token, cnt.half,
+           CAST(cnt.c * 1000000 // tot.t AS BIGINT) AS p
+    FROM cnt JOIN tot ON cnt.source = tot.source AND cnt.half = tot.half
+  ),
+  wide AS (
+    SELECT source, token,
+           COALESCE(MAX(CASE WHEN half = 0 THEN p END), 0) AS pa,
+           COALESCE(MAX(CASE WHEN half = 1 THEN p END), 0) AS pb
+    FROM ppm GROUP BY 1, 2
+  )
+  SELECT source, COUNT(*) AS vocab,
+         CAST(SUM((pa - pb) * (pa - pb) // (pa + pb)) AS BIGINT)
+           AS chi2_ppm
+  FROM wide GROUP BY source ORDER BY source
+"""
