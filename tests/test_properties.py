@@ -239,3 +239,104 @@ def test_incremental_join_algebra_complete(a_rows, b_rows, rnd):
         join(a0, b0) + join(da, b0) + join(a0, db) + join(da, db)
     )
     assert incremental == join(a_rows, b_rows)
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_ntile_convention_matches_sql(total, n):
+    """The global_ntile tile arithmetic must match the SQL NTILE
+    convention (first total%n tiles get the extra row) for ANY
+    (total, n) — the identity p_curriculum_stages' oracle relies on."""
+    base, rem = divmod(total, n)
+    cut = rem * (base + 1)
+
+    def tile(rank):  # mirror of operators/ranking.py global_ntile
+        if rank <= cut:
+            return (rank - 1) // (base + 1) + 1
+        if base > 0:
+            return (rank - cut - 1) // base + rem + 1
+        return None
+
+    sizes = {}
+    for r in range(1, total + 1):
+        t = tile(r)
+        assert t is not None and 1 <= t <= n
+        sizes[t] = sizes.get(t, 0) + 1
+    # SQL convention: tiles 1..rem have base+1 rows, the rest base
+    for t, sz in sizes.items():
+        assert sz == (base + 1 if t <= rem else base), (total, n, t, sz)
+    # monotone: ranks map to non-decreasing tiles
+    assert [tile(r) for r in range(1, total + 1)] == sorted(
+        tile(r) for r in range(1, total + 1)
+    )
+
+
+@given(
+    st.text(alphabet="abcde ", max_size=12),
+    st.text(alphabet="abcde ", max_size=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_cross_engine(a, b):
+    """q_fuzzy_match's exactness claim: DuckDB's levenshtein equals the
+    textbook DP on arbitrary strings (Spark's implements the same DP;
+    the oracle gate pins Spark == DuckDB on the real data)."""
+    import duckdb
+
+    def dp(s, t):
+        m, n = len(s), len(t)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (s[i - 1] != t[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    got = duckdb.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert got == dp(a, b), (a, b)
+
+
+@given(
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=1_000_000),
+)
+@settings(max_examples=500, deadline=None)
+def test_freq_drift_term_bounded(pa, pb):
+    """t_freq_drift's overflow-safety claim: every per-token term
+    (pa−pb)² // (pa+pb) is bounded by max ppm (1e6), so per-source
+    sums stay far below 2^63 at any vocabulary size."""
+    if pa + pb == 0:
+        return
+    term = (pa - pb) * (pa - pb) // (pa + pb)
+    assert 0 <= term <= 1_000_000
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=10, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=8),
+    st.randoms(),
+)
+@settings(max_examples=200, deadline=None)
+def test_nested_candidates_monotone_recall(scores, k, rnd):
+    """s_ivf_tuning's monotonicity anchor: with distinct scores, the
+    top-k of a LARGER candidate set never contains fewer true-top-k
+    members than the top-k of a nested smaller one."""
+    ids = list(range(len(scores)))
+    true_topk = set(sorted(ids, key=lambda i: -scores[i])[:k])
+    shuffled = list(ids)
+    rnd.shuffle(shuffled)
+    small = set(shuffled[: len(ids) // 2])
+    large = small | set(shuffled[len(ids) // 2: 3 * len(ids) // 4])
+
+    def hits(cand):
+        approx = set(sorted(cand, key=lambda i: -scores[i])[:k])
+        return len(approx & true_topk)
+
+    assert hits(large) >= hits(small)
