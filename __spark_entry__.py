@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivf_tuning": docs_ext.s_ivf_tuning,
         "q_fuzzy_match": tpch_ext.q_fuzzy_match,
         "t_freq_drift": docs_ext.t_freq_drift,
+        "d_embedding_moments": docs_ext.d_embedding_moments,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

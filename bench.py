@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "s_ivf_tuning",
     "q_fuzzy_match",
     "t_freq_drift",
+    "d_embedding_moments",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

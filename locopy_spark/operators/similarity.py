@@ -761,3 +761,57 @@ def hard_negatives(
             "cosine", "rk",
         )
     )
+
+
+def second_moment_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = None,
+) -> DataFrame:
+    """Exact fixed-point second-moment matrix Σ_rows x_i·x_j (upper
+    triangle, 1-based dims) — the one-pass sufficient statistic for
+    covariance / whitening / PCA prep over an embedding column.
+
+    Arrow-batched ``mapInPandas`` partial aggregation: each partition
+    accumulates its own dim×dim int64 matrix (numpy, chunked so the
+    row×dim×dim intermediate stays ~16 MB), so the shuffle carries ONE
+    dim(dim+1)/2-row partial per partition — never the vectors. Every
+    per-row product is floored to fixed-point BEFORE summation
+    (identical IEEE double steps in numpy and the DuckDB oracle), so
+    the integer sums are partition-order independent and bit-identical
+    cross-engine. At extreme row counts descale (the q_anomaly_days
+    note): per-element fixed ≤ |x|²·scale, so bigint headroom is
+    2^63 / (scale·max|x|²) rows.
+    """
+    from locopy_spark.functions.vectors import FIXED_SCALE
+
+    if scale is None:
+        scale = FIXED_SCALE
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for c in range(0, len(X), 256):
+                chunk = X[c : c + 256]
+                prod = chunk[:, :, None] * chunk[:, None, :]
+                acc += (
+                    np.floor(prod * scale + 0.5).astype(np.int64).sum(axis=0)
+                )
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int32"),
+                "j": (iu[1] + 1).astype("int32"),
+                "s_ij": acc[iu],
+            }
+        )
+
+    partials = emb.select(vec_col).mapInPandas(run, "i int, j int, s_ij long")
+    return partials.groupBy("i", "j").agg(F.sum("s_ij").alias("s_ij"))

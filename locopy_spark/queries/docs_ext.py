@@ -2083,3 +2083,85 @@ ORACLE["t_freq_drift"] = f"""
            AS chi2_ppm
   FROM wide GROUP BY source ORDER BY source
 """
+
+
+# -- embedding sufficient statistics ----------------------------------------
+
+def d_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sufficient statistics for embedding covariance/whitening:
+    the upper-triangle second-moment matrix S_ij = Σ x_i·x_j
+    (fixed-point, ``operators.similarity.second_moment_matrix`` — an
+    Arrow-batched partial-aggregation kernel whose shuffle is one
+    dim² partial per partition), joined with the first moments S_i and
+    the row count. From these a consumer derives the covariance
+    (n·S_ij − S_i·S_j)/n² without a second corpus pass — the PCA/
+    whitening prep step. All columns are exact bigints, so the oracle
+    (the same per-row floor-then-sum in SQL) matches bit-for-bit; an
+    eigensolve is deliberately NOT done here (iterative float methods
+    cannot be engine-exact — the sufficient statistic is the portable
+    artifact).
+    """
+    from locopy_spark.functions.vectors import FIXED_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m2 = similarity.second_moment_matrix(emb)
+    s1 = (
+        emb.select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, v -> cast(floor(cast(v as double)"
+                    f" * {FIXED_SCALE} + 0.5) as bigint))"
+                )
+            ).alias("pos", "xf")
+        )
+        .groupBy("pos")
+        .agg(F.sum("xf").alias("s"))
+        .select((F.col("pos") + 1).cast("int").alias("d"), "s")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        m2.join(
+            F.broadcast(s1.select(F.col("d").alias("i"), F.col("s").alias("s_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(s1.select(F.col("d").alias("j"), F.col("s").alias("s_j"))),
+            "j",
+        )
+        .join(F.broadcast(n))
+        .select("i", "j", "s_ij", "s_i", "s_j", "n")
+        .orderBy("i", "j")
+    )
+
+
+def _oracle_embedding_moments() -> str:
+    from locopy_spark.functions.vectors import FIXED_SCALE
+
+    return f"""
+      WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS d),
+      s2 AS (
+        SELECT p.i, p.j,
+               CAST(SUM(CAST(FLOOR(e.embedding[p.i]::DOUBLE
+                                   * e.embedding[p.j]::DOUBLE
+                                   * {FIXED_SCALE} + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_ij
+        FROM embeddings e,
+             (SELECT a.d AS i, b.d AS j FROM dims a, dims b
+              WHERE a.d <= b.d) p
+        GROUP BY 1, 2
+      ),
+      s1 AS (
+        SELECT d.d,
+               CAST(SUM(CAST(FLOOR(e.embedding[d.d]::DOUBLE
+                                   * {FIXED_SCALE} + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM embeddings e, dims d GROUP BY 1
+      ),
+      n AS (SELECT COUNT(*) AS n FROM embeddings)
+      SELECT s2.i, s2.j, s2.s_ij, a.s AS s_i, b.s AS s_j, n.n
+      FROM s2 JOIN s1 a ON a.d = s2.i JOIN s1 b ON b.d = s2.j, n
+      ORDER BY s2.i, s2.j
+    """
+
+
+ORACLE["d_embedding_moments"] = _oracle_embedding_moments()
