@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_fuzzy_match",
     "t_freq_drift",
     "d_embedding_moments",
+    "q_attribution_linear",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

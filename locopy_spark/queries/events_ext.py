@@ -670,3 +670,103 @@ ORACLE["q_events_variant"] = """
          CAST(SUM(k % 10) AS BIGINT) AS sum_last_digit
   FROM b GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across the user's view/click touches in the preceding
+    {ATTR_WINDOW_US}-µs window, then rolled up per touch type — the
+    fractional-credit complement of ``q_first_touch``/
+    ``q_orders_asof_events`` (winner-take-all attribution over- and
+    under-credits channels; linear credit is the standard baseline).
+
+    Exactness: per purchase, each type's credit is
+    value_fix·n_type div n_total — one integer division per
+    (purchase, type), no per-touch rational sums, so the rollup is an
+    exact bigint on both engines. Shape: the same bucketed range join
+    as q_first_touch (equi-join on (user, bucket), never an
+    inequality nested loop); everything after is partial-aggregated
+    groupBys on (purchase, type) then (type) — at 100 TB the credit
+    table is |purchases × types|, never |touches|.
+    """
+    from locopy_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    points = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        ts_us.alias("p_us"),
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias(
+            "value_fix"
+        ),
+        (ts_us - F.lit(ATTR_WINDOW_US)).alias("lo_us"),
+        ts_us.alias("hi_us"),
+    )
+    cands = range_join(
+        points,
+        intervals,
+        point_col="p_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bucket=ATTR_WINDOW_US,
+        keys=["user_id"],
+    )
+    per_type = cands.groupBy("purchase_id", "value_fix", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    totals = per_type.groupBy("purchase_id").agg(
+        F.sum("n_type").alias("n_total")
+    )
+    credited = per_type.join(totals, "purchase_id").select(
+        "touch_type",
+        "purchase_id",
+        F.expr("value_fix * n_type div n_total").alias("credit_fix"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count_distinct("purchase_id").alias("n_purchases"),
+            F.sum("credit_fix").alias("credit_fix"),
+        )
+        .withColumn(
+            "credit", F.expr("cast(credit_fix as double) / 1000.0")
+        )
+        .orderBy("touch_type")
+    )
+
+
+ORACLE["q_attribution_linear"] = f"""
+  WITH c AS (
+    SELECT p.event_id AS purchase_id,
+           CAST(FLOOR(p.value * 1000 + 0.5) AS BIGINT) AS value_fix,
+           x.event_type AS touch_type
+    FROM events p JOIN events x
+      ON p.event_type = 'purchase'
+     AND x.event_type IN ('view', 'click')
+     AND x.user_id = p.user_id
+     AND epoch_us(x.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
+     AND epoch_us(x.ts) < epoch_us(p.ts)
+  ),
+  per_type AS (
+    SELECT purchase_id, value_fix, touch_type, COUNT(*) AS n_type
+    FROM c GROUP BY 1, 2, 3
+  ),
+  totals AS (
+    SELECT purchase_id, CAST(SUM(n_type) AS BIGINT) AS n_total
+    FROM per_type GROUP BY 1
+  )
+  SELECT pt.touch_type,
+         COUNT(DISTINCT pt.purchase_id) AS n_purchases,
+         CAST(SUM(pt.value_fix * pt.n_type // t.n_total) AS BIGINT)
+           AS credit_fix,
+         CAST(CAST(SUM(pt.value_fix * pt.n_type // t.n_total) AS BIGINT)
+              AS DOUBLE) / 1000.0 AS credit
+  FROM per_type pt JOIN totals t ON pt.purchase_id = t.purchase_id
+  GROUP BY 1 ORDER BY 1
+"""
