@@ -117,3 +117,105 @@ def test_curriculum_stages_cover_all_docs(spark, sf_dir):
     assert qualities[0] == max(qualities)
     # monotone non-increasing stage means (ties possible)
     assert all(a >= b for a, b in zip(qualities, qualities[1:]))
+
+
+def test_second_moment_matrix_hand_computed(spark):
+    """2-dim, 2-row case: every cell of the fixed-point moment matrix
+    equals the per-row floor-then-sum model."""
+    import math
+
+    from locopy_spark.functions.vectors import FIXED_SCALE
+    from locopy_spark.operators.similarity import second_moment_matrix
+
+    rows = [(0, [0.5, -0.25]), (1, [0.1, 0.3])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.i, r.j): r.s_ij
+        for r in second_moment_matrix(emb, dim=2).collect()
+    }
+
+    import numpy as np
+
+    def fx(a, b):
+        # float32 storage round-trip, then the double product pipeline
+        a = float(np.float32(a)); b = float(np.float32(b))
+        return math.floor(a * b * FIXED_SCALE + 0.5)
+
+    vecs = [r[1] for r in rows]
+    for (i, j) in [(1, 1), (1, 2), (2, 2)]:
+        want = sum(fx(v[i - 1], v[j - 1]) for v in vecs)
+        assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+    assert set(got) == {(1, 1), (1, 2), (2, 2)}  # upper triangle only
+
+
+def test_fuzzy_match_blocking_excludes_cross_block(spark, tmp_path):
+    """Pairs within edit distance but in different first-token blocks
+    are (by design) not candidates; in-block pairs verify exactly."""
+    from locopy_spark.queries.tpch_ext import q_fuzzy_match
+
+    rows = [
+        (0, "red rod", "B1", "T", 1, 1.0),
+        (1, "red ring", "B1", "T", 1, 1.0),
+        (2, "ted rod", "B1", "T", 1, 1.0),  # dist 1 to 'red rod', other block
+        (3, "red rod", "B1", "T", 1, 1.0),  # duplicate name → n_rows 2
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    d = tmp_path / "fz"
+    d.mkdir()
+    df.write.parquet(str(d / "part.parquet"))
+    got = {
+        (r.name_a, r.name_b): (r.dist, r.rows_a, r.rows_b)
+        for r in q_fuzzy_match(spark, str(d)).collect()
+    }
+    assert got == {("red ring", "red rod"): (3, 1, 2)}
+
+
+def test_freq_drift_identical_halves_zero(spark, tmp_path):
+    """A perfectly-mirrored A/A split (same text in both halves) must
+    score chi2_ppm == 0 — the metric's fixed point."""
+    from locopy_spark.queries.docs_ext import t_freq_drift
+
+    text = "alpha beta gamma alpha"
+    rows = [(i, text, "en", "s0", len(text)) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d = tmp_path / "fd"
+    d.mkdir()
+    df.write.parquet(str(d / "documents.parquet"))
+    r = t_freq_drift(spark, str(d)).collect()
+    assert len(r) == 1 and r[0].chi2_ppm == 0 and r[0].vocab == 3
+
+
+def test_attribution_linear_hand_computed(spark, tmp_path):
+    """One purchase (value 12.0) with 2 views + 1 click in-window:
+    views credit 12000·2 div 3 = 8000, click 12000·1 div 3 = 4000."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import q_attribution_linear
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(minutes=10), 7, "view", 0.0),
+        (2, base - dt.timedelta(minutes=8), 7, "view", 0.0),
+        (3, base - dt.timedelta(minutes=5), 7, "click", 0.0),
+        (4, base, 7, "purchase", 12.0),
+        # out-of-window view (40 min before) must not be credited
+        (5, base - dt.timedelta(minutes=40), 7, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    d = tmp_path / "attr"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    got = {
+        r.touch_type: (r.n_purchases, r.credit_fix)
+        for r in q_attribution_linear(spark, str(d)).collect()
+    }
+    assert got == {"view": (1, 8000), "click": (1, 4000)}
