@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_freq_drift": docs_ext.t_freq_drift,
         "d_embedding_moments": docs_ext.d_embedding_moments,
         "q_attribution_linear": events_ext.q_attribution_linear,
+        "q_bloom_semijoin": tpch_ext.q_bloom_semijoin,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

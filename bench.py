@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "t_freq_drift",
     "d_embedding_moments",
     "q_attribution_linear",
+    "q_bloom_semijoin",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -1285,3 +1285,113 @@ ORACLE["q_fuzzy_match"] = f"""
    AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
   ORDER BY name_a, name_b
 """
+
+
+# -- bloom-filter semi-join -------------------------------------------------
+
+BLOOM_M = 65536  # bits
+BLOOM_K = 4      # hash functions
+
+
+def _bloom_pos_spark(keycol: str) -> str:
+    return (
+        f"transform(sequence(1, {BLOOM_K}), h -> "
+        f"cast(conv(substring(md5(concat(cast(h as string), ':', "
+        f"cast({keycol} as string))), 1, 8), 16, 10) as bigint)"
+        f" % {BLOOM_M})"
+    )
+
+
+def _bloom_pos_duck(keycol: str) -> str:
+    return (
+        f"list_transform(generate_series(1, {BLOOM_K}), h -> "
+        f"CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || "
+        f"CAST({keycol} AS VARCHAR)), 1, 8)) AS BIGINT) % {BLOOM_M})"
+    )
+
+
+BLOOM_N_PROBES = 5000  # provably-absent probe keys (negative namespace)
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build a {BLOOM_K}-hash
+    /{BLOOM_M}-bit filter over the DISTINCT ordering customers, probe
+    it with {BLOOM_N_PROBES} PROVABLY-absent keys (the negative key
+    namespace — custkeys are non-negative, so every probe is a true
+    negative), and report the exact false-positive count — the number
+    the filter's pruning power at 100 TB actually depends on.
+
+    Scale shape: the set-bit table is bounded by {BLOOM_M} rows
+    regardless of build-side size (distinct positions), so it
+    BROADCASTS and probing is map-side — exactly how a runtime filter
+    prunes a fact scan before the real join. Hash positions are
+    md5-derived (identical hex cross-engine), so bit membership, FP
+    count, and fp_ppm are all exact integers on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    build = o.select("o_custkey").distinct()
+    bits = (
+        build.select(
+            F.explode(F.expr(_bloom_pos_spark("o_custkey"))).alias("pos")
+        )
+        .distinct()
+    )
+    probes = spark.range(1, BLOOM_N_PROBES + 1).select(
+        (-F.col("id")).alias("probe_key")
+    )
+    probe_pos = probes.select(
+        "probe_key",
+        F.explode(F.expr(_bloom_pos_spark("probe_key"))).alias("pos"),
+    )
+    fp = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("n_false_pos"))
+    )
+    n_keys = build.agg(F.count(F.lit(1)).alias("n_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    return (
+        n_keys.join(n_bits)
+        .join(fp)
+        .select(
+            "n_keys",
+            F.lit(BLOOM_N_PROBES).cast("long").alias("n_probes"),
+            "n_set_bits",
+            "n_false_pos",
+            F.expr(
+                f"n_false_pos * 1000000 div {BLOOM_N_PROBES}"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
+ORACLE["q_bloom_semijoin"] = f"""
+  WITH build AS (SELECT DISTINCT o_custkey FROM orders),
+  bits AS (
+    SELECT DISTINCT UNNEST({_bloom_pos_duck('o_custkey')}) AS pos
+    FROM build
+  ),
+  probes AS (
+    SELECT -CAST(UNNEST(generate_series(1, {BLOOM_N_PROBES})) AS BIGINT)
+           AS probe_key
+  ),
+  probe AS (
+    SELECT probe_key, UNNEST({_bloom_pos_duck('probe_key')}) AS pos
+    FROM probes
+  ),
+  fp AS (
+    SELECT COUNT(*) AS n_false_pos FROM (
+      SELECT p.probe_key FROM probe p JOIN bits b ON p.pos = b.pos
+      GROUP BY p.probe_key HAVING COUNT(*) = {BLOOM_K}
+    )
+  )
+  SELECT (SELECT COUNT(*) FROM build) AS n_keys,
+         CAST({BLOOM_N_PROBES} AS BIGINT) AS n_probes,
+         (SELECT COUNT(*) FROM bits) AS n_set_bits,
+         fp.n_false_pos,
+         CAST(fp.n_false_pos * 1000000 // {BLOOM_N_PROBES} AS BIGINT)
+           AS fp_ppm
+  FROM fp
+"""
