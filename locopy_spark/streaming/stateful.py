@@ -896,3 +896,48 @@ def stream_length_histogram(
         .queryName(f"length_hist_{state_view}")
         .start()
     )
+
+
+def stream_bloom(
+    orders: DataFrame,
+    state_view: str = "bloom_state",
+):
+    """Continuously-maintained bloom-filter build over a key stream:
+    each micro-batch contributes its DISTINCT md5 bit positions
+    (``queries.tpch_ext._bloom_pos_spark`` — the same expression the
+    batch q_bloom_semijoin builds from), merged by set-union into the
+    state view. Bit-set union is a commutative, associative AND
+    idempotent monoid, so the maintained filter equals the batch
+    build on ANY batching, arrival order, or replay; state is bounded
+    by the bit-array size ({65536} rows max) forever — the streaming
+    form of a continuously-refreshed runtime join filter. Probing is
+    a broadcast semi-join against the state view, exactly as in the
+    batch query.
+    """
+    from locopy_spark.queries.tpch_ext import _bloom_pos_spark
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "pos long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        delta = batch_df.select(
+            F.explode(F.expr(_bloom_pos_spark("o_custkey"))).alias("pos")
+        ).distinct()
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(delta)
+            .distinct()
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"bloom_{state_view}")
+        .start()
+    )

@@ -722,3 +722,42 @@ def test_stream_length_histogram_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in p_length_histogram(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_bloom_matches_batch(spark, sf_dir, tmp_path):
+    """Bit-set union is a commutative idempotent monoid: the filter
+    maintained across 4 out-of-order micro-batches (with overlapping
+    keys) equals the batch build's set-bit table exactly."""
+    from locopy_spark.queries.tpch_ext import _bloom_pos_spark
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_bloom
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    for i, pred in enumerate(["3", "0", "2", "1"]):
+        # modulo split of ORDERS (not keys): the same custkey lands in
+        # several chunks, exercising the idempotent merge
+        orders.filter(f"pmod(o_custkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"bchunk{i}"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "bchunk*"))
+    )
+    q = stream_bloom(stream, state_view="bloom_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.pos for r in spark.table("global_temp.bloom_t").collect()
+    }
+    want = {
+        r.pos
+        for r in orders.select("o_custkey")
+        .distinct()
+        .select(F.explode(F.expr(_bloom_pos_spark("o_custkey"))).alias("pos"))
+        .distinct()
+        .collect()
+    }
+    assert got and got == want
