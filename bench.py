@@ -171,6 +171,9 @@ BENCH_QUERIES = [
 ]
 
 
+_FULL_SET = frozenset(BENCH_QUERIES)
+
+
 def _ann_prod_queries():
     """Production-path ANN timings: the oracle-gated s_knn_* queries run
     the approximate path PLUS a brute-force recall tripwire (~2x cost by
@@ -264,7 +267,12 @@ def main() -> int:
     print(json.dumps(payload))
     # durability: the driver captures stdout with a bounded tail, which
     # has truncated past runs — persist the full per-query record
-    # in-repo so every run's numbers survive verbatim
+    # in-repo so every run's numbers survive verbatim. Subset runs (the
+    # documented A/B workflow overrides BENCH_QUERIES) must NOT clobber
+    # the last full record.
+    if set(BENCH_QUERIES) != _FULL_SET:
+        spark.stop()
+        return 0
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -306,6 +306,69 @@ def knn_lsh(
     )
 
 
+def _ivf_centroids(
+    base: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` vectors with
+    the lowest md5 of id (a uniform pseudorandom sample; production
+    would k-means them, the plan shape is identical)."""
+    return (
+        base.withColumn("ck", F.expr(f"md5(cast({id_col} as string))"))
+        .orderBy("ck")
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_emb"),
+            F.col("norm_fix").alias("c_norm"),
+        )
+    )
+
+
+def _ivf_assign(
+    df: DataFrame, side: str, probes: int, cent: DataFrame
+) -> DataFrame:
+    """Nearest-``probes`` centroid assignment (broadcast nested-loop
+    against the tiny centroid set — map-side, no shuffle)."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos",
+        F.expr(
+            cosine_from_fixed(
+                fixed_dot_expr(f"{side}_emb", "c_emb"),
+                f"{side}_norm",
+                "c_norm",
+            )
+        ),
+    )
+    w = W.partitionBy(f"{side}_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= probes)
+        .drop("c_emb", "c_norm", "c_cos", "crk")
+    )
+
+
+def ivf_base_lists(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """The IVF inverted lists (each vector assigned to its ONE nearest
+    centroid) — probe-count independent, so callers sweeping n_probe
+    (``s_ivf_tuning``) compute and persist it ONCE and pass it to
+    :func:`knn_ivf` via ``base_lists``."""
+    base = with_fixed_norm(emb, vec_col)
+    cent = _ivf_centroids(base, id_col, vec_col, n_centroids)
+    vecs = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_emb"),
+        F.col("norm_fix").alias("n_norm"),
+    )
+    return _ivf_assign(vecs, "n", 1, cent)
+
+
 def knn_ivf(
     emb: DataFrame,
     query_ids: list[int] | None = None,
@@ -314,6 +377,7 @@ def knn_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    base_lists: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -325,48 +389,27 @@ def knn_ivf(
     ``n_probe`` nearest lists, and exact scoring runs only inside the
     probed lists (equi-join shuffle on centroid id). Scanned fraction
     ≈ n_probe / n_centroids, independent of table size.
+
+    ``base_lists``: a pre-computed (ideally persisted)
+    :func:`ivf_base_lists` result for the SAME (emb, n_centroids) —
+    lets an n_probe sweep share the one probe-independent assignment
+    pass instead of replaying it per setting.
     """
     base = with_fixed_norm(emb, vec_col)
-    cent = (
-        base.withColumn("ck", F.expr(f"md5(cast({id_col} as string))"))
-        .orderBy("ck")
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("c_emb"),
-            F.col("norm_fix").alias("c_norm"),
-        )
-    )
+    cent = _ivf_centroids(base, id_col, vec_col, n_centroids)
 
     def assign(df: DataFrame, side: str, probes: int) -> DataFrame:
-        scored = (
-            df.crossJoin(F.broadcast(cent))
-            .withColumn(
-                "c_cos",
-                F.expr(
-                    cosine_from_fixed(
-                        fixed_dot_expr(f"{side}_emb", "c_emb"),
-                        f"{side}_norm",
-                        "c_norm",
-                    )
-                ),
-            )
-        )
-        w = W.partitionBy(f"{side}_id").orderBy(
-            F.desc("c_cos"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= probes)
-            .drop("c_emb", "c_norm", "c_cos", "crk")
-        )
+        return _ivf_assign(df, side, probes, cent)
 
-    vecs = base.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_emb"),
-        F.col("norm_fix").alias("n_norm"),
-    )
-    lists = assign(vecs, "n", 1)  # each vector lives in ONE list
+    if base_lists is None:
+        vecs = base.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_emb"),
+            F.col("norm_fix").alias("n_norm"),
+        )
+        lists = assign(vecs, "n", 1)  # each vector lives in ONE list
+    else:
+        lists = base_lists
     q = base.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_emb"),

@@ -1929,14 +1929,17 @@ def s_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the scanned-fraction / recall trade-off; the driver gate
     holds the whole curve, not one point.
 
-    One persisted normed table + one persisted brute-force top-k feed
-    all {len(IVF_TUNE_PROBES)} probe settings; each setting is the
-    standard bucketed IVF plan (scanned fraction ≈ n_probe/n_lists).
-    Two EXACT cross-engine properties anchor the curve: the
-    exhaustive setting (n_probe = n_centroids) must equal brute force
-    bit-for-bit, and hits are monotone in n_probe (nested candidate
-    sets). The intermediate points are regression booleans against
-    measured floors.
+    One persisted normed table, one persisted brute-force top-k, and
+    ONE persisted probe-independent inverted-list assignment
+    (``ivf_base_lists``) feed all {len(IVF_TUNE_PROBES)} probe
+    settings — only the query-side probing and in-list scoring replay
+    per setting (all three persists share one scope: managed_persist
+    releases on scope CHANGE, so split scopes here would silently
+    drop the earlier caches). Two EXACT cross-engine properties
+    anchor the curve: the exhaustive setting (n_probe = n_centroids)
+    must equal brute force bit-for-bit, and hits are monotone in
+    n_probe (nested candidate sets). The intermediate points are
+    regression booleans against measured floors.
     """
     from pyspark.sql.window import Window as W
 
@@ -1950,7 +1953,11 @@ def s_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.knn_bruteforce(
             emb, query_ids=KNN_QUERY_IDS, k=KNN_K
         ).select("query_id", "neighbor_id"),
-        "ivf_tuning_bf",
+        "ivf_tuning",
+    )
+    lists = managed_persist(
+        similarity.ivf_base_lists(emb, n_centroids=IVF_TUNE_CENTROIDS),
+        "ivf_tuning",
     )
     per = None
     for np_ in IVF_TUNE_PROBES:
@@ -1960,6 +1967,7 @@ def s_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=KNN_K,
             n_centroids=IVF_TUNE_CENTROIDS,
             n_probe=np_,
+            base_lists=lists,
         )
         h = (
             a.join(exact, ["query_id", "neighbor_id"])
