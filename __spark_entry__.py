@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_embedding_moments": docs_ext.d_embedding_moments,
         "q_attribution_linear": events_ext.q_attribution_linear,
         "q_bloom_semijoin": tpch_ext.q_bloom_semijoin,
+        "d_dedup_keep_best": docs_ext.d_dedup_keep_best,
+        "t_langid_confusion": docs_ext.t_langid_confusion,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

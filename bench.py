@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "d_embedding_moments",
     "q_attribution_linear",
     "q_bloom_semijoin",
+    "d_dedup_keep_best",
+    "t_langid_confusion",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

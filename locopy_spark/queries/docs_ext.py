@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from locopy_spark.functions.text import (
+    PUNCT_CLASS,
     shingles_expr,
     sql_shingles,
     sql_tokens,
@@ -2173,3 +2174,199 @@ def _oracle_embedding_moments() -> str:
 
 
 ORACLE["d_embedding_moments"] = _oracle_embedding_moments()
+
+
+# -- survivor selection & lang-id evaluation --------------------------------
+
+def d_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup resolution: within each near-dup cluster
+    keep the HIGHEST-quality document (t_quality_score's formula, ties
+    by lowest doc_id) — how a production dedup actually picks
+    survivors; ``d_dup_clusters``' keep-min-id is the baseline policy,
+    this is the value-preserving one (the mirror with the cleaner
+    text wins, not the one crawled first).
+
+    Shape: the same CC-over-LSH-pairs pipeline, then the quality score
+    joins on doc_id (co-partitioned equi-join, score is row-local
+    column work) and the per-cluster winner is one ``max_by`` over a
+    lexicographic (quality, -doc_id) struct — a partial-aggregated
+    groupBy, no per-cluster sort window.
+    """
+    from locopy_spark.queries.docs import MINHASH_EST_T, SHINGLE_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    cc = cluster.connected_components(pairs)
+    from locopy_spark.functions.text import stopword_count_expr
+
+    toks = docs.select(
+        "doc_id", "text", F.expr(tokens_expr("text")).alias("toks")
+    )
+    q = toks.select(
+        "doc_id",
+        F.expr(
+            f"CAST({stopword_count_expr('toks')} AS DOUBLE) / size(toks)"
+            f" - CAST(regexp_count(text, '{PUNCT_CLASS}') AS DOUBLE)"
+            " / length(text)"
+            " + CAST(least(size(toks), 100) AS DOUBLE) / 1000"
+        ).alias("q"),
+    )
+    scored = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        q, "doc_id"
+    )
+    keeper = scored.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(q, -doc_id))").alias("keep_id")
+    )
+    return (
+        scored.join(keeper, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_keep_best() -> str:
+    from locopy_spark.functions.text import (
+        PUNCT_CLASS as _PC,
+        sql_stopword_count,
+    )
+    from locopy_spark.queries.docs import sql_minhash_pair_ctes
+
+    return f"""
+      WITH RECURSIVE {sql_minhash_pair_ctes()},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+      ),
+      q AS (
+        SELECT doc_id,
+               CAST({sql_stopword_count('toks')} AS DOUBLE) / len(toks)
+                 - CAST(len(regexp_extract_all(text, '{_PC}')) AS DOUBLE)
+                   / length(text)
+                 + CAST(least(len(toks), 100) AS DOUBLE) / 1000 AS q
+        FROM (SELECT doc_id, text, {sql_tokens('text')} AS toks
+              FROM documents)
+      ),
+      scored AS (
+        SELECT c.doc_id, c.cluster_id, q.q
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+      ),
+      keeper AS (
+        SELECT cluster_id, doc_id AS keep_id FROM (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC
+                 ) AS rn
+          FROM scored
+        ) WHERE rn = 1
+      )
+      SELECT s.doc_id, s.cluster_id, s.doc_id = k.keep_id AS is_kept
+      FROM scored s JOIN keeper k ON s.cluster_id = k.cluster_id
+      ORDER BY s.doc_id
+    """
+
+
+ORACLE["d_dedup_keep_best"] = _oracle_keep_best()
+
+
+def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation matrix: the labeled ``lang`` column
+    against ``t_lang_id``'s prediction, as (lang, lang_pred, n) cells
+    plus the per-lang hit ppm — the accuracy table that tells an
+    operator whether the classifier is safe to gate a mixture on
+    (classifier-EVAL is a pipeline step of its own, distinct from
+    classification).
+
+    Everything is one row-local scoring projection + one tiny
+    (lang, pred) aggregate; hit ppm is exact integer arithmetic over
+    the aggregate (bounded rows), so the matrix hashes bit-identically.
+    """
+    from locopy_spark.functions.text import (
+        LANG_MARKERS,
+        lang_pred_case,
+        marker_count_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.expr(tokens_expr("text")).alias("toks")
+    )
+    scored = toks.select(
+        "lang",
+        *[
+            F.expr(marker_count_expr("toks", lg)).alias(f"s_{lg}")
+            for lg in sorted(LANG_MARKERS)
+        ],
+    )
+    pred = lang_pred_case({lg: f"s_{lg}" for lg in sorted(LANG_MARKERS)})
+    cells = (
+        scored.withColumn("lang_pred", F.expr(pred))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_lang = cells.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        cells.join(per_lang, "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr(
+                "case when lang = lang_pred then n * 1000000 div n_lang"
+                " else 0 end"
+            ).alias("hit_ppm"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _oracle_langid_confusion() -> str:
+    from locopy_spark.functions.text import (
+        LANG_MARKERS,
+        lang_pred_case,
+        sql_marker_count,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{sql_marker_count('toks', lg)} AS s_{lg}" for lg in langs
+    )
+    pred = lang_pred_case({lg: f"s_{lg}" for lg in langs})
+    return f"""
+      WITH t AS (
+        SELECT lang, doc_id, {sql_tokens('text')} AS toks FROM documents
+      ),
+      s AS (SELECT lang, {scores} FROM t),
+      cells AS (
+        SELECT lang, {pred} AS lang_pred, COUNT(*) AS n
+        FROM s GROUP BY 1, 2
+      ),
+      per_lang AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+        FROM cells GROUP BY 1
+      )
+      SELECT c.lang, c.lang_pred, c.n,
+             CASE WHEN c.lang = c.lang_pred
+                  THEN CAST(c.n * 1000000 // p.n_lang AS BIGINT)
+                  ELSE 0 END AS hit_ppm
+      FROM cells c JOIN per_lang p ON c.lang = p.lang
+      ORDER BY c.lang, c.lang_pred
+    """
+
+
+ORACLE["t_langid_confusion"] = _oracle_langid_confusion()
