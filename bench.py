@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_bloom_semijoin",
     "d_dedup_keep_best",
     "t_langid_confusion",
+    "q_rfm_segmentation",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -1395,3 +1395,79 @@ ORACLE["q_bloom_semijoin"] = f"""
            AS fp_ppm
   FROM fp
 """
+
+
+# -- RFM segmentation -------------------------------------------------------
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: exact quartile scores on Recency
+    (latest order day), Frequency (order count) and Monetary (exact
+    fixed-point spend), rolled up per (r, f, m) segment cell — the
+    classic CRM deliverable (quartile 4 = best on every axis).
+
+    All three quartile passes use ``operators.ranking.global_ntile``
+    (range-partitioned rank + P-number driver offsets — no
+    one-partition window over |customers|), with the customer key as
+    the deterministic tiebreak, so every score matches DuckDB's
+    NTILE(4) convention bit-for-bit (the tile arithmetic itself is
+    property-tested against the SQL convention). Monetary sums are the
+    repo's floor-scaled bigints; the per-cell rollup is bounded at 64
+    rows.
+    """
+    from locopy_spark.operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "max(datediff(cast(o_orderdate as date), date'1970-01-01'))"
+        ).alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("monetary_fix"),
+    )
+    scored = global_ntile(
+        per_cust, ["recency_day", "o_custkey"], 4, out_col="r_q"
+    )
+    scored = global_ntile(
+        scored, ["frequency", "o_custkey"], 4, out_col="f_q"
+    )
+    scored = global_ntile(
+        scored, ["monetary_fix", "o_custkey"], 4, out_col="m_q"
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(
+                f"cast(sum(monetary_fix) as double) / {SCALE}.0"
+            ).alias("monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+ORACLE["q_rfm_segmentation"] = f"""
+  WITH per_cust AS (
+    SELECT o_custkey,
+           MAX(datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))) AS recency_day,
+           COUNT(*) AS frequency,
+           SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+             AS monetary_fix
+    FROM orders GROUP BY 1
+  ),
+  scored AS (
+    SELECT o_custkey, monetary_fix,
+           NTILE(4) OVER (ORDER BY recency_day, o_custkey) AS r_q,
+           NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+           NTILE(4) OVER (ORDER BY monetary_fix, o_custkey) AS m_q
+    FROM per_cust
+  )
+  SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+         CAST(m_q AS INT) AS m_q,
+         COUNT(*) AS n_customers,
+         CAST(CAST(SUM(monetary_fix) AS BIGINT) AS DOUBLE) / {SCALE}.0
+           AS monetary
+  FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
