@@ -99,3 +99,28 @@ def token_len_sum_expr(toks: str) -> str:
 
 def sql_token_len_sum(toks: str) -> str:
     return f"CAST(list_sum(list_transform({toks}, t -> len(t))) AS INT)"
+
+
+def quality_score_expr(toks: str = "toks", text: str = "text") -> str:
+    """The corpus quality-score formula (t_quality_score's scalar:
+    stop_ratio − punct_ratio + capped-length bonus) as ONE Spark SQL
+    expression — the single source of truth for every consumer
+    (t_quality_score's column pipeline, p_curriculum_stages' ranking,
+    d_dedup_keep_best's survivor pick). Identical double arithmetic to
+    :func:`sql_quality_score`, so scores are bit-equal cross-engine."""
+    return (
+        f"CAST({stopword_count_expr(toks)} AS DOUBLE) / size({toks})"
+        f" - CAST(regexp_count({text}, '{PUNCT_CLASS}') AS DOUBLE)"
+        f" / length({text})"
+        f" + CAST(least(size({toks}), 100) AS DOUBLE) / 1000"
+    )
+
+
+def sql_quality_score(toks: str = "toks", text: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score_expr`."""
+    return (
+        f"CAST({sql_stopword_count(toks)} AS DOUBLE) / len({toks})"
+        f" - CAST(len(regexp_extract_all({text}, '{PUNCT_CLASS}')) AS DOUBLE)"
+        f" / length({text})"
+        f" + CAST(least(len({toks}), 100) AS DOUBLE) / 1000"
+    )

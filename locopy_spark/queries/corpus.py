@@ -837,7 +837,7 @@ def p_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (floor(q·1e6 + 0.5) bigints) divided once, so the double is
     bit-identical cross-engine.
     """
-    from locopy_spark.functions.text import PUNCT_CLASS, stopword_count_expr
+    from locopy_spark.functions.text import quality_score_expr
     from locopy_spark.operators.ranking import global_ntile
 
     docs = load_table(spark, sf_dir, "documents")
@@ -847,18 +847,9 @@ def p_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         toks.select(
             "doc_id",
-            F.length("text").alias("n_chars"),
             F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
-            F.expr(f"regexp_count(text, '{PUNCT_CLASS}')").alias("n_punct"),
-            F.expr(stopword_count_expr("toks")).alias("n_stop"),
-        )
-        .withColumn(
-            "q",
-            F.expr(
-                "CAST(n_stop AS DOUBLE) / n_tokens"
-                " - CAST(n_punct AS DOUBLE) / n_chars"
-                " + CAST(least(n_tokens, 100) AS DOUBLE) / 1000"
-            ),
+            # the shared single-source quality kernel (functions/text.py)
+            F.expr(quality_score_expr("toks", "text")).alias("q"),
         )
         # descending quality via an ascending negated key (global_ntile
         # range-partitions ascending); doc_id makes the order total
@@ -882,30 +873,16 @@ def p_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_curriculum() -> str:
-    from locopy_spark.functions.text import (
-        PUNCT_CLASS,
-        sql_stopword_count,
-    )
+    from locopy_spark.functions.text import sql_quality_score
 
     return f"""
       WITH t AS (
         SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
       ),
-      m AS (
-        SELECT doc_id,
-               CAST(length(text) AS INT) AS n_chars,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '{PUNCT_CLASS}'))
-                    AS INT) AS n_punct,
-               CAST({sql_stopword_count('toks')} AS INT) AS n_stop
-        FROM t
-      ),
       q AS (
-        SELECT doc_id, n_tokens,
-               CAST(n_stop AS DOUBLE) / n_tokens
-                 - CAST(n_punct AS DOUBLE) / n_chars
-                 + CAST(least(n_tokens, 100) AS DOUBLE) / 1000 AS q
-        FROM m
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               {sql_quality_score('toks', 'text')} AS q
+        FROM t
       ),
       r AS (
         SELECT n_tokens, q,

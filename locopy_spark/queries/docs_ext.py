@@ -2199,19 +2199,15 @@ def d_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
     )
     cc = cluster.connected_components(pairs)
-    from locopy_spark.functions.text import stopword_count_expr
+    from locopy_spark.functions.text import quality_score_expr
 
     toks = docs.select(
         "doc_id", "text", F.expr(tokens_expr("text")).alias("toks")
     )
     q = toks.select(
         "doc_id",
-        F.expr(
-            f"CAST({stopword_count_expr('toks')} AS DOUBLE) / size(toks)"
-            f" - CAST(regexp_count(text, '{PUNCT_CLASS}') AS DOUBLE)"
-            " / length(text)"
-            " + CAST(least(size(toks), 100) AS DOUBLE) / 1000"
-        ).alias("q"),
+        # the shared single-source quality kernel (functions/text.py)
+        F.expr(quality_score_expr("toks", "text")).alias("q"),
     )
     scored = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
         q, "doc_id"
@@ -2231,10 +2227,7 @@ def d_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_keep_best() -> str:
-    from locopy_spark.functions.text import (
-        PUNCT_CLASS as _PC,
-        sql_stopword_count,
-    )
+    from locopy_spark.functions.text import sql_quality_score
     from locopy_spark.queries.docs import sql_minhash_pair_ctes
 
     return f"""
@@ -2254,11 +2247,7 @@ def _oracle_keep_best() -> str:
         FROM reach GROUP BY src
       ),
       q AS (
-        SELECT doc_id,
-               CAST({sql_stopword_count('toks')} AS DOUBLE) / len(toks)
-                 - CAST(len(regexp_extract_all(text, '{_PC}')) AS DOUBLE)
-                   / length(text)
-                 + CAST(least(len(toks), 100) AS DOUBLE) / 1000 AS q
+        SELECT doc_id, {sql_quality_score('toks', 'text')} AS q
         FROM (SELECT doc_id, text, {sql_tokens('text')} AS toks
               FROM documents)
       ),
