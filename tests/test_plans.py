@@ -469,3 +469,84 @@ def test_outlier_iqr_broadcasts_quartiles(spark, sf_dir):
     df = _q(spark, sf_dir, "q_outlier_iqr")
     assert audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
+
+
+def test_r5_queries_no_cartesian(spark, sf_dir):
+    """None of the round-5 additions may plan a CartesianProduct —
+    every pairing goes through an equi-join key (block, band, bucket,
+    centroid, position) or a deliberate small-side broadcast."""
+    for name in (
+        "s_mips",
+        "p_length_histogram",
+        "p_curriculum_stages",
+        "d_cluster_stats",
+        "p_tokenizer_fertility",
+        "q_fuzzy_match",
+        "t_freq_drift",
+        "d_embedding_moments",
+        "q_attribution_linear",
+        "q_bloom_semijoin",
+        "d_dedup_keep_best",
+        "t_langid_confusion",
+        "q_rfm_segmentation",
+    ):
+        df = _q(spark, sf_dir, name)
+        assert not audit.has_cartesian(df), name
+
+
+def test_mips_is_broadcast_scan(spark, sf_dir):
+    # like s_knn_bruteforce: small query side broadcast against a
+    # streaming scan — BNL intended, shuffle count minimal
+    df = _q(spark, sf_dir, "s_mips")
+    assert audit.has_broadcast_nested_loop(df)
+    assert audit.shuffle_count(df) <= 2
+
+
+def test_fuzzy_match_vocab_collapse_first(spark, sf_dir):
+    # the fact table must collapse to distinct names BEFORE pairing:
+    # the block join itself is an equi-join, and the whole plan stays
+    # within the vocab aggregation + join + sort shuffle budget
+    df = _q(spark, sf_dir, "q_fuzzy_match")
+    assert audit.shuffle_count(df) <= 3
+    assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_length_histogram_single_corpus_shuffle(spark, sf_dir):
+    # one partial-aggregated groupBy over the corpus; the cumulative
+    # windows run over the bounded bin aggregate
+    df = _q(spark, sf_dir, "p_length_histogram")
+    assert audit.shuffle_count(df) <= 1
+
+
+def test_fertility_single_aggregate(spark, sf_dir):
+    df = _q(spark, sf_dir, "p_tokenizer_fertility")
+    assert audit.shuffle_count(df) <= 2  # aggregate + presentation sort
+
+
+def test_freq_drift_vocab_bounded_shuffles(spark, sf_dir):
+    df = _q(spark, sf_dir, "t_freq_drift")
+    assert audit.shuffle_count(df) <= 7
+
+
+def test_bloom_semijoin_broadcast_probe(spark, sf_dir):
+    # the set-bit table must broadcast (it is bounded by the bit-array
+    # size); the 1-row summary joins are broadcast too
+    df = _q(spark, sf_dir, "q_bloom_semijoin")
+    assert audit.has_broadcast_join(df)
+    assert audit.shuffle_count(df) <= 7
+
+
+def test_embedding_moments_partials_only(spark, sf_dir):
+    # one mapInPandas partial per partition + dim²-sized groupBy; the
+    # first-moment and count sides broadcast into the final join
+    df = _q(spark, sf_dir, "d_embedding_moments")
+    assert audit.has_broadcast_join(df)
+    assert audit.shuffle_count(df) <= 5
+
+
+def test_attribution_linear_equi_range_join(spark, sf_dir):
+    # the touch candidates come from the bucketed range join — an
+    # equi-join on (user, bucket), never an inequality nested loop
+    df = _q(spark, sf_dir, "q_attribution_linear")
+    assert not audit.has_broadcast_nested_loop(df)
+    assert audit.shuffle_count(df) <= 7
