@@ -68,10 +68,18 @@ def triangle_census(e: DataFrame, broadcast_adj: bool = True) -> DataFrame:
         F.sort_array(F.collect_list("w")).alias("nbrs"),
         F.count(F.lit(1)).alias("outd"),
     )
-    # undirected wedge count from the UNDIRECTED degrees
-    n_wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).alias("w")
-    ).collect()[0]["w"]
+    # ONE action for the three degree-derived stats (node count,
+    # edge count = Σd/2, undirected wedge count) — previously three
+    # separate jobs each replaying the deg shuffle (A/B at sf0.1:
+    # 7.7 s → 5.4 s best-of-3)
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("two_m"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w"),
+    ).collect()[0]
+    n_nodes = stats["n_nodes"]
+    n_edges = int(stats["two_m"] or 0) // 2
+    n_wedges = stats["w"]
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     aw = adj.select(F.col("u").alias("w"), F.col("nbrs").alias("nw"))
     bc = F.broadcast if broadcast_adj else (lambda df: df)
@@ -89,8 +97,6 @@ def triangle_census(e: DataFrame, broadcast_adj: bool = True) -> DataFrame:
         .agg(F.sum("t").alias("t"))
         .collect()[0]["t"]
     )
-    n_nodes = deg.count()
-    n_edges = e.count()
     return spark.createDataFrame(
         [
             (
