@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_keep_best": docs_ext.d_dedup_keep_best,
         "t_langid_confusion": docs_ext.t_langid_confusion,
         "q_rfm_segmentation": tpch_ext.q_rfm_segmentation,
+        "d_source_syndication": docs_ext.d_source_syndication,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "d_dedup_keep_best",
     "t_langid_confusion",
     "q_rfm_segmentation",
+    "d_source_syndication",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

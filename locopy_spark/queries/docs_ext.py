@@ -2359,3 +2359,72 @@ def _oracle_langid_confusion() -> str:
 
 
 ORACLE["t_langid_confusion"] = _oracle_langid_confusion()
+
+
+# -- cross-source syndication -----------------------------------------------
+
+def d_source_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-source near-dup matrix: for each unordered source
+    pair, the count of MinHash-LSH candidate near-dup pairs with one
+    doc in each — the content-syndication map (which feeds mirror
+    which) that decides source-level dedup priority. The EXACT
+    complement of ``d_kmv_overlap``'s sketch estimate: that one is a
+    single-pass bounded-memory estimate over ALL shingles; this counts
+    actual near-dup PAIRS, so the two disagree exactly where
+    syndication is partial (shared boilerplate vs whole-doc mirrors).
+
+    Shape: the pair table (band equi-join, id-only postings) joins
+    source labels by doc id twice — co-partitioned equi-joins carrying
+    two strings — then one bounded (source, source) aggregate. Nothing
+    corpus-sized shuffles after the pair join.
+    """
+    from locopy_spark.queries.docs import MINHASH_EST_T, SHINGLE_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _oracle_source_syndication() -> str:
+    from locopy_spark.queries.docs import sql_minhash_pair_ctes
+
+    return f"""
+      WITH {sql_minhash_pair_ctes()},
+      src AS (SELECT doc_id, source FROM documents)
+      SELECT LEAST(a.source, b.source) AS src_a,
+             GREATEST(a.source, b.source) AS src_b,
+             COUNT(*) AS n_dup_pairs
+      FROM pairs p
+      JOIN src a ON a.doc_id = p.doc_a
+      JOIN src b ON b.doc_id = p.doc_b
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+ORACLE["d_source_syndication"] = _oracle_source_syndication()
