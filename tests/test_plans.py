@@ -489,6 +489,7 @@ def test_r5_queries_no_cartesian(spark, sf_dir):
         "d_dedup_keep_best",
         "t_langid_confusion",
         "q_rfm_segmentation",
+        "d_source_syndication",
     ):
         df = _q(spark, sf_dir, name)
         assert not audit.has_cartesian(df), name
