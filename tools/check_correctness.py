@@ -57,7 +57,13 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    if args == ["--window"]:
+        # driver mimic: exactly the first 50 queries() entries (the
+        # driver's correctness window)
+        only = set(list(entrymod.queries())[:50])
+    else:
+        only = set(args)
     spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()
     for t in CORE_TABLES:
