@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "t_langid_confusion",
     "q_rfm_segmentation",
     "d_source_syndication",
+    "d_pps_sample",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -995,3 +995,85 @@ def _oracle_tokenizer_fertility() -> str:
 
 
 ORACLE["p_tokenizer_fertility"] = _oracle_tokenizer_fertility()
+
+
+# -- PPS (probability-proportional-to-size) sampling ------------------------
+
+PPS_K = 100  # sample slots
+
+
+def d_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS sample: {PPS_K} sample slots
+    spread evenly over the corpus TOKEN mass in md5 order, each doc
+    keeping as many slots as multiples of total/{PPS_K} its token
+    interval covers — selection probability ∝ token count, the
+    standard design for token-weighted eval/inspection samples
+    (``d_reservoir_sample`` is the uniform-per-DOC counterpart; a
+    10-token doc and a 10k-token doc are NOT equally representative
+    of the training distribution).
+
+    Exactness and scale: the token intervals come from
+    ``operators.ranking.global_running_sum`` (range-partitioned
+    exclusive prefix sums — no one-partition window), slot crossings
+    are pure integer arithmetic (DECIMAL(38) products: cum × K
+    overflows bigint at real corpus sizes), and the md5 order makes
+    the selected set identical on any engine, partitioning, or rerun.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"cast(size({tokens_expr('text')}) as bigint)").alias(
+            "n_toks"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = global_running_sum(
+        per_doc, ["h", "doc_id"], "n_toks", out_col="cum_excl"
+    )
+    total = per_doc.agg(F.sum("n_toks").alias("total"))
+    slots = (
+        cum.join(F.broadcast(total))
+        .withColumn(
+            "n_slots",
+            F.expr(
+                f"cast((cast(cum_excl + n_toks as decimal(38,0)) * {PPS_K})"
+                " div total as bigint)"
+                f" - cast((cast(cum_excl as decimal(38,0)) * {PPS_K})"
+                " div total as bigint)"
+            ),
+        )
+    )
+    return (
+        slots.filter(F.col("n_slots") >= 1)
+        .select("doc_id", "source", "n_toks", "n_slots")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["d_pps_sample"] = f"""
+  WITH per_doc AS (
+    SELECT doc_id, source,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  ),
+  cum AS (
+    SELECT doc_id, source, n_toks,
+           COALESCE(SUM(n_toks) OVER (
+             ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_excl,
+           CAST(SUM(n_toks) OVER () AS BIGINT) AS total
+    FROM per_doc
+  )
+  SELECT doc_id, source, n_toks,
+         CAST(((cum_excl + n_toks) * {PPS_K}) // total
+              - (cum_excl * {PPS_K}) // total AS BIGINT) AS n_slots
+  FROM cum
+  WHERE ((cum_excl + n_toks) * {PPS_K}) // total
+        - (cum_excl * {PPS_K}) // total >= 1
+  ORDER BY doc_id
+"""

@@ -490,6 +490,7 @@ def test_r5_queries_no_cartesian(spark, sf_dir):
         "t_langid_confusion",
         "q_rfm_segmentation",
         "d_source_syndication",
+        "d_pps_sample",
     ):
         df = _q(spark, sf_dir, name)
         assert not audit.has_cartesian(df), name
