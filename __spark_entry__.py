@@ -44,15 +44,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     uncast-HUGEINT casts added), then the entries whose last driver
     check was round 1 (ETL, TPC-H q1-q22, windows) to keep stale-green
     risk rotating down.  The cutoff (position 50) lands after
-    q_cube_returns; the SIXTEEN round-5 additions (s_mips,
+    q_cube_returns; the SEVENTEEN round-5 additions (s_mips,
     p_length_histogram, p_curriculum_stages, d_cluster_stats,
     p_tokenizer_fertility, s_ivf_tuning, q_fuzzy_match, t_freq_drift,
     d_embedding_moments, q_attribution_linear, q_bloom_semijoin,
     d_dedup_keep_best, t_langid_confusion, q_rfm_segmentation,
-    d_source_syndication, d_pps_sample) sit at positions 51-66 to LEAD the round-6
+    d_source_syndication, d_pps_sample, q_cohort_ltv) sit at
+    positions 51-67 to LEAD the round-6
     window, followed by the r1-green remainder (q_except_customers …
     q_key_skew), the round-4-green block, and the round-3-green
-    families.  Everything (166 entries) passes the repo's own full
+    families.  Everything (167 entries) passes the repo's own full
     DuckDB gate (tools/check_correctness.py) at sf0.01 today; each r5
     addition was additionally gated at sf0.001 AND sf0.01 on landing.
     """
@@ -128,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segmentation": tpch_ext.q_rfm_segmentation,
         "d_source_syndication": docs_ext.d_source_syndication,
         "d_pps_sample": corpus.d_pps_sample,
+        "q_cohort_ltv": events_ext.q_cohort_ltv,
         # --- r1-green remainder (next rotation candidates) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_rfm_segmentation",
     "d_source_syndication",
     "d_pps_sample",
+    "q_cohort_ltv",
     "q_percentiles",
     "q_range_join",
     "q_first_touch",

@@ -770,3 +770,105 @@ ORACLE["q_attribution_linear"] = f"""
   FROM per_type pt JOIN totals t ON pt.purchase_id = t.purchase_id
   GROUP BY 1 ORDER BY 1
 """
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by FIRST-order month,
+    with per-month-offset active counts, revenue, and the cumulative
+    LTV curve — the value companion of ``q_retention_cohorts`` (which
+    counts activity; finance wants the spend curve those users trace).
+
+    Months live as a linear index (year·12+month−1) so offsets are
+    exact integer subtraction. Two corpus shuffles build the
+    (customer, month) spend table and its per-customer month list
+    (cohort month = array_min — no self-join back to find the first
+    order); the cumulative window runs per cohort over ≤|months| rows,
+    bounded at any SF. Revenue is exact scaled bigints; the output
+    doubles are single divisions of exact sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cm = (
+        o.select(
+            "o_custkey",
+            F.expr(
+                "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+            ).alias("m"),
+            F.expr(
+                f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+            ).alias("rev_fix"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("rev_fix").alias("rev_fix"))
+    )
+    per_cust = per_cm.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("m", "rev_fix")).alias("months")
+    )
+    exploded = per_cust.select(
+        F.expr("array_min(transform(months, x -> x.m))").alias("cohort_m"),
+        F.explode("months").alias("mm"),
+    ).select(
+        "cohort_m",
+        (F.col("mm.m") - F.col("cohort_m")).cast("long").alias(
+            "month_offset"
+        ),
+        F.col("mm.rev_fix").alias("rev_fix"),
+    )
+    agg = exploded.groupBy("cohort_m", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_fix").alias("rev_fix"),
+    )
+    w = (
+        W.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        agg.withColumn("cum_fix", F.sum("rev_fix").over(w))
+        .select(
+            F.expr(
+                "cast((cohort_m div 12) * 100 + (cohort_m % 12) + 1"
+                " as bigint)"
+            ).alias("cohort_ym"),
+            "month_offset",
+            "n_customers",
+            F.expr(f"cast(rev_fix as double) / {SCALE}.0").alias("revenue"),
+            F.expr(f"cast(cum_fix as double) / {SCALE}.0").alias(
+                "cum_revenue"
+            ),
+        )
+        .orderBy("cohort_ym", "month_offset")
+    )
+
+
+ORACLE["q_cohort_ltv"] = f"""
+  WITH per_cm AS (
+    SELECT o_custkey,
+           year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_fix
+    FROM orders GROUP BY 1, 2
+  ),
+  cohort AS (
+    SELECT o_custkey, MIN(m) AS cohort_m FROM per_cm GROUP BY 1
+  ),
+  ex AS (
+    SELECT c.cohort_m, p.m - c.cohort_m AS month_offset, p.rev_fix
+    FROM per_cm p JOIN cohort c ON p.o_custkey = c.o_custkey
+  ),
+  agg AS (
+    SELECT cohort_m, month_offset,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev_fix) AS BIGINT) AS rev_fix
+    FROM ex GROUP BY 1, 2
+  )
+  SELECT CAST((cohort_m // 12) * 100 + (cohort_m % 12) + 1 AS BIGINT)
+           AS cohort_ym,
+         CAST(month_offset AS BIGINT) AS month_offset,
+         n_customers,
+         CAST(rev_fix AS DOUBLE) / {SCALE}.0 AS revenue,
+         CAST(CAST(SUM(rev_fix) OVER (
+                PARTITION BY cohort_m ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS DOUBLE) / {SCALE}.0 AS cum_revenue
+  FROM agg ORDER BY cohort_ym, month_offset
+"""

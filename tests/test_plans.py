@@ -491,6 +491,7 @@ def test_r5_queries_no_cartesian(spark, sf_dir):
         "q_rfm_segmentation",
         "d_source_syndication",
         "d_pps_sample",
+        "q_cohort_ltv",
     ):
         df = _q(spark, sf_dir, name)
         assert not audit.has_cartesian(df), name
