@@ -36,29 +36,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver's correctness gate covers the first 50
-    entries, so the window rotates each round.  Round 5 leads with the
-    14 entries that have NEVER had a driver correctness row (they sat
-    at positions 51-64 in round 4: q_hll_union through
-    d_lsh_calibration), then the two round-4 hash-fails whose oracles
-    were fixed this round (q_mom_growth, q_anomaly_days —
-    uncast-HUGEINT casts added), then the entries whose last driver
-    check was round 1 (ETL, TPC-H q1-q22, windows) to keep stale-green
-    risk rotating down.  The cutoff (position 50) lands after
-    q_cube_returns; the SEVENTEEN round-5 additions (s_mips,
-    p_length_histogram, p_curriculum_stages, d_cluster_stats,
-    p_tokenizer_fertility, s_ivf_tuning, q_fuzzy_match, t_freq_drift,
-    d_embedding_moments, q_attribution_linear, q_bloom_semijoin,
-    d_dedup_keep_best, t_langid_confusion, q_rfm_segmentation,
-    d_source_syndication, d_pps_sample, q_cohort_ltv) sit at
-    positions 51-67 to LEAD the round-6
-    window, followed by the r1-green remainder (q_except_customers …
-    q_key_skew), the round-4-green block, and the round-3-green
-    families.  Everything (167 entries) passes the repo's own full
-    DuckDB gate (tools/check_correctness.py) at sf0.01 today; each r5
-    addition was additionally gated at sf0.001 AND sf0.01 on landing.
+    entries, so the window rotates each round.  Round 6 leads with the
+    SEVENTEEN round-5 additions that have never had a driver
+    correctness row (they sat at positions 51-67 in round 5: s_mips
+    through q_cohort_ltv), then any round-6 additions, then the
+    stalest greens as filler: the r1-era block (q_except_customers …
+    q_key_skew, last driver-checked round 1 under Spark 3) and the
+    oldest round-3-green family (d_exact_dedup … t_term_stats).  The
+    cutoff (position 50) is marked below; everything past it is
+    driver-green from rounds 3-5 and re-verified by the repo's own
+    full DuckDB gate (tools/check_correctness.py) at sf0.01.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- never driver-checked (r4 positions 51-64) — verify first ---
+        # --- added round 5, never driver-checked — verify first ---
+        "s_mips": docs.s_mips,
+        "p_length_histogram": corpus.p_length_histogram,
+        "p_curriculum_stages": corpus.p_curriculum_stages,
+        "d_cluster_stats": docs_ext.d_cluster_stats,
+        "p_tokenizer_fertility": corpus.p_tokenizer_fertility,
+        "s_ivf_tuning": docs_ext.s_ivf_tuning,
+        "q_fuzzy_match": tpch_ext.q_fuzzy_match,
+        "t_freq_drift": docs_ext.t_freq_drift,
+        "d_embedding_moments": docs_ext.d_embedding_moments,
+        "q_attribution_linear": events_ext.q_attribution_linear,
+        "q_bloom_semijoin": tpch_ext.q_bloom_semijoin,
+        "d_dedup_keep_best": docs_ext.d_dedup_keep_best,
+        "t_langid_confusion": docs_ext.t_langid_confusion,
+        "q_rfm_segmentation": tpch_ext.q_rfm_segmentation,
+        "d_source_syndication": docs_ext.d_source_syndication,
+        "d_pps_sample": corpus.d_pps_sample,
+        "q_cohort_ltv": events_ext.q_cohort_ltv,
+        # --- round-6 additions land here (inside the window) ---
+        # --- filler: last driver check was round 1 (Spark 3 era) ---
+        "q_except_customers": tpch_ext.q_except_customers,
+        "q_stats_moments": tpch_ext.q_stats_moments,
+        "q_value_deciles": tpch_ext.q_value_deciles,
+        "q_grouping_sets": tpch_ext.q_grouping_sets,
+        "q_intersect_customers": tpch_ext.q_intersect_customers,
+        "q_dow_revenue": tpch_ext.q_dow_revenue,
+        "q_hash_sample": tpch_ext.q_hash_sample,
+        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
+        "q_key_skew": tpch_ext.q_key_skew,
+        # --- filler: oldest round-3 greens, re-rotating ---
+        "d_exact_dedup": docs.d_exact_dedup,
+        "d_ngram_jaccard": docs.d_ngram_jaccard,
+        "d_minhash_lsh": docs.d_minhash_lsh,
+        "d_simhash": docs.d_simhash,
+        "d_embedding_dedup": docs.d_embedding_dedup,
+        "d_dup_clusters": docs_ext.d_dup_clusters,
+        "d_hash_split": docs_ext.d_hash_split,
+        "d_balanced_sample": docs_ext.d_balanced_sample,
+        "d_source_dedup": docs_ext.d_source_dedup,
+        "d_contamination": docs_ext.d_contamination,
+        "d_edit_verify": docs_ext.d_edit_verify,
+        "d_embedding_centroids": docs_ext.d_embedding_centroids,
+        "s_knn_bruteforce": docs.s_knn_bruteforce,
+        "s_knn_lsh": docs.s_knn_lsh,
+        "s_knn_ivf": docs_ext.s_knn_ivf,
+        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
+        "s_kmeans": docs_ext.s_kmeans,
+        "t_lang_id": docs.t_lang_id,
+        "t_quality_score": docs.t_quality_score,
+        "t_token_count": docs.t_token_count,
+        "t_fingerprint": docs.t_fingerprint,
+        "t_quality_filter": docs_ext.t_quality_filter,
+        "t_pii_scrub": docs_ext.t_pii_scrub,
+        "t_term_stats": docs_ext.t_term_stats,
+        # ------- position 50 cutoff: window ends above this line -------
+        # --- round-3 driver-green remainder ---
+        "t_ngram_top": docs_ext.t_ngram_top,
+        "t_doc_chunks": docs_ext.t_doc_chunks,
+        "m_multimodal_meta": docs.m_multimodal_meta,
+        "m_frame_sample": docs_ext.m_frame_sample,
+        "m_feature_extract": docs_ext.m_feature_extract,
+        "m_resize": docs_ext.m_resize,
+        "p_clean_corpus": docs_ext.p_clean_corpus,
+        "t_repetition": docs_ext.t_repetition,
+        "s_knn_int8": docs_ext.s_knn_int8,
+        "p_mix_weights": docs_ext.p_mix_weights,
+        "p_pack_sequences": docs_ext.p_pack_sequences,
+        "t_unigram_rarity": docs_ext.t_unigram_rarity,
+        "q_events_json_props": events.q_events_json_props,
+        "q_approx_distinct": tpch.q_approx_distinct,
+        "q_approx_percentiles": events_ext.q_approx_percentiles,
+        "q_window_funcs": tpch_ext.q_window_funcs,
+        "q_copy_csv": io_rt.q_copy_csv,
+        "q_merge_upsert": etl_ext.q_merge_upsert,
+        "q_scd2_history": etl_ext.q_scd2_history,
+        # --- round-5 driver-green (rows+schema+hash pass) ---
         "q_hll_union": mining.q_hll_union,
         "p_epoch_plan": mining.p_epoch_plan,
         "q_cusum": mining.q_cusum,
@@ -73,10 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": mining.q_pagerank,
         "p_budget_trim": corpus.p_budget_trim,
         "d_lsh_calibration": docs_ext.d_lsh_calibration,
-        # --- r4 hash-fails, oracles fixed this round — verify ---
         "q_mom_growth": mining.q_mom_growth,
         "q_anomaly_days": mining.q_anomaly_days,
-        # --- last driver check was round 1 — re-verify ---
         "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
         "q_percentiles": events_ext.q_percentiles,
@@ -111,35 +174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_total": tpch_ext.q_running_total,
         "q_moving_avg": tpch_ext.q_moving_avg,
         "q_cube_returns": tpch_ext.q_cube_returns,
-        # ------- position 50 cutoff: window ends above this line -------
-        # --- added round 5 — lead the round-6 window ---
-        "s_mips": docs.s_mips,
-        "p_length_histogram": corpus.p_length_histogram,
-        "p_curriculum_stages": corpus.p_curriculum_stages,
-        "d_cluster_stats": docs_ext.d_cluster_stats,
-        "p_tokenizer_fertility": corpus.p_tokenizer_fertility,
-        "s_ivf_tuning": docs_ext.s_ivf_tuning,
-        "q_fuzzy_match": tpch_ext.q_fuzzy_match,
-        "t_freq_drift": docs_ext.t_freq_drift,
-        "d_embedding_moments": docs_ext.d_embedding_moments,
-        "q_attribution_linear": events_ext.q_attribution_linear,
-        "q_bloom_semijoin": tpch_ext.q_bloom_semijoin,
-        "d_dedup_keep_best": docs_ext.d_dedup_keep_best,
-        "t_langid_confusion": docs_ext.t_langid_confusion,
-        "q_rfm_segmentation": tpch_ext.q_rfm_segmentation,
-        "d_source_syndication": docs_ext.d_source_syndication,
-        "d_pps_sample": corpus.d_pps_sample,
-        "q_cohort_ltv": events_ext.q_cohort_ltv,
-        # --- r1-green remainder (next rotation candidates) ---
-        "q_except_customers": tpch_ext.q_except_customers,
-        "q_stats_moments": tpch_ext.q_stats_moments,
-        "q_value_deciles": tpch_ext.q_value_deciles,
-        "q_grouping_sets": tpch_ext.q_grouping_sets,
-        "q_intersect_customers": tpch_ext.q_intersect_customers,
-        "q_dow_revenue": tpch_ext.q_dow_revenue,
-        "q_hash_sample": tpch_ext.q_hash_sample,
-        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
-        "q_key_skew": tpch_ext.q_key_skew,
         # --- round-4 driver-green (rows+schema+hash pass) ---
         "q_events_window": events.q_events_window,
         "q_events_sessionize": events.q_events_sessionize,
@@ -189,50 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_containment": docs.d_containment,
         "t_novelty": docs.t_novelty,
         "q_funnel_windows": mining.q_funnel_windows,
-        # --- round-3 driver-green (rows+schema+hash pass) ---
-        "d_exact_dedup": docs.d_exact_dedup,
-        "d_ngram_jaccard": docs.d_ngram_jaccard,
-        "d_minhash_lsh": docs.d_minhash_lsh,
-        "d_simhash": docs.d_simhash,
-        "d_embedding_dedup": docs.d_embedding_dedup,
-        "d_dup_clusters": docs_ext.d_dup_clusters,
-        "d_hash_split": docs_ext.d_hash_split,
-        "d_balanced_sample": docs_ext.d_balanced_sample,
-        "d_source_dedup": docs_ext.d_source_dedup,
-        "d_contamination": docs_ext.d_contamination,
-        "d_edit_verify": docs_ext.d_edit_verify,
-        "d_embedding_centroids": docs_ext.d_embedding_centroids,
-        "s_knn_bruteforce": docs.s_knn_bruteforce,
-        "s_knn_lsh": docs.s_knn_lsh,
-        "s_knn_ivf": docs_ext.s_knn_ivf,
-        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
-        "s_kmeans": docs_ext.s_kmeans,
-        "t_lang_id": docs.t_lang_id,
-        "t_quality_score": docs.t_quality_score,
-        "t_token_count": docs.t_token_count,
-        "t_fingerprint": docs.t_fingerprint,
-        "t_quality_filter": docs_ext.t_quality_filter,
-        "t_pii_scrub": docs_ext.t_pii_scrub,
-        "t_term_stats": docs_ext.t_term_stats,
-        "t_ngram_top": docs_ext.t_ngram_top,
-        "t_doc_chunks": docs_ext.t_doc_chunks,
-        "m_multimodal_meta": docs.m_multimodal_meta,
-        "m_frame_sample": docs_ext.m_frame_sample,
-        "m_feature_extract": docs_ext.m_feature_extract,
-        "m_resize": docs_ext.m_resize,
-        "p_clean_corpus": docs_ext.p_clean_corpus,
-        "t_repetition": docs_ext.t_repetition,
-        "s_knn_int8": docs_ext.s_knn_int8,
-        "p_mix_weights": docs_ext.p_mix_weights,
-        "p_pack_sequences": docs_ext.p_pack_sequences,
-        "t_unigram_rarity": docs_ext.t_unigram_rarity,
-        "q_events_json_props": events.q_events_json_props,
-        "q_approx_distinct": tpch.q_approx_distinct,
-        "q_approx_percentiles": events_ext.q_approx_percentiles,
-        "q_window_funcs": tpch_ext.q_window_funcs,
-        "q_copy_csv": io_rt.q_copy_csv,
-        "q_merge_upsert": etl_ext.q_merge_upsert,
-        "q_scd2_history": etl_ext.q_scd2_history,
     }
     return q
 

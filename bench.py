@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": dir}
+followed by a compact summary line (same metric/value, n_keys, no
+per-query map) so a bounded stdout-tail capture still sees one whole
+JSON object. Pass --record (or SPARK_GRAFT_BENCH_RECORD=1) to persist
+the full record to BENCH_local.json (or $SPARK_GRAFT_BENCH_OUT).
 
 Query set: the scan/join/window-heavy headline queries — the ones whose
 plans must survive 100 TB. All-pairs verification baselines
@@ -271,20 +275,37 @@ def main() -> int:
         "sf": sf_dir,
     }
     print(json.dumps(payload))
-    # durability: the driver captures stdout with a bounded tail, which
-    # has truncated past runs — persist the full per-query record
-    # in-repo so every run's numbers survive verbatim. Subset runs (the
-    # documented A/B workflow overrides BENCH_QUERIES) must NOT clobber
-    # the last full record.
-    if set(BENCH_QUERIES) != _FULL_SET:
+    # The driver captures stdout with a bounded TAIL: with 148+ keys the
+    # full line's head falls outside the buffer and the driver records
+    # "parsed": null (BENCH_r04/r05). Print a final COMPACT summary line
+    # (no per-query map) so the tail always contains one parseable JSON
+    # object regardless of key count.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "n_keys": len(timings),
+                "sf": sf_dir,
+            }
+        )
+    )
+    # The full per-query record is persisted in-repo ONLY on explicit
+    # opt-in (--record / SPARK_GRAFT_BENCH_RECORD=1): foreign re-runs
+    # (the driver, contended hosts) must not overwrite the committed
+    # quiet-host record, and A/B subset runs (edited or monkeypatched
+    # BENCH_QUERIES) must never clobber the last full record.
+    record = "--record" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_RECORD")
+    if not record or set(BENCH_QUERIES) != _FULL_SET:
         spark.stop()
         return 0
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_local.json"),
-            "w",
-        ) as fh:
+        with open(out, "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     except OSError:

@@ -810,7 +810,7 @@ def second_moment_matrix(
     emb: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
-    scale: int = None,
+    scale: int | None = None,
 ) -> DataFrame:
     """Exact fixed-point second-moment matrix Σ_rows x_i·x_j (upper
     triangle, 1-based dims) — the one-pass sufficient statistic for
@@ -837,10 +837,22 @@ def second_moment_matrix(
         import pandas as pd
 
         acc = np.zeros((dim, dim), dtype=np.int64)
+        rows_seen, max_abs = 0, 0.0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # checked headroom precondition: numpy int64 wraps
+            # silently, so refuse once the worst-case running sum
+            # (rows_so_far · scale · running max|x|²) nears 2^63
+            rows_seen += len(X)
+            max_abs = max(max_abs, float(np.abs(X).max()))
+            if max_abs**2 * scale * rows_seen >= 2**62:
+                raise OverflowError(
+                    "second_moment_matrix: int64 headroom exhausted "
+                    f"(~{rows_seen} rows at scale {scale}); descale "
+                    "the input or shrink partitions"
+                )
             for c in range(0, len(X), 256):
                 chunk = X[c : c + 256]
                 prod = chunk[:, :, None] * chunk[:, None, :]

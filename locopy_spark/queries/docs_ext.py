@@ -1736,6 +1736,12 @@ def d_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corresponds to the intended true-similarity cut on THIS corpus
     (the s-curve in numbers, measured not assumed).
 
+    RUN-RARELY calibration job, not a serving path: it deliberately
+    pays for exact-Jaccard verification of every LSH candidate to
+    measure the estimator. Schedule it per corpus snapshot / config
+    change, never per query; don't read its bench cost as hot-path
+    cost (SURVEY §6).
+
     Exact Jaccards run only on the LSH candidate set (bounded), each
     pair as a ROW-LOCAL intersection of the two docs' distinct-shingle
     arrays (bounded by doc length — a shingle-key equi-join here is a
@@ -1930,6 +1936,12 @@ def s_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the scanned-fraction / recall trade-off; the driver gate
     holds the whole curve, not one point.
 
+    RUN-RARELY calibration job, not a serving path: it contains a
+    deliberate brute-force reference arm PLUS every probe setting, so
+    its cost is the price of measuring recall, not of serving a
+    query (the serving plans are s_knn_ivf / knn_ivf). Schedule per
+    index build; don't benchmark it as a hot path (SURVEY §6).
+
     One persisted normed table, one persisted brute-force top-k, and
     ONE persisted probe-independent inverted-list assignment
     (``ivf_base_lists``) feed all {len(IVF_TUNE_PROBES)} probe
@@ -2040,7 +2052,11 @@ def t_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "token",
         "half",
-        F.expr("c * 1000000 div t").alias("p"),
+        # DECIMAL(20) product (any bigint c fits; ×1e6 → 27 digits,
+        # no precision overflow): c·1e6 in bigint would overflow once
+        # a (source,half,token) count nears 9.2e12 — real at corpus
+        # scale; `div` on decimals still yields exact bigint
+        F.expr("cast(c as decimal(20,0)) * 1000000 div t").alias("p"),
     )
     wide = ppm.groupBy("source", "token").agg(
         F.coalesce(
@@ -2054,8 +2070,15 @@ def t_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("vocab"),
+            # pa+pb can be 0 once a side's total tops 1e6 and a rare
+            # token's ppm floors to 0 in BOTH halves: count it as a
+            # zero term (its mass is below metric resolution), never
+            # as a NULL that silently drops out of the sum
             F.sum(
-                F.expr("(pa - pb) * (pa - pb) div (pa + pb)")
+                F.expr(
+                    "case when pa + pb = 0 then 0 "
+                    "else (pa - pb) * (pa - pb) div (pa + pb) end"
+                )
             ).alias("chi2_ppm"),
         )
         .orderBy("source")
@@ -2078,7 +2101,9 @@ ORACLE["t_freq_drift"] = f"""
   ),
   ppm AS (
     SELECT cnt.source, cnt.token, cnt.half,
-           CAST(cnt.c * 1000000 // tot.t AS BIGINT) AS p
+           -- HUGEINT intermediate (exact integer //; DECIMAL // would
+           -- round-then-floor); output stays BIGINT via the cast
+           CAST(CAST(cnt.c AS HUGEINT) * 1000000 // tot.t AS BIGINT) AS p
     FROM cnt JOIN tot ON cnt.source = tot.source AND cnt.half = tot.half
   ),
   wide AS (
@@ -2088,7 +2113,8 @@ ORACLE["t_freq_drift"] = f"""
     FROM ppm GROUP BY 1, 2
   )
   SELECT source, COUNT(*) AS vocab,
-         CAST(SUM((pa - pb) * (pa - pb) // (pa + pb)) AS BIGINT)
+         CAST(SUM(CASE WHEN pa + pb = 0 THEN 0
+                       ELSE (pa - pb) * (pa - pb) // (pa + pb) END) AS BIGINT)
            AS chi2_ppm
   FROM wide GROUP BY source ORDER BY source
 """

@@ -101,21 +101,38 @@ class Stage:
             for f in locals_
         ]
 
-    def download(self, key_or_glob: str, local_dir: str, callback=None) -> list[str]:
+    def download(
+        self,
+        key_or_glob: str,
+        local_dir: str,
+        callback=None,
+        parallel: int = 1,
+    ) -> list[str]:
         """GET by key or glob (reference: locopy/s3.py:271,
         locopy/snowflake.py:247 download_from_internal). ``callback``
-        receives byte deltas per transferred chunk."""
+        receives byte deltas per transferred chunk.  ``parallel`` is
+        the transfer thread count (the GET ``PARALLEL=n`` clause,
+        reference snowflake.py:262) — ordering of the returned list is
+        match order regardless of completion order."""
         try:
             os.makedirs(local_dir, exist_ok=True)
-            matches = _glob.glob(self._dest(key_or_glob))
+            matches = sorted(_glob.glob(self._dest(key_or_glob)))
             if not matches and os.path.exists(self._dest(key_or_glob)):
                 matches = [self._dest(key_or_glob)]
-            out = []
-            for m in matches:
+
+            def get_one(m: str) -> str:
                 dest = os.path.join(local_dir, os.path.basename(m))
                 _copy_file(m, dest, callback)
-                out.append(dest)
-            return out
+                return dest
+
+            if parallel > 1 and len(matches) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(int(parallel), len(matches))
+                ) as ex:
+                    return list(ex.map(get_one, matches))
+            return [get_one(m) for m in matches]
         except Exception as e:
             raise StageDownloadError(f"Error downloading {key_or_glob}.") from e
 

@@ -187,16 +187,69 @@ class Warehouse(Database):
             raise DBError("No stage_root configured for stage transport.")
         return self._stage
 
-    def upload_to_internal(self, local: str, stage: str = "") -> str:
-        """PUT a local file to the stage (reference snowflake.py:213)."""
+    def upload_to_internal(
+        self,
+        local: str,
+        stage: str = "",
+        parallel: int = 4,
+        auto_compress: bool = True,
+        overwrite: bool = True,
+    ) -> list[str]:
+        """PUT local file(s) to the stage (reference snowflake.py:213:
+        ``PUT 'file://local' @stage PARALLEL=n AUTO_COMPRESS=b
+        OVERWRITE=b``).  Wildcards in ``local`` upload every match;
+        ``parallel`` bounds the transfer thread pool;
+        ``auto_compress`` gzips files not already compressed (the
+        staged name gains ``.gz``, Snowflake AUTO_COMPRESS semantics —
+        Spark reads them back transparently); ``overwrite=False``
+        leaves an existing staged file untouched (Snowflake reports
+        such files as SKIPPED).  Returns the staged paths in match
+        order."""
+        import glob as _glob
         import os
+        import tempfile
 
-        key = os.path.join(stage, os.path.basename(local)) if stage else None
-        return self._require_stage().upload(local, key)
+        from locopy_spark.utility import compress_file
 
-    def download_from_internal(self, stage: str, local: str = ".") -> list[str]:
-        """GET stage files matching ``stage`` (reference snowflake.py:247)."""
-        return self._require_stage().download(stage, local)
+        st = self._require_stage()
+        matches = sorted(_glob.glob(local)) or [local]
+
+        def put_one(path: str) -> str:
+            src, name = path, os.path.basename(path)
+            tmp = None
+            if auto_compress and not name.endswith(
+                (".gz", ".bz2", ".zst", ".br", ".parquet", ".orc")
+            ):
+                fd, tmp = tempfile.mkstemp(suffix=".gz")
+                os.close(fd)
+                compress_file(path, tmp)
+                src, name = tmp, name + ".gz"
+            key = os.path.join(stage, name) if stage else name
+            try:
+                dest = st._dest(key)
+                if not overwrite and os.path.exists(dest):
+                    return dest  # OVERWRITE=FALSE → SKIPPED
+                return st.upload(src, key)
+            finally:
+                if tmp is not None:
+                    os.unlink(tmp)
+
+        if parallel > 1 and len(matches) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(int(parallel), len(matches))
+            ) as ex:
+                return list(ex.map(put_one, matches))
+        return [put_one(p) for p in matches]
+
+    def download_from_internal(
+        self, stage: str, local: str = ".", parallel: int = 10
+    ) -> list[str]:
+        """GET stage files matching ``stage`` (reference
+        snowflake.py:247: ``GET @stage 'file://local' PARALLEL=n``);
+        ``parallel`` is the transfer thread count."""
+        return self._require_stage().download(stage, local, parallel=parallel)
 
     # -- bulk load (reference redshift.py:193; snowflake.py:268) ----------
     def copy(
@@ -214,15 +267,36 @@ class Warehouse(Database):
         same (table, path, delim, copy_options) argument order; the
         snowflake.py:268 ``file_type``/``format_options``/
         ``file_format_name`` FILE_FORMAT surface is also accepted and,
-        as in the reference, a named format overrides the others)."""
+        as in the reference, a named format overrides the others).
+
+        Redshift copy-option parity (reference redshift.py:219-222):
+        a format marker inside ``copy_options`` (``PARQUET``, ``FORMAT
+        AS PARQUET``, ``JSON 'auto'``, ...) selects the file format —
+        ``copy("t", path, delim=None, copy_options=["PARQUET"])``
+        loads parquet — and suppresses the delimited-load default
+        options; otherwise the defaults (``DATEFORMAT 'auto'
+        COMPUPDATE ON TRUNCATECOLUMNS``) are appended exactly as
+        ``add_default_copy_options`` does in the reference."""
         if not self._is_connected():
             raise DBError("No connection object is present.")
+        from locopy_spark.sources.copy import (
+            add_default_copy_options,
+            detect_format_option,
+        )
+
         fmt = self._resolve_format(file_type, format_options, file_format_name)
         if fmt is not None:
             file_format = fmt.get("file_format", file_format)
             delim = fmt.get("delim", delim)
             copy_options = list(copy_options or []) + fmt.get(
                 "copy_options", []
+            )
+        marker = detect_format_option(copy_options)
+        if marker is not None:
+            file_format = marker
+        else:
+            copy_options = add_default_copy_options(
+                list(copy_options or [])
             )
         return copy_files(
             self.spark,
@@ -240,15 +314,44 @@ class Warehouse(Database):
         table_name: str,
         delim: str | None = "|",
         copy_options: list[str] | None = None,
+        delete_stage_after: bool = False,
+        splits: int = 1,
+        compress: bool = True,
     ) -> DataFrame:
         """Local file → stage → COPY (reference redshift.py:235
-        load_and_copy: upload then load). The stage hop is real file
-        transport (so the staged artifact exists for audit/replay),
-        then Spark reads it directly."""
-        staged = self.upload_to_internal(local_file, stage_folder)
-        return self.copy(
-            table_name, staged, delim=delim, copy_options=copy_options
-        )
+        load_and_copy: split, compress, upload, then load — same
+        parameter semantics: ``splits`` breaks the file for parallel
+        load, ``compress`` gzips each part, ``delete_stage_after``
+        (reference ``delete_s3_after``) removes the staged artifacts
+        once loaded). The stage hop is real file transport (so the
+        staged artifact exists for audit/replay), then Spark reads it
+        directly — splits simply become input partitions."""
+        import os
+
+        from locopy_spark.utility import split_file
+
+        parts = split_file(
+            local_file, local_file, splits=splits
+        )  # splits == 1 → [local_file] untouched
+        staged: list[str] = []
+        for p in parts:
+            staged += self.upload_to_internal(
+                p, stage_folder, auto_compress=compress
+            )
+        try:
+            return self.copy(
+                table_name, staged, delim=delim, copy_options=copy_options
+            )
+        finally:
+            if splits > 1:
+                for p in parts:
+                    if os.path.exists(p):
+                        os.remove(p)
+            if delete_stage_after:
+                st = self._require_stage()
+                for s in staged:
+                    key = os.path.relpath(s, st.root)
+                    st.delete(key)
 
     # -- bulk export (reference redshift.py:349,443; snowflake.py:339) ----
     def unload(

@@ -221,6 +221,41 @@ def test_ignoreheader_gt1_skips_per_file(spark, tmp_path):
     assert got == [(1, 2), (3, 4), (5, 6)]
 
 
+def test_ignoreheader_gt1_comma_in_filename(spark, tmp_path):
+    """A comma in a file name must not be read as a Hadoop multi-path
+    separator (textFile splits on unescaped commas); the n>1 skip path
+    escapes it and the file loads whole. Also pins the metadata-only
+    leaf listing: hidden files (_ / . prefixes) are skipped like
+    Spark's own readers."""
+    from pyspark.sql import types as T
+
+    from locopy_spark.sources.copy import _leaf_files, copy_files
+
+    d = tmp_path / "mhc"
+    d.mkdir()
+    (d / "part,a.csv").write_text("h1\nh2\n1|2\n")
+    (d / "plain.csv").write_text("h1\nh2\n3|4\n")
+    (d / "_SUCCESS").write_text("")
+    (d / ".hidden.csv").write_text("h1\nh2\n9|9\n")
+    leaves = _leaf_files(spark, str(d))
+    assert len(leaves) == 2 and all(
+        f.rsplit("/", 1)[-1] in ("part,a.csv", "plain.csv") for f in leaves
+    )
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    df = copy_files(
+        spark,
+        str(d),
+        "t_hdr_comma",
+        delim="|",
+        schema=schema,
+        copy_options=["IGNOREHEADER 2"],
+    )
+    got = sorted((r.a, r.b) for r in df.collect())
+    assert got == [(1, 2), (3, 4)]
+
+
 def test_ignoreheader_gt1_with_inference_and_gzip(spark, tmp_path):
     """The n>1 skip path composes with schema inference and gzip
     transparency (sc.textFile decodes .gz natively)."""
