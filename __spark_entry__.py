@@ -24,6 +24,7 @@ from locopy_spark.queries import (
     timeseries,
     tpch,
     tpch_ext,
+    trends,
 )
 
 
@@ -66,7 +67,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_source_syndication": docs_ext.d_source_syndication,
         "d_pps_sample": corpus.d_pps_sample,
         "q_cohort_ltv": events_ext.q_cohort_ltv,
-        # --- round-6 additions land here (inside the window) ---
+        # --- round-6 additions (inside the window) ---
+        "q_ols_trend": trends.q_ols_trend,
+        "q_holt_linear": trends.q_holt_linear,
+        "q_theil_sen": trends.q_theil_sen,
+        "q_benford": trends.q_benford,
+        "q_graph_reach": mining.q_graph_reach,
+        "p_dataset_card": corpus.p_dataset_card,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -96,13 +103,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         "s_kmeans": docs_ext.s_kmeans,
         "t_lang_id": docs.t_lang_id,
+        # ------- position 50 cutoff: window ends above this line -------
         "t_quality_score": docs.t_quality_score,
         "t_token_count": docs.t_token_count,
         "t_fingerprint": docs.t_fingerprint,
         "t_quality_filter": docs_ext.t_quality_filter,
         "t_pii_scrub": docs_ext.t_pii_scrub,
         "t_term_stats": docs_ext.t_term_stats,
-        # ------- position 50 cutoff: window ends above this line -------
         # --- round-3 driver-green remainder ---
         "t_ngram_top": docs_ext.t_ngram_top,
         "t_doc_chunks": docs_ext.t_doc_chunks,
@@ -242,4 +249,5 @@ def oracle_sql() -> dict[str, str]:
         **corpus.ORACLE,
         **stats.ORACLE,
         **mining.ORACLE,
+        **trends.ORACLE,
     }

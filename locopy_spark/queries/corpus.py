@@ -1077,3 +1077,104 @@ ORACLE["d_pps_sample"] = f"""
         - (cum_excl * {PPS_K}) // total >= 1
   ORDER BY doc_id
 """
+
+
+# -- per-source dataset card ------------------------------------------------
+
+
+def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-stop corpus report a data team
+    publishes with a training set — document count, language
+    diversity, exact-duplicate mass, token mass, and the length
+    distribution's center (exact median chars) per source.
+
+    Scale shape: every per-doc metric (tokens, normalized md5) is a
+    row-local projection inside one scan; the duplicate count and the
+    aggregates are source-keyed partial aggregations (shuffle rows =
+    |sources| × small), and the median is the repo's type-1
+    rank-select over per-source windows (each bounded by that
+    source's doc count — at extreme scale swap in the
+    range-partitioned global_ntile). Exact everywhere: token counts
+    are integers, the mean closes as one double division of two exact
+    bigints (identical IEEE op both engines).
+    """
+    from pyspark.sql.window import Window
+
+    from locopy_spark.operators.dedup import normalized_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
+        F.expr(f"md5({normalized_text_expr('text')})").alias("h"),
+    )
+    wr = Window.partitionBy("source").orderBy("n_chars")
+    wn = Window.partitionBy("source")
+    med = (
+        base.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.expr(
+                    "case when __rn = cast(ceil(0.5 * __n) as bigint)"
+                    " then n_chars end"
+                )
+            ).alias("median_chars")
+        )
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.expr(
+            "cast(sum(n_chars) as double) / cast(count(1) as double)"
+        ).alias("avg_chars"),
+    )
+    return (
+        agg.join(med, "source")
+        .select(
+            "source", "n_docs", "n_langs", "n_exact_dups",
+            "total_tokens", "median_chars", "avg_chars",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["p_dataset_card"] = f"""
+  WITH base AS (
+    SELECT source, lang, n_chars,
+           CAST(len({sql_tokens("text")}) AS BIGINT) AS n_toks,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+    FROM documents
+  ),
+  r AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM base
+  ),
+  med AS (
+    SELECT source,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN n_chars END) AS median_chars
+    FROM r GROUP BY 1
+  ),
+  agg AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)
+             AS avg_chars
+    FROM base GROUP BY 1
+  )
+  SELECT a.source, n_docs, n_langs, n_exact_dups,
+         total_tokens, median_chars, avg_chars
+  FROM agg a JOIN med m ON a.source = m.source
+  ORDER BY a.source
+"""

@@ -1200,3 +1200,113 @@ def _oracle_pagerank() -> str:
 
 
 ORACLE["q_pagerank"] = _oracle_pagerank()
+
+
+# -- multi-source BFS reachability ------------------------------------------
+
+REACH_SEEDS = 3  # BFS sources: the smallest node ids in the graph
+REACH_HOPS = 3
+
+
+def q_graph_reach(
+    spark: SparkSession, sf_dir: str, broadcast_frontier: bool = True
+) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: exact shortest-hop
+    distance (≤ REACH_HOPS) from the REACH_SEEDS smallest part
+    ids, reported as a distance histogram — the reachability /
+    blast-radius primitive (recall campaigns, contamination spread)
+    that completes the graph family next to CC (cluster.py), PageRank
+    and the triangle census.
+
+    Scale shape: classic frontier-expansion BFS — per hop, the
+    |V|-bounded frontier and visited sets broadcast into one probe of
+    the persisted edge table (no |E| shuffle per round while |V| fits
+    the broadcast limit; ``broadcast_frontier=False`` is the
+    beyond-limit escape hatch — the hop becomes an |E|-shuffled
+    equi-join, identical results, unit-tested); the visited table
+    localCheckpoints per hop so lineage stays O(1) like the PageRank
+    loop (mining.py:1098). Nothing driver-sized; hop count bounds the
+    rounds, not the data.
+    Exact by construction (set algebra on integer keys — no floats),
+    so the DuckDB oracle is the same REACH_HOPS frontier steps
+    unrolled as CTEs, bit-identical.
+    """
+    e = copurchase_edges(spark, sf_dir)
+    edges = managed_persist(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        ),
+        "graph_reach",
+    )
+    seeds = (
+        edges.select("src").distinct().orderBy("src").limit(REACH_SEEDS)
+    )
+    visited = seeds.select(
+        "src", F.lit(0).cast("int").alias("d")
+    ).localCheckpoint()
+    frontier = visited
+    # frontier and visited are |V|-bounded: broadcast them into the
+    # |E|-sized probe so each hop is one edge-table scan with NO edge
+    # shuffle (the q_pagerank broadcast_ranks scheme, mining.py:1098);
+    # past the broadcast limit pass broadcast_frontier=False and the
+    # hop degrades to an |E|-shuffle equi-join — identical results
+    bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    for hop in range(1, REACH_HOPS + 1):
+        frontier = (
+            edges.join(bc(frontier.select("src")), "src")
+            .select(F.col("dst").alias("src"))
+            .distinct()
+            .join(bc(visited.select("src")), "src", "left_anti")
+            .select("src", F.lit(hop).cast("int").alias("d"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return (
+        visited.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("d")
+    )
+
+
+def _oracle_graph_reach() -> str:
+    steps = []
+    for i in range(1, REACH_HOPS + 1):
+        steps.append(
+            f"""f{i} AS (
+      SELECT DISTINCT e.dst AS v FROM edges e
+      JOIN r{i - 1} p ON e.src = p.v AND p.d = {i - 1}
+    ),
+    r{i} AS (
+      SELECT v, d FROM r{i - 1}
+      UNION ALL
+      SELECT v, {i} FROM f{i}
+      WHERE v NOT IN (SELECT v FROM r{i - 1})
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+  WITH b AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e0 AS (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  edges AS (
+    SELECT a AS src, b AS dst FROM e0
+    UNION ALL SELECT b, a FROM e0
+  ),
+  r0 AS (
+    SELECT v, 0 AS d FROM (
+      SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT {REACH_SEEDS}
+    )
+  ),
+  {chain}
+  SELECT d, COUNT(*) AS n_nodes FROM r{REACH_HOPS}
+  GROUP BY d ORDER BY d
+"""
+
+
+ORACLE["q_graph_reach"] = _oracle_graph_reach()

@@ -1,0 +1,503 @@
+"""Trend-fitting / distribution-conformance analytics: grouped OLS
+regression, Holt's linear smoothing, Theil–Sen robust slopes, and
+Benford first-digit conformance.
+
+The regression/forecast workloads a locopy user runs on the warehouse
+after the COPY lands (reference: locopy/redshift.py:235 leaves
+analysis to user SQL), re-expressed Spark-first under the repo's
+determinism rules (SURVEY §4): every sufficient statistic is an exact
+integer/DECIMAL aggregate (associative, partition-order independent),
+and the only floating-point is a closing formula written ONCE in
+Python and formatted verbatim into both the Spark projection and the
+DuckDB oracle — identical IEEE expression text, identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from locopy_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# -- grouped OLS trend ------------------------------------------------------
+
+OLS_EPOCH = "1992-01-01"  # day index origin (t = days since epoch)
+
+# The closing formulas over the exact aggregates (n, st, stt bigint;
+# sy, sty, syy 128-bit-exact sums of cents — Spark DECIMAL(38,0),
+# DuckDB HUGEINT): ONE definition, interpolated into both engines.
+# Everything stays INTEGER until the final projection: slope and
+# intercept close as round-toward-zero scaled ratios (micro-cents)
+# and R² as a ppb ratio, so the one CAST-to-DOUBLE each output takes
+# is of an integer far below 2^53 — measured necessity, not caution:
+# DuckDB's int128→double conversion is NOT correctly rounded (1 ulp
+# high on e.g. 23729908596354439076), so any formula that casts a
+# >2^53 exact integer diverges from Spark's BigDecimal path by 1 ulp
+# (the q_anomaly_days whole-unit-descaling lesson, mining.py).
+_OLS_NUM_S = "(n * sty - st * sy)"  # n·Σty − Σt·Σy   (slope numerator)
+_OLS_DEN_T = "(n * stt - st * st)"  # n·Σt² − (Σt)²   (t variance · n²)
+_OLS_NUM_Y = "(n * syy - sy * sy)"  # n·Σy² − (Σy)²   (y variance · n²)
+
+
+def _signed_ratio(num: str, den: str, scale: int, fd: str) -> str:
+    """Exact scaled ratio with round-toward-zero semantics: sign(num)
+    · (|num|·scale div den), den > 0.  ABS keeps the floor-division
+    operands non-negative — the regime where Spark ``div`` and DuckDB
+    ``//`` agree (negative floor/truncate semantics differ)."""
+    return (
+        f"(CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+        f" * (ABS({num}) * {scale} {fd} {den})"
+    )
+
+
+def _ols_formulas(fd: str, wide: str) -> dict[str, str]:
+    """The three closing projections for integer-division operator
+    ``fd`` and 128-bit-exact widening type ``wide`` (Spark: ``div`` /
+    DECIMAL(38,0); DuckDB: ``//`` / HUGEINT — DuckDB demotes a
+    beyond-38-precision DECIMAL product to DOUBLE, whose ``//`` is an
+    inexact float floor, while Spark has no int128 and needs the
+    decimal).  slope/intercept close in micro-cents (·1e6), R² in
+    ppb; each is an exact bigint-ranged integer cast once to double
+    (exact: all < 2^53), then descaled.  R² headroom: num_s² must fit
+    128 bits → |num_s| < ~1.3e19, i.e. bigint-ranged — beyond that,
+    descale y to whole dollars."""
+    slope_micro = _signed_ratio(_OLS_NUM_S, _OLS_DEN_T, 10**6, fd)
+    icpt_micro = _signed_ratio(
+        f"(sy * {_OLS_DEN_T} - {_OLS_NUM_S} * st)",
+        f"(n * {_OLS_DEN_T})",
+        10**6,
+        fd,
+    )
+    # the inner div result re-widens before the ppb scaling: Spark's
+    # ``div`` returns BIGINT, and bigint · 1e9 wraps (ANSI:
+    # ARITHMETIC_OVERFLOW) once num_s²/den_t passes ~9e9
+    r2_ppb = (
+        f"(CAST({_OLS_NUM_S} * {_OLS_NUM_S} {fd} {_OLS_DEN_T}"
+        f" AS {wide}) * 1000000000 {fd} {_OLS_NUM_Y})"
+    )
+    return {
+        # micro-cents/day → dollars/day
+        "slope_dollars_per_day": (
+            f"CAST(CAST({slope_micro} AS BIGINT) AS DOUBLE) / 100000000.0"
+        ),
+        "intercept_dollars": (
+            f"CAST(CAST({icpt_micro} AS BIGINT) AS DOUBLE) / 100000000.0"
+        ),
+        "r2": f"CAST(CAST({r2_ppb} AS BIGINT) AS DOUBLE) / 1000000000.0",
+    }
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS fit of daily order revenue against time —
+    closed-form linear regression (slope, intercept, R²) from one
+    pass of exact mergeable power sums.
+
+    Scale shape: the daily aggregation is the only input-sized
+    shuffle; the regression itself runs on the |groups × days|-sized
+    daily table with plain partial-aggregated sums (shuffle rows =
+    group count). Sufficient statistics are exact: t and t² stay
+    bigint (t ≤ ~2,500 days), y sums go through DECIMAL(27,0) casts
+    so the y·y and t·y products never wrap bigint at warehouse scale
+    (y is cent-scaled; bigint y² would overflow past ~$92 M/day).
+    The slope/intercept/R² formulas are interpolated from ONE Python
+    string into both engines — see module docstring.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return ols_report(ols_daily(o))
+
+
+def ols_daily(orders: DataFrame) -> DataFrame:
+    """Per-(priority, day) exact revenue cents — the O(groups × days)
+    sufficient state for the OLS fit.  An additive monoid in y (the
+    day index t is a constant of the key), so a streaming maintainer
+    can merge per-batch outputs by key and equal the batch pass on
+    any batching/arrival order (stream_ols_trend)."""
+    return orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            " as bigint)"
+        ).alias("y")
+    )
+
+
+def ols_report(daily: DataFrame) -> DataFrame:
+    """Close the OLS fit over the daily state: one power-sum pass plus
+    the shared exact-integer formulas."""
+    sums = daily.withColumn(
+        "t", F.expr(f"datediff(day, date'{OLS_EPOCH}')")
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(t)").alias("st"),
+        F.expr("sum(t * t)").alias("stt"),
+        F.expr("sum(cast(y as decimal(27,0)))").alias("sy"),
+        F.expr("sum(cast(t as decimal(27,0)) * y)").alias("sty"),
+        F.expr("sum(cast(y as decimal(27,0)) * y)").alias("syy"),
+    )
+    return sums.selectExpr(
+        "o_orderpriority",
+        "n as n_days",
+        *[
+            f"{formula} AS {name}"
+            for name, formula in _ols_formulas("div", "DECIMAL(38,0)").items()
+        ],
+    ).orderBy("o_orderpriority")
+
+
+ORACLE["q_ols_trend"] = f"""
+  WITH daily AS (
+    SELECT o_orderpriority, o_orderdate AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS y,
+           date_diff('day', DATE '{OLS_EPOCH}', o_orderdate) AS t
+    FROM orders GROUP BY 1, 2
+  ),
+  sums AS (
+    -- HUGEINT sums (not DECIMAL): DuckDB demotes a >38-precision
+    -- decimal product to DOUBLE, which cost exactly 1 ulp of r2 in
+    -- testing; int128 arithmetic stays exact like Spark's capped
+    -- DECIMAL(38,0) path, and only doubles reach the output
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(t) AS st,
+           SUM(t * t) AS stt,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(t AS HUGEINT) * y) AS sty,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM daily GROUP BY 1
+  )
+  SELECT o_orderpriority, n AS n_days,
+         {", ".join(f"{formula} AS {name}"
+                    for name, formula in _ols_formulas("//", "HUGEINT").items())}
+  FROM sums ORDER BY o_orderpriority
+"""
+
+
+# -- Holt's linear trend (double exponential smoothing) ---------------------
+
+HOLT_START = "1997-10-01"  # bounded trailing series (q_exp_smooth regime)
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (level + trend) of daily order
+    revenue with α = β = ½ — the forecasting upgrade of q_exp_smooth
+    (mining.py:1022) that also tracks drift, made engine-exact: both
+    recurrences are integer halvings on cent-scaled bigints,
+
+        l_t = ⌊(x_t + l_{{t-1}} + b_{{t-1}}) / 2⌋
+        b_t = ⌊(l_t − l_{{t-1}} + b_{{t-1}}) / 2⌋        (l_1=x_1, b_1=0)
+
+    written as ``FLOOR(expr / 2.0)`` on BOTH engines (the trend term
+    goes negative, where bigint ``div`` truncation semantics differ
+    between engines — double halving + FLOOR floors identically as
+    long as |expr| < 2^53, i.e. ~$90 T/day of headroom; Python's
+    ``//`` floors the same). The daily aggregation is distributed;
+    the inherently-sequential recurrence runs as ONE Arrow task over
+    the bounded trailing window (|days| ≤ ~1,400 — same regime as
+    q_exp_smooth), never a driver loop. Forecast column = l + b (the
+    one-step-ahead prediction).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate") >= F.lit(HOLT_START).cast("date"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("x")
+        )
+    )
+
+    def holt(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl, trd = None, 0
+        ls, bs = [], []
+        for x in pdf["x"].tolist():
+            if lvl is None:
+                lvl, trd = x, 0
+            else:
+                prev = lvl
+                lvl = (x + lvl + trd) // 2
+                trd = (lvl - prev + trd) // 2
+            ls.append(lvl)
+            bs.append(trd)
+        pdf["l"] = ls
+        pdf["b"] = bs
+        return pdf
+
+    sm = (
+        daily.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(holt, "__g int, day date, x long, l long, b long")
+    )
+    return sm.select(
+        "day",
+        (F.col("x").cast("double") / 100.0).alias("revenue"),
+        (F.col("l").cast("double") / 100.0).alias("level"),
+        (F.col("b").cast("double") / 100.0).alias("trend"),
+        ((F.col("l") + F.col("b")).cast("double") / 100.0).alias("forecast"),
+    ).orderBy("day")
+
+
+# l_t repeated inside the b_t expression (a recursive member cannot
+# reference a sibling column) — built once here so the two copies
+# cannot diverge.
+_HOLT_L = "CAST(FLOOR((i.x + h.l + h.b) / 2.0) AS BIGINT)"
+ORACLE["q_holt_linear"] = f"""
+  WITH RECURSIVE d AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM orders WHERE o_orderdate >= DATE '{HOLT_START}' GROUP BY 1
+  ),
+  idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d),
+  holt(t, day, x, l, b) AS (
+    SELECT t, day, x, x, CAST(0 AS BIGINT) FROM idx WHERE t = 1
+    UNION ALL
+    SELECT i.t, i.day, i.x,
+           {_HOLT_L},
+           CAST(FLOOR(({_HOLT_L} - h.l + h.b) / 2.0) AS BIGINT)
+    FROM idx i JOIN holt h ON i.t = h.t + 1
+  )
+  SELECT day, CAST(x AS DOUBLE) / 100.0 AS revenue,
+         CAST(l AS DOUBLE) / 100.0 AS level,
+         CAST(b AS DOUBLE) / 100.0 AS trend,
+         CAST(l + b AS DOUBLE) / 100.0 AS forecast
+  FROM holt ORDER BY day
+"""
+
+
+# -- Theil–Sen robust slope -------------------------------------------------
+
+TS_EPOCH_Y = 1992  # month index origin
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Theil–Sen estimator on the monthly revenue series:
+    the median of all pairwise slopes — the robust trend that one
+    outlier month cannot move (the companion to q_ols_trend's
+    least-squares fit, which it sanity-checks).
+
+    Scale shape: slopes are computed over the MONTHLY aggregate, so
+    the O(k²) pair expansion is over k = |months| — a constant that
+    does NOT grow with data volume (~82 months → ~3.3k pairs per
+    group at any sf). Each slope is deterministic: milli-cents/month
+    via ``FLOOR(Δy · 1000.0 / Δm)`` — the product stays double-exact
+    below 2^53 (|Δy| < ~$90 B/month per group; descale past that),
+    and both engines floor the same correctly-rounded quotient. The
+    median is the repo's type-1 rank-select (value at ceil(n/2)),
+    exact on any engine/partitioning; per-group windows stay bounded
+    by the pair count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.expr(
+            f"(year(o_orderdate) - {TS_EPOCH_Y}) * 12 +"
+            " month(o_orderdate) - 1"
+        ).alias("m"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            " as bigint)"
+        ).alias("y")
+    )
+    pairs = (
+        monthly.alias("a")
+        .join(
+            monthly.alias("b"),
+            (F.expr("a.o_orderpriority = b.o_orderpriority"))
+            & (F.expr("a.m < b.m")),
+        )
+        .select(
+            F.expr("a.o_orderpriority").alias("o_orderpriority"),
+            F.expr(
+                "cast(floor(cast(b.y - a.y as double) * 1000.0"
+                " / cast(b.m - a.m as double)) as bigint)"
+            ).alias("s"),
+        )
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("s")
+    wn = Window.partitionBy("o_orderpriority")
+    med = (
+        pairs.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.expr(
+                    "case when __rn = cast(ceil(0.5 * __n) as bigint)"
+                    " then s end"
+                )
+            ).alias("med_s"),
+            F.max("__n").alias("n_pairs"),
+        )
+    )
+    return med.select(
+        "o_orderpriority",
+        "n_pairs",
+        F.expr("CAST(med_s AS DOUBLE) / 100000.0").alias(
+            "ts_slope_dollars_per_month"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE["q_theil_sen"] = f"""
+  WITH monthly AS (
+    SELECT o_orderpriority,
+           (year(o_orderdate) - {TS_EPOCH_Y}) * 12
+             + month(o_orderdate) - 1 AS m,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT a.o_orderpriority,
+           CAST(FLOOR(CAST(b.y - a.y AS DOUBLE) * 1000.0
+                      / CAST(b.m - a.m AS DOUBLE)) AS BIGINT) AS s
+    FROM monthly a JOIN monthly b
+      ON a.o_orderpriority = b.o_orderpriority AND a.m < b.m
+  ),
+  r AS (
+    SELECT o_orderpriority, s,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY s) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM pairs
+  )
+  SELECT o_orderpriority,
+         MAX(n) AS n_pairs,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                       THEN s END) AS DOUBLE) / 100000.0
+           AS ts_slope_dollars_per_month
+  FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- Benford first-digit conformance ----------------------------------------
+
+# exact-ppm Benford expectations: round(log10(1 + 1/d) * 1e6); the
+# nine constants sum to exactly 1,000,000
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _first_digit_case(v: str, floordiv: str) -> str:
+    """First significant digit of a positive bigint — a CASE chain
+    over powers of ten (no float log10, whose boundary rounding could
+    disagree between engines at exact powers of 10); ``floordiv`` is
+    the engine's integer-division operator (operands non-negative, so
+    Spark ``div`` and DuckDB ``//`` agree)."""
+    arms = "\n".join(
+        f"WHEN {v} >= {10 ** p} THEN {v} {floordiv} {10 ** p}"
+        for p in range(18, 0, -1)
+    )
+    return f"CASE {arms} ELSE {v} END"
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order values per
+    market segment — the classic fraud/synthetic-data screen: each
+    segment's observed first-significant-digit distribution (exact
+    ppm) against the Benford expectation, with an exact integer
+    chi-square-style divergence per segment.
+
+    Scale shape: one orders⨝customer join (AQE handles the shuffle;
+    the segment dimension is on the customer row), then the digit
+    projection is row-local codegen (a CASE chain over powers of 10 —
+    no float log, whose rounding at exact powers of 10 could split
+    engines) and everything after is a 9-digit × |segments| bounded
+    aggregate. ppm shares go through DECIMAL products (c·1e6 wraps
+    bigint at warehouse-scale counts); the per-digit divergence terms
+    (obs−exp)² div exp are pure bigint (ppm-bounded operands).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return benford_report(benford_counts(o, c))
+
+
+def benford_counts(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-(segment, first-digit) counts — the 9×|segments| sufficient
+    state, an additive monoid so a streaming maintainer can merge
+    per-batch counts by key (stream_benford)."""
+    v = "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.expr(_first_digit_case(v, "div")).alias("digit"),
+        )
+        .groupBy("c_mktsegment", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def benford_report(digits: DataFrame) -> DataFrame:
+    """Close the conformance report over the bounded count state:
+    exact ppm shares and the integer chi-square-style divergence."""
+    wseg = Window.partitionBy("c_mktsegment")
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items()
+    ) + " END"
+    scored = (
+        digits.withColumn("t", F.sum("n").over(wseg))
+        .withColumn(
+            "obs_ppm",
+            F.expr("cast(cast(n as decimal(20,0)) * 1000000 div t as bigint)"),
+        )
+        .withColumn("exp_ppm", F.expr(f"cast({exp_case} as bigint)"))
+        .withColumn(
+            "dev",
+            F.expr(
+                "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"
+            ),
+        )
+    )
+    return (
+        scored.withColumn("chi2_ppm", F.sum("dev").over(wseg))
+        .select(
+            "c_mktsegment", "digit", "n", "obs_ppm", "exp_ppm", "chi2_ppm"
+        )
+        .orderBy("c_mktsegment", "digit")
+    )
+
+
+_BENFORD_EXP_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items()
+) + " END"
+ORACLE["q_benford"] = f"""
+  WITH digits AS (
+    SELECT c_mktsegment,
+           {_first_digit_case(
+               "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)", "//")}
+             AS digit,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+  ),
+  scored AS (
+    SELECT c_mktsegment, digit, n,
+           SUM(n) OVER (PARTITION BY c_mktsegment) AS t,
+           CAST({_BENFORD_EXP_SQL} AS BIGINT) AS exp_ppm
+    FROM digits
+  ),
+  ppm AS (
+    SELECT c_mktsegment, digit, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n AS HUGEINT) * 1000000 // t AS BIGINT) AS obs_ppm,
+           exp_ppm
+    FROM scored
+  ),
+  dev AS (
+    SELECT *,
+           (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm AS d
+    FROM ppm
+  )
+  SELECT c_mktsegment, digit, n, obs_ppm, exp_ppm,
+         CAST(SUM(d) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS chi2_ppm
+  FROM dev ORDER BY c_mktsegment, digit
+"""

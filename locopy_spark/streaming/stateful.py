@@ -941,3 +941,91 @@ def stream_bloom(
         .queryName(f"bloom_{state_view}")
         .start()
     )
+
+
+def stream_ols_trend(
+    orders: DataFrame,
+    state_view: str = "ols_daily_state",
+):
+    """Continuously-maintained OLS regression state: each micro-batch
+    reduces to per-(priority, day) exact revenue cents
+    (``queries.trends.ols_daily`` — additive in y; the day index is a
+    constant of the key), merged by key into O(groups × days) state —
+    the same shape as stream_daily_anomaly's day series, late/out-of-
+    order events safe by construction. The closing fit
+    (``queries.trends.ols_report`` — power sums + the exact-integer
+    slope/intercept/R² formulas) runs over the state on demand; the
+    test asserts stream state + finisher == batch ``q_ols_trend``
+    exactly on out-of-order chunks.
+    """
+    from locopy_spark.queries.trends import ols_daily
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, day date, y long"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(ols_daily(batch_df))
+            .groupBy("o_orderpriority", "day")
+            .agg(F.sum("y").alias("y"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"ols_{state_view}")
+        .start()
+    )
+
+
+def stream_benford(
+    orders: DataFrame,
+    customer: DataFrame,
+    state_view: str = "benford_state",
+):
+    """Continuously-maintained Benford conformance state: each
+    micro-batch stream-static joins the customer dimension (the
+    stream_enrich shape) and reduces to per-(segment, first-digit)
+    counts (``queries.trends.benford_counts`` — additive monoid),
+    merged by key into 9×|segments| bounded state. The ppm/chi²
+    finisher (``queries.trends.benford_report``) runs over the state
+    on demand; the test asserts stream state + finisher == batch
+    ``q_benford`` exactly on out-of-order chunks — the continuously-
+    refreshed fraud screen.
+    """
+    from locopy_spark.queries.trends import benford_counts
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "c_mktsegment string, digit long, n long"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(benford_counts(batch_df, customer))
+            .groupBy("c_mktsegment", "digit")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"benford_{state_view}")
+        .start()
+    )

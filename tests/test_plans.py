@@ -553,3 +553,41 @@ def test_attribution_linear_equi_range_join(spark, sf_dir):
     df = _q(spark, sf_dir, "q_attribution_linear")
     assert not audit.has_broadcast_nested_loop(df)
     assert audit.shuffle_count(df) <= 7
+
+
+def test_ols_trend_two_aggregates_only(spark, sf_dir):
+    # daily aggregation + power-sum aggregation + presentation sort —
+    # no join anywhere, nothing beyond group-cardinality shuffles
+    df = _q(spark, sf_dir, "q_ols_trend")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 3
+
+
+def test_theil_sen_equi_join_on_group(spark, sf_dir):
+    # the pair expansion must be an equi-join on the group key with
+    # the m-inequality as a post-filter — never a nested loop over
+    # the monthly tables
+    df = _q(spark, sf_dir, "q_theil_sen")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_benford_digit_rowlocal(spark, sf_dir):
+    # one orders⨝customer join, then the digit CASE chain is a
+    # row-local projection: aggregate shuffles are 9×|segments|-sized
+    df = _q(spark, sf_dir, "q_benford")
+    assert not audit.has_cartesian(df)
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_graph_reach_no_cartesian(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_graph_reach")
+    assert not audit.has_cartesian(df)
+
+
+def test_dataset_card_single_scan_families(spark, sf_dir):
+    # doc metrics are row-local; the median window + two aggregates
+    # and the |sources|-sized join bound the shuffles
+    df = _q(spark, sf_dir, "p_dataset_card")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 6

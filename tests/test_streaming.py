@@ -761,3 +761,68 @@ def test_stream_bloom_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got and got == want
+
+
+def test_stream_ols_trend_matches_batch(spark, sf_dir, tmp_path):
+    """The per-(priority, day) cent state is additive in y, so the
+    state maintained across 4 out-of-order micro-batches + the shared
+    power-sum/formula finisher equals batch q_ols_trend exactly."""
+    from locopy_spark.queries.trends import ols_report, q_ols_trend
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_ols_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["3", "1", "0", "2"]):
+        orders.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ochunk{i}"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ochunk*"))
+    )
+    q = stream_ols_trend(stream, state_view="ols_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in ols_report(spark.table("global_temp.ols_t")).collect()
+    ]
+    want = [tuple(r) for r in q_ols_trend(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_benford_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(segment, digit) counts merge additively across the
+    stream-static customer join, so stream state + the ppm/chi²
+    finisher equals batch q_benford on any batching/order."""
+    from locopy_spark.queries.trends import benford_report, q_benford
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_benford
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        orders.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"bchunk{i}"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "bchunk*"))
+    )
+    q = stream_benford(stream, customer, state_view="benford_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in benford_report(
+            spark.table("global_temp.benford_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_benford(spark, sf_dir).collect()]
+    assert got and got == want

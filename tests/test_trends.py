@@ -1,0 +1,185 @@
+"""Hand-computed semantics pins for the trends family (q_ols_trend,
+q_holt_linear, q_theil_sen, q_benford, q_graph_reach, p_dataset_card)
+— tiny inputs with pencil-and-paper expectations, beyond the aggregate
+oracle hashes (SURVEY §5 test-strategy stack)."""
+
+import datetime
+
+import pytest
+
+from locopy_spark.queries.trends import (
+    BENFORD_PPM,
+    _first_digit_case,
+    benford_counts,
+    benford_report,
+    ols_daily,
+    ols_report,
+)
+
+
+def _orders(spark, rows):
+    """Minimal orders-shaped frame: (key, priority, date, totalprice)."""
+    return spark.createDataFrame(
+        [
+            (k, p, datetime.date.fromisoformat(d), v)
+            for k, p, d, v in rows
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate date,"
+        " o_totalprice double",
+    )
+
+
+def test_ols_perfect_line(spark):
+    """Points exactly on y = 100·t + 200 dollars → slope 100,
+    intercept 200, R² = 1 (ppb-floored to 1.0 exactly — numerator
+    equals denominator for a perfect fit)."""
+    rows = [
+        (i, "P", (datetime.date(1992, 1, 1) + datetime.timedelta(days=t))
+         .isoformat(), 100.0 * t + 200.0)
+        for i, t in enumerate([0, 1, 2, 3, 10])
+    ]
+    out = ols_report(ols_daily(_orders(spark, rows))).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 5
+    assert r.slope_dollars_per_day == pytest.approx(100.0, abs=1e-6)
+    assert r.intercept_dollars == pytest.approx(200.0, abs=1e-6)
+    assert r.r2 == 1.0
+
+
+def test_ols_negative_slope_sign(spark):
+    """Round-toward-zero signed ratio: a falling line keeps its exact
+    negative slope (the ABS/CASE split never mangles the sign)."""
+    rows = [
+        (i, "P", (datetime.date(1992, 1, 1) + datetime.timedelta(days=t))
+         .isoformat(), 1000.0 - 50.0 * t)
+        for i, t in enumerate([0, 1, 2, 4])
+    ]
+    r = ols_report(ols_daily(_orders(spark, rows))).collect()[0]
+    assert r.slope_dollars_per_day == pytest.approx(-50.0, abs=1e-6)
+    assert r.r2 == 1.0
+
+
+def test_holt_linear_recurrence(spark, tmp_path):
+    """The integer halving recurrence, by hand (cents):
+    x = [100, 200, 300] → l1=100,b1=0; l2=⌊(200+100+0)/2⌋=150,
+    b2=⌊(150−100+0)/2⌋=25; l3=⌊(300+150+25)/2⌋=237,
+    b3=⌊(237−150+25)/2⌋=56. Forecast = l+b."""
+    from locopy_spark.queries.trends import HOLT_START, q_holt_linear
+
+    d0 = datetime.date.fromisoformat(HOLT_START)
+    rows = [
+        (1, "P", d0.isoformat(), 1.00),
+        (2, "P", (d0 + datetime.timedelta(days=1)).isoformat(), 2.00),
+        (3, "P", (d0 + datetime.timedelta(days=2)).isoformat(), 3.00),
+    ]
+    _orders(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = q_holt_linear(spark, str(tmp_path)).collect()
+    assert [(r.level, r.trend, r.forecast) for r in out] == [
+        (1.00, 0.00, 1.00),
+        (1.50, 0.25, 1.75),
+        (2.37, 0.56, 2.93),
+    ]
+
+
+def test_theil_sen_outlier_robust(spark, tmp_path):
+    """Monthly series 10, 20, 30, 40, 1000000 dollars (one spike):
+    slopes of the 10 pairs in $/month include the spike only in 4 of
+    10; the median (5th smallest) is still 10 — OLS would be dragged
+    to ~165k. Pins both the pair expansion and the rank-select
+    median convention."""
+    from locopy_spark.queries.trends import q_theil_sen
+
+    rows = []
+    for m, v in enumerate([10.0, 20.0, 30.0, 40.0, 1000000.0]):
+        d = datetime.date(1992, 1 + m, 15)
+        rows.append((m, "P", d.isoformat(), v))
+    _orders(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = q_theil_sen(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].n_pairs == 10
+    assert out[0].ts_slope_dollars_per_month == pytest.approx(10.0, abs=1e-3)
+
+
+def test_first_digit_case_boundaries(spark):
+    """First-significant-digit extraction at the dangerous spots:
+    exact powers of 10 (float log10 could round either way — the CASE
+    chain cannot), single digits, and bigint-scale values."""
+    vals = [1, 9, 10, 99, 100, 1000, 999999, 10**12, 7 * 10**17, 10**18]
+    want = [1, 9, 1, 9, 1, 1, 9, 1, 7, 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").selectExpr(
+        f"{_first_digit_case('v', 'div')} AS d"
+    )
+    assert [r.d for r in df.collect()] == want
+
+
+def test_benford_uniform_digits(spark):
+    """9 orders with first digits 1..9 exactly once → every obs_ppm is
+    111111 (⌊1e6/9⌋) and the chi² matches the hand sum over the
+    published expectation constants."""
+    rows = [
+        (i, "P", "1995-01-01", float(d) * 100.0)  # d00.00 dollars
+        for i, d in enumerate(range(1, 10))
+    ]
+    orders = _orders(spark, rows)
+    customer = spark.createDataFrame(
+        [(i, "SEG") for i in range(9)], "c_custkey long, c_mktsegment string"
+    )
+    orders = orders.withColumn("o_custkey", orders.o_orderkey)
+    out = benford_report(benford_counts(orders, customer)).collect()
+    assert len(out) == 9
+    assert all(r.obs_ppm == 111111 for r in out)
+    want_chi2 = sum(
+        (111111 - e) * (111111 - e) // e for e in BENFORD_PPM.values()
+    )
+    assert all(r.chi2_ppm == want_chi2 for r in out)
+    assert [r.exp_ppm for r in out] == list(BENFORD_PPM.values())
+
+
+def test_graph_reach_path_graph(spark, tmp_path):
+    """Path graph 1-2-3-4-5-6 via chained 2-part orders, seeds = the 3
+    smallest nodes (1,2,3): distances {1:0, 2:0, 3:0, 4:1, 5:2, 6:3}
+    → histogram [(0,3),(1,1),(2,1),(3,1)]."""
+    from locopy_spark.queries.mining import q_graph_reach
+
+    rows = []
+    for i, (a, b) in enumerate([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]):
+        rows.append((i, a))
+        rows.append((i, b))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = q_graph_reach(spark, str(tmp_path)).collect()
+    assert [(r.d, r.n_nodes) for r in out] == [(0, 3), (1, 1), (2, 1), (3, 1)]
+    # beyond-broadcast-limit escape hatch: identical histogram
+    out2 = q_graph_reach(spark, str(tmp_path), broadcast_frontier=False)
+    assert [(r.d, r.n_nodes) for r in out2.collect()] == [
+        (0, 3), (1, 1), (2, 1), (3, 1),
+    ]
+
+
+def test_dataset_card_tiny(spark, tmp_path):
+    """Hand corpus: source A has 3 docs (two identical after
+    normalization → 1 exact dup) with lengths 5, 5, 11 (median 5);
+    source B has 1 doc. Token counts are whitespace tokens."""
+    from locopy_spark.queries.corpus import p_dataset_card
+
+    docs = [
+        (1, "hello world", "en", "A", 11),
+        (2, "hi  there", "en", "A", 5),
+        (3, "HI THERE", "fr", "A", 5),  # normalizes to "hi there" → dup
+        (4, "solo", "en", "B", 4),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in p_dataset_card(spark, str(tmp_path)).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_docs, a.n_langs, a.n_exact_dups) == (3, 2, 1)
+    assert a.total_tokens == 6  # 2 + 2 + 2
+    assert a.median_chars == 5 and a.avg_chars == pytest.approx(7.0)
+    assert (b.n_docs, b.n_langs, b.n_exact_dups, b.total_tokens) == (1, 1, 0, 1)
