@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": trends.q_benford,
         "q_graph_reach": mining.q_graph_reach,
         "p_dataset_card": corpus.p_dataset_card,
+        "t_cms_counts": corpus.t_cms_counts,
+        "q_winsorized": stats.q_winsorized,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -101,9 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_lsh": docs.s_knn_lsh,
         "s_knn_ivf": docs_ext.s_knn_ivf,
         "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
+        # ------- position 50 cutoff: window ends above this line -------
         "s_kmeans": docs_ext.s_kmeans,
         "t_lang_id": docs.t_lang_id,
-        # ------- position 50 cutoff: window ends above this line -------
         "t_quality_score": docs.t_quality_score,
         "t_token_count": docs.t_token_count,
         "t_fingerprint": docs.t_fingerprint,

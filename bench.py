@@ -178,13 +178,15 @@ BENCH_QUERIES = [
     # verification baselines: its oracle side IS the quadratic
     # baseline. The production path is benched:
     "d_semantic_dedup_prod",
-    # round 6: trends / graph-reach / dataset-card family
+    # round 6: trends / graph-reach / dataset-card / sketch family
     "q_ols_trend",
     "q_holt_linear",
     "q_theil_sen",
     "q_benford",
     "q_graph_reach",
     "p_dataset_card",
+    "t_cms_counts",
+    "q_winsorized",
 ]
 
 

@@ -1178,3 +1178,143 @@ ORACLE["p_dataset_card"] = f"""
   FROM agg a JOIN med m ON a.source = m.source
   ORDER BY a.source
 """
+
+
+# -- count-min sketch -------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_K = 20
+
+
+def _cms_col_spark(key: str, r: str) -> str:
+    """Row-``r`` hash column of ``key`` (Spark SQL) — md5-seeded like
+    the bloom positions (tpch_ext._bloom_pos_spark), identical hex on
+    both engines."""
+    return (
+        f"cast(conv(substring(md5(concat(cast({r} as string), ':', {key})),"
+        f" 1, 8), 16, 10) as bigint) % {CMS_WIDTH}"
+    )
+
+
+def _cms_col_duck(key: str, r: str) -> str:
+    """DuckDB twin of :func:`_cms_col_spark`."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || {key}),"
+        f" 1, 8)) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """Count-min sketch cells over the corpus token stream: for each
+    of CMS_DEPTH md5-seeded hash rows, per-cell total occurrence
+    counts — a CMS_DEPTH × CMS_WIDTH additive monoid (cells sum), so
+    per-batch sketches merge into a stream-maintained one
+    (stream_cms) and any batching equals the batch build.
+
+    Build goes THROUGH the vocab aggregate (token → count) rather
+    than hashing every occurrence: the per-doc token explosion
+    reduces map-side to vocab size, and the depth expansion then runs
+    over |vocab| rows, not |occurrences| — at 100 TB the hash work
+    scales with vocabulary, the scan with the corpus."""
+    toks = docs.select(
+        F.explode(F.expr(tokens_expr("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        vocab.select(
+            F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("r"),
+            "token",
+            "c",
+        )
+        .select("r", F.expr(_cms_col_spark("token", "r")).alias("col"), "c")
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("v"))
+    )
+
+
+def t_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, measured: build a
+    CMS_DEPTH×CMS_WIDTH CMS over the corpus token stream, probe it
+    with the true top-CMS_PROBE_K tokens, and report estimated vs
+    exact counts — the mergeable frequency sketch that answers "how
+    often does token X occur" from O(d·w) state instead of a
+    vocab-sized table (the sketch family's counter, next to HLL
+    cardinality / KMV overlap / bloom membership / GK quantiles).
+
+    Exactness story: the sketch is DETERMINISTIC given the md5 row
+    seeds — each cell is an exact integer sum over the tokens hashing
+    into it — so the DuckDB oracle rebuilds the identical sketch and
+    the driver checks exact values, not tolerances. CMS guarantees
+    est ≥ true (overestimate-only); ``over`` is the per-probe
+    collision mass, the quantity a capacity decision reads.
+    """
+    from locopy_spark.functions.cache import managed_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(tokens_expr("text"))).alias("token")
+    )
+    vocab = managed_persist(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")), "cms"
+    )
+    cells = (
+        vocab.select(
+            F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("r"),
+            "token",
+            "c",
+        )
+        .select("r", F.expr(_cms_col_spark("token", "r")).alias("col"), "c")
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("v"))
+    )
+    probes = (
+        vocab.orderBy(F.desc("c"), "token")
+        .limit(CMS_PROBE_K)
+        .select("token", F.col("c").alias("true_c"))
+    )
+    probe_pos = probes.select(
+        "token",
+        "true_c",
+        F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("r"),
+    ).select(
+        "token", "true_c", "r",
+        F.expr(_cms_col_spark("token", "r")).alias("col"),
+    )
+    est = (
+        probe_pos.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("token", "true_c")
+        .agg(F.min("v").alias("est_c"))
+    )
+    return est.select(
+        "token", "true_c", "est_c",
+        (F.col("est_c") - F.col("true_c")).alias("over"),
+    ).orderBy(F.desc("true_c"), "token")
+
+
+ORACLE["t_cms_counts"] = f"""
+  WITH toks AS (
+    SELECT unnest({sql_tokens("text")}) AS token FROM documents
+  ),
+  vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+  cells AS (
+    SELECT r, {_cms_col_duck("token", "r")} AS col,
+           CAST(SUM(c) AS BIGINT) AS v
+    FROM vocab, (SELECT unnest(generate_series(1, {CMS_DEPTH})) AS r)
+    GROUP BY 1, 2
+  ),
+  probes AS (
+    SELECT token, c AS true_c FROM vocab
+    ORDER BY c DESC, token LIMIT {CMS_PROBE_K}
+  ),
+  probe_pos AS (
+    SELECT token, true_c, r, {_cms_col_duck("token", "r")} AS col
+    FROM probes, (SELECT unnest(generate_series(1, {CMS_DEPTH})) AS r)
+  )
+  SELECT p.token, CAST(p.true_c AS BIGINT) AS true_c,
+         MIN(ce.v) AS est_c,
+         MIN(ce.v) - CAST(p.true_c AS BIGINT) AS over
+  FROM probe_pos p JOIN cells ce ON p.r = ce.r AND p.col = ce.col
+  GROUP BY 1, 2
+  ORDER BY true_c DESC, token
+"""

@@ -471,3 +471,114 @@ ORACLE["q_fk_integrity"] = """
           HAVING COUNT(*) > 1)
   ) ORDER BY check_name
 """
+
+
+# -- winsorized / trimmed mean ---------------------------------------------
+
+WINSOR_LO = 0.05  # clip below the 5th percentile
+WINSOR_HI = 0.95  # and above the 95th
+
+
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of order value per priority — the
+    robust location estimates that cap (winsorize) or drop (trim) the
+    tails before averaging, next to q_mad's robust scale.
+
+    Exactness: the P5/P95 fences are type-1 rank-select values at
+    ceil(q·n) over exact scaled bigints (the q_mad convention —
+    stats.py:305), clipping is integer CASE arithmetic, and each mean
+    closes as ONE double division of two exact bigints — identical
+    IEEE op on both engines. The fence table is |groups|-sized and
+    broadcasts back onto the rows; per-group windows bound the sorts.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    base = o.select("o_orderpriority", v.alias("v"))
+    wr = Window.partitionBy("o_orderpriority").orderBy("v")
+    wn = Window.partitionBy("o_orderpriority")
+    fences = (
+        base.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.max(
+                    F.expr(
+                        f"case when __rn = cast(ceil({q} * __n) as bigint)"
+                        " then v end"
+                    )
+                ).alias(name)
+                for name, q in (("lo", WINSOR_LO), ("hi", WINSOR_HI))
+            ]
+        )
+    )
+    clipped = base.join(F.broadcast(fences), "o_orderpriority").select(
+        "o_orderpriority",
+        "v",
+        "lo",
+        "hi",
+        F.expr(
+            "case when v < lo then lo when v > hi then hi else v end"
+        ).alias("w"),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"cast(sum(w) as double) / cast(count(1) as double)"
+                f" / {SCALE}.0"
+            ).alias("winsor_mean"),
+            F.expr(
+                "cast(sum(case when v >= lo and v <= hi then v end)"
+                " as double)"
+                " / cast(count(case when v >= lo and v <= hi then 1 end)"
+                f" as double) / {SCALE}.0"
+            ).alias("trimmed_mean"),
+            F.expr(
+                f"cast(sum(v) as double) / cast(count(1) as double)"
+                f" / {SCALE}.0"
+            ).alias("raw_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q_winsorized"] = f"""
+  WITH b AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  r AS (
+    SELECT o_orderpriority, v,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM b
+  ),
+  fences AS (
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(CEIL({WINSOR_LO} * n) AS BIGINT)
+                    THEN v END) AS lo,
+           MAX(CASE WHEN rn = CAST(CEIL({WINSOR_HI} * n) AS BIGINT)
+                    THEN v END) AS hi
+    FROM r GROUP BY 1
+  ),
+  c AS (
+    SELECT b.o_orderpriority, v, lo, hi,
+           CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS w
+    FROM b JOIN fences f ON b.o_orderpriority = f.o_orderpriority
+  )
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(w) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) / {SCALE}.0
+           AS winsor_mean,
+         CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN v END) AS DOUBLE)
+           / CAST(COUNT(CASE WHEN v >= lo AND v <= hi THEN 1 END) AS DOUBLE)
+           / {SCALE}.0 AS trimmed_mean,
+         CAST(SUM(v) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) / {SCALE}.0
+           AS raw_mean
+  FROM c GROUP BY 1 ORDER BY 1
+"""

@@ -1029,3 +1029,43 @@ def stream_benford(
         .queryName(f"benford_{state_view}")
         .start()
     )
+
+
+def stream_cms(
+    docs: DataFrame,
+    state_view: str = "cms_state",
+):
+    """Continuously-maintained count-min sketch over a document
+    stream: each micro-batch reduces to its own CMS_DEPTH×CMS_WIDTH
+    cell counts (``queries.corpus.cms_cells`` — additive monoid:
+    cells sum), merged by (row, col) into state bounded by the sketch
+    size FOREVER — the frequency counterpart of stream_kmv_sketch
+    (cardinality) and stream_bloom (membership). Any batching or
+    arrival order equals the batch build; the test asserts stream
+    cells == batch cells exactly over out-of-order chunks.
+    """
+    from locopy_spark.queries.corpus import cms_cells
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "r int, col long, v long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(cms_cells(batch_df))
+            .groupBy("r", "col")
+            .agg(F.sum("v").alias("v"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"cms_{state_view}")
+        .start()
+    )

@@ -591,3 +591,19 @@ def test_dataset_card_single_scan_families(spark, sf_dir):
     df = _q(spark, sf_dir, "p_dataset_card")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 6
+
+
+def test_cms_shuffles_are_sketch_sized(spark, sf_dir):
+    # one vocab aggregate (map-side combined) + the d×w cell aggregate
+    # + bounded probe joins — the probe side broadcasts
+    df = _q(spark, sf_dir, "t_cms_counts")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+
+
+def test_winsorized_fences_broadcast(spark, sf_dir):
+    # the |groups|-sized fence table must broadcast back onto the rows
+    df = _q(spark, sf_dir, "q_winsorized")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 4

@@ -183,3 +183,45 @@ def test_dataset_card_tiny(spark, tmp_path):
     assert a.total_tokens == 6  # 2 + 2 + 2
     assert a.median_chars == 5 and a.avg_chars == pytest.approx(7.0)
     assert (b.n_docs, b.n_langs, b.n_exact_dups, b.total_tokens) == (1, 1, 0, 1)
+
+
+def test_winsorized_hand_case(spark, tmp_path):
+    """Values 1..20 dollars in one group: P5 fence = 1st value (1),
+    P95 fence = 19th (19); winsorized mean clips the 20→19 (209/20 =
+    10.45), trimmed mean drops it (10.0), raw mean 10.5."""
+    from locopy_spark.queries.stats import q_winsorized
+
+    rows = [
+        (i, "P", "1995-01-01", float(i)) for i in range(1, 21)
+    ]
+    _orders(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = q_winsorized(spark, str(tmp_path)).collect()[0]
+    assert r.n == 20
+    assert r.winsor_mean == pytest.approx(10.45)
+    assert r.trimmed_mean == pytest.approx(10.0)
+    assert r.raw_mean == pytest.approx(10.5)
+
+
+def test_cms_overestimate_only_and_exact_uncollided(spark, tmp_path):
+    """CMS guarantee: est ≥ true for every probe (cells only ever add
+    collision mass); with a vocab far below the width, collisions are
+    absent and the sketch answers exactly. Known counts: 'alpha'×3,
+    'beta'×2, 'gamma'×1."""
+    from locopy_spark.queries.corpus import t_cms_counts
+
+    docs = [
+        (1, "alpha beta alpha", "en", "A", 16),
+        (2, "beta gamma alpha", "en", "A", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.token: r for r in t_cms_counts(spark, str(tmp_path)).collect()}
+    assert {t: r.true_c for t, r in out.items()} == {
+        "alpha": 3, "beta": 2, "gamma": 1,
+    }
+    assert all(r.est_c >= r.true_c and r.over >= 0 for r in out.values())
+    assert all(r.est_c == r.true_c for r in out.values())  # 3 tokens, w=1024
