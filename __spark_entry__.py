@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_dataset_card": corpus.p_dataset_card,
         "t_cms_counts": corpus.t_cms_counts,
         "q_winsorized": stats.q_winsorized,
+        "s_pq_knn": docs_ext.s_pq_knn,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -102,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_bruteforce": docs.s_knn_bruteforce,
         "s_knn_lsh": docs.s_knn_lsh,
         "s_knn_ivf": docs_ext.s_knn_ivf,
-        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         # ------- position 50 cutoff: window ends above this line -------
+        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         "s_kmeans": docs_ext.s_kmeans,
         "t_lang_id": docs.t_lang_id,
         "t_quality_score": docs.t_quality_score,

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "p_dataset_card",
     "t_cms_counts",
     "q_winsorized",
+    "s_pq_knn",
 ]
 
 

@@ -41,3 +41,103 @@ def cosine_from_fixed(dot: str, na: str, nb: str) -> str:
     return (
         f"CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))"
     )
+
+
+# -- product quantization ---------------------------------------------------
+#
+# PQ is deterministic end-to-end here: codebooks are a fixed md5
+# sample of the data, per-subspace squared distances are fixed-point
+# bigints (the fixed_dot convention), and argmin is folded into
+# integer order via min(dist * K + j) — so both engines compute the
+# IDENTICAL codes, ADC tables, and shortlists, and the oracle can
+# rebuild the whole pipeline instead of settling for a tripwire.
+# Overflow: per-element sq-diff ≤ 4·1e12, × sub_dim(8) ≤ 3.2e13,
+# × K(16) ≤ 5.2e14 ≪ 2^63; the ADC sum over M(8) tables ≤ 2.6e14.
+
+
+def _pq_dist_spark(v: str, cb: str, sub: int) -> str:
+    """Fixed-point squared L2 distance between subspace ``m`` (outer
+    lambda var) of vector column ``v`` and codeword ``j`` (outer
+    lambda var) of the one-row codebook column ``cb`` (Spark SQL;
+    free lambda vars ``m``/``j`` are bound by the caller's
+    transforms)."""
+    d = (
+        f"(cast(element_at({v}, m * {sub} + i) as double)"
+        f" - cast(element_at(element_at({cb}, j + 1), m * {sub} + i)"
+        " as double))"
+    )
+    return (
+        f"aggregate(transform(sequence(1, {sub}), "
+        f"i -> cast(floor({d} * {d} * {FIXED_SCALE} + 0.5) as bigint)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_dist_duck(v: str, cb: str, sub: int) -> str:
+    """DuckDB twin of :func:`_pq_dist_spark`."""
+    d = f"({v}[m * {sub} + i]::DOUBLE - {cb}[j + 1][m * {sub} + i]::DOUBLE)"
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> CAST(FLOOR({d} * {d} * {FIXED_SCALE} + 0.5) AS BIGINT))) "
+        "AS BIGINT)"
+    )
+
+
+def pq_encode_expr(v: str, cb: str, dim: int, n_sub: int, k: int) -> str:
+    """PQ codes (array<int>, one 0-based codeword id per subspace) of
+    vector column ``v`` against one-row codebook column ``cb`` —
+    row-local, argmin-by-integer-order (ties → smallest codeword)."""
+    dist = _pq_dist_spark(v, cb, dim // n_sub)
+    return (
+        f"transform(sequence(0, {n_sub - 1}), m -> "
+        f"cast(array_min(transform(sequence(0, {k - 1}), "
+        f"j -> {dist} * {k} + j)) % {k} as int))"
+    )
+
+
+def sql_pq_encode(v: str, cb: str, dim: int, n_sub: int, k: int) -> str:
+    """DuckDB twin of :func:`pq_encode_expr`."""
+    dist = _pq_dist_duck(v, cb, dim // n_sub)
+    return (
+        f"list_transform(generate_series(0, {n_sub - 1}), m -> "
+        f"CAST(list_min(list_transform(generate_series(0, {k - 1}), "
+        f"j -> {dist} * {k} + j)) % {k} AS INT))"
+    )
+
+
+def pq_qtab_expr(q: str, cb: str, dim: int, n_sub: int, k: int) -> str:
+    """Per-query ADC lookup table (array<array<bigint>>, M×K): exact
+    fixed-point distance from query column ``q`` to every codeword."""
+    dist = _pq_dist_spark(q, cb, dim // n_sub)
+    return (
+        f"transform(sequence(0, {n_sub - 1}), m -> "
+        f"transform(sequence(0, {k - 1}), j -> {dist}))"
+    )
+
+
+def sql_pq_qtab(q: str, cb: str, dim: int, n_sub: int, k: int) -> str:
+    """DuckDB twin of :func:`pq_qtab_expr`."""
+    dist = _pq_dist_duck(q, cb, dim // n_sub)
+    return (
+        f"list_transform(generate_series(0, {n_sub - 1}), m -> "
+        f"list_transform(generate_series(0, {k - 1}), j -> {dist}))"
+    )
+
+
+def pq_adc_expr(qtab: str, codes: str, n_sub: int) -> str:
+    """ADC approximate distance: Σ_m qtab[m][codes[m]] — O(M) lookups
+    per (query, vector) pair instead of O(dim) multiplies (Spark)."""
+    return (
+        f"aggregate(transform(sequence(0, {n_sub - 1}), m -> "
+        f"element_at(element_at({qtab}, m + 1), "
+        f"element_at({codes}, m + 1) + 1)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def sql_pq_adc(qtab: str, codes: str, n_sub: int) -> str:
+    """DuckDB twin of :func:`pq_adc_expr`."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(0, {n_sub - 1}), "
+        f"m -> {qtab}[m + 1][{codes}[m + 1] + 1])) AS BIGINT)"
+    )

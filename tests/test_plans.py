@@ -607,3 +607,11 @@ def test_winsorized_fences_broadcast(spark, sf_dir):
     assert audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 4
+
+
+def test_pq_knn_broadcast_codebook_no_cartesian(spark, sf_dir):
+    # the one-row codebook and the query ADC tables broadcast; encoding
+    # is a row-local map pass; the only NL joins are broadcast-small
+    df = _q(spark, sf_dir, "s_pq_knn")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)

@@ -188,3 +188,51 @@ def test_centroid_drift_shape_and_determinism(spark, sf_dir):
         assert -1.0 - 1e-9 <= r.drift_cos <= 1.0 + 1e-9
     again = d_centroid_drift(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_knn_pq_codes_and_recall(spark, sf_dir):
+    from locopy_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        pq_codebook,
+    )
+    from locopy_spark.functions.vectors import pq_encode_expr
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, n_codewords=32)
+    codes = (
+        emb.crossJoin(F.broadcast(cb))
+        .select(
+            F.expr(pq_encode_expr("embedding", "cb", 64, 16, 32)).alias("c")
+        )
+        .limit(50)
+        .collect()
+    )
+    for r in codes:
+        assert len(r.c) == 16
+        assert all(0 <= c < 32 for c in r.c)
+    qids = [0, 1, 2, 3, 4]
+    a = knn_pq(emb, query_ids=qids, k=5, n_sub=16, n_codewords=32)
+    e = knn_bruteforce(emb, query_ids=qids, k=5)
+    hits = a.join(
+        e.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    # measured 19/25 @ sf0.001, 18/25 @ sf0.01; tripwire at ~half
+    assert hits >= 10
+
+
+def test_knn_pq_arrow_equals_sql_spec(spark, sf_dir):
+    """The Arrow encode kernel must be BIT-identical to the SQL spec
+    expression — same codes, same shortlist, same reranked rows."""
+    from locopy_spark.operators.similarity import knn_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(query_ids=[0, 1, 2, 3, 4], k=5, n_sub=16, n_codewords=32)
+    a = sorted(
+        map(tuple, knn_pq(emb, arrow_encode=True, **kw).collect())
+    )
+    b = sorted(
+        map(tuple, knn_pq(emb, arrow_encode=False, **kw).collect())
+    )
+    assert a == b
