@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "t_cms_counts",
     "q_winsorized",
     "s_pq_knn",
+    "d_prefix_join",
 ]
 
 

@@ -417,3 +417,89 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via PREFIX FILTERING (PPJoin-style)
+    — the production-scale exact path next to ``ngram_jaccard_pairs``'
+    all-postings verification join and the approximate MinHash route.
+
+    Prefix-filter theorem: order every doc's shingles by a GLOBAL key
+    (document frequency asc, shingle — rarest first); if J(A,B) ≥ t,
+    A and B must share at least one shingle within each one's first
+    ⌊(1-t)·n⌋+1 shingles of that order. Candidate generation
+    equi-joins only those short, rare-first prefixes — postings for
+    boilerplate (high-df) shingles sit at the END of the order and
+    mostly never enter the join, which is what kills the d²
+    hot-shingle blowup of the naive join at corpus scale. An integer
+    length filter (t·max(n) ≤ min(n)) prunes before verification.
+
+    Plan shape: df and per-doc size come from WINDOW counts (one
+    postings shuffle by shingle, one by doc — no side tables, no
+    joins), sizes ride along with the candidate pairs, and the exact
+    intersection count runs as two keyed joins over the persisted
+    postings (AQE broadcasts the candidate side when small). All
+    threshold comparisons are integer (t as ‰), so the emitted pair
+    set is deterministic on any engine — the oracle is the
+    straightforward all-pairs exact join, and a green row PROVES the
+    filter emitted exactly the true pair set.
+    """
+    from pyspark.sql.window import Window as W
+
+    t_milli = round(threshold * 1000)
+    sh = managed_persist(
+        shingle_sets(docs, id_col, text_col, k), "prefix_join"
+    )
+    w_sh = W.partitionBy("sh")
+    w_doc = W.partitionBy("doc_id")
+    w_rank = W.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.expr(f"rn <= floor(({1000 - t_milli}) * n / 1000) + 1"))
+        .select("doc_id", "sh", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # length filter: J ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
+        .filter(
+            F.expr(
+                f"{t_milli} * greatest(a.n, b.n)"
+                " <= 1000 * least(a.n, b.n)"
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.filter(
+            F.expr(f"{t_milli} * (na + nb - common) <= 1000 * common")
+        )
+        .withColumn(
+            "jaccard", F.expr("CAST(common AS DOUBLE) / (na + nb - common)")
+        )
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+    )

@@ -2566,3 +2566,55 @@ def _oracle_pq_knn() -> str:
 
 
 ORACLE["s_pq_knn"] = _oracle_pq_knn()
+
+
+# -- prefix-filtered exact similarity join ---------------------------------
+
+# t=0.8: the exact-join near-dup bar. Prefix filtering's pruning power
+# is (1-t)·n+1 prefix postings per doc — at 0.5 HALF of each doc enters
+# the candidate join (310k candidates for 256 true pairs at sf0.1, and
+# the filter does nothing); at 0.8 prefixes are ~17 shingles and the
+# candidate set collapses. On this corpus the emitted pair set is the
+# same at both thresholds (every true near-dup pair has J ≥ 0.8).
+PREFIX_JOIN_T = 0.8
+
+
+def d_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard_pairs) — the
+    production-scale EXACT similarity join: candidates come from
+    equi-joining only each doc's ⌊(1-t)·n⌋+1 rarest shingles (global
+    df-asc order), so boilerplate shingles' d² postings never enter
+    the join; an integer length filter prunes before exact
+    verification. The oracle is the straightforward all-pairs exact
+    join — a green row PROVES the prefix filter emitted exactly the
+    true pair set (completeness + precision), not an approximation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, k=SHINGLE_K, threshold=PREFIX_JOIN_T
+    ).orderBy("doc_a", "doc_b")
+
+
+def _oracle_prefix_join() -> str:
+    from locopy_spark.queries.docs import _sql_shingle_sets
+
+    t_milli = round(PREFIX_JOIN_T * 1000)
+    return f"""
+      WITH {_sql_shingle_sets()},
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, common, na.n AS na, nb.n AS nb,
+             CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+      FROM common
+      JOIN sizes na ON common.doc_a = na.doc_id
+      JOIN sizes nb ON common.doc_b = nb.doc_id
+      WHERE {t_milli} * (na.n + nb.n - common) <= 1000 * common
+      ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE["d_prefix_join"] = _oracle_prefix_join()

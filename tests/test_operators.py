@@ -829,3 +829,23 @@ def test_pagerank_star_graph_hand_computed(spark, monkeypatch, tmp_path):
         ).collect()
     }
     assert out2 == out
+
+
+def test_prefix_filter_equals_allpairs_jaccard(spark, sf_dir):
+    """The prefix-filtered exact join must emit EXACTLY the all-pairs
+    result — same pairs, same counts (the prefix-filter theorem,
+    checked end-to-end)."""
+    from locopy_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from locopy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(docs, k=3, threshold=0.5).collect())
+    )
+    naive = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect())
+    )
+    assert fast == naive and fast

@@ -615,3 +615,11 @@ def test_pq_knn_broadcast_codebook_no_cartesian(spark, sf_dir):
     df = _q(spark, sf_dir, "s_pq_knn")
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)
+
+
+def test_prefix_join_bounded_shuffles_no_cartesian(spark, sf_dir):
+    # df table + per-doc rank + candidate equi-join on the prefix
+    # shingle + pair verification joins — all keyed shuffles, no
+    # all-pairs product anywhere
+    df = _q(spark, sf_dir, "d_prefix_join")
+    assert not audit.has_cartesian(df)
