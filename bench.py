@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "q_winsorized",
     "s_pq_knn",
     "d_prefix_join",
+    "q_decile_lift",
 ]
 
 

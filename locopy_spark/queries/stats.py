@@ -582,3 +582,106 @@ ORACLE["q_winsorized"] = f"""
            AS raw_mean
   FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+# -- decile lift / gains ---------------------------------------------------
+
+LIFT_N_TILES = 10
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table for a score against a
+    binary outcome — the model-evaluation report read before any
+    targeting decision: rank orders by value (score, descending),
+    split into exact deciles, and ask how concentrated URGENT orders
+    are in the top tiles.
+
+    Exactness: deciles come from operators.ranking.global_ntile's
+    range-partitioned exact global rank over (−v, key) — no
+    one-partition NTILE window — and every count is an exact bigint.
+    lift and cum_gain close as IDENTICAL division sequences on both
+    engines (division of exact integers, no sums of doubles), and the
+    10-row cumulative window is driver-trivial. Scale: one ranked
+    pass + a 10-group aggregate; nothing grows with data volume but
+    the rank itself.
+    """
+    from locopy_spark.operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    base = o.select(
+        "o_orderkey",
+        (-v).alias("v_neg"),
+        F.expr(
+            "cast(o_orderpriority = '1-URGENT' as bigint)"
+        ).alias("pos"),
+    )
+    tiled = global_ntile(
+        base, order_cols=["v_neg", "o_orderkey"], n=LIFT_N_TILES,
+        out_col="decile",
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+    )
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.withColumn("cum_n", F.sum("n").over(wcum))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum))
+        .withColumn("tot_n", F.sum("n").over(wtot))
+        .withColumn("tot_pos", F.sum("n_pos").over(wtot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            F.expr(
+                "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+                " / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))"
+            ).alias("lift"),
+            F.expr(
+                "CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)"
+            ).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["q_decile_lift"] = f"""
+  WITH b AS (
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v,
+           CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS pos
+    FROM orders
+  ),
+  tiled AS (
+    SELECT pos,
+           NTILE({LIFT_N_TILES}) OVER (ORDER BY v DESC, o_orderkey)
+             AS decile
+    FROM b
+  ),
+  per AS (
+    SELECT decile, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM tiled GROUP BY 1
+  ),
+  cum AS (
+    SELECT decile, n, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+           CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+    FROM per
+  )
+  SELECT decile, n, n_pos, cum_pos,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+           / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift,
+         CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS cum_gain
+  FROM cum ORDER BY decile
+"""

@@ -623,3 +623,10 @@ def test_prefix_join_bounded_shuffles_no_cartesian(spark, sf_dir):
     # all-pairs product anywhere
     df = _q(spark, sf_dir, "d_prefix_join")
     assert not audit.has_cartesian(df)
+
+
+def test_decile_lift_rank_then_tiny_aggregate(spark, sf_dir):
+    # one range-partitioned exact rank over the orders + a 10-row
+    # aggregate/window tail — no single-partition rank of the raw data
+    df = _q(spark, sf_dir, "q_decile_lift")
+    assert not audit.has_cartesian(df)

@@ -225,3 +225,24 @@ def test_cms_overestimate_only_and_exact_uncollided(spark, tmp_path):
     }
     assert all(r.est_c >= r.true_c and r.over >= 0 for r in out.values())
     assert all(r.est_c == r.true_c for r in out.values())  # 3 tokens, w=1024
+
+
+def test_decile_lift_hand_case(spark, tmp_path):
+    """20 orders, values 1..20; the 4 highest-value orders are URGENT.
+    Top-decile (values 20,19) response 2/2 vs base rate 4/20 →
+    lift 5.0 in decile 1; cum_gain reaches 1.0 by construction at
+    decile 2 (urgent mass = values 17-20 = deciles 1-2)."""
+    from locopy_spark.queries.stats import q_decile_lift
+
+    rows = [
+        (i, "1-URGENT" if i > 16 else "5-LOW", "1995-01-01", float(i))
+        for i in range(1, 21)
+    ]
+    _orders(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {r.decile: r for r in q_decile_lift(spark, str(tmp_path)).collect()}
+    assert len(out) == 10 and all(out[d].n == 2 for d in out)
+    assert out[1].n_pos == 2 and out[1].lift == pytest.approx(5.0)
+    assert out[2].n_pos == 2 and out[2].cum_gain == pytest.approx(1.0)
+    assert out[3].n_pos == 0 and out[3].cum_gain == pytest.approx(1.0)
