@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_pq_knn": docs_ext.s_pq_knn,
         "d_prefix_join": docs_ext.d_prefix_join,
         "q_decile_lift": stats.q_decile_lift,
+        "q_holt_winters": trends.q_holt_winters,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -102,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_contamination": docs_ext.d_contamination,
         "d_edit_verify": docs_ext.d_edit_verify,
         "d_embedding_centroids": docs_ext.d_embedding_centroids,
-        "s_knn_bruteforce": docs.s_knn_bruteforce,
         # ------- position 50 cutoff: window ends above this line -------
+        "s_knn_bruteforce": docs.s_knn_bruteforce,
         "s_knn_lsh": docs.s_knn_lsh,
         "s_knn_ivf": docs_ext.s_knn_ivf,
         "s_tfidf_pairs": docs_ext.s_tfidf_pairs,

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "s_pq_knn",
     "d_prefix_join",
     "q_decile_lift",
+    "q_holt_winters",
 ]
 
 

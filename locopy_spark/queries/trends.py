@@ -501,3 +501,127 @@ ORACLE["q_benford"] = f"""
          CAST(SUM(d) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS chi2_ppm
   FROM dev ORDER BY c_mktsegment, digit
 """
+
+
+# -- Holt–Winters seasonal smoothing ---------------------------------------
+
+HW_PERIOD = 7  # weekly cycle over the evenly-indexed daily series
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters (level + trend + season, period m=7) of
+    daily order revenue with α = β = γ = ½ — the seasonal upgrade of
+    q_holt_linear, engine-exact by the same construction: every
+    recurrence is an integer halving on cent-scaled bigints via
+    FLOOR(expr / 2.0) (floors identically everywhere for |expr| < 2^53;
+    Python's ``//`` matches),
+
+        l_t = ⌊(x_t − s_{t−m} + l_{t−1} + b_{t−1}) / 2⌋
+        b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+        s_t = ⌊(x_t − l_t + s_{t−m}) / 2⌋
+
+    seeded the textbook way: l_m = ⌊mean of the first cycle⌋, b_m = 0,
+    s_i = x_i − l_m for i ≤ m; output starts at t = m. Season indexes
+    POSITION in the observed series (mod m), the standard formulation
+    on an evenly-spaced series. One-step forecast = l + b + s_{t+1−m}.
+
+    The daily aggregation is distributed; the inherently-sequential
+    triple recurrence runs as ONE Arrow task over the bounded trailing
+    window (the q_exp_smooth/q_holt_linear regime). The oracle is a
+    recursive CTE whose state row CARRIES the last m seasonal values
+    as a list — bit-exact, including the seed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate") >= F.lit(HOLT_START).cast("date"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("x")
+        )
+    )
+
+    m = HW_PERIOD
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = pdf["x"].tolist()
+        if len(xs) < m:
+            return pdf.iloc[0:0].assign(l=[], b=[], s=[], f=[])
+        lvl = sum(xs[:m]) // m
+        trd = 0
+        shist = [x - lvl for x in xs[:m]]  # s_1 .. s_m
+        out = [(pdf["day"][m - 1], xs[m - 1], lvl, trd, shist[-1],
+                lvl + trd + shist[0])]
+        for t in range(m, len(xs)):
+            x = xs[t]
+            prev = lvl
+            lvl = (x - shist[0] + lvl + trd) // 2
+            trd = (lvl - prev + trd) // 2
+            s_new = (x - lvl + shist[0]) // 2
+            shist = shist[1:] + [s_new]
+            out.append(
+                (pdf["day"][t], x, lvl, trd, s_new, lvl + trd + shist[0])
+            )
+        return pd.DataFrame(
+            out, columns=["day", "x", "l", "b", "s", "f"]
+        ).assign(__g=1)
+
+    sm = (
+        daily.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            hw, "__g int, day date, x long, l long, b long, s long, f long"
+        )
+    )
+    return sm.select(
+        "day",
+        (F.col("x").cast("double") / 100.0).alias("revenue"),
+        (F.col("l").cast("double") / 100.0).alias("level"),
+        (F.col("b").cast("double") / 100.0).alias("trend"),
+        (F.col("s").cast("double") / 100.0).alias("season"),
+        (F.col("f").cast("double") / 100.0).alias("forecast"),
+    ).orderBy("day")
+
+
+# l_t repeated in the b_t/s_t expressions (recursive members cannot
+# reference sibling columns) — one template so copies cannot diverge.
+_HW_L = "CAST(FLOOR((i.x - h.shist[1] + h.l + h.b) / 2.0) AS BIGINT)"
+_HW_S = f"CAST(FLOOR((i.x - {_HW_L} + h.shist[1]) / 2.0) AS BIGINT)"
+ORACLE["q_holt_winters"] = f"""
+  WITH RECURSIVE d AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM orders WHERE o_orderdate >= DATE '{HOLT_START}' GROUP BY 1
+  ),
+  idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d),
+  seed AS (
+    SELECT CAST({HW_PERIOD} AS BIGINT) AS t,
+           CAST(FLOOR(SUM(x) / {HW_PERIOD}.0) AS BIGINT) AS lm
+    FROM idx WHERE t <= {HW_PERIOD}
+  ),
+  hw(t, day, x, l, b, s, shist) AS (
+    SELECT i.t, i.day, i.x, seed.lm, CAST(0 AS BIGINT),
+           i.x - seed.lm,
+           (SELECT list(x - seed.lm ORDER BY t) FROM idx
+            WHERE t <= {HW_PERIOD})
+    FROM idx i, seed WHERE i.t = {HW_PERIOD}
+    UNION ALL
+    SELECT i.t, i.day, i.x,
+           {_HW_L},
+           CAST(FLOOR(({_HW_L} - h.l + h.b) / 2.0) AS BIGINT),
+           {_HW_S},
+           list_append(h.shist[2:], {_HW_S})
+    FROM idx i JOIN hw h ON i.t = h.t + 1
+  )
+  SELECT day, CAST(x AS DOUBLE) / 100.0 AS revenue,
+         CAST(l AS DOUBLE) / 100.0 AS level,
+         CAST(b AS DOUBLE) / 100.0 AS trend,
+         CAST(s AS DOUBLE) / 100.0 AS season,
+         CAST(l + b + shist[1] AS DOUBLE) / 100.0 AS forecast
+  FROM hw ORDER BY day
+"""

@@ -246,3 +246,32 @@ def test_decile_lift_hand_case(spark, tmp_path):
     assert out[1].n_pos == 2 and out[1].lift == pytest.approx(5.0)
     assert out[2].n_pos == 2 and out[2].cum_gain == pytest.approx(1.0)
     assert out[3].n_pos == 0 and out[3].cum_gain == pytest.approx(1.0)
+
+
+def test_holt_winters_hand_case(spark, tmp_path):
+    """Period-7 seed by hand (cents): days 1..7 all 700, day 8 = 1400.
+    l_7 = 700, b_7 = 0, s_i = 0 for the whole first cycle; day-8 step:
+    l = ⌊(1400 − 0 + 700 + 0)/2⌋ = 1050, b = ⌊(1050 − 700 + 0)/2⌋ =
+    175, s = ⌊(1400 − 1050 + 0)/2⌋ = 175; forecast for day 9 =
+    1050 + 175 + s_2(=0) = 1225."""
+    from locopy_spark.queries.trends import HOLT_START, q_holt_winters
+
+    d0 = datetime.date.fromisoformat(HOLT_START)
+    rows = [
+        (t, "P", (d0 + datetime.timedelta(days=t)).isoformat(),
+         7.0 if t < 7 else 14.0)
+        for t in range(8)
+    ]
+    _orders(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = q_holt_winters(spark, str(tmp_path)).collect()
+    assert len(out) == 2  # seed row (t=7) + one step
+    seed, step = out
+    assert (seed.level, seed.trend, seed.season, seed.forecast) == (
+        7.0, 0.0, 0.0, 7.0,
+    )
+    assert (step.revenue, step.level, step.trend, step.season) == (
+        14.0, 10.5, 1.75, 1.75,
+    )
+    assert step.forecast == 12.25
