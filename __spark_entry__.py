@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_prefix_join": docs_ext.d_prefix_join,
         "q_decile_lift": stats.q_decile_lift,
         "q_holt_winters": trends.q_holt_winters,
+        "q_weighted_quantiles": stats.q_weighted_quantiles,
+        "q_gini": stats.q_gini,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -101,9 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_balanced_sample": docs_ext.d_balanced_sample,
         "d_source_dedup": docs_ext.d_source_dedup,
         "d_contamination": docs_ext.d_contamination,
+        # ------- position 50 cutoff: window ends above this line -------
         "d_edit_verify": docs_ext.d_edit_verify,
         "d_embedding_centroids": docs_ext.d_embedding_centroids,
-        # ------- position 50 cutoff: window ends above this line -------
         "s_knn_bruteforce": docs.s_knn_bruteforce,
         "s_knn_lsh": docs.s_knn_lsh,
         "s_knn_ivf": docs_ext.s_knn_ivf,

@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "d_prefix_join",
     "q_decile_lift",
     "q_holt_winters",
+    "q_weighted_quantiles",
+    "q_gini",
 ]
 
 

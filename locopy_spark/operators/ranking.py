@@ -224,3 +224,83 @@ def global_running_sum(
         )
         .drop("__pid", "__off")
     )
+
+
+def grouped_global_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cumw",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``weight_col`` *within each
+    group* under ``order_cols`` — :func:`grouped_global_row_number`
+    for weights instead of row counts, and the grouped form of
+    :func:`global_running_sum`.
+
+    Same shape: range-partition on (group, order) so every partition
+    holds a contiguous slice of one-or-more groups' order, one driver
+    round-trip of per-(partition, group) weight sums (≤ P + G - 1
+    bigints) → exclusive offsets, then a per-partition running sum
+    plus the offset. ``total_col`` attaches each group's total weight
+    (broadcast G-row join) — together they power weighted quantiles /
+    cumulative-share arithmetic without a one-task-per-group window.
+    Weights must be bigint (exactness contract).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sum_rows = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.sum(weight_col).alias("s"))
+        .collect()
+    )
+    per_group: dict[tuple, list] = {}
+    for r in sum_rows:
+        per_group.setdefault(tuple(r[g] for g in group_cols), []).append(
+            (r["__pid"], r["s"] or 0)
+        )
+    off_rows, tot_rows = [], []
+    for gk, lst in per_group.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            off_rows.append((*gk, pid, acc))
+            acc += s
+        tot_rows.append((*gk, acc))
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    gfields = [df.schema[c] for c in group_cols]
+    off_schema = T.StructType(
+        gfields
+        + [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__off", T.LongType()),
+        ]
+    )
+    off_df = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    w = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.join(off_df, ["__pid", *group_cols])
+        .withColumn(out_col, F.sum(weight_col).over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+    if total_col:
+        tot_schema = T.StructType(
+            gfields + [T.StructField(total_col, T.LongType())]
+        )
+        out = out.join(
+            F.broadcast(spark.createDataFrame(tot_rows, tot_schema)),
+            group_cols,
+        )
+    return out

@@ -685,3 +685,189 @@ ORACLE["q_decile_lift"] = f"""
          CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS cum_gain
   FROM cum ORDER BY decile
 """
+
+
+# -- weighted quantiles ----------------------------------------------------
+
+WQ_QUANTILES = ((1, "wp25"), (2, "wmedian"), (3, "wp75"))  # quarters
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted P25/median/P75 of line price per return flag
+    — the quantile where each row counts by its WEIGHT (units moved),
+    not once; the inventory-pricing complement of q_percentiles'
+    unweighted rank-select.
+
+    Definition (lower weighted quantile): the first value v in the
+    (value, tiebreak) order whose inclusive cumulative weight reaches
+    q·W. Exactness: weights and values are exact bigints, the
+    cumulative weight comes from operators.ranking.
+    grouped_global_running_sum (range-partitioned — no
+    one-task-per-group window over the fact table), and the q·W
+    comparisons are integer cross-products (4·cumw ≥ k·W), so every
+    engine and parallelism picks the identical value. The final
+    aggregate is |groups|-sized.
+    """
+    from locopy_spark.operators.ranking import grouped_global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.expr(
+            f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)"
+        ).alias("v"),
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = grouped_global_running_sum(
+        base,
+        group_cols=["l_returnflag"],
+        order_cols=["v", "l_orderkey", "l_linenumber"],
+        weight_col="w",
+        out_col="cumw",
+        total_col="tot_w",
+    )
+    aggs = [
+        F.expr(
+            f"CAST(MIN(CASE WHEN 4 * cumw >= {k} * tot_w THEN v END)"
+            f" AS DOUBLE) / {SCALE}.0"
+        ).alias(name)
+        for k, name in WQ_QUANTILES
+    ]
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("tot_w").alias("total_units"),
+            *aggs,
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _oracle_weighted_quantiles() -> str:
+    picks = ",\n         ".join(
+        f"CAST(MIN(CASE WHEN 4 * cumw >= {k} * tot_w THEN v END)"
+        f" AS DOUBLE) / {SCALE}.0 AS {name}"
+        for k, name in WQ_QUANTILES
+    )
+    return f"""
+      WITH b AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * {SCALE} + 0.5) AS BIGINT) AS v,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+      ),
+      c AS (
+        SELECT l_returnflag, v, w,
+               CAST(SUM(w) OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY v, l_orderkey, l_linenumber
+               ) AS BIGINT) AS cumw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                 AS tot_w
+        FROM b
+      )
+      SELECT l_returnflag, COUNT(*) AS n_lines,
+             CAST(MAX(tot_w) AS BIGINT) AS total_units,
+         {picks}
+      FROM c GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLE["q_weighted_quantiles"] = _oracle_weighted_quantiles()
+
+
+# -- Gini concentration ----------------------------------------------------
+
+def _gini_formula(fd: str, wide: str) -> str:
+    """gini_ppb = ⌊Σ(2i−n−1)xᵢ · 1e9 / (n·Σx)⌋ over ascending-sorted
+    x — numerator is ≥ 0 by rearrangement, so no sign dance; widened
+    through ``wide`` (Spark DECIMAL(38,0) / DuckDB HUGEINT — the
+    _ols_formulas convention) since num·1e9 passes bigint range long
+    before the customer base is large. Inputs: rn, n, x as bigints;
+    aggregates to (num, n, sx) then closes in the caller."""
+    return (
+        f"CAST(CAST(SUM(CAST(2 * rn - n - 1 AS {wide}) * x)"
+        f" AS {wide}) * 1000000000"
+        f" {fd} (CAST(MAX(n) AS {wide}) * SUM(x)) AS BIGINT)"
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across the customer
+    base, per market segment — the inequality index behind "what
+    share of revenue do the top customers carry", with orderless
+    customers included at zero (concentration is a property of the
+    whole base, not just buyers).
+
+    Exactness: per-customer revenue is exact scaled bigints, the
+    ascending rank comes from operators.ranking.
+    grouped_global_row_number (range-partitioned — no
+    one-task-per-segment window), and the classic formula
+    Σ(2i−n−1)xᵢ / (n·Σx) closes as ONE exact integer division in ppb
+    through DECIMAL(38)/HUGEINT widening (the _ols_formulas
+    convention), so the gate compares integers, not float sums.
+    """
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+                    )
+                ),
+                F.lit(0),
+            ).alias("x")
+        )
+    )
+    ranked = grouped_global_row_number(
+        rev,
+        group_cols=["c_mktsegment"],
+        order_cols=["x", "c_custkey"],
+        out_col="rn",
+        size_col="n",
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.expr(f"CAST(SUM(x) AS DOUBLE) / {SCALE}.0").alias(
+                "total_revenue"
+            ),
+            F.expr(_gini_formula("div", "DECIMAL(38,0)")).alias("gini_ppb"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q_gini"] = f"""
+  WITH rev AS (
+    SELECT c_custkey, c_mktsegment,
+           COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                                  AS BIGINT)) AS BIGINT), 0) AS x
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1, 2
+  ),
+  r AS (
+    SELECT c_mktsegment, x,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_mktsegment ORDER BY x, c_custkey
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM rev
+  )
+  SELECT c_mktsegment,
+         CAST(MAX(n) AS BIGINT) AS n_customers,
+         CAST(SUM(x) AS DOUBLE) / {SCALE}.0 AS total_revenue,
+         {_gini_formula("//", "HUGEINT")} AS gini_ppb
+  FROM r GROUP BY 1 ORDER BY 1
+"""

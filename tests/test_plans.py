@@ -630,3 +630,11 @@ def test_decile_lift_rank_then_tiny_aggregate(spark, sf_dir):
     # aggregate/window tail — no single-partition rank of the raw data
     df = _q(spark, sf_dir, "q_decile_lift")
     assert not audit.has_cartesian(df)
+
+
+def test_weighted_quantiles_and_gini_no_skew_window(spark, sf_dir):
+    # both rank via the range-partitioned grouped operators — no
+    # one-task-per-group sort of the fact table, no cartesian
+    for key in ("q_weighted_quantiles", "q_gini"):
+        df = _q(spark, sf_dir, key)
+        assert not audit.has_cartesian(df)

@@ -275,3 +275,44 @@ def test_holt_winters_hand_case(spark, tmp_path):
         14.0, 10.5, 1.75, 1.75,
     )
     assert step.forecast == 12.25
+
+
+def test_weighted_quantiles_hand_case(spark, tmp_path):
+    """Flag A: ($1,w=1) ($2,w=1) ($3,w=2), total weight 4 → weighted
+    P25 = 1 (cumw 1 ≥ 1), median = 2 (cumw 2 ≥ 2), P75 = 3 (cumw 4 ≥
+    3 first reached at the $3 row, cumw jumps 2→4)."""
+    from locopy_spark.queries.stats import q_weighted_quantiles
+
+    rows = [
+        (1, 1, "A", 1.0, 1.0),
+        (1, 2, "A", 2.0, 1.0),
+        (1, 3, "A", 3.0, 2.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string,"
+        " l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = q_weighted_quantiles(spark, str(tmp_path)).collect()[0]
+    assert (r.n_lines, r.total_units) == (3, 4)
+    assert (r.wp25, r.wmedian, r.wp75) == (1.0, 2.0, 3.0)
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Segment EQ: four customers with identical revenue → gini 0.
+    Segment ONE: one of four customers holds everything → gini =
+    (n−1)/n = 0.75 exactly (750,000,000 ppb)."""
+    from locopy_spark.queries.stats import q_gini
+
+    cust = [(i, "EQ") for i in range(4)] + [(10 + i, "ONE") for i in range(4)]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [(i, 5.0) for i in range(4)] + [(10, 20.0)]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.c_mktsegment: r for r in q_gini(spark, str(tmp_path)).collect()}
+    assert out["EQ"].gini_ppb == 0 and out["EQ"].n_customers == 4
+    assert out["ONE"].gini_ppb == 750000000
+    assert out["ONE"].total_revenue == pytest.approx(20.0)
