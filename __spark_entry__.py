@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt_winters": trends.q_holt_winters,
         "q_weighted_quantiles": stats.q_weighted_quantiles,
         "q_gini": stats.q_gini,
+        "q_ks_test": stats.q_ks_test,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -102,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_hash_split": docs_ext.d_hash_split,
         "d_balanced_sample": docs_ext.d_balanced_sample,
         "d_source_dedup": docs_ext.d_source_dedup,
-        "d_contamination": docs_ext.d_contamination,
         # ------- position 50 cutoff: window ends above this line -------
+        "d_contamination": docs_ext.d_contamination,
         "d_edit_verify": docs_ext.d_edit_verify,
         "d_embedding_centroids": docs_ext.d_embedding_centroids,
         "s_knn_bruteforce": docs.s_knn_bruteforce,

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "q_holt_winters",
     "q_weighted_quantiles",
     "q_gini",
+    "q_ks_test",
 ]
 
 

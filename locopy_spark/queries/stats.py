@@ -871,3 +871,130 @@ ORACLE["q_gini"] = f"""
          {_gini_formula("//", "HUGEINT")} AS gini_ppb
   FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+# -- two-sample Kolmogorov–Smirnov -----------------------------------------
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+# Kolmogorov critical coefficient at α=0.05 (two-sample): c(α)=1.358
+KS_C95 = 1.358
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic comparing the
+    order-value distributions of two customer segments — the
+    distribution-drift test run before pooling cohorts (an A/A-shaped
+    pair here, so D should sit under the critical value).
+
+    Exact construction: D = max_x |F_A(x) − F_B(x)| over the pooled
+    values, computed WITHOUT floats as the running-max trick — each
+    distinct value contributes s(v) = d_A(v)·n_B − d_B(v)·n_A
+    (per-value counts cross-multiplied by the other side's total, so
+    the prefix sum IS c_A·n_B − c_B·n_A, the common-denominator ECDF
+    gap), one range-partitioned exclusive prefix sum over the
+    |distinct values|-sized aggregate (operators.ranking.
+    global_running_sum — no one-partition window), then MAX(ABS(·)).
+    Products widen through DECIMAL(38)/HUGEINT (n_A·n_B outgrows
+    bigint at planet scale). Closes as integer ppb + one deterministic
+    double expression for the α=0.05 decision (identical text both
+    engines).
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    vals = (
+        o.join(
+            c.filter(F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])).select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select(v.alias("v"), (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"))
+    )
+    tot = vals.agg(
+        F.sum(F.expr("cast(is_a as bigint)")).alias("n_a"),
+        F.sum(F.expr("cast(not is_a as bigint)")).alias("n_b"),
+    )
+    g = (
+        vals.groupBy("v")
+        .agg(
+            F.sum(F.expr("cast(is_a as bigint)")).alias("d_a"),
+            F.sum(F.expr("cast(not is_a as bigint)")).alias("d_b"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(d_a AS DECIMAL(38,0)) * n_b"
+                " - CAST(d_b AS DECIMAL(38,0)) * n_a"
+            ).alias("s"),
+        )
+    )
+    cum = global_running_sum(g, order_cols=["v"], value_col="s", out_col="pre")
+    return (
+        cum.select(
+            "n_a", "n_b", F.expr("ABS(pre + s)").alias("gap")
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(CAST(MAX(gap) AS DECIMAL(38,0)) * 1000000000"
+                " div (CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b))"
+                " AS BIGINT)"
+            ).alias("d_ppb")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_ppb",
+            F.expr(
+                "CAST(d_ppb AS DOUBLE) / 1000000000.0"
+                f" > {KS_C95} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS"
+                " DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+            ).alias("reject_95"),
+        )
+    )
+
+
+ORACLE["q_ks_test"] = f"""
+  WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v,
+           c_mktsegment = '{KS_SEG_A}' AS is_a
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+  ),
+  tot AS (
+    SELECT CAST(SUM(CAST(is_a AS BIGINT)) AS BIGINT) AS n_a,
+           CAST(SUM(CAST(NOT is_a AS BIGINT)) AS BIGINT) AS n_b
+    FROM vals
+  ),
+  g AS (
+    SELECT v,
+           CAST(SUM(CAST(is_a AS BIGINT)) AS HUGEINT) * MAX(t.n_b)
+             - CAST(SUM(CAST(NOT is_a AS BIGINT)) AS HUGEINT) * MAX(t.n_a)
+             AS s,
+           MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b
+    FROM vals, tot t GROUP BY v
+  ),
+  cum AS (
+    SELECT n_a, n_b, ABS(SUM(s) OVER (ORDER BY v)) AS gap FROM g
+  ),
+  agg AS (
+    SELECT n_a, n_b,
+           CAST(CAST(MAX(gap) AS HUGEINT) * 1000000000
+                // (CAST(MAX(n_a) AS HUGEINT) * MAX(n_b)) AS BIGINT)
+             AS d_ppb
+    FROM cum GROUP BY n_a, n_b
+  )
+  SELECT n_a, n_b, d_ppb,
+         CAST(d_ppb AS DOUBLE) / 1000000000.0
+           > {KS_C95} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+           AS reject_95
+  FROM agg
+"""

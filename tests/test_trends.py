@@ -316,3 +316,23 @@ def test_gini_extremes(spark, tmp_path):
     assert out["EQ"].gini_ppb == 0 and out["EQ"].n_customers == 4
     assert out["ONE"].gini_ppb == 750000000
     assert out["ONE"].total_revenue == pytest.approx(20.0)
+
+
+def test_ks_test_hand_case(spark, tmp_path):
+    """BUILDING values {1,2}, MACHINERY values {3,4} (disjoint
+    supports): D = 1 exactly → d_ppb = 1e9, reject at any n.
+    Also pins the signed prefix-sum construction: the gap peaks at
+    v=2 with c_A·n_B − c_B·n_A = 2·2 − 0 = 4 = n_A·n_B."""
+    from locopy_spark.queries.stats import q_ks_test
+
+    cust = [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY"), (4, "MACHINERY")]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = q_ks_test(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b, r.d_ppb) == (2, 2, 1000000000)
+    assert r.reject_95 == False  # n too small: c·sqrt(4/4) = 1.358 > 1
