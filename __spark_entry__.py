@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_quantiles": stats.q_weighted_quantiles,
         "q_gini": stats.q_gini,
         "q_ks_test": stats.q_ks_test,
+        "q_mann_whitney": stats.q_mann_whitney,
+        "q_spearman": stats.q_spearman,
+        "q_wilcoxon": stats.q_wilcoxon,
+        "q_autocorr": stats.q_autocorr,
+        "q_runs_test": stats.q_runs_test,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -98,12 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,
         "d_simhash": docs.d_simhash,
+        # ------- position 50 cutoff: window ends above this line -------
         "d_embedding_dedup": docs.d_embedding_dedup,
         "d_dup_clusters": docs_ext.d_dup_clusters,
         "d_hash_split": docs_ext.d_hash_split,
         "d_balanced_sample": docs_ext.d_balanced_sample,
         "d_source_dedup": docs_ext.d_source_dedup,
-        # ------- position 50 cutoff: window ends above this line -------
         "d_contamination": docs_ext.d_contamination,
         "d_edit_verify": docs_ext.d_edit_verify,
         "d_embedding_centroids": docs_ext.d_embedding_centroids,

@@ -194,6 +194,11 @@ BENCH_QUERIES = [
     "q_weighted_quantiles",
     "q_gini",
     "q_ks_test",
+    "q_mann_whitney",
+    "q_spearman",
+    "q_wilcoxon",
+    "q_autocorr",
+    "q_runs_test",
 ]
 
 

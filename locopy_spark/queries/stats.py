@@ -998,3 +998,549 @@ ORACLE["q_ks_test"] = f"""
            AS reject_95
   FROM agg
 """
+
+
+# -- Mann–Whitney U (rank-sum) ---------------------------------------------
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U rank-sum test on the same two segments as
+    q_ks_test — the location-shift complement to KS's shape test,
+    float-free: ranks are pooled with ties averaged, kept integer by
+    DOUBLING (a tie run over ranks [a,b] gives each member average
+    rank (a+b)/2, so doubled rank = a+b = 2·cum_before + t + 1
+    exactly). One range-partitioned prefix sum over the per-value
+    aggregate (the q_ks_test plumbing) yields every run's start;
+    U, the tie count T = Σ(t³−t), and n's close as exact bigints
+    (T widened through DECIMAL(38)/HUGEINT), and the tie-corrected
+    normal z closes as one deterministic double expression shared
+    verbatim by both engines.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    vals = (
+        o.join(
+            c.filter(F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])).select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select(v.alias("v"), (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"))
+    )
+    g = vals.groupBy("v").agg(
+        F.sum(F.expr("cast(is_a as bigint)")).alias("d_a"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    cum = global_running_sum(g, order_cols=["v"], value_col="t", out_col="pre")
+    agg = cum.agg(
+        F.sum("d_a").alias("n_a"),
+        F.expr("SUM(t - d_a)").alias("n_b"),
+        # doubled rank sum of sample A: Σ d_a · (2·pre + t + 1)
+        F.expr("SUM(d_a * (2 * pre + t + 1))").alias("r_a_x2"),
+        F.expr(
+            "CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DECIMAL(38,0))"
+        ).alias("ties_t"),
+    )
+    # doubled U_A = doubled R_A − n_a(n_a+1); z from the tie-corrected
+    # normal approximation — one double expression, identical text on
+    # both engines (every input is an exact integer)
+    z_expr = (
+        "(CAST(u_a_x2 AS DOUBLE) / 2.0"
+        " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+        " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+        " * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)"
+        " - CAST(ties_t AS DOUBLE)"
+        " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+        " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))"
+    )
+    return (
+        agg.select(
+            "n_a",
+            "n_b",
+            F.expr("CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT)").alias(
+                "u_a_x2"
+            ),
+            F.expr("CAST(ties_t AS BIGINT)").alias("ties_t"),
+        )
+        .select("n_a", "n_b", "u_a_x2", "ties_t", F.expr(z_expr).alias("z"))
+    )
+
+
+ORACLE["q_mann_whitney"] = f"""
+  WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v,
+           c_mktsegment = '{KS_SEG_A}' AS is_a
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+  ),
+  g AS (
+    SELECT v, CAST(SUM(CAST(is_a AS BIGINT)) AS BIGINT) AS d_a,
+           COUNT(*) AS t
+    FROM vals GROUP BY v
+  ),
+  cum AS (
+    SELECT d_a, t,
+           CAST(COALESCE(SUM(t) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS pre
+    FROM g
+  ),
+  agg AS (
+    SELECT CAST(SUM(d_a) AS BIGINT) AS n_a,
+           CAST(SUM(t - d_a) AS BIGINT) AS n_b,
+           CAST(SUM(d_a * (2 * pre + t + 1)) AS BIGINT) AS r_a_x2,
+           CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties_t
+    FROM cum
+  ),
+  fin AS (
+    SELECT n_a, n_b,
+           CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+           CAST(ties_t AS BIGINT) AS ties_t
+    FROM agg
+  )
+  SELECT n_a, n_b, u_a_x2, ties_t,
+         (CAST(u_a_x2 AS DOUBLE) / 2.0
+          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+             - CAST(ties_t AS DOUBLE)
+             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+           AS z
+  FROM fin
+"""
+
+
+# -- Spearman rank correlation ----------------------------------------------
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between order value and order
+    width (line count) — the monotone-association complement to
+    ``q_correlation``'s Pearson, robust to the price distribution's
+    tail.
+
+    Tie-averaged pooled ranks stay integer by DOUBLING (the
+    ``q_mann_whitney`` device: a tie run's doubled rank is
+    2·cum_before + t + 1, one range-partitioned prefix sum over each
+    variable's per-value aggregate), then CENTERING by the exact mean
+    n+1 (the doubled-rank mean regardless of ties, since doubled ranks
+    always sum to n(n+1)) keeps every power sum below ~n³ — under 2^53
+    through n ≈ 2·10⁵ so the final double casts are exact on both
+    engines (DuckDB's int128→double is not correctly rounded; the
+    centered sums never reach int128 territory at gate SFs). rho
+    closes as one shared double expression over three exact integer
+    sums. For larger n, downshift the centered ranks (rho is
+    rank-scale-invariant).
+
+    Scale shape: lineitem partial-aggregates to per-order counts
+    (map-side combine), per-value rank tables join back on the value
+    (the y-side rank table is |distinct counts|-sized → broadcast);
+    nothing all-pairs, no one-partition window.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    base = o.select(
+        "o_orderkey",
+        F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)").alias(
+            "x"
+        ),
+    ).join(cnt, "o_orderkey")
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        cum = global_running_sum(g, order_cols=[col], value_col="t", out_col="pre")
+        return cum.select(col, F.expr("2 * pre + t + 1").alias(out))
+
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        base.join(doubled_ranks("x", "rx2"), "x")
+        .join(F.broadcast(doubled_ranks("y", "ry2")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr("rx2 - (n + 1)").alias("cx"),
+            F.expr("ry2 - (n + 1)").alias("cy"),
+        )
+    )
+    agg = joined.groupBy("n").agg(
+        F.expr("CAST(SUM(CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)").alias(
+            "sxy"
+        ),
+        F.expr("CAST(SUM(CAST(cx AS DECIMAL(38,0)) * cx) AS BIGINT)").alias(
+            "sx2"
+        ),
+        F.expr("CAST(SUM(CAST(cy AS DECIMAL(38,0)) * cy) AS BIGINT)").alias(
+            "sy2"
+        ),
+    )
+    return agg.select(
+        "n",
+        "sxy",
+        F.expr(
+            "CAST(sxy AS DOUBLE)"
+            " / (sqrt(CAST(sx2 AS DOUBLE)) * sqrt(CAST(sy2 AS DOUBLE)))"
+        ).alias("rho"),
+    )
+
+
+ORACLE["q_spearman"] = f"""
+  WITH base AS (
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS x,
+           y
+    FROM orders
+    JOIN (SELECT l_orderkey AS o_orderkey, COUNT(*) AS y
+          FROM lineitem GROUP BY 1) USING (o_orderkey)
+  ),
+  rx AS (
+    SELECT x, 2 * (CAST(COALESCE(SUM(t) OVER (
+             ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT)) + t + 1 AS rx2
+    FROM (SELECT x, COUNT(*) AS t FROM base GROUP BY x)
+  ),
+  ry AS (
+    SELECT y, 2 * (CAST(COALESCE(SUM(t) OVER (
+             ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT)) + t + 1 AS ry2
+    FROM (SELECT y, COUNT(*) AS t FROM base GROUP BY y)
+  ),
+  tot AS (SELECT COUNT(*) AS n FROM base),
+  c AS (
+    SELECT n, rx2 - (n + 1) AS cx, ry2 - (n + 1) AS cy
+    FROM base JOIN rx USING (x) JOIN ry USING (y), tot
+  ),
+  agg AS (
+    SELECT n,
+           CAST(SUM(CAST(cx AS HUGEINT) * cy) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(cx AS HUGEINT) * cx) AS BIGINT) AS sx2,
+           CAST(SUM(CAST(cy AS HUGEINT) * cy) AS BIGINT) AS sy2
+    FROM c GROUP BY n
+  )
+  SELECT n, sxy,
+         CAST(sxy AS DOUBLE)
+           / (sqrt(CAST(sx2 AS DOUBLE)) * sqrt(CAST(sy2 AS DOUBLE)))
+           AS rho
+  FROM agg
+"""
+
+
+# -- Wilcoxon signed-rank ----------------------------------------------------
+
+WILCOXON_SPLIT = "1995-01-01"
+
+
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wilcoxon signed-rank test on paired customer spend:
+    each customer's total order value before vs from {WILCOXON_SPLIT}
+    (a no-spend half is a legitimate zero measurement). Zero
+    differences drop (standard practice); |diff| ranks are
+    tie-averaged via the doubled-rank prefix-sum device
+    (``q_mann_whitney``), W⁺ doubles alongside, the tie term
+    T = Σ(t³−t) widens through DECIMAL(38)/HUGEINT, and the
+    tie-corrected normal z closes as one shared double expression:
+    z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − T/48).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from locopy_spark.operators.ranking import global_running_sum
+
+    v = f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+    pair = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.expr(
+            f"sum(case when o_orderdate < date'{WILCOXON_SPLIT}'"
+            f" then {v} else 0 end)"
+        ).alias("x"),
+        F.expr(
+            f"sum(case when o_orderdate >= date'{WILCOXON_SPLIT}'"
+            f" then {v} else 0 end)"
+        ).alias("y"),
+    )
+    d = pair.select(F.expr("y - x").alias("d")).filter("d != 0")
+    g = d.groupBy(F.expr("abs(d)").alias("ad")).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.expr("cast(d > 0 as bigint)")).alias("p"),
+    )
+    cum = global_running_sum(g, order_cols=["ad"], value_col="t", out_col="pre")
+    agg = cum.agg(
+        F.sum("t").alias("n_pairs"),
+        F.sum(F.expr("p * (2 * pre + t + 1)")).alias("w_plus_x2"),
+        F.expr(
+            "CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS BIGINT)"
+        ).alias("ties_t"),
+    )
+    z_expr = (
+        "(CAST(w_plus_x2 AS DOUBLE) / 2.0"
+        " - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)"
+        " / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)"
+        " * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0"
+        " - CAST(ties_t AS DOUBLE) / 48.0)"
+    )
+    return agg.select(
+        "n_pairs", "w_plus_x2", "ties_t", F.expr(z_expr).alias("z")
+    )
+
+
+ORACLE["q_wilcoxon"] = f"""
+  WITH pair AS (
+    SELECT o_custkey,
+           SUM(CASE WHEN o_orderdate < DATE '{WILCOXON_SPLIT}'
+                    THEN CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+                    ELSE 0 END) AS x,
+           SUM(CASE WHEN o_orderdate >= DATE '{WILCOXON_SPLIT}'
+                    THEN CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM orders GROUP BY 1
+  ),
+  d AS (SELECT CAST(y - x AS BIGINT) AS d FROM pair WHERE y - x != 0),
+  g AS (
+    SELECT ABS(d) AS ad, COUNT(*) AS t,
+           CAST(SUM(CAST(d > 0 AS BIGINT)) AS BIGINT) AS p
+    FROM d GROUP BY 1
+  ),
+  cum AS (
+    SELECT t, p,
+           CAST(COALESCE(SUM(t) OVER (
+             ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS pre
+    FROM g
+  ),
+  agg AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n_pairs,
+           CAST(SUM(p * (2 * pre + t + 1)) AS BIGINT) AS w_plus_x2,
+           CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties_t
+    FROM cum
+  )
+  SELECT n_pairs, w_plus_x2, ties_t,
+         (CAST(w_plus_x2 AS DOUBLE) / 2.0
+          - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+         / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+           * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+           - CAST(ties_t AS DOUBLE) / 48.0)
+           AS z
+  FROM agg
+"""
+
+
+# -- daily-revenue autocorrelation -------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} autocorrelation of daily order revenue —
+    the weekly-seasonality fingerprint read before picking the
+    Holt–Winters period.
+
+    The raw table partial-aggregates once to the |days|-sized daily
+    series (bounded by the calendar, not data volume — the
+    ``q_anomaly_days`` shape, revenue in WHOLE currency units so the
+    squared power sums stay inside bigint, whose double cast is
+    correctly rounded on both engines; descale further past ~sf0.5).
+    Each lag's pairs come from one tiny range self-join (|days|·7
+    rows); per-lag exact bigint moments close through the shared
+    Pearson expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice + 0.5) as bigint)")).alias("x")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.col("x").alias("x"),
+        (F.col("day") + F.col("lag")).alias("day"),
+    )
+    pairs = shifted.join(
+        daily.select("day", F.col("x").alias("y")), "day"
+    ).select("lag", "x", "y")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS BIGINT)").alias(
+            "sxy"
+        ),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)").alias(
+            "sx2"
+        ),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS BIGINT)").alias(
+            "sy2"
+        ),
+    )
+    corr = _CORR.format(
+        n="CAST(n AS DOUBLE)", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2"
+    )
+    # acf is undefined when a side is constant (short series' longest
+    # lags) — exact integer variance guard, DECIMAL(38) products since
+    # (Σx)² outgrows bigint long before the sums themselves do
+    var_ok = (
+        "CAST(n AS DECIMAL(38,0)) * {s2} > CAST({s} AS DECIMAL(38,0)) * {s}"
+    )
+    return (
+        agg.filter(
+            F.expr(var_ok.format(s2="sx2", s="sx"))
+            & F.expr(var_ok.format(s2="sy2", s="sy"))
+        )
+        .select("lag", "n", F.expr(corr).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+_ACF_CORR = _CORR.format(
+    n="CAST(n AS DOUBLE)", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2"
+)
+
+ORACLE["q_autocorr"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS day,
+           SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+  ),
+  pairs AS (
+    SELECT l.lag, a.x AS x, b.x AS y
+    FROM daily a
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {ACF_MAX_LAG})) AS lag) l
+    JOIN daily b ON b.day = a.day + l.lag
+  ),
+  agg AS (
+    SELECT lag, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sx2,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS sy2
+    FROM pairs GROUP BY lag
+  )
+  SELECT lag, n, {_ACF_CORR} AS acf
+  FROM agg
+  WHERE CAST(n AS HUGEINT) * sx2 > CAST(sx AS HUGEINT) * sx
+    AND CAST(n AS HUGEINT) * sy2 > CAST(sy AS HUGEINT) * sy
+  ORDER BY lag
+"""
+
+
+# -- Wald–Wolfowitz runs test ------------------------------------------------
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily revenue
+    around its median — flags regime drift / autocorrelation that a
+    mean-level check misses.
+
+    Everything runs on the |days|-sized daily aggregate (whole
+    currency units, ``q_anomaly_days`` convention). The lower median
+    is the exact type-1 rank-select (value at rn = ⌈n/2⌉ under the
+    total order (x, day)) via one range-partitioned global row number;
+    the above/not-above sign sequence's runs are counted by a
+    rank-adjacency self-join (rn ↔ rn+1 — day gaps don't matter, rank
+    order is the sequence), so no one-partition window touches
+    anything unbounded. n₁/n₂/R close exact; z is one shared double
+    expression: z = (R − μ)/σ, μ = 2n₁n₂/n + 1,
+    σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)).
+    """
+    from locopy_spark.operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice + 0.5) as bigint)")).alias("x")
+    )
+    ranked = global_row_number(daily, ["x", "day"], out_col="vr")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.expr("vr = cast(ceil(0.5 * n) as bigint)"))
+        .select(F.col("x").alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .select("day", F.expr("x > med").alias("above"))
+    )
+    seq = global_row_number(signed, ["day"], out_col="rn")
+    prev = seq.select(
+        F.expr("rn + 1").alias("rn"), F.col("above").alias("prev_above")
+    )
+    switches = seq.join(prev, "rn").agg(
+        F.sum(F.expr("cast(above != prev_above as bigint)")).alias("n_switch")
+    )
+    counts = signed.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.expr("cast(above as bigint)")).alias("n_above"),
+        F.sum(F.expr("cast(not above as bigint)")).alias("n_below"),
+    )
+    z_expr = (
+        "(CAST(runs AS DOUBLE)"
+        " - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+        " / CAST(n_days AS DOUBLE) + 1.0))"
+        " / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+        " * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+        " - CAST(n_days AS DOUBLE))"
+        " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+        " * (CAST(n_days AS DOUBLE) - 1.0)))"
+    )
+    return (
+        counts.crossJoin(F.broadcast(switches))
+        .select(
+            "n_days",
+            "n_above",
+            "n_below",
+            F.expr("n_switch + 1").alias("runs"),
+        )
+        .select("n_days", "n_above", "n_below", "runs", F.expr(z_expr).alias("z"))
+    )
+
+
+ORACLE["q_runs_test"] = """
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS day,
+           SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+  ),
+  ranked AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS vr,
+           COUNT(*) OVER () AS n
+    FROM daily
+  ),
+  med AS (
+    SELECT x AS med FROM ranked WHERE vr = CAST(CEIL(0.5 * n) AS BIGINT)
+  ),
+  signed AS (
+    SELECT day, x > med AS above FROM daily, med
+  ),
+  seq AS (
+    SELECT above, LAG(above) OVER (ORDER BY day) AS prev FROM signed
+  ),
+  agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(above AS BIGINT)) AS BIGINT) AS n_above,
+           CAST(SUM(CAST(NOT above AS BIGINT)) AS BIGINT) AS n_below,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND above != prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs
+    FROM seq
+  )
+  SELECT n_days, n_above, n_below, runs,
+         (CAST(runs AS DOUBLE)
+          - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+          / CAST(n_days AS DOUBLE) + 1.0))
+         / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           - CAST(n_days AS DOUBLE))
+           / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+           * (CAST(n_days AS DOUBLE) - 1.0)))
+           AS z
+  FROM agg
+"""

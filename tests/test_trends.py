@@ -336,3 +336,103 @@ def test_ks_test_hand_case(spark, tmp_path):
     r = q_ks_test(spark, str(tmp_path)).collect()[0]
     assert (r.n_a, r.n_b, r.d_ppb) == (2, 2, 1000000000)
     assert r.reject_95 == False  # n too small: c·sqrt(4/4) = 1.358 > 1
+
+
+def test_mann_whitney_hand_case(spark, tmp_path):
+    """BUILDING values {1,2}, MACHINERY values {2,3}: pooled ranks
+    1, 2.5, 2.5, 4 (one tie pair), so R_A = 3.5 → doubled 7,
+    U_A = 3.5 − 3 = 0.5 → doubled 1, T = 2³−2 = 6, and
+    z = (0.5 − 2)/sqrt((4/12)·(5 − 6/12)) = −√1.5 exactly."""
+    from locopy_spark.queries.stats import q_mann_whitney
+
+    cust = [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY"), (4, "MACHINERY")]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [(1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0)]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = q_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b, r.u_a_x2, r.ties_t) == (2, 2, 1, 6)
+    assert r.z == pytest.approx(-(1.5 ** 0.5))
+
+
+def test_spearman_hand_case(spark, tmp_path):
+    """x = (1,2,3), y = (1,2,2): doubled ranks x → (2,4,6),
+    y → (2,5,5); centered by n+1=4 → cx=(−2,0,2), cy=(−2,1,1);
+    Σcxcy=6, Σcx²=8, Σcy²=6 → rho = 6/√48 = √3/2."""
+    from locopy_spark.queries.stats import q_spearman
+
+    orders = [(1, 1.0), (2, 2.0), (3, 3.0)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li = [(1,), (2,), (2,), (3,), (3,)]
+    spark.createDataFrame(li, "l_orderkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    r = q_spearman(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.sxy) == (3, 6)
+    assert r.rho == pytest.approx((3 ** 0.5) / 2)
+
+
+def test_wilcoxon_hand_case(spark, tmp_path):
+    """Customer diffs (+1, −2, +3, +3) milli-units: |d| ranks
+    1, 2, 3.5, 3.5 (doubled 2,4,7,7), W⁺ = 1+3.5+3.5 = 8 → doubled 16,
+    T = 2³−2 = 6, z = (8−5)/√(7.5−0.125) = 3/√7.375."""
+    from locopy_spark.queries.stats import q_wilcoxon
+
+    early, late = "1994-06-01", "1996-06-01"
+    orders = [
+        (1, 1.000, early), (1, 1.001, late),   # d = +1
+        (2, 0.002, early),                      # d = -2
+        (3, 0.003, late),                       # d = +3
+        (4, 1.000, early), (4, 1.003, late),   # d = +3
+    ]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double, o_orderdate string"
+    ).selectExpr(
+        "o_custkey", "o_totalprice", "cast(o_orderdate as date) as o_orderdate"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = q_wilcoxon(spark, str(tmp_path)).collect()[0]
+    assert (r.n_pairs, r.w_plus_x2, r.ties_t) == (4, 16, 6)
+    assert r.z == pytest.approx(3 / (7.375 ** 0.5))
+
+
+def test_autocorr_alternating(spark, tmp_path):
+    """Daily revenue 1,2,1,2,1,2 on six consecutive days: lag-1
+    pairs are perfectly anti-phase (acf = −1), lag-2 perfectly in
+    phase (acf = +1)."""
+    from locopy_spark.queries.stats import q_autocorr
+
+    days = ["1995-01-0%d" % i for i in range(1, 7)]
+    orders = [(d, float(1 + (i % 2))) for i, d in enumerate(days)]
+    spark.createDataFrame(
+        orders, "o_orderdate string, o_totalprice double"
+    ).selectExpr(
+        "cast(o_orderdate as date) as o_orderdate", "o_totalprice"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.lag: r for r in q_autocorr(spark, str(tmp_path)).collect()}
+    assert (out[1].n, out[2].n) == (5, 4)
+    assert out[1].acf == pytest.approx(-1.0)
+    assert out[2].acf == pytest.approx(1.0)
+
+
+def test_runs_test_hand_case(spark, tmp_path):
+    """Daily series 5,1,6,2,7: lower median (rank 3 of 5) = 5;
+    above-median signs F,F,T,F,T → R = 4 runs, n₁=2, n₂=3;
+    μ = 2·2·3/5+1 = 3.4, σ² = 12·(12−5)/(25·4) = 0.84 →
+    z = 0.6/√0.84."""
+    from locopy_spark.queries.stats import q_runs_test
+
+    days = ["1995-01-0%d" % i for i in range(1, 6)]
+    vals = [5.0, 1.0, 6.0, 2.0, 7.0]
+    spark.createDataFrame(
+        list(zip(days, vals)), "o_orderdate string, o_totalprice double"
+    ).selectExpr(
+        "cast(o_orderdate as date) as o_orderdate", "o_totalprice"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = q_runs_test(spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_above, r.n_below, r.runs) == (5, 2, 3, 4)
+    assert r.z == pytest.approx(0.6 / (0.84 ** 0.5))
