@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wilcoxon": stats.q_wilcoxon,
         "q_autocorr": stats.q_autocorr,
         "q_runs_test": stats.q_runs_test,
+        "q_assortativity": mining.q_assortativity,
+        "q_pareto_abc": tpch_ext.q_pareto_abc,
+        "q_top_paths": events_ext.q_top_paths,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -100,10 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": tpch_ext.q_key_skew,
         # --- filler: oldest round-3 greens, re-rotating ---
         "d_exact_dedup": docs.d_exact_dedup,
+        # ------- position 50 cutoff: window ends above this line -------
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,
         "d_simhash": docs.d_simhash,
-        # ------- position 50 cutoff: window ends above this line -------
         "d_embedding_dedup": docs.d_embedding_dedup,
         "d_dup_clusters": docs_ext.d_dup_clusters,
         "d_hash_split": docs_ext.d_hash_split,

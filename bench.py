@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "q_wilcoxon",
     "q_autocorr",
     "q_runs_test",
+    "q_assortativity",
+    "q_pareto_abc",
+    "q_top_paths",
 ]
 
 

@@ -872,3 +872,77 @@ ORACLE["q_cohort_ltv"] = f"""
               ) AS BIGINT) AS DOUBLE) / {SCALE}.0 AS cum_revenue
   FROM agg ORDER BY cohort_ym, month_offset
 """
+
+
+# -- top user journeys --------------------------------------------------------
+
+PATH_MAX_EVENTS = 20  # bound the per-user-day journey string
+PATH_TOP_K = 20
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOP_K} daily user journeys: each (user, day)'s first
+    {PATH_MAX_EVENTS} event types in time order, joined into a '>'
+    path string, ranked by frequency — the product-analytics "common
+    flows" report.
+
+    Determinism: per-key order is the total order (ts_µs, event_id);
+    Spark materializes it via array_sort over (ts, id, type) structs
+    (collect_list order is NOT deterministic — the sort makes it so),
+    DuckDB via ORDER BY inside list(). The event cap bounds both the
+    struct buffer and the path string at planet scale (a user-day is
+    already small; the cap is a guard, not a sampler, and is applied
+    AFTER the in-group sort so both engines cut the same prefix).
+    Ties in frequency break on the path string for a stable top-k.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    paths = (
+        e.select(
+            "user_id",
+            (ts_us.cast("long") - (ts_us.cast("long") % F.lit(86_400_000_000)))
+            .alias("day_us"),
+            F.struct(
+                ts_us.alias("ts_us"), F.col("event_id"), F.col("event_type")
+            ).alias("ev"),
+        )
+        .groupBy("user_id", "day_us")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list("ev")),
+                        1,
+                        PATH_MAX_EVENTS,
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+ORACLE["q_top_paths"] = f"""
+  WITH p AS (
+    SELECT user_id,
+           epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+           array_to_string(
+             list_slice(
+               list(event_type ORDER BY epoch_us(ts), event_id),
+               1, {PATH_MAX_EVENTS}
+             ), '>'
+           ) AS path
+    FROM events GROUP BY 1, 2
+  )
+  SELECT path, COUNT(*) AS n_user_days
+  FROM p GROUP BY 1
+  ORDER BY n_user_days DESC, path
+  LIMIT {PATH_TOP_K}
+"""

@@ -1310,3 +1310,109 @@ def _oracle_graph_reach() -> str:
 
 
 ORACLE["q_graph_reach"] = _oracle_graph_reach()
+
+
+# -- degree assortativity -----------------------------------------------------
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph — do
+    hub parts co-occur with hubs (r > 0) or with the long tail
+    (r < 0)? Equals the exact Pearson correlation of endpoint degrees
+    over the DIRECTED doubling of the edge list (each undirected edge
+    contributes both orientations, the standard convention).
+
+    Shares the ``copurchase_edges`` scaffolding with
+    q_graph_triangles/q_pagerank. Degrees join onto the |E| edge list
+    (|V|-sized degree table), moments close as exact bigints (every
+    double cast stays a correctly-rounded int64→double on both
+    engines), and r is the shared Pearson expression; a regular graph
+    (zero degree variance) yields NULL via an exact integer CASE
+    guard rather than an ANSI divide-by-zero.
+    """
+    e = copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pairs = e.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("dx")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("dy")), "b")
+    both = pairs.select("dx", "dy").unionAll(
+        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_dir"),
+        F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS BIGINT)").alias("sx"),
+        F.expr("CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS BIGINT)").alias("sy"),
+        F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS BIGINT)").alias(
+            "sxy"
+        ),
+        F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS BIGINT)").alias(
+            "sx2"
+        ),
+        F.expr("CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS BIGINT)").alias(
+            "sy2"
+        ),
+    )
+    corr = (
+        "(CAST(n_dir AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n_dir AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n_dir AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    guard = (
+        "CAST(n_dir AS DECIMAL(38,0)) * sx2 > CAST(sx AS DECIMAL(38,0)) * sx"
+    )
+    return agg.select(
+        F.expr("n_dir div 2").alias("n_edges"),
+        "n_dir",
+        F.expr(f"CASE WHEN {guard} THEN {corr} END").alias("assortativity"),
+    )
+
+
+ORACLE["q_assortativity"] = """
+  WITH b AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e AS (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  deg AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+  ),
+  dirs AS (
+    SELECT da.d AS dx, db.d AS dy
+    FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    UNION ALL
+    SELECT db.d, da.d
+    FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+  ),
+  agg AS (
+    SELECT COUNT(*) AS n_dir,
+           CAST(SUM(CAST(dx AS HUGEINT)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(dy AS HUGEINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(dx AS HUGEINT) * dy) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS sx2,
+           CAST(SUM(CAST(dy AS HUGEINT) * dy) AS BIGINT) AS sy2
+    FROM dirs
+  )
+  SELECT n_dir // 2 AS n_edges, n_dir,
+         CASE WHEN CAST(n_dir AS HUGEINT) * sx2
+                   > CAST(sx AS HUGEINT) * sx
+              THEN (CAST(n_dir AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n_dir AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n_dir AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         END AS assortativity
+  FROM agg
+"""

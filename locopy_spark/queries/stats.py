@@ -1354,7 +1354,16 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.expr("cast(floor(o_totalprice + 0.5) as bigint)")).alias("x")
     )
-    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    return acf_over_daily(daily)
+
+
+def acf_over_daily(daily: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """The lag-1..max_lag ACF scorer over any ``(day, x)`` daily
+    series — shared by :func:`q_autocorr` and the streaming state view
+    (``streaming.stateful.score_daily_acf``) so the stream-vs-batch
+    test exercises series maintenance, not two scorer copies."""
+    spark = daily.sparkSession
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
     shifted = daily.crossJoin(F.broadcast(lags)).select(
         "lag",
         F.col("x").alias("x"),

@@ -1471,3 +1471,93 @@ ORACLE["q_rfm_segmentation"] = f"""
            AS monetary
   FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+# -- Pareto / ABC inventory classes -------------------------------------------
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/20-style) inventory classification of parts by
+    lifetime revenue: class A = the head of the revenue-descending
+    order whose inclusive cumulative share stays ≤ 70 %, B ≤ 90 %,
+    C the tail — the classic warehouse-stratification report.
+
+    Exact construction: per-part WHOLE-currency-unit bigint revenue
+    (cent precision adds nothing to a stratification and whole units
+    keep the global cumulative sum inside bigint past 10^17 currency
+    units — planet scale) (one partial-
+    aggregated groupBy), ONE range-partitioned exclusive prefix sum
+    over the revenue-descending total order (negated revenue +
+    partkey tiebreak — operators.ranking.global_running_sum, no
+    one-partition window), then the class boundaries as pure integer
+    comparisons 10·cum ≤ 7·total via DECIMAL(38)/HUGEINT products
+    (cumulative revenue × 10 outgrows bigint at planet scale). Share
+    is the only double — one division of exact integers.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("cast(floor(l_extendedprice + 0.5) as bigint)")
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    ordered = global_running_sum(
+        rev.select("l_partkey", "r", F.expr("-r").alias("negr")),
+        order_cols=["negr", "l_partkey"],
+        value_col="r",
+        out_col="pre",
+    )
+    classed = ordered.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "tot",
+        F.expr(
+            "CASE WHEN CAST(pre + r AS DECIMAL(38,0)) * 10"
+            " <= CAST(tot AS DECIMAL(38,0)) * 7 THEN 'A'"
+            " WHEN CAST(pre + r AS DECIMAL(38,0)) * 10"
+            " <= CAST(tot AS DECIMAL(38,0)) * 9 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").alias("class_rev_fix"),
+            F.expr(
+                "CAST(SUM(r) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)"
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE["q_pareto_abc"] = f"""
+  WITH rev AS (
+    SELECT l_partkey,
+           SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS r
+    FROM lineitem GROUP BY 1
+  ),
+  tot AS (SELECT CAST(SUM(r) AS BIGINT) AS tot FROM rev),
+  cum AS (
+    SELECT r, tot,
+           CAST(SUM(r) OVER (
+             ORDER BY -r, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS c
+    FROM rev, tot
+  ),
+  classed AS (
+    SELECT r, tot,
+           CASE WHEN CAST(c AS HUGEINT) * 10 <= CAST(tot AS HUGEINT) * 7
+                THEN 'A'
+                WHEN CAST(c AS HUGEINT) * 10 <= CAST(tot AS HUGEINT) * 9
+                THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+  )
+  SELECT abc_class, COUNT(*) AS n_parts,
+         CAST(SUM(r) AS BIGINT) AS class_rev_fix,
+         CAST(SUM(r) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS rev_share
+  FROM classed GROUP BY 1 ORDER BY 1
+"""

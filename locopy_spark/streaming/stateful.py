@@ -1069,3 +1069,26 @@ def stream_cms(
         .queryName(f"cms_{state_view}")
         .start()
     )
+
+
+def score_daily_acf(daily: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Lag-1..max_lag autocorrelation over a maintained daily series
+    ``(day, x_fix)`` — delegates to ``queries.stats.acf_over_daily``
+    (ONE scorer for stream state and batch twin, the
+    ``score_daily_anomalies`` convention)."""
+    from locopy_spark.queries.stats import acf_over_daily
+
+    return acf_over_daily(
+        daily.select("day", F.col("x_fix").alias("x")), max_lag
+    )
+
+
+def stream_acf(events: DataFrame, state_view: str = "acf_state"):
+    """Streaming seasonality-fingerprint feed: the ACF needs only the
+    |days|-sized daily series, whose per-day sums form a commutative
+    monoid — so the maintainer IS ``stream_daily_anomaly``'s additive
+    merge (shared deliberately: one state layout, two on-demand
+    scorers). Score the state view with :func:`score_daily_acf`;
+    arrival order and batch boundaries cannot change the result
+    (batch twin: ``queries.stats.q_autocorr``)."""
+    return stream_daily_anomaly(events, state_view=state_view)

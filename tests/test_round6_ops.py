@@ -1,0 +1,83 @@
+"""Pencil-checked semantics for the round-6 graph/retail/journey
+operators: q_assortativity, q_pareto_abc, q_top_paths."""
+
+import datetime as dt
+
+import pytest
+
+
+def _write_lineitem(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(path / "lineitem.parquet")
+    )
+
+
+def test_assortativity_path_graph(spark, tmp_path):
+    """Path a−b−c: degrees (1,2,1); directed pairs (1,2),(2,1),(2,1),
+    (1,2) → perfect disassortativity r = −1 (the classic result for
+    a path of three)."""
+    from locopy_spark.queries.mining import q_assortativity
+
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3)]
+    _write_lineitem(
+        spark, tmp_path, rows, "l_orderkey long, l_partkey long"
+    )
+    r = q_assortativity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_dir) == (2, 4)
+    assert r.assortativity == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_null(spark, tmp_path):
+    """4-cycle: every degree 2 → zero degree variance → NULL via the
+    exact integer guard (not an ANSI divide-by-zero)."""
+    from locopy_spark.queries.mining import q_assortativity
+
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 4), (4, 1)]
+    _write_lineitem(
+        spark, tmp_path, rows, "l_orderkey long, l_partkey long"
+    )
+    r = q_assortativity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_dir) == (4, 8)
+    assert r.assortativity is None
+
+
+def test_pareto_abc_hand_case(spark, tmp_path):
+    """Part revenues 5,3,1,1 (total 10): descending cumulative shares
+    50 % → A, 80 % → B, 90 % → B (boundary inclusive), 100 % → C."""
+    from locopy_spark.queries.tpch_ext import q_pareto_abc
+
+    rows = [(1, 5.0), (2, 3.0), (3, 1.0), (4, 1.0)]
+    _write_lineitem(
+        spark, tmp_path, rows, "l_partkey long, l_extendedprice double"
+    )
+    out = {r.abc_class: r for r in q_pareto_abc(spark, str(tmp_path)).collect()}
+    assert (out["A"].n_parts, out["A"].class_rev_fix) == (1, 5)
+    assert (out["B"].n_parts, out["B"].class_rev_fix) == (2, 4)
+    assert (out["C"].n_parts, out["C"].class_rev_fix) == (1, 1)
+    assert out["A"].rev_share == pytest.approx(0.5)
+    assert out["B"].rev_share == pytest.approx(0.4)
+
+
+def test_top_paths_order_and_cap(spark, tmp_path):
+    """Two users share journey A>B (beats B's single user-day); a
+    22-event user-day is cut at PATH_MAX_EVENTS=20 types."""
+    from locopy_spark.queries.events_ext import PATH_MAX_EVENTS, q_top_paths
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1, base, 1, "A"), (2, base + dt.timedelta(minutes=1), 1, "B"),
+        (3, base, 2, "A"), (4, base + dt.timedelta(minutes=1), 2, "B"),
+        (5, base, 3, "B"),
+    ]
+    rows += [
+        (10 + i, base + dt.timedelta(seconds=i), 4, "C") for i in range(22)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = q_top_paths(spark, str(tmp_path)).collect()
+    assert (got[0].path, got[0].n_user_days) == ("A>B", 2)
+    capped = ">".join(["C"] * PATH_MAX_EVENTS)
+    assert {(r.path, r.n_user_days) for r in got[1:]} == {
+        ("B", 1), (capped, 1),
+    }

@@ -856,3 +856,35 @@ def test_stream_cms_matches_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(tuple(r) for r in cms_cells(docs).collect())
     assert got and got == want
+
+
+def test_stream_acf_matches_batch(spark, sf_dir):
+    """ACF over the additively maintained daily series equals the
+    batch scorer over the same events — same maintainer as the
+    anomaly state, one shared scorer (acf_over_daily)."""
+    from locopy_spark.functions.numeric import sql_epoch_day
+    from locopy_spark.queries.stats import acf_over_daily
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_event_stream
+    from locopy_spark.streaming.stateful import score_daily_acf, stream_acf
+
+    stream = read_event_stream(spark, sf_dir)
+    q = stream_acf(stream, state_view="acf_state_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in score_daily_acf(spark.table("global_temp.acf_state_t"))
+        .orderBy("lag")
+        .collect()
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(sql_epoch_day(ev, "ts")).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias("x")
+    )
+    want = [tuple(r) for r in acf_over_daily(daily).orderBy("lag").collect()]
+    assert got and got == want
