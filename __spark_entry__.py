@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assortativity": mining.q_assortativity,
         "q_pareto_abc": tpch_ext.q_pareto_abc,
         "q_top_paths": events_ext.q_top_paths,
+        "q_xcorr": events_ext.q_xcorr,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -102,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "q_key_skew": tpch_ext.q_key_skew,
         # --- filler: oldest round-3 greens, re-rotating ---
-        "d_exact_dedup": docs.d_exact_dedup,
         # ------- position 50 cutoff: window ends above this line -------
+        "d_exact_dedup": docs.d_exact_dedup,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,
         "d_simhash": docs.d_simhash,

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "q_assortativity",
     "q_pareto_abc",
     "q_top_paths",
+    "q_xcorr",
 ]
 
 

@@ -946,3 +946,146 @@ ORACLE["q_top_paths"] = f"""
   ORDER BY n_user_days DESC, path
   LIMIT {PATH_TOP_K}
 """
+
+
+# -- view→purchase lead-lag cross-correlation ---------------------------------
+
+XCORR_MAX_LAG = 6
+XCORR_A = "view"
+XCORR_B = "purchase"
+
+
+def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cross-correlation between {XCORR_A} and {XCORR_B}
+    volume at lags −{XCORR_MAX_LAG}..+{XCORR_MAX_LAG} — the lead-lag
+    fingerprint behind "purchases follow views by k hours" claims
+    (positive lag = {XCORR_B} lags {XCORR_A}).
+
+    The raw events partial-aggregate once to per-(hour, side) counts;
+    the hour axis zero-fills over the DENSE [min, max] hour range
+    (missing hours are real zeros — skipping them biases r), which is
+    |hours|-sized and bounded by the time span, not data volume. Lag
+    pairs come from one broadcast lag-table equi-join (the q_autocorr
+    shape); per-lag exact bigint moments close through the shared
+    Pearson expression with the exact integer variance guard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr(f"({sql_epoch_us(e, 'ts')}) div 3600000000")
+    counts = (
+        e.filter(F.col("event_type").isin([XCORR_A, XCORR_B]))
+        .groupBy(
+            hour.alias("hour"),
+            (F.col("event_type") == XCORR_A).alias("is_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = counts.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1)")).alias("hour")
+    )
+    series = (
+        hours.join(
+            counts.filter("is_a").select("hour", F.col("c").alias("x")),
+            "hour",
+            "left",
+        )
+        .join(
+            counts.filter("not is_a").select("hour", F.col("c").alias("y")),
+            "hour",
+            "left",
+        )
+        .select(
+            "hour",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    shifted = series.select("hour", "x").crossJoin(F.broadcast(lags)).select(
+        "lag", "x", (F.col("hour") + F.col("lag")).alias("hour")
+    )
+    pairs = shifted.join(series.select("hour", "y"), "hour").select(
+        "lag", "x", "y"
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)").alias("sx2"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS BIGINT)").alias("sy2"),
+    )
+    corr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    var_ok = (
+        "CAST(n AS DECIMAL(38,0)) * {s2} > CAST({s} AS DECIMAL(38,0)) * {s}"
+    )
+    return (
+        agg.filter(
+            F.expr(var_ok.format(s2="sx2", s="sx"))
+            & F.expr(var_ok.format(s2="sy2", s="sy"))
+        )
+        .select("lag", "n", F.expr(corr).alias("xcorr"))
+        .orderBy("lag")
+    )
+
+
+ORACLE["q_xcorr"] = f"""
+  WITH counts AS (
+    SELECT epoch_us(ts) // 3600000000 AS hour,
+           event_type = '{XCORR_A}' AS is_a,
+           COUNT(*) AS c
+    FROM events
+    WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+    GROUP BY 1, 2
+  ),
+  hours AS (
+    SELECT UNNEST(generate_series(MIN(hour), MAX(hour))) AS hour FROM counts
+  ),
+  series AS (
+    SELECT h.hour,
+           COALESCE(a.c, 0) AS x,
+           COALESCE(b.c, 0) AS y
+    FROM hours h
+    LEFT JOIN (SELECT hour, c FROM counts WHERE is_a) a ON a.hour = h.hour
+    LEFT JOIN (SELECT hour, c FROM counts WHERE NOT is_a) b ON b.hour = h.hour
+  ),
+  pairs AS (
+    SELECT l.lag, s.x, t.y
+    FROM series s
+    CROSS JOIN (SELECT UNNEST(generate_series(-{XCORR_MAX_LAG},
+                                              {XCORR_MAX_LAG})) AS lag) l
+    JOIN series t ON t.hour = s.hour + l.lag
+  ),
+  agg AS (
+    SELECT lag, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sx2,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS sy2
+    FROM pairs GROUP BY lag
+  )
+  SELECT lag, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS xcorr
+  FROM agg
+  WHERE CAST(n AS HUGEINT) * sx2 > CAST(sx AS HUGEINT) * sx
+    AND CAST(n AS HUGEINT) * sy2 > CAST(sy AS HUGEINT) * sy
+  ORDER BY lag
+"""

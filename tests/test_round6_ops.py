@@ -81,3 +81,31 @@ def test_top_paths_order_and_cap(spark, tmp_path):
     assert {(r.path, r.n_user_days) for r in got[1:]} == {
         ("B", 1), (capped, 1),
     }
+
+
+def test_xcorr_shifted_series(spark, tmp_path):
+    """Purchases exactly replay views one hour later (views 1,0,2 at
+    hours 0..2 → purchases 1,0,2 at hours 1..3): xcorr at lag +1 is
+    exactly 1 over its 3 dense-zero-filled pairs."""
+    from locopy_spark.queries.events_ext import q_xcorr
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, at(0, 30), 1, "view"),
+        (2, at(2, 10), 1, "view"),
+        (3, at(2, 20), 2, "view"),
+        (4, at(3, 10), 3, "view"),
+        (5, at(1, 15), 1, "purchase"),
+        (6, at(3, 5), 2, "purchase"),
+        (7, at(3, 40), 3, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.lag: r for r in q_xcorr(spark, str(tmp_path)).collect()}
+    assert out[1].n == 3
+    assert out[1].xcorr == pytest.approx(1.0)
