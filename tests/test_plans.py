@@ -638,3 +638,60 @@ def test_weighted_quantiles_and_gini_no_skew_window(spark, sf_dir):
     for key in ("q_weighted_quantiles", "q_gini"):
         df = _q(spark, sf_dir, key)
         assert not audit.has_cartesian(df)
+
+
+def test_rank_battery_single_prefix_sum_no_cartesian(spark, sf_dir):
+    # the doubled-tie-rank family: one range-partitioned prefix sum
+    # over a per-value aggregate — never a one-partition window over
+    # raw rows, never a cartesian
+    for key in ("q_ks_test", "q_mann_whitney", "q_wilcoxon"):
+        df = _q(spark, sf_dir, key)
+        assert not audit.has_cartesian(df), key
+        assert audit.has_broadcast_join(df), key  # totals broadcast back
+
+
+def test_spearman_broadcasts_small_rank_table(spark, sf_dir):
+    # the y-side (line-count) rank table is |distinct counts|-sized
+    # and must broadcast; the x-side joins on the value key
+    df = _q(spark, sf_dir, "q_spearman")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+
+
+def test_acf_xcorr_lag_equi_join_not_nested_loop(spark, sf_dir):
+    # the lag table joins by equi-key (day/hour + lag), so the plan
+    # must not degrade to a broadcast nested loop over the series
+    for key in ("q_autocorr", "q_xcorr"):
+        df = _q(spark, sf_dir, key)
+        assert not audit.has_cartesian(df), key
+        assert audit.has_broadcast_join(df), key
+
+
+def test_runs_test_bounded_sorts_only(spark, sf_dir):
+    # two range-partitioned global row numbers + a rank-adjacency
+    # join over the |days|-sized table; no cartesian anywhere
+    df = _q(spark, sf_dir, "q_runs_test")
+    assert not audit.has_cartesian(df)
+
+
+def test_assortativity_shares_edge_scaffolding(spark, sf_dir):
+    # degree joins land on the |E| edge list; nothing all-pairs
+    df = _q(spark, sf_dir, "q_assortativity")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_pareto_abc_single_prefix_sum(spark, sf_dir):
+    # per-part aggregate -> ONE range-partitioned prefix sum -> 3-row
+    # class aggregate; the total broadcasts back
+    df = _q(spark, sf_dir, "q_pareto_abc")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+
+
+def test_top_paths_two_aggregations_only(spark, sf_dir):
+    # groupBy (user, day) then groupBy path + top-k: two hash
+    # aggregate shuffles plus the presentation sort, nothing else
+    df = _q(spark, sf_dir, "q_top_paths")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 3
