@@ -1,0 +1,224 @@
+"""Independent naive-reference checks for the rank-statistic battery.
+
+The DuckDB oracles deliberately share each query's closed-form
+construction (that is what makes them bit-exact), so a bug IN the
+construction would pass the gate on both engines. These tests compare
+the Spark queries against brute-force O(n²)/sorted-list Python
+implementations of the TEXTBOOK definitions on seeded random data with
+heavy tie density — same answers, independently derived.
+"""
+
+import random
+
+import pytest
+
+SEED = 42
+
+
+def _rng():
+    return random.Random(SEED)
+
+
+def _write(spark, path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(path / f"{name}.parquet")
+    )
+
+
+def _tie_ranks(values):
+    """Textbook tie-averaged ranks, dict value -> average rank."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2  # average of ranks i+1 .. j
+        i = j
+    return ranks
+
+
+def test_mann_whitney_vs_pair_counting(spark, tmp_path):
+    """U_A from the doubled-rank construction equals the O(n²) pair
+    count #{a > b} + ½·#{a = b} (the definitional form)."""
+    from locopy_spark.queries.stats import KS_SEG_A, KS_SEG_B, q_mann_whitney
+
+    r = _rng()
+    # price grid of 40 values over 300 orders -> heavy ties
+    cust, orders = [], []
+    xs, ys = [], []
+    for i in range(300):
+        seg = KS_SEG_A if r.random() < 0.5 else KS_SEG_B
+        # shifted distributions so U is informative
+        v = r.randrange(40) + (3 if seg == KS_SEG_A else 0)
+        cust.append((i, seg))
+        orders.append((i, v / 1000.0))  # SCALE=1000 -> integer v exactly
+        (xs if seg == KS_SEG_A else ys).append(v)
+    _write(spark, tmp_path, "customer", cust, "c_custkey long, c_mktsegment string")
+    _write(spark, tmp_path, "orders", orders, "o_custkey long, o_totalprice double")
+    got = q_mann_whitney(spark, str(tmp_path)).collect()[0]
+    u_x2 = sum(
+        2 if a > b else (1 if a == b else 0) for a in xs for b in ys
+    )
+    tie_t = 0
+    from collections import Counter
+
+    for t in Counter(xs + ys).values():
+        tie_t += t * t * t - t
+    assert (got.n_a, got.n_b) == (len(xs), len(ys))
+    assert got.u_a_x2 == u_x2
+    assert got.ties_t == tie_t
+
+
+def test_spearman_vs_textbook_ranks(spark, tmp_path):
+    """rho from centered doubled ranks equals the Pearson correlation
+    of textbook tie-averaged ranks computed in Python floats."""
+    from locopy_spark.queries.stats import q_spearman
+
+    r = _rng()
+    orders, lineitem = [], []
+    xs, ys = [], []
+    for i in range(200):
+        price = r.randrange(30) / 1000.0
+        n_lines = r.randrange(1, 6)
+        orders.append((i, price))
+        lineitem += [(i,)] * n_lines
+        xs.append(round(price * 1000))
+        ys.append(n_lines)
+    _write(spark, tmp_path, "orders", orders, "o_orderkey long, o_totalprice double")
+    _write(spark, tmp_path, "lineitem", lineitem, "l_orderkey long")
+    got = q_spearman(spark, str(tmp_path)).collect()[0]
+    rx = _tie_ranks(xs)
+    ry = _tie_ranks(ys)
+    a = [rx[v] for v in xs]
+    b = [ry[v] for v in ys]
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    num = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+    den = (
+        (n * sum(x * x for x in a) - sa * sa)
+        * (n * sum(y * y for y in b) - sb * sb)
+    ) ** 0.5
+    assert got.n == n
+    assert got.rho == pytest.approx(num / den, rel=1e-12)
+
+
+def test_wilcoxon_vs_textbook_signed_rank(spark, tmp_path):
+    """W⁺ from the doubled construction equals the textbook sum of
+    tie-averaged |d| ranks over positive differences."""
+    from locopy_spark.queries.stats import WILCOXON_SPLIT, q_wilcoxon
+
+    r = _rng()
+    early, late = "1994-06-01", "1996-06-01"
+    orders = []
+    diffs = []
+    for i in range(250):
+        x = r.randrange(25)
+        y = r.randrange(25)
+        if x:
+            orders.append((i, x / 1000.0, early))
+        if y:
+            orders.append((i, y / 1000.0, late))
+        if x or y:
+            d = y - x
+            if d != 0:
+                diffs.append(d)
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double, o_orderdate string"
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = q_wilcoxon(spark, str(tmp_path)).collect()[0]
+    ranks = _tie_ranks([abs(d) for d in diffs])
+    w_plus = sum(ranks[abs(d)] for d in diffs if d > 0)
+    from collections import Counter
+
+    tie_t = sum(
+        t * t * t - t for t in Counter(abs(d) for d in diffs).values()
+    )
+    assert got.n_pairs == len(diffs)
+    assert got.w_plus_x2 == round(2 * w_plus)
+    assert got.ties_t == tie_t
+
+
+def test_ks_vs_naive_ecdf(spark, tmp_path):
+    """d_ppb equals floor(1e9 · max|F_A − F_B|) from a direct ECDF
+    sweep in exact integer arithmetic."""
+    from locopy_spark.queries.stats import KS_SEG_A, KS_SEG_B, q_ks_test
+
+    r = _rng()
+    cust, orders = [], []
+    xs, ys = [], []
+    for i in range(300):
+        seg = KS_SEG_A if r.random() < 0.4 else KS_SEG_B
+        v = r.randrange(50) + (5 if seg == KS_SEG_A else 0)
+        cust.append((i, seg))
+        orders.append((i, v / 1000.0))
+        (xs if seg == KS_SEG_A else ys).append(v)
+    _write(spark, tmp_path, "customer", cust, "c_custkey long, c_mktsegment string")
+    _write(spark, tmp_path, "orders", orders, "o_custkey long, o_totalprice double")
+    got = q_ks_test(spark, str(tmp_path)).collect()[0]
+    na, nb = len(xs), len(ys)
+    best = 0
+    for v in sorted(set(xs + ys)):
+        ca = sum(1 for x in xs if x <= v)
+        cb = sum(1 for y in ys if y <= v)
+        best = max(best, abs(ca * nb - cb * na))
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert got.d_ppb == best * 10**9 // (na * nb)
+
+
+def test_runs_vs_naive_sweep(spark, tmp_path):
+    """Run count / split equals a direct Python sweep over the
+    day-ordered series around its lower median."""
+    from locopy_spark.queries.stats import q_runs_test
+
+    r = _rng()
+    import datetime as dt
+
+    base = dt.date(1995, 1, 1)
+    vals = [float(r.randrange(1, 12)) for _ in range(60)]
+    orders = [
+        (base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    _write(spark, tmp_path, "orders", orders, "o_orderdate date, o_totalprice double")
+    got = q_runs_test(spark, str(tmp_path)).collect()[0]
+    daily = [round(v) for v in vals]  # whole units, one order per day
+    med = sorted(daily)[(len(daily) + 1) // 2 - 1]  # lower median
+    signs = [x > med for x in daily]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert (got.n_days, got.runs) == (len(daily), runs)
+    assert got.n_above == sum(signs)
+
+
+def test_autocorr_vs_naive_pearson(spark, tmp_path):
+    """Per-lag acf equals a direct Python Pearson over the lagged
+    pairs of the daily series."""
+    from locopy_spark.queries.stats import ACF_MAX_LAG, q_autocorr
+
+    r = _rng()
+    import datetime as dt
+
+    base = dt.date(1995, 1, 1)
+    vals = [float(r.randrange(1, 50)) for _ in range(40)]
+    orders = [
+        (base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    _write(spark, tmp_path, "orders", orders, "o_orderdate date, o_totalprice double")
+    out = {row.lag: row for row in q_autocorr(spark, str(tmp_path)).collect()}
+    series = [round(v) for v in vals]
+    for lag in range(1, ACF_MAX_LAG + 1):
+        a = series[:-lag]
+        b = series[lag:]
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        num = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+        den = (
+            (n * sum(x * x for x in a) - sa * sa)
+            * (n * sum(y * y for y in b) - sb * sb)
+        ) ** 0.5
+        assert out[lag].n == n, lag
+        assert out[lag].acf == pytest.approx(num / den, rel=1e-12), lag
