@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pareto_abc": tpch_ext.q_pareto_abc,
         "q_top_paths": events_ext.q_top_paths,
         "q_xcorr": events_ext.q_xcorr,
+        "p_seqlen_plan": docs_ext.p_seqlen_plan,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -101,9 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dow_revenue": tpch_ext.q_dow_revenue,
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
+        # ------- position 50 cutoff: window ends above this line -------
         "q_key_skew": tpch_ext.q_key_skew,
         # --- filler: oldest round-3 greens, re-rotating ---
-        # ------- position 50 cutoff: window ends above this line -------
         "d_exact_dedup": docs.d_exact_dedup,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,

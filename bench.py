@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "q_pareto_abc",
     "q_top_paths",
     "q_xcorr",
+    "p_seqlen_plan",
 ]
 
 

@@ -2618,3 +2618,93 @@ def _oracle_prefix_join() -> str:
 
 
 ORACLE["d_prefix_join"] = _oracle_prefix_join()
+
+
+# -- training sequence-length planning ----------------------------------------
+
+SEQLEN_CANDIDATES = [128, 256, 512, 1024]
+
+
+def p_seqlen_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-L utilization report for candidate training sequence
+    lengths — the number read before fixing max_seq_len: for each
+    L ∈ {SEQLEN_CANDIDATES}, a doc of n tokens costs ceil(n/L)
+    sequences of L slots, and the padding waste is their empty tail.
+
+    One whitespace-token count per document (the ``p_pack_sequences``
+    length convention), then a broadcast candidate-length cross join
+    (4 rows) and ONE partial-aggregated groupBy — all counts exact
+    bigints, waste as integer ppm (exact floor division through
+    DECIMAL(38)/HUGEINT at planet scale), utilization the one double.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_toks"
+        )
+    )
+    ls = spark.createDataFrame(
+        [(l,) for l in SEQLEN_CANDIDATES], "max_len long"
+    )
+    per = d.crossJoin(F.broadcast(ls)).select(
+        "max_len",
+        "n_toks",
+        F.expr("(n_toks + max_len - 1) div max_len").alias("n_seqs"),
+    )
+    return (
+        per.groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_seqs").alias("n_seqs"),
+            F.expr(
+                "CAST(SUM(CAST(n_seqs AS DECIMAL(38,0)) * max_len)"
+                " AS BIGINT)"
+            ).alias("padded_tokens"),
+        )
+        .select(
+            "max_len",
+            "n_docs",
+            "total_tokens",
+            "n_seqs",
+            "padded_tokens",
+            F.expr(
+                "CAST(CAST(padded_tokens - total_tokens AS DECIMAL(38,0))"
+                " * 1000000 div padded_tokens AS BIGINT)"
+            ).alias("waste_ppm"),
+            F.expr(
+                "CAST(total_tokens AS DOUBLE)"
+                " / CAST(padded_tokens AS DOUBLE)"
+            ).alias("utilization"),
+        )
+        .orderBy("max_len")
+    )
+
+
+ORACLE["p_seqlen_plan"] = f"""
+  WITH d AS (
+    SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_toks
+    FROM documents
+  ),
+  per AS (
+    SELECT l.max_len, d.n_toks,
+           (d.n_toks + l.max_len - 1) // l.max_len AS n_seqs
+    FROM d
+    CROSS JOIN (SELECT UNNEST({SEQLEN_CANDIDATES}) AS max_len) l
+  ),
+  agg AS (
+    SELECT max_len, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+           CAST(SUM(CAST(n_seqs AS HUGEINT) * max_len) AS BIGINT)
+             AS padded_tokens
+    FROM per GROUP BY max_len
+  )
+  SELECT max_len, n_docs, total_tokens, n_seqs, padded_tokens,
+         CAST(CAST(padded_tokens - total_tokens AS HUGEINT)
+              * 1000000 // padded_tokens AS BIGINT) AS waste_ppm,
+         CAST(total_tokens AS DOUBLE) / CAST(padded_tokens AS DOUBLE)
+           AS utilization
+  FROM agg ORDER BY max_len
+"""

@@ -109,3 +109,22 @@ def test_xcorr_shifted_series(spark, tmp_path):
     out = {r.lag: r for r in q_xcorr(spark, str(tmp_path)).collect()}
     assert out[1].n == 3
     assert out[1].xcorr == pytest.approx(1.0)
+
+
+def test_seqlen_plan_hand_case(spark, tmp_path):
+    """Docs of 3 and 5 whitespace tokens: every candidate L fits each
+    doc in one sequence → padded = 2·L, waste_ppm is the exact floor
+    of (2L−8)·10⁶/2L (L=128: 968750 ppm, utilization 8/256)."""
+    from locopy_spark.queries.docs_ext import p_seqlen_plan
+
+    rows = [(1, "a b c"), (2, "a b c d e")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {r.max_len: r for r in p_seqlen_plan(spark, str(tmp_path)).collect()}
+    r128 = out[128]
+    assert (r128.n_docs, r128.total_tokens, r128.n_seqs) == (2, 8, 2)
+    assert r128.padded_tokens == 256
+    assert r128.waste_ppm == (256 - 8) * 10**6 // 256
+    assert r128.utilization == pytest.approx(8 / 256)
+    assert out[1024].padded_tokens == 2048
