@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_paths": events_ext.q_top_paths,
         "q_xcorr": events_ext.q_xcorr,
         "p_seqlen_plan": docs_ext.p_seqlen_plan,
+        "p_vocab_coverage": corpus.p_vocab_coverage,
+        "q_weekday_uplift": tpch_ext.q_weekday_uplift,
         # --- filler: last driver check was round 1 (Spark 3 era) ---
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
@@ -100,9 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": tpch_ext.q_grouping_sets,
         "q_intersect_customers": tpch_ext.q_intersect_customers,
         "q_dow_revenue": tpch_ext.q_dow_revenue,
+        # ------- position 50 cutoff: window ends above this line -------
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
-        # ------- position 50 cutoff: window ends above this line -------
         "q_key_skew": tpch_ext.q_key_skew,
         # --- filler: oldest round-3 greens, re-rotating ---
         "d_exact_dedup": docs.d_exact_dedup,

@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "q_top_paths",
     "q_xcorr",
     "p_seqlen_plan",
+    "p_vocab_coverage",
+    "q_weekday_uplift",
 ]
 
 

@@ -1318,3 +1318,94 @@ ORACLE["t_cms_counts"] = f"""
   GROUP BY 1, 2
   ORDER BY true_c DESC, token
 """
+
+
+# -- vocabulary coverage curve ------------------------------------------------
+
+VOCAB_COVERAGE_PCTS = [10, 25, 50]
+
+
+def p_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what share of all token
+    occurrences the most-frequent p % of the vocabulary covers
+    (p ∈ {VOCAB_COVERAGE_PCTS}) — the Zipf-head read behind
+    tokenizer-vocab sizing: if 10 % of types already cover 95 % of
+    occurrences, a smaller vocab trades little.
+
+    Exact construction: one token-count aggregate (vocabulary-sized —
+    the only data-volume shuffle), a range-partitioned global rank
+    under the total order (count desc, token), then a broadcast
+    3-row percentile table; head sizes are exact ceilings
+    k_p = ⌈V·p/100⌉ and coverage closes as integer ppm through
+    DECIMAL(38)/HUGEINT. No top-k heap, no one-partition sort.
+    """
+    from locopy_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(tokens_expr("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = global_row_number(
+        counts.select("tok", "c", F.expr("-c").alias("negc")),
+        ["negc", "tok"],
+        out_col="rn",
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("total_occ")
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in VOCAB_COVERAGE_PCTS], "pct long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.expr("rn <= (v * pct + 99) div 100"))
+        .groupBy("pct")
+        .agg(
+            F.max(F.expr("(v * pct + 99) div 100")).alias("k_types"),
+            F.max("v").alias("vocab"),
+            F.sum("c").alias("covered_occ"),
+            F.max("total_occ").alias("total_occ"),
+        )
+        .select(
+            "pct",
+            "vocab",
+            "k_types",
+            "covered_occ",
+            "total_occ",
+            F.expr(
+                "CAST(CAST(covered_occ AS DECIMAL(38,0)) * 1000000"
+                " div total_occ AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("pct")
+    )
+
+
+ORACLE["p_vocab_coverage"] = f"""
+  WITH counts AS (
+    SELECT tok, COUNT(*) AS c
+    FROM (SELECT UNNEST({sql_tokens('text')}) AS tok FROM documents)
+    WHERE tok != ''
+    GROUP BY tok
+  ),
+  ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY -c, tok) AS rn FROM counts
+  ),
+  tot AS (
+    SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS total_occ FROM counts
+  ),
+  pcts AS (SELECT UNNEST({VOCAB_COVERAGE_PCTS}) AS pct)
+  SELECT pct, MAX(v) AS vocab,
+         CAST(MAX((v * pct + 99) // 100) AS BIGINT) AS k_types,
+         CAST(SUM(c) AS BIGINT) AS covered_occ,
+         CAST(MAX(total_occ) AS BIGINT) AS total_occ,
+         CAST(CAST(SUM(c) AS HUGEINT) * 1000000
+              // MAX(total_occ) AS BIGINT) AS coverage_ppm
+  FROM ranked, tot, pcts
+  WHERE rn <= (v * pct + 99) // 100
+  GROUP BY pct ORDER BY pct
+"""

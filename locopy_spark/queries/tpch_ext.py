@@ -1561,3 +1561,66 @@ ORACLE["q_pareto_abc"] = f"""
          CAST(SUM(r) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS rev_share
   FROM classed GROUP BY 1 ORDER BY 1
 """
+
+
+# -- weekday revenue uplift ---------------------------------------------------
+
+def q_weekday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-of-week revenue index: average order value on day g
+    vs the overall average, as the exact integer ppm
+    (S_g · N · 10⁶) div (n_g · T) — 1,000,000 means "an average
+    weekday". The day-of-week seasonality complement to q_autocorr's
+    lag fingerprint, with the same engine-portable integer DOW
+    ((epoch_day + 4) % 7, 0=Sunday — native dayofweek() numbering
+    disagrees across engines).
+
+    The ppm numerator S_g·N·10⁶ stays inside DECIMAL(38)/HUGEINT past
+    10¹² orders; one partial-aggregated groupBy + a broadcast 1-row
+    total, nothing else.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dow = F.expr(
+        "(datediff(cast(o_orderdate as date), date'1970-01-01') + 4) % 7"
+    )
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    g = o.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(v).alias("s")
+    )
+    tot = g.agg(
+        F.sum("n_orders").alias("n_all"), F.sum("s").alias("t")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_orders",
+            F.expr(f"CAST(s AS DOUBLE) / {SCALE}.0").alias("revenue"),
+            F.expr(
+                "CAST(CAST(s AS DECIMAL(38,0)) * n_all * 1000000"
+                " div (CAST(n_orders AS DECIMAL(38,0)) * t) AS BIGINT)"
+            ).alias("uplift_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE["q_weekday_uplift"] = f"""
+  WITH g AS (
+    SELECT (datediff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) + 4) % 7 AS dow,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS s
+    FROM orders GROUP BY 1
+  ),
+  tot AS (
+    SELECT CAST(SUM(n_orders) AS BIGINT) AS n_all,
+           CAST(SUM(s) AS BIGINT) AS t
+    FROM g
+  )
+  SELECT dow, n_orders,
+         CAST(s AS DOUBLE) / {SCALE}.0 AS revenue,
+         CAST(CAST(s AS HUGEINT) * n_all * 1000000
+              // (CAST(n_orders AS HUGEINT) * t) AS BIGINT) AS uplift_ppm
+  FROM g, tot ORDER BY dow
+"""

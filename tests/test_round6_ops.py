@@ -128,3 +128,42 @@ def test_seqlen_plan_hand_case(spark, tmp_path):
     assert r128.waste_ppm == (256 - 8) * 10**6 // 256
     assert r128.utilization == pytest.approx(8 / 256)
     assert out[1024].padded_tokens == 2048
+
+
+def test_vocab_coverage_hand_case(spark, tmp_path):
+    """Vocab {a:6, b:3, c:1} (V=3, 10 occurrences): p=10 % → k=⌈0.3⌉=1
+    type covering 6/10 (600000 ppm); p=50 % → k=2 covering 9/10."""
+    from locopy_spark.queries.corpus import p_vocab_coverage
+
+    rows = [(1, "a a a b b"), (2, "a a a b c")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {r.pct: r for r in p_vocab_coverage(spark, str(tmp_path)).collect()}
+    assert (out[10].vocab, out[10].k_types, out[10].covered_occ) == (3, 1, 6)
+    assert out[10].coverage_ppm == 600000
+    assert (out[50].k_types, out[50].covered_occ) == (2, 9)
+    assert out[50].coverage_ppm == 900000
+
+
+def test_weekday_uplift_hand_case(spark, tmp_path):
+    """1970-01-01 was a Thursday (dow 4): orders of 2, 2 on Thursday
+    and 1 on Friday → Thursday avg 2 vs overall 5/3:
+    uplift = 2/(5/3) = 1.2 → 1200000 ppm exactly."""
+    import datetime as ddt
+
+    from locopy_spark.queries.tpch_ext import q_weekday_uplift
+
+    rows = [
+        (ddt.date(1970, 1, 1), 2.0),
+        (ddt.date(1970, 1, 1), 2.0),
+        (ddt.date(1970, 1, 2), 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.dow: r for r in q_weekday_uplift(spark, str(tmp_path)).collect()}
+    assert out[4].n_orders == 2 and out[5].n_orders == 1
+    assert out[4].uplift_ppm == 1200000
+    assert out[5].uplift_ppm == 600000
+    assert out[4].revenue == pytest.approx(4.0)
