@@ -1339,15 +1339,28 @@ def p_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_p = ⌈V·p/100⌉ and coverage closes as integer ppm through
     DECIMAL(38)/HUGEINT. No top-k heap, no one-partition sort.
     """
-    from locopy_spark.operators.ranking import global_row_number
-
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
+    return vocab_coverage_report(vocab_counts(docs))
+
+
+def vocab_counts(docs: DataFrame) -> DataFrame:
+    """Additive vocabulary state ``(tok, c)`` — merges by token, so a
+    streaming maintainer (``streaming.stateful.stream_vocab``) holds
+    exactly this vocabulary-sized table."""
+    return (
         docs.select(F.explode(F.expr(tokens_expr("text"))).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def vocab_coverage_report(counts: DataFrame) -> DataFrame:
+    """The coverage-curve finisher over the vocabulary state — shared
+    by the batch query and the streaming state view."""
+    from locopy_spark.operators.ranking import global_row_number
+
+    spark = counts.sparkSession
     ranked = global_row_number(
         counts.select("tok", "c", F.expr("-c").alias("negc")),
         ["negc", "tok"],

@@ -970,15 +970,29 @@ def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson expression with the exact integer variance guard.
     """
     e = load_table(spark, sf_dir, "events")
-    hour = F.expr(f"({sql_epoch_us(e, 'ts')}) div 3600000000")
-    counts = (
-        e.filter(F.col("event_type").isin([XCORR_A, XCORR_B]))
+    return xcorr_report(xcorr_state(e))
+
+
+def xcorr_state(events: DataFrame) -> DataFrame:
+    """Additive lead-lag state ``(hour, is_a, c)`` — per-(hour, side)
+    counts merge by key, so a streaming maintainer
+    (``streaming.stateful.stream_xcorr``) holds exactly this
+    |hours|×2 table."""
+    hour = F.expr(f"({sql_epoch_us(events, 'ts')}) div 3600000000")
+    return (
+        events.filter(F.col("event_type").isin([XCORR_A, XCORR_B]))
         .groupBy(
             hour.alias("hour"),
             (F.col("event_type") == XCORR_A).alias("is_a"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def xcorr_report(counts: DataFrame) -> DataFrame:
+    """The dense-fill + lag-moment finisher over the hourly state —
+    shared by the batch query and the streaming state view."""
+    spark = counts.sparkSession
     bounds = counts.agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )

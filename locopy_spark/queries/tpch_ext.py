@@ -1579,13 +1579,26 @@ def q_weekday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, nothing else.
     """
     o = load_table(spark, sf_dir, "orders")
+    return weekday_report(weekday_state(o))
+
+
+def weekday_state(orders: DataFrame) -> DataFrame:
+    """Additive per-DOW state ``(dow, n_orders, s)`` — counts and
+    scaled revenue merge by key, so a streaming maintainer
+    (``streaming.stateful.stream_weekday_uplift``) holds exactly
+    this 7-row table."""
     dow = F.expr(
         "(datediff(cast(o_orderdate as date), date'1970-01-01') + 4) % 7"
     )
     v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
-    g = o.groupBy(dow.alias("dow")).agg(
+    return orders.groupBy(dow.alias("dow")).agg(
         F.count(F.lit(1)).alias("n_orders"), F.sum(v).alias("s")
     )
+
+
+def weekday_report(g: DataFrame) -> DataFrame:
+    """The uplift finisher over the 7-row state — shared by the batch
+    query and the streaming state view."""
     tot = g.agg(
         F.sum("n_orders").alias("n_all"), F.sum("s").alias("t")
     )

@@ -1092,3 +1092,114 @@ def stream_acf(events: DataFrame, state_view: str = "acf_state"):
     arrival order and batch boundaries cannot change the result
     (batch twin: ``queries.stats.q_autocorr``)."""
     return stream_daily_anomaly(events, state_view=state_view)
+
+
+def stream_weekday_uplift(
+    orders: DataFrame,
+    state_view: str = "weekday_state",
+):
+    """Continuously-maintained day-of-week revenue index: each
+    micro-batch reduces to the additive 7-row
+    ``queries.tpch_ext.weekday_state`` (counts + scaled revenue merge
+    by dow — commutative, late/out-of-order safe), finished on demand
+    by the shared ``weekday_report`` (batch twin:
+    ``q_weekday_uplift``)."""
+    from locopy_spark.queries.tpch_ext import weekday_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "dow int, n_orders long, s long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(weekday_state(batch_df))
+            .groupBy("dow")
+            .agg(
+                F.sum("n_orders").alias("n_orders"), F.sum("s").alias("s")
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"weekday_{state_view}")
+        .start()
+    )
+
+
+def stream_vocab(
+    docs: DataFrame,
+    state_view: str = "vocab_state",
+):
+    """Continuously-maintained corpus vocabulary counts
+    (``queries.corpus.vocab_counts`` — additive by token, vocabulary-
+    sized state forever): the feed for the on-demand
+    ``vocab_coverage_report`` Zipf-head curve (batch twin:
+    ``p_vocab_coverage``)."""
+    from locopy_spark.queries.corpus import vocab_counts
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "tok string, c long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(vocab_counts(batch_df))
+            .groupBy("tok")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"vocab_{state_view}")
+        .start()
+    )
+
+
+def stream_xcorr(
+    events: DataFrame,
+    state_view: str = "xcorr_state",
+):
+    """Continuously-maintained view→purchase lead-lag state: per-
+    (hour, side) counts (``queries.events_ext.xcorr_state`` —
+    additive, |hours|×2 rows, late events just add to their hour),
+    finished on demand by the shared dense-fill + lag-moment
+    ``xcorr_report`` (batch twin: ``q_xcorr``)."""
+    from locopy_spark.queries.events_ext import xcorr_state
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "hour long, is_a boolean, c long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(xcorr_state(batch_df))
+            .groupBy("hour", "is_a")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"xcorr_{state_view}")
+        .start()
+    )

@@ -888,3 +888,100 @@ def test_stream_acf_matches_batch(spark, sf_dir):
     )
     want = [tuple(r) for r in acf_over_daily(daily).orderBy("lag").collect()]
     assert got and got == want
+
+
+def test_stream_weekday_uplift_matches_batch(spark, sf_dir, tmp_path):
+    """The 7-row per-DOW state merges additively, so stream state +
+    the shared uplift finisher equals batch q_weekday_uplift on any
+    batching/order."""
+    from locopy_spark.queries.tpch_ext import q_weekday_uplift, weekday_report
+    from locopy_spark.streaming.stateful import stream_weekday_uplift
+
+    orders = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        orders.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"wchunk{i}"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "wchunk*"))
+    )
+    q = stream_weekday_uplift(stream, state_view="weekday_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in weekday_report(
+            spark.table("global_temp.weekday_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_weekday_uplift(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_vocab_matches_batch(spark, sf_dir, tmp_path):
+    """Token counts merge additively across 4 out-of-order doc
+    chunks; stream state + the shared Zipf-head finisher equals batch
+    p_vocab_coverage exactly."""
+    from locopy_spark.queries.corpus import (
+        p_vocab_coverage,
+        vocab_coverage_report,
+    )
+    from locopy_spark.streaming.stateful import stream_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"vchunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "vchunk*"))
+    )
+    q = stream_vocab(stream, state_view="vocab_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in vocab_coverage_report(
+            spark.table("global_temp.vocab_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in p_vocab_coverage(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_xcorr_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(hour, side) counts merge additively; stream state + the
+    shared dense-fill/lag-moment finisher equals batch q_xcorr on 4
+    out-of-order event chunks."""
+    from locopy_spark.queries.events_ext import q_xcorr, xcorr_report
+    from locopy_spark.streaming.stateful import stream_xcorr
+
+    ev = load_table(spark, sf_dir, "events")
+    for i, pred in enumerate(["3", "0", "2", "1"]):
+        ev.filter(f"pmod(event_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"xchunk{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "xchunk*"))
+    )
+    q = stream_xcorr(stream, state_view="xcorr_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in xcorr_report(spark.table("global_temp.xcorr_t")).collect()
+    ]
+    want = [tuple(r) for r in q_xcorr(spark, sf_dir).collect()]
+    assert got and got == want
