@@ -222,3 +222,66 @@ def test_autocorr_vs_naive_pearson(spark, tmp_path):
         ) ** 0.5
         assert out[lag].n == n, lag
         assert out[lag].acf == pytest.approx(num / den, rel=1e-12), lag
+
+
+def test_gini_vs_naive_formula(spark, tmp_path):
+    """gini_ppb equals the direct ⌊Σ(2i−n−1)xᵢ·10⁹/(n·Σx)⌋ over the
+    ascending-sorted per-customer revenues (orderless customers at
+    zero) computed with Python bigints."""
+    from locopy_spark.queries.stats import q_gini
+
+    r = _rng()
+    segs = ["BUILDING", "MACHINERY"]
+    cust, orders = [], []
+    by_seg = {s: [] for s in segs}
+    for i in range(120):
+        seg = segs[i % 2]
+        cust.append((i, seg))
+        rev = 0
+        for _ in range(r.randrange(0, 4)):  # 0 orders -> zero revenue
+            v = r.randrange(1, 500)
+            orders.append((i, v / 1000.0))
+            rev += v
+        by_seg[seg].append(rev)
+    _write(spark, tmp_path, "customer", cust, "c_custkey long, c_mktsegment string")
+    _write(spark, tmp_path, "orders", orders, "o_custkey long, o_totalprice double")
+    out = {r_.c_mktsegment: r_ for r_ in q_gini(spark, str(tmp_path)).collect()}
+    for seg in segs:
+        xs = sorted(by_seg[seg])
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        want = num * 10**9 // (n * sum(xs))
+        assert out[seg].n_customers == n, seg
+        assert out[seg].gini_ppb == want, seg
+
+
+def test_weighted_quantiles_vs_naive_sweep(spark, tmp_path):
+    """wp25/wmedian/wp75 equal a direct cumulative-weight sweep
+    (first value whose inclusive cumulative weight reaches k·W/4)."""
+    from locopy_spark.queries.stats import q_weighted_quantiles
+
+    r = _rng()
+    rows = []
+    items = []
+    for i in range(150):
+        v = r.randrange(1, 40)  # milli-unit price -> heavy ties
+        w = r.randrange(1, 6)
+        rows.append((i, 1, "A", v / 1000.0, float(w)))
+        items.append((v, i, 1, w))
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string,"
+        " l_extendedprice double, l_quantity double",
+    )
+    got = q_weighted_quantiles(spark, str(tmp_path)).collect()[0]
+    items.sort()
+    W = sum(w for _, _, _, w in items)
+    for k, field in ((1, "wp25"), (2, "wmedian"), (3, "wp75")):
+        cum = 0
+        pick = None
+        for v, _, _, w in items:
+            cum += w
+            if 4 * cum >= k * W:
+                pick = v
+                break
+        assert getattr(got, field) == pytest.approx(pick / 1000.0), field
