@@ -40,12 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the window rotates each round.  Round 6 leads with the
     SEVENTEEN round-5 additions that have never had a driver
     correctness row (they sat at positions 51-67 in round 5: s_mips
-    through q_cohort_ltv), then any round-6 additions, then the
-    stalest greens as filler: the r1-era block (q_except_customers …
-    q_key_skew, last driver-checked round 1 under Spark 3) and the
-    oldest round-3-green family (d_exact_dedup … t_term_stats).  The
+    through q_cohort_ltv), then the TWENTY-SEVEN round-6 additions
+    (q_ols_trend … q_weekday_uplift), then the stalest greens as
+    filler: the head of the r1-era block (q_except_customers …
+    q_dow_revenue, last driver-checked round 1 under Spark 3).  The
     cutoff (position 50) is marked below; everything past it is
-    driver-green from rounds 3-5 and re-verified by the repo's own
+    driver-green from rounds 1-5 and re-verified by the repo's own
     full DuckDB gate (tools/check_correctness.py) at sf0.01.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
