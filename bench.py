@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "p_seqlen_plan",
     "p_vocab_coverage",
     "q_weekday_uplift",
+    "q_interpurchase",
 ]
 
 

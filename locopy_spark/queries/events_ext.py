@@ -1103,3 +1103,102 @@ ORACLE["q_xcorr"] = f"""
     AND CAST(n AS HUGEINT) * sy2 > CAST(sy AS HUGEINT) * sy
   ORDER BY lag
 """
+
+
+# -- inter-purchase cycle time ------------------------------------------------
+
+def q_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cycle time per market segment: day gaps between
+    each customer's consecutive orders — the replenishment-cadence
+    read behind "when do we expect them back".
+
+    Per-customer sequences are short and bounded (the
+    q_event_transitions shape), so the lag window shuffles once on
+    the customer key; the segment-level exact median gap uses
+    operators.ranking.grouped_global_row_number (range-partitioned —
+    no one-task-per-segment sort of the gap table); mean closes as
+    one double division of exact bigints. Total order (o_orderdate,
+    o_orderkey) makes same-day ties deterministic.
+    """
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderkey", day.alias("day"))
+        .withColumn("prev_day", F.lag("day").over(w))
+        .filter(F.col("prev_day").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("day") - F.col("prev_day")).cast("long").alias("gap"),
+        )
+        .join(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    ranked = grouped_global_row_number(
+        gaps,
+        group_cols=["c_mktsegment"],
+        order_cols=["gap", "o_custkey", "o_orderkey"],
+        out_col="rn",
+        size_col="n",
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.expr(
+                "CAST(SUM(gap) AS DOUBLE) / COUNT(*)"
+            ).alias("mean_gap_days"),
+            F.max(
+                F.expr(
+                    "case when rn = cast(ceil(0.5 * n) as bigint)"
+                    " then gap end"
+                )
+            ).alias("median_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q_interpurchase"] = """
+  WITH g AS (
+    SELECT o_custkey, o_orderkey,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day
+    FROM orders
+  ),
+  gaps AS (
+    SELECT o_custkey, o_orderkey,
+           day - LAG(day) OVER (
+             PARTITION BY o_custkey ORDER BY day, o_orderkey
+           ) AS gap
+    FROM g
+  ),
+  seg AS (
+    SELECT c_mktsegment, gap, o_custkey, o_orderkey
+    FROM gaps JOIN customer ON o_custkey = c_custkey
+    WHERE gap IS NOT NULL
+  ),
+  r AS (
+    SELECT c_mktsegment, gap,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY gap, o_custkey, o_orderkey
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM seg
+  )
+  SELECT c_mktsegment,
+         CAST(MAX(n) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_days,
+         MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                  THEN gap END) AS median_gap_days
+  FROM r GROUP BY 1 ORDER BY 1
+"""

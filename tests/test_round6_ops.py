@@ -167,3 +167,29 @@ def test_weekday_uplift_hand_case(spark, tmp_path):
     assert out[4].uplift_ppm == 1200000
     assert out[5].uplift_ppm == 600000
     assert out[4].revenue == pytest.approx(4.0)
+
+
+def test_interpurchase_hand_case(spark, tmp_path):
+    """Customer 1 (segment A) orders on days 0, 10, 40 → gaps 10, 30;
+    customer 2 (A) on days 0, 5 → gap 5. Segment A: n=3, mean 15,
+    lower median (rank 2 of 3) = 10."""
+    from locopy_spark.queries.events_ext import q_interpurchase
+
+    cust = [(1, "A"), (2, "A")]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        (1, 101, dt.date(1970, 1, 1)),
+        (1, 102, dt.date(1970, 1, 11)),
+        (1, 103, dt.date(1970, 2, 10)),
+        (2, 201, dt.date(1970, 1, 1)),
+        (2, 202, dt.date(1970, 1, 6)),
+    ]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_orderkey long, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = q_interpurchase(spark, str(tmp_path)).collect()[0]
+    assert (r.c_mktsegment, r.n_gaps) == ("A", 3)
+    assert r.mean_gap_days == pytest.approx(45 / 3)
+    assert r.median_gap_days == 10
