@@ -207,6 +207,12 @@ BENCH_QUERIES = [
     "p_vocab_coverage",
     "q_weekday_uplift",
     "q_interpurchase",
+    "q_mann_kendall",
+    "q_kendall_tau",
+    "q_cramers_v",
+    "q_hhi",
+    "q_kaplan_meier",
+    "q_kruskal_wallis",
 ]
 
 

@@ -1,0 +1,826 @@
+"""Association / concentration / survival statistics.
+
+The locopy reference (locopy/database.py:131 ``execute``) hands these
+exact analyst SQL shapes to the warehouse; here Spark IS the
+warehouse, so each is a Catalyst plan with a DuckDB oracle twin.
+
+Family: Mann–Kendall trend test (the nonparametric complement to
+q_ols_trend), Kendall tau-b (rank association robust where Spearman's
+centered ranks saturate), Cramér's V (categorical association),
+Herfindahl–Hirschman concentration (the market-power index next to
+q_gini), Kaplan–Meier survival (customer-lifetime churn curve), and
+Kruskal–Wallis (the k-group extension of q_mann_whitney).
+
+Exactness conventions (SURVEY §4): every statistic closes from exact
+scaled integers; products widen through Spark DECIMAL(38,0) / DuckDB
+HUGEINT; floor division is Spark ``div`` / DuckDB ``//`` (positive
+operands → identical truncation); the one final double expression is
+byte-identical on both engines; double sums over group sets are
+replaced by fixed-order pivoted term chains (partition-order-proof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from locopy_spark.functions.numeric import SCALE
+from locopy_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+# -- Mann–Kendall trend test -------------------------------------------------
+
+# z with the standard continuity correction; s_stat/var18 are exact
+# bigints so the single double expression is engine-identical
+_MK_Z = (
+    "CASE WHEN s_stat > 0 THEN"
+    " (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0 THEN"
+    " (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END"
+)
+# two-sided α=0.05 normal critical value, exact decimal literal
+_MK_CRIT = "1.959964"
+
+
+def _mk_tie_term(wide: str) -> str:
+    return f"CAST(SUM(CAST(t AS {wide}) * (t - 1) * (2 * t + 5)) AS BIGINT)"
+
+
+def _mk_var18(wide: str) -> str:
+    return (
+        f"CAST(CAST(n_days AS {wide}) * (n_days - 1) * (2 * n_days + 5)"
+        " - tie_term AS BIGINT)"
+    )
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily order revenue — the
+    distribution-free "is revenue drifting" answer that q_ols_trend's
+    least-squares slope can't give when the series is non-normal.
+
+    Everything runs on the |days|-sized daily aggregate (whole
+    currency units, the ``q_anomaly_days`` convention — bounded by the
+    calendar, not data volume), so the O(|days|²) sign-pair join is
+    constant work at any SF: the aggregate broadcasts and the
+    inequality join is a broadcast nested loop over ~3M comparisons,
+    never a shuffle (the ``q_theil_sen`` bounded-pair precedent).
+    S = Σ sgn(x_j − x_i) and the tie-corrected Var·18 are exact
+    bigints; z closes with the standard continuity correction as one
+    shared double expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice + 0.5) as bigint)")).alias("x")
+    )
+    return mk_over_daily(daily)
+
+
+def mk_over_daily(daily: DataFrame) -> DataFrame:
+    """The Mann–Kendall scorer over any ``(day, x)`` daily series —
+    shared with the streaming state view (the ``acf_over_daily``
+    pattern) so stream-vs-batch tests exercise series maintenance,
+    not two scorer copies."""
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(F.broadcast(b), F.expr("a.day < b.day"))
+        .select(F.expr("cast(sign(b.x - a.x) as bigint)").alias("sgn"))
+        .agg(F.coalesce(F.sum("sgn"), F.lit(0)).alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.expr(_mk_tie_term("DECIMAL(38,0)")).alias("tie_term"),
+        )
+    )
+    row = (
+        s.crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            F.expr(_mk_var18("DECIMAL(38,0)")).alias("var18"),
+        )
+        .select("n_days", "s_stat", "var18", F.expr(_MK_Z).alias("z"))
+    )
+    return row.select(
+        "n_days",
+        "s_stat",
+        "var18",
+        "z",
+        F.expr(
+            f"CASE WHEN z > {_MK_CRIT} THEN 'increasing'"
+            f" WHEN z < -{_MK_CRIT} THEN 'decreasing'"
+            " ELSE 'no trend' END"
+        ).alias("trend"),
+    )
+
+
+ORACLE["q_mann_kendall"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM orders GROUP BY 1
+  ),
+  s AS (
+    SELECT CAST(COALESCE(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)), 0)
+                AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b ON a.day < b.day
+  ),
+  ties AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+           {_mk_tie_term("HUGEINT")} AS tie_term
+    FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)
+  ),
+  v AS (
+    SELECT n_days, s_stat, {_mk_var18("HUGEINT")} AS var18
+    FROM s, ties
+  ),
+  z AS (SELECT n_days, s_stat, var18, {_MK_Z} AS z FROM v)
+  SELECT n_days, s_stat, var18, z,
+         CASE WHEN z > {_MK_CRIT} THEN 'increasing'
+              WHEN z < -{_MK_CRIT} THEN 'decreasing'
+              ELSE 'no trend' END AS trend
+  FROM z
+"""
+
+
+# -- Kendall tau-b -----------------------------------------------------------
+
+# tau_b = (C − D) / (sqrt((n(n−1) − Σtx(tx−1))/2) · sqrt(... ty ...));
+# every operand is an exact bigint < 2^53 at gate SFs, the doubled tie
+# sums avoid /2 until inside the sqrt
+_TAU_B = (
+    "CAST(concordant - discordant AS DOUBLE)"
+    " / (sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    " - CAST(n1x2 AS DOUBLE)) / 2.0)"
+    " * sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    " - CAST(n1y2 AS DOUBLE)) / 2.0))"
+)
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between order value and order width (line
+    count) — the concordance complement to ``q_spearman``: counts pair
+    agreements instead of correlating ranks, so a few extreme ranks
+    can't dominate.
+
+    The O(n²) pair space is never touched: concordant/discordant
+    counts come from a 2-D prefix-sum device over the |Vx|×|Vy| value
+    GRID (|Vy| = distinct line counts ≤ ~7, so the grid is a small
+    multiple of the distinct-price count — metadata, not data).
+    For each grid point, s_gt(x,y) = #points(x' > x, y-val = y) falls
+    out of one range-partitioned grouped running sum
+    (operators.ranking.grouped_global_running_sum — no one-partition
+    window); the within-x suffix/prefix over y (a ≤|Vy|-row window per
+    x, embarrassingly parallel) then gives G/L = #points strictly
+    greater/less in both axes, and C = Σ n_cell·G, D = Σ n_cell·L as
+    exact bigints through DECIMAL(38)/HUGEINT. tau-b closes as one
+    shared double expression over five exact integers.
+    """
+    from locopy_spark.operators.ranking import grouped_global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    base = (
+        o.select(
+            "o_orderkey",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "x"
+            ),
+        )
+        .join(cnt, "o_orderkey")
+        .select("x", "y")
+    )
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        cells.select("x")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("y").distinct()))
+        .join(cells, ["x", "y"], "left")
+        .select("x", "y", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    g = grouped_global_running_sum(
+        grid,
+        group_cols=["y"],
+        order_cols=["x"],
+        weight_col="n",
+        out_col="cle",
+        total_col="toty",
+    ).withColumn("sgt", F.expr("toty - cle"))
+    wx = Window.partitionBy("x").orderBy("y")
+    gl = g.select(
+        "x",
+        "y",
+        F.coalesce(
+            F.sum("sgt").over(wx.rowsBetween(1, Window.unboundedFollowing)),
+            F.lit(0),
+        ).alias("gt"),
+        F.coalesce(
+            F.sum("sgt").over(wx.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("lt"),
+    )
+    cd = (
+        cells.join(gl, ["x", "y"])
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(n AS DECIMAL(38,0)) * gt) AS BIGINT)"
+            ).alias("concordant"),
+            F.expr(
+                "CAST(SUM(CAST(n AS DECIMAL(38,0)) * lt) AS BIGINT)"
+            ).alias("discordant"),
+        )
+    )
+    tx = (
+        base.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS BIGINT)"
+            ).alias("n1x2"),
+        )
+    )
+    ty = (
+        base.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS BIGINT)"
+            ).alias("n1y2")
+        )
+    )
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n", "concordant", "discordant", F.expr(_TAU_B).alias("tau_b")
+        )
+    )
+
+
+ORACLE["q_kendall_tau"] = f"""
+  WITH base AS (
+    SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x, y
+    FROM orders
+    JOIN (SELECT l_orderkey AS o_orderkey, COUNT(*) AS y
+          FROM lineitem GROUP BY 1) USING (o_orderkey)
+  ),
+  cells AS (SELECT x, y, COUNT(*) AS n FROM base GROUP BY 1, 2),
+  grid AS (
+    SELECT xs.x, ys.y, COALESCE(c.n, 0) AS n
+    FROM (SELECT DISTINCT x FROM cells) xs
+    CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+    LEFT JOIN cells c USING (x, y)
+  ),
+  cum AS (
+    SELECT x, y,
+           SUM(n) OVER (PARTITION BY y ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+           SUM(n) OVER (PARTITION BY y) AS toty
+    FROM grid
+  ),
+  sg AS (SELECT x, y, toty - cle AS sgt FROM cum),
+  gl AS (
+    SELECT x, y,
+           COALESCE(SUM(sgt) OVER (PARTITION BY x ORDER BY y
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS gt,
+           COALESCE(SUM(sgt) OVER (PARTITION BY x ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+    FROM sg
+  ),
+  cd AS (
+    SELECT CAST(SUM(CAST(n AS HUGEINT) * gt) AS BIGINT) AS concordant,
+           CAST(SUM(CAST(n AS HUGEINT) * lt) AS BIGINT) AS discordant
+    FROM cells JOIN gl USING (x, y)
+  ),
+  tx AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS BIGINT) AS n1x2
+    FROM (SELECT COUNT(*) AS t FROM base GROUP BY x)
+  ),
+  ty AS (
+    SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS BIGINT) AS n1y2
+    FROM (SELECT COUNT(*) AS t FROM base GROUP BY y)
+  )
+  SELECT n, concordant, discordant, {_TAU_B} AS tau_b
+  FROM cd, tx, ty
+"""
+
+
+# -- Cramér's V --------------------------------------------------------------
+
+
+def _cv_d(wide: str) -> str:
+    """Per-cell common-denominator deviation n·n_ij − r_i·c_j."""
+    return f"CAST(n AS {wide}) * n_ij - CAST(r_i AS {wide}) * c_j"
+
+
+def _cv_term(fd: str, wide: str) -> str:
+    """Exact ppb chi² contribution ⌊d²·1e9 / (n·r_i·c_j)⌋ — every
+    operand widened so the worst case (~1e30 at sf1) stays inside
+    DECIMAL(38)/HUGEINT."""
+    return (
+        f"CAST(CAST(d * d AS {wide}) * 1000000000"
+        f" {fd} (CAST(n AS {wide}) * r_i * c_j) AS BIGINT)"
+    )
+
+
+_CV_V = (
+    "sqrt((CAST(chi2_ppb AS DOUBLE) / 1.0e9)"
+    " / (CAST(n AS DOUBLE) * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))"
+)
+
+
+def contingency_state(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The additive |priorities|×|segments| contingency table —
+    per-cell counts merge by (pri, seg), so the streaming twin keeps
+    this exact table as bounded state forever."""
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+
+
+def cramers_report(cells: DataFrame) -> DataFrame:
+    """Close Cramér's V from the contingency cells: margins are
+    |rows|+|cols|-sized broadcasts, chi² is an exact integer in ppb
+    (per-cell floor division — deterministic, documented convention),
+    V is the one double expression."""
+    r = cells.groupBy("pri").agg(F.sum("n_ij").alias("r_i"))
+    c = cells.groupBy("seg").agg(F.sum("n_ij").alias("c_j"))
+    tot = cells.agg(
+        F.sum("n_ij").alias("n"),
+        F.countDistinct("pri").alias("n_rows"),
+        F.countDistinct("seg").alias("n_cols"),
+    )
+    j = (
+        cells.join(F.broadcast(r), "pri")
+        .join(F.broadcast(c), "seg")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("d", F.expr(_cv_d("DECIMAL(38,0)")))
+    )
+    agg = j.groupBy("n", "n_rows", "n_cols").agg(
+        F.sum(F.expr(_cv_term("div", "DECIMAL(38,0)"))).alias("chi2_ppb")
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.expr("(n_rows - 1) * (n_cols - 1)").alias("dof"),
+        "chi2_ppb",
+        F.expr(_CV_V).alias("cramers_v"),
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order priority and customer
+    market segment — the categorical-association check run before
+    treating two dimensions as independent strata (near 0 on TPC-H's
+    independent columns; the oracle verifies the exact chi² integer,
+    not just the headline V).
+
+    Scale shape: one broadcast dim join + one |R|×|C|-cell aggregate
+    (map-side combined); everything after runs on ≤25 rows. The cell
+    table is the additive state the streaming twin maintains.
+    """
+    return cramers_report(
+        contingency_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
+
+
+ORACLE["q_cramers_v"] = f"""
+  WITH cells AS (
+    SELECT o_orderpriority AS pri, c_mktsegment AS seg,
+           COUNT(*) AS n_ij
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+  ),
+  r AS (SELECT pri, CAST(SUM(n_ij) AS BIGINT) AS r_i FROM cells GROUP BY 1),
+  c AS (SELECT seg, CAST(SUM(n_ij) AS BIGINT) AS c_j FROM cells GROUP BY 1),
+  tot AS (
+    SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
+           COUNT(DISTINCT pri) AS n_rows,
+           COUNT(DISTINCT seg) AS n_cols
+    FROM cells
+  ),
+  d AS (
+    SELECT n, n_rows, n_cols, n_ij, r_i, c_j, {_cv_d("HUGEINT")} AS d
+    FROM cells JOIN r USING (pri) JOIN c USING (seg), tot
+  ),
+  agg AS (
+    SELECT n, n_rows, n_cols,
+           CAST(SUM({_cv_term("//", "HUGEINT")}) AS BIGINT) AS chi2_ppb
+    FROM d GROUP BY 1, 2, 3
+  )
+  SELECT n, n_rows, n_cols,
+         CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+         chi2_ppb, {_CV_V} AS cramers_v
+  FROM agg
+"""
+
+
+# -- Herfindahl–Hirschman concentration --------------------------------------
+
+_HHI_PPM = (
+    "CAST((ssq * 1000000) div (CAST(tot AS DECIMAL(38,0)) * tot)"
+    " AS BIGINT)"
+)
+_HHI_PPM_DUCK = (
+    "CAST((ssq * 1000000) // (CAST(tot AS HUGEINT) * tot) AS BIGINT)"
+)
+
+
+def hhi_state(lineitem: DataFrame, supplier: DataFrame,
+              nation: DataFrame) -> DataFrame:
+    """Per-(nation, supplier) revenue cents — the additive state
+    (merge by key, |suppliers| rows forever) behind the HHI report."""
+    return (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            ).alias("s")
+        )
+    )
+
+
+def hhi_report(state: DataFrame) -> DataFrame:
+    """Close HHI per nation from the supplier-revenue state: Σs² and
+    S² widen through DECIMAL(38)/HUGEINT, HHI is one exact ppm floor
+    division, and the effective-firm count 1e6/HHI is the single
+    double."""
+    agg = state.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("s").alias("tot"),
+        F.expr("SUM(CAST(s AS DECIMAL(38,0)) * s)").alias("ssq"),
+    )
+    return (
+        agg.select(
+            "n_name",
+            "n_suppliers",
+            F.expr(_HHI_PPM).alias("hhi_ppm"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            "hhi_ppm",
+            F.expr("1000000.0 / CAST(hhi_ppm AS DOUBLE)").alias(
+                "equiv_firms"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier-revenue concentration
+    within each nation — the market-power screen (ppm scale: >2,500
+    ppm×100 is the antitrust "highly concentrated" line) that
+    complements q_gini's customer-side inequality.
+
+    Scale shape: one broadcast dim join, one partial-aggregated
+    groupBy to the |suppliers|-sized state (the additive table the
+    streaming twin maintains), then |nations|-row arithmetic. Exact:
+    cents are bigints, Σs²·1e6 and S² stay inside DECIMAL(38)/HUGEINT
+    to ~$10T/supplier, HHI is a floor division on positives.
+    """
+    return hhi_report(
+        hhi_state(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        )
+    )
+
+
+ORACLE["q_hhi"] = f"""
+  WITH state AS (
+    SELECT n_name, l_suppkey AS suppkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS s
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+  ),
+  agg AS (
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(s) AS BIGINT) AS tot,
+           SUM(CAST(s AS HUGEINT) * s) AS ssq
+    FROM state GROUP BY 1
+  ),
+  h AS (
+    SELECT n_name, n_suppliers, {_HHI_PPM_DUCK} AS hhi_ppm FROM agg
+  )
+  SELECT n_name, n_suppliers, hhi_ppm,
+         1000000.0 / CAST(hhi_ppm AS DOUBLE) AS equiv_firms
+  FROM h ORDER BY n_name
+"""
+
+
+# -- Kaplan–Meier survival ---------------------------------------------------
+
+KM_CHURN_DAYS = 90
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetime (days between
+    first and last order): a customer whose last order sits more than
+    {KM_CHURN_DAYS} days before the dataset horizon is a churn EVENT
+    at t = lifetime; later last-orders are right-CENSORED — the
+    estimator that reads retention correctly where a naive churn rate
+    can't (censored customers aren't failures).
+
+    Scale shape: per-customer spans are one partial-aggregated
+    groupBy; the at-risk counts n_t = N − #(lifetime < t) come from a
+    range-partitioned exclusive prefix sum over the |distinct
+    lifetimes|-sized aggregate (operators.ranking.global_running_sum);
+    the inherently-sequential survival product runs as ONE Arrow task
+    over that bounded table (≤ |days| rows — the q_exp_smooth /
+    q_holt_linear regime), kept exact in ppb fixed point:
+    S_t = ⌊S_{{t-1}}·(n_t − d_t) / n_t⌋ (products ≤ 1e9·N, inside
+    bigint to N ~ 9e9 customers). DuckDB twin = the same recurrence as
+    a recursive CTE, bit-exact.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    life = span.crossJoin(F.broadcast(mx)).select(
+        F.expr("datediff(last_d, first_d)").alias("t"),
+        F.expr(
+            f"cast(datediff(mx, last_d) > {KM_CHURN_DAYS} as int)"
+        ).alias("ev"),
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.expr("1 - ev")).alias("c"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    cum = global_running_sum(
+        per_t, order_cols=["t"], value_col="m", out_col="pre"
+    )
+    tot = per_t.agg(F.sum("m").alias("n_total"))
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "t", "d", "c", F.expr("n_total - pre").alias("n_risk")
+    )
+
+    def km(pdf):
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        s = 10**9
+        out = []
+        for d, n in zip(pdf["d"].tolist(), pdf["n_risk"].tolist()):
+            s = (s * (n - d)) // n
+            out.append(s)
+        pdf["surv_ppb"] = out
+        return pdf
+
+    km_df = (
+        risk.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            km, "__g int, t int, d long, c long, n_risk long, surv_ppb long"
+        )
+    )
+    return km_df.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        "surv_ppb",
+        (F.col("surv_ppb").cast("double") / 1.0e9).alias("survival"),
+    ).orderBy("t")
+
+
+ORACLE["q_kaplan_meier"] = f"""
+  WITH span AS (
+    SELECT o_custkey,
+           MIN(CAST(o_orderdate AS DATE)) AS fd,
+           MAX(CAST(o_orderdate AS DATE)) AS ld
+    FROM orders GROUP BY 1
+  ),
+  mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+  life AS (
+    SELECT datediff('day', fd, ld) AS t,
+           CAST(datediff('day', ld, mx) > {KM_CHURN_DAYS} AS INT) AS ev
+    FROM span, mx
+  ),
+  per_t AS (
+    SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(1 - ev) AS BIGINT) AS c,
+           COUNT(*) AS m
+    FROM life GROUP BY 1
+  ),
+  idx AS (
+    SELECT t, d, c,
+           ROW_NUMBER() OVER (ORDER BY t) AS i,
+           CAST((SELECT SUM(m) FROM per_t) AS BIGINT)
+             - CAST(COALESCE(SUM(m) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS n_risk
+    FROM per_t
+  ),
+  km(i, t, d, c, n_risk, s) AS (
+    SELECT i, t, d, c, n_risk,
+           CAST((1000000000 * (n_risk - d)) // n_risk AS BIGINT)
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT x.i, x.t, x.d, x.c, x.n_risk,
+           CAST((k.s * (x.n_risk - x.d)) // x.n_risk AS BIGINT)
+    FROM idx x JOIN km k ON x.i = k.i + 1
+  )
+  SELECT t, n_risk, d AS d_events, c AS c_censored,
+         s AS surv_ppb, CAST(s AS DOUBLE) / 1.0e9 AS survival
+  FROM km ORDER BY t
+"""
+ORACLE["q_kaplan_meier"] = (
+    "WITH RECURSIVE" + ORACLE["q_kaplan_meier"].split("WITH", 1)[1]
+)
+
+
+# -- Kruskal–Wallis ----------------------------------------------------------
+
+KW_SEGMENTS = [
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+]
+
+
+def _kw_h_terms() -> str:
+    """Σ_g (R2_g/2)²/n_g as a FIXED-ORDER explicit five-term chain —
+    double addition is not associative, so the sum over groups is
+    spelled out instead of aggregated (identical text both engines,
+    empty groups contribute 0)."""
+    terms = []
+    for s in KW_SEGMENTS:
+        k = s.lower()
+        terms.append(
+            f"(CASE WHEN n_{k} > 0 THEN"
+            f" (CAST(r2_{k} AS DOUBLE) / 2.0) * (CAST(r2_{k} AS DOUBLE) / 2.0)"
+            f" / CAST(n_{k} AS DOUBLE) ELSE 0.0 END)"
+        )
+    return " + ".join(terms)
+
+
+_KW_H = (
+    f"12.0 * ({_kw_h_terms()})"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
+)
+_KW_HC = (
+    "h / (1.0 - CAST(ties_t AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE)))"
+)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal–Wallis H across all five market segments on
+    order value — the k-group extension of ``q_mann_whitney`` (same
+    doubled-tie-rank prefix-sum device), answering "do ANY segments
+    differ in level" in one test instead of 10 pairwise U tests.
+
+    Exact parts: pooled doubled ranks 2·pre + t + 1 via one
+    range-partitioned prefix sum over the |distinct values| aggregate;
+    per-group doubled rank sums R2_g and the tie term Σ(t³−t) close as
+    bigints (R2_g ≤ 2n² — inside 2^53 to n ~ 6e7). H and its tie
+    correction are one double expression whose group sum is a
+    fixed-order pivoted five-term chain (double addition is not
+    associative; a SUM over a group set would be partition-order
+    dependent).
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)").alias(
+            "v"
+        ),
+    )
+    pv = base.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    cum = global_running_sum(pv, order_cols=["v"], value_col="t",
+                             out_col="pre")
+    dr = cum.select("v", F.expr("2 * pre + t + 1").alias("dr"))
+    cell = base.groupBy("v", "seg").agg(F.count(F.lit(1)).alias("tg"))
+    per_g = (
+        cell.join(dr, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum("tg").alias("n_g"),
+            F.expr(
+                "CAST(SUM(CAST(tg AS DECIMAL(38,0)) * dr) AS BIGINT)"
+            ).alias("r2_g"),
+        )
+    )
+    piv_exprs = []
+    for s in KW_SEGMENTS:
+        k = s.lower()
+        piv_exprs.append(
+            F.expr(
+                f"CAST(COALESCE(MAX(CASE WHEN seg = '{s}' THEN n_g END), 0)"
+                " AS BIGINT)"
+            ).alias(f"n_{k}")
+        )
+        piv_exprs.append(
+            F.expr(
+                f"CAST(COALESCE(MAX(CASE WHEN seg = '{s}' THEN r2_g END), 0)"
+                " AS BIGINT)"
+            ).alias(f"r2_{k}")
+        )
+    piv = per_g.agg(*piv_exprs)
+    ties = pv.agg(
+        F.sum("t").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS BIGINT)"
+        ).alias("ties_t"),
+    )
+    row = piv.crossJoin(F.broadcast(ties)).withColumn("h", F.expr(_KW_H))
+    keep = ["n", "ties_t"]
+    for s in KW_SEGMENTS:
+        keep += [f"n_{s.lower()}", f"r2_{s.lower()}"]
+    return row.select(*keep, "h", F.expr(_KW_HC).alias("h_tie_corrected"))
+
+
+_KW_PIV_DUCK = ",\n           ".join(
+    f"CAST(COALESCE(MAX(CASE WHEN seg = '{s}' THEN n_g END), 0) AS BIGINT)"
+    f" AS n_{s.lower()},\n           "
+    f"CAST(COALESCE(MAX(CASE WHEN seg = '{s}' THEN r2_g END), 0) AS BIGINT)"
+    f" AS r2_{s.lower()}"
+    for s in KW_SEGMENTS
+)
+_KW_KEEP = ", ".join(
+    f"n_{s.lower()}, r2_{s.lower()}" for s in KW_SEGMENTS
+)
+
+ORACLE["q_kruskal_wallis"] = f"""
+  WITH base AS (
+    SELECT c_mktsegment AS seg,
+           CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v
+    FROM orders JOIN customer ON o_custkey = c_custkey
+  ),
+  pv AS (SELECT v, COUNT(*) AS t FROM base GROUP BY 1),
+  dr AS (
+    SELECT v, 2 * CAST(COALESCE(SUM(t) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) + t + 1 AS dr
+    FROM pv
+  ),
+  cell AS (SELECT v, seg, COUNT(*) AS tg FROM base GROUP BY 1, 2),
+  per_g AS (
+    SELECT seg, CAST(SUM(tg) AS BIGINT) AS n_g,
+           CAST(SUM(CAST(tg AS HUGEINT) * dr) AS BIGINT) AS r2_g
+    FROM cell JOIN dr USING (v) GROUP BY 1
+  ),
+  piv AS (
+    SELECT {_KW_PIV_DUCK}
+    FROM per_g
+  ),
+  ties AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties_t
+    FROM pv
+  ),
+  h AS (SELECT *, {_KW_H} AS h FROM piv, ties)
+  SELECT n, ties_t, {_KW_KEEP}, h, {_KW_HC} AS h_tie_corrected
+  FROM h
+"""

@@ -285,3 +285,174 @@ def test_weighted_quantiles_vs_naive_sweep(spark, tmp_path):
                 pick = v
                 break
         assert getattr(got, field) == pytest.approx(pick / 1000.0), field
+
+
+def test_kendall_tau_vs_brute_force_pairs(spark, tmp_path):
+    """C/D from the 2-D grid prefix-sum device equal the O(n²)
+    definitional pair counts, and tau-b matches the textbook close."""
+    from locopy_spark.queries.assoc import q_kendall_tau
+
+    r = _rng()
+    orders, lineitem = [], []
+    pts = []
+    for i in range(250):
+        cents = r.randrange(30)  # heavy x ties
+        n_lines = r.randrange(1, 6)
+        orders.append((i, cents / 100.0))
+        lineitem += [(i,)] * n_lines
+        pts.append((cents, n_lines))
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_totalprice double")
+    _write(spark, tmp_path, "lineitem", lineitem, "l_orderkey long")
+    got = q_kendall_tau(spark, str(tmp_path)).collect()[0]
+    C = D = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            if (x1 < x2 and y1 < y2) or (x1 > x2 and y1 > y2):
+                C += 1
+            elif (x1 < x2 and y1 > y2) or (x1 > x2 and y1 < y2):
+                D += 1
+    from collections import Counter
+
+    n1x2 = sum(t * (t - 1) for t in Counter(x for x, _ in pts).values())
+    n1y2 = sum(t * (t - 1) for t in Counter(y for _, y in pts).values())
+    assert (got.n, got.concordant, got.discordant) == (n, C, D)
+    den = (
+        ((n * (n - 1) - n1x2) / 2.0) ** 0.5
+        * ((n * (n - 1) - n1y2) / 2.0) ** 0.5
+    )
+    assert got.tau_b == pytest.approx((C - D) / den, rel=1e-12)
+
+
+def test_mann_kendall_vs_brute_force(spark, tmp_path):
+    """S and Var·18 from the bounded pair join equal the textbook
+    definitional sums."""
+    from locopy_spark.queries.assoc import q_mann_kendall
+
+    import datetime as dt
+
+    r = _rng()
+    base = dt.date(1995, 1, 1)
+    orders = []
+    series = []
+    for d in range(120):
+        # mild upward drift + ties (integer dollars)
+        v = r.randrange(10) + d // 20
+        orders.append((base + dt.timedelta(days=d), float(v)))
+        series.append(v)
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderdate date, o_totalprice double")
+    got = q_mann_kendall(spark, str(tmp_path)).collect()[0]
+    n = len(series)
+    S = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(series).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    assert (got.n_days, got.s_stat, got.var18) == (n, S, var18)
+    import math
+
+    zc = (S - (1 if S > 0 else -1 if S < 0 else 0)) / math.sqrt(var18 / 18.0)
+    assert got.z == pytest.approx(zc, rel=1e-12)
+
+
+def test_kruskal_wallis_vs_textbook_ranks(spark, tmp_path):
+    """H from the doubled-rank pivot equals the textbook tie-averaged
+    rank computation in Python floats."""
+    from locopy_spark.queries.assoc import KW_SEGMENTS, q_kruskal_wallis
+
+    r = _rng()
+    cust, orders = [], []
+    by_seg = {s: [] for s in KW_SEGMENTS}
+    for i in range(400):
+        seg = KW_SEGMENTS[r.randrange(len(KW_SEGMENTS))]
+        v = r.randrange(30) + (2 if seg == "BUILDING" else 0)
+        cust.append((i, seg))
+        orders.append((i, v / 1000.0))
+        by_seg[seg].append(v)
+    _write(spark, tmp_path, "customer", cust,
+           "c_custkey long, c_mktsegment string")
+    _write(spark, tmp_path, "orders", orders,
+           "o_custkey long, o_totalprice double")
+    got = q_kruskal_wallis(spark, str(tmp_path)).collect()[0]
+    pooled = [v for vs in by_seg.values() for v in vs]
+    ranks = _tie_ranks(pooled)
+    n = len(pooled)
+    H = (
+        12.0
+        / (n * (n + 1))
+        * sum(
+            sum(ranks[v] for v in vs) ** 2 / len(vs)
+            for vs in by_seg.values()
+            if vs
+        )
+        - 3.0 * (n + 1)
+    )
+    from collections import Counter
+
+    tie_t = sum(t * t * t - t for t in Counter(pooled).values())
+    hc = H / (1.0 - tie_t / (n**3 - n))
+    assert got.n == n
+    for s in KW_SEGMENTS:
+        assert getattr(got, f"n_{s.lower()}") == len(by_seg[s]), s
+        assert getattr(got, f"r2_{s.lower()}") == round(
+            2 * sum(ranks[v] for v in by_seg[s])
+        ), s
+    assert got.h == pytest.approx(H, rel=1e-9)
+    assert got.h_tie_corrected == pytest.approx(hc, rel=1e-9)
+
+
+def test_kaplan_meier_vs_naive_product(spark, tmp_path):
+    """n_risk/d/c equal brute-force sweeps and the ppb fixed-point
+    survival tracks the float KM product within the documented
+    per-step floor error."""
+    from locopy_spark.queries.assoc import KM_CHURN_DAYS, q_kaplan_meier
+
+    import datetime as dt
+
+    r = _rng()
+    base = dt.date(1995, 1, 1)
+    horizon = base + dt.timedelta(days=400)
+    orders = []
+    lives = []
+    for i in range(200):
+        first = r.randrange(0, 300)
+        span = r.randrange(0, 80)
+        last = first + span
+        orders.append((i, base + dt.timedelta(days=first)))
+        orders.append((i, base + dt.timedelta(days=last)))
+        lives.append((span, last))
+    # pin the dataset horizon so censoring is deterministic
+    orders.append((10**6, horizon))
+    lives.append((0, 400))
+    _write(spark, tmp_path, "orders", orders,
+           "o_custkey long, o_orderdate date")
+    rows = q_kaplan_meier(spark, str(tmp_path)).collect()
+    events = [
+        (t, int(400 - last > KM_CHURN_DAYS)) for t, last in lives
+    ]
+    times = sorted({t for t, _ in events})
+    surv = 1.0
+    exact_s = 10**9
+    by_t = {}
+    for t in times:
+        n_risk = sum(1 for tt, _ in events if tt >= t)
+        d = sum(1 for tt, ev in events if tt == t and ev)
+        c = sum(1 for tt, ev in events if tt == t and not ev)
+        surv *= (n_risk - d) / n_risk
+        exact_s = exact_s * (n_risk - d) // n_risk
+        by_t[t] = (n_risk, d, c, surv, exact_s)
+    assert [r_.t for r_ in rows] == times
+    for r_ in rows:
+        n_risk, d, c, surv, exact_s = by_t[r_.t]
+        assert (r_.n_risk, r_.d_events, r_.c_censored) == (n_risk, d, c)
+        assert r_.surv_ppb == exact_s
+        assert r_.survival == pytest.approx(surv, abs=1e-6)

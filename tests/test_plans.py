@@ -695,3 +695,56 @@ def test_top_paths_two_aggregations_only(spark, sf_dir):
     df = _q(spark, sf_dir, "q_top_paths")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 3
+
+
+def test_kendall_tau_grid_device_no_cartesian(spark, sf_dir):
+    # the |Vx|x|Vy| grid comes from a broadcast cross of the <=7-row
+    # y-dim (legitimate tiny broadcast), the running sum is
+    # range-partitioned, the per-x window is parallel; the raw pair
+    # space must never appear as a shuffle cartesian
+    df = _q(spark, sf_dir, "q_kendall_tau")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+
+
+def test_mann_kendall_bounded_broadcast_pairs(spark, sf_dir):
+    # the sign-pair join runs over the broadcast |days|-sized daily
+    # aggregate (bounded by the calendar) - a broadcast nested loop
+    # is the DESIGNED shape here, a shuffle cartesian is not
+    df = _q(spark, sf_dir, "q_mann_kendall")
+    assert not audit.has_cartesian(df)
+
+
+def test_cramers_v_broadcast_dim_and_margins(spark, sf_dir):
+    # customer dim broadcasts into the fact scan; everything after the
+    # |R|x|C| cell aggregate is a <=25-row plan
+    df = _q(spark, sf_dir, "q_cramers_v")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+
+
+def test_hhi_broadcast_dims_single_state_shuffle(spark, sf_dir):
+    # supplier/nation broadcast; one partial-aggregated shuffle to the
+    # |suppliers|-sized state, then |nations|-row arithmetic
+    df = _q(spark, sf_dir, "q_hhi")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+    assert audit.shuffle_count(df) <= 3
+
+
+def test_kaplan_meier_bounded_sequential_tail(spark, sf_dir):
+    # per-customer span aggregate + range-partitioned prefix sum; the
+    # sequential survival product is one Arrow task over the bounded
+    # per-lifetime table, never a cartesian
+    df = _q(spark, sf_dir, "q_kaplan_meier")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+
+
+def test_kruskal_wallis_single_prefix_sum(spark, sf_dir):
+    # the q_mann_whitney doubled-rank device generalized: one
+    # range-partitioned prefix sum over the per-value aggregate, the
+    # rank table joins back on the value key
+    df = _q(spark, sf_dir, "q_kruskal_wallis")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
