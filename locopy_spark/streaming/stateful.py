@@ -1203,3 +1203,103 @@ def stream_xcorr(
         .queryName(f"xcorr_{state_view}")
         .start()
     )
+
+
+def stream_cramers(
+    orders: DataFrame,
+    customer: DataFrame,
+    state_view: str = "cramers_state",
+):
+    """Continuously-maintained categorical-association state: each
+    micro-batch stream-static joins the customer dim and reduces to
+    the additive |R|×|C| contingency table
+    (``queries.assoc.contingency_state`` — counts merge by (pri, seg),
+    ≤25 rows of state forever), finished on demand by the shared
+    ``cramers_report`` (batch twin: ``q_cramers_v``) — the
+    continuously-refreshed independence screen."""
+    from locopy_spark.queries.assoc import contingency_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "pri string, seg string, n_ij long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(contingency_state(batch_df, customer))
+            .groupBy("pri", "seg")
+            .agg(F.sum("n_ij").alias("n_ij"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"cramers_{state_view}")
+        .start()
+    )
+
+
+def stream_hhi(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    state_view: str = "hhi_state",
+):
+    """Continuously-maintained market-concentration state: per-batch
+    broadcast dim joins reduce to the additive per-(nation, supplier)
+    revenue-cents table (``queries.assoc.hhi_state`` — |suppliers|
+    rows of state forever, late/out-of-order line items just add),
+    finished on demand by the shared ``hhi_report`` (batch twin:
+    ``q_hhi``)."""
+    from locopy_spark.queries.assoc import hhi_state
+
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame([], "n_name string, suppkey long, s long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(hhi_state(batch_df, supplier, nation))
+            .groupBy("n_name", "suppkey")
+            .agg(F.sum("s").alias("s"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"hhi_{state_view}")
+        .start()
+    )
+
+
+def score_daily_mk(daily: DataFrame) -> DataFrame:
+    """Mann–Kendall trend verdict over a maintained daily series
+    ``(day, x_fix)`` — delegates to ``queries.assoc.mk_over_daily``
+    (ONE scorer for stream state and batch twin, the
+    ``score_daily_acf`` convention)."""
+    from locopy_spark.queries.assoc import mk_over_daily
+
+    return mk_over_daily(daily.select("day", F.col("x_fix").alias("x")))
+
+
+def stream_mann_kendall(events: DataFrame, state_view: str = "mk_state"):
+    """Streaming trend-test feed: Mann–Kendall needs only the
+    |days|-sized daily series, whose per-day sums form a commutative
+    monoid — so the maintainer IS ``stream_daily_anomaly``'s additive
+    merge (shared deliberately — one state layout now feeds THREE
+    on-demand scorers: anomaly z, ACF, and the MK trend verdict).
+    Score the state view with :func:`score_daily_mk`; arrival order
+    and batch boundaries cannot change the result (batch twin:
+    ``queries.assoc.q_mann_kendall``)."""
+    return stream_daily_anomaly(events, state_view=state_view)

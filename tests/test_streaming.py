@@ -985,3 +985,105 @@ def test_stream_xcorr_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_xcorr(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_cramers_matches_batch(spark, sf_dir, tmp_path):
+    """Contingency cells merge additively across the stream-static
+    customer join, so stream state + the shared chi²/V finisher
+    equals batch q_cramers_v on any batching/order."""
+    from locopy_spark.queries.assoc import cramers_report, q_cramers_v
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cramers
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        orders.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cvchunk{i}"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cvchunk*"))
+    )
+    q = stream_cramers(stream, customer, state_view="cramers_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in cramers_report(
+            spark.table("global_temp.cramers_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_cramers_v(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_hhi_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(nation, supplier) revenue cents merge additively across 4
+    out-of-order lineitem chunks; stream state + the shared HHI
+    finisher equals batch q_hhi exactly."""
+    from locopy_spark.queries.assoc import hhi_report, q_hhi
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_hhi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    for i, pred in enumerate(["3", "1", "0", "2"]):
+        li.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"hchunk{i}"))
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "hchunk*"))
+    )
+    q = stream_hhi(stream, supplier, nation, state_view="hhi_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in hhi_report(spark.table("global_temp.hhi_t")).collect()
+    ]
+    want = [tuple(r) for r in q_hhi(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_mann_kendall_matches_batch(spark, sf_dir):
+    """The MK trend verdict over the additively maintained daily
+    series equals the batch scorer over the same events — the third
+    scorer sharing the daily-anomaly state layout."""
+    from locopy_spark.functions.numeric import sql_epoch_day
+    from locopy_spark.queries.assoc import mk_over_daily
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_event_stream
+    from locopy_spark.streaming.stateful import (
+        score_daily_mk,
+        stream_mann_kendall,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    q = stream_mann_kendall(stream, state_view="mk_state_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in score_daily_mk(
+            spark.table("global_temp.mk_state_t")
+        ).collect()
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(sql_epoch_day(ev, "ts")).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias("x")
+    )
+    want = [tuple(r) for r in mk_over_daily(daily).collect()]
+    assert got and got == want
