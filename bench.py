@@ -213,6 +213,10 @@ BENCH_QUERIES = [
     "q_hhi",
     "q_kaplan_meier",
     "q_kruskal_wallis",
+    "q_new_vs_returning",
+    "q_seasonal_decompose",
+    "q_degree_dist",
+    "t_code_detect",
 ]
 
 

@@ -2708,3 +2708,94 @@ ORACLE["p_seqlen_plan"] = f"""
            AS utilization
   FROM agg ORDER BY max_len
 """
+
+
+# -- code-vs-prose detection -------------------------------------------------
+
+# marker-density threshold for "code-like": 8,000 ppm = 0.8% of
+# characters are ; { } = ( — prose sits well under, source files well
+# over (deterministic heuristic; the corpus-mixture gate for routing
+# code-heavy sources to a code-aware tokenizer)
+CODE_TAU_PPM = 8000
+
+
+def _count_expr(sub: str) -> str:
+    """Occurrences of ``sub`` via replace-length arithmetic — pure
+    string ops, identical on both engines (no regex dialect risk)."""
+    esc = sub.replace("'", "''")
+    return (
+        f"(length(text) - length(replace(text, '{esc}', '')))"
+        f" div {len(sub)}"
+    )
+
+
+_CODE_MARKERS = [";", "{", "}", "=", "("]
+_CODE_SCORE = (
+    "CAST(("
+    + " + ".join(_count_expr(m) for m in _CODE_MARKERS)
+    + ") * 1000000 div greatest(length(text), 1) AS BIGINT)"
+)
+
+
+def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose classification per source — the corpus-mixture
+    gate that decides which sources need a code-aware tokenizer /
+    dedicated quality pipeline (code looks "low quality" to prose
+    heuristics like t_quality_score and would be wrongly filtered).
+
+    Row-local marker-density scoring (; {{ }} = ( counted via
+    replace-length arithmetic — no regex, so no cross-engine dialect
+    risk), one partial-aggregated |sources|-sized rollup. Exact ppm
+    integers throughout (floor division on positives; the div-by-zero
+    guard keeps empty docs at score 0).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr(_CODE_SCORE).alias("score_ppm"),
+    ).withColumn(
+        "is_code", F.expr(f"cast(score_ppm >= {CODE_TAU_PPM} as int)")
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_code").alias("n_code"),
+        F.sum("score_ppm").alias("s_score"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_code",
+        F.expr(
+            "CAST(CAST(n_code AS DECIMAL(38,0)) * 1000000"
+            " div n_docs AS BIGINT)"
+        ).alias("code_share_ppm"),
+        F.expr("CAST(s_score div n_docs AS BIGINT)").alias(
+            "mean_score_ppm"
+        ),
+    ).orderBy("source")
+
+
+_CODE_SCORE_DUCK = _CODE_SCORE.replace(" div ", " // ")
+
+ORACLE["t_code_detect"] = f"""
+  WITH scored AS (
+    SELECT source, {_CODE_SCORE_DUCK} AS score_ppm
+    FROM documents
+  ),
+  flagged AS (
+    SELECT source, score_ppm,
+           CAST(score_ppm >= {CODE_TAU_PPM} AS INT) AS is_code
+    FROM scored
+  ),
+  g AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           CAST(SUM(score_ppm) AS BIGINT) AS s_score
+    FROM flagged GROUP BY 1
+  )
+  SELECT source, n_docs, n_code,
+         CAST(CAST(n_code AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+           AS code_share_ppm,
+         CAST(s_score // n_docs AS BIGINT) AS mean_score_ppm
+  FROM g ORDER BY source
+"""

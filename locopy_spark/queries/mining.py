@@ -1416,3 +1416,77 @@ ORACLE["q_assortativity"] = """
          END AS assortativity
   FROM agg
 """
+
+
+# -- degree distribution -----------------------------------------------------
+
+
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first plot
+    read before running PageRank/triangles on a new graph (heavy-tail
+    check: is degree-oriented iteration going to pay off, does the
+    broadcast-adjacency path fit).
+
+    Shares the ``copurchase_edges`` scaffolding with q_pagerank /
+    q_graph_triangles / q_assortativity. One |E|-sized union → one
+    |V|-sized degree aggregate (persisted — the histogram and the
+    1-row total both read it, and without the persist Catalyst would
+    rebuild the whole edge pipeline twice) → one |distinct
+    degrees|-sized histogram with exact vertex/edge-endpoint shares
+    in ppm (floor division through DECIMAL(38)/HUGEINT).
+    """
+    e = copurchase_edges(spark, sf_dir)
+    deg = managed_persist(
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d")),
+        "degree_dist",
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_vertices"))
+    tot = deg.agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("d").alias("sum_d")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("degree"),
+            "n_vertices",
+            F.expr(
+                "CAST(CAST(n_vertices AS DECIMAL(38,0)) * 1000000"
+                " div n_v AS BIGINT)"
+            ).alias("vertex_share_ppm"),
+            F.expr(
+                "CAST(CAST(n_vertices AS DECIMAL(38,0)) * d * 1000000"
+                " div sum_d AS BIGINT)"
+            ).alias("endpoint_share_ppm"),
+        )
+        .orderBy("degree")
+    )
+
+
+ORACLE["q_degree_dist"] = """
+  WITH b AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e AS (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  deg AS (
+    SELECT v, COUNT(*) AS d
+    FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+  ),
+  hist AS (SELECT d, COUNT(*) AS n_vertices FROM deg GROUP BY 1),
+  tot AS (
+    SELECT COUNT(*) AS n_v, CAST(SUM(d) AS BIGINT) AS sum_d FROM deg
+  )
+  SELECT d AS degree, n_vertices,
+         CAST(CAST(n_vertices AS HUGEINT) * 1000000 // n_v AS BIGINT)
+           AS vertex_share_ppm,
+         CAST(CAST(n_vertices AS HUGEINT) * d * 1000000 // sum_d AS BIGINT)
+           AS endpoint_share_ppm
+  FROM hist, tot ORDER BY degree
+"""

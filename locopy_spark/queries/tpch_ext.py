@@ -1637,3 +1637,88 @@ ORACLE["q_weekday_uplift"] = f"""
               // (CAST(n_orders AS HUGEINT) * t) AS BIGINT) AS uplift_ppm
   FROM g, tot ORDER BY dow
 """
+
+
+# -- new vs returning customers ----------------------------------------------
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly new-vs-returning order split — the acquisition-vs-
+    retention read every revenue dashboard opens with: an order is NEW
+    when it falls in its customer's first active month, RETURNING
+    after (reference locopy users run exactly this shape through
+    ``execute``; cohort companion to q_retention_cohorts / q_cohort_ltv).
+
+    Scale shape: per-customer first month is one partial-aggregated
+    groupBy; the join back to orders co-partitions on the customer key
+    (one shuffle each side); the monthly rollup is |months|-sized.
+    Exact: linear month index, cents as bigints, the new-order share
+    as an exact ppm floor division through DECIMAL(38)/HUGEINT.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m_expr = "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1"
+    base = o.select(
+        "o_custkey",
+        F.expr(m_expr).alias("m"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    first = base.groupBy("o_custkey").agg(F.min("m").alias("fm"))
+    j = base.join(first, "o_custkey").withColumn(
+        "is_new", F.expr("cast(m = fm as int)")
+    )
+    g = j.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_new").alias("n_new"),
+        F.sum(F.expr("cast(is_new = 0 as bigint)")).alias("n_returning"),
+        F.sum(F.expr("case when is_new = 1 then cents else 0 end")).alias(
+            "new_c"
+        ),
+        F.sum(F.expr("case when is_new = 0 then cents else 0 end")).alias(
+            "ret_c"
+        ),
+    )
+    return g.select(
+        "m",
+        "n_orders",
+        "n_new",
+        "n_returning",
+        F.expr(
+            "CAST(CAST(n_new AS DECIMAL(38,0)) * 1000000"
+            " div n_orders AS BIGINT)"
+        ).alias("new_share_ppm"),
+        F.expr("CAST(new_c AS DOUBLE) / 100.0").alias("new_revenue"),
+        F.expr("CAST(ret_c AS DOUBLE) / 100.0").alias("returning_revenue"),
+    ).orderBy("m")
+
+
+ORACLE["q_new_vs_returning"] = """
+  WITH base AS (
+    SELECT o_custkey,
+           (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+  ),
+  first AS (SELECT o_custkey, MIN(m) AS fm FROM base GROUP BY 1),
+  j AS (
+    SELECT m, cents, CAST(m = fm AS INT) AS is_new
+    FROM base JOIN first USING (o_custkey)
+  ),
+  g AS (
+    SELECT m, COUNT(*) AS n_orders,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(CAST(is_new = 0 AS BIGINT)) AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+                AS BIGINT) AS new_c,
+           CAST(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+                AS BIGINT) AS ret_c
+    FROM j GROUP BY 1
+  )
+  SELECT m, n_orders, n_new, n_returning,
+         CAST(CAST(n_new AS HUGEINT) * 1000000 // n_orders AS BIGINT)
+           AS new_share_ppm,
+         CAST(new_c AS DOUBLE) / 100.0 AS new_revenue,
+         CAST(ret_c AS DOUBLE) / 100.0 AS returning_revenue
+  FROM g ORDER BY m
+"""

@@ -625,3 +625,105 @@ ORACLE["q_holt_winters"] = f"""
          CAST(l + b + shist[1] AS DOUBLE) / 100.0 AS forecast
   FROM hw ORDER BY day
 """
+
+
+# -- additive seasonal decomposition -----------------------------------------
+
+
+def seasonal_over_daily(daily: DataFrame) -> DataFrame:
+    """Per-day-of-week additive seasonal effects over any ``(day, x)``
+    daily series (day = epoch days, x = exact scaled bigint): the
+    classical decomposition's seasonal read, float-free until the last
+    division. Trend is the centered 7-day moving sum over an exact
+    RANGE frame (day-valued, so calendar gaps shrink the window and
+    the count filter drops partial windows instead of misaligning
+    them); the detrended residual 7·x − trend7 stays integer; the
+    per-DOW mean closes as ONE double division of exact bigints.
+    The window runs over the |days|-sized aggregate (bounded by the
+    calendar — the q_anomaly_days regime), never raw rows. Shared by
+    the batch query and the streaming daily-state scorer."""
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("trend7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+    ).filter("cnt7 = 7")
+    d = t.select(
+        F.expr("(day + 4) % 7").alias("dow"),
+        F.expr("7 * x - trend7").alias("d7"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("d7").alias("s_num"),
+    )
+    return g.select(
+        "dow",
+        "n_windows",
+        "s_num",
+        F.expr(
+            "CAST(s_num AS DOUBLE) / (7.0 * CAST(n_windows AS DOUBLE))"
+        ).alias("seasonal_fix"),
+    ).orderBy("dow")
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily order revenue by day
+    of week — the trend-removed weekly profile that q_weekday_uplift's
+    raw per-DOW means conflate with the long-run drift (this is the
+    read that justifies the Holt–Winters period choice, alongside
+    q_autocorr's lag-7 spike).
+
+    Revenue in cents (exact bigints); the portable DOW is
+    (epoch_day + 4) % 7 (the q_weekday_uplift convention). Output
+    keeps the exact integer numerator next to the one double division
+    so the gate compares integers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias(
+            "x"
+        )
+    )
+    out = seasonal_over_daily(daily)
+    return out.select(
+        "dow",
+        "n_windows",
+        "s_num",
+        F.expr("seasonal_fix / 100.0").alias("seasonal_dollars"),
+    )
+
+
+ORACLE["q_seasonal_decompose"] = """
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM orders GROUP BY 1
+  ),
+  t AS (
+    SELECT day, x,
+           CAST(SUM(x) OVER (ORDER BY day
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend7,
+           COUNT(*) OVER (ORDER BY day
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+    FROM daily
+  ),
+  d AS (
+    SELECT (day + 4) % 7 AS dow, 7 * x - trend7 AS d7
+    FROM t WHERE cnt7 = 7
+  ),
+  g AS (
+    SELECT dow, COUNT(*) AS n_windows, CAST(SUM(d7) AS BIGINT) AS s_num
+    FROM d GROUP BY 1
+  )
+  SELECT dow, n_windows, s_num,
+         CAST(s_num AS DOUBLE) / (7.0 * CAST(n_windows AS DOUBLE)) / 100.0
+           AS seasonal_dollars
+  FROM g ORDER BY dow
+"""

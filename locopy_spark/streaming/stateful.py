@@ -1303,3 +1303,25 @@ def stream_mann_kendall(events: DataFrame, state_view: str = "mk_state"):
     and batch boundaries cannot change the result (batch twin:
     ``queries.assoc.q_mann_kendall``)."""
     return stream_daily_anomaly(events, state_view=state_view)
+
+
+def score_daily_seasonal(daily: DataFrame) -> DataFrame:
+    """Per-DOW additive seasonal effects over a maintained daily
+    series ``(day, x_fix)`` — delegates to
+    ``queries.trends.seasonal_over_daily`` (one scorer for stream
+    state and batch twin)."""
+    from locopy_spark.queries.trends import seasonal_over_daily
+
+    return seasonal_over_daily(
+        daily.select("day", F.col("x_fix").alias("x"))
+    )
+
+
+def stream_seasonal(events: DataFrame, state_view: str = "seasonal_state"):
+    """Streaming seasonal-profile feed: the decomposition needs only
+    the additive |days|-sized daily series — the fourth on-demand
+    scorer over the ``stream_daily_anomaly`` state layout (anomaly z,
+    ACF, MK trend, seasonal profile). Score with
+    :func:`score_daily_seasonal` (batch twin:
+    ``queries.trends.q_seasonal_decompose``)."""
+    return stream_daily_anomaly(events, state_view=state_view)

@@ -456,3 +456,113 @@ def test_kaplan_meier_vs_naive_product(spark, tmp_path):
         assert (r_.n_risk, r_.d_events, r_.c_censored) == (n_risk, d, c)
         assert r_.surv_ppb == exact_s
         assert r_.survival == pytest.approx(surv, abs=1e-6)
+
+
+def test_seasonal_decompose_vs_naive_windows(spark, tmp_path):
+    """Per-DOW seasonal numerators equal a brute-force sweep over the
+    daily series with explicit ±3-day windows (gap days drop the
+    window instead of shifting it)."""
+    from locopy_spark.queries.trends import q_seasonal_decompose
+
+    import datetime as dt
+
+    r = _rng()
+    base = dt.date(1995, 1, 2)  # a Monday
+    orders = []
+    series = {}
+    for d in range(90):
+        if r.random() < 0.12:
+            continue  # calendar gap
+        v = 40 + (d % 7) * 3 + r.randrange(5)  # weekly shape + noise
+        orders.append((base + dt.timedelta(days=d), float(v)))
+        series[(base + dt.timedelta(days=d) - dt.date(1970, 1, 1)).days] = (
+            v * 100
+        )
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderdate date, o_totalprice double")
+    rows = {
+        r_.dow: r_ for r_ in q_seasonal_decompose(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for day, x in series.items():
+        window = [series[day + k] for k in range(-3, 4) if day + k in series]
+        if len(window) != 7:
+            continue
+        dow = (day + 4) % 7
+        n, s = want.get(dow, (0, 0))
+        want[dow] = (n + 1, s + 7 * x - sum(window))
+    assert set(rows) == set(want)
+    for dow, (n, s) in want.items():
+        assert rows[dow].n_windows == n, dow
+        assert rows[dow].s_num == s, dow
+        assert rows[dow].seasonal_dollars == pytest.approx(
+            s / (7.0 * n) / 100.0
+        ), dow
+
+
+def test_degree_dist_vs_naive_graph(spark, tmp_path):
+    """Degree histogram equals the brute-force count over explicit
+    co-purchase baskets."""
+    from locopy_spark.queries.mining import q_degree_dist
+
+    r = _rng()
+    lineitem = []
+    baskets = []
+    for ok in range(60):
+        parts = sorted({r.randrange(30) for _ in range(r.randrange(1, 6))})
+        baskets.append(parts)
+        lineitem += [(ok, p) for p in parts]
+    _write(spark, tmp_path, "lineitem", lineitem,
+           "l_orderkey long, l_partkey long")
+    rows = q_degree_dist(spark, str(tmp_path)).collect()
+    edges = set()
+    for parts in baskets:
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    hist = Counter(deg.values())
+    n_v, sum_d = len(deg), sum(deg.values())
+    assert {(r_.degree, r_.n_vertices) for r_ in rows} == set(hist.items())
+    for r_ in rows:
+        assert r_.vertex_share_ppm == r_.n_vertices * 10**6 // n_v
+        assert (
+            r_.endpoint_share_ppm
+            == r_.n_vertices * r_.degree * 10**6 // sum_d
+        )
+
+
+def test_code_detect_vs_hand_counts(spark, tmp_path):
+    """Marker counting via replace-length arithmetic equals direct
+    str.count, including the empty-doc guard."""
+    from locopy_spark.queries.docs_ext import (
+        CODE_TAU_PPM,
+        t_code_detect,
+    )
+
+    docs = [
+        (1, "def f(x): return x;  # {tiny}", "en", "code", 0),
+        (2, "plain prose sentence with no markers at all", "en", "code", 0),
+        (3, "", "en", "empty", 0),
+        (4, "x = (a); y = (b); z = {c};", "en", "code", 0),
+    ]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    rows = {r_.source: r_ for r_ in t_code_detect(spark, str(tmp_path)).collect()}
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for _, text, _, src, _ in docs:
+        c = sum(text.count(m) for m in ";{}=(")
+        by_src[src].append(c * 10**6 // max(len(text), 1))
+    for src, scores in by_src.items():
+        n_code = sum(s >= CODE_TAU_PPM for s in scores)
+        assert rows[src].n_docs == len(scores), src
+        assert rows[src].n_code == n_code, src
+        assert rows[src].mean_score_ppm == sum(scores) // len(scores), src

@@ -748,3 +748,40 @@ def test_kruskal_wallis_single_prefix_sum(spark, sf_dir):
     df = _q(spark, sf_dir, "q_kruskal_wallis")
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df)
+
+
+def test_new_vs_returning_copartitioned_join(spark, sf_dir):
+    # first-month aggregate joins back on the customer key (one
+    # shuffle each side); the monthly rollup is |months|-sized
+    df = _q(spark, sf_dir, "q_new_vs_returning")
+    assert not audit.has_cartesian(df)
+
+
+def test_seasonal_decompose_bounded_window(spark, sf_dir):
+    # the RANGE window runs over the |days|-sized daily aggregate
+    # (bounded by the calendar), never raw orders
+    df = _q(spark, sf_dir, "q_seasonal_decompose")
+    assert not audit.has_cartesian(df)
+
+
+def test_degree_dist_shares_edge_scaffolding(spark, sf_dir):
+    # |E| union -> persisted |V| degree aggregate -> |degrees|
+    # histogram; the 1-row total joins as a broadcast (nested-loop on
+    # a 1-row side is the designed shape); the edge pipeline must be
+    # built ONCE (persist reuse), so at most one lineitem scan pair
+    df = _q(spark, sf_dir, "q_degree_dist")
+    assert not audit.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both consumers (histogram + 1-row total) must read the persisted
+    # degree table, not rebuild the edge pipeline
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_code_detect_row_local_single_rollup(spark, sf_dir):
+    # row-local marker scoring + one partial-aggregated |sources|
+    # rollup; only text and source are read
+    df = _q(spark, sf_dir, "t_code_detect")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2
+    schemas = audit.read_schemas(df)
+    assert all("doc_id" not in s for s in schemas)

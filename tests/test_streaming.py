@@ -1087,3 +1087,38 @@ def test_stream_mann_kendall_matches_batch(spark, sf_dir):
     )
     want = [tuple(r) for r in mk_over_daily(daily).collect()]
     assert got and got == want
+
+
+def test_stream_seasonal_matches_batch(spark, sf_dir):
+    """The seasonal profile over the additively maintained daily
+    series equals the batch scorer over the same events — fourth
+    scorer on the shared daily-state layout."""
+    from locopy_spark.functions.numeric import sql_epoch_day
+    from locopy_spark.queries.trends import seasonal_over_daily
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.jobs import read_event_stream
+    from locopy_spark.streaming.stateful import (
+        score_daily_seasonal,
+        stream_seasonal,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    q = stream_seasonal(stream, state_view="seasonal_state_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in score_daily_seasonal(
+            spark.table("global_temp.seasonal_state_t")
+        ).collect()
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(sql_epoch_day(ev, "ts")).alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias("x")
+    )
+    want = [tuple(r) for r in seasonal_over_daily(daily).collect()]
+    assert got and got == want
