@@ -42,12 +42,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SEVENTEEN round-5 additions that have never had a driver
     correctness row (they sat at positions 51-67 in round 5: s_mips
     through q_cohort_ltv), then the TWENTY-EIGHT round-6 additions
-    (q_ols_trend … q_interpurchase), then the stalest greens as
-    filler: the head of the r1-era block (q_except_customers …
-    q_intersect_customers, last driver-checked round 1 under Spark 3).  The
-    cutoff (position 50) is marked below; everything past it is
-    driver-green from rounds 1-5 and re-verified by the repo's own
-    full DuckDB gate (tools/check_correctness.py) at sf0.01.
+    (q_ols_trend … q_interpurchase), then FIVE round-6-late additions
+    (q_mann_kendall … q_seasonal_decompose — the batch twins of the
+    new streaming jobs plus Kendall's tau), so all 50 slots go to
+    never-checked entries.  The cutoff (position 50) is marked below;
+    everything past it is driver-green from rounds 1-5 and
+    re-verified by the repo's own full DuckDB gate
+    (tools/check_correctness.py) at sf0.01, except the five
+    round-6-late leftovers flagged for the round-7 window.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- added round 5, never driver-checked — verify first ---
@@ -97,13 +99,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_vocab_coverage": corpus.p_vocab_coverage,
         "q_weekday_uplift": tpch_ext.q_weekday_uplift,
         "q_interpurchase": events_ext.q_interpurchase,
-        # --- filler: last driver check was round 1 (Spark 3 era) ---
+        # --- round-6-late additions, never driver-checked: the batch
+        # twins of the new streaming jobs (lockstep rule) + the rank
+        # family's tau; chosen over re-checking r1-era greens because a
+        # first driver row beats a re-check of an already-green one ---
+        "q_mann_kendall": assoc.q_mann_kendall,
+        "q_kendall_tau": assoc.q_kendall_tau,
+        "q_cramers_v": assoc.q_cramers_v,
+        "q_hhi": assoc.q_hhi,
+        "q_seasonal_decompose": trends.q_seasonal_decompose,
+        # ------- position 50 cutoff: window ends above this line -------
+        # r1-era block: next-stalest greens, first in line for round 7
         "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
         "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,
         "q_intersect_customers": tpch_ext.q_intersect_customers,
-        # ------- position 50 cutoff: window ends above this line -------
         "q_dow_revenue": tpch_ext.q_dow_revenue,
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
@@ -255,14 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_windows": mining.q_funnel_windows,
         # --- added late round 6 (past the cutoff, never driver-checked:
         # these lead the ROUND-7 window per the SURVEY rotation plan) ---
-        "q_mann_kendall": assoc.q_mann_kendall,
-        "q_kendall_tau": assoc.q_kendall_tau,
-        "q_cramers_v": assoc.q_cramers_v,
-        "q_hhi": assoc.q_hhi,
         "q_kaplan_meier": assoc.q_kaplan_meier,
         "q_kruskal_wallis": assoc.q_kruskal_wallis,
         "q_new_vs_returning": tpch_ext.q_new_vs_returning,
-        "q_seasonal_decompose": trends.q_seasonal_decompose,
         "q_degree_dist": mining.q_degree_dist,
         "t_code_detect": docs_ext.t_code_detect,
     }
