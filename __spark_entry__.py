@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_new_vs_returning": tpch_ext.q_new_vs_returning,
         "q_degree_dist": mining.q_degree_dist,
         "t_code_detect": docs_ext.t_code_detect,
+        "t_boilerplate": docs_ext.t_boilerplate,
+        "q_pattern_negation": events_ext.q_pattern_negation,
+        "q_kcore": mining.q_kcore,
+        "s_rrf_fusion": docs_ext.s_rrf_fusion,
     }
     return q
 

@@ -217,6 +217,10 @@ BENCH_QUERIES = [
     "q_seasonal_decompose",
     "q_degree_dist",
     "t_code_detect",
+    "t_boilerplate",
+    "q_pattern_negation",
+    "q_kcore",
+    "s_rrf_fusion",
 ]
 
 

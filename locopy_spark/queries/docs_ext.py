@@ -2799,3 +2799,315 @@ ORACLE["t_code_detect"] = f"""
          CAST(s_score // n_docs AS BIGINT) AS mean_score_ppm
   FROM g ORDER BY source
 """
+
+
+# -- boilerplate detection ---------------------------------------------------
+#
+# C4/RefinedWeb-style boilerplate removal works on spans repeated
+# across many documents of the SAME source (nav bars, footers, license
+# headers).  df is DOCUMENT frequency (a span repeated 50x inside one
+# page is repetition, not boilerplate — t_repetition covers that).
+BOILER_K = 3  # span length in tokens
+BOILER_MIN_DF = 3  # boilerplate = span seen in >= 3 docs of a source
+
+
+def boiler_spans(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, span) with row-local within-doc span dedup —
+    the set-union state shared by t_boilerplate and its streaming
+    twin (docs arrive whole, so the table is a plain set of rows and
+    union+distinct is idempotent under chunk re-delivery)."""
+    return docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct("
+                + shingles_expr(tokens_expr("text"), k=BOILER_K)
+                + ")"
+            )
+        ).alias("span"),
+    )
+
+
+def boiler_doc_counts(docs: DataFrame) -> DataFrame:
+    """Per-source document counts — the additive half of the
+    boilerplate state (short docs emit no spans, so this cannot be
+    derived from :func:`boiler_spans`)."""
+    return docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def boiler_report(g: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """Finisher over the boilerplate state: document frequency per
+    (source, span), the >= ``BOILER_MIN_DF`` cut, and the per-source
+    affected-document rollup with exact ppm shares."""
+    df_ = g.groupBy("source", "span").agg(F.count(F.lit(1)).alias("df"))
+    boiler = df_.filter(F.col("df") >= BOILER_MIN_DF)
+    per_src = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_boiler_spans"),
+        F.max("df").alias("max_df"),
+    )
+    affected = (
+        g.join(boiler.select("source", "span"), ["source", "span"])
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_affected"))
+    )
+    return (
+        n_docs.join(per_src, "source", "left")
+        .join(affected, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_boiler_spans", F.lit(0)).alias("n_boiler_spans"),
+            F.coalesce("max_df", F.lit(0)).alias("max_df"),
+            F.coalesce("docs_affected", F.lit(0)).alias("docs_affected"),
+            F.expr(
+                "CAST(CAST(coalesce(docs_affected, 0) AS DECIMAL(38,0))"
+                " * 1000000 div n_docs AS BIGINT)"
+            ).alias("affected_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def t_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-span profile: ``BOILER_K``-gram spans
+    that recur in >= ``BOILER_MIN_DF`` distinct documents of one
+    source, with the share of that source's documents carrying at
+    least one such span — the pre-cleaning read that decides which
+    sources need span-level boilerplate stripping before they feed
+    the dedup/quality pipeline (boilerplate inflates MinHash
+    similarity and deflates t_quality_score for the whole source).
+
+    Span de-duplication WITHIN a document is row-local
+    (``array_distinct`` before the explode — no exploded-level
+    DISTINCT shuffle), so the only shuffles are the (source, span)
+    document-frequency aggregate (partial-aggregated, inverted-index
+    shaped) and the two |sources|-sized rollups.  Document text never
+    shuffles.  Exact ppm integers via DECIMAL(38)/HUGEINT floor
+    division.  Split as state (boiler_spans + boiler_doc_counts) +
+    finisher (boiler_report) shared with the streaming twin.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return boiler_report(
+        managed_persist(boiler_spans(d), "boilerplate"),
+        boiler_doc_counts(d),
+    )
+
+
+ORACLE["t_boilerplate"] = f"""
+  WITH t AS (
+    SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+  ),
+  g AS (
+    SELECT doc_id, source, unnest(
+      list_distinct({sql_shingles('toks', BOILER_K)})
+    ) AS span
+    FROM t WHERE len(toks) >= {BOILER_K}
+  ),
+  dfs AS (
+    SELECT source, span, COUNT(*) AS df FROM g GROUP BY 1, 2
+  ),
+  boiler AS (SELECT * FROM dfs WHERE df >= {BOILER_MIN_DF}),
+  per_src AS (
+    SELECT source, COUNT(*) AS n_boiler_spans,
+           CAST(MAX(df) AS BIGINT) AS max_df
+    FROM boiler GROUP BY 1
+  ),
+  affected AS (
+    SELECT source, COUNT(DISTINCT doc_id) AS docs_affected
+    FROM g JOIN boiler USING (source, span) GROUP BY 1
+  ),
+  nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+  SELECT nd.source, nd.n_docs,
+         CAST(COALESCE(n_boiler_spans, 0) AS BIGINT) AS n_boiler_spans,
+         CAST(COALESCE(max_df, 0) AS BIGINT) AS max_df,
+         CAST(COALESCE(docs_affected, 0) AS BIGINT) AS docs_affected,
+         CAST(CAST(COALESCE(docs_affected, 0) AS HUGEINT) * 1000000
+              // nd.n_docs AS BIGINT) AS affected_ppm
+  FROM nd LEFT JOIN per_src ON nd.source = per_src.source
+          LEFT JOIN affected ON nd.source = affected.source
+  ORDER BY nd.source
+"""
+
+
+# -- hybrid retrieval: reciprocal-rank fusion ---------------------------------
+#
+# The serving shape of a two-tower + lexical retrieval stack: each arm
+# produces a top-RRF_POOL candidate list, fusion re-scores by
+# reciprocal rank with the standard k0=60 damping.  Scores are EXACT
+# integers (1e6 div (k0 + rank)), so the fused ranking is
+# engine-portable with no float-sum order risk.
+RRF_POOL = 20  # per-arm candidate-list depth
+RRF_TOPK = 10  # fused results kept per query
+RRF_K0 = 60
+
+
+def s_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over the aligned documents/embeddings pair
+    (doc_id == vec_id): a lexical arm (sum of exact rational idf over
+    DISTINCT shared terms with the query document — the t_bm25 idf
+    device) and a vector arm (exact fixed-point cosine top-k,
+    operators/similarity.knn_bruteforce) each emit a top-``RRF_POOL``
+    list per query; reciprocal-rank fusion sums ``1e6 div (60 + rank)``
+    across arms and keeps ``RRF_TOPK``.
+
+    Scale shape: the query side (terms and vectors of
+    ``KNN_QUERY_IDS``) broadcasts; the corpus token table is exploded
+    once with row-local within-doc dedup (``array_distinct`` before
+    the explode); the idf table is vocab-bounded; the vector arm
+    streams the big side shuffle-free (the s_mips shape).  The fusion
+    join touches only 2 × RRF_POOL rows per query.
+    """
+    from pyspark.sql import Window as W
+
+    from locopy_spark.operators.similarity import knn_bruteforce
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = managed_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({tokens_expr('text')})")
+            ).alias("term"),
+        ),
+        "rrf_fusion",
+    )
+    # tok is distinct per (doc_id, term), so COUNT(*) is document freq
+    dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ntot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    qt = tok.filter(F.col("doc_id").isin(KNN_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    scored = (
+        tok.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(n_docs - df AS BIGINT) * 1000000 div df"
+                )
+            ).alias("score")
+        )
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        scored.withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= RRF_POOL)
+        .select("query_id", F.col("doc_id").alias("cand"), "rank_lex")
+    )
+    vec = knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=RRF_POOL).select(
+        "query_id", F.col("neighbor_id").alias("cand"),
+        F.col("rk").alias("rank_vec"),
+    )
+    fused = (
+        lex.join(vec, ["query_id", "cand"], "full_outer")
+        .select(
+            "query_id",
+            "cand",
+            F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
+            F.coalesce("rank_vec", F.lit(0)).cast("int").alias("rank_vec"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K0} + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K0} + rank_vec)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_ppm"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("cand"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= RRF_TOPK)
+        .select(
+            "query_id", F.col("cand").alias("doc_id"),
+            "rank_lex", "rank_vec", "rrf_ppm",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _rrf_oracle() -> str:
+    from locopy_spark.functions.vectors import cosine_from_fixed, sql_fixed_dot
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    cos = cosine_from_fixed("dot_fix", "na", "nb")
+    return f"""
+  WITH tok AS (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    )
+  ),
+  dfs AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+  nt AS (SELECT COUNT(*) AS n_docs FROM documents),
+  qt AS (
+    SELECT doc_id AS query_id, term FROM tok WHERE doc_id IN ({ids})
+  ),
+  m AS (
+    SELECT qt.query_id, tok.doc_id,
+           SUM(CAST(n_docs - df AS BIGINT) * 1000000 // df) AS score
+    FROM tok JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN nt
+    WHERE tok.doc_id != qt.query_id GROUP BY 1, 2
+  ),
+  lex AS (
+    SELECT query_id, doc_id AS cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS rank_lex
+    FROM m QUALIFY rank_lex <= {RRF_POOL}
+  ),
+  e AS (
+    SELECT vec_id, embedding,
+           {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+    FROM embeddings
+  ),
+  vscored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS cand,
+           {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix,
+           q.norm_fix AS na, n.norm_fix AS nb
+    FROM e q JOIN e n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({ids})
+  ),
+  vec AS (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY {cos} DESC, cand ASC
+           ) AS rank_vec
+    FROM vscored QUALIFY rank_vec <= {RRF_POOL}
+  ),
+  fused AS (
+    SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+           COALESCE(l.cand, v.cand) AS cand,
+           l.rank_lex, v.rank_vec,
+           COALESCE(1000000 // ({RRF_K0} + l.rank_lex), 0)
+             + COALESCE(1000000 // ({RRF_K0} + v.rank_vec), 0) AS rrf_ppm
+    FROM lex l FULL OUTER JOIN vec v
+      ON l.query_id = v.query_id AND l.cand = v.cand
+  ),
+  ranked AS (
+    SELECT query_id, cand, rank_lex, rank_vec, rrf_ppm,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rrf_ppm DESC, cand ASC
+           ) AS rk
+    FROM fused QUALIFY rk <= {RRF_TOPK}
+  )
+  SELECT query_id, cand AS doc_id,
+         CAST(COALESCE(rank_lex, 0) AS INT) AS rank_lex,
+         CAST(COALESCE(rank_vec, 0) AS INT) AS rank_vec,
+         CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         CAST(rk AS INT) AS rk
+  FROM ranked ORDER BY query_id, rk
+"""
+
+
+ORACLE["s_rrf_fusion"] = _rrf_oracle()

@@ -1202,3 +1202,127 @@ ORACLE["q_interpurchase"] = """
                   THEN gap END) AS median_gap_days
   FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+# -- sequence pattern with negation ------------------------------------------
+#
+# view -> purchase conversion that is only "clean" when NO error event
+# intervenes — the MATCH_RECOGNIZE-style negative pattern (A then B
+# with no C between) that plain funnels (q_events_funnel,
+# q_funnel_windows) cannot express: they count reachability, not
+# clean-path reachability.
+PATTERN_WINDOW_US = 7 * 86_400_000_000  # purchase within 7 days
+
+
+def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-path conversion by weekday of the view: for every view,
+    the NEXT purchase by the same user within 7 days converts, and the
+    conversion is CLEAN only when no error event strictly intervenes
+    (view < error < purchase blocks it).
+
+    One |events| window per user computes next-purchase /next-error
+    epochs with a RANGE (1 FOLLOWING .. UNBOUNDED) frame — strict
+    "after" even under same-microsecond ties, identical semantics on
+    both engines (a ROWS frame would be tie-order dependent).  The
+    rollup is a 7-row weekday aggregate with exact ppm shares; event
+    payloads never shuffle twice (one hash exchange on user_id, one on
+    the 7-key weekday).
+    """
+    e = load_table(spark, sf_dir, "events")
+    eus = epoch_us(e, "ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("eus")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    nxt = (
+        e.select("user_id", "event_type", eus.alias("eus"))
+        .withColumn(
+            "next_p",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("eus"))
+            ).over(w),
+        )
+        .withColumn(
+            "next_e",
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("eus"))
+            ).over(w),
+        )
+    )
+    views = nxt.filter(F.col("event_type") == "view").select(
+        F.expr(
+            f"(((eus div {US_PER_DAY}) + 4) % 7 + 7) % 7"
+        ).alias("weekday"),
+        F.expr(
+            f"cast(next_p IS NOT NULL AND next_p - eus <= {PATTERN_WINDOW_US}"
+            " as int)"
+        ).alias("conv"),
+        F.expr("cast(next_e IS NOT NULL AND next_e < next_p as int)").alias(
+            "blocked"
+        ),
+    )
+    return (
+        views.groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("conv").alias("n_conv"),
+            F.sum(
+                F.expr("cast(conv = 1 AND blocked = 0 as int)")
+            ).alias("n_clean"),
+        )
+        .select(
+            "weekday",
+            "n_views",
+            "n_conv",
+            "n_clean",
+            F.expr(
+                "CAST(CAST(n_conv AS DECIMAL(38,0)) * 1000000"
+                " div n_views AS BIGINT)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "CAST(CAST(n_clean AS DECIMAL(38,0)) * 1000000"
+                " div n_views AS BIGINT)"
+            ).alias("clean_ppm"),
+        )
+        .orderBy("weekday")
+    )
+
+
+ORACLE["q_pattern_negation"] = f"""
+  WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS eus FROM events
+  ),
+  nxt AS (
+    SELECT user_id, event_type, eus,
+           MIN(CASE WHEN event_type = 'purchase' THEN eus END) OVER (
+             PARTITION BY user_id ORDER BY eus
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_p,
+           MIN(CASE WHEN event_type = 'error' THEN eus END) OVER (
+             PARTITION BY user_id ORDER BY eus
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_e
+    FROM base
+  ),
+  v AS (
+    SELECT (((eus // {US_PER_DAY}) + 4) % 7 + 7) % 7 AS weekday,
+           CAST(next_p IS NOT NULL
+                AND next_p - eus <= {PATTERN_WINDOW_US} AS INT) AS conv,
+           CAST(next_e IS NOT NULL AND next_e < next_p AS INT) AS blocked
+    FROM nxt WHERE event_type = 'view'
+  ),
+  g AS (
+    SELECT weekday, COUNT(*) AS n_views,
+           CAST(SUM(conv) AS BIGINT) AS n_conv,
+           CAST(SUM(CASE WHEN conv = 1 AND blocked = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM v GROUP BY 1
+  )
+  SELECT weekday, n_views, n_conv, n_clean,
+         CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_views AS BIGINT)
+           AS conv_ppm,
+         CAST(CAST(n_clean AS HUGEINT) * 1000000 // n_views AS BIGINT)
+           AS clean_ppm
+  FROM g ORDER BY weekday
+"""

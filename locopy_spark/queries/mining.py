@@ -1490,3 +1490,143 @@ ORACLE["q_degree_dist"] = """
            AS endpoint_share_ppm
   FROM hist, tot ORDER BY degree
 """
+
+
+# -- k-core peeling -----------------------------------------------------------
+
+KCORE_ITERS = 3
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-degree core peeling of the co-purchase graph: ``K`` is
+    the EXACT 10th-percentile degree (rank ceil(n/10) under the (d, v)
+    total order), then ``KCORE_ITERS`` rounds drop every vertex whose
+    within-subgraph degree falls below K — the densest-region screen
+    run before community/triangle analytics to know how much of the
+    graph survives a degeneracy cut.  The percentile threshold (rather
+    than a fixed K) keeps the cascade non-trivial at every scale
+    factor of this dense graph (min degree grows with SF, so any
+    constant K either peels nothing or everything).
+
+    Shares the ``copurchase_edges`` scaffolding (persisted once).
+    Each round is one |E| endpoint aggregate + two semi joins against
+    the |V|-sized survivor set; the threshold rides as a 1-row
+    broadcast; per-round counts are 1-row aggregates unioned into the
+    ``KCORE_ITERS + 1``-row report.  The percentile rank uses the
+    range-partitioned global rank (operators/ranking.py) — no
+    single-task global sort.  Fixed iteration count = fixed plan
+    depth, the q_pagerank convention for iterative graph work.
+    """
+    from locopy_spark.operators.ranking import global_row_number
+
+    e = managed_persist(copurchase_edges(spark, sf_dir), "kcore")
+    deg0 = managed_persist(
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d")),
+        "kcore",
+    )
+    ranked, n_v = global_row_number(
+        deg0, ["d", "v"], out_col="rn", _return_total=True
+    )
+    kdf = managed_persist(
+        ranked.filter(F.col("rn") == (n_v + 9) // 10).select(
+            F.col("d").alias("k")
+        ),
+        "kcore",
+    )
+    rows = (
+        deg0.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select(F.lit(0).alias("iteration"), "n_vertices", "n_edges")
+    )
+    cur = e
+    for i in range(1, KCORE_ITERS + 1):
+        degi = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        surv = managed_persist(
+            degi.crossJoin(F.broadcast(kdf))
+            .filter(F.col("d") >= F.col("k"))
+            .select("v"),
+            "kcore",
+        )
+        cur = managed_persist(
+            cur.join(surv.select(F.col("v").alias("a")), "a", "semi").join(
+                surv.select(F.col("v").alias("b")), "b", "semi"
+            ),
+            "kcore",
+        )
+        rows = rows.unionAll(
+            surv.agg(F.count(F.lit(1)).alias("n_vertices"))
+            .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(F.lit(i).alias("iteration"), "n_vertices", "n_edges")
+        )
+    return (
+        rows.crossJoin(F.broadcast(kdf))
+        .select("iteration", "k", "n_vertices", "n_edges")
+        .orderBy("iteration")
+    )
+
+
+def _kcore_oracle() -> str:
+    head = """
+  WITH b AS MATERIALIZED (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS MATERIALIZED (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e0 AS MATERIALIZED (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  deg0 AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d
+    FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+  ),
+  ranked AS (
+    SELECT d, ROW_NUMBER() OVER (ORDER BY d, v) AS rn,
+           COUNT(*) OVER () AS n FROM deg0
+  ),
+  kv AS MATERIALIZED (SELECT d AS k FROM ranked WHERE rn = (n + 9) // 10),
+  row0 AS (
+    SELECT 0 AS iteration,
+           (SELECT COUNT(*) FROM deg0) AS n_vertices,
+           (SELECT COUNT(*) FROM e0) AS n_edges
+  )"""
+    mid = []
+    for i in range(1, KCORE_ITERS + 1):
+        p = i - 1
+        mid.append(f"""
+  deg{i} AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d
+    FROM (SELECT a AS v FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY 1
+  ),
+  surv{i} AS MATERIALIZED (SELECT v FROM deg{i}, kv WHERE d >= k),
+  e{i} AS MATERIALIZED (
+    SELECT a, b FROM e{p}
+    WHERE a IN (SELECT v FROM surv{i}) AND b IN (SELECT v FROM surv{i})
+  ),
+  row{i} AS (
+    SELECT {i} AS iteration,
+           (SELECT COUNT(*) FROM surv{i}) AS n_vertices,
+           (SELECT COUNT(*) FROM e{i}) AS n_edges
+  )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM row{i}" for i in range(KCORE_ITERS + 1)
+    )
+    return (
+        head + "," + ",".join(mid) + f"""
+  SELECT iteration, (SELECT k FROM kv) AS k,
+         CAST(n_vertices AS BIGINT) AS n_vertices,
+         CAST(n_edges AS BIGINT) AS n_edges
+  FROM ({union}) ORDER BY iteration
+"""
+    )
+
+
+ORACLE["q_kcore"] = _kcore_oracle()

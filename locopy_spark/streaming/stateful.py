@@ -1325,3 +1325,78 @@ def stream_seasonal(events: DataFrame, state_view: str = "seasonal_state"):
     :func:`score_daily_seasonal` (batch twin:
     ``queries.trends.q_seasonal_decompose``)."""
     return stream_daily_anomaly(events, state_view=state_view)
+
+
+def stream_boilerplate(
+    docs: DataFrame,
+    span_view: str = "boiler_span_state",
+    count_view: str = "boiler_count_state",
+):
+    """Continuously-maintained boilerplate-detection state over a
+    document stream: each micro-batch contributes its row-local
+    deduped (source, doc_id, span) rows
+    (``queries.docs_ext.boiler_spans`` — a SET, so union+distinct is
+    idempotent under chunk re-delivery) and additive per-source doc
+    counts (``boiler_doc_counts``). The finisher
+    (``queries.docs_ext.boiler_report``) computes document
+    frequencies and the >= BOILER_MIN_DF cut over the state on
+    demand; the test asserts stream state + finisher == batch
+    ``t_boilerplate`` exactly on overlapping out-of-order chunks.
+
+    State is the (source, span, doc) inverted index itself — the one
+    honest state for a GLOBAL document-frequency cut (a span's
+    boilerplate-ness is decided by documents that may arrive later,
+    so no bounded sketch can close this exactly); at 100 TB the
+    state lives in a compacted table, not executor memory.
+    """
+    from locopy_spark.queries.docs_ext import boiler_doc_counts, boiler_spans
+
+    spark = docs.sparkSession
+    empty_spans = spark.createDataFrame(
+        [], "source string, doc_id long, span string"
+    )
+    empty_spans.createOrReplaceGlobalTempView(span_view)
+    empty_counts = spark.createDataFrame([], "source string, n_docs long")
+    empty_counts.createOrReplaceGlobalTempView(count_view)
+    seen_view = f"{count_view}_seen"
+    empty_seen = spark.createDataFrame([], "doc_id long")
+    empty_seen.createOrReplaceGlobalTempView(seen_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        # idempotence under re-delivery: only never-seen docs feed the
+        # additive doc counts (the span set is idempotent by itself)
+        seen = s.table(f"global_temp.{seen_view}")
+        fresh = batch_df.join(seen, "doc_id", "anti").localCheckpoint()
+        merged_spans = (
+            s.table(f"global_temp.{span_view}")
+            .unionByName(
+                boiler_spans(fresh).select("source", "doc_id", "span")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        merged_counts = (
+            s.table(f"global_temp.{count_view}")
+            .unionByName(boiler_doc_counts(fresh))
+            .groupBy("source")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint()
+        )
+        merged_seen = (
+            seen.unionByName(fresh.select("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        merged_spans.createOrReplaceGlobalTempView(span_view)
+        merged_counts.createOrReplaceGlobalTempView(count_view)
+        merged_seen.createOrReplaceGlobalTempView(seen_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"boiler_{span_view}")
+        .start()
+    )

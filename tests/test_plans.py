@@ -785,3 +785,39 @@ def test_code_detect_row_local_single_rollup(spark, sf_dir):
     assert audit.shuffle_count(df) <= 2
     schemas = audit.read_schemas(df)
     assert all("doc_id" not in s for s in schemas)
+
+
+def test_boilerplate_row_local_dedup(spark, sf_dir):
+    # within-doc span dedup is row-local (array_distinct before the
+    # explode), so no exploded-level DISTINCT: shuffles are the
+    # (source, span) df aggregate and the |sources| rollups
+    df = _q(spark, sf_dir, "t_boilerplate")
+    assert not audit.has_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "array_distinct" in plan
+
+
+def test_pattern_negation_one_user_exchange(spark, sf_dir):
+    # one hash exchange on user_id feeds both RANGE-frame windows;
+    # the rollup is a 7-key aggregate
+    df = _q(spark, sf_dir, "q_pattern_negation")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 3
+
+
+def test_kcore_broadcast_threshold(spark, sf_dir):
+    # the percentile threshold rides as a 1-row broadcast; survivor
+    # joins are semi joins, never cartesian; the per-round counts are
+    # 1-row aggregates (broadcast-nested-loop on 1-row sides is the
+    # designed shape)
+    df = _q(spark, sf_dir, "q_kcore")
+    assert not audit.has_cartesian(df)
+
+
+def test_rrf_fusion_broadcast_query_sides(spark, sf_dir):
+    # query terms / vectors / idf table broadcast; the corpus token
+    # table is exploded once (persisted) with row-local within-doc
+    # dedup; the fusion join touches 2xPOOL rows per query
+    df = _q(spark, sf_dir, "s_rrf_fusion")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)

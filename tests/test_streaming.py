@@ -1122,3 +1122,46 @@ def test_stream_seasonal_matches_batch(spark, sf_dir):
     )
     want = [tuple(r) for r in seasonal_over_daily(daily).collect()]
     assert got and got == want
+
+
+def test_stream_boilerplate_matches_batch(spark, sf_dir, tmp_path):
+    """The (source, doc, span) inverted index is a set and the doc
+    counts are additive over never-seen docs, so stream state + the
+    shared finisher equals batch t_boilerplate even when chunks
+    OVERLAP (doc re-delivery must not double-count)."""
+    from locopy_spark.queries.docs_ext import boiler_report, t_boilerplate
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    # overlapping chunks: doc_id % 4 in {p, p+1 mod 4} — every doc is
+    # delivered exactly twice, out of order
+    for i, p in enumerate([2, 0, 3, 1]):
+        docs.filter(
+            f"pmod(doc_id, 4) in ({p}, {(p + 1) % 4})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"boilchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "boilchunk*"))
+    )
+    q = stream_boilerplate(
+        stream, span_view="boiler_span_t", count_view="boiler_count_t"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in boiler_report(
+            spark.table("global_temp.boiler_span_t"),
+            spark.table("global_temp.boiler_count_t"),
+        )
+        .orderBy("source")
+        .collect()
+    ]
+    want = [tuple(r) for r in t_boilerplate(spark, sf_dir).collect()]
+    assert got and got == want
