@@ -1512,7 +1512,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one |E| endpoint aggregate + two semi joins against
     the |V|-sized survivor set; the threshold rides as a 1-row
     broadcast; per-round counts are 1-row aggregates unioned into the
-    ``KCORE_ITERS + 1``-row report.  The percentile rank uses the
+    ``KCORE_ITERS + 1``-row report.  Survivors and the shrunken edge
+    table localCheckpoint each round (the pagerank lineage rule:
+    every round's frames are referenced by three consumers, so plain
+    persist leaves an analyzed plan that grows 3^depth).  The percentile rank uses the
     range-partitioned global rank (operators/ranking.py) — no
     single-task global sort.  Fixed iteration count = fixed plan
     depth, the q_pagerank convention for iterative graph work.
@@ -1549,17 +1552,21 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        surv = managed_persist(
+        # localCheckpoint (not persist): each round references the
+        # previous round's frames several times, so plain persist
+        # keeps an analyzed-plan lineage that TRIPLES per iteration
+        # (the runtime reads caches, but the plan object itself grows
+        # 3^depth — the pagerank/graph_reach O(1)-lineage rule)
+        surv = (
             degi.crossJoin(F.broadcast(kdf))
             .filter(F.col("d") >= F.col("k"))
-            .select("v"),
-            "kcore",
+            .select("v")
+            .localCheckpoint()
         )
-        cur = managed_persist(
-            cur.join(surv.select(F.col("v").alias("a")), "a", "semi").join(
-                surv.select(F.col("v").alias("b")), "b", "semi"
-            ),
-            "kcore",
+        cur = (
+            cur.join(surv.select(F.col("v").alias("a")), "a", "semi")
+            .join(surv.select(F.col("v").alias("b")), "b", "semi")
+            .localCheckpoint()
         )
         rows = rows.unionAll(
             surv.agg(F.count(F.lit(1)).alias("n_vertices"))

@@ -566,3 +566,225 @@ def test_code_detect_vs_hand_counts(spark, tmp_path):
         assert rows[src].n_docs == len(scores), src
         assert rows[src].n_code == n_code, src
         assert rows[src].mean_score_ppm == sum(scores) // len(scores), src
+
+
+def test_kcore_vs_naive_peeling(spark, tmp_path):
+    """The fixed-iteration cascade equals a brute-force Python peel on
+    a random basket graph (threshold = exact p10 degree, rank
+    ceil(n/10) under the (d, v) order)."""
+    from locopy_spark.queries.mining import KCORE_ITERS, q_kcore
+
+    r = _rng()
+    rows = []
+    for o in range(60):
+        parts = r.sample(range(30), r.randrange(2, 6))
+        rows.extend((o, p) for p in parts)
+    _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    got = [tuple(x) for x in q_kcore(spark, str(tmp_path)).collect()]
+
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    edges = {
+        (a, b)
+        for ps in baskets.values()
+        for a in ps
+        for b in ps
+        if a < b
+    }
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ranked = sorted((d, v) for v, d in deg.items())
+    k = ranked[(len(ranked) + 9) // 10 - 1][0]
+    want = [(0, k, len(deg), len(edges))]
+    cur = edges
+    for i in range(1, KCORE_ITERS + 1):
+        di = {}
+        for a, b in cur:
+            di[a] = di.get(a, 0) + 1
+            di[b] = di.get(b, 0) + 1
+        surv = {v for v, d in di.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in surv and b in surv}
+        want.append((i, k, len(surv), len(cur)))
+    assert got == want
+
+
+def test_pattern_negation_vs_naive_scan(spark, tmp_path):
+    """Clean-path conversion equals a per-user brute-force scan with
+    explicit strictly-after minima, including same-microsecond ties."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import (
+        PATTERN_WINDOW_US,
+        q_pattern_negation,
+    )
+
+    r = _rng()
+    base = dt.datetime(1995, 1, 2)
+    evs = []
+    for i in range(400):
+        u = r.randrange(12)
+        # coarse second grid -> deliberate exact-tie collisions
+        t = base + dt.timedelta(seconds=r.randrange(50) * 86_400 // 3)
+        typ = r.choice(["view", "purchase", "error", "click"])
+        evs.append((i, t, u, typ))
+    _write(spark, tmp_path, "events", evs,
+           "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = {
+        x.weekday: (x.n_views, x.n_conv, x.n_clean)
+        for x in q_pattern_negation(spark, str(tmp_path)).collect()
+    }
+
+    def eus(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    byu = {}
+    for _, t, u, typ in evs:
+        byu.setdefault(u, []).append((eus(t), typ))
+    want = {}
+    for u, rows_u in byu.items():
+        for e0, typ in rows_u:
+            if typ != "view":
+                continue
+            after_p = [e for e, t2 in rows_u if t2 == "purchase" and e > e0]
+            after_e = [e for e, t2 in rows_u if t2 == "error" and e > e0]
+            np_ = min(after_p) if after_p else None
+            ne = min(after_e) if after_e else None
+            conv = np_ is not None and np_ - e0 <= PATTERN_WINDOW_US
+            blocked = ne is not None and np_ is not None and ne < np_
+            wd = ((e0 // 86_400_000_000) + 4) % 7
+            v, c, cl = want.get(wd, (0, 0, 0))
+            want[wd] = (
+                v + 1,
+                c + int(conv),
+                cl + int(conv and not blocked),
+            )
+    assert got == want and sum(v for v, _, _ in want.values()) > 50
+
+
+def test_boilerplate_vs_naive_counts(spark, tmp_path):
+    """Per-source boilerplate profile equals hand counting on a
+    corpus with a planted repeated span."""
+    from locopy_spark.queries.docs_ext import (
+        BOILER_K,
+        BOILER_MIN_DF,
+        t_boilerplate,
+    )
+
+    assert (BOILER_K, BOILER_MIN_DF) == (3, 3)
+    docs = [
+        # srcA: "x y z" planted in 3 of 4 docs -> boilerplate
+        (0, "x y z a b c", "en", "srcA", 11),
+        (1, "p q x y z r", "en", "srcA", 11),
+        (2, "x y z x y z", "en", "srcA", 11),  # span repeated in-doc: df +1 only
+        (3, "no shared span here", "en", "srcA", 19),
+        # srcB: pair repeats only twice -> below the cut
+        (4, "u v w m n", "en", "srcB", 9),
+        (5, "u v w k l", "en", "srcB", 9),
+        (6, "short", "en", "srcB", 5),  # < K tokens: no spans
+    ]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars int")
+    got = {
+        x.source: (
+            x.n_docs, x.n_boiler_spans, x.max_df, x.docs_affected,
+            x.affected_ppm,
+        )
+        for x in t_boilerplate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "srcA": (4, 1, 3, 3, 750000),
+        "srcB": (3, 0, 0, 0, 0),
+    }
+
+
+def test_rrf_fusion_vs_naive(spark, tmp_path):
+    """Fused ranking equals a brute-force Python implementation of
+    both arms (exact idf overlap + fixed-point cosine) and the
+    reciprocal-rank formula."""
+    from locopy_spark.functions.vectors import FIXED_SCALE
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+    from locopy_spark.queries.docs_ext import (
+        RRF_K0,
+        RRF_POOL,
+        RRF_TOPK,
+        s_rrf_fusion,
+    )
+
+    r = _rng()
+    vocab = ["red", "blue", "green", "disk", "table", "spark", "row"]
+    docs, embs = [], []
+    for i in range(40):
+        words = [vocab[r.randrange(len(vocab))] for _ in range(8)]
+        docs.append((i, " ".join(words), "en", "s0", 8))
+        embs.append((i, [r.uniform(-1, 1) for _ in range(4)], i % 3))
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars int")
+    _write(spark, tmp_path, "embeddings", embs,
+           "vec_id long, embedding array<float>, label int")
+    got = [
+        (x.query_id, x.doc_id, x.rank_lex, x.rank_vec, x.rrf_ppm, x.rk)
+        for x in s_rrf_fusion(spark, str(tmp_path)).collect()
+    ]
+
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    toks = {i: set(t.split()) for i, t, *_ in docs}
+    n_docs = len(docs)
+    df = {}
+    for ts in toks.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    vecs = {i: [f32(x) for x in v] for i, v, _ in embs}
+
+    def fdot(a, b):
+        import math
+
+        return sum(
+            math.floor(x * y * FIXED_SCALE + 0.5) for x, y in zip(a, b)
+        )
+
+    want = []
+    for q in KNN_QUERY_IDS:
+        lex = sorted(
+            (
+                -sum(
+                    (n_docs - df[t]) * 1_000_000 // df[t]
+                    for t in toks[q] & toks[d]
+                ),
+                d,
+            )
+            for d in toks
+            if d != q and toks[q] & toks[d]
+        )
+        rank_lex = {d: i + 1 for i, (_, d) in enumerate(lex[:RRF_POOL])}
+        import math
+
+        vq = vecs[q]
+        nv = {d: fdot(v, v) for d, v in vecs.items()}
+        vec = sorted(
+            (-(fdot(vq, vecs[d]) / math.sqrt(nv[q] * nv[d])), d)
+            for d in vecs
+            if d != q
+        )
+        rank_vec = {d: i + 1 for i, (_, d) in enumerate(vec[:RRF_POOL])}
+        fused = sorted(
+            (
+                -(
+                    (1_000_000 // (RRF_K0 + rank_lex[d]) if d in rank_lex else 0)
+                    + (1_000_000 // (RRF_K0 + rank_vec[d]) if d in rank_vec else 0)
+                ),
+                d,
+            )
+            for d in set(rank_lex) | set(rank_vec)
+        )
+        for i, (nscore, d) in enumerate(fused[:RRF_TOPK]):
+            want.append(
+                (q, d, rank_lex.get(d, 0), rank_vec.get(d, 0), -nscore, i + 1)
+            )
+    assert got == want
