@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pattern_negation": events_ext.q_pattern_negation,
         "q_kcore": mining.q_kcore,
         "s_rrf_fusion": docs_ext.s_rrf_fusion,
+        "s_mmr_diversify": docs_ext.s_mmr_diversify,
     }
     return q
 

@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "q_pattern_negation",
     "q_kcore",
     "s_rrf_fusion",
+    "s_mmr_diversify",
 ]
 
 

@@ -3111,3 +3111,227 @@ def _rrf_oracle() -> str:
 
 
 ORACLE["s_rrf_fusion"] = _rrf_oracle()
+
+
+# -- MMR diversity re-ranking -------------------------------------------------
+#
+# Maximal Marginal Relevance over the vector arm's candidate pool:
+# pick_i = argmax( 7*rel - 3*max_{s in selected} sim(c, s) ) in tenths
+# (lambda = 0.7).  Relevance is the reciprocal-rank integer (1e6 div
+# (60+rank)) and similarity is floor(cosine * 1e6) — so every score,
+# comparison, and tie-break is EXACT integer arithmetic and the greedy
+# trajectory is engine-portable.
+MMR_POOL = 20  # candidate pool per query (vector top-k)
+MMR_TOPK = 5  # greedy picks per query
+MMR_REL_NUM = 7  # lambda = MMR_REL_NUM / 10
+MMR_SIM_NUM = 3
+
+
+def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of each query's top-``MMR_POOL``
+    cosine candidates: ``MMR_TOPK`` greedy rounds, each keeping the
+    candidate maximizing ``7*rel_ppm - 3*max_sim_ppm`` (ties by
+    doc_id) — the redundancy-suppressing re-rank that keeps a RAG
+    context window from filling with five copies of the same
+    document.
+
+    The candidate pool comes from the exact brute-force arm
+    (broadcast queries, shuffle-free scan); pairwise candidate
+    similarities are |Q| x POOL^2 rows — constant-sized, computed
+    once and localCheckpointed; each greedy round is an aggregate +
+    row_number over that constant table (lineage stays O(TOPK), the
+    q_kcore rule).  Every score is an exact integer, so the greedy
+    argmax trajectory is deterministic on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    from locopy_spark.functions.vectors import (
+        cosine_from_fixed,
+        fixed_dot_expr,
+    )
+    from locopy_spark.operators.similarity import knn_bruteforce, with_fixed_norm
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = (
+        knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=MMR_POOL)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand"),
+            F.col("rk").alias("rank_vec"),
+            F.expr(f"1000000 div ({RRF_K0} + rk)").alias("rel_ppm"),
+        )
+        .localCheckpoint()
+    )
+    ne = with_fixed_norm(emb).select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_fix").alias("c_norm"),
+    )
+    ce = cands.select("query_id", "cand").join(ne, "cand")
+    x = ce.select(
+        "query_id",
+        F.col("cand").alias("a"),
+        F.col("c_emb").alias("a_emb"),
+        F.col("c_norm").alias("a_norm"),
+    )
+    y = ce.select(
+        "query_id",
+        F.col("cand").alias("b"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("c_norm").alias("b_norm"),
+    )
+    cos = cosine_from_fixed("dot_fix", "a_norm", "b_norm")
+    sims = (
+        x.join(y, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("dot_fix", F.expr(fixed_dot_expr("a_emb", "b_emb")))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.expr(f"CAST(FLOOR(({cos}) * 1000000) AS BIGINT)").alias(
+                "sim_ppm"
+            ),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cands.filter(F.col("rank_vec") == 1)
+        .select(
+            "query_id",
+            "cand",
+            F.lit(1).alias("step"),
+            (F.lit(MMR_REL_NUM) * F.col("rel_ppm")).alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for step in range(2, MMR_TOPK + 1):
+        scores = (
+            sims.join(
+                sel.select("query_id", F.col("cand").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_ppm").alias("max_sim_ppm"))
+            .join(
+                sel.select("query_id", F.col("cand").alias("a")),
+                ["query_id", "a"],
+                "anti",
+            )
+            .join(
+                cands.select("query_id", F.col("cand").alias("a"), "rel_ppm"),
+                ["query_id", "a"],
+            )
+            .select(
+                "query_id",
+                F.col("a").alias("cand"),
+                (
+                    F.lit(MMR_REL_NUM) * F.col("rel_ppm")
+                    - F.lit(MMR_SIM_NUM) * F.col("max_sim_ppm")
+                ).alias("mmr_score"),
+            )
+        )
+        wpick = W.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("cand")
+        )
+        pick = (
+            scores.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cand", F.lit(step).alias("step"), "mmr_score"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        F.col("cand").alias("doc_id"),
+        "step",
+        "mmr_score",
+    ).orderBy("query_id", "step")
+
+
+def _mmr_oracle() -> str:
+    from locopy_spark.functions.vectors import cosine_from_fixed, sql_fixed_dot
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    qcos = cosine_from_fixed("dot_fix", "na", "nb")
+    head = f"""
+  WITH e AS MATERIALIZED (
+    SELECT vec_id, embedding,
+           {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+    FROM embeddings
+  ),
+  vscored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS cand,
+           {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix,
+           q.norm_fix AS na, n.norm_fix AS nb
+    FROM e q JOIN e n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({ids})
+  ),
+  cands AS MATERIALIZED (
+    SELECT query_id, cand, rk AS rank_vec,
+           1000000 // ({RRF_K0} + rk) AS rel_ppm
+    FROM (
+      SELECT query_id, cand,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY {qcos} DESC, cand ASC
+             ) AS rk
+      FROM vscored
+    ) WHERE rk <= {MMR_POOL}
+  ),
+  ce AS MATERIALIZED (
+    SELECT c.query_id, c.cand, e.embedding, e.norm_fix
+    FROM cands c JOIN e ON e.vec_id = c.cand
+  ),
+  sims AS MATERIALIZED (
+    SELECT x.query_id, x.cand AS a, y.cand AS b,
+           CAST(FLOOR(({cosine_from_fixed(sql_fixed_dot('x.embedding', 'y.embedding'), 'x.norm_fix', 'y.norm_fix')}) * 1000000) AS BIGINT) AS sim_ppm
+    FROM ce x JOIN ce y
+      ON x.query_id = y.query_id AND x.cand != y.cand
+  ),
+  sel1 AS MATERIALIZED (
+    SELECT query_id, cand, 1 AS step,
+           CAST({MMR_REL_NUM} * rel_ppm AS BIGINT) AS mmr_score
+    FROM cands WHERE rank_vec = 1
+  )"""
+    mid = []
+    for i in range(2, MMR_TOPK + 1):
+        p = i - 1
+        mid.append(f"""
+  scores{i} AS (
+    SELECT s.query_id, s.a AS cand,
+           CAST({MMR_REL_NUM} * MAX(c.rel_ppm)
+                - {MMR_SIM_NUM} * MAX(s.sim_ppm) AS BIGINT) AS mmr_score
+    FROM sims s
+    JOIN sel{p} x ON x.query_id = s.query_id AND x.cand = s.b
+    JOIN cands c ON c.query_id = s.query_id AND c.cand = s.a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{p} z
+      WHERE z.query_id = s.query_id AND z.cand = s.a
+    )
+    GROUP BY s.query_id, s.a
+  ),
+  pick{i} AS (
+    SELECT query_id, cand, {i} AS step, mmr_score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY mmr_score DESC, cand ASC
+      ) AS rn FROM scores{i}
+    ) WHERE rn = 1
+  ),
+  sel{i} AS MATERIALIZED (
+    SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{i}
+  )""")
+    return (
+        head
+        + ","
+        + ",".join(mid)
+        + f"""
+  SELECT query_id, cand AS doc_id, CAST(step AS INT) AS step, mmr_score
+  FROM sel{MMR_TOPK} ORDER BY query_id, step
+"""
+    )
+
+
+ORACLE["s_mmr_diversify"] = _mmr_oracle()

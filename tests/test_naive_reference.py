@@ -788,3 +788,83 @@ def test_rrf_fusion_vs_naive(spark, tmp_path):
                 (q, d, rank_lex.get(d, 0), rank_vec.get(d, 0), -nscore, i + 1)
             )
     assert got == want
+
+
+def test_mmr_diversify_vs_naive_greedy(spark, tmp_path):
+    """The greedy MMR trajectory equals a brute-force Python replay
+    (same integer scores, same tie-breaks)."""
+    import math
+    import struct
+
+    from locopy_spark.functions.vectors import FIXED_SCALE
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+    from locopy_spark.queries.docs_ext import (
+        MMR_POOL,
+        MMR_REL_NUM,
+        MMR_SIM_NUM,
+        MMR_TOPK,
+        RRF_K0,
+        s_mmr_diversify,
+    )
+
+    r = _rng()
+    embs = []
+    for i in range(30):
+        # three tight clusters -> diversity picks must hop clusters
+        c = i % 3
+        base = [1.0 if j == c else 0.05 for j in range(4)]
+        embs.append(
+            (i, [b + r.uniform(-0.05, 0.05) for b in base], c)
+        )
+    _write(spark, tmp_path, "embeddings", embs,
+           "vec_id long, embedding array<float>, label int")
+    got = [
+        (x.query_id, x.doc_id, x.step, x.mmr_score)
+        for x in s_mmr_diversify(spark, str(tmp_path)).collect()
+    ]
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {i: [f32(v) for v in vs] for i, vs, _ in embs}
+
+    def fdot(a, b):
+        return sum(
+            math.floor(x * y * FIXED_SCALE + 0.5) for x, y in zip(a, b)
+        )
+
+    nv = {i: fdot(v, v) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return fdot(vecs[a], vecs[b]) / math.sqrt(float(nv[a]) * float(nv[b]))
+
+    want = []
+    for q in KNN_QUERY_IDS:
+        pool = sorted((-cos(q, d), d) for d in vecs if d != q)[:MMR_POOL]
+        cands = [d for _, d in pool]
+        rel = {
+            d: 1_000_000 // (RRF_K0 + i + 1) for i, d in enumerate(cands)
+        }
+        sim = {
+            (a, b): math.floor(cos(a, b) * 1_000_000)
+            for a in cands
+            for b in cands
+            if a != b
+        }
+        selected = [cands[0]]
+        want.append((q, cands[0], 1, MMR_REL_NUM * rel[cands[0]]))
+        for step in range(2, MMR_TOPK + 1):
+            best = None
+            for d in cands:
+                if d in selected:
+                    continue
+                score = MMR_REL_NUM * rel[d] - MMR_SIM_NUM * max(
+                    sim[(d, s)] for s in selected
+                )
+                key = (-score, d)
+                if best is None or key < best:
+                    best = key
+            score, d = -best[0], best[1]
+            selected.append(d)
+            want.append((q, d, step, score))
+    assert got == want

@@ -821,3 +821,11 @@ def test_rrf_fusion_broadcast_query_sides(spark, sf_dir):
     df = _q(spark, sf_dir, "s_rrf_fusion")
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df)
+
+
+def test_mmr_diversify_constant_rounds(spark, sf_dir):
+    # the greedy rounds run over the localCheckpointed |Q|xPOOL^2 sim
+    # table, so the final plan is O(TOPK) small unions — never a
+    # cartesian, and the heavy work (pool + sims) ran once up front
+    df = _q(spark, sf_dir, "s_mmr_diversify")
+    assert not audit.has_cartesian(df)
