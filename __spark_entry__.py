@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": mining.q_kcore,
         "s_rrf_fusion": docs_ext.s_rrf_fusion,
         "s_mmr_diversify": docs_ext.s_mmr_diversify,
+        "q_sessions_concurrent": events_ext.q_sessions_concurrent,
+        "s_prf_expand": docs_ext.s_prf_expand,
     }
     return q
 

@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "q_kcore",
     "s_rrf_fusion",
     "s_mmr_diversify",
+    "q_sessions_concurrent",
+    "s_prf_expand",
 ]
 
 

@@ -2944,6 +2944,57 @@ RRF_TOPK = 10  # fused results kept per query
 RRF_K0 = 60
 
 
+def lexical_arm(
+    docs: DataFrame,
+    query_ids: list[int],
+    pool: int,
+    scope: str,
+) -> dict[str, DataFrame]:
+    """The ONE copy of the lexical-retrieval scaffolding shared by
+    s_rrf_fusion and s_prf_expand: row-local-deduped (doc, term)
+    postings (persisted under ``scope``), vocab-bounded document
+    frequencies, the broadcast query-term table, and the exact
+    rational-idf overlap top-``pool`` per query."""
+    from pyspark.sql import Window as W
+
+    tok = managed_persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({tokens_expr('text')})")
+            ).alias("term"),
+        ),
+        scope,
+    )
+    # tok is distinct per (doc_id, term), so COUNT(*) is document freq
+    dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    qt = tok.filter(F.col("doc_id").isin(query_ids)).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    scored = (
+        tok.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(n_docs - df AS BIGINT) * 1000000 div df"
+                )
+            ).alias("score")
+        )
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        scored.withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= pool)
+        .select("query_id", F.col("doc_id").alias("cand"), "rank_lex")
+    )
+    return {"tok": tok, "dfs": dfs, "ntot": ntot, "qt": qt, "lex": lex}
+
+
 def s_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval over the aligned documents/embeddings pair
     (doc_id == vec_id): a lexical arm (sum of exact rational idf over
@@ -2967,41 +3018,8 @@ def s_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tok = managed_persist(
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"array_distinct({tokens_expr('text')})")
-            ).alias("term"),
-        ),
-        "rrf_fusion",
-    )
-    # tok is distinct per (doc_id, term), so COUNT(*) is document freq
-    dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ntot = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    qt = tok.filter(F.col("doc_id").isin(KNN_QUERY_IDS)).select(
-        F.col("doc_id").alias("query_id"), "term"
-    )
-    scored = (
-        tok.join(F.broadcast(qt), "term")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfs), "term")
-        .crossJoin(F.broadcast(ntot))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(n_docs - df AS BIGINT) * 1000000 div df"
-                )
-            ).alias("score")
-        )
-    )
-    wl = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    lex = (
-        scored.withColumn("rank_lex", F.row_number().over(wl))
-        .filter(F.col("rank_lex") <= RRF_POOL)
-        .select("query_id", F.col("doc_id").alias("cand"), "rank_lex")
-    )
+    t = lexical_arm(d, KNN_QUERY_IDS, RRF_POOL, scope="rrf_fusion")
+    lex = t["lex"]
     vec = knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=RRF_POOL).select(
         "query_id", F.col("neighbor_id").alias("cand"),
         F.col("rk").alias("rank_vec"),
@@ -3335,3 +3353,118 @@ def _mmr_oracle() -> str:
 
 
 ORACLE["s_mmr_diversify"] = _mmr_oracle()
+
+
+# -- pseudo-relevance-feedback query expansion --------------------------------
+PRF_FB = 5  # feedback depth: top lexical docs per query
+PRF_TERMS = 5  # expansion terms kept per query
+
+
+def s_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (RM1/Rocchio-lite): take
+    each query document's top-``PRF_FB`` lexical matches, collect
+    terms those feedback docs contain but the query doc does NOT, and
+    score each candidate term ``fb_df * idf_scaled`` (feedback
+    document frequency x the exact rational idf) — the retrieval-
+    toolkit third leg next to s_rrf_fusion (fusion) and
+    s_mmr_diversify (diversity).
+
+    Shares the ``lexical_arm`` scaffolding (one persisted postings
+    explode); the feedback join touches ``|Q| x PRF_FB`` doc ids; the
+    term rollup is bounded by the feedback docs' vocabularies; idf is
+    vocab-bounded and broadcast.  Every score is an exact integer.
+    """
+    from pyspark.sql import Window as W
+
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+
+    d = load_table(spark, sf_dir, "documents")
+    t = lexical_arm(d, KNN_QUERY_IDS, PRF_FB, scope="prf_expand")
+    fb_terms = (
+        t["lex"]
+        .join(
+            t["tok"].select(F.col("doc_id").alias("cand"), "term"), "cand"
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fb_df"))
+        .join(t["qt"], ["query_id", "term"], "anti")
+        .join(F.broadcast(t["dfs"]), "term")
+        .crossJoin(F.broadcast(t["ntot"]))
+        .select(
+            "query_id",
+            "term",
+            "fb_df",
+            F.expr(
+                "fb_df * (CAST(n_docs - df AS BIGINT) * 1000000 div df)"
+            ).alias("score_scaled"),
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("term")
+    )
+    return (
+        fb_terms.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= PRF_TERMS)
+        .select(
+            "query_id", "term", "fb_df", "score_scaled",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _prf_oracle() -> str:
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+  WITH tok AS MATERIALIZED (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    )
+  ),
+  dfs AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+  nt AS (SELECT COUNT(*) AS n_docs FROM documents),
+  qt AS MATERIALIZED (
+    SELECT doc_id AS query_id, term FROM tok WHERE doc_id IN ({ids})
+  ),
+  m AS (
+    SELECT qt.query_id, tok.doc_id,
+           SUM(CAST(n_docs - df AS BIGINT) * 1000000 // df) AS score
+    FROM tok JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN nt
+    WHERE tok.doc_id != qt.query_id GROUP BY 1, 2
+  ),
+  lex AS (
+    SELECT query_id, doc_id AS cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS rank_lex
+    FROM m QUALIFY rank_lex <= {PRF_FB}
+  ),
+  fb AS (
+    SELECT l.query_id, t.term, COUNT(*) AS fb_df
+    FROM lex l JOIN tok t ON t.doc_id = l.cand
+    GROUP BY 1, 2
+  ),
+  cand_terms AS (
+    SELECT f.query_id, f.term, f.fb_df,
+           CAST(f.fb_df * (CAST(n_docs - df AS BIGINT) * 1000000 // df)
+                AS BIGINT) AS score_scaled
+    FROM fb f JOIN dfs USING (term) CROSS JOIN nt
+    WHERE NOT EXISTS (
+      SELECT 1 FROM qt
+      WHERE qt.query_id = f.query_id AND qt.term = f.term
+    )
+  )
+  SELECT query_id, term, fb_df, score_scaled, CAST(rk AS INT) AS rk
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_scaled DESC, term ASC
+    ) AS rk
+    FROM cand_terms
+  ) WHERE rk <= {PRF_TERMS}
+  ORDER BY query_id, rk
+"""
+
+
+ORACLE["s_prf_expand"] = _prf_oracle()

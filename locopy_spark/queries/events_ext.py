@@ -1326,3 +1326,93 @@ ORACLE["q_pattern_negation"] = f"""
            AS clean_ppm
   FROM g ORDER BY weekday
 """
+
+
+# -- peak session concurrency -------------------------------------------------
+#
+# The capacity-planning read: how many gap-based sessions are active
+# at once, per day.  The classic sweep line — +1 at session start, -1
+# one microsecond after session end — closed with the repo's
+# range-partitioned exact prefix sum instead of a one-partition
+# window.
+
+
+def q_sessions_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK concurrent sessions (30-min gap sessions, the
+    q_events_sessionize definition): sweep-line deltas aggregated per
+    microsecond, one exact global running sum
+    (operators/ranking.global_running_sum — range-partitioned, no
+    single-task sort), day peak = max over the day's change points of
+    GREATEST(carry-in, post-change value), so sessions spanning
+    midnight count against the day they carry into.
+
+    Scale shape: sessionization is one shuffle on the user key; the
+    delta table is 2 rows per session; the prefix sum shuffles the
+    |change points| aggregate once by range.  Days with no change
+    point hold the previous value and are omitted (constant curve).
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+    from locopy_spark.operators.sessionize import session_stats
+
+    e = load_table(spark, sf_dir, "events")
+    s = session_stats(e, gap_minutes=30)
+    deltas = s.select(
+        F.col("session_start_us").alias("eus"), F.lit(1).alias("d")
+    ).unionAll(
+        s.select(
+            (F.col("session_end_us") + 1).alias("eus"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    nets = deltas.groupBy("eus").agg(F.sum("d").alias("net"))
+    run = global_running_sum(nets, ["eus"], "net", out_col="carry_in")
+    return (
+        run.select(
+            F.expr(f"eus div {US_PER_DAY}").alias("day"),
+            F.greatest(
+                F.col("carry_in"), F.col("carry_in") + F.col("net")
+            ).alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.max("v").alias("peak_concurrency"))
+        .orderBy("day")
+    )
+
+
+ORACLE["q_sessions_concurrent"] = f"""
+  WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+  ),
+  f AS (
+    SELECT *, CASE WHEN t - lag(t) OVER (
+                     PARTITION BY user_id ORDER BY t, event_id)
+                   > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS ns
+    FROM e
+  ),
+  s AS (
+    SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+    FROM f
+  ),
+  b AS (
+    SELECT user_id, session_id, MIN(t) AS st, MAX(t) AS en
+    FROM s GROUP BY 1, 2
+  ),
+  deltas AS (
+    SELECT st AS eus, 1 AS d FROM b
+    UNION ALL SELECT en + 1, -1 FROM b
+  ),
+  nets AS (SELECT eus, SUM(d) AS net FROM deltas GROUP BY 1),
+  run AS (
+    SELECT eus, net,
+           COALESCE(SUM(net) OVER (ORDER BY eus
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS carry_in
+    FROM nets
+  )
+  SELECT eus // {US_PER_DAY} AS day,
+         CAST(MAX(GREATEST(carry_in, carry_in + net)) AS BIGINT)
+           AS peak_concurrency
+  FROM run GROUP BY 1 ORDER BY day
+"""

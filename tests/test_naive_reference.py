@@ -868,3 +868,111 @@ def test_mmr_diversify_vs_naive_greedy(spark, tmp_path):
             selected.append(d)
             want.append((q, d, step, score))
     assert got == want
+
+
+def test_sessions_concurrent_vs_naive_sweep(spark, tmp_path):
+    """Per-day peaks equal a brute-force sweep over explicitly
+    enumerated session intervals (carry-in across midnight counted)."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import q_sessions_concurrent
+
+    r = _rng()
+    base = dt.datetime(1995, 3, 1)
+    evs = []
+    for i in range(500):
+        u = r.randrange(8)
+        t = base + dt.timedelta(minutes=r.randrange(4 * 24 * 60))
+        evs.append((i, t, u, "click", 1.0))
+    _write(spark, tmp_path, "events", evs,
+           "event_id long, ts timestamp_ntz, user_id long,"
+           " event_type string, value double")
+    got = {
+        x.day: x.peak_concurrency
+        for x in q_sessions_concurrent(spark, str(tmp_path)).collect()
+    }
+
+    def eus(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    gap = 30 * 60 * 1_000_000
+    byu = {}
+    for _, t, u, _t, _v in evs:
+        byu.setdefault(u, []).append(eus(t))
+    ivals = []
+    for ts in byu.values():
+        ts.sort()
+        st = prev = ts[0]
+        for x in ts[1:]:
+            if x - prev > gap:
+                ivals.append((st, prev))
+                st = x
+            prev = x
+        ivals.append((st, prev))
+    deltas = {}
+    for st, en in ivals:
+        deltas[st] = deltas.get(st, 0) + 1
+        deltas[en + 1] = deltas.get(en + 1, 0) - 1
+    want = {}
+    v = 0
+    for t in sorted(deltas):
+        carry = v
+        v += deltas[t]
+        day = t // 86_400_000_000
+        want[day] = max(want.get(day, 0), carry, v)
+    assert got == want and max(want.values()) >= 2
+
+
+def test_prf_expand_vs_naive(spark, tmp_path):
+    """Expansion terms equal a brute-force replay: feedback docs by
+    idf-overlap, candidate terms minus query terms, fb_df x idf."""
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+    from locopy_spark.queries.docs_ext import (
+        PRF_FB,
+        PRF_TERMS,
+        s_prf_expand,
+    )
+
+    r = _rng()
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+    docs = []
+    for i in range(30):
+        words = [vocab[r.randrange(len(vocab))] for _ in range(6)]
+        docs.append((i, " ".join(words), "en", "s0", 6))
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars int")
+    got = [
+        (x.query_id, x.term, x.fb_df, x.score_scaled, x.rk)
+        for x in s_prf_expand(spark, str(tmp_path)).collect()
+    ]
+
+    toks = {i: set(t.split()) for i, t, *_ in docs}
+    n = len(docs)
+    df = {}
+    for ts in toks.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+
+    def idf(t):
+        return (n - df[t]) * 1_000_000 // df[t]
+
+    want = []
+    for q in KNN_QUERY_IDS:
+        lex = sorted(
+            (-sum(idf(t) for t in toks[q] & toks[d]), d)
+            for d in toks
+            if d != q and toks[q] & toks[d]
+        )
+        fb = [d for _, d in lex[:PRF_FB]]
+        cand = {}
+        for d in fb:
+            for t in toks[d]:
+                cand[t] = cand.get(t, 0) + 1
+        scored = sorted(
+            (-(c * idf(t)), t, c)
+            for t, c in cand.items()
+            if t not in toks[q]
+        )
+        for i, (ns, t, c) in enumerate(scored[:PRF_TERMS]):
+            want.append((q, t, c, -ns, i + 1))
+    assert got == want and len(want) > 10

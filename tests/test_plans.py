@@ -829,3 +829,23 @@ def test_mmr_diversify_constant_rounds(spark, sf_dir):
     # cartesian, and the heavy work (pool + sims) ran once up front
     df = _q(spark, sf_dir, "s_mmr_diversify")
     assert not audit.has_cartesian(df)
+
+
+def test_sessions_concurrent_no_single_task_sort(spark, sf_dir):
+    # sweep-line closed with the range-partitioned prefix sum: one
+    # user-key exchange (sessionize), one range exchange (running
+    # sum), one day rollup — no one-partition global window
+    df = _q(spark, sf_dir, "q_sessions_concurrent")
+    assert not audit.has_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # the prefix-sum helper's partition-id plumbing must be present
+    # (global_running_sum), proving no global unpartitioned window
+    assert "__pid" in plan or "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_prf_expand_shares_lexical_arm(spark, sf_dir):
+    # one persisted postings explode feeds feedback selection AND
+    # term collection; idf/doc-count sides broadcast
+    df = _q(spark, sf_dir, "s_prf_expand")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
