@@ -40,10 +40,14 @@ def generate_path(bucket: str, key: str, scheme: str = "s3a") -> str:
 
 
 def generate_unload_path(bucket: str, folder: str | None, scheme: str = "s3a") -> str:
-    """Build an unload destination (reference: locopy/s3.py:156)."""
+    """Build an unload destination (reference: locopy/s3.py:156).
+
+    Reference semantics exactly: a folder ENDING in "/" is kept as a
+    folder, anything else is a key PREFIX and passes through verbatim
+    (reference tests/test_s3.py:138 asserts "TEST"/"PREFIX" →
+    "s3://TEST/PREFIX" with no added slash)."""
     if folder:
-        sep = "" if folder.endswith("/") else "/"
-        return f"{scheme}://{bucket}/{folder}{sep}"
+        return f"{scheme}://{bucket}/{folder}"
     return f"{scheme}://{bucket}"
 
 

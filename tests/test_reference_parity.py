@@ -15,6 +15,14 @@ Mapping (reference file:test → twin below):
   test_snowflake.py:test_upload_to_internal → test_put_parallel_autocompress_overwrite
   test_snowflake.py:test_download_from_internal → test_get_parallel
   test_snowflake.py:test_copy_file_type → test_file_type_permutations
+  test_s3.py:test_parse_s3_url → test_parse_s3_url_reference_cases
+  test_s3.py:test_generate_s3_path → test_generate_s3_path_reference_cases
+  test_s3.py:test_generate_unload_path → test_generate_unload_path_reference_cases
+  test_s3.py:test_delete_list_..._special_chars → test_delete_list_special_chars
+  test_utility.py:test_split_file_exception → test_split_file_rejects_bad_splits
+                                              + test_split_file_exception_cleans_partials
+  test_utility.py:test_concatenate_files_exception → test_concatenate_files_missing_input_raises
+  test_utility.py:test_read_config_yaml_good/_io/_no_file → test_read_config_yaml_stream_and_errors
 """
 
 import glob
@@ -315,3 +323,145 @@ def test_file_type_unknown_raises(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     with pytest.raises((ValueError, DBError)):
         wh.copy("t_bad", str(tmp_path / "x.dat"), file_type="unknown")
+
+
+# --- S3 url / path grammar (reference tests/test_s3.py:130,138,362) ---------
+
+
+def test_parse_s3_url_reference_cases():
+    """Mirror of reference test_parse_s3_url — every URL form,
+    including special characters and the degenerate empties."""
+    from locopy_spark.sources.stage import parse_url
+
+    assert parse_url("s3://bucket/folder/file.txt") == (
+        "bucket", "folder/file.txt",
+    )
+    assert parse_url("s3://bucket/folder/") == ("bucket", "folder/")
+    assert parse_url("s3://bucket") == ("bucket", "")
+    assert parse_url(r"s3://bucket/!@#$%\\\/file.txt") == (
+        "bucket", r"!@#$%\\\/file.txt",
+    )
+    assert parse_url("s3://") == ("", "")
+    assert parse_url("bucket/folder/file.txt") == ("bucket", "folder/file.txt")
+    assert parse_url("bucket/folder/") == ("bucket", "folder/")
+    assert parse_url("bucket") == ("bucket", "")
+    assert parse_url(r"bucket/!@#$%\\\/file.txt") == (
+        "bucket", r"!@#$%\\\/file.txt",
+    )
+    assert parse_url("") == ("", "")
+
+
+def test_generate_s3_path_reference_cases():
+    """Mirror of reference test_generate_s3_path (spaces preserved
+    verbatim; the scheme is parameterized here, s3 for parity)."""
+    from locopy_spark.sources.stage import generate_path
+
+    assert generate_path("TEST", "KEY", scheme="s3") == "s3://TEST/KEY"
+    assert (
+        generate_path("TEST SPACE", "KEY SPACE", scheme="s3")
+        == "s3://TEST SPACE/KEY SPACE"
+    )
+    # deviation from reference (which stringifies None -> "s3://None/
+    # None"): an empty key degrades to the bucket URL — saner and
+    # relied on by Stage.upload's default-key path
+    assert generate_path("TEST", "", scheme="s3") == "s3://TEST"
+
+
+def test_generate_unload_path_reference_cases():
+    """Mirror of reference test_generate_unload_path — trailing-slash
+    folder kept, non-slash folder is a PREFIX (no slash added)."""
+    from locopy_spark.sources.stage import generate_unload_path
+
+    assert generate_unload_path("TEST", "FOLDER/", scheme="s3") == "s3://TEST/FOLDER/"
+    assert (
+        generate_unload_path("TEST SPACE", "FOLDER SPACE/", scheme="s3")
+        == "s3://TEST SPACE/FOLDER SPACE/"
+    )
+    assert generate_unload_path("TEST", "PREFIX", scheme="s3") == "s3://TEST/PREFIX"
+    assert generate_unload_path("TEST", None, scheme="s3") == "s3://TEST"
+
+
+def test_delete_list_special_chars(tmp_path):
+    """Mirror of reference test_delete_list_from_s3_single_with_folder
+    _and_special_chars — keys with regex-hostile characters route
+    through parse_url to the right physical file."""
+    from locopy_spark.sources.stage import Stage
+
+    st = Stage(str(tmp_path / "root"))
+    key = "test_folder/#$#@$dffksdojfsdf&&__test.1"
+    src = tmp_path / "payload.txt"
+    src.write_text("x")
+    st.upload(str(src), key=key)
+    assert st.list("test_folder/*") != []
+    st.delete_list([key])
+    assert st.list("test_folder/*") == []
+
+
+# --- split_file failure cleanup (reference tests/test_utility.py:204) -------
+
+
+def test_split_file_rejects_bad_splits(tmp_path):
+    from locopy_spark.errors import LocopySplitError
+    from locopy_spark.utility import split_file
+
+    src = tmp_path / "mock_file.txt"
+    src.write_text("a\nb\nc\nd\n")
+    out = str(tmp_path / "mock_output_file.txt")
+    for bad in (-1, 0, 5.65, "123", "Test"):
+        with pytest.raises(LocopySplitError):
+            split_file(str(src), out, bad)
+
+
+def test_split_file_exception_cleans_partials(tmp_path, monkeypatch):
+    """Mirror of reference test_split_file_exception: a failure mid-
+    split must remove every partial output file."""
+    import builtins
+
+    from locopy_spark.errors import LocopySplitError
+    from locopy_spark.utility import split_file
+
+    src = tmp_path / "mock_file.txt"
+    src.write_text("a\nb\nc\nd\n")
+    out = str(tmp_path / "mock_output_file.txt")
+    real_next = builtins.next
+
+    def boom(*a, **k):
+        raise Exception("SomeException")
+
+    monkeypatch.setattr(builtins, "next", boom)
+    try:
+        for n in (2, 3):
+            with pytest.raises(LocopySplitError):
+                split_file(str(src), out, n)
+            for i in range(n):
+                assert not (tmp_path / f"mock_output_file.txt.{i}").exists()
+    finally:
+        monkeypatch.setattr(builtins, "next", real_next)
+
+
+def test_concatenate_files_missing_input_raises(tmp_path):
+    """Mirror of reference test_concatenate_files_exception."""
+    from locopy_spark.errors import LocopyConcatError
+    from locopy_spark.utility import concatenate_files
+
+    with pytest.raises(LocopyConcatError):
+        concatenate_files(
+            [str(tmp_path / "no_such_file.txt")], str(tmp_path / "out.txt")
+        )
+
+
+def test_read_config_yaml_stream_and_errors(tmp_path):
+    """Mirror of reference test_read_config_yaml_good/_io/_no_file:
+    accepts an open stream, and raises CredentialsError on a missing
+    path or unparsable content."""
+    import io
+
+    from locopy_spark.errors import CredentialsError
+    from locopy_spark.utility import read_config_yaml
+
+    good = "host: my.host\nport: 1234\n"
+    assert read_config_yaml(io.StringIO(good)) == {
+        "host": "my.host", "port": 1234,
+    }
+    with pytest.raises(CredentialsError):
+        read_config_yaml(str(tmp_path / "no_such.yaml"))

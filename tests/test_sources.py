@@ -119,7 +119,7 @@ def test_stage_roundtrip(tmp_path):
 def test_parse_and_generate_urls():
     assert parse_url("s3://bucket/key/path.txt") == ("bucket", "key/path.txt")
     assert parse_url("s3a://bucket") == ("bucket", "")
-    assert generate_unload_path("b", "folder") == "s3a://b/folder/"
+    assert generate_unload_path("b", "folder") == "s3a://b/folder"
     assert generate_unload_path("b", None) == "s3a://b"
 
 
