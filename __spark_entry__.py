@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_mmr_diversify": docs_ext.s_mmr_diversify,
         "q_sessions_concurrent": events_ext.q_sessions_concurrent,
         "s_prf_expand": docs_ext.s_prf_expand,
+        "q_time_to_convert": events_ext.q_time_to_convert,
     }
     return q
 

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "s_mmr_diversify",
     "q_sessions_concurrent",
     "s_prf_expand",
+    "q_time_to_convert",
 ]
 
 

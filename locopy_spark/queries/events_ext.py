@@ -1214,28 +1214,18 @@ ORACLE["q_interpurchase"] = """
 PATTERN_WINDOW_US = 7 * 86_400_000_000  # purchase within 7 days
 
 
-def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clean-path conversion by weekday of the view: for every view,
-    the NEXT purchase by the same user within 7 days converts, and the
-    conversion is CLEAN only when no error event strictly intervenes
-    (view < error < purchase blocks it).
-
-    One |events| window per user computes next-purchase /next-error
-    epochs with a RANGE (1 FOLLOWING .. UNBOUNDED) frame — strict
-    "after" even under same-microsecond ties, identical semantics on
-    both engines (a ROWS frame would be tie-order dependent).  The
-    rollup is a 7-row weekday aggregate with exact ppm shares; event
-    payloads never shuffle twice (one hash exchange on user_id, one on
-    the 7-key weekday).
-    """
-    e = load_table(spark, sf_dir, "events")
+def next_event_epochs(e: DataFrame) -> DataFrame:
+    """Per event: the epoch-µs of the user's NEXT purchase and next
+    error, strictly after (RANGE 1 FOLLOWING — tie-safe on both
+    engines).  The ONE copy of the lookahead scaffolding shared by
+    q_pattern_negation and q_time_to_convert."""
     eus = epoch_us(e, "ts")
     w = (
         W.partitionBy("user_id")
         .orderBy("eus")
         .rangeBetween(1, W.unboundedFollowing)
     )
-    nxt = (
+    return (
         e.select("user_id", "event_type", eus.alias("eus"))
         .withColumn(
             "next_p",
@@ -1250,6 +1240,23 @@ def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
+
+
+def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-path conversion by weekday of the view: for every view,
+    the NEXT purchase by the same user within 7 days converts, and the
+    conversion is CLEAN only when no error event strictly intervenes
+    (view < error < purchase blocks it).
+
+    One |events| window per user computes next-purchase /next-error
+    epochs with a RANGE (1 FOLLOWING .. UNBOUNDED) frame — strict
+    "after" even under same-microsecond ties, identical semantics on
+    both engines (a ROWS frame would be tie-order dependent).  The
+    rollup is a 7-row weekday aggregate with exact ppm shares; event
+    payloads never shuffle twice (one hash exchange on user_id, one on
+    the 7-key weekday).
+    """
+    nxt = next_event_epochs(load_table(spark, sf_dir, "events"))
     views = nxt.filter(F.col("event_type") == "view").select(
         F.expr(
             f"(((eus div {US_PER_DAY}) + 4) % 7 + 7) % 7"
@@ -1415,4 +1422,100 @@ ORACLE["q_sessions_concurrent"] = f"""
          CAST(MAX(GREATEST(carry_in, carry_in + net)) AS BIGINT)
            AS peak_concurrency
   FROM run GROUP BY 1 ORDER BY day
+"""
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase latency distribution per weekday of the view
+    (the "how long until they buy" complement of q_pattern_negation's
+    "do they buy cleanly"): exact median and p90 latency in
+    microseconds over converted views, plus the exact-bigint mean.
+
+    Shares the ``next_event_epochs`` lookahead; order statistics come
+    from operators/ranking.grouped_global_row_number (range-
+    partitioned — no single-task per-weekday sort).  Rank-k latency
+    is tie-order invariant (equal latencies yield the same value at
+    any rank inside the tie run), so no further tiebreak column is
+    needed for exactness.
+    """
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    nxt = next_event_epochs(load_table(spark, sf_dir, "events"))
+    conv = (
+        nxt.filter(F.col("event_type") == "view")
+        .filter(
+            F.expr(f"next_p IS NOT NULL AND next_p - eus <= {PATTERN_WINDOW_US}")
+        )
+        .select(
+            F.expr(
+                f"(((eus div {US_PER_DAY}) + 4) % 7 + 7) % 7"
+            ).alias("weekday"),
+            (F.col("next_p") - F.col("eus")).alias("latency_us"),
+        )
+    )
+    ranked = grouped_global_row_number(
+        conv,
+        group_cols=["weekday"],
+        order_cols=["latency_us"],
+        out_col="rn",
+        size_col="n",
+    )
+    return (
+        ranked.groupBy("weekday")
+        .agg(
+            F.max("n").alias("n_conv"),
+            F.max(
+                F.expr(
+                    "case when rn = cast(ceil(0.5 * n) as bigint)"
+                    " then latency_us end"
+                )
+            ).alias("median_latency_us"),
+            F.max(
+                F.expr(
+                    "case when rn = cast(ceil(0.9 * n) as bigint)"
+                    " then latency_us end"
+                )
+            ).alias("p90_latency_us"),
+            F.expr("CAST(SUM(latency_us) AS DOUBLE) / COUNT(*)").alias(
+                "mean_latency_us"
+            ),
+        )
+        .orderBy("weekday")
+    )
+
+
+ORACLE["q_time_to_convert"] = f"""
+  WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS eus FROM events
+  ),
+  nxt AS (
+    SELECT user_id, event_type, eus,
+           MIN(CASE WHEN event_type = 'purchase' THEN eus END) OVER (
+             PARTITION BY user_id ORDER BY eus
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_p
+    FROM base
+  ),
+  conv AS (
+    SELECT (((eus // {US_PER_DAY}) + 4) % 7 + 7) % 7 AS weekday,
+           next_p - eus AS latency_us
+    FROM nxt
+    WHERE event_type = 'view' AND next_p IS NOT NULL
+      AND next_p - eus <= {PATTERN_WINDOW_US}
+  ),
+  r AS (
+    SELECT weekday, latency_us,
+           ROW_NUMBER() OVER (
+             PARTITION BY weekday ORDER BY latency_us
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY weekday) AS n
+    FROM conv
+  )
+  SELECT weekday, CAST(MAX(n) AS BIGINT) AS n_conv,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             THEN latency_us END) AS median_latency_us,
+         MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+             THEN latency_us END) AS p90_latency_us,
+         CAST(SUM(latency_us) AS DOUBLE) / COUNT(*) AS mean_latency_us
+  FROM r GROUP BY 1 ORDER BY weekday
 """

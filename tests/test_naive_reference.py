@@ -976,3 +976,60 @@ def test_prf_expand_vs_naive(spark, tmp_path):
         for i, (ns, t, c) in enumerate(scored[:PRF_TERMS]):
             want.append((q, t, c, -ns, i + 1))
     assert got == want and len(want) > 10
+
+
+def test_time_to_convert_vs_naive(spark, tmp_path):
+    """Median/p90/mean conversion latency equals a brute-force scan
+    (strictly-after next purchase, rank-k order statistics)."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import (
+        PATTERN_WINDOW_US,
+        q_time_to_convert,
+    )
+
+    r = _rng()
+    base = dt.datetime(1995, 1, 2)
+    evs = []
+    for i in range(600):
+        u = r.randrange(10)
+        t = base + dt.timedelta(seconds=r.randrange(200) * 86_400 // 5)
+        typ = r.choice(["view", "purchase", "click"])
+        evs.append((i, t, u, typ))
+    _write(spark, tmp_path, "events", evs,
+           "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = {
+        x.weekday: (
+            x.n_conv, x.median_latency_us, x.p90_latency_us,
+            x.mean_latency_us,
+        )
+        for x in q_time_to_convert(spark, str(tmp_path)).collect()
+    }
+
+    def eus(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    byu = {}
+    for _, t, u, typ in evs:
+        byu.setdefault(u, []).append((eus(t), typ))
+    lat = {}
+    for rows_u in byu.values():
+        for e0, typ in rows_u:
+            if typ != "view":
+                continue
+            after_p = [e for e, t2 in rows_u if t2 == "purchase" and e > e0]
+            if not after_p or min(after_p) - e0 > PATTERN_WINDOW_US:
+                continue
+            wd = ((e0 // 86_400_000_000) + 4) % 7
+            lat.setdefault(wd, []).append(min(after_p) - e0)
+    want = {}
+    for wd, xs in lat.items():
+        xs.sort()
+        n = len(xs)
+        want[wd] = (
+            n,
+            xs[-(-n // 2) - 1],  # ceil(n/2), 1-based
+            xs[-(-9 * n // 10) - 1],  # ceil(0.9n)
+            sum(xs) / n,
+        )
+    assert got == want and sum(v[0] for v in want.values()) > 30

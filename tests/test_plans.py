@@ -849,3 +849,11 @@ def test_prf_expand_shares_lexical_arm(spark, sf_dir):
     df = _q(spark, sf_dir, "s_prf_expand")
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df)
+
+
+def test_time_to_convert_shared_lookahead(spark, sf_dir):
+    # one user-key exchange feeds the RANGE lookahead; order
+    # statistics are range-partitioned (grouped_global_row_number) —
+    # no per-weekday single-task sort
+    df = _q(spark, sf_dir, "q_time_to_convert")
+    assert not audit.has_cartesian(df)
