@@ -2944,6 +2944,18 @@ RRF_TOPK = 10  # fused results kept per query
 RRF_K0 = 60
 
 
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """Row-local-deduped (doc_id, term) postings — the inverted-index
+    state shared by the batch retrieval queries and the streaming
+    index twin (a SET of rows: union+distinct is idempotent)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct({tokens_expr('text')})")
+        ).alias("term"),
+    )
+
+
 def lexical_arm(
     docs: DataFrame,
     query_ids: list[int],
@@ -2955,20 +2967,24 @@ def lexical_arm(
     postings (persisted under ``scope``), vocab-bounded document
     frequencies, the broadcast query-term table, and the exact
     rational-idf overlap top-``pool`` per query."""
+    tok = managed_persist(doc_postings(docs), scope)
+    ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return lexical_from_postings(tok, ntot, query_ids, pool)
+
+
+def lexical_from_postings(
+    tok: DataFrame,
+    ntot: DataFrame,
+    query_ids: list[int],
+    pool: int,
+) -> dict[str, DataFrame]:
+    """Lexical-arm tables from an existing postings set + 1-row doc
+    count — the entry point the streaming index twin shares with the
+    batch queries (its state IS the postings table)."""
     from pyspark.sql import Window as W
 
-    tok = managed_persist(
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"array_distinct({tokens_expr('text')})")
-            ).alias("term"),
-        ),
-        scope,
-    )
     # tok is distinct per (doc_id, term), so COUNT(*) is document freq
     dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     qt = tok.filter(F.col("doc_id").isin(query_ids)).select(
         F.col("doc_id").alias("query_id"), "term"
     )
@@ -3374,12 +3390,17 @@ def s_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     term rollup is bounded by the feedback docs' vocabularies; idf is
     vocab-bounded and broadcast.  Every score is an exact integer.
     """
-    from pyspark.sql import Window as W
-
     from locopy_spark.queries.docs import KNN_QUERY_IDS
 
     d = load_table(spark, sf_dir, "documents")
-    t = lexical_arm(d, KNN_QUERY_IDS, PRF_FB, scope="prf_expand")
+    return prf_report(lexical_arm(d, KNN_QUERY_IDS, PRF_FB, scope="prf_expand"))
+
+
+def prf_report(t: dict[str, DataFrame]) -> DataFrame:
+    """PRF finisher over lexical-arm tables — shared by the batch
+    query and the streaming index twin's on-demand scoring."""
+    from pyspark.sql import Window as W
+
     fb_terms = (
         t["lex"]
         .join(

@@ -1400,3 +1400,71 @@ def stream_boilerplate(
         .queryName(f"boiler_{span_view}")
         .start()
     )
+
+
+def stream_lexical_index(
+    docs: DataFrame,
+    tok_view: str = "lex_tok_state",
+    count_view: str = "lex_count_state",
+):
+    """Continuously-maintained lexical retrieval index over a document
+    stream: each micro-batch contributes its row-local-deduped
+    (doc_id, term) postings (``queries.docs_ext.doc_postings`` — a
+    SET, idempotent under chunk re-delivery) plus the corpus doc
+    count over never-seen docs. Scoring runs on demand from the state
+    via the shared ``lexical_from_postings`` + ``prf_report`` /
+    fusion finishers — the streaming form of "the index is always
+    fresh, queries hit the latest snapshot". The test asserts stream
+    state + finisher == batch ``s_prf_expand`` exactly on overlapping
+    out-of-order chunks.
+
+    Like stream_boilerplate, the state IS the inverted index (df of a
+    term is decided by documents that may arrive later, so no bounded
+    sketch closes exact idf); at 100 TB the postings live in a
+    compacted table keyed by term.
+    """
+    from locopy_spark.queries.docs_ext import doc_postings
+
+    spark = docs.sparkSession
+    empty_tok = spark.createDataFrame([], "doc_id long, term string")
+    empty_tok.createOrReplaceGlobalTempView(tok_view)
+    empty_counts = spark.createDataFrame([], "n_docs long")
+    empty_counts.createOrReplaceGlobalTempView(count_view)
+    seen_view = f"{count_view}_seen"
+    spark.createDataFrame([], "doc_id long").createOrReplaceGlobalTempView(
+        seen_view
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        seen = s.table(f"global_temp.{seen_view}")
+        fresh = batch_df.join(seen, "doc_id", "anti").localCheckpoint()
+        merged_tok = (
+            s.table(f"global_temp.{tok_view}")
+            .unionByName(doc_postings(fresh).select("doc_id", "term"))
+            .distinct()
+            .localCheckpoint()
+        )
+        merged_counts = (
+            s.table(f"global_temp.{count_view}")
+            .unionByName(fresh.agg(F.count(F.lit(1)).alias("n_docs")))
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint()
+        )
+        merged_seen = (
+            seen.unionByName(fresh.select("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        merged_tok.createOrReplaceGlobalTempView(tok_view)
+        merged_counts.createOrReplaceGlobalTempView(count_view)
+        merged_seen.createOrReplaceGlobalTempView(seen_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"lexindex_{tok_view}")
+        .start()
+    )

@@ -1165,3 +1165,48 @@ def test_stream_boilerplate_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in t_boilerplate(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_lexical_index_matches_batch_prf(spark, sf_dir, tmp_path):
+    """The postings state is a set and the doc count is additive over
+    never-seen docs, so on-demand scoring from the streamed index
+    (shared lexical_from_postings + prf_report finishers) equals
+    batch s_prf_expand even with OVERLAPPING out-of-order chunks."""
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+    from locopy_spark.queries.docs_ext import (
+        PRF_FB,
+        lexical_from_postings,
+        prf_report,
+        s_prf_expand,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_lexical_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, p in enumerate([1, 3, 0, 2]):
+        docs.filter(
+            f"pmod(doc_id, 4) in ({p}, {(p + 2) % 4})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"lexchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lexchunk*"))
+    )
+    q = stream_lexical_index(
+        stream, tok_view="lex_tok_t", count_view="lex_count_t"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = lexical_from_postings(
+        spark.table("global_temp.lex_tok_t"),
+        spark.table("global_temp.lex_count_t"),
+        KNN_QUERY_IDS,
+        PRF_FB,
+    )
+    got = [tuple(r) for r in prf_report(t).collect()]
+    want = [tuple(r) for r in s_prf_expand(spark, sf_dir).collect()]
+    assert got and got == want
