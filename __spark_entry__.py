@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions_concurrent": events_ext.q_sessions_concurrent,
         "s_prf_expand": docs_ext.s_prf_expand,
         "q_time_to_convert": events_ext.q_time_to_convert,
+        "q_conversion_curve": events_ext.q_conversion_curve,
+        "q_co_engagement": events_ext.q_co_engagement,
+        "p_dedup_yield": corpus.p_dedup_yield,
     }
     return q
 

@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "q_sessions_concurrent",
     "s_prf_expand",
     "q_time_to_convert",
+    "q_conversion_curve",
+    "q_co_engagement",
+    "p_dedup_yield",
 ]
 
 

@@ -1422,3 +1422,92 @@ ORACLE["p_vocab_coverage"] = f"""
   WHERE rn <= (v * pct + 99) // 100
   GROUP BY pct ORDER BY pct
 """
+
+
+def p_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report per source: how many documents and tokens
+    token-SET fingerprint dedup (md5 of the sorted DISTINCT token
+    list, keep-smallest-id) would remove from each source — the
+    capacity/budget readout a pipeline owner checks before paying for
+    a full MinHash pass.  The vocabulary fingerprint is the
+    aggressive end of the dedup ladder (same word set = near-certain
+    duplicate even under reordering/repetition — exactly the
+    transformation this corpus's near-dups exhibit, where
+    whitespace-normalized md5 fires on nothing).  A duplicate is
+    charged to the source holding the REMOVED copy (its keeper may
+    live elsewhere).
+
+    Fingerprints are row-local; one shuffle on the uniform 128-bit
+    hash key (join back to the keeper id), one |sources| rollup;
+    exact ppm integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        "md5(concat_ws(' ',"
+        f" array_sort(array_distinct({tokens_expr('text')}))))"
+    )
+    base = d.select(
+        "source",
+        "doc_id",
+        F.expr(fp).alias("h"),
+        F.expr(f"size({tokens_expr('text')})").alias("n_tok"),
+    )
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = base.join(keep, "h").select(
+        "source",
+        F.expr("cast(doc_id != keep_id as int)").alias("is_dup"),
+        "n_tok",
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.expr("case when is_dup = 1 then n_tok else 0 end")).alias(
+                "tokens_dup"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            "tokens_total",
+            "tokens_dup",
+            F.expr(
+                "CAST(CAST(n_dup AS DECIMAL(38,0)) * 1000000"
+                " div n_docs AS BIGINT)"
+            ).alias("dup_doc_ppm"),
+            F.expr(
+                "CAST(CAST(tokens_dup AS DECIMAL(38,0)) * 1000000"
+                " div tokens_total AS BIGINT)"
+            ).alias("dup_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["p_dedup_yield"] = f"""
+  WITH base AS (
+    SELECT source, doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS h,
+           len({sql_tokens('text')}) AS n_tok
+    FROM documents
+  ),
+  keep AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY 1),
+  f AS (
+    SELECT source, CAST(doc_id != keep_id AS INT) AS is_dup, n_tok
+    FROM base JOIN keep USING (h)
+  )
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN is_dup = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_dup,
+         CAST(CAST(SUM(is_dup) AS HUGEINT) * 1000000
+              // COUNT(*) AS BIGINT) AS dup_doc_ppm,
+         CAST(CAST(SUM(CASE WHEN is_dup = 1 THEN n_tok ELSE 0 END)
+              AS HUGEINT) * 1000000 // SUM(n_tok) AS BIGINT)
+           AS dup_token_ppm
+  FROM f GROUP BY 1 ORDER BY source
+"""

@@ -1519,3 +1519,193 @@ ORACLE["q_time_to_convert"] = f"""
          CAST(SUM(latency_us) AS DOUBLE) / COUNT(*) AS mean_latency_us
   FROM r GROUP BY 1 ORDER BY weekday
 """
+
+
+CONV_WINDOWS_S = (3600, 21600, 86400, 259200, 604800)  # 1h 6h 1d 3d 7d
+
+
+def q_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-vs-window operating curve: the share of views whose
+    NEXT purchase lands within 1 h / 6 h / 1 d / 3 d / 7 d — the read
+    that picks an attribution window before anyone runs
+    q_pattern_negation/q_time_to_convert at a fixed 7 d.  One pass
+    over the shared ``next_event_epochs`` lookahead, five conditional
+    sums in a single 1-row aggregate, unpivoted to the 5-row curve
+    (cumulative by construction).  Exact ppm integers.
+    """
+    nxt = next_event_epochs(load_table(spark, sf_dir, "events"))
+    views = nxt.filter(F.col("event_type") == "view").select(
+        F.expr("next_p - eus").alias("latency_us")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_views")] + [
+        F.sum(
+            F.expr(
+                "cast(latency_us IS NOT NULL"
+                f" AND latency_us <= {w * 1_000_000} as int)"
+            )
+        ).alias(f"c{w}")
+        for w in CONV_WINDOWS_S
+    ]
+    one = views.agg(*aggs)
+    stack = ", ".join(f"{w}, c{w}" for w in CONV_WINDOWS_S)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(CONV_WINDOWS_S)}, {stack})"
+                " as (window_s, n_conv)"
+            ),
+            "n_views",
+        )
+        .select(
+            F.col("window_s").cast("long").alias("window_s"),
+            "n_views",
+            F.col("n_conv").cast("long").alias("n_conv"),
+            F.expr(
+                "CAST(CAST(n_conv AS DECIMAL(38,0)) * 1000000"
+                " div n_views AS BIGINT)"
+            ).alias("conv_ppm"),
+        )
+        .orderBy("window_s")
+    )
+
+
+def _conv_curve_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN latency_us IS NOT NULL AND latency_us <="
+        f" {w * 1_000_000} THEN 1 ELSE 0 END) AS BIGINT) AS c{w}"
+        for w in CONV_WINDOWS_S
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {w} AS window_s, n_views, c{w} AS n_conv FROM one"
+        for w in CONV_WINDOWS_S
+    )
+    return f"""
+  WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS eus FROM events
+  ),
+  nxt AS (
+    SELECT event_type,
+           MIN(CASE WHEN event_type = 'purchase' THEN eus END) OVER (
+             PARTITION BY user_id ORDER BY eus
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) - eus AS latency_us
+    FROM base
+  ),
+  v AS (SELECT latency_us FROM nxt WHERE event_type = 'view'),
+  one AS (SELECT COUNT(*) AS n_views, {sums} FROM v)
+  SELECT CAST(window_s AS BIGINT) AS window_s, n_views, n_conv,
+         CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_views AS BIGINT)
+           AS conv_ppm
+  FROM ({rows}) ORDER BY window_s
+"""
+
+
+ORACLE["q_conversion_curve"] = _conv_curve_oracle()
+
+
+def q_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-engagement lift matrix over WEEKLY activity
+    baskets (the market-basket device on behavior instead of parts):
+    basket = (user, week); for each type pair (a, b), the baskets
+    containing both and the exact-ppm lift
+    ``n_both·n_baskets·1e6 div (n_a·n_b)`` — lift > 1e6 means the
+    behaviors attract within a week, < 1e6 they repel.  (Lifetime
+    baskets are degenerate here — every active user eventually does
+    every type — so the weekly granularity is what makes the matrix
+    informative, the same reason basket analysis uses orders, not
+    customers.)
+
+    One distinct (user, week, type) projection, self-joined on the
+    basket key — co-partitioned, no shuffle beyond the first — into
+    a ≤|types|²-row matrix; the basket total rides as a 1-row
+    broadcast.  DECIMAL(38) headroom on the triple product.
+    """
+    from locopy_spark.functions.cache import managed_persist
+    from locopy_spark.functions.numeric import sql_epoch_us
+
+    e = load_table(spark, sf_dir, "events")
+    wk = f"({sql_epoch_us(e, 'ts')}) div {7 * US_PER_DAY}"
+    ut = managed_persist(
+        e.select(
+            "user_id", F.expr(wk).alias("wk"), "event_type"
+        ).distinct(),
+        "co_engagement",
+    )
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    n_users = ut.select("user_id", "wk").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    pairs = (
+        ut.select("user_id", "wk", F.col("event_type").alias("a"))
+        .join(
+            ut.select("user_id", "wk", F.col("event_type").alias("b")),
+            ["user_id", "wk"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_type.select(F.col("event_type").alias("a"),
+                                F.col("n_t").alias("n_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(F.col("event_type").alias("b"),
+                                F.col("n_t").alias("n_b"))
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "a",
+            "b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+ORACLE["q_co_engagement"] = """
+  WITH ut AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk,
+           event_type
+    FROM events
+  ),
+  per_type AS (
+    SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1
+  ),
+  nu AS (
+    SELECT COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id, wk FROM ut)
+  ),
+  pairs AS (
+    SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_both
+    FROM ut x JOIN ut y
+      ON x.user_id = y.user_id AND x.wk = y.wk
+     AND x.event_type < y.event_type
+    GROUP BY 1, 2
+  )
+  SELECT a, b, n_both,
+         ta.n_t AS n_a, tb.n_t AS n_b,
+         CAST(CAST(n_both AS HUGEINT) * n_users * 1000000
+              // (CAST(ta.n_t AS HUGEINT) * tb.n_t) AS BIGINT)
+           AS lift_ppm
+  FROM pairs
+  JOIN per_type ta ON ta.event_type = a
+  JOIN per_type tb ON tb.event_type = b
+  CROSS JOIN nu
+  ORDER BY a, b
+"""

@@ -1033,3 +1033,127 @@ def test_time_to_convert_vs_naive(spark, tmp_path):
             sum(xs) / n,
         )
     assert got == want and sum(v[0] for v in want.values()) > 30
+
+
+def test_conversion_curve_vs_naive(spark, tmp_path):
+    """The five-window curve equals brute-force counting and is
+    cumulative by construction."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import (
+        CONV_WINDOWS_S,
+        q_conversion_curve,
+    )
+
+    r = _rng()
+    base = dt.datetime(1995, 1, 2)
+    evs = []
+    for i in range(500):
+        u = r.randrange(10)
+        t = base + dt.timedelta(seconds=r.randrange(3000) * 600)
+        evs.append((i, t, u, r.choice(["view", "purchase", "click"])))
+    _write(spark, tmp_path, "events", evs,
+           "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = [
+        (x.window_s, x.n_views, x.n_conv, x.conv_ppm)
+        for x in q_conversion_curve(spark, str(tmp_path)).collect()
+    ]
+
+    def eus(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    byu = {}
+    for _, t, u, typ in evs:
+        byu.setdefault(u, []).append((eus(t), typ))
+    lats, n_views = [], 0
+    for rows_u in byu.values():
+        for e0, typ in rows_u:
+            if typ != "view":
+                continue
+            n_views += 1
+            ps = [e for e, t2 in rows_u if t2 == "purchase" and e > e0]
+            if ps:
+                lats.append(min(ps) - e0)
+    want = [
+        (
+            w,
+            n_views,
+            sum(1 for x in lats if x <= w * 1_000_000),
+            sum(1 for x in lats if x <= w * 1_000_000) * 1_000_000 // n_views,
+        )
+        for w in CONV_WINDOWS_S
+    ]
+    assert got == want
+    assert [x[2] for x in got] == sorted(x[2] for x in got)  # cumulative
+
+
+def test_co_engagement_vs_naive(spark, tmp_path):
+    """Weekly-basket lift matrix equals brute-force set counting."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import q_co_engagement
+
+    r = _rng()
+    base = dt.datetime(1995, 1, 2)
+    evs = []
+    types = ["view", "click", "purchase"]
+    for i in range(400):
+        u = r.randrange(12)
+        t = base + dt.timedelta(hours=r.randrange(24 * 35))
+        evs.append((i, t, u, types[r.randrange(3)]))
+    _write(spark, tmp_path, "events", evs,
+           "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = [
+        (x.a, x.b, x.n_both, x.n_a, x.n_b, x.lift_ppm)
+        for x in q_co_engagement(spark, str(tmp_path)).collect()
+    ]
+
+    def eus(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    baskets = {}
+    for _, t, u, typ in evs:
+        baskets.setdefault((u, eus(t) // (7 * 86_400_000_000)), set()).add(typ)
+    n_b = len(baskets)
+    cnt = {a: sum(1 for s in baskets.values() if a in s) for a in types}
+    want = sorted(
+        (
+            a, b,
+            sum(1 for s in baskets.values() if a in s and b in s),
+            cnt[a], cnt[b],
+            sum(1 for s in baskets.values() if a in s and b in s)
+            * n_b * 1_000_000 // (cnt[a] * cnt[b]),
+        )
+        for a in types for b in types if a < b
+    )
+    assert got == want and any(x[5] != 1_000_000 for x in got)
+
+
+def test_dedup_yield_vs_hand_counts(spark, tmp_path):
+    """Token-set fingerprint savings equal hand counting on a corpus
+    with planted reorder/repetition duplicates."""
+    from locopy_spark.queries.corpus import p_dedup_yield
+
+    docs = [
+        (0, "alpha beta gamma", "en", "sA", 1),
+        (1, "gamma beta alpha", "en", "sA", 1),      # reorder dup of 0
+        (2, "alpha alpha beta gamma", "en", "sB", 1),  # repetition dup of 0
+        (3, "delta epsilon", "en", "sB", 1),
+        (4, "delta epsilon", "en", "sB", 1),          # exact dup of 3
+        (5, "zeta", "en", "sB", 1),
+    ]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars int")
+    got = {
+        x.source: (
+            x.n_docs, x.n_dup, x.tokens_total, x.tokens_dup,
+            x.dup_doc_ppm, x.dup_token_ppm,
+        )
+        for x in p_dedup_yield(spark, str(tmp_path)).collect()
+    }
+    # sA: docs 0,1 -> 1 removed (doc 1, 3 tokens of 6)
+    # sB: docs 2 (4 tok, dup of 0), 3/4 (dup pair -> 4 removed), 5
+    assert got == {
+        "sA": (2, 1, 6, 3, 500000, 500000),
+        "sB": (4, 2, 9, 6, 500000, 666666),
+    }

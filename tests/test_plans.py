@@ -857,3 +857,27 @@ def test_time_to_convert_shared_lookahead(spark, sf_dir):
     # no per-weekday single-task sort
     df = _q(spark, sf_dir, "q_time_to_convert")
     assert not audit.has_cartesian(df)
+
+
+def test_conversion_curve_single_pass(spark, sf_dir):
+    # five conditional sums in ONE 1-row aggregate over the shared
+    # lookahead — the curve costs one pass, not five
+    df = _q(spark, sf_dir, "q_conversion_curve")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 3
+
+
+def test_co_engagement_copartitioned_self_join(spark, sf_dir):
+    # the (user, week, type) projection self-joins on its own
+    # partitioning key; output is a <=|types|^2 matrix
+    df = _q(spark, sf_dir, "q_co_engagement")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+
+
+def test_dedup_yield_row_local_fingerprints(spark, sf_dir):
+    # fingerprints are row-local; the only wide ops are the hash-key
+    # join-back and the |sources| rollup
+    df = _q(spark, sf_dir, "p_dedup_yield")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 4
