@@ -1442,16 +1442,27 @@ def p_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ppm integers.
     """
     d = load_table(spark, sf_dir, "documents")
+    return dedup_yield_report(dedup_yield_state(d))
+
+
+def dedup_yield_state(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, fingerprint, n_tok) rows — row-local, a SET
+    (doc_ids unique), the state shared with the streaming twin."""
     fp = (
         "md5(concat_ws(' ',"
         f" array_sort(array_distinct({tokens_expr('text')}))))"
     )
-    base = d.select(
+    return docs.select(
         "source",
         "doc_id",
         F.expr(fp).alias("h"),
         F.expr(f"size({tokens_expr('text')})").alias("n_tok"),
     )
+
+
+def dedup_yield_report(base: DataFrame) -> DataFrame:
+    """Savings finisher over the fingerprint state: keeper ids by
+    hash, removed-copy charges per source, exact ppm."""
     keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     flagged = base.join(keep, "h").select(
         "source",

@@ -1621,16 +1621,25 @@ def q_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  DECIMAL(38) headroom on the triple product.
     """
     from locopy_spark.functions.cache import managed_persist
-    from locopy_spark.functions.numeric import sql_epoch_us
 
     e = load_table(spark, sf_dir, "events")
+    ut = managed_persist(co_engagement_state(e), "co_engagement")
+    return co_engagement_report(ut)
+
+
+def co_engagement_state(e: DataFrame) -> DataFrame:
+    """Distinct (user, week, type) rows — a SET (idempotent
+    union+distinct), the state shared with the streaming twin."""
+    from locopy_spark.functions.numeric import sql_epoch_us
+
     wk = f"({sql_epoch_us(e, 'ts')}) div {7 * US_PER_DAY}"
-    ut = managed_persist(
-        e.select(
-            "user_id", F.expr(wk).alias("wk"), "event_type"
-        ).distinct(),
-        "co_engagement",
-    )
+    return e.select(
+        "user_id", F.expr(wk).alias("wk"), "event_type"
+    ).distinct()
+
+
+def co_engagement_report(ut: DataFrame) -> DataFrame:
+    """Lift-matrix finisher over the (user, week, type) state."""
     per_type = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_t")
     )

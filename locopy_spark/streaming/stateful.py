@@ -1468,3 +1468,97 @@ def stream_lexical_index(
         .queryName(f"lexindex_{tok_view}")
         .start()
     )
+
+
+def stream_co_engagement(
+    events: DataFrame,
+    state_view: str = "coeng_state",
+):
+    """Continuously-maintained weekly co-engagement state: each
+    micro-batch contributes its distinct (user, week, type) rows
+    (``queries.events_ext.co_engagement_state`` — a SET, so
+    union+distinct is idempotent under re-delivery and arrival
+    order).  The lift-matrix finisher (``co_engagement_report``)
+    runs over the state on demand; state is bounded by
+    |users|·|weeks|·|types|.  The test asserts stream state +
+    finisher == batch ``q_co_engagement`` on out-of-order chunks.
+    """
+    from locopy_spark.queries.events_ext import co_engagement_state
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame(
+        [], "user_id long, wk bigint, event_type string"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(
+                co_engagement_state(batch_df).select(
+                    "user_id", "wk", "event_type"
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"coeng_{state_view}")
+        .start()
+    )
+
+
+def stream_dedup_yield(
+    docs: DataFrame,
+    state_view: str = "dedup_yield_state",
+):
+    """Continuously-maintained dedup-savings state: each micro-batch
+    contributes its row-local (source, doc_id, fingerprint, n_tok)
+    rows over never-seen docs (``queries.corpus.dedup_yield_state``).
+    The keeper-resolution finisher (``dedup_yield_report``) runs over
+    the state on demand — keepers can CHANGE as earlier-id docs
+    arrive late, which is exactly why the resolution cannot be folded
+    into bounded per-batch state and the fingerprint table itself is
+    the honest state (the stream_boilerplate argument).  The test
+    asserts stream state + finisher == batch ``p_dedup_yield`` on
+    overlapping out-of-order chunks.
+    """
+    from locopy_spark.queries.corpus import dedup_yield_state
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame(
+        [], "source string, doc_id long, h string, n_tok int"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        state = s.table(f"global_temp.{state_view}")
+        fresh = batch_df.join(
+            state.select("doc_id"), "doc_id", "anti"
+        ).localCheckpoint()
+        merged = (
+            state.unionByName(
+                dedup_yield_state(fresh).select(
+                    "source", "doc_id", "h", "n_tok"
+                )
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"dedupyield_{state_view}")
+        .start()
+    )

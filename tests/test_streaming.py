@@ -1210,3 +1210,81 @@ def test_stream_lexical_index_matches_batch_prf(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in prf_report(t).collect()]
     want = [tuple(r) for r in s_prf_expand(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_co_engagement_matches_batch(spark, sf_dir, tmp_path):
+    """(user, week, type) is a set, so stream state + the shared
+    lift finisher equals batch q_co_engagement on out-of-order
+    chunks with re-delivered rows."""
+    from locopy_spark.queries.events_ext import (
+        co_engagement_report,
+        q_co_engagement,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_co_engagement
+
+    ev = load_table(spark, sf_dir, "events")
+    for i, p in enumerate([2, 0, 3, 1]):
+        ev.filter(
+            f"pmod(event_id, 4) in ({p}, {(p + 1) % 4})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"cechunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cechunk*"))
+    )
+    q = stream_co_engagement(stream, state_view="coeng_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in co_engagement_report(spark.table("global_temp.coeng_t"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    want = [tuple(r) for r in q_co_engagement(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_dedup_yield_matches_batch(spark, sf_dir, tmp_path):
+    """The fingerprint table is the honest state (late-arriving
+    smaller ids change keepers), so stream state + the shared
+    resolution finisher equals batch p_dedup_yield on OVERLAPPING
+    out-of-order chunks — including keeper flips across chunks."""
+    from locopy_spark.queries.corpus import dedup_yield_report, p_dedup_yield
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_dedup_yield
+
+    docs = load_table(spark, sf_dir, "documents")
+    # reversed order: high doc_ids first, so keepers flip as smaller
+    # ids arrive in later chunks
+    for i, p in enumerate([3, 2, 1, 0]):
+        docs.filter(
+            f"pmod(doc_id, 4) in ({p}, {(p + 1) % 4})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"dychunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "dychunk*"))
+    )
+    q = stream_dedup_yield(stream, state_view="dedup_yield_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in dedup_yield_report(
+            spark.table("global_temp.dedup_yield_t")
+        )
+        .orderBy("source")
+        .collect()
+    ]
+    want = [tuple(r) for r in p_dedup_yield(spark, sf_dir).collect()]
+    assert got and got == want
