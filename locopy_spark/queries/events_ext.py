@@ -1351,7 +1351,12 @@ def q_sessions_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranking.global_running_sum — range-partitioned, no
     single-task sort), day peak = max over the day's change points of
     GREATEST(carry-in, post-change value), so sessions spanning
-    midnight count against the day they carry into.
+    midnight count against the day they carry into.  Closure
+    convention: the carry-in value counts toward the day of the
+    day's FIRST change point even when that change lands exactly on
+    the µs day boundary (a generative property test pins the device
+    against an independent scan under this convention, including the
+    boundary corner).
 
     Scale shape: sessionization is one shuffle on the user key; the
     delta table is 2 rows per session; the prefix sum shuffles the

@@ -340,3 +340,64 @@ def test_nested_candidates_monotone_recall(scores, k, rnd):
         return len(approx & true_topk)
 
     assert hits(large) >= hits(small)
+
+
+DAY_US = 86_400_000_000
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5 * DAY_US),
+            st.integers(min_value=0, max_value=2 * DAY_US),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sweep_line_day_peak_device(iv):
+    """The q_sessions_concurrent device (per-instant nets -> exclusive
+    prefix sum -> per-day max of GREATEST(carry_in, post)) must equal
+    an independent sorted SCAN under the same closure convention
+    (the carry-in value counts toward the day it carries into).
+    Deliberately includes intervals starting/ending exactly on day
+    boundaries — the corner the synthetic data never hits."""
+    ivals = [(s, s + d) for s, d in iv]
+    deltas = {}
+    for s, e in ivals:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e + 1] = deltas.get(e + 1, 0) - 1
+    # device: exclusive prefix + GREATEST per day
+    got, v = {}, 0
+    for t in sorted(deltas):
+        carry = v
+        v += deltas[t]
+        d = t // DAY_US
+        got[d] = max(got.get(d, 0), carry, v)
+    # independent scan: walk every delta instant in order, tracking
+    # the running value; a day's peak is the max of the value just
+    # before its first instant and after each of its instants
+    want = {}
+    run = 0
+    seen_days = set()
+    for t in sorted(deltas):
+        d = t // DAY_US
+        if d not in seen_days:
+            seen_days.add(d)
+            want[d] = run  # carry-in (value before the day's first change)
+        run += deltas[t]
+        want[d] = max(want[d], run)
+    assert got == want
+
+
+@given(st.integers(min_value=1, max_value=1000), st.integers(min_value=1, max_value=1000))
+@settings(max_examples=200, deadline=None)
+def test_rrf_contribution_monotone_in_rank(r1, r2):
+    """1e6 // (60 + rank) must be non-increasing in rank — a better
+    rank can never lower a document's fused RRF score."""
+    lo, hi = min(r1, r2), max(r1, r2)
+    assert 1_000_000 // (60 + lo) >= 1_000_000 // (60 + hi)
+    # and the fused sum inherits it arm-wise
+    other = 1_000_000 // (60 + 7)
+    assert other + 1_000_000 // (60 + lo) >= other + 1_000_000 // (60 + hi)
