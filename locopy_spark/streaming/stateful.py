@@ -1367,9 +1367,15 @@ def stream_boilerplate(
             return
         s = batch_df.sparkSession
         # idempotence under re-delivery: only never-seen docs feed the
-        # additive doc counts (the span set is idempotent by itself)
+        # additive doc counts (the span set is idempotent by itself);
+        # dropDuplicates guards the same-batch re-delivery case the
+        # cross-batch anti-join cannot see
         seen = s.table(f"global_temp.{seen_view}")
-        fresh = batch_df.join(seen, "doc_id", "anti").localCheckpoint()
+        fresh = (
+            batch_df.dropDuplicates(["doc_id"])
+            .join(seen, "doc_id", "anti")
+            .localCheckpoint()
+        )
         merged_spans = (
             s.table(f"global_temp.{span_view}")
             .unionByName(
@@ -1440,7 +1446,11 @@ def stream_lexical_index(
             return
         s = batch_df.sparkSession
         seen = s.table(f"global_temp.{seen_view}")
-        fresh = batch_df.join(seen, "doc_id", "anti").localCheckpoint()
+        fresh = (
+            batch_df.dropDuplicates(["doc_id"])
+            .join(seen, "doc_id", "anti")
+            .localCheckpoint()
+        )
         merged_tok = (
             s.table(f"global_temp.{tok_view}")
             .unionByName(doc_postings(fresh).select("doc_id", "term"))
@@ -1543,9 +1553,11 @@ def stream_dedup_yield(
             return
         s = batch_df.sparkSession
         state = s.table(f"global_temp.{state_view}")
-        fresh = batch_df.join(
-            state.select("doc_id"), "doc_id", "anti"
-        ).localCheckpoint()
+        fresh = (
+            batch_df.dropDuplicates(["doc_id"])
+            .join(state.select("doc_id"), "doc_id", "anti")
+            .localCheckpoint()
+        )
         merged = (
             state.unionByName(
                 dedup_yield_state(fresh).select(

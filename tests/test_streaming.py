@@ -1261,13 +1261,14 @@ def test_stream_dedup_yield_matches_batch(spark, sf_dir, tmp_path):
 
     docs = load_table(spark, sf_dir, "documents")
     # reversed order: high doc_ids first, so keepers flip as smaller
-    # ids arrive in later chunks
+    # ids arrive in later chunks; each chunk also repeats a few docs
+    # WITHIN itself (same-batch re-delivery — the case the cross-batch
+    # seen anti-join cannot catch)
     for i, p in enumerate([3, 2, 1, 0]):
-        docs.filter(
-            f"pmod(doc_id, 4) in ({p}, {(p + 1) % 4})"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            str(tmp_path / f"dychunk{i}")
-        )
+        chunk = docs.filter(f"pmod(doc_id, 4) in ({p}, {(p + 1) % 4})")
+        chunk.unionAll(chunk.limit(5)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"dychunk{i}"))
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
