@@ -2988,10 +2988,14 @@ def lexical_from_postings(
     qt = tok.filter(F.col("doc_id").isin(query_ids)).select(
         F.col("doc_id").alias("query_id"), "term"
     )
+    # restrict the df table to QUERY terms before broadcasting: the
+    # full-vocabulary dfs is corpus-sized at 100 TB (df counts still
+    # come from the full corpus — restriction happens after counting)
+    dfs_q = dfs.join(F.broadcast(qt.select("term").distinct()), "term")
     scored = (
         tok.join(F.broadcast(qt), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfs), "term")
+        .join(F.broadcast(dfs_q), "term")
         .crossJoin(F.broadcast(ntot))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -3409,7 +3413,10 @@ def prf_report(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("fb_df"))
         .join(t["qt"], ["query_id", "term"], "anti")
-        .join(F.broadcast(t["dfs"]), "term")
+        # candidate terms span the feedback docs' vocabularies, so the
+        # idf lookup joins the full df table on the term key (shuffle,
+        # partial-aggregated) instead of broadcasting corpus vocabulary
+        .join(t["dfs"], "term")
         .crossJoin(F.broadcast(t["ntot"]))
         .select(
             "query_id",
