@@ -21,6 +21,7 @@ from locopy_spark.queries import (
     events_ext,
     io_rt,
     mining,
+    quality,
     stats,
     timeseries,
     tpch,
@@ -282,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversion_curve": events_ext.q_conversion_curve,
         "q_co_engagement": events_ext.q_co_engagement,
         "p_dedup_yield": corpus.p_dedup_yield,
+        # --- round-6 continuation session (also never driver-checked;
+        # they join the round-7 window lead per the SURVEY plan) ---
+        "q_cochran_armitage": trends.q_cochran_armitage,
+        "q_discount_elasticity": trends.q_discount_elasticity,
+        "t_readability": quality.t_readability,
+        "t_ttr": quality.t_ttr,
+        "p_filter_funnel": quality.p_filter_funnel,
+        "q_dq_audit": quality.q_dq_audit,
     }
     return q
 
@@ -303,4 +312,5 @@ def oracle_sql() -> dict[str, str]:
         **mining.ORACLE,
         **trends.ORACLE,
         **assoc.ORACLE,
+        **quality.ORACLE,
     }

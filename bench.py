@@ -228,6 +228,12 @@ BENCH_QUERIES = [
     "q_conversion_curve",
     "q_co_engagement",
     "p_dedup_yield",
+    "q_cochran_armitage",
+    "q_discount_elasticity",
+    "t_readability",
+    "t_ttr",
+    "p_filter_funnel",
+    "q_dq_audit",
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from locopy_spark.functions.numeric import sql_epoch_day
 from locopy_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -727,3 +728,232 @@ ORACLE["q_seasonal_decompose"] = """
            AS seasonal_dollars
   FROM g ORDER BY dow
 """
+
+
+# -- Cochran–Armitage trend in proportions ----------------------------------
+
+# Day-index origin for the score variable. The CA statistic and its
+# variance are SHIFT-INVARIANT in the scores, so the origin changes
+# nothing in the result — it only keeps the uncentered intermediate
+# sums (n·t, n·t²) small enough that every product stays far inside
+# DECIMAL(38)/HUGEINT and the final bigints inside 2^53 (exact double
+# cast). 19723 = epoch day of 2024-01-01.
+CA_EPOCH_DAY = 19723
+
+# z closes as one shared double expression over five exact bigints,
+# each < 2^53 (headroom note in ca_report). The sqrt factors are kept
+# SEPARATE (r, nn−r, vt, nn) instead of one big product: the product
+# r·(nn−r)·vt passes 2^53 long before any factor does, and a >2^53
+# int→double cast is exactly the 1-ulp engine divergence the OLS
+# module documents.
+_CA_Z = (
+    "CASE WHEN vt <= 0 OR r = 0 OR r = nn THEN 0.0"
+    " ELSE CAST(t_n AS DOUBLE)"
+    " / (sqrt(CAST(r AS DOUBLE)) * sqrt(CAST(nn - r AS DOUBLE))"
+    " * sqrt(CAST(vt AS DOUBLE)) / sqrt(CAST(nn AS DOUBLE))) END"
+)
+_CA_CRIT = "1.959964"  # two-sided alpha = 0.05
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for a linear trend in the daily PURCHASE
+    SHARE of the event stream — "is the conversion rate drifting?",
+    the proportions complement of q_mann_kendall (which trends a
+    value series, not a rate).
+
+    With day scores t, successes r_t (purchases) and trials n_t (all
+    events), T = Σ r_t·t − (R/N)·Σ n_t·t and Var(T) =
+    (R/N)(1−R/N)·(Σ n_t·t² − (Σ n_t·t)²/N). Multiplying through by N
+    makes both exact integers: t_n = N·Σrt − R·Σnt and
+    vt = N·Σnt² − (Σnt)², so z = t_n / √(R·(N−R)·vt/N) closes as one
+    shared double expression — no float accumulates over the scan.
+
+    Scale shape: one partial-aggregated shuffle to the |days|-sized
+    daily grain (three additive counters per day), then a 1-row
+    aggregate. Headroom: t_n, vt < 2^53 needs N·|t|·R < 9e15 — at
+    N = 1e12 trials re-center CA_EPOCH_DAY to the window start.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return ca_report(ca_daily(e))
+
+
+def ca_daily(events: DataFrame) -> DataFrame:
+    """Per-day (t, n, r) trials/successes — the additive CA sufficient
+    state: all three columns sum across arbitrary row subsets, so a
+    streaming maintainer merges per-batch outputs by day and equals
+    the batch pass on any arrival order (stream_ca_trend)."""
+    day = sql_epoch_day(events, "ts")
+    return (
+        events.select(
+            F.expr(f"({day}) - {CA_EPOCH_DAY}").alias("t"),
+            F.expr(
+                "case when event_type = 'purchase' then 1 else 0 end"
+            ).alias("is_p"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_p").alias("r"),
+        )
+    )
+
+
+def ca_report(daily: DataFrame) -> DataFrame:
+    """Close the CA test over the daily state: one 1-row power-sum
+    pass, products widened through DECIMAL(38,0), then the shared
+    z/verdict projection."""
+    sums = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("r"),
+        F.expr("sum(cast(n as decimal(38,0)) * t)").alias("st"),
+        F.expr("sum(cast(n as decimal(38,0)) * t * t)").alias("stt"),
+        F.expr("sum(cast(r as decimal(38,0)) * t)").alias("srt"),
+    )
+    v = sums.selectExpr(
+        "n_days",
+        "nn",
+        "r",
+        "cast(nn * srt - r * st as bigint) as t_n",
+        "cast(nn * stt - st * st as bigint) as vt",
+    )
+    return v.selectExpr(
+        "n_days",
+        "nn as n_events",
+        "r as n_purchases",
+        "t_n",
+        "vt",
+        f"{_CA_Z} as z",
+    ).selectExpr(
+        "n_days",
+        "n_events",
+        "n_purchases",
+        "t_n",
+        "vt",
+        "z",
+        f"CASE WHEN z > {_CA_CRIT} THEN 'increasing'"
+        f" WHEN z < -{_CA_CRIT} THEN 'decreasing'"
+        " ELSE 'no trend' END AS trend",
+    )
+
+
+ORACLE["q_cochran_armitage"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             - {CA_EPOCH_DAY} AS t,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS r
+    FROM events GROUP BY 1
+  ),
+  sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(r) AS BIGINT) AS r,
+           SUM(CAST(n AS HUGEINT) * t) AS st,
+           SUM(CAST(n AS HUGEINT) * t * t) AS stt,
+           SUM(CAST(r AS HUGEINT) * t) AS srt
+    FROM daily
+  ),
+  v AS (
+    SELECT n_days, nn, r,
+           CAST(nn * srt - r * st AS BIGINT) AS t_n,
+           CAST(nn * stt - st * st AS BIGINT) AS vt
+    FROM sums
+  ),
+  z AS (
+    SELECT n_days, nn AS n_events, r AS n_purchases, t_n, vt,
+           {_CA_Z} AS z
+    FROM v
+  )
+  SELECT n_days, n_events, n_purchases, t_n, vt, z,
+         CASE WHEN z > {_CA_CRIT} THEN 'increasing'
+              WHEN z < -{_CA_CRIT} THEN 'decreasing'
+              ELSE 'no trend' END AS trend
+  FROM z
+"""
+
+
+# -- grouped discount-response (promotional elasticity) ---------------------
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS fit of line quantity against discount depth —
+    the "does a deeper discount move more units?" promotional-lift
+    read, and the grouped-regression shape q_ols_trend doesn't show:
+    here the regressor is a measured column (discount in basis
+    points), not time, and one aggregate pass fits all |brands|
+    models simultaneously — the fit-a-million-tiny-models-in-one-scan
+    pattern that matters at warehouse scale.
+
+    x = discount in exact basis points (0..1000), y = quantity in
+    exact centi-units; the sufficient statistics reuse q_ols_trend's
+    exact-integer names/widths so the SAME closing formulas
+    (_ols_formulas — slope/intercept/R² as scaled integer ratios, one
+    double cast each) close the fit, re-labeled to this axis pair:
+    slope_qty_per_bp = units moved per extra basis point.
+
+    Scale shape: lineitem joins broadcast(part) (brand lives on the
+    part row — no fact-side shuffle), then ONE partial-aggregated
+    groupBy(brand) whose shuffle carries |brands| rows of six
+    counters. x ≤ 10⁴ keeps st/stt bigint-exact to ~10¹⁰ lines per
+    brand; y-sums widen through DECIMAL(27) like ols_report.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.expr("cast(floor(l_discount * 10000 + 0.5) as bigint)").alias(
+                "x"
+            ),
+            F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)").alias(
+                "y"
+            ),
+        )
+    )
+    sums = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("st"),
+        F.expr("sum(x * x)").alias("stt"),
+        F.expr("sum(cast(y as decimal(27,0)))").alias("sy"),
+        F.expr("sum(cast(x as decimal(27,0)) * y)").alias("sty"),
+        F.expr("sum(cast(y as decimal(27,0)) * y)").alias("syy"),
+    )
+    fm = _ols_formulas("div", "DECIMAL(38,0)")
+    return sums.selectExpr(
+        "p_brand",
+        "n as n_lines",
+        f"{fm['slope_dollars_per_day']} AS slope_qty_per_bp",
+        f"{fm['intercept_dollars']} AS intercept_qty",
+        f"{fm['r2']} AS r2",
+    ).orderBy("p_brand")
+
+
+def _de_oracle() -> str:
+    fm = _ols_formulas("//", "HUGEINT")
+    return f"""
+  WITH base AS (
+    SELECT p_brand,
+           CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+           CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS y
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+  ),
+  sums AS (
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS st,
+           CAST(SUM(x * x) AS BIGINT) AS stt,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sty,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM base GROUP BY 1
+  )
+  SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+         {fm["slope_dollars_per_day"]} AS slope_qty_per_bp,
+         {fm["intercept_dollars"]} AS intercept_qty,
+         {fm["r2"]} AS r2
+  FROM sums ORDER BY p_brand
+"""
+
+
+ORACLE["q_discount_elasticity"] = _de_oracle()

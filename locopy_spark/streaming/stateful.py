@@ -1574,3 +1574,88 @@ def stream_dedup_yield(
         .queryName(f"dedupyield_{state_view}")
         .start()
     )
+
+
+def stream_ca_trend(
+    events: DataFrame,
+    state_view: str = "ca_state",
+):
+    """Continuously-maintained Cochran–Armitage conversion-trend
+    state: each micro-batch reduces to per-day (t, trials,
+    purchases) counters (``queries.trends.ca_daily`` — all three
+    additive, the day score t a constant of the key), merged by day
+    into |days|-bounded state — late or out-of-order events land in
+    their own day bucket, so any batching equals the batch pass. The
+    z/verdict finisher (``queries.trends.ca_report``) runs over the
+    state on demand; the test asserts stream state + finisher ==
+    batch ``q_cochran_armitage`` exactly on out-of-order chunks —
+    the continuously-refreshed "is conversion drifting" monitor.
+    """
+    from locopy_spark.queries.trends import ca_daily
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "t long, n long, r long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(ca_daily(batch_df))
+            .groupBy("t")
+            .agg(F.sum("n").alias("n"), F.sum("r").alias("r"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"ca_{state_view}")
+        .start()
+    )
+
+
+def stream_filter_funnel(
+    docs: DataFrame,
+    state_view: str = "funnel_state",
+):
+    """Continuously-maintained quality-gate funnel: each micro-batch
+    reduces to the 1-row 10-counter cumulative-gate state
+    (``queries.quality.funnel_counts`` — a pure additive monoid, the
+    stream_profile shape), merged by plain summation into state
+    bounded at ONE row forever. The 5-stage report
+    (``queries.quality.funnel_report``) unpivots the state on
+    demand; the test asserts stream state + finisher == batch
+    ``p_filter_funnel`` exactly on out-of-order chunks — the live
+    corpus-cleaning dashboard row.
+    """
+    from locopy_spark.queries.quality import funnel_counts
+
+    spark = docs.sparkSession
+    cols = ["n0", "tok0"] + [
+        f"{p}{i}" for i in range(1, 5) for p in ("n", "tok")
+    ]
+    empty = spark.createDataFrame([], ", ".join(f"{c} long" for c in cols))
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(funnel_counts(batch_df))
+            .agg(*[F.sum(c).alias(c) for c in cols])
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"funnel_{state_view}")
+        .start()
+    )

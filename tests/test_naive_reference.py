@@ -1157,3 +1157,253 @@ def test_dedup_yield_vs_hand_counts(spark, tmp_path):
         "sA": (2, 1, 6, 3, 500000, 500000),
         "sB": (4, 2, 9, 6, 500000, 666666),
     }
+
+
+def test_cochran_armitage_vs_textbook(spark, tmp_path):
+    """t_n and vt equal the hand-summed integer forms and z equals
+    the textbook T/√Var computed with plain Python floats on seeded
+    daily counts with a planted conversion drift."""
+    import datetime as dt
+    import math
+
+    from locopy_spark.queries.trends import CA_EPOCH_DAY, q_cochran_armitage
+
+    r = _rng()
+    rows = []
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    daily = {}  # t -> [n, r]
+    eid = 0
+    for d in range(12):
+        # drifting purchase share: ~20% + 3 pts/day
+        for _ in range(40 + r.randrange(20)):
+            is_p = r.random() < 0.20 + 0.03 * d
+            rows.append(
+                (eid, base + dt.timedelta(days=d), "purchase" if is_p else "view")
+            )
+            nr = daily.setdefault(d, [0, 0])
+            nr[0] += 1
+            nr[1] += int(is_p)
+            eid += 1
+    _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp, event_type string")
+    got = q_cochran_armitage(spark, str(tmp_path)).collect()[0]
+    # textbook sums (t re-centered exactly as the query does)
+    off = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days - CA_EPOCH_DAY
+    nn = sum(v[0] for v in daily.values())
+    rr = sum(v[1] for v in daily.values())
+    st = sum(v[0] * (t + off) for t, v in daily.items())
+    stt = sum(v[0] * (t + off) ** 2 for t, v in daily.items())
+    srt = sum(v[1] * (t + off) for t, v in daily.items())
+    assert (got.n_days, got.n_events, got.n_purchases) == (len(daily), nn, rr)
+    assert got.t_n == nn * srt - rr * st
+    assert got.vt == nn * stt - st * st
+    p = rr / nn
+    t_stat = srt - p * st
+    var = p * (1 - p) * (stt - st * st / nn)
+    assert abs(got.z - t_stat / math.sqrt(var)) < 1e-9
+    assert got.trend == "increasing"
+
+
+def test_discount_elasticity_vs_numpy_lstsq(spark, tmp_path):
+    """The exact scaled-integer slope/intercept/R² agree with a
+    float least-squares fit (numpy) to ~1e-6 — independent
+    derivation, same line."""
+    import numpy as np
+
+    from locopy_spark.queries.trends import q_discount_elasticity
+
+    r = _rng()
+    li, parts = [], []
+    data = {}
+    for pk, brand in enumerate(["B#1", "B#2", "B#3"]):
+        parts.append((pk, brand))
+        xs, ys = [], []
+        for _ in range(200):
+            x = r.randrange(0, 1001)  # bps
+            q = min(50, max(1, int(10 + 0.02 * x + r.randrange(-5, 6))))
+            li.append((pk, x / 10000.0, float(q)))
+            xs.append(x)
+            ys.append(q * 100)  # centi-units, the query's y scale
+        data[brand] = (np.array(xs, float), np.array(ys, float))
+    _write(spark, tmp_path, "part", parts, "p_partkey long, p_brand string")
+    _write(
+        spark, tmp_path, "lineitem", li,
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    got = {
+        row.p_brand: row
+        for row in q_discount_elasticity(spark, str(tmp_path)).collect()
+    }
+    for brand, (xs, ys) in data.items():
+        A = np.vstack([xs, np.ones_like(xs)]).T
+        (m, c), res, _, _ = np.linalg.lstsq(A, ys, rcond=None)
+        row = got[brand]
+        # query outputs close in units (y descaled by 100)
+        assert abs(row.slope_qty_per_bp - m / 100.0) < 1e-6
+        assert abs(row.intercept_qty - c / 100.0) < 1e-6
+        ss_tot = float(((ys - ys.mean()) ** 2).sum())
+        r2 = 1.0 - float(res[0]) / ss_tot
+        assert abs(row.r2 - r2) < 1e-6
+
+
+def test_readability_vs_hand_counts(spark, tmp_path):
+    """Bands from first-principles letter/word/sentence counts on
+    handcrafted punctuated docs (truncation device mirrored in plain
+    Python ints)."""
+    from locopy_spark.queries.quality import t_readability
+
+    docs = [
+        # (text, source)
+        ("The cat sat. The dog ran! A bird?", "s1"),
+        ("aaaa bb cc.", "s1"),
+        ("Elaborate vocabulary demonstrates sesquipedalian tendencies.", "s2"),
+        ("x 9 x 9 x 9", "s2"),
+    ]
+    rows = [
+        (i, t, "en", s, len(t)) for i, (t, s) in enumerate(docs)
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    expect = {}
+    for t, s in docs:
+        letters = sum(ch.isalpha() for ch in t.lower() if ch.isascii())
+        words = len(t.strip().split())
+        sents = max(1, sum(t.count(p) for p in ".!?"))
+        num = 588 * letters - 2960 * sents
+        q = abs(num) // words * (1 if num >= 0 else -1)  # trunc toward 0
+        cli_centi = q - 1580
+        band = max(0, min(3000, cli_centi)) // 100
+        expect[(s, band)] = expect.get((s, band), 0) + 1
+    got = {
+        (r.source, r.band): r.n_docs
+        for r in t_readability(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_ttr_vs_hand_counts(spark, tmp_path):
+    """Deciles from hand distinct/total token ratios."""
+    from locopy_spark.queries.quality import t_ttr
+
+    docs = [
+        ("a b a b", "s1"),       # 2/4 -> 500000 -> decile 5
+        ("a a a a a", "s1"),     # 1/5 -> 200000 -> decile 2
+        ("u v w x y z", "s2"),   # 6/6 -> decile 9 (least-clamp)
+        ("m m n", "s2"),         # 2/3 -> 666666 -> decile 6
+    ]
+    rows = [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(docs)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.source, r.decile): r.n_docs
+        for r in t_ttr(spark, str(tmp_path)).collect()
+    }
+    assert got == {("s1", 5): 1, ("s1", 2): 1, ("s2", 9): 1, ("s2", 6): 1}
+
+
+def test_filter_funnel_vs_hand_counts(spark, tmp_path):
+    """Stage survivors/token sums recomputed with plain Python string
+    ops on docs built to fall at each specific gate."""
+    from locopy_spark.queries.quality import (
+        FUNNEL_MAX_DOM_PPM,
+        FUNNEL_MIN_CHARS,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_MIN_TTR_PPM,
+        p_filter_funnel,
+    )
+
+    w = [f"w{i}" for i in range(60)]
+    docs = [
+        " ".join(w[:50]),                    # survives everything
+        "short doc",                         # fails min_chars
+        " ".join(["longword" + str(i % 3) for i in range(30)]),  # fails min_tokens (30 < 40) but passes chars
+        " ".join(["dup"] * 60),              # fails diversity (ttr 1/60)
+        " ".join(w[:30] + ["x"] * 30),       # 31/60 distinct passes ttr, "x" 30/60 fails dominance
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # hand funnel
+    stages = [[0, 0] for _ in range(5)]
+    for t in docs:
+        toks = t.strip().lower().split()
+        n = len(toks)
+        ttr = len(set(toks)) * 1_000_000 // n
+        from collections import Counter
+
+        dom = max(Counter(toks).values()) * 1_000_000 // n
+        gates = [
+            True,
+            len(t) >= FUNNEL_MIN_CHARS,
+            n >= FUNNEL_MIN_TOKENS,
+            ttr >= FUNNEL_MIN_TTR_PPM,
+            dom <= FUNNEL_MAX_DOM_PPM,
+        ]
+        ok = True
+        for i, g in enumerate(gates):
+            ok = ok and g
+            if ok:
+                stages[i][0] += 1
+                stages[i][1] += n
+    got = [
+        (r.stage, r.docs, r.tokens)
+        for r in p_filter_funnel(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(i, d, tk) for i, (d, tk) in enumerate(stages)]
+    # the designed corpus exercises every gate: strictly fewer
+    # survivors at each stage
+    assert [d for _, d, _ in got] == [5, 4, 3, 2, 1]
+
+
+def test_dq_audit_vs_planted_violations(spark, tmp_path):
+    """Every rule's violation count against hand-planted bad rows,
+    including NULLs (which must count as violations, not vanish)."""
+    import datetime as dt
+
+    from locopy_spark.queries.quality import q_dq_audit
+
+    d96 = dt.datetime(1996, 1, 1)
+    d01 = dt.datetime(2001, 6, 1)
+    orders = [
+        (1, 100.0, d96, "O"),
+        (2, 0.0, d96, "F"),        # totalprice violation
+        (3, 50.0, d01, "P"),       # tpch-range violation
+        (4, 75.0, d96, "X"),       # status violation
+        (5, None, d96, "O"),       # NULL totalprice -> violation
+    ]
+    line = [
+        # (orderkey, discount, qty, tax, shipdate)
+        (1, 0.05, 10.0, 0.04, d96 + dt.timedelta(days=30)),
+        (1, 0.20, 10.0, 0.04, d96 + dt.timedelta(days=3)),   # discount viol.
+        (2, 0.05, 60.0, 0.04, d96 + dt.timedelta(days=3)),   # qty violation
+        (3, 0.05, 10.0, 0.10, d01 + dt.timedelta(days=3)),   # tax violation
+        (4, 0.05, 10.0, None, d96 - dt.timedelta(days=2)),   # NULL tax + ship-before-order
+    ]
+    _write(
+        spark, tmp_path, "orders", orders,
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp,"
+        " o_orderstatus string",
+    )
+    _write(
+        spark, tmp_path, "lineitem", line,
+        "l_orderkey long, l_discount double, l_quantity double,"
+        " l_tax double, l_shipdate timestamp",
+    )
+    got = {
+        r.rule: (r.n_checked, r.n_failed)
+        for r in q_dq_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "orders.totalprice_positive": (5, 2),
+        "orders.orderdate_tpch_range": (5, 1),
+        "orders.status_domain": (5, 1),
+        "lineitem.discount_0_to_10pct": (5, 1),
+        "lineitem.quantity_1_to_50": (5, 1),
+        "lineitem.tax_0_to_8pct": (5, 2),
+        "lineitem.ship_on_or_after_order": (5, 1),
+    }

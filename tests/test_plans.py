@@ -881,3 +881,64 @@ def test_dedup_yield_row_local_fingerprints(spark, sf_dir):
     df = _q(spark, sf_dir, "p_dedup_yield")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 4
+
+
+def test_cochran_armitage_daily_reduction(spark, sf_dir):
+    # one partial-aggregated shuffle to the |days| grain, then a
+    # 1-row aggregate; no joins at all
+    df = _q(spark, sf_dir, "q_cochran_armitage")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2
+    schemas = audit.read_schemas(df)
+    assert all("props" not in s and "user_id" not in s for s in schemas)
+
+
+def test_discount_elasticity_broadcast_part(spark, sf_dir):
+    # part carries the brand → broadcast to the fact scan, then ONE
+    # |brands|-row aggregate shuffle (+ presentation sort)
+    df = _q(spark, sf_dir, "q_discount_elasticity")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2
+    schemas = audit.read_schemas(df)
+    assert all("l_extendedprice" not in s for s in schemas)
+
+
+def test_readability_row_local_histogram(spark, sf_dir):
+    # the CLI score is row-local codegen; the only shuffles are the
+    # |sources × 31| histogram aggregate and its presentation sort
+    df = _q(spark, sf_dir, "t_readability")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2
+    schemas = audit.read_schemas(df)
+    assert all("doc_id" not in s and "lang" not in s for s in schemas)
+
+
+def test_ttr_row_local_histogram(spark, sf_dir):
+    # array_distinct/size run inside the scan projection — token
+    # arrays never shuffle; only the bounded histogram aggregate does
+    df = _q(spark, sf_dir, "t_ttr")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2
+    schemas = audit.read_schemas(df)
+    assert all("n_chars" not in s for s in schemas)
+
+
+def test_filter_funnel_single_pass(spark, sf_dir):
+    # all four gates fold into ONE partial-aggregated scan → a 1-row
+    # exchange; the stack unpivot is a projection over 1 row
+    df = _q(spark, sf_dir, "p_filter_funnel")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2
+    schemas = audit.read_schemas(df)
+    assert len(schemas) == 1  # documents scanned exactly once
+    assert all("doc_id" not in s for s in schemas)
+
+
+def test_dq_audit_one_join_no_cartesian(spark, sf_dir):
+    # domain rules reduce inside their own table scans; the single
+    # cross-table rule is an equi-join on the order key — never a
+    # cartesian or nested loop
+    df = _q(spark, sf_dir, "q_dq_audit")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)

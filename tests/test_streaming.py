@@ -1289,3 +1289,71 @@ def test_stream_dedup_yield_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in p_dedup_yield(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_ca_trend_matches_batch(spark, sf_dir, tmp_path):
+    """Per-day (trials, purchases) counters are additive monoids, so
+    the state maintained across 4 out-of-order micro-batches + the
+    shared z/verdict finisher equals batch q_cochran_armitage
+    exactly."""
+    from locopy_spark.queries.trends import ca_report, q_cochran_armitage
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_ca_trend
+
+    events = load_table(spark, sf_dir, "events")
+    for i, pred in enumerate(["3", "1", "0", "2"]):
+        events.filter(f"pmod(event_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cachunk{i}"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "cachunk0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cachunk*"))
+    )
+    q = stream_ca_trend(stream, state_view="ca_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in ca_report(spark.table("global_temp.ca_t")).collect()
+    ]
+    want = [tuple(r) for r in q_cochran_armitage(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_filter_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """The 10-counter cumulative-gate state is a pure additive
+    monoid, so the 1-row state summed across 4 out-of-order
+    micro-batches + the shared unpivot finisher equals batch
+    p_filter_funnel exactly."""
+    from locopy_spark.queries.quality import funnel_report, p_filter_funnel
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_filter_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, pred in enumerate(["1", "3", "2", "0"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ffchunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ffchunk*"))
+    )
+    q = stream_filter_funnel(stream, state_view="funnel_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in funnel_report(
+            spark.table("global_temp.funnel_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in p_filter_funnel(spark, sf_dir).collect()]
+    assert got and got == want
