@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ttr": quality.t_ttr,
         "p_filter_funnel": quality.p_filter_funnel,
         "q_dq_audit": quality.q_dq_audit,
+        "q_lpa_communities": mining.q_lpa_communities,
+        "s_centroid_purity": docs_ext.s_centroid_purity,
+        "q_session_gap_curve": events_ext.q_session_gap_curve,
     }
     return q
 

@@ -234,6 +234,9 @@ BENCH_QUERIES = [
     "t_ttr",
     "p_filter_funnel",
     "q_dq_audit",
+    "q_lpa_communities",
+    "s_centroid_purity",
+    "q_session_gap_curve",
 ]
 
 

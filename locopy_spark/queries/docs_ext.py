@@ -3496,3 +3496,196 @@ def _prf_oracle() -> str:
 
 
 ORACLE["s_prf_expand"] = _prf_oracle()
+
+
+# -- nearest-centroid label purity (embedding-space eval) --------------------
+
+PURITY_V_SCALE = 1_000_000  # vector components, 1e6 fixed-point
+PURITY_C_SCALE = 100_000  # centroid components, 1e5 fixed-point
+
+# Exact sign-aware cosine comparison between the own-label centroid
+# (dot_o, n2_o) and another centroid (dot_b, n2_b) for the SAME
+# vector (the vector norm cancels): cos_o > cos_b via cross-
+# multiplied squares — strict integer arithmetic, never a sqrt.
+# Scales chosen so dot² · n2 tops out near 2.6e37 < 10^38 (the
+# DECIMAL(38)/HUGEINT ceiling); 1e6 · 1e5 would already be exact in
+# engine terms, but one more digit on either side would overflow the
+# comparator product — the bound is the design, not an accident.
+
+
+def _purity_win(wide: str) -> str:
+    big_o = f"CAST(dot_o AS {wide}) * dot_o * n2_b"
+    big_b = f"CAST(dot_b AS {wide}) * dot_b * n2_o"
+    return (
+        "CASE WHEN dot_o >= 0 AND dot_b < 0 THEN true"
+        " WHEN dot_o < 0 AND dot_b >= 0 THEN false"
+        f" WHEN dot_o >= 0 THEN {big_o} > {big_b}"
+        f" ELSE {big_o} < {big_b} END"
+    )
+
+
+def s_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label purity — the embedding-space
+    separability report (does each label's region actually belong to
+    it?): per label, how many member vectors are closer (by cosine)
+    to their OWN label centroid than to EVERY other label's centroid.
+    The centroid counterpart of d_knn_classify's instance-level vote,
+    and the eval a two-tower/classifier embedding ships with.
+
+    Exact end-to-end: vectors quantize to 1e6 fixed-point row-locally
+    (transform — the payload never explodes), centroids to 1e5 via
+    the signed-ratio floor device over exact DECIMAL sums, per-
+    (vector, centroid) dots close as bigint zip_with/aggregate folds
+    (≤ 6.4e12, inside 2^53), and own-vs-other comparisons cross-
+    multiply through DECIMAL(38)/HUGEINT — no sqrt, no doubles, so
+    the oracle reproduces every verdict bit-for-bit.
+
+    Scale shape: the |labels × dims| centroid table builds from one
+    (label, dim) aggregate and BROADCASTS as |labels| array rows; the
+    scoring pass is a broadcast nested loop (|vecs| × |labels| rows,
+    the s_knn_bruteforce convention — legitimate because the
+    broadcast side is 10 rows), then two bounded aggregates. One
+    input-sized shuffle total (the centroid aggregate); the
+    mapInPandas matmul kernel (operators/similarity.py) remains the
+    production path for |labels| in the thousands.
+    """
+    from locopy_spark.queries.trends import _signed_ratio
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = (
+        f"transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {PURITY_V_SCALE} + 0.5) as bigint))"
+    )
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.expr(
+            f"cast(floor(cast(val as double) * {PURITY_V_SCALE} + 0.5)"
+            " as bigint)"
+        ).alias("v_q"),
+    )
+    cq = _signed_ratio("s", "(n * 10)", 1, "div")
+    cent = (
+        ex.groupBy("label", "dim_idx")
+        .agg(
+            F.expr("sum(cast(v_q as decimal(38,0)))").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "dim_idx",
+            F.expr(f"cast({cq} as bigint)").alias("c_q"),
+        )
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim_idx, c_q))),"
+            " p -> p.c_q)"
+        ).alias("carr"),
+        F.expr("sum(c_q * c_q)").alias("n2"),
+    )
+    dots = (
+        emb.select("vec_id", "label", F.expr(vq).alias("vqa"))
+        .join(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.expr(
+                "aggregate(zip_with(vqa, carr, (x, c) -> x * c),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "n2",
+        )
+    )
+    own = dots.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id",
+        F.col("dot").alias("dot_o"),
+        F.col("n2").alias("n2_o"),
+    )
+    per_vec = (
+        dots.filter(F.col("label") != F.col("clabel"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("dot").alias("dot_b"),
+            F.col("n2").alias("n2_b"),
+        )
+        .join(own, "vec_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                f"bool_and({_purity_win('DECIMAL(38,0)')})"
+            ).alias("win_all")
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.expr("case when win_all then 1 else 0 end")).alias(
+                "n_separated"
+            ),
+        )
+        .selectExpr(
+            "label",
+            "n_vecs",
+            "n_separated",
+            "n_separated * 1000000 div n_vecs as sep_ppm",
+        )
+        .orderBy("label")
+    )
+
+
+def _purity_oracle() -> str:
+    from locopy_spark.queries.trends import _signed_ratio
+
+    cq = _signed_ratio("s", "(n * 10)", 1, "//")
+    return f"""
+  WITH ex AS MATERIALIZED (
+    SELECT vec_id, label, i AS dim_idx,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {PURITY_V_SCALE}
+                      + 0.5) AS BIGINT) AS v_q
+    FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+  ),
+  craw AS (
+    SELECT label AS clabel, dim_idx,
+           SUM(CAST(v_q AS HUGEINT)) AS s, COUNT(*) AS n
+    FROM ex GROUP BY 1, 2
+  ),
+  cent AS MATERIALIZED (
+    SELECT clabel, dim_idx, CAST({cq} AS BIGINT) AS c_q FROM craw
+  ),
+  n2t AS (SELECT clabel, SUM(c_q * c_q) AS n2 FROM cent GROUP BY 1),
+  dots AS MATERIALIZED (
+    SELECT ex.vec_id, ex.label, cent.clabel,
+           CAST(SUM(ex.v_q * cent.c_q) AS BIGINT) AS dot
+    FROM ex JOIN cent USING (dim_idx) GROUP BY 1, 2, 3
+  ),
+  own AS (
+    SELECT dots.vec_id, dot AS dot_o, n2 AS n2_o
+    FROM dots JOIN n2t USING (clabel) WHERE label = clabel
+  ),
+  cmp AS (
+    SELECT d.vec_id, d.label, d.dot AS dot_b, n2t.n2 AS n2_b,
+           own.dot_o, own.n2_o
+    FROM dots d JOIN n2t USING (clabel) JOIN own ON d.vec_id = own.vec_id
+    WHERE d.label <> d.clabel
+  ),
+  per_vec AS (
+    SELECT vec_id, label,
+           BOOL_AND({_purity_win("HUGEINT")}) AS win_all
+    FROM cmp GROUP BY 1, 2
+  )
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CASE WHEN win_all THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_separated,
+         CAST(SUM(CASE WHEN win_all THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS sep_ppm
+  FROM per_vec GROUP BY 1 ORDER BY label
+"""
+
+
+ORACLE["s_centroid_purity"] = _purity_oracle()

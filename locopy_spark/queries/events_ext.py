@@ -1723,3 +1723,75 @@ ORACLE["q_co_engagement"] = """
   CROSS JOIN nu
   ORDER BY a, b
 """
+
+
+# -- sessionization gap operating curve -------------------------------------
+
+GAP_CURVE_MINUTES = (5, 15, 30, 60, 180)
+
+
+def q_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session count as a function of the inactivity-gap threshold —
+    the operating curve that PICKS the sessionization parameter
+    q_events_sessionize then fixes at 30 min (the q_conversion_curve
+    pattern: sweep the knob in one pass before committing to it).
+
+    A session starts where the per-user inter-event gap exceeds the
+    threshold, so n_sessions(G) = Σ 1[first event or gap > G] — all
+    five thresholds close from ONE lag projection (one per-user
+    shuffle, the window ordered by (epoch µs, event_id) so same-µs
+    ties cannot flip a gap across engines), five conditional sums,
+    one 1-row aggregate unpivoted to the curve. Adding a threshold
+    costs one more counter, not another pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = e.select(
+        "user_id", "event_id", epoch_us(e, "ts").alias("us")
+    ).select("us", F.lag("us").over(w).alias("prev_us"))
+    aggs = [
+        F.sum(
+            F.expr(
+                "case when prev_us is null"
+                f" or us - prev_us > {g * 60 * 1_000_000}"
+                " then 1 else 0 end"
+            )
+        ).alias(f"s{g}")
+        for g in GAP_CURVE_MINUTES
+    ]
+    row = lagged.agg(*aggs)
+    cells = ", ".join(f"{g}L, s{g}" for g in GAP_CURVE_MINUTES)
+    return row.selectExpr(
+        f"stack({len(GAP_CURVE_MINUTES)}, {cells})"
+        " as (gap_minutes, n_sessions)"
+    ).orderBy("gap_minutes")
+
+
+def _gap_curve_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN prev_us IS NULL"
+        f" OR us - prev_us > {g * 60 * 1_000_000}"
+        f" THEN 1 ELSE 0 END) AS s{g}"
+        for g in GAP_CURVE_MINUTES
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({g} AS BIGINT) AS gap_minutes,"
+        f" CAST(s{g} AS BIGINT) AS n_sessions FROM a"
+        for g in GAP_CURVE_MINUTES
+    )
+    return f"""
+  WITH l AS (
+    SELECT epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+  ),
+  a AS (
+    SELECT {sums}
+    FROM l
+  )
+  SELECT * FROM ({rows}) ORDER BY gap_minutes
+"""
+
+
+ORACLE["q_session_gap_curve"] = _gap_curve_oracle()

@@ -1637,3 +1637,126 @@ def _kcore_oracle() -> str:
 
 
 ORACLE["q_kcore"] = _kcore_oracle()
+
+
+# -- label-propagation communities ------------------------------------------
+
+LPA_ITERS = 3  # fixed synchronous rounds = fixed plan depth
+LPA_MIN_SUPPORT = 2  # repeat co-purchase: pair seen in >= 2 orders
+
+
+def repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered co-purchase edges (a < b, pair co-occurs in
+    >= LPA_MIN_SUPPORT orders): the SPARSIFIED relation for community
+    work. The raw 1-order co-purchase graph is near-complete at every
+    SF (avg degree ~120 at sf0.1), where any label/mode process
+    collapses to one giant blob in two rounds — measured, not
+    assumed; the repeat-purchase cut leaves the genuinely associated
+    pairs (3.5k edges at sf0.1). Shares the basket_pairs_expr kernel;
+    support counting IS the pair aggregate, so the filter costs
+    nothing extra."""
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        baskets.select(
+            F.explode(F.expr(basket_pairs_expr("ps", "a", "b"))).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= LPA_MIN_SUPPORT)
+        .select("a", "b")
+    )
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the repeat
+    co-purchase graph — the community-detection read next to the
+    component/triangle/core family (d_dup_clusters finds CONNECTED
+    blobs; LPA's neighbor-majority vote splits a connected graph into
+    cohesive parts). Output: the community size histogram
+    (community_size, n_communities) — bounded by the size range, not
+    the graph.
+
+    Determinism: labels start as vertex ids; each round every vertex
+    takes the MOST FREQUENT label among its neighbors, ties broken by
+    the SMALLEST label — both reads are exact integer aggregates
+    (max count, then min label among argmax), so every round is
+    engine-reproducible; LPA_ITERS fixed rounds = fixed plan depth
+    (the q_pagerank/q_kcore convention), labels localCheckpoint each
+    round (the 3^depth analyzed-plan lesson, SURVEY §7 r6-late2).
+    Scale shape: the basket pair-expansion aggregate dominates (the
+    market-basket shape); each round shuffles the |2E| neighbor-label
+    join and two |V|-sized aggregates — no adjacency ever
+    materializes per-row beyond the edge list.
+    """
+    e = managed_persist(repeat_copurchase_edges(spark, sf_dir), "lpa")
+    und = managed_persist(
+        e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+            e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        ),
+        "lpa",
+    )
+    labels = und.select("v").distinct().select("v", F.col("v").alias("lab"))
+    for _ in range(LPA_ITERS):
+        nb = und.join(
+            labels.select(F.col("v").alias("u"), "lab"), "u"
+        ).select("v", "lab")
+        cand = nb.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        mx = cand.groupBy("v").agg(F.max("c").alias("mc"))
+        labels = (
+            cand.join(mx, "v")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("community_size"))
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "lab0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""
+  cand{i} AS MATERIALIZED (
+    SELECT und.v, l.lab, COUNT(*) AS c
+    FROM und JOIN {prev} l ON und.u = l.v GROUP BY 1, 2
+  ),
+  mx{i} AS (SELECT v, MAX(c) AS mc FROM cand{i} GROUP BY 1),
+  lab{i} AS MATERIALIZED (
+    SELECT cand{i}.v, MIN(lab) AS lab
+    FROM cand{i} JOIN mx{i} USING (v) WHERE c = mc GROUP BY 1
+  )""")
+        prev = f"lab{i}"
+    return f"""
+  WITH b AS MATERIALIZED (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS MATERIALIZED (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e AS MATERIALIZED (
+    SELECT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+    GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_SUPPORT}
+  ),
+  und AS MATERIALIZED (
+    SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e
+  ),
+  lab0 AS MATERIALIZED (SELECT DISTINCT v, v AS lab FROM und),
+  {",".join(rounds)},
+  sizes AS (SELECT lab, COUNT(*) AS sz FROM {prev} GROUP BY 1)
+  SELECT CAST(sz AS BIGINT) AS community_size,
+         CAST(COUNT(*) AS BIGINT) AS n_communities
+  FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["q_lpa_communities"] = _lpa_oracle()

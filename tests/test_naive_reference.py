@@ -1407,3 +1407,155 @@ def test_dq_audit_vs_planted_violations(spark, tmp_path):
         "lineitem.tax_0_to_8pct": (5, 2),
         "lineitem.ship_on_or_after_order": (5, 1),
     }
+
+
+def test_lpa_vs_naive_propagation(spark, tmp_path):
+    """Community histogram equals a plain-Python synchronous LPA
+    (min-tie-break mode) over the support-filtered pair graph derived
+    independently from the same baskets."""
+    import collections
+    import itertools
+
+    from locopy_spark.queries.mining import (
+        LPA_ITERS,
+        LPA_MIN_SUPPORT,
+        q_lpa_communities,
+    )
+
+    r = _rng()
+    # 3 planted part-clusters with repeated within-cluster baskets,
+    # plus noise orders that never repeat a pair
+    clusters = [list(range(10 * c, 10 * c + 10)) for c in range(3)]
+    rows, ok = [], 0
+    for _ in range(120):
+        c = r.randrange(3)
+        basket = r.sample(clusters[c], 3)
+        for pk in basket:
+            rows.append((ok, pk))
+        ok += 1
+    for i in range(40):  # noise: parts 100.. never repeat pairs
+        for pk in (100 + 2 * i, 101 + 2 * i):
+            rows.append((ok, pk))
+        ok += 1
+    _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r2.community_size, r2.n_communities)
+        for r2 in q_lpa_communities(spark, str(tmp_path)).collect()
+    }
+    # independent python LPA
+    sup = collections.Counter()
+    baskets = collections.defaultdict(set)
+    for okey, pk in rows:
+        baskets[okey].add(pk)
+    for b in baskets.values():
+        for a, bb in itertools.combinations(sorted(b), 2):
+            sup[(a, bb)] += 1
+    adj = collections.defaultdict(list)
+    for (a, bb), s in sup.items():
+        if s >= LPA_MIN_SUPPORT:
+            adj[a].append(bb)
+            adj[bb].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v in adj:
+            cnt = collections.Counter(lab[u] for u in adj[v])
+            m = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == m)
+        lab = new
+    sizes = collections.Counter(collections.Counter(lab.values()).values())
+    assert got == {(sz, n) for sz, n in sizes.items()}
+    # the planted structure must actually be found: some community
+    # of size >= 5 exists (clusters), and the noise pairs never merge
+    assert any(sz >= 5 for sz, _ in got)
+
+
+def test_centroid_purity_vs_float_cosines(spark, tmp_path):
+    """Separation verdicts equal float cosine-vs-centroid math on
+    well-separated clusters (margins far above the 1e5 quantization,
+    so the exact-integer comparator must agree with float)."""
+    import math
+
+    from locopy_spark.queries.docs_ext import s_centroid_purity
+
+    r = _rng()
+    dim = 8
+    protos = []
+    for lbl in range(3):
+        p = [0.0] * dim
+        p[lbl] = 1.0
+        p[(lbl + 3) % dim] = 0.5
+        protos.append(p)
+    rows, vecs = [], []
+    for i in range(90):
+        lbl = i % 3
+        # 80 clustered vectors + 10 planted outliers near ANOTHER proto
+        src = protos[(lbl + 1) % 3] if i < 10 else protos[lbl]
+        v = [x + (r.random() - 0.5) * 0.1 for x in src]
+        rows.append((i, v, lbl))
+        vecs.append((i, v, lbl))
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    # float reference: centroids of FLOAT32-rounded member vectors
+    import struct as _st
+
+    def f32(x):
+        return _st.unpack("f", _st.pack("f", x))[0]
+
+    cents = {}
+    for lbl in range(3):
+        mem = [[f32(x) for x in v] for _, v, l2 in vecs if l2 == lbl]
+        cents[lbl] = [sum(c) / len(mem) for c in zip(*mem)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)) + 1e-12)
+
+    expect = {lbl: [0, 0] for lbl in range(3)}
+    for _, v, lbl in vecs:
+        vf = [f32(x) for x in v]
+        own = cos(vf, cents[lbl])
+        win = all(own > cos(vf, cents[o]) for o in range(3) if o != lbl)
+        expect[lbl][0] += 1
+        expect[lbl][1] += int(win)
+    got = {
+        row.label: (row.n_vecs, row.n_separated)
+        for row in s_centroid_purity(spark, str(tmp_path)).collect()
+    }
+    assert got == {lbl: tuple(v) for lbl, v in expect.items()}
+    # the planted outliers must actually be caught
+    assert sum(n - s for n, s in got.values()) >= 10
+
+
+def test_session_gap_curve_vs_hand_counts(spark, tmp_path):
+    """Session counts per threshold from hand-built per-user gap
+    sequences."""
+    import datetime as dt
+
+    from locopy_spark.queries.events_ext import q_session_gap_curve
+
+    base = dt.datetime(2024, 1, 1)
+    ev = []
+    eid = 0
+
+    def add(user, minutes):
+        nonlocal eid
+        ev.append((eid, base + dt.timedelta(minutes=minutes), user))
+        eid += 1
+
+    # user 1: gaps 10, 20, 120 min -> sessions at g=5:4, 15:3, 30:2, 60:2, 180:1
+    for m in (0, 10, 30, 150):
+        add(1, m)
+    # user 2: single event -> 1 session everywhere
+    add(2, 0)
+    # user 3: gaps 4, 61 -> g=5:2, 15:2, 30:2, 60:2, 180:1
+    for m in (0, 4, 65):
+        add(3, m)
+    _write(spark, tmp_path, "events", ev, "event_id long, ts timestamp, user_id long")
+    got = {
+        r.gap_minutes: r.n_sessions
+        for r in q_session_gap_curve(spark, str(tmp_path)).collect()
+    }
+    assert got == {5: 4 + 1 + 2, 15: 3 + 1 + 2, 30: 2 + 1 + 2, 60: 2 + 1 + 2, 180: 1 + 1 + 1}

@@ -942,3 +942,30 @@ def test_dq_audit_one_join_no_cartesian(spark, sf_dir):
     df = _q(spark, sf_dir, "q_dq_audit")
     assert not audit.has_cartesian(df)
     assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_lpa_no_cartesian_bounded_rounds(spark, sf_dir):
+    # pair expansion is the market-basket array kernel (no self-join
+    # of the fact table); each LPA round is an equi-join + two
+    # aggregates; labels localCheckpoint so lineage stays linear
+    df = _q(spark, sf_dir, "q_lpa_communities")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_centroid_purity_broadcast_scoring(spark, sf_dir):
+    # |labels| centroid-array rows broadcast against the vector scan
+    # (the s_knn_bruteforce convention); never a shuffled cartesian
+    df = _q(spark, sf_dir, "s_centroid_purity")
+    assert audit.has_broadcast_nested_loop(df) or audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+
+
+def test_session_gap_curve_single_window_pass(spark, sf_dir):
+    # one per-user window shuffle + a 1-row aggregate: all five
+    # thresholds from the same lag projection
+    df = _q(spark, sf_dir, "q_session_gap_curve")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 3
+    schemas = audit.read_schemas(df)
+    assert all("props" not in s and "value" not in s for s in schemas)
