@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lpa_communities": mining.q_lpa_communities,
         "s_centroid_purity": docs_ext.s_centroid_purity,
         "q_session_gap_curve": events_ext.q_session_gap_curve,
+        "p_interleave_eval": corpus.p_interleave_eval,
+        "q_mix_drift": trends.q_mix_drift,
     }
     return q
 

@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "q_lpa_communities",
     "s_centroid_purity",
     "q_session_gap_curve",
+    "p_interleave_eval",
+    "q_mix_drift",
 ]
 
 

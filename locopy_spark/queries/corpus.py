@@ -565,6 +565,36 @@ ORACLE["d_kmv_overlap"] = f"""
 TRAIN_ORDER_N = 200  # emitted prefix of the order (the gate's window)
 
 
+def train_order_vt(docs: DataFrame) -> DataFrame:
+    """The full deterministic stride-scheduled ordering state
+    ``(source, doc_id, n_toks, vt)`` — ONE copy of the virtual-time
+    construction, shared by ``p_train_order`` (emits the head) and
+    ``p_interleave_eval`` (scores the whole order)."""
+    from locopy_spark.functions.cache import managed_persist
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    # persist: the stride aggregate and the rank path both consume the
+    # tokenized projection — without it the corpus tokenize runs twice
+    per_doc = managed_persist(
+        docs.select(
+            "source",
+            "doc_id",
+            F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        ),
+        "train_order",
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("ntok")
+    )
+    rk = grouped_global_row_number(
+        per_doc, ["source"], ["__h", "doc_id"], out_col="rn"
+    )
+    return rk.join(F.broadcast(per_src), "source").withColumn(
+        "vt", F.col("rn").cast("long") * F.col("ntok")
+    )
+
+
 def p_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic interleaved training order: stride scheduling of
     documents across sources, so a trainer consuming the stream head
@@ -587,32 +617,8 @@ def p_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    from locopy_spark.operators.ranking import grouped_global_row_number
-
-    from locopy_spark.functions.cache import managed_persist
-
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the stride aggregate and the rank path both consume the
-    # tokenized projection — without it the corpus tokenize runs twice
-    per_doc = managed_persist(
-        docs.select(
-            "source",
-            "doc_id",
-            F.expr(f"size({tokens_expr('text')})").alias("n_toks"),
-            F.md5(F.col("doc_id").cast("string")).alias("__h"),
-        ),
-        "train_order",
-    )
-    per_src = per_doc.groupBy("source").agg(
-        F.sum("n_toks").cast("long").alias("ntok")
-    )
-    rk = grouped_global_row_number(
-        per_doc, ["source"], ["__h", "doc_id"], out_col="rn"
-    )
-    vt = (
-        rk.join(F.broadcast(per_src), "source")
-        .withColumn("vt", (F.col("rn").cast("long") * F.col("ntok")))
-    )
+    vt = train_order_vt(docs)
     head = vt.orderBy("vt", "source", "doc_id").limit(TRAIN_ORDER_N)
     w = W.orderBy("vt", "source", "doc_id")  # 200 rows: single task is fine
     return head.select(
@@ -624,8 +630,11 @@ def p_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["p_train_order"] = f"""
-  WITH per_doc AS (
+# The shared virtual-time CTE prefix (DuckDB twin of train_order_vt).
+# per_doc is referenced by per_src + rk (+ the interleave margins), so
+# it is MATERIALIZED — DuckDB inlines multiply-referenced CTEs (the
+# q_kcore 3^depth lesson) and would re-tokenize the corpus per ref.
+_TRAIN_VT_CTES = f"""per_doc AS MATERIALIZED (
     SELECT source, doc_id,
            CAST(len({sql_tokens('text')}) AS INT) AS n_toks,
            md5(CAST(doc_id AS VARCHAR)) AS h
@@ -646,13 +655,95 @@ ORACLE["p_train_order"] = f"""
     SELECT rk.source, rk.doc_id, rk.n_toks,
            CAST(rk.rn * per_src.ntok AS BIGINT) AS vt
     FROM rk JOIN per_src USING (source)
-  ),
+  )"""
+
+ORACLE["p_train_order"] = f"""
+  WITH {_TRAIN_VT_CTES},
   ord AS (
     SELECT *, row_number() OVER (ORDER BY vt, source, doc_id) AS pos
     FROM vt
   )
   SELECT CAST(pos AS INT) AS pos, source, doc_id, n_toks, vt
   FROM ord WHERE pos <= {TRAIN_ORDER_N} ORDER BY pos
+"""
+
+
+def p_interleave_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz-style interleaving audit of the FULL training
+    order: does the stride schedule actually mix sources, or does the
+    stream degenerate into same-source blocks? Reports the observed
+    number of source-runs against the multinomial-null expectation
+    E[R] = N − Σ nᵢ(nᵢ−1)/N as an exact ppm ratio (1e6 ≈ "as mixed
+    as a random shuffle"; stride scheduling should land ABOVE — it
+    anti-clusters) — the eval that closes the loop on p_train_order
+    the way d_lsh_calibration closes it on the MinHash bands.
+
+    Scale shape: shares ``train_order_vt`` (one tokenize, persisted);
+    the global position comes from the range-partitioned
+    global_row_number (no single-task sort), adjacent positions meet
+    in a co-partitioned self-join on pos+1, and the verdict closes
+    from three exact counters through DECIMAL(38)/HUGEINT.
+    """
+    from locopy_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    vt = train_order_vt(docs)
+    ordered = global_row_number(
+        vt.select("source", "doc_id", "vt"),
+        ["vt", "source", "doc_id"],
+        out_col="pos",
+    ).select("pos", "source")
+    nxt = ordered.select(
+        (F.col("pos") - 1).alias("pos"), F.col("source").alias("next_source")
+    )
+    changes = ordered.join(nxt, "pos").agg(
+        F.sum(
+            F.expr("case when source <> next_source then 1 else 0 end")
+        ).alias("changes")
+    )
+    margins = (
+        vt.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .agg(
+            F.sum("ni").alias("n"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.expr(
+                "sum(cast(ni as decimal(38,0)) * (ni - 1))"
+            ).alias("coll"),
+        )
+    )
+    return changes.crossJoin(F.broadcast(margins)).selectExpr(
+        "n as n_docs",
+        "n_sources",
+        "cast(changes + 1 as bigint) as n_runs",
+        "cast(cast(changes + 1 as decimal(38,0)) * n * 1000000"
+        " div (cast(n as decimal(38,0)) * n - coll) as bigint)"
+        " as ratio_ppm",
+    )
+
+
+ORACLE["p_interleave_eval"] = f"""
+  WITH {_TRAIN_VT_CTES},
+  ord2 AS MATERIALIZED (
+    SELECT source, row_number() OVER (ORDER BY vt, source, doc_id) AS pos
+    FROM vt
+  ),
+  ch AS (
+    SELECT SUM(CASE WHEN a.source <> b.source THEN 1 ELSE 0 END)
+             AS changes
+    FROM ord2 a JOIN ord2 b ON b.pos = a.pos + 1
+  ),
+  m AS (
+    SELECT CAST(SUM(ni) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           SUM(CAST(ni AS HUGEINT) * (ni - 1)) AS coll
+    FROM (SELECT COUNT(*) AS ni FROM per_doc GROUP BY source)
+  )
+  SELECT n AS n_docs, n_sources,
+         CAST(changes + 1 AS BIGINT) AS n_runs,
+         CAST(CAST(changes + 1 AS HUGEINT) * n * 1000000
+              // (CAST(n AS HUGEINT) * n - coll) AS BIGINT) AS ratio_ppm
+  FROM ch, m
 """
 
 

@@ -253,13 +253,13 @@ def centroid_mean_col():
     )
 
 
-def d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (element-wise mean) of the embedding column —
-    the mean-pooling / cluster-centroid primitive. posexplode →
-    groupBy(label, dim) with exact fixed-point sums in DECIMAL(38)
-    accumulators (overflow-safe and bit-stable at any row count); one
-    shuffle on (label, dim) — uniform keys, scales linearly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def centroid_state(emb: DataFrame) -> DataFrame:
+    """The additive per-(label, dim) centroid state ``(label,
+    dim_idx, s, n)``: exact DECIMAL(38) fixed-point component sums +
+    counts — a commutative monoid (both columns sum), so a streaming
+    maintainer merges per-batch outputs by key and the on-demand
+    report equals the batch pass on any arrival order
+    (stream_centroids)."""
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -267,15 +267,37 @@ def d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim_idx"),
         F.expr(V_FIX_EXPR).alias("v_fix"),
     )
-    return (
-        ex.groupBy("label", "dim_idx")
-        .agg(
-            centroid_mean_col().alias("centroid_val"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("label", "dim_idx", "centroid_val", "n")
-        .orderBy("label", "dim_idx")
+    return ex.groupBy("label", "dim_idx").agg(
+        F.sum("v_fix").alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
+
+
+def centroid_report(state: DataFrame) -> DataFrame:
+    """Close the centroid means over the exact state — the same
+    double expression ``centroid_mean_col`` evaluates inside the
+    one-pass aggregate (sum→double, ÷scale, ÷count), applied to the
+    merged sums."""
+    return state.select(
+        "label",
+        "dim_idx",
+        (
+            F.expr("CAST(s AS DOUBLE)") / F.lit(float(EMB_SCALE)) / F.col("n")
+        ).alias("centroid_val"),
+        "n",
+    ).orderBy("label", "dim_idx")
+
+
+def d_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean) of the embedding column —
+    the mean-pooling / cluster-centroid primitive. posexplode →
+    groupBy(label, dim) with exact fixed-point sums in DECIMAL(38)
+    accumulators (overflow-safe and bit-stable at any row count); one
+    shuffle on (label, dim) — uniform keys, scales linearly. Split as
+    centroid_state + centroid_report so stream_centroids maintains
+    the same state incrementally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_report(centroid_state(emb))
 
 
 FRAME_BYTES = 64

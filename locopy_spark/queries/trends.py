@@ -957,3 +957,100 @@ def _de_oracle() -> str:
 
 
 ORACLE["q_discount_elasticity"] = _de_oracle()
+
+
+# -- categorical composition drift ------------------------------------------
+
+
+def q_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-priority MIX drift against the lifetime mix —
+    the categorical composition monitor (did the workload's shape
+    change, not just its volume): per month, a chi-square-style ppm
+    divergence between the month's priority shares and the global
+    shares, the q_benford deviation device pointed at time buckets.
+    t_freq_drift does this for token frequencies between corpus
+    halves; this is the relational twin over calendar months.
+
+    Scale shape: ONE partial-aggregated scan to the |months ×
+    priorities| cell grid (bounded by the calendar × a 5-value
+    domain — metadata, not data); zero-count cells are restored via
+    the grid LEFT JOIN (the q_kendall_tau device) because a missing
+    cell is maximal drift evidence, not missing data. All shares are
+    exact ppm floor divisions through DECIMAL(20) products; the
+    divergence terms are pure bigint.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr(
+            "cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)"
+        ).alias("m"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = base.groupBy("m", "pri").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        cells.select("m")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("pri").distinct()))
+        .join(cells, ["m", "pri"], "left")
+        .select("m", "pri", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot_m = cells.groupBy("m").agg(F.sum("c").alias("t"))
+    glob = cells.groupBy("pri").agg(F.sum("c").alias("ni"))
+    nn = cells.agg(F.sum("c").alias("nn"))
+    scored = (
+        grid.join(tot_m, "m")
+        .join(F.broadcast(glob), "pri")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "m",
+            "t",
+            F.expr(
+                "cast(cast(c as decimal(20,0)) * 1000000 div t as bigint)"
+            ).alias("obs_ppm"),
+            F.expr(
+                "cast(cast(ni as decimal(20,0)) * 1000000 div nn as bigint)"
+            ).alias("exp_ppm"),
+        )
+        .withColumn(
+            "dev",
+            F.expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("m").alias("month_idx"))
+        .agg(
+            F.max("t").alias("n_orders"),
+            F.sum("dev").alias("chi2_ppm"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+ORACLE["q_mix_drift"] = """
+  WITH base AS (
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             AS m,
+           o_orderpriority AS pri
+    FROM orders
+  ),
+  cells AS (SELECT m, pri, COUNT(*) AS c FROM base GROUP BY 1, 2),
+  grid AS (
+    SELECT ms.m, ps.pri, COALESCE(c.c, 0) AS c
+    FROM (SELECT DISTINCT m FROM cells) ms
+    CROSS JOIN (SELECT DISTINCT pri FROM cells) ps
+    LEFT JOIN cells c USING (m, pri)
+  ),
+  tot_m AS (SELECT m, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+  gpri AS (SELECT pri, CAST(SUM(c) AS BIGINT) AS ni FROM cells GROUP BY 1),
+  nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+  scored AS (
+    SELECT m, t,
+           CAST(CAST(c AS HUGEINT) * 1000000 // t AS BIGINT) AS obs_ppm,
+           CAST(CAST(ni AS HUGEINT) * 1000000 // nn AS BIGINT) AS exp_ppm
+    FROM grid JOIN tot_m USING (m) JOIN gpri USING (pri) CROSS JOIN nn
+  )
+  SELECT m AS month_idx, CAST(MAX(t) AS BIGINT) AS n_orders,
+         CAST(SUM((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
+              AS BIGINT) AS chi2_ppm
+  FROM scored GROUP BY 1 ORDER BY month_idx
+"""

@@ -1659,3 +1659,48 @@ def stream_filter_funnel(
         .queryName(f"funnel_{state_view}")
         .start()
     )
+
+
+def stream_centroids(
+    emb: DataFrame,
+    state_view: str = "centroid_state",
+):
+    """Continuously-maintained per-label embedding centroids: each
+    micro-batch reduces to its (label, dim) exact DECIMAL(38)
+    component sums + counts (``queries.docs_ext.centroid_state`` —
+    both columns additive), merged by key into |labels × dims|
+    bounded state FOREVER. The mean finisher
+    (``queries.docs_ext.centroid_report``) closes over the state on
+    demand — the always-fresh mean-pooling table that
+    d_centroid_drift-style monitors read. The test asserts stream
+    state + finisher == batch ``d_embedding_centroids`` exactly on
+    out-of-order chunks (float-equal because both close the SAME
+    double expression over identical exact sums).
+    """
+    from locopy_spark.queries.docs_ext import centroid_state
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame(
+        [], "label int, dim_idx int, s decimal(38,0), n long"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(centroid_state(batch_df))
+            .groupBy("label", "dim_idx")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        emb.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"centroids_{state_view}")
+        .start()
+    )

@@ -1559,3 +1559,97 @@ def test_session_gap_curve_vs_hand_counts(spark, tmp_path):
         for r in q_session_gap_curve(spark, str(tmp_path)).collect()
     }
     assert got == {5: 4 + 1 + 2, 15: 3 + 1 + 2, 30: 2 + 1 + 2, 60: 2 + 1 + 2, 180: 1 + 1 + 1}
+
+
+def test_interleave_eval_vs_python_stride(spark, tmp_path):
+    """n_runs/ratio recomputed by an independent Python replay of the
+    stride schedule (hashlib md5 ranks, integer virtual times)."""
+    import hashlib
+
+    from locopy_spark.queries.corpus import p_interleave_eval
+
+    r = _rng()
+    docs = []
+    words = ["tok%d" % i for i in range(30)]
+    for i in range(90):
+        src = "s%d" % (i % 3)
+        text = " ".join(r.choice(words) for _ in range(r.randrange(5, 15)))
+        docs.append((i, text, "en", src, len(text)))
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = p_interleave_eval(spark, str(tmp_path)).collect()[0]
+    # independent replay
+    per_src = {}
+    ntok = {}
+    for doc_id, text, _, src, _ in docs:
+        n = len(text.strip().lower().split())
+        per_src.setdefault(src, []).append(
+            (hashlib.md5(str(doc_id).encode()).hexdigest(), doc_id, n)
+        )
+        ntok[src] = ntok.get(src, 0) + n
+    order = []
+    for src, rows in per_src.items():
+        for rn, (_, doc_id, n) in enumerate(sorted(rows), start=1):
+            order.append((rn * ntok[src], src, doc_id))
+    order.sort()
+    n_docs = len(order)
+    runs = 1 + sum(
+        1 for a, b in zip(order, order[1:]) if a[1] != b[1]
+    )
+    coll = sum(len(v) * (len(v) - 1) for v in per_src.values())
+    ratio = runs * n_docs * 1_000_000 // (n_docs * n_docs - coll)
+    assert (got.n_docs, got.n_sources, got.n_runs, got.ratio_ppm) == (
+        n_docs, len(per_src), runs, ratio,
+    )
+    # stride scheduling must actually interleave: above the random-
+    # shuffle expectation
+    assert got.ratio_ppm > 1_000_000
+
+
+def test_mix_drift_vs_hand_counts(spark, tmp_path):
+    """Monthly chi2 terms recomputed with plain Python ints on a
+    two-month corpus with a planted mix shift."""
+    import datetime as dt
+
+    from locopy_spark.queries.trends import q_mix_drift
+
+    rows = []
+    ok = 0
+
+    def month(y, m, pri, n):
+        nonlocal ok
+        for _ in range(n):
+            rows.append((ok, dt.datetime(y, m, 15), pri))
+            ok += 1
+
+    month(1996, 1, "1-URGENT", 30)
+    month(1996, 1, "2-HIGH", 10)
+    month(1996, 2, "1-URGENT", 10)
+    month(1996, 2, "2-HIGH", 30)
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r.month_idx: (r.n_orders, r.chi2_ppm)
+        for r in q_mix_drift(spark, str(tmp_path)).collect()
+    }
+    expect = {}
+    data = {
+        1996 * 12 + 1: {"1-URGENT": 30, "2-HIGH": 10},
+        1996 * 12 + 2: {"1-URGENT": 10, "2-HIGH": 30},
+    }
+    glob = {"1-URGENT": 40, "2-HIGH": 40}
+    nn = 80
+    for m, cells in data.items():
+        t = sum(cells.values())
+        chi2 = 0
+        for pri, ni in glob.items():
+            c = cells.get(pri, 0)
+            obs = c * 1_000_000 // t
+            exp = ni * 1_000_000 // nn
+            chi2 += (obs - exp) ** 2 // exp
+        expect[m] = (t, chi2)
+    assert got == expect

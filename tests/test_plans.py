@@ -969,3 +969,22 @@ def test_session_gap_curve_single_window_pass(spark, sf_dir):
     assert audit.shuffle_count(df) <= 3
     schemas = audit.read_schemas(df)
     assert all("props" not in s and "value" not in s for s in schemas)
+
+
+def test_interleave_eval_range_partitioned_rank(spark, sf_dir):
+    # the global position comes from the range-partitioned
+    # global_row_number (partition-id plumbing visible), adjacent
+    # rows meet in an equi-join on pos — never a one-partition window
+    df = _q(spark, sf_dir, "p_interleave_eval")
+    assert not audit.has_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "__pid" in plan or "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_mix_drift_bounded_grid(spark, sf_dir):
+    # one input-sized aggregate to the |months × priorities| grid;
+    # everything after joins bounded aggregates (broadcast margins)
+    df = _q(spark, sf_dir, "q_mix_drift")
+    assert not audit.has_cartesian(df)
+    schemas = audit.read_schemas(df)
+    assert all("o_totalprice" not in s and "o_custkey" not in s for s in schemas)

@@ -1357,3 +1357,41 @@ def test_stream_filter_funnel_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in p_filter_funnel(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_centroids_matches_batch(spark, sf_dir, tmp_path):
+    """(label, dim) exact component sums + counts are additive
+    monoids, so the state maintained across 4 out-of-order
+    micro-batches + the shared mean finisher equals batch
+    d_embedding_centroids exactly (float-equal: same double close
+    over identical exact sums)."""
+    from locopy_spark.queries.docs_ext import (
+        centroid_report,
+        d_embedding_centroids,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        emb.filter(f"pmod(vec_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cchunk{i}"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cchunk*"))
+    )
+    q = stream_centroids(stream, state_view="centroid_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in centroid_report(
+            spark.table("global_temp.centroid_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in d_embedding_centroids(spark, sf_dir).collect()]
+    assert got and got == want
