@@ -980,13 +980,26 @@ def q_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence terms are pure bigint.
     """
     o = load_table(spark, sf_dir, "orders")
-    base = o.select(
+    return mix_report(mix_cells(o))
+
+
+def mix_cells(orders: DataFrame) -> DataFrame:
+    """The additive |months × priorities| cell state — per-batch
+    counts merge by key (commutative monoid), so a streaming
+    maintainer equals the batch pass on any arrival order
+    (stream_mix_drift)."""
+    base = orders.select(
         F.expr(
             "cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)"
         ).alias("m"),
         F.col("o_orderpriority").alias("pri"),
     )
-    cells = base.groupBy("m", "pri").agg(F.count(F.lit(1)).alias("c"))
+    return base.groupBy("m", "pri").agg(F.count(F.lit(1)).alias("c"))
+
+
+def mix_report(cells: DataFrame) -> DataFrame:
+    """Close the drift report over the bounded cell state: restore
+    zero cells via the grid, then exact ppm chi-square terms."""
     grid = (
         cells.select("m")
         .distinct()

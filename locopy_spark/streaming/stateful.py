@@ -1704,3 +1704,43 @@ def stream_centroids(
         .queryName(f"centroids_{state_view}")
         .start()
     )
+
+
+def stream_mix_drift(
+    orders: DataFrame,
+    state_view: str = "mix_state",
+):
+    """Continuously-maintained composition-drift state: each
+    micro-batch reduces to its |months × priorities| cell counts
+    (``queries.trends.mix_cells`` — additive monoid), merged by
+    (month, priority) into calendar-bounded state. The chi²/grid
+    finisher (``queries.trends.mix_report``) closes over the state on
+    demand — the live "did the workload mix shift" monitor; the test
+    asserts stream state + finisher == batch ``q_mix_drift`` exactly
+    on out-of-order chunks.
+    """
+    from locopy_spark.queries.trends import mix_cells
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "m long, pri string, c long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(mix_cells(batch_df))
+            .groupBy("m", "pri")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"mix_{state_view}")
+        .start()
+    )

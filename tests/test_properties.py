@@ -401,3 +401,93 @@ def test_rrf_contribution_monotone_in_rank(r1, r2):
     # and the fused sum inherits it arm-wise
     other = 1_000_000 // (60 + 7)
     assert other + 1_000_000 // (60 + lo) >= other + 1_000_000 // (60 + hi)
+
+
+@given(
+    st.integers(min_value=-6_400_000_000_000, max_value=6_400_000_000_000),
+    st.integers(min_value=-6_400_000_000_000, max_value=6_400_000_000_000),
+    st.integers(min_value=1, max_value=64_000_000_000),
+    st.integers(min_value=1, max_value=64_000_000_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_purity_comparator_matches_exact_rationals(dot_o, dot_b, n2_o, n2_b):
+    """The sign-aware cross-multiplied-squares comparator
+    (queries.docs_ext._purity_win) must decide cos_o > cos_b exactly
+    as Fraction arithmetic does, across every sign combination and at
+    the full magnitude range the scales permit — and the identical
+    expression text must evaluate to the same verdict in DuckDB (the
+    oracle side)."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from locopy_spark.queries.docs_ext import _purity_win
+
+    # exact truth: cos_o > cos_b  <=>  dot_o/sqrt(n2_o) > dot_b/sqrt(n2_b)
+    # compare via sign cases + squared Fractions (no float sqrt)
+    if dot_o >= 0 and dot_b < 0:
+        want = True
+    elif dot_o < 0 and dot_b >= 0:
+        want = False
+    else:
+        qo = Fraction(dot_o * dot_o, n2_o)
+        qb = Fraction(dot_b * dot_b, n2_b)
+        want = (qo > qb) if dot_o >= 0 else (qo < qb)
+    got = duckdb.sql(
+        f"SELECT {_purity_win('HUGEINT')} AS w FROM (SELECT "
+        f"CAST({dot_o} AS BIGINT) dot_o, CAST({dot_b} AS BIGINT) dot_b, "
+        f"CAST({n2_o} AS BIGINT) n2_o, CAST({n2_b} AS BIGINT) n2_b)"
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(
+    st.integers(min_value=-(10**18), max_value=10**18),
+    st.integers(min_value=1, max_value=10**12),
+    st.sampled_from([1, 10**3, 10**6]),
+)
+@settings(max_examples=300, deadline=None)
+def test_signed_ratio_truncates_toward_zero_cross_engine(num, den, scale):
+    """trends._signed_ratio must equal Python's sign·(|num|·scale//den)
+    (truncation toward zero) when evaluated with DuckDB's ``//`` —
+    the device exists precisely because raw negative floor division
+    diverges between engines."""
+    import duckdb
+
+    from locopy_spark.queries.trends import _signed_ratio
+
+    expr = _signed_ratio("num", "den", scale, "//")
+    got = duckdb.sql(
+        f"SELECT {expr} AS r FROM (SELECT CAST({num} AS HUGEINT) num,"
+        f" CAST({den} AS HUGEINT) den)"
+    ).fetchone()[0]
+    want = (1 if num >= 0 else -1) * (abs(num) * scale // den)
+    assert int(got) == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500),   # trials
+            st.integers(min_value=0, max_value=500),   # successes (capped)
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_ca_statistic_shift_invariant(daily):
+    """The Cochran–Armitage integer statistics t_n and vt must be
+    invariant under shifting the day scores — the property that makes
+    CA_EPOCH_DAY a pure headroom choice, not a semantic one."""
+    daily = [(t, n, min(r, n)) for t, (n, r) in enumerate(daily)]
+
+    def stats(shift):
+        nn = sum(n for _, n, _ in daily)
+        rr = sum(r for _, _, r in daily)
+        st_ = sum(n * (t + shift) for t, n, _ in daily)
+        stt = sum(n * (t + shift) ** 2 for t, n, _ in daily)
+        srt = sum(r * (t + shift) for t, _, r in daily)
+        return nn * srt - rr * st_, nn * stt - st_ * st_
+
+    assert stats(0) == stats(12345) == stats(-999)

@@ -23,6 +23,17 @@ Mapping (reference file:test → twin below):
                                               + test_split_file_exception_cleans_partials
   test_utility.py:test_concatenate_files_exception → test_concatenate_files_missing_input_raises
   test_utility.py:test_read_config_yaml_good/_io/_no_file → test_read_config_yaml_stream_and_errors
+  test_database.py:test_database_constructor(+_kwargs,_with_extras) → test_database_constructor_kwargs_reference
+  test_database.py:test_database_constructor_kwargs_and_yaml → test_database_constructor_kwargs_and_yaml_raises
+  test_database.py:test_database_constructor_yaml → test_database_constructor_yaml_reference
+  test_database.py:test_is_connected → test_is_connected_lifecycle
+  test_database.py:test_disconnect_no_conn → test_disconnect_no_conn_reference
+  test_database.py:test_execute_no_connection_exception → test_execute_no_connection_reference
+  test_database.py:test_execute_sql_exception → test_execute_sql_exception_reference
+  (test_integration.py / test_integration_sf.py exercise live COPY →
+   query → UNLOAD round-trips against a real warehouse; their Spark
+   twins are the oracle-gated q_copy_csv / q_unload_roundtrip paths
+   and tests/test_sources.py.)
 """
 
 import glob
@@ -465,3 +476,96 @@ def test_read_config_yaml_stream_and_errors(tmp_path):
     }
     with pytest.raises(CredentialsError):
         read_config_yaml(str(tmp_path / "no_such.yaml"))
+
+
+# --- Database constructor / lifecycle (reference tests/test_database.py:50-225)
+
+
+def test_database_constructor_kwargs_reference():
+    """Reference test_database_constructor(_kwargs, _with_extras):
+    every kwarg — named or extra — lands in ``.connection``
+    verbatim."""
+    from locopy_spark.database import Database
+
+    d = Database(app_name="etl", master="local[2]", extra=123, another=321)
+    assert d.connection["app_name"] == "etl"
+    assert d.connection["master"] == "local[2]"
+    assert d.connection["extra"] == 123
+    assert d.connection["another"] == 321
+
+
+def test_database_constructor_kwargs_and_yaml_raises(tmp_path):
+    """Reference test_database_constructor_kwargs_and_yaml: both a
+    YAML config and kwargs is a CredentialsError."""
+    from locopy_spark.database import Database
+    from locopy_spark.errors import CredentialsError
+
+    y = tmp_path / "c.yml"
+    y.write_text("host: host\n")
+    with pytest.raises(CredentialsError):
+        Database(config_yaml=str(y), app_name="etl")
+
+
+def test_database_constructor_yaml_reference(tmp_path):
+    """Reference test_database_constructor_yaml: the GOOD_CONFIG_YAML
+    field set (typed port, arbitrary extras) round-trips into
+    ``.connection``."""
+    from locopy_spark.database import Database
+
+    y = tmp_path / "c.yml"
+    y.write_text(
+        "host: host\nport: 1234\ndatabase: database\nuser: id\n"
+        "password: pass\nother: stuff\nextra: 123\nanother: 321\n"
+    )
+    d = Database(config_yaml=str(y))
+    assert d.connection["host"] == "host"
+    assert d.connection["port"] == 1234
+    assert d.connection["user"] == "id"
+    assert d.connection["password"] == "pass"
+    assert d.connection["other"] == "stuff"
+    assert d.connection["extra"] == 123
+    assert d.connection["another"] == 321
+
+
+def test_is_connected_lifecycle(spark):
+    """Reference test_is_connected: False before connect, True when a
+    session is attached, False again when the handle is gone (the
+    reference's ``del b.conn`` probe)."""
+    from locopy_spark.database import Database
+
+    d = Database()
+    assert d._is_connected() is False
+    d2 = Database(spark=spark)
+    assert d2._is_connected() is True
+    d2.spark = None
+    assert d2._is_connected() is False
+
+
+def test_disconnect_no_conn_reference():
+    """Reference test_disconnect_no_conn: disconnecting a
+    never-connected instance is a no-op, not an error."""
+    from locopy_spark.database import Database
+
+    Database().disconnect()
+
+
+def test_execute_no_connection_reference():
+    """Reference test_execute_no_connection_exception: execute on a
+    closed connection raises DBError."""
+    from locopy_spark.database import Database
+    from locopy_spark.errors import DBError
+
+    with pytest.raises(DBError):
+        Database().execute("SELECT 1")
+
+
+def test_execute_sql_exception_reference(spark):
+    """Reference test_execute_sql_exception: engine-level SQL
+    failures surface as DBError."""
+    from locopy_spark.database import Database
+    from locopy_spark.errors import DBError
+
+    with pytest.raises(DBError):
+        Database(spark=spark).execute(
+            "SELECT * FROM definitely_missing_table_xyz"
+        )

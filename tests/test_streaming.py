@@ -1395,3 +1395,34 @@ def test_stream_centroids_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in d_embedding_centroids(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_mix_drift_matches_batch(spark, sf_dir, tmp_path):
+    """|months × priorities| cell counts are additive monoids, so the
+    state maintained across 4 out-of-order micro-batches + the shared
+    grid/chi² finisher equals batch q_mix_drift exactly."""
+    from locopy_spark.queries.trends import mix_report, q_mix_drift
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_mix_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        orders.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"mchunk{i}"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "mchunk*"))
+    )
+    q = stream_mix_drift(stream, state_view="mix_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in mix_report(spark.table("global_temp.mix_t")).collect()
+    ]
+    want = [tuple(r) for r in q_mix_drift(spark, sf_dir).collect()]
+    assert got and got == want
