@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_gap_curve": events_ext.q_session_gap_curve,
         "p_interleave_eval": corpus.p_interleave_eval,
         "q_mix_drift": trends.q_mix_drift,
+        "q_partition_advisor": quality.q_partition_advisor,
     }
     return q
 

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "q_session_gap_curve",
     "p_interleave_eval",
     "q_mix_drift",
+    "q_partition_advisor",
 ]
 
 

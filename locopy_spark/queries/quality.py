@@ -405,3 +405,130 @@ def _sql_dq() -> str:
 
 
 ORACLE["q_dq_audit"] = _sql_dq()
+
+
+# -- partition-layout advisor ------------------------------------------------
+
+# Advisory thresholds: a partition column wants enough values to
+# parallelize (> PART_MIN), few enough that files stay chunky
+# (< PART_MAX), and balanced enough that one partition doesn't own
+# the job (max/avg below PART_SKEW ppm).
+PART_MIN_VALUES = 8
+PART_MAX_VALUES = 10_000
+PART_SKEW_PPM = 3_000_000  # max partition > 3x the average
+
+_PART_VERDICT = (
+    f"CASE WHEN n_values < {PART_MIN_VALUES} THEN 'too_coarse'"
+    f" WHEN n_values > {PART_MAX_VALUES} THEN 'too_fine'"
+    f" WHEN skew_ppm > {PART_SKEW_PPM} THEN 'skewed'"
+    " ELSE 'ok' END"
+)
+
+
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisory for the write path: for each
+    candidate partition key, the value count, total/max partition
+    rows, an exact max-vs-average skew ratio (ppm) and a verdict
+    (too_coarse / too_fine / skewed / ok) — the physical-design
+    audit a locopy user runs before `partitionBy` on an UNLOAD (the
+    layout decision z-order + compact_parquet then implement, see
+    sources/layout.py).
+
+    Scale shape: ONE grouping-sets scan per table (Catalyst expands
+    all candidate groupings into a single shuffle — the
+    q_grouping_sets device), so adding a candidate column costs an
+    Expand row, not a rescan; the per-candidate rollup runs over the
+    |values| aggregate. Skew closes as an exact ppm through
+    DECIMAL(38) products.
+    """
+    from locopy_spark.functions.numeric import sql_epoch_day
+
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    o.select(
+        F.expr(
+            "cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)"
+        ).alias("om"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_custkey").alias("ck"),
+    ).createOrReplaceTempView("_pa_orders")
+    e.select(
+        F.col("event_type").alias("et"),
+        F.expr(f"({sql_epoch_day(e, 'ts')})").alias("ed"),
+    ).createOrReplaceTempView("_pa_events")
+    per_value = spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(om) = 0 THEN 'orders.order_month'
+                    WHEN GROUPING(pri) = 0 THEN 'orders.o_orderpriority'
+                    WHEN GROUPING(st) = 0 THEN 'orders.o_orderstatus'
+                    ELSE 'orders.o_custkey' END AS candidate,
+               COUNT(*) AS cnt
+        FROM _pa_orders
+        GROUP BY GROUPING SETS ((om), (pri), (st), (ck))
+        UNION ALL
+        SELECT CASE WHEN GROUPING(et) = 0 THEN 'events.event_type'
+                    ELSE 'events.event_day' END AS candidate,
+               COUNT(*) AS cnt
+        FROM _pa_events
+        GROUP BY GROUPING SETS ((et), (ed))
+        """
+    )
+    return (
+        per_value.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_rows"),
+        )
+        .selectExpr(
+            "candidate",
+            "n_values",
+            "total_rows",
+            "max_rows",
+            "cast(cast(max_rows as decimal(38,0)) * n_values * 1000000"
+            " div total_rows as bigint) as skew_ppm",
+        )
+        .selectExpr("*", f"{_PART_VERDICT} as verdict")
+        .orderBy("candidate")
+    )
+
+
+def _sql_partition_advisor() -> str:
+    def cand(name: str, expr: str, table: str) -> str:
+        return f"""
+    SELECT '{name}' AS candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_rows
+    FROM (SELECT {expr} AS v, COUNT(*) AS cnt FROM {table} GROUP BY 1)"""
+
+    cands = "\n    UNION ALL".join(
+        [
+            cand(
+                "orders.order_month",
+                "year(o_orderdate) * 12 + month(o_orderdate)",
+                "orders",
+            ),
+            cand("orders.o_orderpriority", "o_orderpriority", "orders"),
+            cand("orders.o_orderstatus", "o_orderstatus", "orders"),
+            cand("orders.o_custkey", "o_custkey", "orders"),
+            cand("events.event_type", "event_type", "events"),
+            cand(
+                "events.event_day",
+                "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+                "events",
+            ),
+        ]
+    )
+    return f"""
+  WITH g AS ({cands})
+  SELECT candidate, n_values, total_rows, max_rows,
+         CAST(CAST(max_rows AS HUGEINT) * n_values * 1000000
+              // total_rows AS BIGINT) AS skew_ppm,
+         {_PART_VERDICT.replace("skew_ppm", "(CAST(max_rows AS HUGEINT) * n_values * 1000000 // total_rows)")} AS verdict
+  FROM g ORDER BY candidate
+"""
+
+
+ORACLE["q_partition_advisor"] = _sql_partition_advisor()

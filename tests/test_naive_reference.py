@@ -1653,3 +1653,44 @@ def test_mix_drift_vs_hand_counts(spark, tmp_path):
             chi2 += (obs - exp) ** 2 // exp
         expect[m] = (t, chi2)
     assert got == expect
+
+
+def test_partition_advisor_vs_hand_counts(spark, tmp_path):
+    """Verdicts and skew from hand-built value distributions: one
+    balanced candidate, one skewed, one too coarse."""
+    import datetime as dt
+
+    from locopy_spark.queries.quality import q_partition_advisor
+
+    d = dt.datetime(1996, 1, 1)
+    orders, events = [], []
+    # 16 months x 10 rows -> order_month ok & balanced
+    # priority: 2 values -> too_coarse; one value owns 150/160
+    # status: 2 values -> too_coarse
+    # custkey: 160 distinct -> ok (8..10000), balanced
+    for i in range(160):
+        m = i % 16
+        pri = "1-URGENT" if i < 150 else "2-HIGH"
+        st = "O" if i % 2 else "F"
+        orders.append((i, dt.datetime(1996 + m // 12, m % 12 + 1, 3), pri, st))
+    for i in range(40):
+        events.append((i, d + dt.timedelta(days=i % 4), "view" if i < 36 else "click"))
+    _write(
+        spark, tmp_path, "orders", orders,
+        "o_custkey long, o_orderdate timestamp, o_orderpriority string,"
+        " o_orderstatus string",
+    )
+    _write(spark, tmp_path, "events", events, "event_id long, ts timestamp, event_type string")
+    got = {
+        r.candidate: (r.n_values, r.total_rows, r.max_rows, r.skew_ppm, r.verdict)
+        for r in q_partition_advisor(spark, str(tmp_path)).collect()
+    }
+    assert got["orders.order_month"] == (16, 160, 10, 1_000_000, "ok")
+    assert got["orders.o_orderpriority"][4] == "too_coarse"
+    assert got["orders.o_orderstatus"][4] == "too_coarse"
+    assert got["orders.o_custkey"] == (160, 160, 1, 1_000_000, "ok")
+    # event_type: 2 values -> too_coarse even though skewed 36/4
+    assert got["events.event_type"][0] == 2
+    assert got["events.event_type"][4] == "too_coarse"
+    # event_day: 4 values -> too_coarse (< 8)
+    assert got["events.event_day"][4] == "too_coarse"

@@ -988,3 +988,14 @@ def test_mix_drift_bounded_grid(spark, sf_dir):
     assert not audit.has_cartesian(df)
     schemas = audit.read_schemas(df)
     assert all("o_totalprice" not in s and "o_custkey" not in s for s in schemas)
+
+
+def test_partition_advisor_single_expand_per_table(spark, sf_dir):
+    # all candidate groupings of a table ride ONE grouping-sets scan
+    # (Expand), so the plan reads each table exactly once
+    df = _q(spark, sf_dir, "q_partition_advisor")
+    assert not audit.has_cartesian(df)
+    schemas = audit.read_schemas(df)
+    assert len(schemas) == 2  # orders once, events once
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Expand") == 2
