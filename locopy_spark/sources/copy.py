@@ -284,6 +284,7 @@ def copy_files(
     mode: str = "overwrite",
     temp_view: bool = True,
     reader_options: dict | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Load file(s) into ``table_name``.
 
@@ -398,6 +399,15 @@ def copy_files(
         # outside the wrapper: a MAXERROR abort is its own diagnosis,
         # not a generic load failure
         df = _apply_maxerror(spark, df, table_name, max_error)
+    if materialize:
+        # Break lineage to the source files BEFORE registering: the
+        # PURGE / delete_stage_after callers delete the staged sources
+        # right after the load, and a lazy view would silently re-scan
+        # the (now missing) files on first read.  localCheckpoint
+        # stores the loaded blocks and drops the file lineage — a lost
+        # block then fails loudly instead of re-reading.  Cross-session
+        # durability uses temp_view=False (saveAsTable) instead.
+        df = df.localCheckpoint(eager=True)
     if temp_view:
         df.createOrReplaceTempView(table_name)
     else:

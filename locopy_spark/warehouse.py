@@ -262,6 +262,7 @@ class Warehouse(Database):
         file_type: str | None = None,
         format_options: list[str] | None = None,
         file_format_name: str = "",
+        schema=None,
     ) -> DataFrame:
         """COPY files into ``table_name`` (reference redshift.py:193:
         same (table, path, delim, copy_options) argument order; the
@@ -276,14 +277,34 @@ class Warehouse(Database):
         loads parquet — and suppresses the delimited-load default
         options; otherwise the defaults (``DATEFORMAT 'auto'
         COMPUPDATE ON TRUNCATECOLUMNS``) are appended exactly as
-        ``add_default_copy_options`` does in the reference."""
+        ``add_default_copy_options`` does in the reference.
+
+        Snowflake ``PURGE = TRUE`` (the copy option the reference's
+        integration suite passes through — tests/test_integration_sf.py
+        test_copy) deletes the staged source files after a successful
+        load.  Deleting the sources under a lazy temp view would
+        corrupt later reads, so PURGE materializes the load first
+        (``localCheckpoint`` — blocks stored, file lineage dropped),
+        the Spark analog of Snowflake's eager ``COPY INTO table``."""
         if not self._is_connected():
             raise DBError("No connection object is present.")
+        import os
+
         from locopy_spark.sources.copy import (
             add_default_copy_options,
             detect_format_option,
         )
 
+        purge = False
+        if copy_options:
+            kept = []
+            for opt in copy_options:
+                toks = opt.replace("=", " ").upper().split()
+                if toks and toks[0] == "PURGE":
+                    purge = len(toks) > 1 and toks[1] == "TRUE"
+                else:
+                    kept.append(opt)
+            copy_options = kept
         fmt = self._resolve_format(file_type, format_options, file_format_name)
         if fmt is not None:
             file_format = fmt.get("file_format", file_format)
@@ -298,14 +319,23 @@ class Warehouse(Database):
             copy_options = add_default_copy_options(
                 list(copy_options or [])
             )
-        return copy_files(
+        result = copy_files(
             self.spark,
             path,
             table_name,
             delim=delim,
             file_format=file_format,
             copy_options=copy_options,
+            schema=schema,
+            materialize=purge,
         )
+        if purge:
+            st = self._require_stage()
+            for s in path if isinstance(path, list) else [path]:
+                key = os.path.relpath(s, st.root)
+                if not key.startswith("..") and os.path.exists(st._dest(key)):
+                    st.delete(key)
+        return result
 
     def load_and_copy(
         self,
@@ -317,6 +347,7 @@ class Warehouse(Database):
         delete_stage_after: bool = False,
         splits: int = 1,
         compress: bool = True,
+        schema=None,
     ) -> DataFrame:
         """Local file → stage → COPY (reference redshift.py:235
         load_and_copy: split, compress, upload, then load — same
@@ -325,33 +356,61 @@ class Warehouse(Database):
         (reference ``delete_s3_after``) removes the staged artifacts
         once loaded). The stage hop is real file transport (so the
         staged artifact exists for audit/replay), then Spark reads it
-        directly — splits simply become input partitions."""
+        directly — splits simply become input partitions.
+
+        ``schema`` (DDL string or StructType) plays the role of the
+        reference flow's preceding ``CREATE TABLE (id INTEGER, ...)``:
+        the integration suite always creates the typed target before
+        COPY (tests/test_integration.py:102-104) and the load adopts
+        its column names and types — here the reader does."""
         import os
+        from pathlib import Path
 
-        from locopy_spark.utility import split_file
+        from locopy_spark.utility import get_ignoreheader_number, split_file
 
-        parts = split_file(
-            local_file, local_file, splits=splits
-        )  # splits == 1 → [local_file] untouched
+        opts = list(copy_options or [])
+        # reference redshift.py:309-324: an IGNOREHEADER option is
+        # honored by stripping the header rows DURING the split (each
+        # part must not lose its own first line to a per-file skip),
+        # after which the option is removed; a directory input uploads
+        # every file under it unsplit (parquet-folder loads)
+        ignore_header = get_ignoreheader_number(opts)
+        lp = Path(local_file)
+        if lp.is_dir():
+            parts = [str(x) for x in sorted(lp.glob("**/*")) if x.is_file()]
+            did_split = False
+        else:
+            parts = split_file(
+                local_file, local_file, splits=splits, ignore_header=ignore_header
+            )  # splits == 1 → [local_file] untouched
+            did_split = splits > 1
+        if did_split and ignore_header > 0:
+            opts = [
+                i for i in opts if not i.upper().startswith("IGNOREHEADER")
+            ]
         staged: list[str] = []
         for p in parts:
             staged += self.upload_to_internal(
                 p, stage_folder, auto_compress=compress
             )
+        if delete_stage_after:
+            # same semantics as Snowflake PURGE: materialize the load,
+            # then drop the staged artifacts (reference redshift.py:235
+            # delete_s3_after deletes only after a successful COPY)
+            opts.append("PURGE = TRUE")
         try:
             return self.copy(
-                table_name, staged, delim=delim, copy_options=copy_options
+                table_name,
+                staged,
+                delim=delim,
+                copy_options=opts,
+                schema=schema,
             )
         finally:
-            if splits > 1:
+            if did_split:
                 for p in parts:
                     if os.path.exists(p):
                         os.remove(p)
-            if delete_stage_after:
-                st = self._require_stage()
-                for s in staged:
-                    key = os.path.relpath(s, st.root)
-                    st.delete(key)
 
     # -- bulk export (reference redshift.py:349,443; snowflake.py:339) ----
     def unload(
