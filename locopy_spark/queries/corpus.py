@@ -1324,6 +1324,31 @@ def cms_cells(docs: DataFrame) -> DataFrame:
     )
 
 
+def cms_estimate(cells: DataFrame, probes: DataFrame) -> DataFrame:
+    """Probe a CMS cell table with ``probes (token, true_c)``: min over
+    the CMS_DEPTH row estimates, plus the overestimate mass.  Shared
+    finisher between the batch ``t_cms_counts`` and the streaming
+    maintainer (``streaming.stateful.stream_cms``) — both read the
+    same d×w additive state through this."""
+    probe_pos = probes.select(
+        "token",
+        "true_c",
+        F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("r"),
+    ).select(
+        "token", "true_c", "r",
+        F.expr(_cms_col_spark("token", "r")).alias("col"),
+    )
+    est = (
+        probe_pos.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("token", "true_c")
+        .agg(F.min("v").alias("est_c"))
+    )
+    return est.select(
+        "token", "true_c", "est_c",
+        (F.col("est_c") - F.col("true_c")).alias("over"),
+    ).orderBy(F.desc("true_c"), "token")
+
+
 def t_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation, measured: build a
     CMS_DEPTH×CMS_WIDTH CMS over the corpus token stream, probe it
@@ -1364,23 +1389,7 @@ def t_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CMS_PROBE_K)
         .select("token", F.col("c").alias("true_c"))
     )
-    probe_pos = probes.select(
-        "token",
-        "true_c",
-        F.explode(F.expr(f"sequence(1, {CMS_DEPTH})")).alias("r"),
-    ).select(
-        "token", "true_c", "r",
-        F.expr(_cms_col_spark("token", "r")).alias("col"),
-    )
-    est = (
-        probe_pos.join(F.broadcast(cells), ["r", "col"])
-        .groupBy("token", "true_c")
-        .agg(F.min("v").alias("est_c"))
-    )
-    return est.select(
-        "token", "true_c", "est_c",
-        (F.col("est_c") - F.col("true_c")).alias("over"),
-    ).orderBy(F.desc("true_c"), "token")
+    return cms_estimate(cells, probes)
 
 
 ORACLE["t_cms_counts"] = f"""

@@ -1426,3 +1426,52 @@ def test_stream_mix_drift_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_mix_drift(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_cms_matches_batch(spark, sf_dir, tmp_path):
+    """CMS cells are exact occurrence sums (additive monoid), so the
+    d×w state maintained across 4 out-of-order micro-batches equals
+    the batch sketch exactly, and probing it through the shared
+    cms_estimate finisher reproduces batch t_cms_counts."""
+    from locopy_spark.functions.text import tokens_expr
+    from locopy_spark.queries.corpus import (
+        CMS_PROBE_K,
+        cms_cells,
+        cms_estimate,
+        t_cms_counts,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cms
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cmschunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cmschunk*"))
+    )
+    q = stream_cms(stream, state_view="cms_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.table("global_temp.cms_t")
+    got_cells = {(r.r, r.col): r.v for r in state.collect()}
+    want_cells = {(r.r, r.col): r.v for r in cms_cells(docs).collect()}
+    assert got_cells and got_cells == want_cells
+    vocab = (
+        docs.select(F.explode(F.expr(tokens_expr("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        vocab.orderBy(F.desc("c"), "token")
+        .limit(CMS_PROBE_K)
+        .select("token", F.col("c").alias("true_c"))
+    )
+    got = [tuple(r) for r in cms_estimate(state, probes).collect()]
+    want = [tuple(r) for r in t_cms_counts(spark, sf_dir).collect()]
+    assert got == want
