@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_interleave_eval": corpus.p_interleave_eval,
         "q_mix_drift": trends.q_mix_drift,
         "q_partition_advisor": quality.q_partition_advisor,
+        "p_resume_plan": corpus.p_resume_plan,
     }
     return q
 

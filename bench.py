@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "p_interleave_eval",
     "q_mix_drift",
     "q_partition_advisor",
+    "p_resume_plan",
 ]
 
 

@@ -1622,3 +1622,141 @@ ORACLE["p_dedup_yield"] = f"""
            AS dup_token_ppm
   FROM f GROUP BY 1 ORDER BY source
 """
+
+
+# -- checkpoint-resume plan ---------------------------------------------------
+
+RESUME_PCTS = [25, 50, 90]
+
+
+def p_resume_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume plan over the training stream: for each
+    consumed-token checkpoint (RESUME_PCTS percent of the corpus
+    budget), the exact resume position in the deterministic md5
+    document order p_shard_plan shards by — documents/tokens already
+    consumed, the first unconsumed document, and the shard it lives
+    in (``prefix·N_SHARDS div total``, the same assignment formula) —
+    the lookup a dataloader performs when restarting mid-epoch
+    without replaying or re-shuffling anything.
+
+    Shape: the one distributed prefix sum (operators.ranking.
+    global_running_sum — range partition + O(P) driver offsets, no
+    one-partition window) is shared by both aggregates; checkpoints
+    ride as a broadcast 3-row table, so the cross join is a map-side
+    constant expansion and both aggregations partial-combine.  A doc
+    is consumed iff its INCLUSIVE prefix fits the checkpoint (docs
+    are atomic — resume never splits a document); RESUME_PCTS < 100
+    guarantees an unconsumed resume doc exists.  Exactness: integer
+    token counts, integer div — no float anywhere.
+    """
+    from locopy_spark.functions.cache import managed_persist
+    from locopy_spark.operators.ranking import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"size({tokens_expr('text')})").cast("long").alias("n_toks"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("hk"),
+    )
+    run = managed_persist(
+        global_running_sum(
+            per_doc, order_cols=["hk"], value_col="n_toks",
+            out_col="prefix_toks",
+        ),
+        "resume_plan",
+    )
+    cks = (
+        run.agg(
+            F.sum("n_toks").alias("tot"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in RESUME_PCTS])
+            ).alias("pct"),
+            "tot",
+            "n_docs",
+        )
+        .withColumn("ckpt", F.expr("tot * pct div 100"))
+    )
+    x = run.join(F.broadcast(cks))
+    consumed = (
+        x.filter("prefix_toks + n_toks <= ckpt")
+        .groupBy("pct")
+        .agg(
+            F.count(F.lit(1)).alias("docs_done"),
+            F.sum("n_toks").alias("toks_done"),
+        )
+    )
+    resume = (
+        x.filter("prefix_toks + n_toks > ckpt")
+        .groupBy("pct")
+        .agg(
+            F.min_by("doc_id", "hk").alias("resume_doc"),
+            F.min_by("prefix_toks", "hk").alias("resume_prefix"),
+        )
+    )
+    return (
+        cks.join(consumed, "pct", "left")
+        .join(resume, "pct", "left")
+        .select(
+            "pct",
+            F.col("ckpt").alias("checkpoint_toks"),
+            F.coalesce("docs_done", F.lit(0)).alias("docs_done"),
+            F.coalesce("toks_done", F.lit(0)).alias("toks_done"),
+            (F.col("n_docs") - F.coalesce("docs_done", F.lit(0))).alias(
+                "docs_left"
+            ),
+            (F.col("tot") - F.coalesce("toks_done", F.lit(0))).alias(
+                "toks_left"
+            ),
+            "resume_doc",
+            F.expr(f"resume_prefix * {N_SHARDS} div tot").alias(
+                "resume_shard"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+ORACLE["p_resume_plan"] = f"""
+  WITH d AS (
+    SELECT doc_id,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks,
+           md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+  ),
+  r AS (
+    SELECT doc_id, n_toks, hk,
+           COALESCE(SUM(n_toks) OVER (
+             ORDER BY hk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS prefix_toks
+    FROM d
+  ),
+  t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot,
+               COUNT(*) AS n_docs FROM d),
+  c AS (
+    SELECT pct, (t.tot * pct) // 100 AS ckpt, t.tot, t.n_docs
+    FROM (SELECT unnest({RESUME_PCTS}) AS pct), t
+  ),
+  agg AS (
+    SELECT c.pct, c.ckpt, c.tot, c.n_docs,
+           COUNT(*) FILTER (r.prefix_toks + r.n_toks <= c.ckpt)
+             AS docs_done,
+           COALESCE(SUM(r.n_toks) FILTER (
+             r.prefix_toks + r.n_toks <= c.ckpt), 0) AS toks_done,
+           ARG_MIN(r.doc_id, r.hk) FILTER (
+             r.prefix_toks + r.n_toks > c.ckpt) AS resume_doc,
+           ARG_MIN(r.prefix_toks, r.hk) FILTER (
+             r.prefix_toks + r.n_toks > c.ckpt) AS resume_prefix
+    FROM c, r GROUP BY 1, 2, 3, 4
+  )
+  SELECT pct, CAST(ckpt AS BIGINT) AS checkpoint_toks,
+         CAST(docs_done AS BIGINT) AS docs_done,
+         CAST(toks_done AS BIGINT) AS toks_done,
+         CAST(n_docs - docs_done AS BIGINT) AS docs_left,
+         CAST(tot - toks_done AS BIGINT) AS toks_left,
+         resume_doc,
+         CAST(resume_prefix * {N_SHARDS} // tot AS BIGINT) AS resume_shard
+  FROM agg ORDER BY pct
+"""

@@ -193,3 +193,48 @@ def test_interpurchase_hand_case(spark, tmp_path):
     assert (r.c_mktsegment, r.n_gaps) == ("A", 3)
     assert r.mean_gap_days == pytest.approx(45 / 3)
     assert r.median_gap_days == 10
+
+
+def test_resume_plan_naive_reference(spark, tmp_path):
+    """p_resume_plan against a pure-Python simulation: 8 docs with
+    known token counts, consumed in md5(doc_id) order until each
+    checkpoint; docs are atomic so the resume doc is the first whose
+    inclusive prefix overshoots, and its shard follows the
+    p_shard_plan formula."""
+    import hashlib
+
+    from locopy_spark.queries.corpus import (
+        N_SHARDS,
+        RESUME_PCTS,
+        p_resume_plan,
+    )
+
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(8)]  # i+1 toks
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    order = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    toks = [r[0] + 1 for r in order]
+    tot = sum(toks)
+    want = []
+    for pct in RESUME_PCTS:
+        ckpt = tot * pct // 100
+        done, run = 0, 0
+        while run + toks[done] <= ckpt:
+            run += toks[done]
+            done += 1
+        want.append(
+            (
+                pct,
+                ckpt,
+                done,
+                run,
+                len(order) - done,
+                tot - run,
+                order[done][0],          # resume doc_id
+                run * N_SHARDS // tot,   # its shard (exclusive prefix)
+            )
+        )
+    got = [tuple(r) for r in p_resume_plan(spark, str(tmp_path)).collect()]
+    assert got == want
