@@ -828,36 +828,6 @@ def test_stream_benford_matches_batch(spark, sf_dir, tmp_path):
     assert got and got == want
 
 
-def test_stream_cms_matches_batch(spark, sf_dir, tmp_path):
-    """CMS cells are an additive monoid, so the sketch maintained
-    across 4 out-of-order micro-batches equals the batch build
-    cell-for-cell."""
-    from locopy_spark.queries.corpus import cms_cells
-    from locopy_spark.sources.tables import load_table
-    from locopy_spark.streaming.stateful import stream_cms
-
-    docs = load_table(spark, sf_dir, "documents")
-    for i, pred in enumerate(["1", "3", "0", "2"]):
-        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(tmp_path / f"cchunk{i}"))
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(tmp_path / "cchunk*"))
-    )
-    q = stream_cms(stream, state_view="cms_t")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    got = sorted(
-        tuple(r) for r in spark.table("global_temp.cms_t").collect()
-    )
-    want = sorted(tuple(r) for r in cms_cells(docs).collect())
-    assert got and got == want
-
-
 def test_stream_acf_matches_batch(spark, sf_dir):
     """ACF over the additively maintained daily series equals the
     batch scorer over the same events — same maintainer as the
