@@ -999,3 +999,18 @@ def test_partition_advisor_single_expand_per_table(spark, sf_dir):
     assert len(schemas) == 2  # orders once, events once
     plan = df._jdf.queryExecution().analyzed().toString()
     assert plan.count("Expand") == 2
+
+
+def test_resume_plan_shared_prefix_sum_broadcast_checkpoints(spark, sf_dir):
+    """The resume lookup reuses the distributed prefix sum
+    (__pid-partitioned windows only — never a one-partition global
+    window) and the 3-row checkpoint table rides a broadcast, so the
+    cross join is a map-side constant expansion, not a cartesian
+    shuffle."""
+    df = _q(spark, sf_dir, "p_resume_plan")
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "__pid" in spec, f"global window: {spec}"
+    assert not audit.has_cartesian(df)

@@ -491,3 +491,34 @@ def test_ca_statistic_shift_invariant(daily):
         return nn * srt - rr * st_, nn * stt - st_ * st_
 
     assert stats(0) == stats(12345) == stats(-999)
+
+
+def test_global_running_sum_matches_serial_accumulation(spark):
+    """The distributed prefix sum (range partition + driver offsets +
+    per-partition windows) equals the serial exclusive accumulation
+    for ANY partition count — including partitions exceeding rows —
+    and for negative and zero values (operators.ranking powers shard
+    cuts, budget trims, and the resume planner, so this is a
+    load-bearing wall)."""
+    import itertools
+
+    from locopy_spark.operators.ranking import global_running_sum
+
+    rnd = random.Random(20260815)
+    for n_parts in (1, 3, 8, 64):
+        rows = [
+            (f"k{idx:04d}", rnd.randint(-1000, 1000))
+            for idx in rnd.sample(range(10000), 157)
+        ]
+        df = spark.createDataFrame(rows, "hk string, v long")
+        got = {
+            r.hk: r.run
+            for r in global_running_sum(
+                df, order_cols=["hk"], value_col="v", out_col="run",
+                num_partitions=n_parts,
+            ).collect()
+        }
+        ordered = sorted(rows)
+        prefix = [0, *itertools.accumulate(v for _, v in ordered)]
+        want = {k: prefix[i] for i, (k, _) in enumerate(ordered)}
+        assert got == want, f"num_partitions={n_parts}"
