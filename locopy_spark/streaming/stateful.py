@@ -987,6 +987,51 @@ def stream_benford(
     )
 
 
+def stream_ols_trend(
+    orders: DataFrame,
+    state_view: str = "ols_daily_state",
+):
+    """Continuously-maintained OLS regression state: each micro-batch
+    reduces to per-(priority, day) exact revenue cents
+    (``queries.trends.ols_daily`` — additive in y; the day index is a
+    constant of the key), merged by key into O(groups × days) state —
+    the same shape as stream_daily_anomaly's day series, late/out-of-
+    order events safe by construction. The closing fit
+    (``queries.trends.ols_report`` — power sums + the exact-integer
+    slope/intercept/R² formulas) runs over the state on demand; the
+    test asserts stream state + finisher == batch ``q_ols_trend``
+    exactly on out-of-order chunks.
+    """
+    from locopy_spark.queries.trends import ols_daily
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, day date, y long"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(ols_daily(batch_df))
+            .groupBy("o_orderpriority", "day")
+            .agg(F.sum("y").alias("y"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"ols_{state_view}")
+        .start()
+    )
+
+
+
 def stream_cms(
     docs: DataFrame,
     state_view: str = "cms_state",

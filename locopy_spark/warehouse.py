@@ -25,8 +25,11 @@ from locopy_spark.errors import DBError
 from locopy_spark.sources.copy import copy_files
 from locopy_spark.sources.dataframe_io import insert_dataframe_to_table
 from locopy_spark.sources.stage import Stage
+from locopy_spark.logger import get_logger
 from locopy_spark.sources.unload import unload as _unload
 from locopy_spark.sources.unload import unload_and_fetch
+
+logger = get_logger(__name__)
 
 
 def _parse_unload_options(unload_options: list[str] | None) -> dict:
@@ -305,6 +308,11 @@ class Warehouse(Database):
                 else:
                     kept.append(opt)
             copy_options = kept
+        if purge:
+            # fail fast: PURGE needs the stage transport — discovering
+            # that AFTER a successful load would leave the caller with
+            # a loaded table and an error
+            self._require_stage()
         fmt = self._resolve_format(file_type, format_options, file_format_name)
         if fmt is not None:
             file_format = fmt.get("file_format", file_format)
@@ -330,11 +338,21 @@ class Warehouse(Database):
             materialize=purge,
         )
         if purge:
+            import glob as _glob
+
             st = self._require_stage()
-            for s in path if isinstance(path, list) else [path]:
-                key = os.path.relpath(s, st.root)
-                if not key.startswith("..") and os.path.exists(st._dest(key)):
-                    st.delete(key)
+            for p in path if isinstance(path, list) else [path]:
+                # expand globs the same way the reader did; a path
+                # outside the stage root cannot be purged by the stage
+                # transport — warn instead of silently skipping
+                for m in _glob.glob(p) or [p]:
+                    key = os.path.relpath(m, st.root)
+                    if key.startswith(".."):
+                        logger.warning(
+                            "PURGE: %s is outside the stage root; not deleted", m
+                        )
+                    elif os.path.exists(st._dest(key)):
+                        st.delete(key)
         return result
 
     def load_and_copy(
@@ -377,7 +395,15 @@ class Warehouse(Database):
         ignore_header = get_ignoreheader_number(opts)
         lp = Path(local_file)
         if lp.is_dir():
-            parts = [str(x) for x in sorted(lp.glob("**/*")) if x.is_file()]
+            # Spark listing rules: _SUCCESS/.crc markers are skipped;
+            # each file keeps its directory-relative subpath so
+            # same-named part files in different partition dirs
+            # (year=1/part-0000, year=2/part-0000) cannot collide
+            parts = [
+                x
+                for x in sorted(lp.glob("**/*"))
+                if x.is_file() and not x.name.startswith(("_", "."))
+            ]
             did_split = False
         else:
             parts = split_file(
@@ -390,8 +416,14 @@ class Warehouse(Database):
             ]
         staged: list[str] = []
         for p in parts:
+            if isinstance(p, Path):
+                sub = os.path.dirname(os.path.relpath(p, lp))
+                dest = os.path.join(stage_folder, sub) if sub else stage_folder
+                p = str(p)
+            else:
+                dest = stage_folder
             staged += self.upload_to_internal(
-                p, stage_folder, auto_compress=compress
+                p, dest, auto_compress=compress
             )
         if delete_stage_after:
             # same semantics as Snowflake PURGE: materialize the load,

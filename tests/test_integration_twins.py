@@ -388,3 +388,66 @@ def test_to_dataframe_sizes(wh):
     wh.execute("CREATE OR REPLACE TEMPORARY VIEW t2d AS SELECT 1 AS x")
     wh.execute("DROP VIEW t2d")
     assert wh.to_dataframe() is None
+
+
+# -- hardening beyond the reference suite ------------------------------
+
+
+def test_load_and_copy_directory_partitioned(wh, tmp_path, spark):
+    """Directory input (reference redshift.py:312 glob-uploads a dir):
+    same-named part files in different partition dirs must not
+    collide in the stage, and marker files (_SUCCESS) must be
+    skipped — the Spark-written-dataset load case."""
+    src = tmp_path / "ds"
+    for year, vals in (("1", [1, 2]), ("2", [3, 4])):
+        d = src / f"year={year}"
+        d.mkdir(parents=True)
+        # identical basenames across partition dirs, like Spark writes
+        with open(d / "part-00000.csv", "w") as f:
+            for v in vals:
+                f.write(f"{v}|{year}\n")
+    (src / "_SUCCESS").touch()
+    wh.load_and_copy(
+        str(src),
+        "dirload",
+        "dir_testing",
+        delim="|",
+        compress=False,
+        schema="v INT, y STRING",
+    )
+    wh.execute("SELECT * FROM dir_testing ORDER BY v")
+    got = [tuple(r) for r in wh.to_dataframe().itertuples(index=False)]
+    assert got == [(1, "1"), (2, "1"), (3, "2"), (4, "2")]
+    # both part files staged under their partition subdirs
+    assert len(wh._stage.list("dirload/year=*/part-00000.csv")) == 2
+
+
+def test_copy_purge_glob_path(wh, tmp_path):
+    """PURGE must expand globs the same way the reader does."""
+    for i in range(2):
+        local = tmp_path / f"g{i}.txt"
+        _write_delim(local)
+        wh.upload_to_internal(str(local), "gl/", auto_compress=False)
+    wh.copy(
+        "glob_testing",
+        os.path.join(wh._stage.root, "gl", "g*.txt"),
+        delim="|",
+        copy_options=["PURGE = TRUE"],
+        schema="id INT, variable STRING",
+    )
+    wh.execute("SELECT count(*) AS n FROM glob_testing")
+    assert int(wh.to_dataframe()["n"][0]) == 2 * len(ROWS)
+    assert wh._stage.list("gl/*") == []
+
+
+def test_copy_purge_without_stage_fails_fast(spark, tmp_path):
+    """A PURGE copy on a stage-less Warehouse must fail BEFORE
+    loading, not succeed-then-raise."""
+    local = _write_delim(tmp_path / "p.txt")
+    w = Redshift(spark=spark)
+    w.connect()
+    with pytest.raises(DBError, match="[Ss]tage"):
+        w.copy("t_nostage", local, copy_options=["PURGE = TRUE"])
+    # the load must not have happened
+    assert "t_nostage" not in [t.name for t in spark.catalog.listTables()]
+    w.disconnect()
