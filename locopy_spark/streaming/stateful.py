@@ -1745,3 +1745,80 @@ def stream_mix_drift(
         .queryName(f"mix_{state_view}")
         .start()
     )
+
+
+def stream_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user (count, exact scaled-int sum) on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-46815 state-v2): typed state
+    handles (ValueState here; List/Map state and timers for richer
+    operators) over the RocksDB state store provider, which the caller
+    must enable (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider`` — the production configuration the
+    module docstring names).  Same exact arithmetic as
+    ``stream_user_totals``: floor(value·1000 + 0.5) per row, an
+    associative integer sum, so any batching or replay yields the
+    batch aggregate exactly; the test asserts both APIs agree with the
+    batch twin where the dependency below is present.
+
+    Dependency note (the spark-avro convention): the state-v2 protocol
+    speaks protobuf between the JVM and the Python state server, so
+    ``protobuf`` must be installed in the worker Python — absent it,
+    Spark's driver worker dies with a buried ImportError, so this
+    raises the clear error up front instead.
+    """
+    import math
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package in "
+            "the worker Python (pip install protobuf); "
+            "stream_user_totals (applyInPandasWithState) needs no extra "
+            "dependency."
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", USER_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s_fix = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s_fix += int(
+                    sum(
+                        math.floor(v * 1000 + 0.5)
+                        for v in pdf["value"].tolist()
+                    )
+                )
+            self._totals.update((n, s_fix))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_fix": [s_fix],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Totals(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

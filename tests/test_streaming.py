@@ -1445,3 +1445,62 @@ def test_stream_cms_matches_batch(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in cms_estimate(state, probes).collect()]
     want = [tuple(r) for r in t_cms_counts(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_stream_user_totals_tws_matches_batch_and_v1(spark, sf_dir):
+    """The transformWithStateInPandas form (typed ValueState over the
+    RocksDB provider) computes the same exact totals as the
+    applyInPandasWithState form and the batch aggregate.  Where the
+    state-v2 protobuf dependency is absent (this container), the job
+    must fail LOUD with the dependency named — the spark-avro
+    convention — and the parity assertion is skipped."""
+    import pytest
+
+    from locopy_spark.streaming.jobs import read_event_stream, run_to_memory
+    from locopy_spark.streaming.stateful import stream_user_totals_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            stream_user_totals_tws(read_event_stream(spark, sf_dir))
+        pytest.skip("protobuf not installed: state-v2 parity not runnable here")
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, sf_dir)
+        run_to_memory(
+            stream_user_totals_tws(stream), "totals_tws_out", mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        r.user_id: (r.n_events, r.sum_value_fix)
+        for r in spark.sql("SELECT * FROM totals_tws_out").collect()
+    }
+    assert got, "transformWithState produced no rows"
+    batch = {
+        r.user_id: (r.n, r.s_fix)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("cast(floor(value * 1000 + 0.5) as bigint)")
+            ).alias("s_fix"),
+        )
+        .collect()
+    }
+    assert got == batch
