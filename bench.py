@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "q_mix_drift",
     "q_partition_advisor",
     "p_resume_plan",
+    "t_simpson_diversity",
+    "t_zipf_deviation",
+    "q_burstiness",
 ]
 
 

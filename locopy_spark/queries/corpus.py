@@ -1760,3 +1760,174 @@ ORACLE["p_resume_plan"] = f"""
          CAST(resume_prefix * {N_SHARDS} // tot AS BIGINT) AS resume_shard
   FROM agg ORDER BY pct
 """
+
+# -- per-source unigram concentration (Simpson) + Zipf conformance -----------
+#
+# Shared scaffolding: ``source_token_counts`` reduces the corpus to the
+# per-(source, token) count table ONCE (additive monoid — the streaming
+# maintainer ``streaming.stateful.stream_simpson`` holds exactly this
+# state); both finishers below consume it, so a pipeline that wants both
+# reports pays one corpus scan.
+
+
+def source_token_counts(docs: DataFrame) -> DataFrame:
+    """Additive per-source vocabulary state ``(source, tok, c)`` —
+    merges by (source, token); map-side partial aggregation reduces
+    the shuffle to vocabulary size per source, never occurrences."""
+    return (
+        docs.select(
+            "source",
+            F.explode(F.expr(tokens_expr("text"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def simpson_report(counts: DataFrame) -> DataFrame:
+    """Simpson-concentration finisher over the (source, tok, c) state:
+    per source, the exact probability (ppm) that two tokens drawn
+    without replacement are the same type — the lexical-concentration
+    screen (high = templated/repetitive source; 1/Simpson is the
+    "effective vocabulary").  Complements t_ttr (per-document
+    diversity): Simpson is corpus-level, so cross-document repetition
+    a per-doc TTR can't see moves it.
+
+    Exactness: Σc(c-1) and N(N-1) widen through DECIMAL(38)/HUGEINT
+    BEFORE the products (c and N are corpus-scale at 100 TB — the
+    bigint squares would wrap); one non-negative integer floor
+    division closes the ppm. One |sources|-bounded aggregate."""
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")
+            ).alias("sumc2"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.expr(
+                "CAST(CASE WHEN n_tokens < 2 THEN 0 ELSE"
+                " CAST(sumc2 AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+                " END AS BIGINT)"
+            ).alias("simpson_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def t_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson lexical concentration over unigram counts —
+    see :func:`simpson_report` (the finisher) and
+    :func:`source_token_counts` (the shared additive state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_report(source_token_counts(docs))
+
+
+def _sql_source_token_counts() -> str:
+    return f"""
+    SELECT source, tok, COUNT(*) AS c
+    FROM (SELECT source, UNNEST({sql_tokens('text')}) AS tok
+          FROM documents)
+    WHERE tok != ''
+    GROUP BY source, tok
+"""
+
+
+ORACLE["t_simpson_diversity"] = f"""
+  WITH counts AS ({_sql_source_token_counts()})
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(CASE WHEN SUM(c) < 2 THEN 0 ELSE
+              SUM(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+              // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1)) END
+              AS BIGINT) AS simpson_ppm
+  FROM counts GROUP BY source ORDER BY source
+"""
+
+
+ZIPF_TOP_K = 100
+
+
+def zipf_report(counts: DataFrame) -> DataFrame:
+    """Zipf-conformance finisher over the (source, tok, c) state: for
+    each source's top-K tokens under the total order (count DESC,
+    token ASC), the mean absolute deviation (ppm of the top count)
+    of ``rank · count`` from the top count — exactly 0 under a
+    perfect Zipf law (c_r = c_1 / r), growing as the head flattens
+    or steepens.  No logarithms anywhere (a log-log regression slope
+    is the textbook fit but log is not cross-engine exact); the
+    rank-weighted residual is the integer-exact conformance statistic.
+
+    Shape: ranks come from operators.ranking.grouped_global_row_number
+    (range-partitioned — no one-task-per-source sort of a 100 TB
+    source's vocabulary); c1 is a |sources|-row broadcast joined back
+    to the ≤ K·|sources| surviving rows; products widen through
+    DECIMAL(38) before the ppm division."""
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    ranked = grouped_global_row_number(
+        counts.select("source", "tok", "c", F.expr("-c").alias("negc")),
+        group_cols=["source"],
+        order_cols=["negc", "tok"],
+        out_col="rn",
+    ).filter(F.col("rn") <= ZIPF_TOP_K)
+    c1 = ranked.filter("rn = 1").select(
+        "source", F.col("c").alias("c1")
+    )
+    return (
+        ranked.join(F.broadcast(c1), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("c1").alias("top_count"),
+            F.sum(
+                F.expr("ABS(CAST(rn AS DECIMAL(38,0)) * c - c1)")
+            ).alias("sum_abs"),
+        )
+        .select(
+            "source",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("top_count").cast("long").alias("top_count"),
+            F.expr(
+                "CAST(CAST(sum_abs AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(k_used AS DECIMAL(38,0)) * top_count)"
+                " AS BIGINT)"
+            ).alias("zipf_dev_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def t_zipf_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf-law conformance of the unigram frequency head —
+    see :func:`zipf_report`; shares :func:`source_token_counts` with
+    t_simpson_diversity (one corpus scan serves both)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_report(source_token_counts(docs))
+
+
+ORACLE["t_zipf_deviation"] = f"""
+  WITH counts AS ({_sql_source_token_counts()}),
+  ranked AS (
+    SELECT source, c,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok) AS rn
+    FROM counts
+  ),
+  top AS (SELECT * FROM ranked WHERE rn <= {ZIPF_TOP_K}),
+  c1 AS (SELECT source, c AS c1 FROM top WHERE rn = 1)
+  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(c1.c1) AS BIGINT) AS top_count,
+         CAST(SUM(ABS(CAST(t.rn AS HUGEINT) * t.c - c1.c1)) * 1000000
+              // (CAST(COUNT(*) AS HUGEINT) * MAX(c1.c1))
+              AS BIGINT) AS zipf_dev_ppm
+  FROM top t JOIN c1 ON t.source = c1.source
+  GROUP BY t.source ORDER BY t.source
+"""

@@ -524,3 +524,100 @@ ORACLE["q_decay_score"] = f"""
   FROM s GROUP BY user_id, max_age
   ORDER BY decay_score DESC, user_id LIMIT 20
 """
+
+
+# -- inter-event burstiness histogram -----------------------------------------
+
+BURSTINESS_BAND_PPM = 500_000  # half a CV² unit per band
+BURSTINESS_BANDS = 10
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event burstiness, reported as a bounded
+    10-band histogram of the squared coefficient of variation of
+    inter-arrival gaps: CV² ≈ 0 for metronome-regular users, ~1 for
+    memoryless (Poisson) arrivals, > 1 for bursty sessions-then-
+    silence behaviour — the traffic-shape read capacity planning and
+    bot screening start from, scale-free so users of any activity
+    level land on one axis.
+
+    Exactness: gaps are non-negative integer SECONDS (µs div 1e6 —
+    truncation agrees across engines on non-negative operands); the
+    population-variance numerator m·Σx² − (Σx)² and the denominator
+    (Σx)² widen through DECIMAL(38)/HUGEINT BEFORE multiplication
+    (a year-long gap squared already nears the bigint edge at corpus
+    time spans), and CV²·1e6 closes as one non-negative floor
+    division (the numerator is ≥ 0 by Cauchy–Schwarz).  All-zero-gap
+    users (every event in the same second) define CV² = 0.
+
+    Shape: one per-user shuffle for the lag window (the
+    q_event_transitions regime — per-user sequences are bounded),
+    one user-level aggregate with map-side partial combine, one
+    ≤ 10-row histogram.  Ties in ``ts`` are ordered by ``event_id``
+    so same-µs gaps cannot flip across engines or partitionings.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr(sql_epoch_us(e, "ts"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select("user_id", "event_id", us.alias("us"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(us - prev_us) div 1000000").alias("gap_s"),
+        )
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("gap_s").alias("sx"),
+        F.sum(
+            F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s")
+        ).alias("sxx"),
+    )
+    cv2 = (
+        "CASE WHEN sx = 0 THEN 0 ELSE"
+        " CAST((CAST(m AS DECIMAL(38,0)) * sxx"
+        "       - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"
+        " div (CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) END"
+    )
+    return (
+        per_user.filter(F.col("m") >= 2)
+        .select(
+            F.expr(
+                f"CAST(LEAST({BURSTINESS_BANDS - 1},"
+                f" ({cv2}) div {BURSTINESS_BAND_PPM}) AS BIGINT)"
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("band")
+    )
+
+
+ORACLE["q_burstiness"] = f"""
+  WITH g AS (
+    SELECT user_id,
+           (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           )) // 1000000 AS gap_s
+    FROM events
+  ),
+  u AS (
+    SELECT user_id, COUNT(*) AS m,
+           CAST(SUM(gap_s) AS BIGINT) AS sx,
+           SUM(CAST(gap_s AS HUGEINT) * gap_s) AS sxx
+    FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+  ),
+  c AS (
+    SELECT CASE WHEN sx = 0 THEN 0 ELSE
+             CAST((CAST(m AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx) * 1000000
+                  // (CAST(sx AS HUGEINT) * sx) AS BIGINT) END AS cv2_ppm
+    FROM u WHERE m >= 2
+  )
+  SELECT CAST(LEAST({BURSTINESS_BANDS - 1},
+              cv2_ppm // {BURSTINESS_BAND_PPM}) AS BIGINT) AS band,
+         COUNT(*) AS n_users
+  FROM c GROUP BY 1 ORDER BY band
+"""

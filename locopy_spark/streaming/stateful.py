@@ -1822,3 +1822,42 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_simpson(
+    docs: DataFrame,
+    state_view: str = "simpson_state",
+):
+    """Continuously-maintained per-source unigram counts
+    (``queries.corpus.source_token_counts`` — additive by
+    (source, token), vocabulary-per-source-sized state forever): the
+    feed for BOTH on-demand finishers, ``simpson_report`` (batch
+    twin: ``t_simpson_diversity``) and ``zipf_report`` (batch twin:
+    ``t_zipf_deviation``) — one state, two reports.  Commutative
+    monoid merge, so any batching or arrival order reproduces the
+    batch counts exactly."""
+    from locopy_spark.queries.corpus import source_token_counts
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "source string, tok string, c long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(source_token_counts(batch_df))
+            .groupBy("source", "tok")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"simpson_{state_view}")
+        .start()
+    )

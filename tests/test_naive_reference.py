@@ -1694,3 +1694,130 @@ def test_partition_advisor_vs_hand_counts(spark, tmp_path):
     assert got["events.event_type"][4] == "too_coarse"
     # event_day: 4 values -> too_coarse (< 8)
     assert got["events.event_day"][4] == "too_coarse"
+
+
+def test_simpson_vs_fraction_arithmetic(spark, tmp_path):
+    """Per-source Simpson ppm recomputed with Counter + Fraction."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from locopy_spark.queries.corpus import t_simpson_diversity
+
+    docs = [
+        ("the cat sat on the mat the end", "s1"),
+        ("cat cat cat", "s1"),
+        ("all distinct words here now", "s2"),
+        ("x", "s2"),
+    ]
+    rows = [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(docs)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    by_source = {}
+    for t, s in docs:
+        by_source.setdefault(s, []).extend(t.lower().split())
+    want = {}
+    for s, toks in by_source.items():
+        c = Counter(toks)
+        n = len(toks)
+        sumc2 = sum(v * (v - 1) for v in c.values())
+        ppm = (
+            0 if n < 2
+            else int(Fraction(sumc2 * 1_000_000, n * (n - 1)))
+        )
+        want[s] = (n, len(c), ppm)
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.simpson_ppm)
+        for r in t_simpson_diversity(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the designed corpus separates the sources: s1 is repetitive
+    assert got["s1"][2] > got["s2"][2]
+
+
+def test_zipf_deviation_vs_hand_ranks(spark, tmp_path):
+    """rank·count residuals recomputed with sorted() + abs()."""
+    from collections import Counter
+
+    from locopy_spark.queries.corpus import t_zipf_deviation
+
+    # s1 is an exact Zipf head: counts 12, 6, 4, 3 = 12/r
+    s1 = " ".join(
+        ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    )
+    # s2 is flat: counts 5, 5, 5 — maximally non-Zipf after rank 1
+    s2 = " ".join(["p"] * 5 + ["q"] * 5 + ["r"] * 5)
+    rows = [(0, s1, "en", "s1", len(s1)), (1, s2, "en", "s2", len(s2))]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    want = {}
+    for src, text in (("s1", s1), ("s2", s2)):
+        c = Counter(text.split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        c1 = top[0][1]
+        sum_abs = sum(
+            abs((r + 1) * cnt - c1) for r, (_, cnt) in enumerate(top)
+        )
+        want[src] = (
+            len(top), c1, sum_abs * 1_000_000 // (len(top) * c1)
+        )
+    got = {
+        r.source: (r.k_used, r.top_count, r.zipf_dev_ppm)
+        for r in t_zipf_deviation(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert got["s1"][2] == 0          # perfect Zipf head
+    assert got["s2"][2] > 0           # flat head deviates
+
+
+def test_burstiness_vs_fraction_cv2(spark, tmp_path):
+    """Band histogram recomputed from per-user gap lists with exact
+    Fraction CV² — including an all-same-second user (CV² := 0) and a
+    single-event user (excluded, m < 2)."""
+    import datetime as dt
+    from fractions import Fraction
+
+    from locopy_spark.queries.timeseries import q_burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    per_user = {
+        1: [0, 60, 120, 180],          # metronome: gaps 60,60,60 -> cv2 0
+        2: [0, 10, 20, 1000, 1010],    # bursty
+        3: [0, 0, 0],                  # all same second -> cv2 := 0
+        4: [0],                        # single event -> excluded
+    }
+    rows = []
+    eid = 0
+    for uid, offs in per_user.items():
+        for o in offs:
+            rows.append(
+                (eid, base + dt.timedelta(seconds=o), uid, "view", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    want = {}
+    for uid, offs in per_user.items():
+        if len(offs) < 2:
+            continue
+        gaps = [b - a for a, b in zip(offs, offs[1:])]
+        m, sx = len(gaps), sum(gaps)
+        if sx == 0:
+            cv2 = 0
+        else:
+            var_num = m * sum(g * g for g in gaps) - sx * sx
+            cv2 = int(Fraction(var_num * 1_000_000, sx * sx))
+        band = min(9, cv2 // 500_000)
+        want[band] = want.get(band, 0) + 1
+    got = {
+        r.band: r.n_users
+        for r in q_burstiness(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert 0 in got and max(got) > 0  # regular AND bursty bands hit

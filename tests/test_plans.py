@@ -1014,3 +1014,37 @@ def test_resume_plan_shared_prefix_sum_broadcast_checkpoints(spark, sf_dir):
     for spec in specs:
         assert "__pid" in spec, f"global window: {spec}"
     assert not audit.has_cartesian(df)
+
+
+def test_simpson_zipf_share_scan_shape(spark, sf_dir):
+    """Both finishers read the documents table once each with text+
+    source pruned (2 columns), no cartesian; zipf's rank is the
+    range-partitioned device (__pid windows only) and its c1 join is
+    a broadcast."""
+    df = _q(spark, sf_dir, "t_simpson_diversity")
+    assert not audit.has_cartesian(df)
+    schemas = audit.read_schemas(df)
+    assert schemas and all(s.count(":") == 2 for s in schemas)
+
+    dz = _q(spark, sf_dir, "t_zipf_deviation")
+    assert not audit.has_cartesian(dz)
+    assert audit.has_broadcast_join(dz)
+    plan = audit.simple_plan(dz)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "__pid" in spec, f"global window: {spec}"
+
+
+def test_burstiness_user_partitioned_window(spark, sf_dir):
+    """The lag window is partitioned on user_id (never global), the
+    scan reads only the 3 needed columns, and no cartesian."""
+    df = _q(spark, sf_dir, "q_burstiness")
+    assert not audit.has_cartesian(df)
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "user_id" in spec, f"global window: {spec}"
+    schemas = audit.read_schemas(df)
+    assert schemas and all(s.count(":") == 3 for s in schemas)

@@ -1504,3 +1504,40 @@ def test_stream_user_totals_tws_matches_batch_and_v1(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_simpson_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(source, token) counts merge additively across 4
+    out-of-order doc chunks; ONE stream state feeds BOTH shared
+    finishers, and each equals its batch twin exactly
+    (t_simpson_diversity and t_zipf_deviation)."""
+    from locopy_spark.queries.corpus import (
+        simpson_report,
+        t_simpson_diversity,
+        t_zipf_deviation,
+        zipf_report,
+    )
+    from locopy_spark.streaming.stateful import stream_simpson
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        docs.filter(f"pmod(doc_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"schunk{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "schunk*"))
+    )
+    q = stream_simpson(stream, state_view="simpson_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.table("global_temp.simpson_t")
+    got_s = [tuple(r) for r in simpson_report(state).collect()]
+    want_s = [tuple(r) for r in t_simpson_diversity(spark, sf_dir).collect()]
+    assert got_s and got_s == want_s
+    got_z = [tuple(r) for r in zipf_report(state).collect()]
+    want_z = [tuple(r) for r in t_zipf_deviation(spark, sf_dir).collect()]
+    assert got_z and got_z == want_z
