@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "t_simpson_diversity",
     "t_zipf_deviation",
     "q_burstiness",
+    "t_hapax_ratio",
 ]
 
 

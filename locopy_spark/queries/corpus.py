@@ -1931,3 +1931,65 @@ ORACLE["t_zipf_deviation"] = f"""
   FROM top t JOIN c1 ON t.source = c1.source
   GROUP BY t.source ORDER BY t.source
 """
+
+
+def hapax_report(counts: DataFrame) -> DataFrame:
+    """Vocabulary-richness finisher over the (source, tok, c) state:
+    per source, the hapax-legomenon share (types seen exactly once)
+    and dis-legomenon share (exactly twice) of the vocabulary, in ppm
+    — the OCR-noise / synthetic-text screen (corrupted extraction
+    inflates hapaxes; templated generation starves them).  Third
+    consumer of the shared ``source_token_counts`` scan/state after
+    simpson_report and zipf_report — one corpus pass serves all three.
+
+    Exactness: pure counts and two non-negative integer floor
+    divisions (vocab-scaled products stay far below DECIMAL(38) but
+    widen anyway for 100 TB headroom); one |sources|-bounded
+    aggregate."""
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias(
+                "hapax"
+            ),
+            F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END")).alias(
+                "dis"
+            ),
+        )
+        .select(
+            "source",
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("hapax").cast("long").alias("hapax"),
+            F.expr(
+                "CAST(CAST(hapax AS DECIMAL(38,0)) * 1000000 div vocab"
+                " AS BIGINT)"
+            ).alias("hapax_ppm"),
+            F.expr(
+                "CAST(CAST(dis AS DECIMAL(38,0)) * 1000000 div vocab"
+                " AS BIGINT)"
+            ).alias("dis_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def t_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax/dis-legomenon vocabulary-richness shares —
+    see :func:`hapax_report`; third finisher on the shared
+    :func:`source_token_counts` state (stream twin:
+    ``streaming.stateful.stream_simpson`` — same state view)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hapax_report(source_token_counts(docs))
+
+
+ORACLE["t_hapax_ratio"] = f"""
+  WITH counts AS ({_sql_source_token_counts()})
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+              * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm,
+         CAST(CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+              * 1000000 // COUNT(*) AS BIGINT) AS dis_ppm
+  FROM counts GROUP BY source ORDER BY source
+"""

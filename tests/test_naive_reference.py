@@ -1821,3 +1821,38 @@ def test_burstiness_vs_fraction_cv2(spark, tmp_path):
     }
     assert got == want
     assert 0 in got and max(got) > 0  # regular AND bursty bands hit
+
+
+def test_hapax_vs_counter(spark, tmp_path):
+    """Hapax/dis shares recomputed with a plain Counter."""
+    from collections import Counter
+
+    from locopy_spark.queries.corpus import t_hapax_ratio
+
+    docs = [
+        ("one two two three three three", "s1"),   # hapax {one}, dis {two}
+        ("alpha beta gamma", "s2"),                # all hapax
+        ("alpha alpha beta beta", "s2"),           # now alpha x3, beta x3
+    ]
+    rows = [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(docs)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    by_source = {}
+    for t, s in docs:
+        by_source.setdefault(s, []).extend(t.lower().split())
+    want = {}
+    for s, toks in by_source.items():
+        c = Counter(toks)
+        v = len(c)
+        h = sum(1 for x in c.values() if x == 1)
+        d = sum(1 for x in c.values() if x == 2)
+        want[s] = (v, h, h * 1_000_000 // v, d * 1_000_000 // v)
+    got = {
+        r.source: (r.vocab, r.hapax, r.hapax_ppm, r.dis_ppm)
+        for r in t_hapax_ratio(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # designed separation: s2's cross-document merge kills its hapaxes
+    assert got["s2"][1] == 1 and got["s1"][1] == 1

@@ -1048,3 +1048,14 @@ def test_burstiness_user_partitioned_window(spark, sf_dir):
         assert "user_id" in spec, f"global window: {spec}"
     schemas = audit.read_schemas(df)
     assert schemas and all(s.count(":") == 3 for s in schemas)
+
+
+def test_hapax_bounded_aggregate_shape(spark, sf_dir):
+    """Third finisher on the shared state keeps the same shape:
+    2-column pruned scan, no cartesian, no window at all (pure
+    two-level aggregate)."""
+    df = _q(spark, sf_dir, "t_hapax_ratio")
+    assert not audit.has_cartesian(df)
+    schemas = audit.read_schemas(df)
+    assert schemas and all(s.count(":") == 2 for s in schemas)
+    assert "windowspecdefinition" not in audit.simple_plan(df)

@@ -1509,10 +1509,13 @@ def test_stream_user_totals_tws_matches_batch_and_v1(spark, sf_dir):
 def test_stream_simpson_matches_batch(spark, sf_dir, tmp_path):
     """Per-(source, token) counts merge additively across 4
     out-of-order doc chunks; ONE stream state feeds BOTH shared
-    finishers, and each equals its batch twin exactly
-    (t_simpson_diversity and t_zipf_deviation)."""
+    finishers (three after hapax_report), and each equals its batch
+    twin exactly (t_simpson_diversity, t_zipf_deviation,
+    t_hapax_ratio)."""
     from locopy_spark.queries.corpus import (
+        hapax_report,
         simpson_report,
+        t_hapax_ratio,
         t_simpson_diversity,
         t_zipf_deviation,
         zipf_report,
@@ -1541,3 +1544,6 @@ def test_stream_simpson_matches_batch(spark, sf_dir, tmp_path):
     got_z = [tuple(r) for r in zipf_report(state).collect()]
     want_z = [tuple(r) for r in t_zipf_deviation(spark, sf_dir).collect()]
     assert got_z and got_z == want_z
+    got_h = [tuple(r) for r in hapax_report(state).collect()]
+    want_h = [tuple(r) for r in t_hapax_ratio(spark, sf_dir).collect()]
+    assert got_h and got_h == want_h
