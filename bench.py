@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "t_zipf_deviation",
     "q_burstiness",
     "t_hapax_ratio",
+    "d_norm_histogram",
 ]
 
 

@@ -3711,3 +3711,57 @@ def _purity_oracle() -> str:
 
 
 ORACLE["s_centroid_purity"] = _purity_oracle()
+
+
+# -- embedding-norm quality histogram -----------------------------------------
+
+NORM_BAND_FIX = 100_000_000_000  # 0.1 in squared-norm units at 1e12 scale
+NORM_BANDS = 30
+
+
+def d_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm² histogram — the vector-quality screen run
+    BEFORE any ANN build (zero-norm or runaway-norm vectors are
+    encoder failures; a drifting norm distribution invalidates a
+    dot-product index that assumed unit-ish norms).  30 bands of 0.1
+    in squared-norm units, clamped at the top.
+
+    Exactness: per element the SQUARE is fixed-pointed once —
+    ``floor(v·v·1e12 + 0.5)`` (cast-to-double, multiply, scale by an
+    exactly-representable power of ten, floor: every step is a
+    correctly-rounded IEEE op, identical on both engines — the
+    functions/vectors.py device); the per-vector sum over ≤ dim
+    bounded bigints is exact and associative.  Everything is
+    row-local until the ≤ 30-row histogram aggregate — vectors never
+    shuffle, so the operator scales with the scan, not the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = (
+        "aggregate(transform(embedding,"
+        " v -> cast(floor(cast(v as double) * cast(v as double)"
+        " * 1000000000000 + 0.5) as bigint)),"
+        " 0L, (a, x) -> a + x)"
+    )
+    return (
+        emb.select(
+            F.expr(
+                f"CAST(LEAST({NORM_BANDS - 1},"
+                f" ({norm2}) div {NORM_BAND_FIX}) AS BIGINT)"
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("band")
+    )
+
+
+ORACLE["d_norm_histogram"] = f"""
+  WITH n AS (
+    SELECT CAST(LEAST({NORM_BANDS - 1},
+           CAST(list_sum(list_transform(embedding,
+                v -> CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                     * 1000000000000 + 0.5) AS BIGINT)))
+                AS BIGINT) // {NORM_BAND_FIX}) AS BIGINT) AS band
+    FROM embeddings
+  )
+  SELECT band, COUNT(*) AS n_vecs FROM n GROUP BY band ORDER BY band
+"""

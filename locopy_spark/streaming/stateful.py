@@ -1861,3 +1861,57 @@ def stream_simpson(
         .queryName(f"simpson_{state_view}")
         .start()
     )
+
+
+def stream_norm_hist(
+    emb: DataFrame,
+    state_view: str = "norm_hist_state",
+):
+    """Continuously-maintained embedding-norm² histogram: per-batch
+    per-band counts (the ``d_norm_histogram`` banding — additive
+    monoid, ≤ 30-row state forever) merged by band — the live
+    encoder-health monitor (a norm-distribution shift flags a bad
+    encoder deploy before any index rebuild).  Batch twin:
+    ``queries.docs_ext.d_norm_histogram``."""
+    from locopy_spark.queries.docs_ext import NORM_BAND_FIX, NORM_BANDS
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame([], "band long, n_vecs long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    norm2 = (
+        "aggregate(transform(embedding,"
+        " v -> cast(floor(cast(v as double) * cast(v as double)"
+        " * 1000000000000 + 0.5) as bigint)),"
+        " 0L, (a, x) -> a + x)"
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        delta = (
+            batch_df.select(
+                F.expr(
+                    f"CAST(LEAST({NORM_BANDS - 1},"
+                    f" ({norm2}) div {NORM_BAND_FIX}) AS BIGINT)"
+                ).alias("band")
+            )
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+        )
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(delta)
+            .groupBy("band")
+            .agg(F.sum("n_vecs").alias("n_vecs"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        emb.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"norm_hist_{state_view}")
+        .start()
+    )

@@ -1856,3 +1856,44 @@ def test_hapax_vs_counter(spark, tmp_path):
     assert got == want
     # designed separation: s2's cross-document merge kills its hapaxes
     assert got["s2"][1] == 1 and got["s1"][1] == 1
+
+
+def test_norm_histogram_vs_python_floats(spark, tmp_path):
+    """Band ids recomputed with math.floor over plain Python doubles
+    — including a zero vector (band 0) and a runaway-norm vector
+    (clamped to the top band)."""
+    import math
+
+    from locopy_spark.queries.docs_ext import d_norm_histogram
+
+    vecs = [
+        [0.0, 0.0, 0.0, 0.0],          # zero norm -> band 0
+        [0.5, 0.5, 0.5, 0.5],          # norm2 = 1.0 -> band 10
+        [0.7, 0.1, 0.0, 0.0],          # norm2 just under 0.5 (f32) -> band 4
+        [9.0, 9.0, 9.0, 9.0],          # norm2 = 324 -> clamp band 29
+    ]
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    want = {}
+    for v in vecs:
+        n2 = sum(
+            math.floor(float(np32(x)) * float(np32(x)) * 10**12 + 0.5)
+            for x in v
+        )
+        band = min(29, n2 // 10**11)
+        want[band] = want.get(band, 0) + 1
+    got = {
+        r.band: r.n_vecs
+        for r in d_norm_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert set(got) == {0, 4, 10, 29}
+
+
+def np32(x):
+    """Round-trip through float32 the way parquet storage does."""
+    import numpy as np
+
+    return np.float32(x)

@@ -1059,3 +1059,14 @@ def test_hapax_bounded_aggregate_shape(spark, sf_dir):
     schemas = audit.read_schemas(df)
     assert schemas and all(s.count(":") == 2 for s in schemas)
     assert "windowspecdefinition" not in audit.simple_plan(df)
+
+
+def test_norm_histogram_row_local_until_tiny_agg(spark, sf_dir):
+    """Vectors never shuffle: single-column pruned scan, no window,
+    no join, one ≤30-row aggregate."""
+    df = _q(spark, sf_dir, "d_norm_histogram")
+    assert not audit.has_cartesian(df)
+    plan = audit.simple_plan(df)
+    assert "windowspecdefinition" not in plan
+    schemas = audit.read_schemas(df)
+    assert schemas and all(s.count(":") == 1 for s in schemas)

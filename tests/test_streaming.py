@@ -1547,3 +1547,32 @@ def test_stream_simpson_matches_batch(spark, sf_dir, tmp_path):
     got_h = [tuple(r) for r in hapax_report(state).collect()]
     want_h = [tuple(r) for r in t_hapax_ratio(spark, sf_dir).collect()]
     assert got_h and got_h == want_h
+
+
+def test_stream_norm_hist_matches_batch(spark, sf_dir, tmp_path):
+    """Per-band counts merge additively across 4 out-of-order vector
+    chunks; stream state == batch d_norm_histogram exactly."""
+    from locopy_spark.streaming.stateful import stream_norm_hist
+    from locopy_spark.queries.docs_ext import d_norm_histogram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        emb.filter(f"pmod(vec_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"nchunk{i}"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "nchunk*"))
+    )
+    q = stream_norm_hist(stream, state_view="norm_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in spark.table("global_temp.norm_t").orderBy("band").collect()
+    ]
+    want = [tuple(r) for r in d_norm_histogram(spark, sf_dir).collect()]
+    assert got and got == want
