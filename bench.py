@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q_burstiness",
     "t_hapax_ratio",
     "d_norm_histogram",
+    "q_calendar_heatmap",
 ]
 
 

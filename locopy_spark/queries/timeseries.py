@@ -621,3 +621,112 @@ ORACLE["q_burstiness"] = f"""
          COUNT(*) AS n_users
   FROM c GROUP BY 1 ORDER BY band
 """
+
+
+# -- day-of-week × hour workload heatmap --------------------------------------
+
+
+def heat_cells(events: DataFrame) -> DataFrame:
+    """The additive |7 × 24| cell state — per-batch counts merge by
+    (dow, hour) (commutative monoid), so a streaming maintainer
+    (``streaming.stateful.stream_heatmap``) equals the batch pass on
+    any arrival order.
+
+    Bucketing is pure integer epoch math, engine-identical for ANY
+    timestamp sign: both Spark ``%`` and DuckDB ``%`` follow the
+    dividend's sign, so the ``((x % m) + m) % m`` guard yields the
+    true non-negative residue on both engines — day-of-week via
+    ``(epoch_day + 3) mod 7`` (day 0 = 1970-01-01 = Thursday = 3
+    under 0 = Monday) and hour-of-day via the guarded µs residue.
+    """
+    us_sql = sql_epoch_us(events, "ts")
+    dow = (
+        f"(((((({us_sql}) div {US_PER_DAY})"
+        f" - (case when (({us_sql}) % {US_PER_DAY}) < 0 then 1 else 0 end))"
+        f" % 7) + 10) % 7)"
+    )
+    hour = (
+        f"((((({us_sql}) % {US_PER_DAY}) + {US_PER_DAY}) % {US_PER_DAY})"
+        f" div {US_PER_HOUR})"
+    )
+    return (
+        events.select(
+            F.expr(f"cast({dow} as bigint)").alias("dow"),
+            F.expr(f"cast({hour} as bigint)").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def heat_report(cells: DataFrame) -> DataFrame:
+    """Close the heatmap over the bounded cell state: restore zero
+    cells via the literal 7×24 grid (a silent hour IS signal — the
+    mix_report device), then exact ppm shares off the 1-row
+    broadcast total."""
+    spark = cells.sparkSession
+    grid = spark.range(7).select(
+        F.col("id").alias("dow")
+    ).crossJoin(
+        spark.range(24).select(F.col("id").alias("hour"))
+    )
+    tot = cells.agg(F.sum("c").alias("total"))
+    return (
+        grid.join(cells, ["dow", "hour"], "left")
+        .select(
+            "dow",
+            "hour",
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+                " div total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def q_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day event-count heatmap with exact ppm
+    shares — the workload-shape read behind capacity planning,
+    maintenance-window picking, and bot screening (human traffic has
+    a diurnal/weekly shape; a flat heatmap is automation evidence).
+    All 168 cells are present (zero-filled via the literal grid —
+    a silent cell is signal).
+
+    Shape: ONE partial-aggregated scan to the |7 × 24| bounded cell
+    state (metadata-sized shuffle), the grid and the 1-row total
+    ride broadcasts, everything downstream is constant-sized.  Split
+    as heat_cells state + heat_report finisher for stream_heatmap.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return heat_report(heat_cells(e))
+
+
+ORACLE["q_calendar_heatmap"] = f"""
+  WITH cells AS (
+    SELECT (((((epoch_us(ts) // {US_PER_DAY}) % 7) + 10) % 7)) AS dow,
+           ((((epoch_us(ts) % {US_PER_DAY}) + {US_PER_DAY})
+             % {US_PER_DAY}) // {US_PER_HOUR}) AS hour,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+  ),
+  grid AS (
+    SELECT d.range AS dow, h.range AS hour
+    FROM range(7) d, range(24) h
+  ),
+  tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cells)
+  SELECT CAST(grid.dow AS BIGINT) AS dow,
+         CAST(grid.hour AS BIGINT) AS hour,
+         CAST(COALESCE(cells.c, 0) AS BIGINT) AS n_events,
+         CAST(CAST(COALESCE(cells.c, 0) AS HUGEINT) * 1000000
+              // tot.total AS BIGINT) AS share_ppm
+  FROM grid LEFT JOIN cells USING (dow, hour), tot
+  ORDER BY dow, hour
+"""

@@ -1915,3 +1915,40 @@ def stream_norm_hist(
         .queryName(f"norm_hist_{state_view}")
         .start()
     )
+
+
+def stream_heatmap(
+    events: DataFrame,
+    state_view: str = "heatmap_state",
+):
+    """Continuously-maintained day-of-week × hour workload heatmap:
+    per-batch |7 × 24| cell counts (``queries.timeseries.heat_cells``
+    — additive monoid, ≤168-row state forever) merged by cell; the
+    zero-fill/share finisher (``queries.timeseries.heat_report``)
+    runs over the state on demand.  Batch twin:
+    ``q_calendar_heatmap``."""
+    from locopy_spark.queries.timeseries import heat_cells
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "dow long, hour long, c long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(heat_cells(batch_df))
+            .groupBy("dow", "hour")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"heatmap_{state_view}")
+        .start()
+    )

@@ -1897,3 +1897,38 @@ def np32(x):
     import numpy as np
 
     return np.float32(x)
+
+
+def test_calendar_heatmap_vs_python_datetime(spark, tmp_path):
+    """Cell ids recomputed with datetime.weekday()/hour on hand-picked
+    timestamps spanning a week boundary; zero cells present."""
+    import datetime as dt
+
+    from locopy_spark.queries.timeseries import q_calendar_heatmap
+
+    stamps = [
+        dt.datetime(2024, 1, 1, 0, 5),    # Monday  00 -> (0, 0)
+        dt.datetime(2024, 1, 1, 23, 59),  # Monday  23 -> (0, 23)
+        dt.datetime(2024, 1, 4, 12, 0),   # Thursday 12 -> (3, 12)
+        dt.datetime(2024, 1, 7, 6, 30),   # Sunday  06 -> (6, 6)
+        dt.datetime(2024, 1, 7, 6, 45),   # Sunday  06 -> (6, 6) again
+    ]
+    rows = [
+        (i, ts, 1, "view", 1.0, "{}") for i, ts in enumerate(stamps)
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    want = {}
+    for ts in stamps:
+        key = (ts.weekday(), ts.hour)
+        want[key] = want.get(key, 0) + 1
+    out = q_calendar_heatmap(spark, str(tmp_path)).collect()
+    assert len(out) == 168  # every cell present, zeros included
+    got = {(r.dow, r.hour): r.n_events for r in out if r.n_events > 0}
+    assert got == want
+    shares = {(r.dow, r.hour): r.share_ppm for r in out}
+    assert shares[(6, 6)] == 2 * 1_000_000 // 5
+    assert shares[(1, 0)] == 0

@@ -1070,3 +1070,14 @@ def test_norm_histogram_row_local_until_tiny_agg(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     schemas = audit.read_schemas(df)
     assert schemas and all(s.count(":") == 1 for s in schemas)
+
+
+def test_calendar_heatmap_bounded_broadcast_shape(spark, sf_dir):
+    """One scan to the 168-cell state; the literal grid and 1-row
+    total ride broadcasts (broadcast nested loop on constant sides is
+    the legitimate case), no window, single pruned column."""
+    df = _q(spark, sf_dir, "q_calendar_heatmap")
+    assert not audit.has_cartesian(df)
+    assert "windowspecdefinition" not in audit.simple_plan(df)
+    schemas = [s for s in audit.read_schemas(df) if "ts" in s]
+    assert schemas and all(s.count(":") == 1 for s in schemas)

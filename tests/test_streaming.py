@@ -1576,3 +1576,36 @@ def test_stream_norm_hist_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in d_norm_histogram(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_heatmap_matches_batch(spark, sf_dir, tmp_path):
+    """Per-cell counts merge additively across 4 out-of-order event
+    chunks; stream state + zero-fill finisher == batch
+    q_calendar_heatmap exactly."""
+    from locopy_spark.queries.timeseries import (
+        heat_report,
+        q_calendar_heatmap,
+    )
+    from locopy_spark.streaming.stateful import stream_heatmap
+
+    ev = load_table(spark, sf_dir, "events")
+    for i, pred in enumerate(["3", "1", "0", "2"]):
+        ev.filter(f"pmod(event_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"hchunk{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "hchunk*"))
+    )
+    q = stream_heatmap(stream, state_view="heat_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in heat_report(spark.table("global_temp.heat_t")).collect()
+    ]
+    want = [tuple(r) for r in q_calendar_heatmap(spark, sf_dir).collect()]
+    assert got and got == want
