@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "t_hapax_ratio",
     "d_norm_histogram",
     "q_calendar_heatmap",
+    "s_hubness",
 ]
 
 

@@ -3765,3 +3765,130 @@ ORACLE["d_norm_histogram"] = f"""
   )
   SELECT band, COUNT(*) AS n_vecs FROM n GROUP BY band ORDER BY band
 """
+
+
+# -- ANN hubness diagnostic ----------------------------------------------------
+
+HUB_SAMPLE_PREFIX = "2"  # md5 < '2' → deterministic ~1/8 query sample
+HUB_K = 5
+
+
+def s_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness histogram — the intrinsic-dimensionality
+    diagnostic run before trusting ANY ANN index: over a deterministic
+    query sample, count how often each vector appears in a query's
+    exact top-k, then histogram those occurrence counts (occ = 0 rows
+    are the antihubs — vectors no query ever retrieves).  A heavy hub
+    tail means distance concentration: k-NN graphs and IVF lists
+    degrade, and recall targets need re-calibration.
+
+    Scale shape: hubness is ESTIMATED from a fixed-size sample
+    (``md5(vec_id) < '{prefix}'`` — deterministic on both engines, no
+    seed to disagree on), so the scored surface is |sample| × n with
+    the sampled queries broadcast and the big side streaming
+    shuffle-free — the knn_bruteforce regime, NOT all-pairs.  Scores
+    are exact fixed-point dots; the per-query top-k window partitions
+    on query_id; occ = 0 restoration is a LEFT JOIN from the id table
+    (column-pruned scan), and the output is a ≤ |sample|·k-bounded
+    histogram.
+
+    Reference: the reference client has no vector ops at all
+    (locopy/database.py) — this is warehouse-side ANN QA its users
+    would otherwise hand-roll.
+    """
+    from pyspark.sql.window import Window as W
+
+    from locopy_spark.functions.vectors import (
+        cosine_from_fixed,
+        fixed_dot_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = similarity.with_fixed_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm_fix").alias("n_norm"),
+    )
+    q = (
+        similarity.with_fixed_norm(emb)
+        .filter(
+            F.expr(f"md5(cast(vec_id as string)) < '{HUB_SAMPLE_PREFIX}'")
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm_fix").alias("q_norm"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+        .withColumn(
+            "cosine",
+            F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    occ = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HUB_K)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    per_vec = (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .join(occ, "neighbor_id", "left")
+        .select(F.coalesce("occ", F.lit(0)).cast("long").alias("occ"))
+    )
+    return (
+        per_vec.groupBy("occ")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("occ")
+    )
+
+
+def _oracle_hubness() -> str:
+    from locopy_spark.functions.vectors import (
+        cosine_from_fixed,
+        sql_fixed_dot,
+    )
+
+    cos = cosine_from_fixed("dot_fix", "na", "nb")
+    return f"""
+  WITH e AS (
+    SELECT vec_id, embedding,
+           {sql_fixed_dot('embedding', 'embedding')} AS norm_fix
+    FROM embeddings
+  ),
+  scored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {sql_fixed_dot('q.embedding', 'n.embedding')} AS dot_fix,
+           q.norm_fix AS na, n.norm_fix AS nb
+    FROM e q JOIN e n ON q.vec_id != n.vec_id
+    WHERE md5(CAST(q.vec_id AS VARCHAR)) < '{HUB_SAMPLE_PREFIX}'
+  ),
+  ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {cos} DESC, neighbor_id ASC
+           ) AS rk
+    FROM scored
+  ),
+  occ AS (
+    SELECT neighbor_id, COUNT(*) AS occ FROM ranked
+    WHERE rk <= {HUB_K} GROUP BY neighbor_id
+  ),
+  per_vec AS (
+    SELECT CAST(COALESCE(occ.occ, 0) AS BIGINT) AS occ
+    FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id
+  )
+  SELECT occ, COUNT(*) AS n_vectors FROM per_vec
+  GROUP BY occ ORDER BY occ
+"""
+
+
+ORACLE["s_hubness"] = _oracle_hubness()

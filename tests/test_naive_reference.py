@@ -1932,3 +1932,59 @@ def test_calendar_heatmap_vs_python_datetime(spark, tmp_path):
     shares = {(r.dow, r.hour): r.share_ppm for r in out}
     assert shares[(6, 6)] == 2 * 1_000_000 // 5
     assert shares[(1, 0)] == 0
+
+
+def test_hubness_vs_numpy_topk(spark, tmp_path):
+    """Occurrence histogram recomputed with numpy cosine + argsort
+    over a designed 8-vector set with one deliberate hub (every
+    query's nearest neighbor) and well-separated ranks."""
+    import hashlib
+
+    import numpy as np
+
+    from locopy_spark.queries.docs_ext import HUB_K, HUB_SAMPLE_PREFIX, s_hubness
+
+    rng = np.random.default_rng(7)
+    hub = np.ones(16, dtype=np.float32) / 4.0
+    vecs = [hub]
+    for i in range(7):
+        v = rng.normal(0, 1, 16).astype(np.float32)
+        # pull every vector toward the hub so vec 0 dominates top ranks
+        vecs.append((0.3 * v / np.linalg.norm(v) + hub).astype(np.float32))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    def fix_dot(a, b):
+        return sum(
+            int(np.floor(float(a[i]) * float(b[i]) * 10**12 + 0.5))
+            for i in range(len(a))
+        )
+
+    qids = [
+        i for i in range(8)
+        if hashlib.md5(str(i).encode()).hexdigest() < HUB_SAMPLE_PREFIX
+    ]
+    assert qids, "sample predicate selected no queries"
+    occ = {i: 0 for i in range(8)}
+    for qi in qids:
+        scores = []
+        for ni in range(8):
+            if ni == qi:
+                continue
+            d = fix_dot(vecs[qi], vecs[ni])
+            c = d / np.sqrt(
+                float(fix_dot(vecs[qi], vecs[qi]))
+                * float(fix_dot(vecs[ni], vecs[ni]))
+            )
+            scores.append((-c, ni))
+        for _, ni in sorted(scores)[:HUB_K]:
+            occ[ni] += 1
+    want = {}
+    for o in occ.values():
+        want[o] = want.get(o, 0) + 1
+    got = {
+        r.occ: r.n_vectors for r in s_hubness(spark, str(tmp_path)).collect()
+    }
+    assert got == want

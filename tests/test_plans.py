@@ -1081,3 +1081,16 @@ def test_calendar_heatmap_bounded_broadcast_shape(spark, sf_dir):
     assert "windowspecdefinition" not in audit.simple_plan(df)
     schemas = [s for s in audit.read_schemas(df) if "ts" in s]
     assert schemas and all(s.count(":") == 1 for s in schemas)
+
+
+def test_hubness_broadcast_sample_no_allpairs_shuffle(spark, sf_dir):
+    """The sampled query side rides a broadcast (knn_bruteforce
+    regime); the top-k window partitions on query_id; no cartesian
+    (the nested loop's broadcast side is the bounded sample)."""
+    df = _q(spark, sf_dir, "s_hubness")
+    assert not audit.has_cartesian(df)
+    plan = audit.simple_plan(df)
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    for spec in specs:
+        assert "query_id" in spec, f"global window: {spec}"
