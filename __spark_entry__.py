@@ -49,8 +49,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-checked entries.  The cutoff (position 50) is marked below;
     everything past it is driver-green from rounds 1-5 and
     re-verified by the repo's own full DuckDB gate
-    (tools/check_correctness.py) at sf0.01, except the five
-    round-6-late leftovers flagged for the round-7 window.
+    (tools/check_correctness.py) at sf0.01, except the blocks
+    explicitly flagged below as round-6-late / round-6-continuation
+    additions — those are never driver-checked (each pre-flighted
+    green at sf0.001/0.01/0.1 on landing) and lead the ROUND-7
+    window per the SURVEY rotation plan.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- added round 5, never driver-checked — verify first ---

@@ -3769,7 +3769,12 @@ ORACLE["d_norm_histogram"] = f"""
 
 # -- ANN hubness diagnostic ----------------------------------------------------
 
-HUB_SAMPLE_PREFIX = "2"  # md5 < '2' → deterministic ~1/8 query sample
+HUB_SAMPLE_PREFIX = "08"  # md5 < '08' → deterministic ~1/32 query sample
+# 1/32 keeps the estimator while bounding the scored surface: at the
+# bench SF the 1/8 sample cost 8.7 s (|sample|·n·dim interpreted dot
+# work is the whole bill — measured, see SURVEY §6); 1/32 prices the
+# same diagnostic at ~1/4 of that. At 100 TB the sample would be
+# capped by a tighter prefix, not scaled with n.
 HUB_K = 5
 
 

@@ -1944,14 +1944,28 @@ def test_hubness_vs_numpy_topk(spark, tmp_path):
 
     from locopy_spark.queries.docs_ext import HUB_K, HUB_SAMPLE_PREFIX, s_hubness
 
+    def in_sample(i):
+        return (
+            hashlib.md5(str(i).encode()).hexdigest() < HUB_SAMPLE_PREFIX
+        )
+
+    # pick real ids so the deterministic md5 sample selects exactly
+    # the two intended queries (the hub id itself is NOT a query)
+    q_ids = [i for i in range(10_000) if in_sample(i)][:2]
+    nq_ids = [i for i in range(10_000) if not in_sample(i)][:6]
+    ids = [nq_ids[0]] + q_ids + nq_ids[1:]
+    assert len(ids) == 8
+
     rng = np.random.default_rng(7)
     hub = np.ones(16, dtype=np.float32) / 4.0
     vecs = [hub]
     for i in range(7):
         v = rng.normal(0, 1, 16).astype(np.float32)
-        # pull every vector toward the hub so vec 0 dominates top ranks
+        # pull every vector toward the hub so vecs[0] dominates ranks
         vecs.append((0.3 * v / np.linalg.norm(v) + hub).astype(np.float32))
-    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    rows = [
+        (ids[i], [float(x) for x in v], 0) for i, v in enumerate(vecs)
+    ]
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
@@ -1962,13 +1976,10 @@ def test_hubness_vs_numpy_topk(spark, tmp_path):
             for i in range(len(a))
         )
 
-    qids = [
-        i for i in range(8)
-        if hashlib.md5(str(i).encode()).hexdigest() < HUB_SAMPLE_PREFIX
-    ]
-    assert qids, "sample predicate selected no queries"
     occ = {i: 0 for i in range(8)}
-    for qi in qids:
+    for qi in range(8):
+        if not in_sample(ids[qi]):
+            continue
         scores = []
         for ni in range(8):
             if ni == qi:
@@ -1978,8 +1989,9 @@ def test_hubness_vs_numpy_topk(spark, tmp_path):
                 float(fix_dot(vecs[qi], vecs[qi]))
                 * float(fix_dot(vecs[ni], vecs[ni]))
             )
-            scores.append((-c, ni))
-        for _, ni in sorted(scores)[:HUB_K]:
+            # ties broken by ascending REAL vec_id, as in the engine
+            scores.append((-c, ids[ni], ni))
+        for _, _, ni in sorted(scores)[:HUB_K]:
             occ[ni] += 1
     want = {}
     for o in occ.values():
