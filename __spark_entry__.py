@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_norm_histogram": docs_ext.d_norm_histogram,
         "q_calendar_heatmap": timeseries.q_calendar_heatmap,
         "s_hubness": docs_ext.s_hubness,
+        "q_dormancy_curve": timeseries.q_dormancy_curve,
     }
     return q
 

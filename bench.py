@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "d_norm_histogram",
     "q_calendar_heatmap",
     "s_hubness",
+    "q_dormancy_curve",
 ]
 
 

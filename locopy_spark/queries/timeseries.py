@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from locopy_spark.functions.numeric import SCALE, sql_epoch_us
+from locopy_spark.functions.numeric import SCALE, sql_epoch_day, sql_epoch_us
 from locopy_spark.sources.tables import load_table
 
 US_PER_HOUR = 3_600_000_000
@@ -729,4 +729,73 @@ ORACLE["q_calendar_heatmap"] = f"""
               // tot.total AS BIGINT) AS share_ppm
   FROM grid LEFT JOIN cells USING (dow, hour), tot
   ORDER BY dow, hour
+"""
+
+
+# -- user dormancy (recency) histogram -----------------------------------------
+
+
+def dormancy_state(events: DataFrame) -> DataFrame:
+    """The per-user recency state ``(user_id, last_day)`` — a MAX
+    monoid (merge = max per key), so a streaming maintainer
+    (``streaming.stateful.stream_dormancy``) reproduces the batch
+    state on any arrival order; state is |users| rows forever.  Day
+    is the floored epoch day (sql_epoch_day — engine-identical for
+    any timestamp sign)."""
+    day = sql_epoch_day(events, "ts")
+    return (
+        events.select(
+            "user_id", F.expr(f"cast({day} as bigint)").alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.max("day").alias("last_day"))
+    )
+
+
+def dormancy_report(state: DataFrame) -> DataFrame:
+    """Close the dormancy histogram over the recency state: days
+    since last activity, measured against the corpus horizon (the
+    max over the state — consistent with the batch pass because max
+    of per-user maxes IS the global max).  Day granularity is
+    deliberate: this events corpus is dense (measured — a weekly
+    bucket collapses to one row), and days are the unit an ops
+    dashboard alerts on.  Output is bounded by the corpus span in
+    days; the 1-row horizon rides a broadcast."""
+    horizon = state.agg(F.max("last_day").alias("h"))
+    return (
+        state.crossJoin(F.broadcast(horizon))
+        .select(F.expr("h - last_day").alias("days_inactive"))
+        .groupBy("days_inactive")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("days_inactive")
+    )
+
+
+def q_dormancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dormancy histogram — how many users last acted 0, 1,
+    2, … days before the data horizon: the churn-RISK read an
+    operations dashboard refreshes continuously (q_kaplan_meier is
+    the retrospective survival estimate over order lifetimes; this is
+    the live "how stale is the user base right now" distribution).
+
+    Shape: ONE partial-aggregated scan to the |users| recency state
+    (a MAX monoid — stream_dormancy maintains it live), a 1-row
+    broadcast horizon, a span-bounded histogram.  All integer: the
+    floored epoch day device, a non-negative day difference.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return dormancy_report(dormancy_state(e))
+
+
+ORACLE["q_dormancy_curve"] = f"""
+  WITH s AS (
+    SELECT user_id,
+           MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+             AS last_day
+    FROM events GROUP BY user_id
+  ),
+  h AS (SELECT MAX(last_day) AS h FROM s)
+  SELECT CAST(h.h - s.last_day AS BIGINT) AS days_inactive,
+         COUNT(*) AS n_users
+  FROM s, h GROUP BY 1 ORDER BY days_inactive
 """

@@ -1952,3 +1952,41 @@ def stream_heatmap(
         .queryName(f"heatmap_{state_view}")
         .start()
     )
+
+
+def stream_dormancy(
+    events: DataFrame,
+    state_view: str = "dormancy_state",
+):
+    """Continuously-maintained per-user recency state
+    (``queries.timeseries.dormancy_state`` — a MAX monoid: merge is
+    max per user, so ANY batching or arrival order reproduces the
+    batch state; |users| rows forever).  The horizon/histogram
+    finisher (``queries.timeseries.dormancy_report``) runs over the
+    state on demand — the live churn-risk dashboard.  Batch twin:
+    ``q_dormancy_curve``."""
+    from locopy_spark.queries.timeseries import dormancy_state
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "user_id long, last_day long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(dormancy_state(batch_df))
+            .groupBy("user_id")
+            .agg(F.max("last_day").alias("last_day"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"dormancy_{state_view}")
+        .start()
+    )

@@ -2000,3 +2000,41 @@ def test_hubness_vs_numpy_topk(spark, tmp_path):
         r.occ: r.n_vectors for r in s_hubness(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_dormancy_vs_hand_max(spark, tmp_path):
+    """Days-inactive histogram recomputed with plain dict max over
+    hand-placed last-activity days."""
+    import datetime as dt
+
+    from locopy_spark.queries.timeseries import q_dormancy_curve
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    acts = {
+        1: [0, 5, 9],    # last day 9 (the horizon)
+        2: [0, 9],       # also day 9
+        3: [2, 7],       # 2 days inactive
+        4: [0],          # 9 days inactive
+    }
+    rows, eid = [], 0
+    for uid, days in acts.items():
+        for d in days:
+            rows.append(
+                (eid, base + dt.timedelta(days=d), uid, "view", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    horizon = max(max(d) for d in acts.values())
+    want = {}
+    for days in acts.values():
+        k = horizon - max(days)
+        want[k] = want.get(k, 0) + 1
+    got = {
+        r.days_inactive: r.n_users
+        for r in q_dormancy_curve(spark, str(tmp_path)).collect()
+    }
+    assert got == want == {0: 2, 2: 1, 9: 1}

@@ -1094,3 +1094,14 @@ def test_hubness_broadcast_sample_no_allpairs_shuffle(spark, sf_dir):
     assert specs
     for spec in specs:
         assert "query_id" in spec, f"global window: {spec}"
+
+
+def test_dormancy_one_scan_broadcast_horizon(spark, sf_dir):
+    """One partial-aggregated scan to the per-user max state, the
+    1-row horizon broadcast (nested loop on a 1-row side is the
+    legitimate case), no window, two pruned columns."""
+    df = _q(spark, sf_dir, "q_dormancy_curve")
+    assert not audit.has_cartesian(df)
+    assert "windowspecdefinition" not in audit.simple_plan(df)
+    schemas = audit.read_schemas(df)
+    assert schemas and all(s.count(":") == 2 for s in schemas)

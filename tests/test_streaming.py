@@ -1609,3 +1609,38 @@ def test_stream_heatmap_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_calendar_heatmap(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_dormancy_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user last-day state merges as a MAX monoid across 4
+    out-of-order event chunks (later chunks carry EARLIER events);
+    stream state + horizon finisher == batch q_dormancy_curve."""
+    from locopy_spark.queries.timeseries import (
+        dormancy_report,
+        q_dormancy_curve,
+    )
+    from locopy_spark.streaming.stateful import stream_dormancy
+
+    ev = load_table(spark, sf_dir, "events")
+    for i, pred in enumerate(["0", "2", "1", "3"]):
+        ev.filter(f"pmod(event_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"dchunk{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "dchunk*"))
+    )
+    q = stream_dormancy(stream, state_view="dorm_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in dormancy_report(
+            spark.table("global_temp.dorm_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_dormancy_curve(spark, sf_dir).collect()]
+    assert got and got == want
