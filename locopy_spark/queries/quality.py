@@ -69,7 +69,11 @@ def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"greatest({_CLI_BAND_LO}, least({_CLI_BAND_HI}, {cli})) div 100"
     )
     return (
-        docs.select("source", F.expr(f"cast({band} as bigint)").alias("band"))
+        # Zero-token documents would NULL the word-count divisor and
+        # surface a NULL-keyed band row; readability of an empty
+        # document is undefined, so drop them up front.
+        docs.where(F.expr(f"size({toks}) > 0"))
+        .select("source", F.expr(f"cast({band} as bigint)").alias("band"))
         .groupBy("source", "band")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "band")
@@ -87,7 +91,8 @@ def _sql_readability() -> str:
     return f"""
   SELECT source, CAST({band} AS BIGINT) AS band,
          CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents GROUP BY 1, 2 ORDER BY source, band
+  FROM documents WHERE len({toks}) > 0
+  GROUP BY 1, 2 ORDER BY source, band
 """
 
 
@@ -115,7 +120,11 @@ def t_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" div size({toks}))"
     )
     return (
-        docs.select(
+        # Empty/whitespace-only documents have size(tokens)=0 — the
+        # ratio would NULL and surface a NULL-keyed decile row; they
+        # carry no lexical-diversity signal, so drop them up front.
+        docs.where(F.expr(f"size({toks}) > 0"))
+        .select(
             "source",
             F.expr(f"cast(least(9, {ttr} div 100000) as bigint)").alias(
                 "decile"
@@ -133,7 +142,8 @@ def _sql_ttr() -> str:
     return f"""
   SELECT source, CAST(LEAST(9, {ttr} // 100000) AS BIGINT) AS decile,
          CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents GROUP BY 1, 2 ORDER BY source, decile
+  FROM documents WHERE len({toks}) > 0
+  GROUP BY 1, 2 ORDER BY source, decile
 """
 
 
@@ -194,6 +204,10 @@ def funnel_counts(docs: DataFrame) -> DataFrame:
             " * 1000000"
         ).alias("dom_sc"),
     ).select(
+        # tok=0 makes g3/g4 NULL (zero divisor on both engines), but
+        # every consumer conjoins them with g2 (tok >= MIN_TOKENS, so
+        # false at tok=0) and `NULL AND false` is false — the NULL
+        # never reaches a counter. Do not use g3/g4 unconjoined.
         "tok",
         F.expr(f"n_chars >= {FUNNEL_MIN_CHARS}").alias("g1"),
         F.expr(f"tok >= {FUNNEL_MIN_TOKENS}").alias("g2"),

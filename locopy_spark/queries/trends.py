@@ -1025,8 +1025,14 @@ def mix_report(cells: DataFrame) -> DataFrame:
             ).alias("exp_ppm"),
         )
         .withColumn(
+            # Clamp the denominator: a priority whose global share
+            # floors to 0 ppm would otherwise NULL its term and SUM
+            # would silently drop the strongest drift evidence.
             "dev",
-            F.expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"),
+            F.expr(
+                "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)"
+                " div greatest(exp_ppm, 1)"
+            ),
         )
     )
     return (
@@ -1063,7 +1069,8 @@ ORACLE["q_mix_drift"] = """
     FROM grid JOIN tot_m USING (m) JOIN gpri USING (pri) CROSS JOIN nn
   )
   SELECT m AS month_idx, CAST(MAX(t) AS BIGINT) AS n_orders,
-         CAST(SUM((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
+         CAST(SUM((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+                  // GREATEST(exp_ppm, 1))
               AS BIGINT) AS chi2_ppm
   FROM scored GROUP BY 1 ORDER BY month_idx
 """

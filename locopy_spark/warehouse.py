@@ -300,19 +300,45 @@ class Warehouse(Database):
 
         purge = False
         if copy_options:
-            kept = []
+            kept, purge_seen = [], 0
             for opt in copy_options:
                 toks = opt.replace("=", " ").upper().split()
                 if toks and toks[0] == "PURGE":
-                    purge = len(toks) > 1 and toks[1] == "TRUE"
+                    purge_seen += 1
+                    if purge_seen > 1:
+                        raise DBError(
+                            "Duplicate PURGE option in copy_options: "
+                            f"{opt!r}"
+                        )
+                    if len(toks) != 2 or toks[1] not in ("TRUE", "FALSE"):
+                        raise DBError(
+                            f"Malformed PURGE option: {opt!r} "
+                            "(expected PURGE = TRUE|FALSE)"
+                        )
+                    purge = toks[1] == "TRUE"
                 else:
                     kept.append(opt)
             copy_options = kept
+        purge_keys: list[str] = []
         if purge:
-            # fail fast: PURGE needs the stage transport — discovering
-            # that AFTER a successful load would leave the caller with
-            # a loaded table and an error
-            self._require_stage()
+            # fail fast: PURGE needs the stage transport AND every
+            # load path must live under the stage root — discovering
+            # either AFTER a successful load would leave the caller
+            # with a loaded table, an error, and (worse, silently)
+            # staged data it believes was purged
+            import glob as _glob
+
+            st = self._require_stage()
+            for p in path if isinstance(path, list) else [path]:
+                for m in _glob.glob(p) or [p]:
+                    key = os.path.relpath(m, st.root)
+                    if key.startswith(".."):
+                        raise DBError(
+                            f"PURGE = TRUE but load path {m!r} is outside "
+                            f"the stage root {st.root!r}; the stage "
+                            "transport cannot purge it"
+                        )
+                    purge_keys.append(key)
         fmt = self._resolve_format(file_type, format_options, file_format_name)
         if fmt is not None:
             file_format = fmt.get("file_format", file_format)
@@ -338,21 +364,13 @@ class Warehouse(Database):
             materialize=purge,
         )
         if purge:
-            import glob as _glob
-
+            # keys were glob-expanded and root-validated BEFORE the
+            # copy (see above) — a failure here would otherwise strand
+            # staged data after a successful load
             st = self._require_stage()
-            for p in path if isinstance(path, list) else [path]:
-                # expand globs the same way the reader did; a path
-                # outside the stage root cannot be purged by the stage
-                # transport — warn instead of silently skipping
-                for m in _glob.glob(p) or [p]:
-                    key = os.path.relpath(m, st.root)
-                    if key.startswith(".."):
-                        logger.warning(
-                            "PURGE: %s is outside the stage root; not deleted", m
-                        )
-                    elif os.path.exists(st._dest(key)):
-                        st.delete(key)
+            for key in purge_keys:
+                if os.path.exists(st._dest(key)):
+                    st.delete(key)
         return result
 
     def load_and_copy(

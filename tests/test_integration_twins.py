@@ -440,6 +440,59 @@ def test_copy_purge_glob_path(wh, tmp_path):
     assert wh._stage.list("gl/*") == []
 
 
+def test_copy_purge_outside_stage_root_fails_fast(wh, tmp_path, spark):
+    """PURGE = TRUE with a load path OUTSIDE the stage root must fail
+    BEFORE loading (Snowflake PURGE semantics promise the staged data
+    is gone after the call — silently retaining it is worse than
+    refusing)."""
+    local = _write_delim(tmp_path / "outside.txt")
+    with pytest.raises(DBError, match="outside the stage root"):
+        wh.copy(
+            "t_outside",
+            str(local),
+            delim="|",
+            copy_options=["PURGE = TRUE"],
+            schema="id INT, variable STRING",
+        )
+    assert "t_outside" not in [t.name for t in spark.catalog.listTables()]
+    # the un-purgeable source must still exist
+    assert os.path.exists(local)
+
+
+def test_copy_purge_malformed_and_duplicate_rejected(wh, tmp_path):
+    """PURGE values other than TRUE/FALSE, bare PURGE, and duplicate
+    PURGE options are explicit errors, not last-occurrence-wins."""
+    local = _write_delim(tmp_path / "m.txt")
+    wh.upload_to_internal(str(local), "mz/", auto_compress=False)
+    staged = os.path.join(wh._stage.root, "mz", "m.txt")
+    for bad in (["PURGE"], ["PURGE = MAYBE"], ["PURGE = TRUE PURGE"]):
+        with pytest.raises(DBError, match="Malformed PURGE"):
+            wh.copy(
+                "t_badpurge",
+                staged,
+                delim="|",
+                copy_options=bad,
+                schema="id INT, variable STRING",
+            )
+    with pytest.raises(DBError, match="Duplicate PURGE"):
+        wh.copy(
+            "t_badpurge",
+            staged,
+            delim="|",
+            copy_options=["PURGE = FALSE", "PURGE = TRUE"],
+            schema="id INT, variable STRING",
+        )
+    # PURGE = FALSE is accepted and means "keep the staged file"
+    wh.copy(
+        "t_purge_false",
+        staged,
+        delim="|",
+        copy_options=["PURGE = FALSE"],
+        schema="id INT, variable STRING",
+    )
+    assert wh._stage.list("mz/*") == [os.path.join("mz", "m.txt")]
+
+
 def test_copy_purge_without_stage_fails_fast(spark, tmp_path):
     """A PURGE copy on a stage-less Warehouse must fail BEFORE
     loading, not succeed-then-raise."""
