@@ -10,6 +10,8 @@ Usage: python tools/check_survey.py   (exit 1 on drift)
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import re
 import sys
@@ -17,6 +19,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def survey_rows() -> dict[str, str]:
@@ -34,6 +38,30 @@ def survey_rows() -> dict[str, str]:
     return rows
 
 
+def stream_batch_twins() -> dict[str, str]:
+    """{stream_job: batch_twin_key} for §2.4 rows whose status cell
+    names a batch ``queries()`` key."""
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
+    twins: dict[str, str] = {}
+    for m in re.finditer(r"^\| (stream_\w+) \| .*? \| (.*?) \|$", text, re.M):
+        job, status = m.groups()
+        hit = re.search(r"\b((?:q|d|s|t|m|p)\d?_\w+)\b", status)
+        if hit:
+            twins[job] = hit.group(1)
+    return twins
+
+
+def driver_checked_keys() -> set[str]:
+    """Keys with at least one driver CORRECTNESS_r*.json row."""
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(p)))
+        except Exception:
+            pass
+    return seen
+
+
 def main() -> int:
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
@@ -49,6 +77,35 @@ def main() -> int:
     for k, status in sorted(rows.items()):
         if "[oracle]" in status and k in qs and k not in oracles:
             problems.append(f"SURVEY claims [oracle] but no oracle_sql(): {k}")
+    # Lockstep staleness: a streaming job's batch twin must already
+    # have a driver CORRECTNESS row, or sit inside the current first-50
+    # window (so it gets one this round). A twin satisfying neither has
+    # shipped unchecked two rounds running — exactly the drift the
+    # lockstep rule forbids.
+    window = set(list(entrymod.queries())[:50])
+    checked = driver_checked_keys()
+    for job, twin in sorted(stream_batch_twins().items()):
+        if twin not in qs:
+            problems.append(
+                f"stream twin names unknown queries() key: {job} → {twin}"
+            )
+        elif twin not in checked and twin not in window:
+            problems.append(
+                f"lockstep violation: {job}'s batch twin {twin} has no "
+                "driver CORRECTNESS row and is outside the current window"
+            )
+    # Bench manifest: every queries() key is either benched or carries
+    # an explicit one-word exclusion reason; never both.
+    import bench as benchmod
+
+    benched = set(benchmod.BENCH_QUERIES)
+    excluded = set(benchmod.EXCLUDED)
+    for k in sorted(qs - benched - excluded):
+        problems.append(f"queries() key neither benched nor in bench EXCLUDED: {k}")
+    for k in sorted(benched & excluded):
+        problems.append(f"key both benched and excluded: {k}")
+    for k in sorted(excluded - qs):
+        problems.append(f"bench EXCLUDED names unknown queries() key: {k}")
     if problems:
         print("\n".join(problems))
         return 1
