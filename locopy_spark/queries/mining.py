@@ -955,7 +955,9 @@ ORACLE["p_stratified_split"] = f"""
 """
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_triangles(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Triangle census of the co-purchase graph (parts are nodes, an
     edge = the pair shared an order) — the graph-analytics primitive
     behind community/affinity analysis, via the degree-oriented
@@ -973,7 +975,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from locopy_spark.operators.graph import triangle_census
 
-    e = managed_persist(copurchase_edges(spark, sf_dir), "graph_triangles")
+    e = managed_persist(
+        edges if edges is not None else copurchase_edges(spark, sf_dir),
+        "graph_triangles",
+    )
     return triangle_census(e)
 
 
@@ -1096,7 +1101,10 @@ PR_TOPK = 20
 
 
 def q_pagerank(
-    spark: SparkSession, sf_dir: str, broadcast_ranks: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_ranks: bool = True,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the (undirected) co-purchase graph — the canonical
     iterative graph algorithm, made engine-exact: ranks live as scaled
@@ -1123,15 +1131,15 @@ def q_pagerank(
     the top-{PR_TOPK} parts by rank, exact.
     """
     bc = F.broadcast if broadcast_ranks else (lambda df: df)
-    e = copurchase_edges(spark, sf_dir)
-    edges = e.select(
+    e = edges if edges is not None else copurchase_edges(spark, sf_dir)
+    und = e.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # degree rides WITH the edge, joined once and persisted — each
     # iteration then needs only a broadcast of the |V|-sized rank
     # table and ONE shuffle (contributions grouped by destination)
-    edges_deg = managed_persist(edges.join(deg, "src"), "pagerank")
+    edges_deg = managed_persist(und.join(deg, "src"), "pagerank")
     ranks = deg.select(
         "src", F.lit(PR_SCALE).cast("long").alias("r")
     ).localCheckpoint()
@@ -1209,7 +1217,10 @@ REACH_HOPS = 3
 
 
 def q_graph_reach(
-    spark: SparkSession, sf_dir: str, broadcast_frontier: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_frontier: bool = True,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-source BFS over the co-purchase graph: exact shortest-hop
     distance (≤ REACH_HOPS) from the REACH_SEEDS smallest part
@@ -1231,15 +1242,15 @@ def q_graph_reach(
     so the DuckDB oracle is the same REACH_HOPS frontier steps
     unrolled as CTEs, bit-identical.
     """
-    e = copurchase_edges(spark, sf_dir)
-    edges = managed_persist(
+    e = edges if edges is not None else copurchase_edges(spark, sf_dir)
+    und = managed_persist(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
             e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         ),
         "graph_reach",
     )
     seeds = (
-        edges.select("src").distinct().orderBy("src").limit(REACH_SEEDS)
+        und.select("src").distinct().orderBy("src").limit(REACH_SEEDS)
     )
     visited = seeds.select(
         "src", F.lit(0).cast("int").alias("d")
@@ -1253,7 +1264,7 @@ def q_graph_reach(
     bc = F.broadcast if broadcast_frontier else (lambda df: df)
     for hop in range(1, REACH_HOPS + 1):
         frontier = (
-            edges.join(bc(frontier.select("src")), "src")
+            und.join(bc(frontier.select("src")), "src")
             .select(F.col("dst").alias("src"))
             .distinct()
             .join(bc(visited.select("src")), "src", "left_anti")
@@ -1314,7 +1325,9 @@ ORACLE["q_graph_reach"] = _oracle_graph_reach()
 
 # -- degree assortativity -----------------------------------------------------
 
-def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_assortativity(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Newman degree assortativity of the co-purchase graph — do
     hub parts co-occur with hubs (r > 0) or with the long tail
     (r < 0)? Equals the exact Pearson correlation of endpoint degrees
@@ -1329,7 +1342,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero degree variance) yields NULL via an exact integer CASE
     guard rather than an ANSI divide-by-zero.
     """
-    e = copurchase_edges(spark, sf_dir)
+    e = edges if edges is not None else copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -1421,7 +1434,9 @@ ORACLE["q_assortativity"] = """
 # -- degree distribution -----------------------------------------------------
 
 
-def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_degree_dist(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Degree distribution of the co-purchase graph — the first plot
     read before running PageRank/triangles on a new graph (heavy-tail
     check: is degree-oriented iteration going to pay off, does the
@@ -1435,7 +1450,7 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees|-sized histogram with exact vertex/edge-endpoint shares
     in ppm (floor division through DECIMAL(38)/HUGEINT).
     """
-    e = copurchase_edges(spark, sf_dir)
+    e = edges if edges is not None else copurchase_edges(spark, sf_dir)
     deg = managed_persist(
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -1497,7 +1512,9 @@ ORACLE["q_degree_dist"] = """
 KCORE_ITERS = 3
 
 
-def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kcore(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Median-degree core peeling of the co-purchase graph: ``K`` is
     the EXACT 10th-percentile degree (rank ceil(n/10) under the (d, v)
     total order), then ``KCORE_ITERS`` rounds drop every vertex whose
@@ -1522,7 +1539,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from locopy_spark.operators.ranking import global_row_number
 
-    e = managed_persist(copurchase_edges(spark, sf_dir), "kcore")
+    e = managed_persist(
+        edges if edges is not None else copurchase_edges(spark, sf_dir),
+        "kcore",
+    )
     deg0 = managed_persist(
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -238,3 +238,21 @@ def test_resume_plan_naive_reference(spark, tmp_path):
         )
     got = [tuple(r) for r in p_resume_plan(spark, str(tmp_path)).collect()]
     assert got == want
+
+
+def test_graph_queries_accept_injected_edges(spark, sf_dir):
+    """The bench harness materializes copurchase_edges once (bucketed)
+    and injects it into every graph consumer via ``edges=`` — the
+    amortized 100x deployment shape. Injection must be result-identical
+    to the standalone build."""
+    from locopy_spark.queries.mining import (
+        copurchase_edges,
+        q_assortativity,
+        q_degree_dist,
+    )
+
+    e = copurchase_edges(spark, sf_dir).localCheckpoint()
+    for fn in (q_assortativity, q_degree_dist):
+        a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        b = [tuple(r) for r in fn(spark, sf_dir, edges=e).collect()]
+        assert a == b, fn.__name__
