@@ -105,9 +105,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_cms_counts": corpus.t_cms_counts,
         "q_copy_csv": io_rt.q_copy_csv,
         "q_unload_roundtrip": io_rt.q_unload_roundtrip,
-        # --- slots 43-50: stalest greens (r1-era, last checked round 1
-        # under Spark 3) rotate back in ---
+        # --- slots 43-47: round-7 additions — new surface gets its
+        # first driver row immediately (first-exposure rule) ---
+        "q_nelson_aalen": assoc.q_nelson_aalen,
+        "q_lorenz_curve": stats.q_lorenz_curve,
+        "q_anova": stats.q_anova,
+        "s_mrr_eval": docs_ext.s_mrr_eval,
+        "q_markov_stationary": events_ext.q_markov_stationary,
+        # --- slots 48-49: round-7 refactor re-check pins (q_gini and
+        # q_event_transitions now route through scaffolding shared with
+        # q_lorenz_curve / q_markov_stationary) ---
+        "q_gini": stats.q_gini,
+        "q_event_transitions": events_ext.q_event_transitions,
+        # --- slot 50: stalest green (r1-era, last checked round 1
+        # under Spark 3) rotates back in ---
         "q_except_customers": tpch_ext.q_except_customers,
+        # ------- position 50 cutoff: window ends above this line -------
+        # everything below is driver-green from earlier rounds and
+        # re-verified by the repo's own full DuckDB gate
+        # (tools/check_correctness.py) at sf0.01 in-session
         "q_stats_moments": tpch_ext.q_stats_moments,
         "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,
@@ -115,10 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dow_revenue": tpch_ext.q_dow_revenue,
         "q_hash_sample": tpch_ext.q_hash_sample,
         "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
-        # ------- position 50 cutoff: window ends above this line -------
-        # everything below is driver-green from earlier rounds and
-        # re-verified by the repo's own full DuckDB gate
-        # (tools/check_correctness.py) at sf0.01 in-session
         "s_mips": docs.s_mips,
         "p_length_histogram": corpus.p_length_histogram,
         "p_curriculum_stages": corpus.p_curriculum_stages,
@@ -148,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decile_lift": stats.q_decile_lift,
         "q_holt_winters": trends.q_holt_winters,
         "q_weighted_quantiles": stats.q_weighted_quantiles,
-        "q_gini": stats.q_gini,
         "q_ks_test": stats.q_ks_test,
         "q_mann_whitney": stats.q_mann_whitney,
         "q_spearman": stats.q_spearman,
@@ -286,7 +297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_shard_plan": corpus.p_shard_plan,
         "t_bpe_pairs": corpus.t_bpe_pairs,
         "q_active_users": timeseries.q_active_users,
-        "q_event_transitions": events_ext.q_event_transitions,
         "q_first_touch": events_ext.q_first_touch,
         "q_events_variant": events_ext.q_events_variant,
         "q_user_streaks": timeseries.q_user_streaks,

@@ -267,6 +267,12 @@ BENCH_QUERIES = [
     "m_feature_extract",
     "m_resize",
     "p_clean_corpus",
+    # round 7: new operators
+    "q_nelson_aalen",
+    "q_lorenz_curve",
+    "q_anova",
+    "s_mrr_eval",
+    "q_markov_stationary",
     # round 7: the 100x-scale deployment shape for the graph family —
     # materialize the co-purchase edge list ONCE as a bucketed table,
     # then run every consumer against it. Driver keys (q_pagerank etc.)

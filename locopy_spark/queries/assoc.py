@@ -555,25 +555,12 @@ ORACLE["q_hhi"] = f"""
 KM_CHURN_DAYS = 90
 
 
-def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival curve of customer lifetime (days between
-    first and last order): a customer whose last order sits more than
-    {KM_CHURN_DAYS} days before the dataset horizon is a churn EVENT
-    at t = lifetime; later last-orders are right-CENSORED — the
-    estimator that reads retention correctly where a naive churn rate
-    can't (censored customers aren't failures).
-
-    Scale shape: per-customer spans are one partial-aggregated
-    groupBy; the at-risk counts n_t = N − #(lifetime < t) come from a
-    range-partitioned exclusive prefix sum over the |distinct
-    lifetimes|-sized aggregate (operators.ranking.global_running_sum);
-    the inherently-sequential survival product runs as ONE Arrow task
-    over that bounded table (≤ |days| rows — the q_exp_smooth /
-    q_holt_linear regime), kept exact in ppb fixed point:
-    S_t = ⌊S_{{t-1}}·(n_t − d_t) / n_t⌋ (products ≤ 1e9·N, inside
-    bigint to N ~ 9e9 customers). DuckDB twin = the same recurrence as
-    a recursive CTE, bit-exact.
-    """
+def _lifetime_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared survival scaffolding of q_kaplan_meier and
+    q_nelson_aalen: per-lifetime-day (t) event/censor counts and the
+    at-risk population n_t = N − #(lifetime < t), built from ONE
+    partial-aggregated customer span plus a range-partitioned
+    exclusive prefix sum (no one-partition window)."""
     from locopy_spark.operators.ranking import global_running_sum
 
     o = load_table(spark, sf_dir, "orders")
@@ -597,9 +584,63 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_t, order_cols=["t"], value_col="m", out_col="pre"
     )
     tot = per_t.agg(F.sum("m").alias("n_total"))
-    risk = cum.crossJoin(F.broadcast(tot)).select(
+    return cum.crossJoin(F.broadcast(tot)).select(
         "t", "d", "c", F.expr("n_total - pre").alias("n_risk")
     )
+
+
+# The matching DuckDB CTE chain ending in idx(t, d, c, n_risk) — shared
+# verbatim by both survival oracles so a scaffolding fix cannot miss one.
+_SQL_LIFE_RISK = f"""
+  WITH span AS (
+    SELECT o_custkey,
+           MIN(CAST(o_orderdate AS DATE)) AS fd,
+           MAX(CAST(o_orderdate AS DATE)) AS ld
+    FROM orders GROUP BY 1
+  ),
+  mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+  life AS (
+    SELECT datediff('day', fd, ld) AS t,
+           CAST(datediff('day', ld, mx) > {KM_CHURN_DAYS} AS INT) AS ev
+    FROM span, mx
+  ),
+  per_t AS (
+    SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(1 - ev) AS BIGINT) AS c,
+           COUNT(*) AS m
+    FROM life GROUP BY 1
+  ),
+  idx AS (
+    SELECT t, d, c,
+           ROW_NUMBER() OVER (ORDER BY t) AS i,
+           CAST((SELECT SUM(m) FROM per_t) AS BIGINT)
+             - CAST(COALESCE(SUM(m) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS n_risk
+    FROM per_t
+  )"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetime (days between
+    first and last order): a customer whose last order sits more than
+    {KM_CHURN_DAYS} days before the dataset horizon is a churn EVENT
+    at t = lifetime; later last-orders are right-CENSORED — the
+    estimator that reads retention correctly where a naive churn rate
+    can't (censored customers aren't failures).
+
+    Scale shape: per-customer spans are one partial-aggregated
+    groupBy; the at-risk counts n_t = N − #(lifetime < t) come from a
+    range-partitioned exclusive prefix sum over the |distinct
+    lifetimes|-sized aggregate (operators.ranking.global_running_sum);
+    the inherently-sequential survival product runs as ONE Arrow task
+    over that bounded table (≤ |days| rows — the q_exp_smooth /
+    q_holt_linear regime), kept exact in ppb fixed point:
+    S_t = ⌊S_{{t-1}}·(n_t − d_t) / n_t⌋ (products ≤ 1e9·N, inside
+    bigint to N ~ 9e9 customers). DuckDB twin = the same recurrence as
+    a recursive CTE, bit-exact.
+    """
+    risk = _lifetime_risk(spark, sf_dir)
 
     def km(pdf):
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -629,33 +670,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_kaplan_meier"] = f"""
-  WITH span AS (
-    SELECT o_custkey,
-           MIN(CAST(o_orderdate AS DATE)) AS fd,
-           MAX(CAST(o_orderdate AS DATE)) AS ld
-    FROM orders GROUP BY 1
-  ),
-  mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
-  life AS (
-    SELECT datediff('day', fd, ld) AS t,
-           CAST(datediff('day', ld, mx) > {KM_CHURN_DAYS} AS INT) AS ev
-    FROM span, mx
-  ),
-  per_t AS (
-    SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
-           CAST(SUM(1 - ev) AS BIGINT) AS c,
-           COUNT(*) AS m
-    FROM life GROUP BY 1
-  ),
-  idx AS (
-    SELECT t, d, c,
-           ROW_NUMBER() OVER (ORDER BY t) AS i,
-           CAST((SELECT SUM(m) FROM per_t) AS BIGINT)
-             - CAST(COALESCE(SUM(m) OVER (
-                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS BIGINT) AS n_risk
-    FROM per_t
-  ),
+  {_SQL_LIFE_RISK},
   km(i, t, d, c, n_risk, s) AS (
     SELECT i, t, d, c, n_risk,
            CAST((1000000000 * (n_risk - d)) // n_risk AS BIGINT)
@@ -672,6 +687,54 @@ ORACLE["q_kaplan_meier"] = f"""
 ORACLE["q_kaplan_meier"] = (
     "WITH RECURSIVE" + ORACLE["q_kaplan_meier"].split("WITH", 1)[1]
 )
+
+
+# -- Nelson–Aalen cumulative hazard ------------------------------------------
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve of customer lifetime — the
+    additive companion to q_kaplan_meier (same churn-event/censoring
+    model): H_t = Σ_{s≤t} d_s/n_s, the estimator of choice when hazard
+    INCREMENTS matter (where is churn accelerating?) rather than the
+    survival level.
+
+    Exactness: the per-day hazard closes as one floor division in ppb
+    (h_t = ⌊d_t·1e9/n_t⌋, exact on both engines), and unlike the KM
+    product the cumulative sum is ADDITIVE — no sequential Arrow task
+    at all. Scale shape: the shared ``_lifetime_risk`` scaffolding
+    (one partial-agg + range-partitioned prefix sum) plus a SECOND
+    range-partitioned prefix sum for H — every step is bounded by
+    |distinct lifetimes| ≤ days, nothing single-partition.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    risk = _lifetime_risk(spark, sf_dir).withColumn(
+        "haz_ppb", F.expr("d * 1000000000 div n_risk")
+    )
+    cum = global_running_sum(
+        risk, order_cols=["t"], value_col="haz_ppb", out_col="pre_h"
+    )
+    return cum.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_events"),
+        "haz_ppb",
+        F.expr("pre_h + haz_ppb").alias("cumhaz_ppb"),
+        F.expr("cast(pre_h + haz_ppb as double) / 1.0e9").alias("cumhaz"),
+    ).orderBy("t")
+
+
+ORACLE["q_nelson_aalen"] = f"""
+  {_SQL_LIFE_RISK}
+  SELECT t, n_risk, d AS d_events,
+         CAST((d * 1000000000) // n_risk AS BIGINT) AS haz_ppb,
+         CAST(SUM((d * 1000000000) // n_risk)
+              OVER (ORDER BY t) AS BIGINT) AS cumhaz_ppb,
+         CAST(CAST(SUM((d * 1000000000) // n_risk)
+              OVER (ORDER BY t) AS BIGINT) AS DOUBLE) / 1.0e9 AS cumhaz
+  FROM idx ORDER BY t
+"""
 
 
 # -- Kruskal–Wallis ----------------------------------------------------------

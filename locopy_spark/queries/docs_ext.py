@@ -21,6 +21,7 @@ from locopy_spark.functions.text import (
 )
 from locopy_spark.operators import cluster, dedup, scrub, similarity
 from locopy_spark.queries.docs import (
+    KNN_QUERY_IDS,
     MINHASH_EST_T,
     SHINGLE_K,
     sql_minhash_pair_ctes,
@@ -3897,3 +3898,154 @@ def _oracle_hubness() -> str:
 
 
 ORACLE["s_hubness"] = _oracle_hubness()
+
+
+# -- retrieval-quality eval: MRR of the int8 shortlist ranking ---------------
+
+
+def s_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank eval of the int8-quantized retrieval
+    ranking against the EXACT nearest neighbor — the standard "how
+    much recall does the cheap scan order cost" audit run before
+    deploying a quantized index (s_knn_int8 asserts a recall floor;
+    this measures the whole rank position, per query).
+
+    For each fixed query vector: the exact top-1 cosine neighbor
+    (fixed-point dots, the s_knn_bruteforce device) is looked up in
+    the PURE quantized-cosine order (stage-1 of knn_int8, no exact
+    rerank — that stage IS what is being evaluated), and its rank
+    closes as 1 + count(candidates strictly better under the proxy,
+    ties broken by id). Reciprocal rank is an exact ppm floor
+    division. Scale shape: two broadcast-query scans of the persisted
+    coded table (|Q|·|N| scored rows, the brute-force cost class —
+    this is an EVAL over a sample of queries, not a serving path);
+    the rank is a per-query count aggregate, never a global sort.
+    """
+    from locopy_spark.functions.vectors import cosine_from_fixed
+    from locopy_spark.operators.similarity import _int_dot
+
+    emb = managed_persist(
+        similarity.with_int8_codes(
+            similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings"))
+        ),
+        "mrr_eval",
+    )
+    truth = similarity.knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=1).select(
+        "query_id", F.col("neighbor_id").alias("true_nn")
+    )
+    qside = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("code_norm").alias("q_cnorm"),
+    )
+    pc = cosine_from_fixed(_int_dot("n_codes", "q_codes"), "q_cnorm", "n_cnorm")
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("codes").alias("n_codes"),
+            F.col("code_norm").alias("n_cnorm"),
+        )
+        .crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(pc).alias("pc"))
+    )
+    t_pc = scored.join(
+        F.broadcast(truth),
+        (scored.query_id == truth.query_id)
+        & (scored.neighbor_id == truth.true_nn),
+    ).select(truth.query_id, "true_nn", F.col("pc").alias("t_pc"))
+    ranked = (
+        scored.join(F.broadcast(t_pc), "query_id")
+        .groupBy("query_id", "true_nn")
+        .agg(
+            F.expr(
+                "cast(1 + sum(case when pc > t_pc or"
+                " (pc = t_pc and neighbor_id < true_nn)"
+                " then 1 else 0 end) as bigint)"
+            ).alias("nn_rank")
+        )
+    )
+    return ranked.select(
+        "query_id",
+        "true_nn",
+        "nn_rank",
+        F.expr("1000000 div nn_rank").alias("rr_ppm"),
+        F.expr("cast(nn_rank <= 5 as int)").alias("hit_at_5"),
+    ).orderBy("query_id")
+
+
+def _sql_mrr_eval() -> str:
+    from locopy_spark.functions.vectors import cosine_from_fixed, sql_fixed_dot
+
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    intdot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(n.codes)), "
+        "i -> CAST(n.codes[i] AS BIGINT) * q.codes[i])) AS BIGINT)"
+    )
+    selfdot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(codes)), "
+        "i -> CAST(codes[i] AS BIGINT) * codes[i])) AS BIGINT)"
+    )
+    exact_cos = cosine_from_fixed(
+        sql_fixed_dot("q.embedding", "n.embedding"), "q.norm_fix", "n.norm_fix"
+    )
+    pc = cosine_from_fixed(intdot, "q.code_norm", "n.code_norm")
+    return f"""
+  WITH e AS (
+    SELECT vec_id, embedding,
+           {sql_fixed_dot("embedding", "embedding")} AS norm_fix
+    FROM embeddings
+  ),
+  c0 AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+    FROM embeddings
+  ),
+  c1 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(FLOOR(x::DOUBLE / amax * 127 + 0.5) AS INT)) AS codes
+    FROM c0
+  ),
+  cn AS (SELECT vec_id, codes, {selfdot} AS code_norm FROM c1),
+  exact AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {exact_cos} AS cosine
+    FROM e q JOIN e n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({ids})
+  ),
+  truth AS (
+    SELECT query_id, neighbor_id AS true_nn FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+             ) AS rk
+      FROM exact
+    ) WHERE rk = 1
+  ),
+  prox AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {pc} AS pc
+    FROM cn q JOIN cn n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({ids})
+  ),
+  tp AS (
+    SELECT p.query_id, t.true_nn, p.pc AS t_pc
+    FROM prox p JOIN truth t
+      ON p.query_id = t.query_id AND p.neighbor_id = t.true_nn
+  ),
+  r AS (
+    SELECT p.query_id, tp.true_nn,
+           CAST(1 + SUM(CASE WHEN p.pc > tp.t_pc OR
+                    (p.pc = tp.t_pc AND p.neighbor_id < tp.true_nn)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nn_rank
+    FROM prox p JOIN tp ON p.query_id = tp.query_id
+    GROUP BY 1, 2
+  )
+  SELECT query_id, true_nn, nn_rank,
+         CAST(1000000 // nn_rank AS BIGINT) AS rr_ppm,
+         CAST(nn_rank <= 5 AS INT) AS hit_at_5
+  FROM r ORDER BY query_id
+"""
+
+
+ORACLE["s_mrr_eval"] = _sql_mrr_eval()

@@ -501,26 +501,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering inside a user is (ts, event_id): event_id breaks
     same-microsecond ties so the sequence is a total order.
     """
-    from pyspark.sql.window import Window
-
-    e = load_table(spark, sf_dir, "events")
-    ts_us = epoch_us(e, "ts")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    pairs = (
-        e.select("user_id", "event_id", "event_type", ts_us.alias("ts_us"))
-        .withColumn("next_type", F.lead("event_type").over(w))
-        .filter(F.col("next_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_trans"))
-    )
-    from_tot = pairs.groupBy("from_type").agg(
-        F.sum("n_trans").alias("n_from")
-    )
     return (
-        pairs.join(F.broadcast(from_tot), "from_type")
+        transition_counts(spark, sf_dir)
         .select(
             "from_type",
             "to_type",
@@ -1795,3 +1777,127 @@ def _gap_curve_oracle() -> str:
 
 
 ORACLE["q_session_gap_curve"] = _gap_curve_oracle()
+
+
+# -- Markov stationary distribution ------------------------------------------
+
+MS_ITERS = 12  # fixed power-iteration rounds = fixed plan/CTE depth
+
+
+def transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (from_type, to_type, n_trans, n_from) transition matrix of
+    consecutive per-user events — the shared scaffolding of
+    q_event_transitions and q_markov_stationary. One shuffle to the
+    user key for the lag window, then a |types|²-bounded aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.select("user_id", "event_id", "event_type", ts_us.alias("ts_us"))
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    from_tot = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return pairs.join(F.broadcast(from_tot), "from_type")
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: where
+    does a user's session settle in the long run? — the one-number-
+    per-state summary of q_event_transitions' full matrix (the read a
+    product team uses to rank steady-state engagement surfaces).
+
+    Engine-exact power method (the q_pagerank device on a bounded
+    matrix): π starts uniform in ppb, and each of the {MS_ITERS} fixed
+    rounds moves integer mass π_f·n_ft div n_f — floors drop mass
+    identically on both engines, relative weight is the signal. The
+    DuckDB twin unrolls the same rounds as chained CTEs. Scale shape:
+    the data-sized work is ONE lag-window pass building the |types|²
+    transition matrix; iteration then runs on that bounded table as a
+    single Arrow task (the q_kaplan_meier bounded-sequential regime) —
+    at any SF the matrix stays |event types|², so iterating it is
+    metadata work, not data work.
+    """
+    mat = transition_counts(spark, sf_dir)
+
+    def power(pdf):
+        import pandas as pd
+
+        types = sorted(set(pdf["from_type"]) | set(pdf["to_type"]))
+        pi = {t: 10**9 // len(types) for t in types}
+        rows = list(
+            zip(pdf["from_type"], pdf["to_type"], pdf["n_trans"], pdf["n_from"])
+        )
+        for _ in range(MS_ITERS):
+            nxt = {t: 0 for t in types}
+            for f, t, n_ft, n_f in rows:
+                nxt[t] += int(pi[f]) * int(n_ft) // int(n_f)
+            pi = nxt
+        return pd.DataFrame(
+            {"event_type": types, "pi_ppb": [pi[t] for t in types]}
+        )
+
+    out = (
+        mat.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(power, "event_type string, pi_ppb long")
+    )
+    return out.select("event_type", "pi_ppb").orderBy("event_type")
+
+
+def _sql_markov_stationary() -> str:
+    steps = []
+    for i in range(1, MS_ITERS + 1):
+        steps.append(
+            f"""p{i} AS (
+    SELECT ty.t, CAST(COALESCE(c.s, 0) AS BIGINT) AS pi
+    FROM ty LEFT JOIN (
+      SELECT m.to_type, SUM(p{i - 1}.pi * m.n_trans // f.n_from) AS s
+      FROM m JOIN p{i - 1} ON p{i - 1}.t = m.from_type
+             JOIN f ON f.from_type = m.from_type
+      GROUP BY 1
+    ) c ON c.to_type = ty.t
+  )"""
+        )
+    chain = ",\n  ".join(steps)
+    return f"""
+  WITH s AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS next_type
+    FROM events
+  ),
+  m AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_trans
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+  ),
+  f AS (
+    SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+    FROM m GROUP BY from_type
+  ),
+  ty AS (
+    SELECT DISTINCT from_type AS t FROM m
+    UNION SELECT DISTINCT to_type FROM m
+  ),
+  p0 AS (
+    SELECT t, CAST(1000000000 // (SELECT COUNT(*) FROM ty) AS BIGINT) AS pi
+    FROM ty
+  ),
+  {chain}
+  SELECT t AS event_type, pi AS pi_ppb FROM p{MS_ITERS} ORDER BY event_type
+"""
+
+
+ORACLE["q_markov_stationary"] = _sql_markov_stationary()

@@ -796,21 +796,11 @@ def _gini_formula(fd: str, wide: str) -> str:
     )
 
 
-def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of revenue concentration across the customer
-    base, per market segment — the inequality index behind "what
-    share of revenue do the top customers carry", with orderless
-    customers included at zero (concentration is a property of the
-    whole base, not just buyers).
-
-    Exactness: per-customer revenue is exact scaled bigints, the
-    ascending rank comes from operators.ranking.
-    grouped_global_row_number (range-partitioned — no
-    one-task-per-segment window), and the classic formula
-    Σ(2i−n−1)xᵢ / (n·Σx) closes as ONE exact integer division in ppb
-    through DECIMAL(38)/HUGEINT widening (the _ols_formulas
-    convention), so the gate compares integers, not float sums.
-    """
+def _segment_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared inequality scaffolding of q_gini and q_lorenz_curve:
+    per-customer exact scaled revenue (orderless customers at zero)
+    ranked ascending within market segment via the range-partitioned
+    grouped rank — columns (c_mktsegment, x, rn, n)."""
     from locopy_spark.operators.ranking import grouped_global_row_number
 
     c = load_table(spark, sf_dir, "customer")
@@ -829,27 +819,17 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
-    ranked = grouped_global_row_number(
+    return grouped_global_row_number(
         rev,
         group_cols=["c_mktsegment"],
         order_cols=["x", "c_custkey"],
         out_col="rn",
         size_col="n",
     )
-    return (
-        ranked.groupBy("c_mktsegment")
-        .agg(
-            F.max("n").alias("n_customers"),
-            F.expr(f"CAST(SUM(x) AS DOUBLE) / {SCALE}.0").alias(
-                "total_revenue"
-            ),
-            F.expr(_gini_formula("div", "DECIMAL(38,0)")).alias("gini_ppb"),
-        )
-        .orderBy("c_mktsegment")
-    )
 
 
-ORACLE["q_gini"] = f"""
+# Shared DuckDB scaffolding — CTE chain ending in r(c_mktsegment, x, rn, n).
+_SQL_SEGMENT_RANKED = f"""
   WITH rev AS (
     SELECT c_custkey, c_mktsegment,
            COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
@@ -864,12 +844,114 @@ ORACLE["q_gini"] = f"""
            ) AS rn,
            COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
     FROM rev
-  )
+  )"""
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across the customer
+    base, per market segment — the inequality index behind "what
+    share of revenue do the top customers carry", with orderless
+    customers included at zero (concentration is a property of the
+    whole base, not just buyers).
+
+    Exactness: per-customer revenue is exact scaled bigints, the
+    ascending rank comes from operators.ranking.
+    grouped_global_row_number (range-partitioned — no
+    one-task-per-segment window), and the classic formula
+    Σ(2i−n−1)xᵢ / (n·Σx) closes as ONE exact integer division in ppb
+    through DECIMAL(38)/HUGEINT widening (the _ols_formulas
+    convention), so the gate compares integers, not float sums.
+    """
+    ranked = _segment_revenue_ranked(spark, sf_dir)
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.expr(f"CAST(SUM(x) AS DOUBLE) / {SCALE}.0").alias(
+                "total_revenue"
+            ),
+            F.expr(_gini_formula("div", "DECIMAL(38,0)")).alias("gini_ppb"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q_gini"] = f"""
+  {_SQL_SEGMENT_RANKED}
   SELECT c_mktsegment,
          CAST(MAX(n) AS BIGINT) AS n_customers,
          CAST(SUM(x) AS DOUBLE) / {SCALE}.0 AS total_revenue,
          {_gini_formula("//", "HUGEINT")} AS gini_ppb
   FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- Lorenz curve -------------------------------------------------------------
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of revenue concentration per market segment: for
+    each ascending-revenue customer decile, the cumulative share of
+    segment revenue in ppm — the curve the q_gini scalar summarizes
+    (and the standard visualization of "the top decile carries X%").
+
+    Shares the ``_segment_revenue_ranked`` scaffolding with q_gini.
+    Exactness: the decile id is a floor division on the exact rank
+    ((rn−1)·10 div n), per-decile sums are exact bigints, and the
+    cumulative share closes as one floor division in ppm through
+    DECIMAL(38)/HUGEINT widening. Scale shape: after the ranked
+    scaffolding the curve is ONE |segments×10|-bounded aggregate; the
+    running share is a window over that bounded table, never over
+    data-sized rows.
+    """
+    from pyspark.sql.window import Window
+
+    ranked = _segment_revenue_ranked(spark, sf_dir)
+    dec = (
+        ranked.select(
+            "c_mktsegment",
+            "x",
+            F.expr("(rn - 1) * 10 div n + 1").alias("decile"),
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(F.sum("x").alias("dx"), F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("decile")
+    tot = Window.partitionBy("c_mktsegment")
+    return (
+        dec.withColumn("cum_x", F.sum("dx").over(w))
+        .withColumn("tot_x", F.sum("dx").over(tot))
+        .select(
+            "c_mktsegment",
+            "decile",
+            "n_customers",
+            F.expr(f"CAST(dx AS DOUBLE) / {SCALE}.0").alias("decile_revenue"),
+            F.expr(
+                "cast(cast(cum_x as decimal(38,0)) * 1000000"
+                " div greatest(tot_x, 1) as bigint)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+ORACLE["q_lorenz_curve"] = f"""
+  {_SQL_SEGMENT_RANKED},
+  dec AS (
+    SELECT c_mktsegment, (rn - 1) * 10 // n + 1 AS decile,
+           CAST(SUM(x) AS BIGINT) AS dx,
+           COUNT(*) AS n_customers
+    FROM r GROUP BY 1, 2
+  )
+  SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+         CAST(n_customers AS BIGINT) AS n_customers,
+         CAST(dx AS DOUBLE) / {SCALE}.0 AS decile_revenue,
+         CAST(CAST(SUM(dx) OVER (
+                PARTITION BY c_mktsegment ORDER BY decile
+              ) AS HUGEINT) * 1000000
+              // GREATEST(SUM(dx) OVER (PARTITION BY c_mktsegment), 1)
+              AS BIGINT) AS cum_share_ppm
+  FROM dec ORDER BY c_mktsegment, decile
 """
 
 
@@ -1553,3 +1635,120 @@ ORACLE["q_runs_test"] = """
            AS z
   FROM agg
 """
+
+
+# -- one-way ANOVA -------------------------------------------------------------
+
+ANOVA_GROUPS = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def _anova_fixed_terms() -> tuple[str, str, str]:
+    """(Σ s_g²/n_g chain, grand-sum chain, k chain) as FIXED-ORDER
+    explicit five-term text — double addition is not associative, so
+    the group sums are spelled out (the q_kruskal_wallis convention);
+    identical text on both engines ⇒ identical IEEE results."""
+    sb = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN (CAST(s{i} AS DOUBLE) / n{i})"
+        f" * CAST(s{i} AS DOUBLE) ELSE 0.0 END)"
+        for i in range(1, len(ANOVA_GROUPS) + 1)
+    )
+    s = " + ".join(
+        f"CAST(s{i} AS DOUBLE)" for i in range(1, len(ANOVA_GROUPS) + 1)
+    )
+    k = " + ".join(
+        f"CAST(n{i} > 0 AS INT)" for i in range(1, len(ANOVA_GROUPS) + 1)
+    )
+    return sb, s, k
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of order value across order priorities —
+    the parametric companion to q_kruskal_wallis (which ranks) and
+    q_stats_moments (which reports the per-group moments this test
+    compares): does priority shift MEAN order value?
+
+    Exactness: values are whole-dollar bigints, group sums and the
+    global sum of squares accumulate in DECIMAL(38) (overflow-safe at
+    any SF — the q_stats_moments device), and every double op runs on
+    identical expression text with fixed term order, so F is
+    bit-stable cross-engine. Scale shape: ONE conditional-aggregate
+    pass over orders collapses to a single row (the Cochran–Armitage
+    shape — also a streaming-friendly additive monoid); the F closure
+    is row-local arithmetic on that row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(v * v as decimal(38,0))")).alias("sq"),
+    ]
+    for i, g in enumerate(ANOVA_GROUPS, 1):
+        aggs.append(
+            F.sum(
+                F.expr(f"case when o_orderpriority = '{g}' then 1 else 0 end")
+            ).alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"cast(case when o_orderpriority = '{g}' then v"
+                    " else 0 end as decimal(38,0))"
+                )
+            ).alias(f"s{i}")
+        )
+    sb, s, k = _anova_fixed_terms()
+    scored = v.agg(*aggs).selectExpr(
+        "n",
+        f"CAST({k} AS BIGINT) AS k",
+        f"(({sb}) - (({s}) / n) * ({s})) AS ssb",
+        f"((CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))"
+        f" - (({sb}) - (({s}) / n) * ({s}))) AS ssw",
+    )
+    return scored.selectExpr(
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        "CASE WHEN k > 1 AND n > k AND ssw > 0.0"
+        " THEN (ssb / (k - 1)) / (ssw / (n - k)) ELSE NULL END AS f_stat",
+    )
+
+
+def _sql_anova() -> str:
+    sb, s, k = _anova_fixed_terms()
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
+        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i}"
+        for i, g in enumerate(ANOVA_GROUPS, 1)
+    )
+    return f"""
+  WITH vals AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  agg AS (
+    SELECT COUNT(*) AS n, SUM(v * v) AS sq,
+           {cases}
+    FROM vals
+  ),
+  scored AS (
+    SELECT n, CAST({k} AS BIGINT) AS k,
+           (({sb}) - (({s}) / n) * ({s})) AS ssb,
+           ((CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))
+            - (({sb}) - (({s}) / n) * ({s}))) AS ssw
+    FROM agg
+  )
+  SELECT n, k, ssb, ssw,
+         CASE WHEN k > 1 AND n > k AND ssw > 0.0
+              THEN (ssb / (k - 1)) / (ssw / (n - k)) ELSE NULL END AS f_stat
+  FROM scored
+"""
+
+
+ORACLE["q_anova"] = _sql_anova()

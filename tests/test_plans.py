@@ -1105,3 +1105,41 @@ def test_dormancy_one_scan_broadcast_horizon(spark, sf_dir):
     assert "windowspecdefinition" not in audit.simple_plan(df)
     schemas = audit.read_schemas(df)
     assert schemas and all(s.count(":") == 2 for s in schemas)
+
+
+# -- round-7 additions --------------------------------------------------------
+
+
+def test_nelson_aalen_plan(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_nelson_aalen")
+    assert not audit.has_cartesian(df)
+    # orders scan reads only the two columns the span aggregate needs
+    assert all("o_totalprice" not in s for s in audit.read_schemas(df))
+
+
+def test_lorenz_curve_plan(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_lorenz_curve")
+    assert not audit.has_cartesian(df)
+    # the ranked scaffolding reads only key/segment/price
+    assert all("o_orderdate" not in s for s in audit.read_schemas(df))
+
+
+def test_anova_single_pass(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_anova")
+    assert not audit.has_cartesian(df)
+    # one conditional-aggregate pass: partial agg + 1-row final exchange
+    assert audit.shuffle_count(df) <= 1
+    assert all("o_orderdate" not in s for s in audit.read_schemas(df))
+
+
+def test_mrr_eval_broadcast_not_cartesian(spark, sf_dir):
+    df = _q(spark, sf_dir, "s_mrr_eval")
+    # query side broadcast against the streaming big side (the
+    # knn_bruteforce regime); never a shuffle-both-sides cartesian
+    assert audit.has_broadcast_nested_loop(df) or audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+
+
+def test_markov_stationary_plan(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_markov_stationary")
+    assert not audit.has_cartesian(df)

@@ -1,0 +1,256 @@
+"""Independent naive-reference checks for the round-7 operators:
+q_nelson_aalen, q_lorenz_curve, q_anova, s_mrr_eval,
+q_markov_stationary. Each compares the Spark query against a
+brute-force Python implementation of the textbook definition on seeded
+synthetic data (same answers, independently derived — the DuckDB
+oracles share each query's construction, so a bug IN the construction
+needs this second line of defense)."""
+
+import datetime as dt
+import random
+
+import pytest
+
+SEED = 1907
+
+
+def _rng():
+    return random.Random(SEED)
+
+
+def _write(spark, path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(path / f"{name}.parquet")
+    )
+
+
+def test_nelson_aalen_vs_naive_sum(spark, tmp_path):
+    """haz_ppb = ⌊d·1e9/n⌋ and cumhaz_ppb = its running sum, against a
+    brute-force at-risk sweep on the same synthetic spans the KM naive
+    test uses (the two estimators share one scaffolding)."""
+    from locopy_spark.queries.assoc import KM_CHURN_DAYS, q_nelson_aalen
+
+    r = _rng()
+    base = dt.date(1995, 1, 1)
+    horizon = base + dt.timedelta(days=400)
+    orders, lives = [], []
+    for i in range(200):
+        first = r.randrange(0, 300)
+        span = r.randrange(0, 80)
+        orders.append((i, base + dt.timedelta(days=first)))
+        orders.append((i, base + dt.timedelta(days=first + span)))
+        lives.append((span, first + span))
+    orders.append((10**6, horizon))
+    lives.append((0, 400))
+    _write(spark, tmp_path, "orders", orders,
+           "o_custkey long, o_orderdate date")
+    rows = q_nelson_aalen(spark, str(tmp_path)).collect()
+    events = [(t, int(400 - last > KM_CHURN_DAYS)) for t, last in lives]
+    times = sorted({t for t, _ in events})
+    cum = 0
+    by_t = {}
+    for t in times:
+        n_risk = sum(1 for tt, _ in events if tt >= t)
+        d = sum(1 for tt, ev in events if tt == t and ev)
+        h = d * 10**9 // n_risk
+        cum += h
+        by_t[t] = (n_risk, d, h, cum)
+    assert [r_.t for r_ in rows] == times
+    for r_ in rows:
+        n_risk, d, h, cum = by_t[r_.t]
+        assert (r_.n_risk, r_.d_events) == (n_risk, d)
+        assert r_.haz_ppb == h
+        assert r_.cumhaz_ppb == cum
+        assert r_.cumhaz == pytest.approx(cum / 1e9)
+
+
+def test_lorenz_vs_naive_sweep(spark, tmp_path):
+    """Decile revenue and cumulative ppm share equal a direct
+    sorted-sweep with Python bigints (orderless customers at zero)."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.stats import q_lorenz_curve
+
+    r = _rng()
+    segs = ["BUILDING", "MACHINERY"]
+    cust, orders = [], []
+    by_seg = {s: [] for s in segs}
+    for i in range(137):  # non-multiple of 10: uneven decile sizes
+        seg = segs[i % 2]
+        cust.append((i, seg))
+        rev = 0
+        for _ in range(r.randrange(0, 4)):
+            v = r.randrange(1, 500)
+            orders.append((i, v / 10.0))
+            rev += round(v / 10.0 * SCALE)
+        by_seg[seg].append((rev, i))
+    _write(spark, tmp_path, "customer", cust,
+           "c_custkey long, c_mktsegment string")
+    _write(spark, tmp_path, "orders", orders,
+           "o_custkey long, o_totalprice double")
+    out = [
+        (r_.c_mktsegment, r_.decile, r_.n_customers, r_.decile_revenue,
+         r_.cum_share_ppm)
+        for r_ in q_lorenz_curve(spark, str(tmp_path)).collect()
+    ]
+    want = []
+    for seg in segs:
+        xs = sorted(by_seg[seg])  # ascending (revenue, custkey)
+        n = len(xs)
+        tot = sum(x for x, _ in xs)
+        dec = {}
+        for i, (x, _) in enumerate(xs):
+            dec.setdefault(i * 10 // n + 1, []).append(x)
+        cum = 0
+        for d in sorted(dec):
+            cum += sum(dec[d])
+            want.append(
+                (seg, d, len(dec[d]), sum(dec[d]) / SCALE,
+                 cum * 10**6 // max(tot, 1))
+            )
+    assert out == want
+
+
+def test_anova_vs_textbook(spark, tmp_path):
+    """F equals the textbook between/within mean-square ratio computed
+    with exact Python ints closed in the same fixed term order."""
+    from locopy_spark.queries.stats import ANOVA_GROUPS, q_anova
+
+    r = _rng()
+    orders = []
+    groups = {g: [] for g in ANOVA_GROUPS}
+    for i in range(300):
+        g = ANOVA_GROUPS[i % len(ANOVA_GROUPS)]
+        v = r.randrange(100, 5000) + (len(g) * 17)  # group-shifted means
+        orders.append((g, float(v)))
+        groups[g].append(v)
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderpriority string, o_totalprice double")
+    row = q_anova(spark, str(tmp_path)).collect()[0]
+    n = sum(len(v) for v in groups.values())
+    k = sum(1 for v in groups.values() if v)
+    sq = sum(x * x for v in groups.values() for x in v)
+    # same fixed order as the query: group terms left-to-right
+    sb = 0.0
+    for g in ANOVA_GROUPS:
+        v = groups[g]
+        if v:
+            sb += (float(sum(v)) / len(v)) * float(sum(v))
+    s = sum(float(sum(groups[g])) for g in ANOVA_GROUPS)
+    ssb = sb - (s / n) * s
+    ssw = (float(sq) - (s / n) * s) - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (row.n, row.k) == (n, k)
+    assert row.ssb == pytest.approx(ssb, rel=1e-12)
+    assert row.ssw == pytest.approx(ssw, rel=1e-12)
+    assert row.f_stat == pytest.approx(f, rel=1e-12)
+
+
+def test_mrr_eval_vs_bruteforce(spark, tmp_path):
+    """nn_rank equals a brute-force Python replay: exact top-1 by
+    fixed-point cosine, then the rank of that neighbor under the
+    int8-quantized proxy ordering (ties by id)."""
+    import math
+
+    from locopy_spark.functions.vectors import FIXED_SCALE
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+    from locopy_spark.queries.docs_ext import s_mrr_eval
+
+    r = _rng()
+    dim, nvec = 8, 60
+    vecs = {
+        i: [r.uniform(-1, 1) for _ in range(dim)] for i in range(nvec)
+    }
+    _write(
+        spark, tmp_path, "embeddings",
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # replicate the float32 storage round-trip
+    import numpy as np
+
+    v32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+
+    def fdot(a, b):
+        return sum(
+            math.floor(x * y * FIXED_SCALE + 0.5) for x, y in zip(a, b)
+        )
+
+    def codes(v):
+        amax = max(abs(x) for x in v)
+        return [math.floor(x / amax * 127 + 0.5) for x in v]
+
+    def cos(dot, na, nb):
+        return float(dot) / math.sqrt(float(na) * float(nb))
+
+    want = {}
+    for q in KNN_QUERY_IDS:
+        exact = sorted(
+            (
+                (-cos(fdot(v32[q], v32[n]), fdot(v32[q], v32[q]),
+                      fdot(v32[n], v32[n])), n)
+                for n in vecs if n != q
+            )
+        )
+        true_nn = exact[0][1]
+        qc, qn = codes(v32[q]), None
+        qn = sum(c * c for c in qc)
+        prox = {
+            n: cos(sum(x * y for x, y in zip(codes(v32[n]), qc)),
+                   qn, sum(c * c for c in codes(v32[n])))
+            for n in vecs if n != q
+        }
+        t_pc = prox[true_nn]
+        rank = 1 + sum(
+            1
+            for n, pc in prox.items()
+            if pc > t_pc or (pc == t_pc and n < true_nn)
+        )
+        want[q] = (true_nn, rank)
+    rows = s_mrr_eval(spark, str(tmp_path)).collect()
+    assert [r_.query_id for r_ in rows] == sorted(KNN_QUERY_IDS)
+    for r_ in rows:
+        true_nn, rank = want[r_.query_id]
+        assert (r_.true_nn, r_.nn_rank) == (true_nn, rank), r_.query_id
+        assert r_.rr_ppm == 10**6 // rank
+        assert r_.hit_at_5 == int(rank <= 5)
+
+
+def test_markov_stationary_vs_naive_power(spark, tmp_path):
+    """pi_ppb equals 12 rounds of the integer power method replayed
+    with Python bigints on the brute-force transition counts."""
+    from locopy_spark.queries.events_ext import MS_ITERS, q_markov_stationary
+
+    r = _rng()
+    types = ["a", "b", "c", "d"]
+    base = dt.datetime(2024, 1, 1)
+    rows, seqs = [], {}
+    eid = 0
+    for u in range(40):
+        seq = [types[r.randrange(4)] for _ in range(r.randrange(1, 12))]
+        seqs[u] = seq
+        for j, t in enumerate(seq):
+            rows.append((eid, u, t, base + dt.timedelta(seconds=eid)))
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    )
+    trans = {}
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    n_from = {}
+    for (a, _), n in trans.items():
+        n_from[a] = n_from.get(a, 0) + n
+    tys = sorted({a for a, _ in trans} | {b for _, b in trans})
+    pi = {t: 10**9 // len(tys) for t in tys}
+    for _ in range(MS_ITERS):
+        nxt = {t: 0 for t in tys}
+        for (a, b), n in trans.items():
+            nxt[b] += pi[a] * n // n_from[a]
+        pi = nxt
+    got = {
+        r_.event_type: r_.pi_ppb
+        for r_ in q_markov_stationary(spark, str(tmp_path)).collect()
+    }
+    assert got == pi
