@@ -3572,13 +3572,19 @@ def s_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas matmul kernel (operators/similarity.py) remains the
     production path for |labels| in the thousands.
     """
-    from locopy_spark.queries.trends import _signed_ratio
-
     emb = load_table(spark, sf_dir, "embeddings")
-    vq = (
-        f"transform(embedding, x -> cast(floor(cast(x as double)"
-        f" * {PURITY_V_SCALE} + 0.5) as bigint))"
-    )
+    return purity_report(emb, purity_state(emb))
+
+
+def purity_state(emb: DataFrame) -> DataFrame:
+    """The additive purity-centroid state ``(label, dim_idx, s, n)``:
+    exact DECIMAL(38) sums of the 1e6 fixed-point components + counts
+    — a commutative monoid (both columns sum), so a streaming
+    maintainer merges per-batch outputs by key and the on-demand
+    purity report equals the batch pass on any arrival order
+    (stream_centroid_purity). Same shape as ``centroid_state`` but at
+    PURITY_V_SCALE (the exactness budget of the cross-multiplied
+    comparator needs the coarser quantization)."""
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -3589,18 +3595,28 @@ def s_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("v_q"),
     )
+    return ex.groupBy("label", "dim_idx").agg(
+        F.expr("sum(cast(v_q as decimal(38,0)))").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def purity_report(emb: DataFrame, state: DataFrame) -> DataFrame:
+    """Close the separability report over the purity-centroid state:
+    quantize centroids via the signed-ratio floor device, broadcast
+    the |labels| centroid arrays, score the corpus with exact bigint
+    folds, cross-multiplied own-vs-other verdicts, bounded rollup."""
+    from locopy_spark.queries.trends import _signed_ratio
+
+    vq = (
+        f"transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {PURITY_V_SCALE} + 0.5) as bigint))"
+    )
     cq = _signed_ratio("s", "(n * 10)", 1, "div")
-    cent = (
-        ex.groupBy("label", "dim_idx")
-        .agg(
-            F.expr("sum(cast(v_q as decimal(38,0)))").alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.col("label").alias("clabel"),
-            "dim_idx",
-            F.expr(f"cast({cq} as bigint)").alias("c_q"),
-        )
+    cent = state.select(
+        F.col("label").alias("clabel"),
+        "dim_idx",
+        F.expr(f"cast({cq} as bigint)").alias("c_q"),
     )
     cent_arr = cent.groupBy("clabel").agg(
         F.expr(

@@ -1990,3 +1990,49 @@ def stream_dormancy(
         .queryName(f"dormancy_{state_view}")
         .start()
     )
+
+
+def stream_centroid_purity(
+    emb: DataFrame,
+    state_view: str = "purity_state",
+):
+    """Continuously-maintained label-purity centroid state: each
+    micro-batch reduces to its (label, dim) exact DECIMAL(38)
+    fixed-point sums + counts at the purity quantization
+    (``queries.docs_ext.purity_state`` — both columns additive),
+    merged by key into |labels × dims| bounded state FOREVER. The
+    separability finisher (``queries.docs_ext.purity_report``) closes
+    over the state + the accumulated corpus on demand — the live "is
+    the embedding space still separable per label" monitor an
+    encoder-refresh pipeline reads before trusting new vectors. The
+    test asserts stream state + finisher == batch
+    ``s_centroid_purity`` exactly on out-of-order chunks (bit-exact:
+    every verdict is integer/decimal arithmetic end-to-end).
+    """
+    from locopy_spark.queries.docs_ext import purity_state
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame(
+        [], "label int, dim_idx int, s decimal(38,0), n long"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(purity_state(batch_df))
+            .groupBy("label", "dim_idx")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        emb.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"purity_{state_view}")
+        .start()
+    )

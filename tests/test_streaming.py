@@ -1644,3 +1644,38 @@ def test_stream_dormancy_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_dormancy_curve(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_centroid_purity_matches_batch(spark, sf_dir, tmp_path):
+    """(label, dim) purity-quantized sums + counts are additive
+    monoids, so the state maintained across 4 out-of-order
+    micro-batches + the purity finisher over the accumulated corpus
+    equals batch s_centroid_purity bit-exactly (integer/decimal
+    arithmetic end-to-end — no float close at all)."""
+    from locopy_spark.queries.docs_ext import purity_report, s_centroid_purity
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_centroid_purity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i, pred in enumerate(["3", "1", "2", "0"]):
+        emb.filter(f"pmod(vec_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"pchunk{i}"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "pchunk*"))
+    )
+    q = stream_centroid_purity(stream, state_view="purity_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in purity_report(
+            emb, spark.table("global_temp.purity_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in s_centroid_purity(spark, sf_dir).collect()]
+    assert got and got == want
