@@ -1679,7 +1679,15 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row-local arithmetic on that row.
     """
     o = load_table(spark, sf_dir, "orders")
-    v = o.select(
+    return anova_report(anova_state(o))
+
+
+def anova_state(orders: DataFrame) -> DataFrame:
+    """The 1-row additive ANOVA state: n, Σv² and per-group (n_g, Σv_g)
+    — every column a plain sum (commutative monoid), so a streaming
+    maintainer adds per-batch rows and the F finisher closes over the
+    merged row (stream_anova)."""
+    v = orders.select(
         "o_orderpriority",
         F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
     )
@@ -1701,8 +1709,14 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias(f"s{i}")
         )
+    return v.agg(*aggs)
+
+
+def anova_report(state: DataFrame) -> DataFrame:
+    """Close F over the exact state with the fixed-order term chains
+    (identical text on both engines)."""
     sb, s, k = _anova_fixed_terms()
-    scored = v.agg(*aggs).selectExpr(
+    scored = state.selectExpr(
         "n",
         f"CAST({k} AS BIGINT) AS k",
         f"(({sb}) - (({s}) / n) * ({s})) AS ssb",

@@ -2036,3 +2036,52 @@ def stream_centroid_purity(
         .queryName(f"purity_{state_view}")
         .start()
     )
+
+
+def stream_anova(
+    orders: DataFrame,
+    state_view: str = "anova_state",
+):
+    """Continuously-maintained one-way-ANOVA state: each micro-batch
+    reduces to ONE additive row (n, Σv², per-priority n_g/Σv_g —
+    ``queries.stats.anova_state``; every column a plain sum), merged
+    by summation into 1-row state FOREVER. The F finisher
+    (``queries.stats.anova_report``) closes over the state on demand
+    — the live "is priority still shifting order value" monitor. The
+    test asserts stream state + finisher == batch ``q_anova`` exactly
+    on out-of-order chunks (bit-stable: F closes the same fixed-order
+    double chain over identical exact sums).
+
+    NOTE the contrast with the transition/lag family: ANOVA's state is
+    row-local per order, so ANY chunking works; q_markov_stationary's
+    lag pairs span batch boundaries and are NOT a monoid — it gets no
+    stream twin (the q_session_gap_curve precedent).
+    """
+    from locopy_spark.queries.stats import ANOVA_GROUPS, anova_state
+
+    spark = orders.sparkSession
+    cols = ["n bigint", "sq decimal(38,0)"]
+    for i in range(1, len(ANOVA_GROUPS) + 1):
+        cols += [f"n{i} bigint", f"s{i} decimal(38,0)"]
+    empty = spark.createDataFrame([], ", ".join(cols))
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        sums = [F.sum(c.split(" ")[0]).alias(c.split(" ")[0]) for c in cols]
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(anova_state(batch_df))
+            .agg(*sums)
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"anova_{state_view}")
+        .start()
+    )

@@ -1679,3 +1679,35 @@ def test_stream_centroid_purity_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in s_centroid_purity(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_anova_matches_batch(spark, sf_dir, tmp_path):
+    """The 1-row ANOVA state is an additive monoid (row-local per
+    order — no cross-batch dependency), so the state maintained across
+    4 out-of-order micro-batches + the F finisher equals batch q_anova
+    exactly (same fixed-order double chain over identical sums)."""
+    from locopy_spark.queries.stats import anova_report, q_anova
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_anova
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"achunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "achunk*"))
+    )
+    q = stream_anova(stream, state_view="anova_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in anova_report(spark.table("global_temp.anova_t")).collect()
+    ]
+    want = [tuple(r) for r in q_anova(spark, sf_dir).collect()]
+    assert got and got == want
