@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_containment": docs.d_containment,
         "t_novelty": docs.t_novelty,
         "q_funnel_windows": mining.q_funnel_windows,
+        # --- added late round 7 (past the cutoff, never driver-checked:
+        # these lead the ROUND-8 window per the SURVEY rotation plan;
+        # each pre-flighted green at sf0.001/0.01/0.1 on landing) ---
+        "s_centroid_assign": docs_ext.s_centroid_assign,
     }
     return q
 

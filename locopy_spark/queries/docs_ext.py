@@ -3601,31 +3601,36 @@ def purity_state(emb: DataFrame) -> DataFrame:
     )
 
 
-def purity_report(emb: DataFrame, state: DataFrame) -> DataFrame:
-    """Close the separability report over the purity-centroid state:
-    quantize centroids via the signed-ratio floor device, broadcast
-    the |labels| centroid arrays, score the corpus with exact bigint
-    folds, cross-multiplied own-vs-other verdicts, bounded rollup."""
+def purity_centroids(state: DataFrame) -> DataFrame:
+    """Quantized |labels|-row centroid arrays (+ squared norms) from
+    the purity state — the signed-ratio floor device per (label, dim),
+    assembled into broadcastable arrays. Shared by purity_report and
+    s_centroid_assign."""
     from locopy_spark.queries.trends import _signed_ratio
 
-    vq = (
-        f"transform(embedding, x -> cast(floor(cast(x as double)"
-        f" * {PURITY_V_SCALE} + 0.5) as bigint))"
-    )
     cq = _signed_ratio("s", "(n * 10)", 1, "div")
     cent = state.select(
         F.col("label").alias("clabel"),
         "dim_idx",
         F.expr(f"cast({cq} as bigint)").alias("c_q"),
     )
-    cent_arr = cent.groupBy("clabel").agg(
+    return cent.groupBy("clabel").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(dim_idx, c_q))),"
             " p -> p.c_q)"
         ).alias("carr"),
         F.expr("sum(c_q * c_q)").alias("n2"),
     )
-    dots = (
+
+
+def _purity_dots(emb: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Exact (vec, centroid) bigint dot products: quantize the vector
+    row-locally, broadcast the |labels| centroid arrays, fold."""
+    vq = (
+        f"transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {PURITY_V_SCALE} + 0.5) as bigint))"
+    )
+    return (
         emb.select("vec_id", "label", F.expr(vq).alias("vqa"))
         .join(F.broadcast(cent_arr))
         .select(
@@ -3639,6 +3644,14 @@ def purity_report(emb: DataFrame, state: DataFrame) -> DataFrame:
             "n2",
         )
     )
+
+
+def purity_report(emb: DataFrame, state: DataFrame) -> DataFrame:
+    """Close the separability report over the purity-centroid state:
+    quantize centroids via the signed-ratio floor device, broadcast
+    the |labels| centroid arrays, score the corpus with exact bigint
+    folds, cross-multiplied own-vs-other verdicts, bounded rollup."""
+    dots = _purity_dots(emb, purity_centroids(state))
     own = dots.filter(F.col("label") == F.col("clabel")).select(
         "vec_id",
         F.col("dot").alias("dot_o"),
@@ -4065,3 +4078,109 @@ def _sql_mrr_eval() -> str:
 
 
 ORACLE["s_mrr_eval"] = _sql_mrr_eval()
+
+
+# -- nearest-centroid assignment confusion matrix -----------------------------
+
+
+def s_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment confusion matrix — WHERE do the
+    non-separated vectors go? s_centroid_purity answers "how many
+    vectors win against every foreign centroid"; this assigns each
+    vector to its single best centroid and cross-tabulates true label
+    × assigned label with exact row shares (the confusion matrix an
+    embedding-quality review reads next to the purity scalar).
+
+    Exactness: the scoring reuses the purity scaffolding (quantized
+    vectors × broadcast quantized centroids, exact bigint dots); the
+    argmax key dot/sqrt(n2) is a double, but both operands are exact
+    integers below 2^53 (dot ≤ 6.4e12, n2 ≤ 6.4e11), so the division
+    and sqrt are correctly rounded and the comparator is engine-
+    identical (the s_knn_bruteforce ranking device); ties break by
+    smallest centroid label. Scale shape: one broadcast nested loop
+    (|vecs| × |labels| rows), one per-vector argmax via max_by on the
+    (score, clabel) total order — NO window, no global sort — then
+    the ≤|labels|² rollup with ppm shares.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dots = _purity_dots(emb, purity_centroids(purity_state(emb)))
+    scored = dots.select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))"
+        ).alias("score"),
+    )
+    assigned = scored.groupBy("vec_id", "label").agg(
+        F.expr(
+            "max_by(clabel, struct(score, -clabel))"
+        ).alias("assigned")
+    )
+    cells = assigned.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    row_tot = cells.groupBy("label").agg(F.sum("n_vecs").alias("n_label"))
+    return (
+        cells.join(F.broadcast(row_tot), "label")
+        .selectExpr(
+            "label",
+            "assigned",
+            "n_vecs",
+            "n_vecs * 1000000 div n_label as share_ppm",
+        )
+        .orderBy("label", "assigned")
+    )
+
+
+def _assign_oracle() -> str:
+    from locopy_spark.queries.trends import _signed_ratio
+
+    cq = _signed_ratio("s", "(n * 10)", 1, "//")
+    return f"""
+  WITH ex AS MATERIALIZED (
+    SELECT vec_id, label, i AS dim_idx,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {PURITY_V_SCALE}
+                      + 0.5) AS BIGINT) AS v_q
+    FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+  ),
+  craw AS (
+    SELECT label AS clabel, dim_idx,
+           SUM(CAST(v_q AS HUGEINT)) AS s, COUNT(*) AS n
+    FROM ex GROUP BY 1, 2
+  ),
+  cent AS MATERIALIZED (
+    SELECT clabel, dim_idx, CAST({cq} AS BIGINT) AS c_q FROM craw
+  ),
+  n2t AS (SELECT clabel, SUM(c_q * c_q) AS n2 FROM cent GROUP BY 1),
+  dots AS (
+    SELECT ex.vec_id, ex.label, cent.clabel,
+           CAST(SUM(ex.v_q * cent.c_q) AS BIGINT) AS dot
+    FROM ex JOIN cent USING (dim_idx) GROUP BY 1, 2, 3
+  ),
+  scored AS (
+    SELECT d.vec_id, d.label, d.clabel,
+           CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS score
+    FROM dots d JOIN n2t USING (clabel)
+  ),
+  assigned AS (
+    SELECT vec_id, label, clabel AS assigned FROM (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY score DESC, clabel ASC
+             ) AS rk
+      FROM scored
+    ) WHERE rk = 1
+  ),
+  cells AS (
+    SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM assigned GROUP BY 1, 2
+  )
+  SELECT label, assigned, n_vecs,
+         CAST(n_vecs * 1000000 //
+              SUM(n_vecs) OVER (PARTITION BY label) AS BIGINT) AS share_ppm
+  FROM cells ORDER BY label, assigned
+"""
+
+
+ORACLE["s_centroid_assign"] = _assign_oracle()

@@ -1143,3 +1143,12 @@ def test_mrr_eval_broadcast_not_cartesian(spark, sf_dir):
 def test_markov_stationary_plan(spark, sf_dir):
     df = _q(spark, sf_dir, "q_markov_stationary")
     assert not audit.has_cartesian(df)
+
+
+def test_centroid_assign_broadcast_no_window(spark, sf_dir):
+    df = _q(spark, sf_dir, "s_centroid_assign")
+    # |labels| centroid arrays broadcast; argmax via max_by aggregate,
+    # never a per-vector window or cartesian
+    assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)
+    assert not audit.has_cartesian(df)
+    assert "Window" not in audit.simple_plan(df)

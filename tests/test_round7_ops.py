@@ -254,3 +254,69 @@ def test_markov_stationary_vs_naive_power(spark, tmp_path):
         for r_ in q_markov_stationary(spark, str(tmp_path)).collect()
     }
     assert got == pi
+
+
+def test_centroid_assign_vs_naive(spark, tmp_path):
+    """Confusion cells equal a brute-force Python replay: quantize,
+    average, quantize centroids, score, argmax with (score desc,
+    clabel asc) ties."""
+    import math
+
+    import numpy as np
+
+    from locopy_spark.queries.docs_ext import (
+        PURITY_V_SCALE,
+        s_centroid_assign,
+    )
+
+    r = _rng()
+    dim, nvec, nlab = 8, 80, 3
+    vecs = {}
+    rows = []
+    for i in range(nvec):
+        lab = i % nlab
+        v = [float(np.float32(r.uniform(-1, 1) + 0.3 * lab)) for _ in range(dim)]
+        vecs[i] = (lab, v)
+        rows.append((i, lab, v))
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id long, label int, embedding array<float>")
+    # EMB_DIM is baked into the oracle only; the Spark query reads the
+    # actual array length, so a dim-8 synthetic table works here
+    qv = {
+        i: [math.floor(x * PURITY_V_SCALE + 0.5) for x in v]
+        for i, (_, v) in enumerate(vecs.values())
+    }
+
+    def sgn_ratio(a, b):
+        q, rm = divmod(abs(a), b)
+        return q if a >= 0 else -q  # truncation toward zero
+
+    cents = {}
+    for lab in range(nlab):
+        members = [qv[i] for i, (l, _) in vecs.items() if l == lab]
+        n = len(members)
+        cents[lab] = [
+            sgn_ratio(sum(m[d] for m in members), n * 10) for d in range(dim)
+        ]
+    n2 = {lab: sum(c * c for c in cents[lab]) for lab in cents}
+    cells = {}
+    for i, (lab, _) in vecs.items():
+        best = None
+        for cl in range(nlab):
+            dot = sum(x * c for x, c in zip(qv[i], cents[cl]))
+            score = float(dot) / math.sqrt(float(n2[cl]))
+            key = (score, -cl)
+            if best is None or key > best[0]:
+                best = (key, cl)
+        cells[(lab, best[1])] = cells.get((lab, best[1]), 0) + 1
+    got = {
+        (r_.label, r_.assigned): (r_.n_vecs, r_.share_ppm)
+        for r_ in s_centroid_assign(spark, str(tmp_path)).collect()
+    }
+    row_tot = {}
+    for (lab, _), n in cells.items():
+        row_tot[lab] = row_tot.get(lab, 0) + n
+    want = {
+        k: (n, n * 10**6 // row_tot[k[0]]) for k, n in cells.items()
+    }
+    assert got == want
