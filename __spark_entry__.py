@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # these lead the ROUND-8 window per the SURVEY rotation plan;
         # each pre-flighted green at sf0.001/0.01/0.1 on landing) ---
         "s_centroid_assign": docs_ext.s_centroid_assign,
+        "q_backlog_aging": tpch_ext.q_backlog_aging,
+        "q_fulfillment_lag": tpch_ext.q_fulfillment_lag,
     }
     return q
 

@@ -1722,3 +1722,128 @@ ORACLE["q_new_vs_returning"] = """
          CAST(ret_c AS DOUBLE) / 100.0 AS returning_revenue
   FROM g ORDER BY m
 """
+
+
+# -- backlog aging -------------------------------------------------------------
+
+BACKLOG_BAND_DAYS = 90  # quarter-width aging bands
+
+
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: for every non-finished order
+    (o_orderstatus != 'F'), how old is it against the data horizon and
+    how much value sits in each 90-day aging band per status — the
+    working-capital / fulfillment-risk read an operations review runs
+    weekly (old open orders are stuck orders).
+
+    Exactness: age is pure datediff integer math against the 1-row
+    broadcast horizon (max orderdate — the q_dormancy_curve
+    convention: a pinned "today" makes the answer reproducible), the
+    band id one floor division, value sums exact scaled bigints.
+    Scale shape: ONE filtered scan (status predicate pushes to
+    parquet) partial-aggregates straight to the |statuses × bands|-
+    bounded state — an additive monoid. Nothing data-sized past the
+    scan."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.expr("cast(o_orderdate as date)")).alias("mx"))
+    return (
+        o.filter("o_orderstatus != 'F'")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderstatus",
+            F.expr(
+                "datediff(mx, cast(o_orderdate as date))"
+                f" div {BACKLOG_BAND_DAYS}"
+            ).alias("age_band"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderstatus", "age_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), "open_value"),
+        )
+        .orderBy("o_orderstatus", "age_band")
+    )
+
+
+ORACLE["q_backlog_aging"] = f"""
+  WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders)
+  SELECT o_orderstatus,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), mx)
+              // {BACKLOG_BAND_DAYS} AS BIGINT) AS age_band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_exact_sum("o_totalprice", "open_value")}
+  FROM orders, mx
+  WHERE o_orderstatus != 'F'
+  GROUP BY 1, 2 ORDER BY o_orderstatus, age_band
+"""
+
+
+# -- order fulfillment lag ------------------------------------------------------
+
+
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship lead-time distribution per order priority:
+    days from order date to the EARLIEST line shipment, as a per-
+    priority day histogram with exact ppm shares — the fulfillment-SLA
+    read next to q12's late/on-time split (does URGENT actually ship
+    faster, and by how much across the whole distribution?).
+
+    One equi-join on the order key (the natural co-partitioning key —
+    at 100x both sides bucket by it and the join plans exchange-free),
+    a per-order MIN partial-aggregate, pure integer datediffs, and a
+    \|priorities × days\|-bounded histogram; shares close as one ppm
+    floor division against the broadcast per-priority total. Additive
+    monoid past the per-order MIN."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    first_ship = l.groupBy("l_orderkey").agg(
+        F.min(F.expr("cast(l_shipdate as date)")).alias("first_ship")
+    )
+    cells = (
+        o.join(
+            first_ship, o.o_orderkey == first_ship.l_orderkey
+        )
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "datediff(first_ship, cast(o_orderdate as date))"
+            ).alias("lag_days"),
+        )
+        .groupBy("o_orderpriority", "lag_days")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").alias("n_pri")
+    )
+    return (
+        cells.join(F.broadcast(tot), "o_orderpriority")
+        .selectExpr(
+            "o_orderpriority",
+            "lag_days",
+            "n_orders",
+            "n_orders * 1000000 div n_pri as share_ppm",
+        )
+        .orderBy("o_orderpriority", "lag_days")
+    )
+
+
+ORACLE["q_fulfillment_lag"] = """
+  WITH fs AS (
+    SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+    FROM lineitem GROUP BY 1
+  ),
+  cells AS (
+    SELECT o_orderpriority,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), first_ship)
+                AS BIGINT) AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN fs ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+  )
+  SELECT o_orderpriority, lag_days, n_orders,
+         CAST(n_orders * 1000000 //
+              SUM(n_orders) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS share_ppm
+  FROM cells ORDER BY o_orderpriority, lag_days
+"""

@@ -1152,3 +1152,17 @@ def test_centroid_assign_broadcast_no_window(spark, sf_dir):
     assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)
     assert not audit.has_cartesian(df)
     assert "Window" not in audit.simple_plan(df)
+
+
+def test_backlog_aging_pushdown(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_backlog_aging")
+    # the status predicate reaches the parquet scan
+    assert any("o_orderstatus" in f for f in audit.pushed_filters(df))
+    assert not audit.has_cartesian(df)
+
+
+def test_fulfillment_lag_single_equijoin(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_fulfillment_lag")
+    assert not audit.has_cartesian(df)
+    # lineitem scan pruned to (orderkey, shipdate)
+    assert all("l_extendedprice" not in s for s in audit.read_schemas(df))

@@ -320,3 +320,68 @@ def test_centroid_assign_vs_naive(spark, tmp_path):
         k: (n, n * 10**6 // row_tot[k[0]]) for k, n in cells.items()
     }
     assert got == want
+
+
+def test_backlog_aging_vs_naive(spark, tmp_path):
+    """Bands/counts/value equal a direct Python sweep with the pinned
+    horizon = max orderdate."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.tpch_ext import BACKLOG_BAND_DAYS, q_backlog_aging
+
+    r = _rng()
+    base = dt.date(1994, 1, 1)
+    rows, naive = [], {}
+    horizon = 700
+    for i in range(250):
+        status = "OFP"[r.randrange(3)]
+        day = r.randrange(0, horizon + 1)
+        price = r.randrange(100, 99999) / 100.0
+        rows.append((i, status, base + dt.timedelta(days=day), price))
+    rows.append((10**6, "F", base + dt.timedelta(days=horizon), 1.0))
+    for i, status, d, price in rows:
+        if status == "F":
+            continue
+        band = (horizon - (d - base).days) // BACKLOG_BAND_DAYS
+        n, v = naive.get((status, band), (0, 0))
+        naive[(status, band)] = (n + 1, v + round(price * SCALE))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderstatus string, o_orderdate date,"
+           " o_totalprice double")
+    got = {
+        (r_.o_orderstatus, r_.age_band): (r_.n_orders, r_.open_value)
+        for r_ in q_backlog_aging(spark, str(tmp_path)).collect()
+    }
+    want = {k: (n, v / SCALE) for k, (n, v) in naive.items()}
+    assert got == want
+
+
+def test_fulfillment_lag_vs_naive(spark, tmp_path):
+    """Per-priority lag histogram equals a direct min-shipdate sweep."""
+    from locopy_spark.queries.tpch_ext import q_fulfillment_lag
+
+    r = _rng()
+    base = dt.date(1994, 1, 1)
+    orders, lines = [], []
+    naive = {}
+    for i in range(200):
+        pri = f"{1 + i % 3}-P"
+        oday = r.randrange(0, 300)
+        orders.append((i, pri, base + dt.timedelta(days=oday)))
+        ships = [oday + r.randrange(1, 60) for _ in range(r.randrange(1, 4))]
+        for s in ships:
+            lines.append((i, base + dt.timedelta(days=s)))
+        lag = min(ships) - oday
+        naive[(pri, lag)] = naive.get((pri, lag), 0) + 1
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_orderpriority string, o_orderdate date")
+    _write(spark, tmp_path, "lineitem", lines,
+           "l_orderkey long, l_shipdate date")
+    tot = {}
+    for (pri, _), n in naive.items():
+        tot[pri] = tot.get(pri, 0) + n
+    got = {
+        (r_.o_orderpriority, r_.lag_days): (r_.n_orders, r_.share_ppm)
+        for r_ in q_fulfillment_lag(spark, str(tmp_path)).collect()
+    }
+    want = {k: (n, n * 10**6 // tot[k[0]]) for k, n in naive.items()}
+    assert got == want
