@@ -117,13 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_lorenz_curve / q_markov_stationary) ---
         "q_gini": stats.q_gini,
         "q_event_transitions": events_ext.q_event_transitions,
-        # --- slot 50: stalest green (r1-era, last checked round 1
-        # under Spark 3) rotates back in ---
-        "q_except_customers": tpch_ext.q_except_customers,
+        # --- slot 50: q_backlog_aging — stream_backlog's batch twin
+        # (the lockstep rule outranks the r1-era re-check that held
+        # this seat; q_except_customers leads the round-8 re-checks) ---
+        "q_backlog_aging": tpch_ext.q_backlog_aging,
         # ------- position 50 cutoff: window ends above this line -------
         # everything below is driver-green from earlier rounds and
         # re-verified by the repo's own full DuckDB gate
         # (tools/check_correctness.py) at sf0.01 in-session
+        "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
         "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,
@@ -320,7 +322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # these lead the ROUND-8 window per the SURVEY rotation plan;
         # each pre-flighted green at sf0.001/0.01/0.1 on landing) ---
         "s_centroid_assign": docs_ext.s_centroid_assign,
-        "q_backlog_aging": tpch_ext.q_backlog_aging,
         "q_fulfillment_lag": tpch_ext.q_fulfillment_lag,
     }
     return q

@@ -1745,22 +1745,67 @@ def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded state — an additive monoid. Nothing data-sized past the
     scan."""
     o = load_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max(F.expr("cast(o_orderdate as date)")).alias("mx"))
+    return backlog_report(backlog_state(o), horizon_from=o)
+
+
+def backlog_state(orders: DataFrame) -> DataFrame:
+    """The additive backlog state ``(o_orderstatus, order_day,
+    n_orders, value_c)``: open-order counts + exact scaled value per
+    (status, epoch-day). A commutative monoid — the band assignment
+    (which depends on the MOVING horizon) happens only in the
+    finisher, so a streaming maintainer merges per-batch cells and
+    re-bands on every read (the stream_dormancy convention:
+    state stores absolute days, the report supplies "today")."""
     return (
-        o.filter("o_orderstatus != 'F'")
-        .crossJoin(F.broadcast(mx))
+        orders.filter("o_orderstatus != 'F'")
         .select(
             "o_orderstatus",
             F.expr(
-                "datediff(mx, cast(o_orderdate as date))"
-                f" div {BACKLOG_BAND_DAYS}"
-            ).alias("age_band"),
-            "o_totalprice",
+                "datediff(cast(o_orderdate as date), date'1970-01-01')"
+            ).alias("order_day"),
+            F.expr(
+                f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+            ).alias("value_c"),
+        )
+        .groupBy("o_orderstatus", "order_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("value_c").alias("value_c"),
+        )
+    )
+
+
+def backlog_report(
+    state: DataFrame, horizon_from: DataFrame | None = None
+) -> DataFrame:
+    """Close the aging report over the backlog state: horizon = max
+    orderdate of the FULL dataset (passed via ``horizon_from`` so
+    finished orders still move the clock; defaults to the state's own
+    max day), then band + rollup."""
+    if horizon_from is not None:
+        mx = horizon_from.agg(
+            F.max(
+                F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+            ).alias("mxd")
+        )
+    else:
+        mx = state.agg(F.max("order_day").alias("mxd"))
+    return (
+        state.crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderstatus",
+            F.expr(f"(mxd - order_day) div {BACKLOG_BAND_DAYS}").alias(
+                "age_band"
+            ),
+            "n_orders",
+            "value_c",
         )
         .groupBy("o_orderstatus", "age_band")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            exact_sum(F.col("o_totalprice"), "open_value"),
+            F.sum("n_orders").alias("n_orders"),
+            F.expr(f"CAST(SUM(value_c) AS DOUBLE) / {SCALE}.0").alias(
+                "open_value"
+            ),
         )
         .orderBy("o_orderstatus", "age_band")
     )

@@ -2085,3 +2085,50 @@ def stream_anova(
         .queryName(f"anova_{state_view}")
         .start()
     )
+
+
+def stream_backlog(
+    orders: DataFrame,
+    state_view: str = "backlog_state",
+):
+    """Continuously-maintained open-order backlog state: each
+    micro-batch reduces to its (status, order-day) open counts +
+    exact scaled value (``queries.tpch_ext.backlog_state`` — both
+    additive), merged by key into calendar-bounded state. The aging
+    finisher (``queries.tpch_ext.backlog_report``) re-bands against
+    the CURRENT horizon on every read (the stream_dormancy
+    convention: the state stores absolute days because the band of a
+    fixed order changes as the clock moves — banding inside the state
+    would not be a monoid). The live stuck-order dashboard; batch
+    twin: ``q_backlog_aging``."""
+    from locopy_spark.queries.tpch_ext import backlog_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderstatus string, order_day int, n_orders bigint,"
+        " value_c bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(backlog_state(batch_df))
+            .groupBy("o_orderstatus", "order_day")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("value_c").alias("value_c"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"backlog_{state_view}")
+        .start()
+    )

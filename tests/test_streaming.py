@@ -1711,3 +1711,37 @@ def test_stream_anova_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_anova(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_backlog_matches_batch(spark, sf_dir, tmp_path):
+    """(status, order-day) counts + scaled value are additive monoids;
+    banding happens only in the finisher against the batch horizon, so
+    the state maintained across 4 out-of-order micro-batches + the
+    aging finisher equals batch q_backlog_aging exactly."""
+    from locopy_spark.queries.tpch_ext import backlog_report, q_backlog_aging
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_backlog
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"bchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "bchunk*"))
+    )
+    q = stream_backlog(stream, state_view="backlog_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in backlog_report(
+            spark.table("global_temp.backlog_t"), horizon_from=o
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_backlog_aging(spark, sf_dir).collect()]
+    assert got and got == want
