@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each pre-flighted green at sf0.001/0.01/0.1 on landing) ---
         "s_centroid_assign": docs_ext.s_centroid_assign,
         "q_fulfillment_lag": tpch_ext.q_fulfillment_lag,
+        "t_vocab_growth": corpus.t_vocab_growth,
+        "q_peak_days": timeseries.q_peak_days,
     }
     return q
 

@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "s_centroid_assign",
     "q_backlog_aging",
     "q_fulfillment_lag",
+    "t_vocab_growth",
+    "q_peak_days",
     # round 7: the 100x-scale deployment shape for the graph family —
     # materialize the co-purchase edge list ONCE as a bucketed table,
     # then run every consumer against it. Driver keys (q_pagerank etc.)

@@ -1993,3 +1993,112 @@ ORACLE["t_hapax_ratio"] = f"""
               * 1000000 // COUNT(*) AS BIGINT) AS dis_ppm
   FROM counts GROUP BY source ORDER BY source
 """
+
+
+# -- vocabulary growth (Heaps' law checkpoints) -------------------------------
+
+VG_CHECKPOINTS = 10
+
+
+def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law audit): cumulative distinct
+    vocabulary vs cumulative token count at 10 corpus checkpoints in
+    doc-id order — the diagnostic that says whether a corpus is still
+    contributing NEW vocabulary at its tail (a flattening curve means
+    more data buys repetition, not coverage; a super-Heaps jump at one
+    checkpoint localizes an injected-noise batch).
+
+    Exactness: checkpoint boundaries are floor divisions of the exact
+    doc count; each token's contribution point is the RANK of its
+    first-occurrence doc (min doc_id, then the range-partitioned
+    global rank — no one-partition window); cumulative tokens come
+    from the same ranked table. Both "≤ boundary" rollups are one
+    broadcast of the 10-row checkpoint table against bounded sides
+    (|vocab| and |docs| rows × 10). Everything integer, bit-exact.
+    """
+    from locopy_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("tok_n"),
+        F.expr(f"array_distinct({toks})").alias("dtoks"),
+    )
+    ranked = global_row_number(d, order_cols=["doc_id"], out_col="rn")
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    cps = (
+        spark.range(1, VG_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "checkpoint")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "checkpoint",
+            F.expr(f"checkpoint * n div {VG_CHECKPOINTS}").alias("b"),
+        )
+    )
+    # token → rank of its first-occurrence doc
+    tf = (
+        d.select("doc_id", F.explode("dtoks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(
+            ranked.select(F.col("doc_id").alias("fd"), "rn"), "fd"
+        )
+        .select(F.col("rn").alias("rf"))
+    )
+    vocab = (
+        tf.crossJoin(F.broadcast(cps))
+        .filter("rf <= b")
+        .groupBy("checkpoint", "b")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    tokens_cum = (
+        ranked.select("rn", "tok_n")
+        .crossJoin(F.broadcast(cps.select("checkpoint", "b")))
+        .filter("rn <= b")
+        .groupBy("checkpoint")
+        .agg(F.sum("tok_n").alias("n_tokens"))
+    )
+    return (
+        vocab.join(tokens_cum, "checkpoint")
+        .selectExpr(
+            "cast(checkpoint as bigint) as checkpoint",
+            "b as n_docs",
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def _sql_vocab_growth() -> str:
+    toks = sql_tokens("text")
+    return f"""
+  WITH d AS MATERIALIZED (
+    SELECT doc_id, CAST(len({toks}) AS BIGINT) AS tok_n,
+           list_distinct({toks}) AS dtoks
+    FROM documents
+  ),
+  r AS (
+    SELECT doc_id, tok_n, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM d
+  ),
+  nn AS (SELECT COUNT(*) AS n FROM d),
+  cp AS (
+    SELECT c AS checkpoint, c * n // {VG_CHECKPOINTS} AS b
+    FROM generate_series(1, {VG_CHECKPOINTS}) t(c), nn
+  ),
+  tf AS (
+    SELECT tok, MIN(doc_id) AS fd
+    FROM (SELECT doc_id, unnest(dtoks) AS tok FROM d) GROUP BY 1
+  ),
+  tr AS (SELECT r.rn AS rf FROM tf JOIN r ON r.doc_id = tf.fd)
+  SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+         CAST(b AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(tok_n) FROM r WHERE rn <= b) AS BIGINT)
+           AS n_tokens,
+         CAST((SELECT COUNT(*) FROM tr WHERE rf <= b) AS BIGINT) AS vocab
+  FROM cp ORDER BY checkpoint
+"""
+
+
+ORACLE["t_vocab_growth"] = _sql_vocab_growth()

@@ -799,3 +799,83 @@ ORACLE["q_dormancy_curve"] = f"""
          COUNT(*) AS n_users
   FROM s, h GROUP BY 1 ORDER BY days_inactive
 """
+
+
+# -- local-prominence revenue peaks -------------------------------------------
+
+PEAK_PROM_PCT = 120  # a peak must top both neighbors by >= 20%
+
+
+def q_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-prominence revenue peaks: days whose revenue tops BOTH
+    neighboring observed days by ≥ {PEAK_PROM_PCT}% — the
+    spike-localization read next to q_anomaly_days (whose trailing
+    z-score flags sustained shifts too; this isolates sharp one-day
+    spikes a promo/incident review wants listed, with the exact
+    neighbor ratios attached).
+
+    Exactness: daily revenue is exact scaled cents from ONE partial-
+    aggregated scan; neighbor comparison is pure integer
+    cross-multiplication (rev·100 > {PEAK_PROM_PCT}·neighbor — no
+    division at all); edge days (missing a neighbor) are excluded by
+    the NULL conjunction on both engines. The lag/lead window runs
+    over the |calendar days|-bounded daily aggregate (the
+    q_anomaly_days convention), never over raw orders. Ratios are
+    reported as exact ppm floor divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("rev_c")
+    )
+    w = W.orderBy("day")
+    scored = daily.select(
+        "day",
+        "rev_c",
+        F.lag("rev_c").over(w).alias("prev_c"),
+        F.lead("rev_c").over(w).alias("next_c"),
+    )
+    return (
+        scored.filter(
+            F.expr(
+                f"rev_c * 100 > {PEAK_PROM_PCT} * prev_c"
+                f" AND rev_c * 100 > {PEAK_PROM_PCT} * next_c"
+            )
+        )
+        .selectExpr(
+            "day",
+            f"CAST(rev_c AS DOUBLE) / {SCALE}.0 AS revenue",
+            "rev_c * 1000000 div prev_c AS vs_prev_ppm",
+            "rev_c * 1000000 div next_c AS vs_next_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q_peak_days"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  scored AS (
+    SELECT day, rev_c,
+           LAG(rev_c) OVER (ORDER BY day) AS prev_c,
+           LEAD(rev_c) OVER (ORDER BY day) AS next_c
+    FROM daily
+  )
+  SELECT CAST(day AS BIGINT) AS day,
+         CAST(rev_c AS DOUBLE) / {SCALE}.0 AS revenue,
+         CAST(rev_c * 1000000 // prev_c AS BIGINT) AS vs_prev_ppm,
+         CAST(rev_c * 1000000 // next_c AS BIGINT) AS vs_next_ppm
+  FROM scored
+  WHERE rev_c * 100 > {PEAK_PROM_PCT} * prev_c
+    AND rev_c * 100 > {PEAK_PROM_PCT} * next_c
+  ORDER BY day
+"""

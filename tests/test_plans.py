@@ -1166,3 +1166,17 @@ def test_fulfillment_lag_single_equijoin(spark, sf_dir):
     assert not audit.has_cartesian(df)
     # lineitem scan pruned to (orderkey, shipdate)
     assert all("l_extendedprice" not in s for s in audit.read_schemas(df))
+
+
+def test_vocab_growth_plan(spark, sf_dir):
+    df = _q(spark, sf_dir, "t_vocab_growth")
+    assert not audit.has_cartesian(df)
+    # documents scan pruned to (doc_id, text)
+    assert all("lang" not in s for s in audit.read_schemas(df))
+
+
+def test_peak_days_bounded_window(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_peak_days")
+    assert not audit.has_cartesian(df)
+    # orders scan pruned to (date, price)
+    assert all("o_orderpriority" not in s for s in audit.read_schemas(df))

@@ -385,3 +385,73 @@ def test_fulfillment_lag_vs_naive(spark, tmp_path):
     }
     want = {k: (n, n * 10**6 // tot[k[0]]) for k, n in naive.items()}
     assert got == want
+
+
+def test_vocab_growth_vs_naive(spark, tmp_path):
+    """Checkpoint boundaries, cumulative tokens, and vocabulary equal
+    a direct Python sweep in doc-id order."""
+    from locopy_spark.queries.corpus import VG_CHECKPOINTS, t_vocab_growth
+
+    r = _rng()
+    words = [f"w{j}" for j in range(60)]
+    rows, seq = [], []
+    for i in range(83):  # non-multiple of 10
+        toks = [words[r.randrange(len(words))] for _ in range(r.randrange(1, 15))]
+        rows.append((i, " ".join(toks), "en", "s", len(" ".join(toks))))
+        seq.append((i, toks))
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars int")
+    n = len(seq)
+    seq.sort()
+    want = []
+    for c in range(1, VG_CHECKPOINTS + 1):
+        b = c * n // VG_CHECKPOINTS
+        toks_cum = sum(len(t) for _, t in seq[:b])
+        vocab = len({w for _, t in seq[:b] for w in t})
+        want.append((c, b, toks_cum, vocab))
+    got = [
+        (r_.checkpoint, r_.n_docs, r_.n_tokens, r_.vocab)
+        for r_ in t_vocab_growth(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+
+
+def test_peak_days_vs_naive(spark, tmp_path):
+    """Peaks equal a direct neighbor sweep with the exact integer
+    prominence comparison."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.timeseries import PEAK_PROM_PCT, q_peak_days
+
+    r = _rng()
+    base = dt.date(1997, 1, 1)
+    daily = {}
+    rows = []
+    oid = 0
+    for d in range(120):
+        if r.random() < 0.1:
+            continue  # calendar gaps: neighbors are observed days
+        for _ in range(r.randrange(1, 5)):
+            v = r.randrange(100, 400000) / 100.0
+            rows.append((oid, base + dt.timedelta(days=d), v))
+            oid += 1
+            key = (base + dt.timedelta(days=d) - dt.date(1970, 1, 1)).days
+            daily[key] = daily.get(key, 0) + round(v * SCALE)
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate date, o_totalprice double")
+    days = sorted(daily)
+    want = []
+    for i in range(1, len(days) - 1):
+        d, p, nx = days[i], days[i - 1], days[i + 1]
+        if (daily[d] * 100 > PEAK_PROM_PCT * daily[p]
+                and daily[d] * 100 > PEAK_PROM_PCT * daily[nx]):
+            want.append(
+                (d, daily[d] / SCALE,
+                 daily[d] * 10**6 // daily[p],
+                 daily[d] * 10**6 // daily[nx])
+            )
+    got = [
+        (r_.day, r_.revenue, r_.vs_prev_ppm, r_.vs_next_ppm)
+        for r_ in q_peak_days(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
