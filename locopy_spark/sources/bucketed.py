@@ -10,6 +10,8 @@ asserts the exchange-free plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -23,7 +25,25 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a managed table bucketed (and optionally
     sorted) by ``bucket_col`` — sorted buckets additionally enable
-    merge joins with no sort step."""
+    merge joins with no sort step.
+
+    Idempotent across sessions: a managed-table LOCATION left behind
+    by a previous session (directory on disk, table absent from this
+    session's catalog) would fail ``saveAsTable`` with
+    LOCATION_ALREADY_EXISTS, so the stale table AND any stray
+    directory are removed first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        stray = os.path.join(warehouse, table.lower())
+        if warehouse and os.path.isdir(stray):
+            shutil.rmtree(stray, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
