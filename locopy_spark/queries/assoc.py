@@ -555,20 +555,28 @@ ORACLE["q_hhi"] = f"""
 KM_CHURN_DAYS = 90
 
 
-def _lifetime_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared survival scaffolding of q_kaplan_meier and
-    q_nelson_aalen: per-lifetime-day (t) event/censor counts and the
-    at-risk population n_t = N − #(lifetime < t), built from ONE
-    partial-aggregated customer span plus a range-partitioned
-    exclusive prefix sum (no one-partition window)."""
-    from locopy_spark.operators.ranking import global_running_sum
-
-    o = load_table(spark, sf_dir, "orders")
-    span = o.groupBy("o_custkey").agg(
+def span_state(orders: DataFrame) -> DataFrame:
+    """The per-customer span state ``(o_custkey, first_d, last_d)`` —
+    a (MIN, MAX) monoid per key (merge = min of firsts, max of lasts),
+    so a streaming maintainer (``streaming.stateful.stream_survival``)
+    reproduces the batch spans on any arrival order; |customers| rows
+    forever. Lifetimes/censoring are derived ONLY in the finisher —
+    both move as later orders arrive for a customer, so neither would
+    be a monoid in-state (the stream_backlog banding lesson)."""
+    return orders.groupBy("o_custkey").agg(
         F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
     )
-    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+
+
+def lifetime_risk_report(span: DataFrame) -> DataFrame:
+    """Close the (t, d, c, n_risk) at-risk table over the span state:
+    horizon = max last_d, lifetimes + censoring flags, per-t counts,
+    and the range-partitioned exclusive prefix sum (no one-partition
+    window). Feeds both survival finishers."""
+    from locopy_spark.operators.ranking import global_running_sum
+
+    mx = span.agg(F.max("last_d").alias("mx"))
     life = span.crossJoin(F.broadcast(mx)).select(
         F.expr("datediff(last_d, first_d)").alias("t"),
         F.expr(
@@ -587,6 +595,14 @@ def _lifetime_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.crossJoin(F.broadcast(tot)).select(
         "t", "d", "c", F.expr("n_total - pre").alias("n_risk")
     )
+
+
+def _lifetime_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared survival scaffolding of q_kaplan_meier and
+    q_nelson_aalen: ONE partial-aggregated customer span
+    (``span_state``) closed to the at-risk table
+    (``lifetime_risk_report``)."""
+    return lifetime_risk_report(span_state(load_table(spark, sf_dir, "orders")))
 
 
 # The matching DuckDB CTE chain ending in idx(t, d, c, n_risk) — shared
@@ -640,7 +656,12 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint to N ~ 9e9 customers). DuckDB twin = the same recurrence as
     a recursive CTE, bit-exact.
     """
-    risk = _lifetime_risk(spark, sf_dir)
+    return km_from_risk(_lifetime_risk(spark, sf_dir))
+
+
+def km_from_risk(risk: DataFrame) -> DataFrame:
+    """KM finisher over any (t, d, c, n_risk) at-risk table (batch
+    scaffolding or the stream_survival state's report)."""
 
     def km(pdf):
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -709,7 +730,14 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from locopy_spark.operators.ranking import global_running_sum
 
-    risk = _lifetime_risk(spark, sf_dir).withColumn(
+    return na_from_risk(_lifetime_risk(spark, sf_dir))
+
+
+def na_from_risk(risk: DataFrame) -> DataFrame:
+    """Nelson–Aalen finisher over any (t, d, c, n_risk) at-risk table."""
+    from locopy_spark.operators.ranking import global_running_sum
+
+    risk = risk.withColumn(
         "haz_ppb", F.expr("d * 1000000000 div n_risk")
     )
     cum = global_running_sum(

@@ -2132,3 +2132,46 @@ def stream_backlog(
         .queryName(f"backlog_{state_view}")
         .start()
     )
+
+
+def stream_survival(
+    orders: DataFrame,
+    state_view: str = "span_state",
+):
+    """Continuously-maintained per-customer span state
+    (``queries.assoc.span_state`` — a (MIN, MAX) monoid per key, so
+    ANY batching or arrival order reproduces the batch spans;
+    |customers| rows forever). Lifetime, censoring, and the at-risk
+    table derive ONLY in the finisher (``lifetime_risk_report``) —
+    both move as later orders arrive, so neither would be a monoid
+    in-state. ONE state serves BOTH survival finishers: the lockstep
+    test asserts ``km_from_risk`` == batch q_kaplan_meier AND
+    ``na_from_risk`` == batch q_nelson_aalen bit-exactly."""
+    from locopy_spark.queries.assoc import span_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "o_custkey long, first_d date, last_d date")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(span_state(batch_df))
+            .groupBy("o_custkey")
+            .agg(
+                F.min("first_d").alias("first_d"),
+                F.max("last_d").alias("last_d"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"survival_{state_view}")
+        .start()
+    )

@@ -1745,3 +1745,43 @@ def test_stream_backlog_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_backlog_aging(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_survival_matches_both_batch_estimators(spark, sf_dir, tmp_path):
+    """Per-customer (first_d MIN, last_d MAX) spans are a monoid, so
+    the state maintained across 4 out-of-order micro-batches + the
+    at-risk finisher feeds BOTH survival estimators to bit-exact
+    equality with their batch queries (the stream_simpson convention:
+    one state, every finisher asserted)."""
+    from locopy_spark.queries.assoc import (
+        km_from_risk,
+        lifetime_risk_report,
+        na_from_risk,
+        q_kaplan_meier,
+        q_nelson_aalen,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_survival
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "2", "0", "3"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"schunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "schunk*"))
+    )
+    q = stream_survival(stream, state_view="span_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    risk = lifetime_risk_report(spark.table("global_temp.span_t"))
+    got_km = [tuple(r) for r in km_from_risk(risk).collect()]
+    want_km = [tuple(r) for r in q_kaplan_meier(spark, sf_dir).collect()]
+    assert got_km and got_km == want_km
+    got_na = [tuple(r) for r in na_from_risk(risk).collect()]
+    want_na = [tuple(r) for r in q_nelson_aalen(spark, sf_dir).collect()]
+    assert got_na and got_na == want_na
