@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fulfillment_lag": tpch_ext.q_fulfillment_lag,
         "t_vocab_growth": corpus.t_vocab_growth,
         "q_peak_days": timeseries.q_peak_days,
+        "q_seasonal_strength": stats.q_seasonal_strength,
     }
     return q
 

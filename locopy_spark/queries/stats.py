@@ -1766,3 +1766,107 @@ def _sql_anova() -> str:
 
 
 ORACLE["q_anova"] = _sql_anova()
+
+
+# -- weekly seasonality strength -----------------------------------------------
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality strength of daily revenue: η² = SSB/SST with
+    day-of-week as the grouping — the one-scalar answer to "how much
+    of daily revenue variation is just the weekly clock" that decides
+    whether q_seasonal_decompose's profile is worth subtracting before
+    trend work (η² near 0: don't bother; near 1: raw dailies are
+    mostly calendar echo).
+
+    The q_anova device verbatim, pointed at the |days|-bounded daily
+    aggregate: exact scaled-cent revenue per day, DOW = (epoch_day+4)%7
+    pure integer (the q_dow_revenue convention), per-DOW DECIMAL(38)
+    power sums pivoted to ONE row, SSB/SST as fixed-order seven-term
+    double chains (identical text both engines), η² in exact-operand
+    double. Two bounded aggregates past the one data-sized scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("v")
+    ).select(F.expr("(day + 4) % 7").alias("dow"), "v")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("sq"),
+    ]
+    for i in range(7):
+        aggs.append(
+            F.sum(F.expr(f"case when dow = {i} then 1 else 0 end")).alias(
+                f"n{i + 1}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"cast(case when dow = {i} then v else 0 end"
+                    " as decimal(38,0))"
+                )
+            ).alias(f"s{i + 1}")
+        )
+    sb = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN (CAST(s{i} AS DOUBLE) / n{i})"
+        f" * CAST(s{i} AS DOUBLE) ELSE 0.0 END)"
+        for i in range(1, 8)
+    )
+    s = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(1, 8))
+    return daily.agg(*aggs).selectExpr(
+        "n AS n_days",
+        f"(({sb}) - (({s}) / n) * ({s})) AS ssb",
+        f"(CAST(sq AS DOUBLE) - (({s}) / n) * ({s})) AS sst",
+        f"CASE WHEN (CAST(sq AS DOUBLE) - (({s}) / n) * ({s})) > 0.0"
+        f" THEN (({sb}) - (({s}) / n) * ({s}))"
+        f" / (CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))"
+        " ELSE NULL END AS eta2",
+    )
+
+
+def _sql_seasonal_strength() -> str:
+    sb = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN (CAST(s{i} AS DOUBLE) / n{i})"
+        f" * CAST(s{i} AS DOUBLE) ELSE 0.0 END)"
+        for i in range(1, 8)
+    )
+    s = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(1, 8))
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN dow = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{i + 1},\n"
+        f"           SUM(CASE WHEN dow = {i} THEN v ELSE 0 END) AS s{i + 1}"
+        for i in range(7)
+    )
+    return f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS v
+    FROM orders GROUP BY 1
+  ),
+  d AS (SELECT (day + 4) % 7 AS dow, v FROM daily),
+  agg AS (
+    SELECT COUNT(*) AS n, SUM(CAST(v AS HUGEINT) * v) AS sq,
+           {cases}
+    FROM d
+  )
+  SELECT CAST(n AS BIGINT) AS n_days,
+         (({sb}) - (({s}) / n) * ({s})) AS ssb,
+         (CAST(sq AS DOUBLE) - (({s}) / n) * ({s})) AS sst,
+         CASE WHEN (CAST(sq AS DOUBLE) - (({s}) / n) * ({s})) > 0.0
+              THEN (({sb}) - (({s}) / n) * ({s}))
+              / (CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))
+              ELSE NULL END AS eta2
+  FROM agg
+"""
+
+
+ORACLE["q_seasonal_strength"] = _sql_seasonal_strength()

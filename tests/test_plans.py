@@ -1180,3 +1180,10 @@ def test_peak_days_bounded_window(spark, sf_dir):
     assert not audit.has_cartesian(df)
     # orders scan pruned to (date, price)
     assert all("o_orderpriority" not in s for s in audit.read_schemas(df))
+
+
+def test_seasonal_strength_two_aggregates(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_seasonal_strength")
+    assert not audit.has_cartesian(df)
+    # daily aggregate + the 1-row pivot: two exchanges, nothing more
+    assert audit.shuffle_count(df) <= 2

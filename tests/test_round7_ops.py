@@ -455,3 +455,45 @@ def test_peak_days_vs_naive(spark, tmp_path):
         for r_ in q_peak_days(spark, str(tmp_path)).collect()
     ]
     assert got == want
+
+
+def test_seasonal_strength_vs_textbook(spark, tmp_path):
+    """eta² equals the textbook SSB/SST over DOW groups computed with
+    Python ints/floats in the same fixed term order."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.stats import q_seasonal_strength
+
+    r = _rng()
+    base = dt.date(1998, 1, 6)
+    rows, daily = [], {}
+    oid = 0
+    for d in range(140):
+        # strong weekend lift so eta2 is decidedly non-zero
+        lift = 3 if (d + 2) % 7 in (0, 6) else 1
+        for _ in range(r.randrange(1, 4) * lift):
+            v = r.randrange(1000, 300000) / 100.0
+            rows.append((oid, base + dt.timedelta(days=d), v))
+            oid += 1
+            k = (base + dt.timedelta(days=d) - dt.date(1970, 1, 1)).days
+            daily[k] = daily.get(k, 0) + round(v * SCALE)
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate date, o_totalprice double")
+    row = q_seasonal_strength(spark, str(tmp_path)).collect()[0]
+    groups = {i: [] for i in range(7)}
+    for day, v in daily.items():
+        groups[(day + 4) % 7].append(v)
+    n = len(daily)
+    sq = sum(v * v for v in daily.values())
+    sb = 0.0
+    for i in range(7):
+        g = groups[i]
+        if g:
+            sb += (float(sum(g)) / len(g)) * float(sum(g))
+    s = sum(float(sum(groups[i])) for i in range(7))
+    ssb = sb - (s / n) * s
+    sst = float(sq) - (s / n) * s
+    assert row.n_days == n
+    assert row.ssb == pytest.approx(ssb, rel=1e-12)
+    assert row.sst == pytest.approx(sst, rel=1e-12)
+    assert row.eta2 == pytest.approx(ssb / sst, rel=1e-12)
+    assert row.eta2 > 0.3  # the injected weekend lift is visible
