@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_vocab_growth": corpus.t_vocab_growth,
         "q_peak_days": timeseries.q_peak_days,
         "q_seasonal_strength": stats.q_seasonal_strength,
+        "s_silhouette": docs_ext.s_silhouette,
     }
     return q
 

@@ -4184,3 +4184,138 @@ def _assign_oracle() -> str:
 
 
 ORACLE["s_centroid_assign"] = _assign_oracle()
+
+
+# -- simplified silhouette (squared distances, exact) --------------------------
+
+
+def s_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label on SQUARED euclidean distances
+    — the cluster-quality read that complements s_centroid_purity
+    (purity counts win/lose verdicts; silhouette measures HOW
+    separated, in [-1e6, 1e6] ppm): per vector a² = dist² to the own-
+    label centroid, b² = min dist² to any other centroid, sil =
+    (b² − a²)/max(a², b²). The squared-distance variant keeps every
+    operand an exact integer (no sqrt anywhere), so the oracle
+    reproduces each per-vector score bit-for-bit.
+
+    Shares ``purity_state`` with s_centroid_purity/stream_centroid_
+    purity; centroids quantize here at the FULL vector scale (s div n
+    — silhouette differences need the extra digit the purity
+    comparator trades away). dist² = Σ(v−c)² ≤ 64·(2e6)² ≈ 2.6e14
+    (bigint-exact); the ppm closes through DECIMAL(38)/HUGEINT.
+    Scale shape: broadcast |labels| centroid arrays → row-local dist²
+    fold → per-vector min/argmin via conditional aggregates — no
+    window, no shuffle beyond the state build and the ≤|labels| rollup.
+    """
+    from locopy_spark.queries.trends import _signed_ratio
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = purity_state(emb)
+    cq = _signed_ratio("s", "n", 1, "div")
+    cent = state.select(
+        F.col("label").alias("clabel"),
+        "dim_idx",
+        F.expr(f"cast({cq} as bigint)").alias("c_q"),
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim_idx, c_q))),"
+            " p -> p.c_q)"
+        ).alias("carr")
+    )
+    vq = (
+        f"transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {PURITY_V_SCALE} + 0.5) as bigint))"
+    )
+    d2 = (
+        "aggregate(zip_with(vqa, carr, (x, c) -> (x - c) * (x - c)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    dists = (
+        emb.select("vec_id", "label", F.expr(vq).alias("vqa"))
+        .join(F.broadcast(cent_arr))
+        .select("vec_id", "label", "clabel", F.expr(d2).alias("d2"))
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.expr("min(case when clabel = label then d2 end)").alias("a2"),
+        F.expr("min(case when clabel != label then d2 end)").alias("b2"),
+    )
+    # both ratios can be NEGATIVE (a poorly separated label), so they
+    # route through the _signed_ratio round-toward-zero device — raw
+    # div/// diverge on negative operands (Spark truncates, DuckDB
+    # floors)
+    ppm = _signed_ratio(
+        "cast(b2 - a2 as decimal(38,0))",
+        "greatest(greatest(a2, b2), 1)",
+        1_000_000,
+        "div",
+    )
+    mean = _signed_ratio(
+        "sum(cast(sil_ppm as decimal(38,0)))", "count(1)", 1, "div"
+    )
+    sil = per_vec.select(
+        "label", F.expr(f"cast({ppm} as bigint)").alias("sil_ppm")
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(f"cast({mean} as bigint)").alias("mean_sil_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _silhouette_oracle() -> str:
+    from locopy_spark.queries.trends import _signed_ratio
+
+    cq = _signed_ratio("s", "n", 1, "//")
+    ppm = _signed_ratio(
+        "CAST(b2 - a2 AS HUGEINT)",
+        "GREATEST(GREATEST(a2, b2), 1)",
+        1_000_000,
+        "//",
+    )
+    mean = _signed_ratio(
+        "SUM(CAST(sil_ppm AS HUGEINT))", "COUNT(*)", 1, "//"
+    )
+    return f"""
+  WITH ex AS MATERIALIZED (
+    SELECT vec_id, label, i AS dim_idx,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {PURITY_V_SCALE}
+                      + 0.5) AS BIGINT) AS v_q
+    FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+  ),
+  craw AS (
+    SELECT label AS clabel, dim_idx,
+           SUM(CAST(v_q AS HUGEINT)) AS s, COUNT(*) AS n
+    FROM ex GROUP BY 1, 2
+  ),
+  cent AS MATERIALIZED (
+    SELECT clabel, dim_idx, CAST({cq} AS BIGINT) AS c_q FROM craw
+  ),
+  dists AS (
+    SELECT ex.vec_id, ex.label, cent.clabel,
+           CAST(SUM((ex.v_q - cent.c_q) * (ex.v_q - cent.c_q))
+                AS BIGINT) AS d2
+    FROM ex JOIN cent USING (dim_idx) GROUP BY 1, 2, 3
+  ),
+  per_vec AS (
+    SELECT vec_id, label,
+           MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+           MIN(CASE WHEN clabel != label THEN d2 END) AS b2
+    FROM dists GROUP BY 1, 2
+  ),
+  sil AS (
+    SELECT label,
+           CAST({ppm} AS BIGINT) AS sil_ppm
+    FROM per_vec
+  )
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST({mean} AS BIGINT) AS mean_sil_ppm
+  FROM sil GROUP BY 1 ORDER BY label
+"""
+
+
+ORACLE["s_silhouette"] = _silhouette_oracle()

@@ -1187,3 +1187,10 @@ def test_seasonal_strength_two_aggregates(spark, sf_dir):
     assert not audit.has_cartesian(df)
     # daily aggregate + the 1-row pivot: two exchanges, nothing more
     assert audit.shuffle_count(df) <= 2
+
+
+def test_silhouette_broadcast_no_window(spark, sf_dir):
+    df = _q(spark, sf_dir, "s_silhouette")
+    assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)
+    assert not audit.has_cartesian(df)
+    assert "Window" not in audit.simple_plan(df)

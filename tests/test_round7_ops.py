@@ -497,3 +497,62 @@ def test_seasonal_strength_vs_textbook(spark, tmp_path):
     assert row.sst == pytest.approx(sst, rel=1e-12)
     assert row.eta2 == pytest.approx(ssb / sst, rel=1e-12)
     assert row.eta2 > 0.3  # the injected weekend lift is visible
+
+
+def test_silhouette_vs_naive_including_negative(spark, tmp_path):
+    """Per-label mean simplified silhouette (squared distances, exact
+    ppm with round-toward-zero signs) equals a Python replay — on data
+    engineered so one label's vectors sit INSIDE another's region,
+    forcing negative silhouettes through the signed-ratio path."""
+    import math
+
+    import numpy as np
+
+    from locopy_spark.queries.docs_ext import PURITY_V_SCALE, s_silhouette
+
+    r = _rng()
+    dim = 8
+    rows = []
+    vecs = {}
+    vid = 0
+    # label 0: tight cluster at +1; label 1: tight cluster at -1;
+    # label 2: sprinkled INSIDE label 0's region -> negative sil
+    for lab, center, n in ((0, 1.0, 25), (1, -1.0, 25), (2, 1.0, 12)):
+        for _ in range(n):
+            v = [float(np.float32(center + r.uniform(-0.05, 0.05)))
+                 for _ in range(dim)]
+            vecs[vid] = (lab, v)
+            rows.append((vid, lab, v))
+            vid += 1
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id long, label int, embedding array<float>")
+    qv = {i: [math.floor(x * PURITY_V_SCALE + 0.5) for x in v]
+          for i, (_, v) in vecs.items()}
+
+    def tz(num, den):  # round-toward-zero
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    labs = sorted({l for l, _ in vecs.values()})
+    cents = {}
+    for lab in labs:
+        mem = [qv[i] for i, (l, _) in vecs.items() if l == lab]
+        cents[lab] = [tz(sum(m[d] for m in mem), len(mem))
+                      for d in range(dim)]
+    per_label = {}
+    for i, (lab, _) in vecs.items():
+        d2 = {cl: sum((x - c) ** 2 for x, c in zip(qv[i], cents[cl]))
+              for cl in labs}
+        a2 = d2[lab]
+        b2 = min(v for cl, v in d2.items() if cl != lab)
+        sil = tz((b2 - a2) * 10**6, max(max(a2, b2), 1))
+        per_label.setdefault(lab, []).append(sil)
+    want = {
+        lab: (len(v), tz(sum(v), len(v))) for lab, v in per_label.items()
+    }
+    assert any(s < 0 for s in per_label[2]), "test data must force negatives"
+    got = {
+        r_.label: (r_.n_vecs, r_.mean_sil_ppm)
+        for r_ in s_silhouette(spark, str(tmp_path)).collect()
+    }
+    assert got == want
