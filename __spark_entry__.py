@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak_days": timeseries.q_peak_days,
         "q_seasonal_strength": stats.q_seasonal_strength,
         "s_silhouette": docs_ext.s_silhouette,
+        "q_value_migration": tpch_ext.q_value_migration,
     }
     return q
 

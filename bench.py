@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "q_peak_days",
     "q_seasonal_strength",
     "s_silhouette",
+    "q_value_migration",
     # round 7: the 100x-scale deployment shape for the graph family —
     # materialize the co-purchase edge list ONCE as a bucketed table,
     # then run every consumer against it. Driver keys (q_pagerank etc.)

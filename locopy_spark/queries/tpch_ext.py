@@ -1892,3 +1892,106 @@ ORACLE["q_fulfillment_lag"] = """
            AS share_ppm
   FROM cells ORDER BY o_orderpriority, lag_days
 """
+
+
+# -- customer value-decile migration -------------------------------------------
+
+
+def q_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer value migration: for every pair of
+    consecutive years, the 10×10 transition matrix of revenue deciles
+    (customers active in BOTH years), with exact ppm row shares — the
+    "are my top customers staying top" BI read that a static decile
+    table (q_value_deciles) can't answer.
+
+    Exactness: per-(customer, year) revenue is exact scaled cents; the
+    within-year decile comes from the range-partitioned grouped rank
+    ((rn−1)·10 div n + 1 — the q_lorenz_curve device, no
+    one-task-per-year window); shares are ppm floor divisions.
+    Scale shape: one partial-aggregated scan to the |customers ×
+    years| state, ONE self-equi-join on (custkey, adjacent year) —
+    both sides already co-keyed — then the |years × 100|-bounded
+    rollup with a broadcast row-total join."""
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        "o_custkey",
+        F.expr("year(cast(o_orderdate as date))").alias("yr"),
+    ).agg(
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("rev_c")
+    )
+    ranked = grouped_global_row_number(
+        rev,
+        group_cols=["yr"],
+        order_cols=["rev_c", "o_custkey"],
+        out_col="rn",
+        size_col="n",
+    ).select(
+        "o_custkey",
+        "yr",
+        F.expr("(rn - 1) * 10 div n + 1").alias("dec"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cells = (
+        a.join(
+            b,
+            F.expr("a.o_custkey = b.o_custkey AND b.yr = a.yr + 1"),
+        )
+        .select(
+            F.expr("a.yr").alias("year_from"),
+            F.expr("a.dec").alias("dec_from"),
+            F.expr("b.dec").alias("dec_to"),
+        )
+        .groupBy("year_from", "dec_from", "dec_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = cells.groupBy("year_from", "dec_from").agg(
+        F.sum("n_customers").alias("n_row")
+    )
+    return (
+        cells.join(F.broadcast(tot), ["year_from", "dec_from"])
+        .selectExpr(
+            "cast(year_from as bigint) as year_from",
+            "dec_from",
+            "dec_to",
+            "n_customers",
+            "n_customers * 1000000 div n_row as share_ppm",
+        )
+        .orderBy("year_from", "dec_from", "dec_to")
+    )
+
+
+ORACLE["q_value_migration"] = f"""
+  WITH rev AS (
+    SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1, 2
+  ),
+  ranked AS (
+    SELECT o_custkey, yr,
+           (ROW_NUMBER() OVER (
+              PARTITION BY yr ORDER BY rev_c, o_custkey
+            ) - 1) * 10
+             // COUNT(*) OVER (PARTITION BY yr) + 1 AS dec
+    FROM rev
+  ),
+  cells AS (
+    SELECT a.yr AS year_from, a.dec AS dec_from, b.dec AS dec_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM ranked a JOIN ranked b
+      ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    GROUP BY 1, 2, 3
+  )
+  SELECT CAST(year_from AS BIGINT) AS year_from,
+         CAST(dec_from AS BIGINT) AS dec_from,
+         CAST(dec_to AS BIGINT) AS dec_to,
+         n_customers,
+         CAST(n_customers * 1000000 //
+              SUM(n_customers) OVER (PARTITION BY year_from, dec_from)
+              AS BIGINT) AS share_ppm
+  FROM cells ORDER BY year_from, dec_from, dec_to
+"""

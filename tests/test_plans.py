@@ -1194,3 +1194,10 @@ def test_silhouette_broadcast_no_window(spark, sf_dir):
     assert audit.has_broadcast_join(df) or audit.has_broadcast_nested_loop(df)
     assert not audit.has_cartesian(df)
     assert "Window" not in audit.simple_plan(df)
+
+
+def test_value_migration_plan(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_value_migration")
+    assert not audit.has_cartesian(df)
+    # orders pruned to (custkey, date, price)
+    assert all("o_orderpriority" not in s for s in audit.read_schemas(df))

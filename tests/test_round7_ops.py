@@ -556,3 +556,49 @@ def test_silhouette_vs_naive_including_negative(spark, tmp_path):
         for r_ in s_silhouette(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_value_migration_vs_naive(spark, tmp_path):
+    """Transition cells and row shares equal a Python replay of the
+    within-year decile assignment and adjacent-year join."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.tpch_ext import q_value_migration
+
+    r = _rng()
+    rows = []
+    rev = {}
+    for cust in range(90):
+        for yr in (1995, 1996, 1997):
+            if r.random() < 0.3:
+                continue  # inactive year: drops out of that matrix
+            for _ in range(r.randrange(1, 4)):
+                v = r.randrange(100, 80000) / 100.0
+                rows.append((cust, dt.date(yr, 1 + r.randrange(12), 5), v))
+                rev[(cust, yr)] = rev.get((cust, yr), 0) + round(v * SCALE)
+    _write(spark, tmp_path, "orders", rows,
+           "o_custkey long, o_orderdate date, o_totalprice double")
+    dec = {}
+    for yr in (1995, 1996, 1997):
+        members = sorted(
+            (v, c) for (c, y), v in rev.items() if y == yr
+        )
+        n = len(members)
+        for i, (_, c) in enumerate(members):
+            dec[(c, yr)] = i * 10 // n + 1
+    cells = {}
+    for (c, yr), d_from in dec.items():
+        d_to = dec.get((c, yr + 1))
+        if d_to is not None:
+            k = (yr, d_from, d_to)
+            cells[k] = cells.get(k, 0) + 1
+    tot = {}
+    for (yr, df_, _), n in cells.items():
+        tot[(yr, df_)] = tot.get((yr, df_), 0) + n
+    want = {
+        k: (n, n * 10**6 // tot[(k[0], k[1])]) for k, n in cells.items()
+    }
+    got = {
+        (r_.year_from, r_.dec_from, r_.dec_to): (r_.n_customers, r_.share_ppm)
+        for r_ in q_value_migration(spark, str(tmp_path)).collect()
+    }
+    assert got == want
