@@ -94,6 +94,23 @@ def main() -> int:
                 f"lockstep violation: {job}'s batch twin {twin} has no "
                 "driver CORRECTNESS row and is outside the current window"
             )
+    # Streaming drift: every §2.4 row names a real job function and
+    # every stream_* function in the streaming package has a §2.4 row.
+    import locopy_spark.streaming.jobs as sjobs
+    import locopy_spark.streaming.stateful as sstate
+
+    defined = {
+        n
+        for mod in (sjobs, sstate)
+        for n in dir(mod)
+        if n.startswith("stream_") and callable(getattr(mod, n))
+    }
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
+    rows24 = set(re.findall(r"^\| (stream_\w+) \|", text, re.M))
+    for k in sorted(rows24 - defined):
+        problems.append(f"SURVEY §2.4 row without a streaming function: {k}")
+    for k in sorted(defined - rows24):
+        problems.append(f"streaming function missing from SURVEY §2.4: {k}")
     # Bench manifest: every queries() key is either benched or carries
     # an explicit one-word exclusion reason; never both.
     import bench as benchmod
