@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_strength": stats.q_seasonal_strength,
         "s_silhouette": docs_ext.s_silhouette,
         "q_value_migration": tpch_ext.q_value_migration,
+        "q_street_vs_list": tpch_ext.q_street_vs_list,
+        "q_basket_size_dist": tpch.q_basket_size_dist,
     }
     return q
 

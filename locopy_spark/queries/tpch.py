@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from locopy_spark.functions.numeric import (
+    SCALE,
     exact_sum,
     sql_exact_sum,
 )
@@ -462,3 +463,63 @@ ORACLE: dict[str, str] = {
         ORDER BY l_returnflag
     """,
 }
+
+
+# -- basket size distribution ---------------------------------------------------
+
+
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Units-per-transaction distribution: how many line items do
+    orders carry, with exact ppm shares and the average order value
+    per basket size — the assortment/bundling read next to
+    q_market_basket's pair affinities (sizes say WHETHER baskets are
+    multi-item; pairs say WHAT co-occurs).
+
+    ONE co-partitioned equi-join of the per-order line count (a
+    partial-aggregated |orders|-sized state) with orders on the order
+    key, then the ≤\|max size\|-bounded rollup; value sums are exact
+    scaled bigints, shares one ppm floor division, the average the
+    exact-sum/count double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sizes = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    cells = (
+        o.join(sizes, o.o_orderkey == sizes.l_orderkey)
+        .groupBy("n_items")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+            ).alias("val_c"),
+        )
+    )
+    tot = cells.agg(F.sum("n_orders").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_items",
+            "n_orders",
+            "n_orders * 1000000 div n_total as share_ppm",
+            f"CAST(val_c AS DOUBLE) / {SCALE}.0 / n_orders AS avg_value",
+        )
+        .orderBy("n_items")
+    )
+
+
+ORACLE["q_basket_size_dist"] = f"""
+  WITH sizes AS (
+    SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+  ),
+  cells AS (
+    SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS val_c
+    FROM orders JOIN sizes ON o_orderkey = l_orderkey
+    GROUP BY 1
+  )
+  SELECT CAST(n_items AS BIGINT) AS n_items, n_orders,
+         CAST(n_orders * 1000000 //
+              (SELECT SUM(n_orders) FROM cells) AS BIGINT) AS share_ppm,
+         CAST(val_c AS DOUBLE) / {SCALE}.0 / n_orders AS avg_value
+  FROM cells ORDER BY n_items
+"""

@@ -1995,3 +1995,76 @@ ORACLE["q_value_migration"] = f"""
               AS BIGINT) AS share_ppm
   FROM cells ORDER BY year_from, dec_from, dec_to
 """
+
+
+# -- street price vs list price -------------------------------------------------
+
+SVL_BAND_PPM = 100_000  # 10%-wide deviation bands
+SVL_MAX_BAND = 20
+
+
+def q_street_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Street-vs-list price audit per brand: the distribution of
+    realized unit price as a share of the part's list (retail) price,
+    in 10%-wide ppm bands — the pricing-integrity read that catches a
+    brand quietly selling far under list (channel leakage) or over it
+    (stale list prices).
+
+    Exactness: unit price closes as floor(extended/quantity·100+0.5)
+    — double divide, scale, round-half-up floor, every step a
+    correctly-rounded IEEE op identical cross-engine (the
+    functions/vectors.py device); the deviation is one non-negative
+    ppm floor division against the scaled list price, the band a
+    second. Scale shape: ONE lineitem×part equi-join on the part key
+    (dimension broadcasts at bench SF; co-partitions/buckets at 100x),
+    then the \|brands × 21\|-bounded rollup with broadcast brand
+    totals."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cells = (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+            l.l_partkey == p.p_partkey,
+        )
+        .select(
+            "p_brand",
+            F.expr(
+                "least(cast(cast(floor(l_extendedprice / l_quantity * 100"
+                " + 0.5) as bigint) * 1000000"
+                f" div cast(floor(p_retailprice * 100 + 0.5) as bigint)"
+                f" div {SVL_BAND_PPM} as bigint), {SVL_MAX_BAND})"
+            ).alias("band"),
+        )
+        .groupBy("p_brand", "band")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    tot = cells.groupBy("p_brand").agg(F.sum("n_lines").alias("n_brand"))
+    return (
+        cells.join(F.broadcast(tot), "p_brand")
+        .selectExpr(
+            "p_brand",
+            "band",
+            "n_lines",
+            "n_lines * 1000000 div n_brand as share_ppm",
+        )
+        .orderBy("p_brand", "band")
+    )
+
+
+ORACLE["q_street_vs_list"] = f"""
+  WITH cells AS (
+    SELECT p_brand,
+           LEAST(CAST(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
+                           AS BIGINT) * 1000000
+                      // CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                      // {SVL_BAND_PPM} AS BIGINT), {SVL_MAX_BAND}) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+  )
+  SELECT p_brand, band, n_lines,
+         CAST(n_lines * 1000000 //
+              SUM(n_lines) OVER (PARTITION BY p_brand) AS BIGINT)
+           AS share_ppm
+  FROM cells ORDER BY p_brand, band
+"""

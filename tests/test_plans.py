@@ -1201,3 +1201,17 @@ def test_value_migration_plan(spark, sf_dir):
     assert not audit.has_cartesian(df)
     # orders pruned to (custkey, date, price)
     assert all("o_orderpriority" not in s for s in audit.read_schemas(df))
+
+
+def test_street_vs_list_broadcast(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_street_vs_list")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+    # part scan pruned to key/brand/retail
+    assert all("p_type" not in s for s in audit.read_schemas(df))
+
+
+def test_basket_size_dist_single_join(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_basket_size_dist")
+    assert not audit.has_cartesian(df)
+    assert all("l_extendedprice" not in s for s in audit.read_schemas(df))

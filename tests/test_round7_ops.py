@@ -602,3 +602,79 @@ def test_value_migration_vs_naive(spark, tmp_path):
         for r_ in q_value_migration(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_street_vs_list_vs_naive(spark, tmp_path):
+    """Deviation bands and shares equal a Python replay of the
+    rounded-unit-price / list-price ppm pipeline."""
+    import math
+
+    from locopy_spark.queries.tpch_ext import (
+        SVL_BAND_PPM,
+        SVL_MAX_BAND,
+        q_street_vs_list,
+    )
+
+    r = _rng()
+    parts, lines = [], []
+    cells = {}
+    for pk in range(40):
+        brand = f"B{pk % 3}"
+        retail = r.randrange(1000, 90000) / 100.0
+        parts.append((pk, brand, retail))
+        for _ in range(r.randrange(1, 5)):
+            qty = r.randrange(1, 9)
+            ext = round(qty * retail * r.uniform(0.4, 1.6), 2)
+            lines.append((pk, float(qty), ext))
+            u_c = math.floor(ext / qty * 100 + 0.5)
+            ret_c = math.floor(retail * 100 + 0.5)
+            band = min(u_c * 10**6 // ret_c // SVL_BAND_PPM, SVL_MAX_BAND)
+            cells[(brand, band)] = cells.get((brand, band), 0) + 1
+    _write(spark, tmp_path, "part", parts,
+           "p_partkey long, p_brand string, p_retailprice double")
+    _write(spark, tmp_path, "lineitem", lines,
+           "l_partkey long, l_quantity double, l_extendedprice double")
+    tot = {}
+    for (b, _), n in cells.items():
+        tot[b] = tot.get(b, 0) + n
+    want = {k: (n, n * 10**6 // tot[k[0]]) for k, n in cells.items()}
+    got = {
+        (r_.p_brand, r_.band): (r_.n_lines, r_.share_ppm)
+        for r_ in q_street_vs_list(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+def test_basket_size_dist_vs_naive(spark, tmp_path):
+    """Size cells, shares, and average values equal a Python sweep."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.tpch import q_basket_size_dist
+
+    r = _rng()
+    orders, lines = [], []
+    agg = {}
+    for ok in range(150):
+        n_items = r.randrange(1, 8)
+        price = r.randrange(1000, 500000) / 100.0
+        orders.append((ok, price))
+        for j in range(n_items):
+            lines.append((ok, j))
+        n, v = agg.get(n_items, (0, 0))
+        agg[n_items] = (n + 1, v + round(price * SCALE))
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_totalprice double")
+    _write(spark, tmp_path, "lineitem", lines,
+           "l_orderkey long, l_linenumber int")
+    total = sum(n for n, _ in agg.values())
+    want = {
+        k: (n, n * 10**6 // total, v / SCALE / n)
+        for k, (n, v) in agg.items()
+    }
+    got = {
+        r_.n_items: (r_.n_orders, r_.share_ppm, r_.avg_value)
+        for r_ in q_basket_size_dist(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert got[k][2] == pytest.approx(want[k][2], rel=1e-12), k
