@@ -2068,3 +2068,120 @@ ORACLE["q_street_vs_list"] = f"""
            AS share_ppm
   FROM cells ORDER BY p_brand, band
 """
+
+
+# -- price-volume-mix revenue bridge ---------------------------------------------
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand (price-volume-mix): the
+    finance decomposition ΔRev = volume effect + price effect +
+    residual between the LAST TWO years in the data — "did we sell
+    more units, or the same units dearer?", the first question any
+    revenue review asks of a delta.
+
+    Standard PVM convention: volume = (q₂−q₁)·p₁, price = q₂·(p₂−p₁),
+    residual = Δ − volume − price (closes EXACTLY by construction —
+    the floor dropped by the integer unit prices lands in the
+    residual, identically on both engines). Revenue is exact
+    discounted cents; unit prices are floor divisions guarded for
+    brands absent in a year (q=0 → effects NULL, the 'new'/'exit'
+    rows). One partial-aggregated lineitem scan with a broadcast part
+    join to the |brands × 2| state; the bridge is a self-join of that
+    bounded table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    by = (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            l.l_partkey == p.p_partkey,
+        )
+        .groupBy(
+            "p_brand",
+            F.expr("year(cast(l_shipdate as date))").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount) * 100"
+                    " + 0.5) as bigint)"
+                )
+            ).alias("rev_c"),
+            F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias(
+                "qty"
+            ),
+        )
+    )
+    yrs = by.agg(F.max("yr").alias("y2")).select(
+        "y2", F.expr("y2 - 1").alias("y1")
+    )
+    a = by.crossJoin(F.broadcast(yrs)).filter("yr = y1").select(
+        "p_brand", F.col("rev_c").alias("rev1_c"), F.col("qty").alias("q1")
+    )
+    b = by.crossJoin(F.broadcast(yrs)).filter("yr = y2").select(
+        "p_brand", F.col("rev_c").alias("rev2_c"), F.col("qty").alias("q2")
+    )
+    both = a.join(b, "p_brand", "full_outer").select(
+        "p_brand",
+        F.expr("coalesce(rev1_c, 0)").alias("rev1_c"),
+        F.expr("coalesce(q1, 0)").alias("q1"),
+        F.expr("coalesce(rev2_c, 0)").alias("rev2_c"),
+        F.expr("coalesce(q2, 0)").alias("q2"),
+    )
+    return (
+        both.selectExpr(
+            "p_brand",
+            "rev1_c",
+            "rev2_c",
+            "rev2_c - rev1_c as delta_c",
+            "case when q1 > 0 and q2 > 0 then"
+            " (q2 - q1) * (rev1_c div q1) end as volume_c",
+            "case when q1 > 0 and q2 > 0 then"
+            " q2 * (rev2_c div q2 - rev1_c div q1) end as price_c",
+            "case when q1 > 0 and q2 > 0 then"
+            " (rev2_c - rev1_c) - (q2 - q1) * (rev1_c div q1)"
+            " - q2 * (rev2_c div q2 - rev1_c div q1) end as residual_c",
+            "case when q1 = 0 then 'new' when q2 = 0 then 'exit'"
+            " else 'continuing' end as bridge_class",
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE["q_revenue_bridge"] = """
+  WITH by_y AS (
+    SELECT p_brand, year(CAST(l_shipdate AS DATE)) AS yr,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+  ),
+  yrs AS (SELECT MAX(yr) AS y2, MAX(yr) - 1 AS y1 FROM by_y),
+  a AS (
+    SELECT p_brand, rev_c AS rev1_c, qty AS q1
+    FROM by_y, yrs WHERE yr = y1
+  ),
+  b AS (
+    SELECT p_brand, rev_c AS rev2_c, qty AS q2
+    FROM by_y, yrs WHERE yr = y2
+  ),
+  pair AS (
+    SELECT COALESCE(a.p_brand, b.p_brand) AS p_brand,
+           COALESCE(rev1_c, 0) AS rev1_c, COALESCE(q1, 0) AS q1,
+           COALESCE(rev2_c, 0) AS rev2_c, COALESCE(q2, 0) AS q2
+    FROM a FULL OUTER JOIN b ON a.p_brand = b.p_brand
+  )
+  SELECT p_brand, rev1_c, rev2_c, rev2_c - rev1_c AS delta_c,
+         CASE WHEN q1 > 0 AND q2 > 0 THEN
+           (q2 - q1) * (rev1_c // q1) END AS volume_c,
+         CASE WHEN q1 > 0 AND q2 > 0 THEN
+           q2 * (rev2_c // q2 - rev1_c // q1) END AS price_c,
+         CASE WHEN q1 > 0 AND q2 > 0 THEN
+           (rev2_c - rev1_c) - (q2 - q1) * (rev1_c // q1)
+           - q2 * (rev2_c // q2 - rev1_c // q1) END AS residual_c,
+         CASE WHEN q1 = 0 THEN 'new' WHEN q2 = 0 THEN 'exit'
+              ELSE 'continuing' END AS bridge_class
+  FROM pair ORDER BY p_brand
+"""

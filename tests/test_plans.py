@@ -1215,3 +1215,9 @@ def test_basket_size_dist_single_join(spark, sf_dir):
     df = _q(spark, sf_dir, "q_basket_size_dist")
     assert not audit.has_cartesian(df)
     assert all("l_extendedprice" not in s for s in audit.read_schemas(df))
+
+
+def test_revenue_bridge_broadcast(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_revenue_bridge")
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)

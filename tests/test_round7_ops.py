@@ -678,3 +678,56 @@ def test_basket_size_dist_vs_naive(spark, tmp_path):
     for k in want:
         assert got[k][:2] == want[k][:2], k
         assert got[k][2] == pytest.approx(want[k][2], rel=1e-12), k
+
+
+def test_revenue_bridge_vs_naive_and_closure(spark, tmp_path):
+    """PVM effects equal a Python replay AND the decomposition closes
+    exactly: delta == volume + price + residual for every continuing
+    brand (the floor slack lands in the residual by construction)."""
+    from locopy_spark.queries.tpch_ext import q_revenue_bridge
+
+    r = _rng()
+    parts, lines = [], []
+    per = {}
+    for pk in range(30):
+        brand = f"B{pk % 4}"
+        parts.append((pk, brand))
+        for yr in (1996, 1997):
+            if brand == "B3" and yr == 1997:
+                continue  # exit brand
+            for _ in range(r.randrange(1, 4)):
+                qty = r.randrange(1, 20)
+                ext = r.randrange(1000, 400000) / 100.0
+                disc = r.randrange(0, 10) / 100.0
+                lines.append(
+                    (pk, float(qty), ext, disc, dt.date(yr, 6, 15))
+                )
+                rev_c, q = per.get((brand, yr), (0, 0))
+                import math
+                per[(brand, yr)] = (
+                    rev_c + math.floor(ext * (1 - disc) * 100 + 0.5),
+                    q + qty,
+                )
+    _write(spark, tmp_path, "part", parts, "p_partkey long, p_brand string")
+    _write(spark, tmp_path, "lineitem", lines,
+           "l_partkey long, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_shipdate date")
+    rows = {r_.p_brand: r_ for r_ in q_revenue_bridge(spark, str(tmp_path)).collect()}
+    brands = sorted({b for b, _ in per})
+    assert set(rows) == set(brands)
+    for b in brands:
+        r1, q1 = per.get((b, 1996), (0, 0))
+        r2, q2 = per.get((b, 1997), (0, 0))
+        row = rows[b]
+        assert (row.rev1_c, row.rev2_c, row.delta_c) == (r1, r2, r2 - r1)
+        if q1 > 0 and q2 > 0:
+            vol = (q2 - q1) * (r1 // q1)
+            price = q2 * (r2 // q2 - r1 // q1)
+            assert (row.volume_c, row.price_c) == (vol, price)
+            assert row.residual_c == (r2 - r1) - vol - price
+            assert row.delta_c == row.volume_c + row.price_c + row.residual_c
+            assert row.bridge_class == "continuing"
+        elif q1 == 0:
+            assert row.bridge_class == "new"
+        else:
+            assert row.bridge_class == "exit"
