@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_street_vs_list": tpch_ext.q_street_vs_list,
         "q_basket_size_dist": tpch.q_basket_size_dist,
         "q_revenue_bridge": tpch_ext.q_revenue_bridge,
+        "q_drawdown": timeseries.q_drawdown,
     }
     return q
 

@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "q_street_vs_list",
     "q_basket_size_dist",
     "q_revenue_bridge",
+    "q_drawdown",
     # round 7: the 100x-scale deployment shape for the graph family —
     # materialize the co-purchase edge list ONCE as a bucketed table,
     # then run every consumer against it. Driver keys (q_pagerank etc.)

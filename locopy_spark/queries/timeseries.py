@@ -879,3 +879,119 @@ ORACLE["q_peak_days"] = f"""
     AND rev_c * 100 > {PEAK_PROM_PCT} * next_c
   ORDER BY day
 """
+
+
+# -- running-peak drawdown -------------------------------------------------------
+
+DRAWDOWN_BANDS = 10  # 10%-wide drawdown bands
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue drawdown profile: each day's shortfall against the
+    running PEAK daily revenue so far, as a 10-band histogram plus the
+    maximum drawdown and the longest under-peak streak — the
+    peak-to-trough read (finance drawdown applied to the revenue
+    series) that q_cusum/q_anomaly_days don't give: those flag shift
+    points; this quantifies how deep and how long below the best day.
+
+    All integer: daily revenue in exact cents, the running max over
+    the \|calendar days\|-bounded daily aggregate (the q_anomaly_days
+    bounded-window convention), drawdown_ppm one non-negative floor
+    division, bands a second. The streak is a classic gaps-and-islands
+    over the bounded table (row_number difference), exact. Output is
+    ONE row of summary + band columns via a bounded pivot — stable
+    schema at any SF."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("day")
+    ).agg(
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("rev_c")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "rev_c",
+        F.max("rev_c").over(w).alias("peak_c"),
+    ).select(
+        "day",
+        F.expr("(peak_c - rev_c) * 1000000 div peak_c").alias("dd_ppm"),
+    )
+    # longest consecutive-day under-peak streak via gaps-and-islands
+    under = dd.filter("dd_ppm > 0").select(
+        "day", F.expr("day - row_number() over (order by day)").alias("grp")
+    )
+    streak = under.groupBy("grp").agg(F.count(F.lit(1)).alias("len")).agg(
+        F.coalesce(F.max("len"), F.lit(0)).alias("longest_under_peak")
+    )
+    bands = dd.select(
+        F.expr(
+            f"least(dd_ppm div 100000, {DRAWDOWN_BANDS - 1})"
+        ).alias("band")
+    ).groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    pivot = bands.selectExpr(
+        *[
+            f"coalesce(max(case when band = {i} then n end), 0) as band{i}"
+            for i in range(DRAWDOWN_BANDS)
+        ]
+    )
+    summary = dd.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("dd_ppm").alias("max_dd_ppm"),
+    )
+    return summary.crossJoin(F.broadcast(streak)).crossJoin(
+        F.broadcast(pivot)
+    )
+
+
+def _sql_drawdown() -> str:
+    band_cols = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN band = {i} THEN n END), 0) AS band{i}"
+        for i in range(DRAWDOWN_BANDS)
+    )
+    return f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  dd AS (
+    SELECT day,
+           CAST((MAX(rev_c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) - rev_c) * 1000000
+                // MAX(rev_c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS dd_ppm
+    FROM daily
+  ),
+  under AS (
+    SELECT day, day - ROW_NUMBER() OVER (ORDER BY day) AS grp
+    FROM dd WHERE dd_ppm > 0
+  ),
+  streak AS (
+    SELECT CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest_under_peak
+    FROM (SELECT COUNT(*) AS len FROM under GROUP BY grp)
+  ),
+  bands AS (
+    SELECT LEAST(dd_ppm // 100000, {DRAWDOWN_BANDS - 1}) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dd GROUP BY 1
+  ),
+  bandcols AS (
+    SELECT {band_cols}
+    FROM bands
+  ),
+  summary AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(dd_ppm) AS BIGINT) AS max_dd_ppm
+    FROM dd
+  )
+  SELECT * FROM summary, streak, bandcols
+"""
+
+
+ORACLE["q_drawdown"] = _sql_drawdown()

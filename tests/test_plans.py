@@ -1221,3 +1221,9 @@ def test_revenue_bridge_broadcast(spark, sf_dir):
     df = _q(spark, sf_dir, "q_revenue_bridge")
     assert audit.has_broadcast_join(df)
     assert not audit.has_cartesian(df)
+
+
+def test_drawdown_bounded_window(spark, sf_dir):
+    df = _q(spark, sf_dir, "q_drawdown")
+    assert not audit.has_cartesian(df)
+    assert all("o_orderpriority" not in s for s in audit.read_schemas(df))

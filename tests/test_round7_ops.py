@@ -731,3 +731,42 @@ def test_revenue_bridge_vs_naive_and_closure(spark, tmp_path):
             assert row.bridge_class == "new"
         else:
             assert row.bridge_class == "exit"
+
+
+def test_drawdown_vs_naive(spark, tmp_path):
+    """Max drawdown, band histogram, and longest under-peak streak
+    equal a direct running-peak sweep."""
+    from locopy_spark.functions.numeric import SCALE
+    from locopy_spark.queries.timeseries import DRAWDOWN_BANDS, q_drawdown
+
+    r = _rng()
+    base = dt.date(1996, 3, 1)
+    rows, daily = [], {}
+    oid = 0
+    for d in range(90):
+        for _ in range(r.randrange(1, 4)):
+            v = r.randrange(500, 200000) / 100.0
+            rows.append((oid, base + dt.timedelta(days=d), v))
+            oid += 1
+            k = (base + dt.timedelta(days=d) - dt.date(1970, 1, 1)).days
+            daily[k] = daily.get(k, 0) + round(v * SCALE)
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate date, o_totalprice double")
+    days = sorted(daily)
+    peak, dd = 0, []
+    for d in days:
+        peak = max(peak, daily[d])
+        dd.append((peak - daily[d]) * 10**6 // peak)
+    bands = [0] * DRAWDOWN_BANDS
+    for x in dd:
+        bands[min(x // 100000, DRAWDOWN_BANDS - 1)] += 1
+    longest = cur = 0
+    for x in dd:
+        cur = cur + 1 if x > 0 else 0
+        longest = max(longest, cur)
+    row = q_drawdown(spark, str(tmp_path)).collect()[0]
+    assert row.n_days == len(days)
+    assert row.max_dd_ppm == max(dd)
+    assert row.longest_under_peak == longest
+    for i in range(DRAWDOWN_BANDS):
+        assert getattr(row, f"band{i}") == bands[i], i
