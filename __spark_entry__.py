@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_basket_size_dist": tpch.q_basket_size_dist,
         "q_revenue_bridge": tpch_ext.q_revenue_bridge,
         "q_drawdown": timeseries.q_drawdown,
+        "t_source_overlap": corpus.t_source_overlap,
+        "q_type_overlap": events_ext.q_type_overlap,
     }
     return q
 

@@ -285,6 +285,8 @@ BENCH_QUERIES = [
     "q_basket_size_dist",
     "q_revenue_bridge",
     "q_drawdown",
+    "t_source_overlap",
+    "q_type_overlap",
     # round 7: the 100x-scale deployment shape for the graph family —
     # materialize the co-purchase edge list ONCE as a bucketed table,
     # then run every consumer against it. Driver keys (q_pagerank etc.)

@@ -2102,3 +2102,86 @@ def _sql_vocab_growth() -> str:
 
 
 ORACLE["t_vocab_growth"] = _sql_vocab_growth()
+
+
+# -- source vocabulary overlap matrix ------------------------------------------
+
+
+def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (src_a < src_b) —
+    the "how redundant are my sources" matrix read BEFORE committing
+    mixture weights (two sources with 80% shared vocabulary buy less
+    diversity than their row counts suggest; d_source_dedup finds
+    shared DOCUMENTS, this finds shared LANGUAGE).
+
+    FOURTH finisher on the shared ``source_token_counts`` state (the
+    simpson/zipf/hapax scan — one corpus pass serves four reports,
+    and stream_simpson maintains the same state live): intersections
+    come from the token-level inverted pairing (each token contributes
+    its ≤|sources|² source pairs — never a vocab×vocab join), unions
+    by inclusion-exclusion from the |sources|-bounded vocab sizes,
+    Jaccard one exact ppm floor division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_report(source_token_counts(docs))
+
+
+def source_overlap_report(counts: DataFrame) -> DataFrame:
+    """Close the overlap matrix over the (source, tok, c) state."""
+    toks = counts.select("source", "tok")
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, F.expr("a.tok = b.tok AND a.source < b.source"))
+        .groupBy(
+            F.expr("a.source").alias("src_a"),
+            F.expr("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("v").alias("va"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("v").alias("vb"))),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "va + vb - n_shared as n_union",
+            "n_shared * 1000000 div (va + vb - n_shared) as jaccard_ppm",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _sql_source_overlap() -> str:
+    return f"""
+  WITH counts AS ({_sql_source_token_counts()}),
+  toks AS (SELECT DISTINCT source, tok FROM counts),
+  sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+            FROM toks GROUP BY 1),
+  inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+  )
+  SELECT src_a, src_b, n_shared,
+         sa.v + sb.v - n_shared AS n_union,
+         CAST(n_shared * 1000000 //
+              (sa.v + sb.v - n_shared) AS BIGINT) AS jaccard_ppm
+  FROM inter
+  JOIN sizes sa ON sa.source = src_a
+  JOIN sizes sb ON sb.source = src_b
+  ORDER BY src_a, src_b
+"""
+
+
+ORACLE["t_source_overlap"] = _sql_source_overlap()

@@ -1901,3 +1901,77 @@ def _sql_markov_stationary() -> str:
 
 
 ORACLE["q_markov_stationary"] = _sql_markov_stationary()
+
+
+# -- audience overlap between event types ---------------------------------------
+
+
+def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between event types (type_a < type_b):
+    exact user-set Jaccard in ppm — "do my purchasers also error out,
+    or are the error users a disjoint population?" The audience
+    counterpart of q_event_transitions' sequence view (transitions say
+    what follows; overlap says who is shared at all).
+
+    Exact set algebra on the |users × types| DISTINCT state (one
+    partial-aggregated pass), intersections via a self-equi-join on
+    the user key (co-partitioned — each user contributes its ≤|types|²
+    pairs), unions by inclusion–exclusion from the broadcast
+    |types|-bounded audience sizes, one ppm floor division."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            F.expr("a.user_id = b.user_id AND a.event_type < b.event_type"),
+        )
+        .groupBy(
+            F.expr("a.event_type").alias("type_a"),
+            F.expr("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_shared",
+            "na + nb - n_shared as n_union",
+            "n_shared * 1000000 div (na + nb - n_shared) as jaccard_ppm",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE["q_type_overlap"] = """
+  WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+  sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ut GROUP BY 1),
+  inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+  )
+  SELECT type_a, type_b, n_shared,
+         sa.n + sb.n - n_shared AS n_union,
+         CAST(n_shared * 1000000 //
+              (sa.n + sb.n - n_shared) AS BIGINT) AS jaccard_ppm
+  FROM inter
+  JOIN sizes sa ON sa.event_type = type_a
+  JOIN sizes sb ON sb.event_type = type_b
+  ORDER BY type_a, type_b
+"""

@@ -1227,3 +1227,9 @@ def test_drawdown_bounded_window(spark, sf_dir):
     df = _q(spark, sf_dir, "q_drawdown")
     assert not audit.has_cartesian(df)
     assert all("o_orderpriority" not in s for s in audit.read_schemas(df))
+
+
+def test_overlap_matrices_no_cartesian(spark, sf_dir):
+    for name in ("t_source_overlap", "q_type_overlap"):
+        df = _q(spark, sf_dir, name)
+        assert not audit.has_cartesian(df), name

@@ -770,3 +770,69 @@ def test_drawdown_vs_naive(spark, tmp_path):
     assert row.longest_under_peak == longest
     for i in range(DRAWDOWN_BANDS):
         assert getattr(row, f"band{i}") == bands[i], i
+
+
+def test_source_overlap_vs_naive(spark, tmp_path):
+    """Pairwise vocabulary Jaccard equals a Python set sweep."""
+    from locopy_spark.queries.corpus import t_source_overlap
+
+    r = _rng()
+    words = [f"w{j}" for j in range(40)]
+    rows, vocab = [], {}
+    did = 0
+    for src_i in range(4):
+        s = f"s{src_i}"
+        vocab[s] = set()
+        for _ in range(12):
+            toks = [words[r.randrange(10 * (src_i % 2), 40)]
+                    for _ in range(r.randrange(3, 12))]
+            rows.append((did, " ".join(toks), "en", s, 1))
+            vocab[s] |= set(toks)
+            did += 1
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars int")
+    want = {}
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(vocab[sa] & vocab[sb])
+            union = len(vocab[sa] | vocab[sb])
+            want[(sa, sb)] = (inter, union, inter * 10**6 // union)
+    got = {
+        (r_.src_a, r_.src_b): (r_.n_shared, r_.n_union, r_.jaccard_ppm)
+        for r_ in t_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v[0] > 0}
+
+
+def test_type_overlap_vs_naive(spark, tmp_path):
+    """Audience Jaccard equals a Python set sweep over user sets."""
+    from locopy_spark.queries.events_ext import q_type_overlap
+
+    r = _rng()
+    types = ["view", "click", "buy"]
+    rows, aud = [], {t: set() for t in types}
+    eid = 0
+    for u in range(60):
+        for t in types:
+            if r.random() < 0.5:
+                rows.append((eid, u, t, dt.datetime(2024, 1, 1, 0, 0, eid % 60)))
+                aud[t].add(u)
+                eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, event_type string,"
+           " ts timestamp_ntz")
+    want = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = sorted((ta, tb))
+            inter = len(aud[ta] & aud[tb])
+            union = len(aud[ta] | aud[tb])
+            if inter:
+                want[(a, b)] = (inter, union, inter * 10**6 // union)
+    got = {
+        (r_.type_a, r_.type_b): (r_.n_shared, r_.n_union, r_.jaccard_ppm)
+        for r_ in q_type_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got == want
