@@ -796,27 +796,35 @@ def _gini_formula(fd: str, wide: str) -> str:
     )
 
 
-def _segment_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared inequality scaffolding of q_gini and q_lorenz_curve:
-    per-customer exact scaled revenue (orderless customers at zero)
-    ranked ascending within market segment via the range-partitioned
-    grouped rank — columns (c_mktsegment, x, rn, n)."""
+def inequality_state(orders: DataFrame) -> DataFrame:
+    """The additive inequality state ``(o_custkey, x)``: exact scaled
+    revenue cents per customer — a plain-sum monoid, so a streaming
+    maintainer (``streaming.stateful.stream_inequality``) merges
+    per-batch rows by key; ranking, the zero-revenue fill from the
+    customer dim, and both inequality reads happen only in the
+    finishers."""
+    return orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+        ).alias("x")
+    )
+
+
+def inequality_ranked(customer: DataFrame, state: DataFrame) -> DataFrame:
+    """Close the ranked table over the state: left-join the customer
+    dim (orderless customers at zero — concentration is a property of
+    the whole base), then the range-partitioned grouped rank —
+    columns (c_mktsegment, x, rn, n)."""
     from locopy_spark.operators.ranking import grouped_global_row_number
 
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
     rev = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
-                    )
-                ),
-                F.lit(0),
-            ).alias("x")
+        customer.join(
+            state, customer.c_custkey == state.o_custkey, "left"
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
         )
     )
     return grouped_global_row_number(
@@ -825,6 +833,15 @@ def _segment_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["x", "c_custkey"],
         out_col="rn",
         size_col="n",
+    )
+
+
+def _segment_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared inequality scaffolding of q_gini and q_lorenz_curve:
+    ``inequality_state`` closed by ``inequality_ranked``."""
+    return inequality_ranked(
+        load_table(spark, sf_dir, "customer"),
+        inequality_state(load_table(spark, sf_dir, "orders")),
     )
 
 
@@ -862,7 +879,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(38)/HUGEINT widening (the _ols_formulas
     convention), so the gate compares integers, not float sums.
     """
-    ranked = _segment_revenue_ranked(spark, sf_dir)
+    return gini_from_ranked(_segment_revenue_ranked(spark, sf_dir))
+
+
+def gini_from_ranked(ranked: DataFrame) -> DataFrame:
+    """Gini finisher over any (c_mktsegment, x, rn, n) ranked table."""
     return (
         ranked.groupBy("c_mktsegment")
         .agg(
@@ -904,9 +925,13 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     running share is a window over that bounded table, never over
     data-sized rows.
     """
+    return lorenz_from_ranked(_segment_revenue_ranked(spark, sf_dir))
+
+
+def lorenz_from_ranked(ranked: DataFrame) -> DataFrame:
+    """Lorenz finisher over any (c_mktsegment, x, rn, n) ranked table."""
     from pyspark.sql.window import Window
 
-    ranked = _segment_revenue_ranked(spark, sf_dir)
     dec = (
         ranked.select(
             "c_mktsegment",

@@ -2175,3 +2175,43 @@ def stream_survival(
         .queryName(f"survival_{state_view}")
         .start()
     )
+
+
+def stream_inequality(
+    orders: DataFrame,
+    state_view: str = "inequality_state",
+):
+    """Continuously-maintained per-customer revenue state
+    (``queries.stats.inequality_state`` — exact scaled cents, a
+    plain-sum monoid; |customers| rows forever). The ranked finisher
+    (``inequality_ranked`` against the static customer dim, which
+    restores zero-revenue customers) feeds BOTH inequality reads on
+    demand — the live concentration dashboard. The lockstep test
+    asserts ``gini_from_ranked`` == batch q_gini AND
+    ``lorenz_from_ranked`` == batch q_lorenz_curve exactly (the
+    stream_survival convention: one state, every finisher asserted)."""
+    from locopy_spark.queries.stats import inequality_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "o_custkey long, x bigint")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(inequality_state(batch_df))
+            .groupBy("o_custkey")
+            .agg(F.sum("x").alias("x"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"inequality_{state_view}")
+        .start()
+    )

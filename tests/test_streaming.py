@@ -1785,3 +1785,45 @@ def test_stream_survival_matches_both_batch_estimators(spark, sf_dir, tmp_path):
     got_na = [tuple(r) for r in na_from_risk(risk).collect()]
     want_na = [tuple(r) for r in q_nelson_aalen(spark, sf_dir).collect()]
     assert got_na and got_na == want_na
+
+
+def test_stream_inequality_matches_both_batch_reads(spark, sf_dir, tmp_path):
+    """Per-customer revenue cents are a plain-sum monoid, so the state
+    maintained across 4 out-of-order micro-batches + the ranked
+    finisher feeds BOTH inequality reads to exact equality with their
+    batch queries."""
+    from locopy_spark.queries.stats import (
+        gini_from_ranked,
+        inequality_ranked,
+        lorenz_from_ranked,
+        q_gini,
+        q_lorenz_curve,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_inequality
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["3", "0", "2", "1"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ichunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ichunk*"))
+    )
+    q = stream_inequality(stream, state_view="ineq_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ranked = inequality_ranked(
+        load_table(spark, sf_dir, "customer"),
+        spark.table("global_temp.ineq_t"),
+    )
+    got_g = [tuple(r) for r in gini_from_ranked(ranked).collect()]
+    want_g = [tuple(r) for r in q_gini(spark, sf_dir).collect()]
+    assert got_g and got_g == want_g
+    got_l = [tuple(r) for r in lorenz_from_ranked(ranked).collect()]
+    want_l = [tuple(r) for r in q_lorenz_curve(spark, sf_dir).collect()]
+    assert got_l and got_l == want_l
