@@ -39,27 +39,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering note: the driver's correctness gate covers the first 50
-    entries, so the window rotates each round.  Round 7 leads with the
-    THIRTY-SEVEN round-6-late / round-6-continuation entries that have
-    never had a driver correctness row (q_kaplan_meier …
-    q_dormancy_curve — this keeps the lockstep rule intact: every
-    streaming job's batch twin is in-window), then FIVE re-check pins
-    whose implementations were refactored after their last driver row
-    (d_embedding_centroids, p_train_order, t_cms_counts, q_copy_csv,
-    q_unload_roundtrip), then the EIGHT stalest r1-era greens.  The
-    cutoff (position 50) is marked below; everything past it is
-    driver-green from rounds 1-6 and re-verified by the repo's own
-    full DuckDB gate (tools/check_correctness.py) at sf0.01 inside
-    every green pytest run.  Round-7 additions land INSIDE the window
-    (displacing r1-era re-checks toward round 8) so new surface gets
-    a first-exposure driver row immediately.
+    entries, so the window rotates each round.  Round 8 leads with the
+    THIRTEEN round-7-late entries that have never had a driver
+    correctness row (s_centroid_assign … q_type_overlap), then
+    q_except_customers (displaced from round 7's slot 50 by the
+    lockstep rule), then the r1-era block (last checked round 1 under
+    Spark 3), then four r4-era streaming-twin batch pairs (so no
+    lockstep chain rests on a 4-round-old row), then the stalest
+    r3-era docs/text greens.  The cutoff (position 50) is marked
+    below; everything past it is driver-green from rounds 1-7 and
+    re-verified by the repo's own full DuckDB gate at sf0.001 inside
+    every green pytest run.  Round-8 additions land INSIDE the window
+    (displacing tail re-checks toward round 9) so new surface gets a
+    first-exposure driver row immediately; tools/check_survey.py now
+    asserts structurally that every never-driver-checked key sits
+    inside the window.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- ROUND-7 WINDOW slots 1-37: the 37 round-6-late /
-        # round-6-continuation entries that have never had a driver
-        # correctness row (each pre-flighted green at sf0.001/0.01/0.1
-        # on landing; lockstep batch twins of the new streaming jobs
-        # travel together per the lockstep rule) ---
+        # --- ROUND-8 WINDOW slots 1-13: the 13 round-7-late entries
+        # that have never had a driver correctness row (each
+        # pre-flighted green at sf0.001/0.01/0.1 on landing and
+        # re-pre-flighted this round; t_vocab_growth carries the
+        # ADVICE-r7 empty-checkpoint left-join fix) ---
+        "s_centroid_assign": docs_ext.s_centroid_assign,
+        "q_fulfillment_lag": tpch_ext.q_fulfillment_lag,
+        "t_vocab_growth": corpus.t_vocab_growth,
+        "q_peak_days": timeseries.q_peak_days,
+        "q_seasonal_strength": stats.q_seasonal_strength,
+        "s_silhouette": docs_ext.s_silhouette,
+        "q_value_migration": tpch_ext.q_value_migration,
+        "q_street_vs_list": tpch_ext.q_street_vs_list,
+        "q_basket_size_dist": tpch.q_basket_size_dist,
+        "q_revenue_bridge": tpch_ext.q_revenue_bridge,
+        "q_drawdown": timeseries.q_drawdown,
+        "t_source_overlap": corpus.t_source_overlap,
+        "q_type_overlap": events_ext.q_type_overlap,
+        # --- slot 14: q_except_customers — the r1-era re-check
+        # displaced from the round-7 window's slot 50 by the
+        # lockstep rule ---
+        "q_except_customers": tpch_ext.q_except_customers,
+        # --- slots 15-21: the r1-era block, last driver-checked
+        # round 1 under Spark 3 ---
+        "q_stats_moments": tpch_ext.q_stats_moments,
+        "q_value_deciles": tpch_ext.q_value_deciles,
+        "q_grouping_sets": tpch_ext.q_grouping_sets,
+        "q_intersect_customers": tpch_ext.q_intersect_customers,
+        "q_dow_revenue": tpch_ext.q_dow_revenue,
+        "q_hash_sample": tpch_ext.q_hash_sample,
+        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
+        # --- slots 22-25: stale streaming-twin batch pairs — the
+        # r4-era batch twins of long-running streaming jobs
+        # (stream_window_agg / stream_sessionize / stream_incr_rollup
+        # / stream_cdc_apply), re-checked so no lockstep chain rests
+        # on a 4-round-old row (VERDICT r7 task 5) ---
+        "q_events_window": events.q_events_window,
+        "q_events_sessionize": events.q_events_sessionize,
+        "q_incr_rollup": events_ext.q_incr_rollup,
+        "q_cdc_apply": etl_ext.q_cdc_apply,
+        # --- slots 26-50: the stalest r3-era docs/text greens
+        # (last checked round 3, some pre-Spark-4) ---
+        "d_exact_dedup": docs.d_exact_dedup,
+        "d_ngram_jaccard": docs.d_ngram_jaccard,
+        "d_minhash_lsh": docs.d_minhash_lsh,
+        "d_simhash": docs.d_simhash,
+        "d_embedding_dedup": docs.d_embedding_dedup,
+        "d_dup_clusters": docs_ext.d_dup_clusters,
+        "d_hash_split": docs_ext.d_hash_split,
+        "d_balanced_sample": docs_ext.d_balanced_sample,
+        "d_source_dedup": docs_ext.d_source_dedup,
+        "d_contamination": docs_ext.d_contamination,
+        "d_edit_verify": docs_ext.d_edit_verify,
+        "s_knn_bruteforce": docs.s_knn_bruteforce,
+        "s_knn_lsh": docs.s_knn_lsh,
+        "s_knn_ivf": docs_ext.s_knn_ivf,
+        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
+        "s_kmeans": docs_ext.s_kmeans,
+        "t_lang_id": docs.t_lang_id,
+        "t_quality_score": docs.t_quality_score,
+        "t_token_count": docs.t_token_count,
+        "t_fingerprint": docs.t_fingerprint,
+        "t_quality_filter": docs_ext.t_quality_filter,
+        "t_pii_scrub": docs_ext.t_pii_scrub,
+        "t_term_stats": docs_ext.t_term_stats,
+        "t_ngram_top": docs_ext.t_ngram_top,
+        "t_doc_chunks": docs_ext.t_doc_chunks,
+        # ------- position 50 cutoff: window ends above this line -------
+        # everything below is driver-green from earlier rounds and
+        # re-verified by the repo's own full DuckDB gate
+        # (tools/check_correctness.py) at sf0.001 inside every green
+        # pytest run (tests/test_correctness_gate.py)
         "q_kaplan_meier": assoc.q_kaplan_meier,
         "q_kruskal_wallis": assoc.q_kruskal_wallis,
         "q_new_vs_returning": tpch_ext.q_new_vs_returning,
@@ -97,42 +165,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calendar_heatmap": timeseries.q_calendar_heatmap,
         "s_hubness": docs_ext.s_hubness,
         "q_dormancy_curve": timeseries.q_dormancy_curve,
-        # --- slots 38-42: re-check pins — refactored since their last
-        # driver row (train_order_vt scaffolding, shared cms_estimate
-        # finisher, split-header/PURGE fixes, stream_centroids twin) ---
         "d_embedding_centroids": docs_ext.d_embedding_centroids,
         "p_train_order": corpus.p_train_order,
         "t_cms_counts": corpus.t_cms_counts,
         "q_copy_csv": io_rt.q_copy_csv,
         "q_unload_roundtrip": io_rt.q_unload_roundtrip,
-        # --- slots 43-47: round-7 additions — new surface gets its
-        # first driver row immediately (first-exposure rule) ---
         "q_nelson_aalen": assoc.q_nelson_aalen,
         "q_lorenz_curve": stats.q_lorenz_curve,
         "q_anova": stats.q_anova,
         "s_mrr_eval": docs_ext.s_mrr_eval,
         "q_markov_stationary": events_ext.q_markov_stationary,
-        # --- slots 48-49: round-7 refactor re-check pins (q_gini and
-        # q_event_transitions now route through scaffolding shared with
-        # q_lorenz_curve / q_markov_stationary) ---
         "q_gini": stats.q_gini,
         "q_event_transitions": events_ext.q_event_transitions,
-        # --- slot 50: q_backlog_aging — stream_backlog's batch twin
-        # (the lockstep rule outranks the r1-era re-check that held
-        # this seat; q_except_customers leads the round-8 re-checks) ---
         "q_backlog_aging": tpch_ext.q_backlog_aging,
-        # ------- position 50 cutoff: window ends above this line -------
-        # everything below is driver-green from earlier rounds and
-        # re-verified by the repo's own full DuckDB gate
-        # (tools/check_correctness.py) at sf0.01 in-session
-        "q_except_customers": tpch_ext.q_except_customers,
-        "q_stats_moments": tpch_ext.q_stats_moments,
-        "q_value_deciles": tpch_ext.q_value_deciles,
-        "q_grouping_sets": tpch_ext.q_grouping_sets,
-        "q_intersect_customers": tpch_ext.q_intersect_customers,
-        "q_dow_revenue": tpch_ext.q_dow_revenue,
-        "q_hash_sample": tpch_ext.q_hash_sample,
-        "q_unpivot_metrics": tpch_ext.q_unpivot_metrics,
         "s_mips": docs.s_mips,
         "p_length_histogram": corpus.p_length_histogram,
         "p_curriculum_stages": corpus.p_curriculum_stages,
@@ -182,31 +227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hhi": assoc.q_hhi,
         "q_seasonal_decompose": trends.q_seasonal_decompose,
         "q_key_skew": tpch_ext.q_key_skew,
-        "d_exact_dedup": docs.d_exact_dedup,
-        "d_ngram_jaccard": docs.d_ngram_jaccard,
-        "d_minhash_lsh": docs.d_minhash_lsh,
-        "d_simhash": docs.d_simhash,
-        "d_embedding_dedup": docs.d_embedding_dedup,
-        "d_dup_clusters": docs_ext.d_dup_clusters,
-        "d_hash_split": docs_ext.d_hash_split,
-        "d_balanced_sample": docs_ext.d_balanced_sample,
-        "d_source_dedup": docs_ext.d_source_dedup,
-        "d_contamination": docs_ext.d_contamination,
-        "d_edit_verify": docs_ext.d_edit_verify,
-        "s_knn_bruteforce": docs.s_knn_bruteforce,
-        "s_knn_lsh": docs.s_knn_lsh,
-        "s_knn_ivf": docs_ext.s_knn_ivf,
-        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
-        "s_kmeans": docs_ext.s_kmeans,
-        "t_lang_id": docs.t_lang_id,
-        "t_quality_score": docs.t_quality_score,
-        "t_token_count": docs.t_token_count,
-        "t_fingerprint": docs.t_fingerprint,
-        "t_quality_filter": docs_ext.t_quality_filter,
-        "t_pii_scrub": docs_ext.t_pii_scrub,
-        "t_term_stats": docs_ext.t_term_stats,
-        "t_ngram_top": docs_ext.t_ngram_top,
-        "t_doc_chunks": docs_ext.t_doc_chunks,
         "m_multimodal_meta": docs.m_multimodal_meta,
         "m_frame_sample": docs_ext.m_frame_sample,
         "m_feature_extract": docs_ext.m_feature_extract,
@@ -238,7 +258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lsh_calibration": docs_ext.d_lsh_calibration,
         "q_mom_growth": mining.q_mom_growth,
         "q_anomaly_days": mining.q_anomaly_days,
-        "q_cdc_apply": etl_ext.q_cdc_apply,
         "q_snapshot_diff": etl_ext.q_snapshot_diff,
         "q_percentiles": events_ext.q_percentiles,
         "q_order_gaps": events_ext.q_order_gaps,
@@ -272,11 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_total": tpch_ext.q_running_total,
         "q_moving_avg": tpch_ext.q_moving_avg,
         "q_cube_returns": tpch_ext.q_cube_returns,
-        "q_events_window": events.q_events_window,
-        "q_events_sessionize": events.q_events_sessionize,
         "q_events_funnel": events.q_events_funnel,
         "q_orders_asof_events": events.q_orders_asof_events,
-        "q_incr_rollup": events_ext.q_incr_rollup,
         "q_retention_cohorts": events_ext.q_retention_cohorts,
         "q_range_join": events_ext.q_range_join,
         "q_events_json_typed": events_ext.q_events_json_typed,
@@ -318,22 +334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_containment": docs.d_containment,
         "t_novelty": docs.t_novelty,
         "q_funnel_windows": mining.q_funnel_windows,
-        # --- added late round 7 (past the cutoff, never driver-checked:
-        # these lead the ROUND-8 window per the SURVEY rotation plan;
-        # each pre-flighted green at sf0.001/0.01/0.1 on landing) ---
-        "s_centroid_assign": docs_ext.s_centroid_assign,
-        "q_fulfillment_lag": tpch_ext.q_fulfillment_lag,
-        "t_vocab_growth": corpus.t_vocab_growth,
-        "q_peak_days": timeseries.q_peak_days,
-        "q_seasonal_strength": stats.q_seasonal_strength,
-        "s_silhouette": docs_ext.s_silhouette,
-        "q_value_migration": tpch_ext.q_value_migration,
-        "q_street_vs_list": tpch_ext.q_street_vs_list,
-        "q_basket_size_dist": tpch.q_basket_size_dist,
-        "q_revenue_bridge": tpch_ext.q_revenue_bridge,
-        "q_drawdown": timeseries.q_drawdown,
-        "t_source_overlap": corpus.t_source_overlap,
-        "q_type_overlap": events_ext.q_type_overlap,
     }
     return q
 

@@ -728,8 +728,6 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned prefix sum for H — every step is bounded by
     |distinct lifetimes| ≤ days, nothing single-partition.
     """
-    from locopy_spark.operators.ranking import global_running_sum
-
     return na_from_risk(_lifetime_risk(spark, sf_dir))
 
 

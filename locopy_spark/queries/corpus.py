@@ -2047,9 +2047,9 @@ def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rn").alias("rf"))
     )
     vocab = (
-        tf.crossJoin(F.broadcast(cps))
+        tf.crossJoin(F.broadcast(cps.select("checkpoint", "b")))
         .filter("rf <= b")
-        .groupBy("checkpoint", "b")
+        .groupBy("checkpoint")
         .agg(F.count(F.lit(1)).alias("vocab"))
     )
     tokens_cum = (
@@ -2059,13 +2059,18 @@ def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("checkpoint")
         .agg(F.sum("tok_n").alias("n_tokens"))
     )
+    # left-join from the 10-row checkpoint table so a checkpoint with
+    # zero contributing tokens (degenerate corpus: <10 docs gives b=0,
+    # or an early checkpoint covering only zero-token docs) still
+    # emits a row — matching the oracle's always-10-row shape
     return (
-        vocab.join(tokens_cum, "checkpoint")
+        cps.join(vocab, "checkpoint", "left")
+        .join(tokens_cum, "checkpoint", "left")
         .selectExpr(
             "cast(checkpoint as bigint) as checkpoint",
             "b as n_docs",
-            "n_tokens",
-            "vocab",
+            "cast(coalesce(n_tokens, 0) as bigint) as n_tokens",
+            "cast(coalesce(vocab, 0) as bigint) as vocab",
         )
         .orderBy("checkpoint")
     )
@@ -2094,7 +2099,7 @@ def _sql_vocab_growth() -> str:
   tr AS (SELECT r.rn AS rf FROM tf JOIN r ON r.doc_id = tf.fd)
   SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
          CAST(b AS BIGINT) AS n_docs,
-         CAST((SELECT SUM(tok_n) FROM r WHERE rn <= b) AS BIGINT)
+         CAST(COALESCE((SELECT SUM(tok_n) FROM r WHERE rn <= b), 0) AS BIGINT)
            AS n_tokens,
          CAST((SELECT COUNT(*) FROM tr WHERE rf <= b) AS BIGINT) AS vocab
   FROM cp ORDER BY checkpoint

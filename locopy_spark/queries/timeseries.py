@@ -821,9 +821,22 @@ def q_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NULL conjunction on both engines. The lag/lead window runs
     over the |calendar days|-bounded daily aggregate (the
     q_anomaly_days convention), never over raw orders. Ratios are
-    reported as exact ppm floor divisions."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
+    reported as exact ppm floor divisions.
+
+    Split as state + finisher since r8 so ``streaming.stateful.
+    stream_peaks`` maintains the same (day, rev_c) additive monoid
+    continuously; the peak scan closes over the state on demand."""
+    return peaks_report(peaks_state(load_table(spark, sf_dir, "orders")))
+
+
+def peaks_state(orders: DataFrame) -> DataFrame:
+    """The additive daily-revenue state ``(day, rev_c)``: exact scaled
+    cents per epoch day — a commutative monoid (late/re-ordered order
+    rows simply add into their day), shared by ``q_peak_days`` and
+    ``stream_peaks``. Prominence comparison happens only in the
+    finisher because a day's peak-ness depends on NEIGHBOR days that
+    later batches can still move."""
+    return orders.groupBy(
         F.expr(
             "datediff(cast(o_orderdate as date), date'1970-01-01')"
         ).alias("day")
@@ -832,8 +845,13 @@ def q_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
         ).alias("rev_c")
     )
+
+
+def peaks_report(state: DataFrame) -> DataFrame:
+    """Close the local-prominence peak scan over any (day, rev_c)
+    daily-revenue state (|calendar days|-bounded)."""
     w = W.orderBy("day")
-    scored = daily.select(
+    scored = state.select(
         "day",
         "rev_c",
         F.lag("rev_c").over(w).alias("prev_c"),

@@ -1775,21 +1775,17 @@ def backlog_state(orders: DataFrame) -> DataFrame:
     )
 
 
-def backlog_report(
-    state: DataFrame, horizon_from: DataFrame | None = None
-) -> DataFrame:
+def backlog_report(state: DataFrame, horizon_from: DataFrame) -> DataFrame:
     """Close the aging report over the backlog state: horizon = max
-    orderdate of the FULL dataset (passed via ``horizon_from`` so
-    finished orders still move the clock; defaults to the state's own
-    max day), then band + rollup."""
-    if horizon_from is not None:
-        mx = horizon_from.agg(
-            F.max(
-                F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
-            ).alias("mxd")
-        )
-    else:
-        mx = state.agg(F.max("order_day").alias("mxd"))
+    orderdate of the FULL dataset — ``horizon_from`` is REQUIRED (all
+    orders, not just open ones) so finished orders still move the
+    clock; deriving the horizon from the open-order state alone would
+    silently re-band against a stale horizon (ADVICE r7)."""
+    mx = horizon_from.agg(
+        F.max(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        ).alias("mxd")
+    )
     return (
         state.crossJoin(F.broadcast(mx))
         .select(

@@ -31,19 +31,52 @@ def write_bucketed(
     by a previous session (directory on disk, table absent from this
     session's catalog) would fail ``saveAsTable`` with
     LOCATION_ALREADY_EXISTS, so the stale table AND any stray
-    directory are removed first."""
+    directory are removed first.  When the table already exists in
+    the catalog its REAL location is resolved from ``DESCRIBE TABLE
+    EXTENDED`` (the warehouse-path heuristic below only covers the
+    table-absent case, and is qualified-name/current-database aware).
+    Read-your-own-overwrite is safe: on overwrite of an existing
+    table the input is materialized via ``localCheckpoint`` (blocks
+    stored, file lineage dropped) BEFORE the old data is deleted —
+    otherwise a df derived from ``table`` would lazily re-read the
+    files the drop just removed (ADVICE r7)."""
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
     if mode == "overwrite":
+        exists = spark.catalog.tableExists(table)
+        location = None
+        if exists:
+            loc_rows = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .filter("col_name = 'Location'")
+                .collect()
+            )
+            if loc_rows:
+                location = urlparse(loc_rows[0]["data_type"]).path
+            # the input may derive from the table being overwritten:
+            # pin its blocks before dropping the old files
+            df = df.localCheckpoint(eager=True)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = urlparse(
-            spark.conf.get("spark.sql.warehouse.dir")
-        ).path
-        stray = os.path.join(warehouse, table.lower())
-        if warehouse and os.path.isdir(stray):
-            shutil.rmtree(stray, ignore_errors=True)
+        if location is None:
+            # table absent from the catalog — clean a stray directory
+            # from a previous session at the managed location
+            warehouse = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path
+            if "." in table:
+                db, tbl = table.rsplit(".", 1)
+            else:
+                db, tbl = spark.catalog.currentDatabase(), table
+            sub = (
+                tbl.lower()
+                if db == "default"
+                else os.path.join(f"{db.lower()}.db", tbl.lower())
+            )
+            location = os.path.join(warehouse, sub) if warehouse else None
+        if location and os.path.isdir(location):
+            shutil.rmtree(location, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -2099,8 +2099,12 @@ def stream_backlog(
     the CURRENT horizon on every read (the stream_dormancy
     convention: the state stores absolute days because the band of a
     fixed order changes as the clock moves — banding inside the state
-    would not be a monoid). The live stuck-order dashboard; batch
-    twin: ``q_backlog_aging``."""
+    would not be a monoid). The on-demand read MUST supply
+    ``horizon_from`` = the FULL orders table (open + finished): the
+    open-order state alone under-states the clock whenever the most
+    recent orders have already finished, so the finisher takes the
+    horizon as a required argument. The live stuck-order dashboard;
+    batch twin: ``q_backlog_aging``."""
     from locopy_spark.queries.tpch_ext import backlog_state
 
     spark = orders.sparkSession
@@ -2213,5 +2217,45 @@ def stream_inequality(
         orders.writeStream.outputMode("append")
         .foreachBatch(step)
         .queryName(f"inequality_{state_view}")
+        .start()
+    )
+
+
+def stream_peaks(
+    orders: DataFrame,
+    state_view: str = "peaks_state",
+):
+    """Continuously-maintained daily-revenue state
+    (``queries.timeseries.peaks_state`` — exact scaled cents per
+    epoch day, a plain-sum monoid; |calendar days| rows forever).
+    The local-prominence finisher (``queries.timeseries.
+    peaks_report``) runs on demand over the bounded state — peak-ness
+    is NOT in the state because a day's prominence depends on
+    neighbor days later batches can still move (the stream_backlog
+    convention: keep the monoid pure, re-derive at read time). The
+    live spike-localization dashboard; batch twin: ``q_peak_days``."""
+    from locopy_spark.queries.timeseries import peaks_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "day int, rev_c bigint")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(peaks_state(batch_df))
+            .groupBy("day")
+            .agg(F.sum("rev_c").alias("rev_c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"peaks_{state_view}")
         .start()
     )

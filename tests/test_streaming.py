@@ -1827,3 +1827,35 @@ def test_stream_inequality_matches_both_batch_reads(spark, sf_dir, tmp_path):
     got_l = [tuple(r) for r in lorenz_from_ranked(ranked).collect()]
     want_l = [tuple(r) for r in q_lorenz_curve(spark, sf_dir).collect()]
     assert got_l and got_l == want_l
+
+
+def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
+    """Daily revenue cents are a plain-sum monoid; prominence is
+    derived only in the finisher, so the state maintained across 4
+    out-of-order micro-batches + the peak finisher equals batch
+    q_peak_days exactly."""
+    from locopy_spark.queries.timeseries import peaks_report, q_peak_days
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_peaks
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["3", "1", "2", "0"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"pchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "pchunk*"))
+    )
+    q = stream_peaks(stream, state_view="peaks_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in peaks_report(spark.table("global_temp.peaks_t")).collect()
+    ]
+    want = [tuple(r) for r in q_peak_days(spark, sf_dir).collect()]
+    assert got and got == want

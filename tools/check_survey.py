@@ -94,6 +94,15 @@ def main() -> int:
                 f"lockstep violation: {job}'s batch twin {twin} has no "
                 "driver CORRECTNESS row and is outside the current window"
             )
+    # Window contract (structural since r8, VERDICT r7 task 3): every
+    # never-driver-checked queries() key must sit INSIDE the first-50
+    # window — new surface cannot launch outside the window, where it
+    # would dodge first-exposure two rounds running. This replaces the
+    # comment-discipline that previously guarded the rotation.
+    for k in sorted(qs - checked - window):
+        problems.append(
+            f"never-driver-checked key outside the first-50 window: {k}"
+        )
     # Streaming drift: every §2.4 row names a real job function and
     # every stream_* function in the streaming package has a §2.4 row.
     import locopy_spark.streaming.jobs as sjobs
