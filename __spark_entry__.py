@@ -96,7 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": events.q_events_sessionize,
         "q_incr_rollup": events_ext.q_incr_rollup,
         "q_cdc_apply": etl_ext.q_cdc_apply,
-        # --- slots 26-50: the stalest r3-era docs/text greens
+        # --- round-8 additions: new surface gets its first driver row
+        # immediately (first-exposure rule; each displaces one r3-era
+        # tail re-check past the cutoff) ---
+        "q_goodman_lambda": assoc.q_goodman_lambda,
+        # --- remaining slots: the stalest r3-era docs/text greens
         # (last checked round 3, some pre-Spark-4) ---
         "d_exact_dedup": docs.d_exact_dedup,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
@@ -122,8 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": docs_ext.t_pii_scrub,
         "t_term_stats": docs_ext.t_term_stats,
         "t_ngram_top": docs_ext.t_ngram_top,
-        "t_doc_chunks": docs_ext.t_doc_chunks,
         # ------- position 50 cutoff: window ends above this line -------
+        "t_doc_chunks": docs_ext.t_doc_chunks,
         # everything below is driver-green from earlier rounds and
         # re-verified by the repo's own full DuckDB gate
         # (tools/check_correctness.py) at sf0.001 inside every green

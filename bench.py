@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q_mann_kendall",
     "q_kendall_tau",
     "q_cramers_v",
+    "q_goodman_lambda",
     "q_hhi",
     "q_kaplan_meier",
     "q_kruskal_wallis",

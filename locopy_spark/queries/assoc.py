@@ -443,6 +443,111 @@ ORACLE["q_cramers_v"] = f"""
 """
 
 
+# -- Goodman–Kruskal lambda ---------------------------------------------------
+
+
+def q_goodman_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal λ between order priority and customer market
+    segment, both prediction directions — the proportional-reduction-
+    in-error companion to q_cramers_v (V says "how far from
+    independent"; λ says "how much does knowing one column actually
+    improve a modal guess of the other", which is the question a
+    feature-selection pass asks). Logarithm-free and pure integer:
+    λ = (Σ_rows max_cell − max_margin) / (n − max_margin), closed as
+    exact ppm floor divisions.
+
+    Scale shape: SHARES ``contingency_state`` with q_cramers_v (the
+    streaming twin's one bounded additive state serves both
+    finishers); everything after the cell aggregate runs on ≤|R|×|C|
+    rows. Degenerate margins (single-category column → denominator 0)
+    clamp via greatest(·,1), the q_mix_drift convention.
+
+    Reference parity note: the reference (capitalone/locopy,
+    database.py) ships no analytics; this extends the engine's
+    categorical-association family.
+    """
+    return lambda_report(
+        contingency_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
+
+
+def lambda_report(cells: DataFrame) -> DataFrame:
+    """Close both λ directions from the contingency cells in ONE pass:
+    a cube over the ≤|R|×|C|-row cell table yields per-row and
+    per-column modal maxima AND margins simultaneously (grouping
+    indicators tell the levels apart), so the fact table upstream is
+    scanned exactly once — no per-margin re-aggregation. Both λs are
+    exact ppm floor divisions off the 1-row scalar table."""
+    cube = cells.cube("pri", "seg").agg(
+        F.max("n_ij").alias("mx"),
+        F.sum("n_ij").alias("s"),
+        F.grouping("pri").alias("gp"),
+        F.grouping("seg").alias("gs"),
+    )
+    one = cube.agg(
+        F.expr("sum(CASE WHEN gp=1 AND gs=1 THEN s END)").alias("n"),
+        F.expr("sum(CASE WHEN gp=0 AND gs=1 THEN mx END)").alias(
+            "sum_row_max"
+        ),
+        F.expr("max(CASE WHEN gp=1 AND gs=0 THEN s END)").alias(
+            "max_col_marg"
+        ),
+        F.expr("sum(CASE WHEN gp=1 AND gs=0 THEN mx END)").alias(
+            "sum_col_max"
+        ),
+        F.expr("max(CASE WHEN gp=0 AND gs=1 THEN s END)").alias(
+            "max_row_marg"
+        ),
+    )
+    return one.selectExpr(
+        "n",
+        "sum_row_max",
+        "max_col_marg",
+        "(sum_row_max - max_col_marg) * 1000000"
+        " div greatest(n - max_col_marg, 1) AS lambda_seg_ppm",
+        "sum_col_max",
+        "max_row_marg",
+        "(sum_col_max - max_row_marg) * 1000000"
+        " div greatest(n - max_row_marg, 1) AS lambda_pri_ppm",
+    )
+
+
+ORACLE["q_goodman_lambda"] = """
+  WITH cells AS (
+    SELECT o_orderpriority AS pri, c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_ij
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+  ),
+  rm AS (SELECT pri, MAX(n_ij) AS mx FROM cells GROUP BY 1),
+  cm AS (SELECT seg, MAX(n_ij) AS mx FROM cells GROUP BY 1),
+  rg AS (SELECT pri, SUM(n_ij) AS r_i FROM cells GROUP BY 1),
+  cg AS (SELECT seg, SUM(n_ij) AS c_j FROM cells GROUP BY 1),
+  s AS (
+    SELECT (SELECT SUM(n_ij) FROM cells) AS n,
+           (SELECT SUM(mx) FROM rm) AS sum_row_max,
+           (SELECT SUM(mx) FROM cm) AS sum_col_max,
+           (SELECT MAX(c_j) FROM cg) AS max_col_marg,
+           (SELECT MAX(r_i) FROM rg) AS max_row_marg
+  )
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(sum_row_max AS BIGINT) AS sum_row_max,
+         CAST(max_col_marg AS BIGINT) AS max_col_marg,
+         CAST((sum_row_max - max_col_marg) * 1000000
+              // GREATEST(n - max_col_marg, 1) AS BIGINT)
+           AS lambda_seg_ppm,
+         CAST(sum_col_max AS BIGINT) AS sum_col_max,
+         CAST(max_row_marg AS BIGINT) AS max_row_marg,
+         CAST((sum_col_max - max_row_marg) * 1000000
+              // GREATEST(n - max_row_marg, 1) AS BIGINT)
+           AS lambda_pri_ppm
+  FROM s
+"""
+
+
 # -- Herfindahl–Hirschman concentration --------------------------------------
 
 _HHI_PPM = (

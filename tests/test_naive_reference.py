@@ -2038,3 +2038,67 @@ def test_dormancy_vs_hand_max(spark, tmp_path):
         for r in q_dormancy_curve(spark, str(tmp_path)).collect()
     }
     assert got == want == {0: 2, 2: 1, 9: 1}
+
+
+def test_goodman_lambda_vs_textbook(spark, tmp_path):
+    """Both λ directions equal the textbook proportional-reduction-
+    in-error formula computed brute-force over the raw pair list —
+    with a deliberately DEPENDENT priority/segment layout so λ > 0
+    (and modal ties present, exercising deterministic MAX closure)."""
+    from locopy_spark.queries.assoc import q_goodman_lambda
+
+    r = _rng()
+    segs = ["AUTO", "HOME", "TECH"]
+    pris = ["1-URGENT", "3-MEDIUM", "5-LOW"]
+    cust, orders, pairs = [], [], []
+    for i in range(400):
+        seg = segs[r.randrange(3)]
+        cust.append((i, seg))
+        # dependence: segment k prefers priority k 60% of the time
+        for _ in range(r.randrange(1, 4)):
+            if r.random() < 0.6:
+                pri = pris[segs.index(seg)]
+            else:
+                pri = pris[r.randrange(3)]
+            orders.append((len(orders), i, pri))
+            pairs.append((pri, seg))
+    _write(spark, tmp_path, "customer", cust,
+           "c_custkey long, c_mktsegment string")
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderpriority string")
+    got = q_goodman_lambda(spark, str(tmp_path)).collect()[0]
+
+    n = len(pairs)
+    cells = {}
+    for p, s in pairs:
+        cells[(p, s)] = cells.get((p, s), 0) + 1
+    row_max = {
+        p: max(v for (pp, _), v in cells.items() if pp == p)
+        for p in {p for p, _ in cells}
+    }
+    col_max = {
+        s: max(v for (_, ss), v in cells.items() if ss == s)
+        for s in {s for _, s in cells}
+    }
+    col_marg = {}
+    row_marg = {}
+    for (p, s), v in cells.items():
+        col_marg[s] = col_marg.get(s, 0) + v
+        row_marg[p] = row_marg.get(p, 0) + v
+    sum_row_max = sum(row_max.values())
+    sum_col_max = sum(col_max.values())
+    max_col_marg = max(col_marg.values())
+    max_row_marg = max(row_marg.values())
+    assert got.n == n
+    assert got.sum_row_max == sum_row_max
+    assert got.max_col_marg == max_col_marg
+    assert got.lambda_seg_ppm == (
+        (sum_row_max - max_col_marg) * 1_000_000 // max(n - max_col_marg, 1)
+    )
+    assert got.sum_col_max == sum_col_max
+    assert got.max_row_marg == max_row_marg
+    assert got.lambda_pri_ppm == (
+        (sum_col_max - max_row_marg) * 1_000_000 // max(n - max_row_marg, 1)
+    )
+    # dependence built in -> both lambdas strictly positive
+    assert got.lambda_seg_ppm > 0 and got.lambda_pri_ppm > 0

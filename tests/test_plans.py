@@ -1233,3 +1233,13 @@ def test_overlap_matrices_no_cartesian(spark, sf_dir):
     for name in ("t_source_overlap", "q_type_overlap"):
         df = _q(spark, sf_dir, name)
         assert not audit.has_cartesian(df), name
+
+
+def test_goodman_lambda_shares_cramers_state_shape(spark, sf_dir):
+    # same contingency_state as q_cramers_v: customer dim broadcasts
+    # into the fact scan; every post-cell aggregate and the four margin
+    # scalars are <=25-row broadcasts (crossJoins are constant-sized,
+    # not cartesian blowups)
+    df = _q(spark, sf_dir, "q_goodman_lambda")
+    assert audit.has_broadcast_join(df)
+    assert audit.shuffle_count(df) <= 4

@@ -989,6 +989,19 @@ def test_stream_cramers_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_cramers_v(spark, sf_dir).collect()]
     assert got and got == want
+    # second finisher over the SAME state (the stream_simpson
+    # convention: one state, every finisher asserted): Goodman–Kruskal
+    # λ closes from the identical contingency cells
+    from locopy_spark.queries.assoc import lambda_report, q_goodman_lambda
+
+    got_l = [
+        tuple(r)
+        for r in lambda_report(
+            spark.table("global_temp.cramers_t")
+        ).collect()
+    ]
+    want_l = [tuple(r) for r in q_goodman_lambda(spark, sf_dir).collect()]
+    assert got_l and got_l == want_l
 
 
 def test_stream_hhi_matches_batch(spark, sf_dir, tmp_path):
