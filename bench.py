@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q_kendall_tau",
     "q_cramers_v",
     "q_goodman_lambda",
+    "q_price_index",
     "q_hhi",
     "q_kaplan_meier",
     "q_kruskal_wallis",

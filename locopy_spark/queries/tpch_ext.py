@@ -2181,3 +2181,120 @@ ORACLE["q_revenue_bridge"] = """
               ELSE 'continuing' END AS bridge_class
   FROM pair ORDER BY p_brand
 """
+
+
+# -- matched-part price indices ---------------------------------------------------
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year Laspeyres / Paasche / Fisher price indices over
+    the matched-part basket — the economics companion to
+    q_revenue_bridge: the bridge decomposes ONE year pair per brand,
+    the index chain tracks pure price change across EVERY consecutive
+    year pair holding the basket fixed (base-year weights =
+    Laspeyres, current-year weights = Paasche, Fisher their geometric
+    mean — the textbook bias bracket).
+
+    Exactness: per-(part, year) discounted revenue is exact cents and
+    quantities exact integers from ONE partial-aggregated lineitem
+    scan; unit prices are micro-cent floor divisions (rev_c·10⁴ div
+    qty — exact on both engines); the four index sums widen through
+    DECIMAL(38)/HUGEINT cross-products of exact integers; each index
+    closes as ONE ppm floor division and Fisher is the single double
+    (IEEE sqrt of a product of two exact ppm integers — correctly
+    rounded, portable). Scale shape: the |parts × years| state
+    self-equi-joins on (partkey, adjacent year) — both sides co-keyed
+    — then a |years|-bounded rollup. Nothing data-sized after the
+    first scan.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's finance/operations family.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    py = l.groupBy(
+        "l_partkey",
+        F.expr("year(cast(l_shipdate as date))").alias("yr"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "cast(floor(l_extendedprice * (1 - l_discount) * 100"
+                " + 0.5) as bigint)"
+            )
+        ).alias("rev_c"),
+        F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias(
+            "qty"
+        ),
+    ).select(
+        "l_partkey",
+        "yr",
+        "qty",
+        F.expr("rev_c * 10000 div qty").alias("pu"),
+    )
+    a, b = py.alias("a"), py.alias("b")
+    matched = a.join(
+        b, F.expr("a.l_partkey = b.l_partkey AND b.yr = a.yr + 1")
+    ).select(
+        F.expr("b.yr").alias("year"),
+        F.expr("a.pu").alias("pu0"),
+        F.expr("a.qty").alias("q0"),
+        F.expr("b.pu").alias("pu1"),
+        F.expr("b.qty").alias("q1"),
+    )
+    agg = matched.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr("SUM(CAST(pu1 AS DECIMAL(38,0)) * q0)").alias("ln_"),
+        F.expr("SUM(CAST(pu0 AS DECIMAL(38,0)) * q0)").alias("ld"),
+        F.expr("SUM(CAST(pu1 AS DECIMAL(38,0)) * q1)").alias("pn"),
+        F.expr("SUM(CAST(pu0 AS DECIMAL(38,0)) * q1)").alias("pd"),
+    )
+    return (
+        agg.selectExpr(
+            "cast(year as bigint) as year",
+            "n_parts",
+            "CAST(ln_ * 1000000 div ld AS BIGINT) AS laspeyres_ppm",
+            "CAST(pn * 1000000 div pd AS BIGINT) AS paasche_ppm",
+        )
+        .selectExpr(
+            "year",
+            "n_parts",
+            "laspeyres_ppm",
+            "paasche_ppm",
+            "sqrt(CAST(laspeyres_ppm AS DOUBLE)"
+            " * CAST(paasche_ppm AS DOUBLE)) AS fisher_ppm",
+        )
+        .orderBy("year")
+    )
+
+
+ORACLE["q_price_index"] = """
+  WITH py AS (
+    SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) * 10000
+                // SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                AS BIGINT) AS pu
+    FROM lineitem GROUP BY 1, 2
+  ),
+  matched AS (
+    SELECT b.yr AS year, a.pu AS pu0, a.qty AS q0, b.pu AS pu1,
+           b.qty AS q1
+    FROM py a JOIN py b
+      ON a.l_partkey = b.l_partkey AND b.yr = a.yr + 1
+  ),
+  agg AS (
+    SELECT year, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           SUM(CAST(pu1 AS HUGEINT) * q0) AS ln_,
+           SUM(CAST(pu0 AS HUGEINT) * q0) AS ld,
+           SUM(CAST(pu1 AS HUGEINT) * q1) AS pn,
+           SUM(CAST(pu0 AS HUGEINT) * q1) AS pd
+    FROM matched GROUP BY 1
+  )
+  SELECT CAST(year AS BIGINT) AS year, n_parts,
+         CAST(ln_ * 1000000 // ld AS BIGINT) AS laspeyres_ppm,
+         CAST(pn * 1000000 // pd AS BIGINT) AS paasche_ppm,
+         sqrt(CAST(ln_ * 1000000 // ld AS DOUBLE)
+              * CAST(pn * 1000000 // pd AS DOUBLE)) AS fisher_ppm
+  FROM agg ORDER BY year
+"""

@@ -2102,3 +2102,64 @@ def test_goodman_lambda_vs_textbook(spark, tmp_path):
     )
     # dependence built in -> both lambdas strictly positive
     assert got.lambda_seg_ppm > 0 and got.lambda_pri_ppm > 0
+
+
+def test_price_index_vs_textbook(spark, tmp_path):
+    """Laspeyres/Paasche/Fisher over seeded two-year part data equal
+    the textbook definitions computed brute-force with exact integer
+    micro-cent unit prices (including parts absent one year — dropped
+    from the matched basket on both sides)."""
+    import math
+
+    from locopy_spark.queries.tpch_ext import q_price_index
+
+    r = _rng()
+    rows = []
+    # 60 parts, most present in both years, some single-year
+    peryr = {}
+    for pk in range(60):
+        for yi, yr in enumerate((1995, 1996)):
+            if r.random() < 0.15 and pk % 7 == yi:
+                continue  # basket churn
+            n_lines = r.randrange(1, 4)
+            for _ in range(n_lines):
+                qty = r.randrange(1, 50)
+                price = r.randrange(900, 120000) / 100.0  # cents-exact
+                disc = r.randrange(0, 10) / 100.0
+                rows.append(
+                    (len(rows), pk, qty * 1.0, price * qty, disc,
+                     f"{yr}-06-15")
+                )
+                cents = math.floor(price * qty * (1 - disc) * 100 + 0.5)
+                k = (pk, yr)
+                v, q = peryr.get(k, (0, 0))
+                peryr[k] = (v + cents, q + qty)
+    _write(
+        spark, tmp_path, "lineitem",
+        [(a, b, c, d, e, __import__("datetime").datetime.fromisoformat(f))
+         for a, b, c, d, e, f in rows],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    got = q_price_index(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].year == 1996
+
+    ln = ld = pn = pd_ = 0
+    n_parts = 0
+    for pk in range(60):
+        if (pk, 1995) in peryr and (pk, 1996) in peryr:
+            v0, q0 = peryr[(pk, 1995)]
+            v1, q1 = peryr[(pk, 1996)]
+            pu0 = v0 * 10000 // q0
+            pu1 = v1 * 10000 // q1
+            ln += pu1 * q0
+            ld += pu0 * q0
+            pn += pu1 * q1
+            pd_ += pu0 * q1
+            n_parts += 1
+    lasp = ln * 1_000_000 // ld
+    paas = pn * 1_000_000 // pd_
+    assert got[0].n_parts == n_parts
+    assert got[0].laspeyres_ppm == lasp
+    assert got[0].paasche_ppm == paas
+    assert got[0].fisher_ppm == math.sqrt(float(lasp) * float(paas))

@@ -1243,3 +1243,12 @@ def test_goodman_lambda_shares_cramers_state_shape(spark, sf_dir):
     df = _q(spark, sf_dir, "q_goodman_lambda")
     assert audit.has_broadcast_join(df)
     assert audit.shuffle_count(df) <= 4
+
+
+def test_price_index_co_keyed_self_join(spark, sf_dir):
+    # one partial-aggregated lineitem scan to the |parts x years|
+    # state; the adjacent-year self-join is an equi-join (never a
+    # cartesian); the rollup is |years|-bounded
+    df = _q(spark, sf_dir, "q_price_index")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 5
