@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q_gap_fill",
     "q_hypertable_rollup",
     "q_active_users",
+    "q_stickiness",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -56,6 +56,13 @@ def has_broadcast_nested_loop(df: DataFrame) -> bool:
     return "BroadcastNestedLoopJoin" in simple_plan(df)
 
 
+def has_window(df: DataFrame) -> bool:
+    """True when the physical plan contains a Window operator (the
+    one-partition-window smell check when the window is unpartitioned;
+    bounded-input windows are fine and tests say so explicitly)."""
+    return "Window" in simple_plan(df)
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan (each is a full shuffle)."""
     return simple_plan(df).count("Exchange hashpartitioning") + simple_plan(

@@ -1013,3 +1013,84 @@ def _sql_drawdown() -> str:
 
 
 ORACLE["q_drawdown"] = _sql_drawdown()
+
+
+# -- DAU/MAU stickiness -----------------------------------------------------------
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly DAU/MAU stickiness — the engagement-intensity ratio
+    (what fraction of the month's actives show up on an average
+    active day) product reviews track next to the raw active counts
+    of q_active_users (which answers "how many"; this answers "how
+    habitually").
+
+    Exactness: everything reduces to the distinct (day, user) grid
+    (the q_active_users device — one shuffle, grid-sized, independent
+    of raw event volume); Σdau, observed-day counts and MAU are exact
+    integers off that grid; stickiness closes as ONE ppm floor
+    division Σdau·10⁶ div (n_days·mau). Scale shape: two bounded
+    aggregates over the grid (|days| and |months| outputs), one
+    broadcast join of the |months|-sized arms — no window, nothing
+    data-sized past the grid.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's engagement/timeseries family.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = sql_epoch_day(e, "ts")
+    grid = e.select(F.expr(day).alias("day"), "user_id").distinct()
+    g2 = grid.select(
+        "day",
+        "user_id",
+        F.expr(
+            "year(date_add(date'1970-01-01', cast(day as int))) * 100"
+            " + month(date_add(date'1970-01-01', cast(day as int)))"
+        ).alias("ym"),
+    )
+    dau = g2.groupBy("ym", "day").agg(F.count(F.lit(1)).alias("dau"))
+    mr = dau.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("sum_dau"),
+    )
+    mau = g2.groupBy("ym").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        mr.join(F.broadcast(mau), "ym")
+        .selectExpr(
+            "cast(ym as bigint) as ym",
+            "n_days",
+            "sum_dau",
+            "mau",
+            "sum_dau * 1000000 div (n_days * mau) AS stickiness_ppm",
+        )
+        .orderBy("ym")
+    )
+
+
+ORACLE["q_stickiness"] = f"""
+  WITH grid AS (
+    SELECT DISTINCT epoch_us(ts) // {US_PER_DAY} AS day, user_id
+    FROM events
+  ),
+  g2 AS (
+    SELECT day, user_id,
+           year(DATE '1970-01-01' + CAST(day AS INT)) * 100
+             + month(DATE '1970-01-01' + CAST(day AS INT)) AS ym
+    FROM grid
+  ),
+  dau AS (SELECT ym, day, COUNT(*) AS dau FROM g2 GROUP BY 1, 2),
+  mr AS (
+    SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dau) AS BIGINT) AS sum_dau
+    FROM dau GROUP BY 1
+  ),
+  mau AS (
+    SELECT ym, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM g2 GROUP BY 1
+  )
+  SELECT CAST(mr.ym AS BIGINT) AS ym, n_days, sum_dau, mau,
+         CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT)
+           AS stickiness_ppm
+  FROM mr JOIN mau ON mr.ym = mau.ym
+  ORDER BY ym
+"""

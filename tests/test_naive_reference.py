@@ -2163,3 +2163,41 @@ def test_price_index_vs_textbook(spark, tmp_path):
     assert got[0].laspeyres_ppm == lasp
     assert got[0].paasche_ppm == paas
     assert got[0].fisher_ppm == math.sqrt(float(lasp) * float(paas))
+
+
+def test_stickiness_vs_textbook(spark, tmp_path):
+    """Monthly DAU/MAU equals the brute-force set computation over
+    seeded events spanning two months with repeat visits (the grid
+    dedup exercised) and users active in only one month."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import q_stickiness
+
+    r = _rng()
+    rows = []
+    seen = {}
+    for i in range(600):
+        u = r.randrange(40)
+        mo = 1 if r.random() < 0.6 else 2
+        d = r.randrange(1, 28)
+        ts = datetime.datetime(2021, mo, d, r.randrange(24), 0, 0)
+        rows.append((i, ts, u, "click", 1.0, "{}"))
+        ym = 202100 + mo
+        day = (ts.date() - datetime.date(1970, 1, 1)).days
+        seen.setdefault(ym, {}).setdefault(day, set()).add(u)
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r_.ym: r_ for r_ in q_stickiness(spark, str(tmp_path)).collect()}
+    assert set(got) == set(seen)
+    for ym, days in seen.items():
+        n_days = len(days)
+        sum_dau = sum(len(s) for s in days.values())
+        mau = len(set().union(*days.values()))
+        row = got[ym]
+        assert row.n_days == n_days
+        assert row.sum_dau == sum_dau
+        assert row.mau == mau
+        assert row.stickiness_ppm == sum_dau * 1_000_000 // (n_days * mau)

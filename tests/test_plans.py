@@ -1252,3 +1252,12 @@ def test_price_index_co_keyed_self_join(spark, sf_dir):
     df = _q(spark, sf_dir, "q_price_index")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 5
+
+
+def test_stickiness_grid_reduction_no_window(spark, sf_dir):
+    # everything reduces to the distinct (day,user) grid; the month
+    # arms are bounded aggregates joined via broadcast; no window
+    df = _q(spark, sf_dir, "q_stickiness")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_window(df)
