@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q_hypertable_rollup",
     "q_active_users",
     "q_stickiness",
+    "q_changepoint",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

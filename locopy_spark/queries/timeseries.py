@@ -1094,3 +1094,127 @@ ORACLE["q_stickiness"] = f"""
   FROM mr JOIN mau ON mr.ym = mau.ym
   ORDER BY ym
 """
+
+
+# -- single change-point detection --------------------------------------------------
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single change-point of the daily revenue series: the split
+    day maximizing the between-segment sum of squares (binary
+    segmentation's first step — "WHEN did the level shift", the
+    localization read next to q_cusum's "has it shifted" monitor).
+
+    B(k) = (n·S_k − k·S_n)² / (k·(n−k)·n); the n in the denominator is
+    constant so the argmax drops it. Exactness: S_k comes from the
+    range-partitioned prefix sum over the |days|-bounded daily state
+    (shared with q_peak_days / stream_peaks — ``peaks_state``);
+    d = n·S_k − k·S_n is an exact bigint; the score is a per-row
+    double chain over exact integers (mul/div are correctly rounded
+    IEEE ops — bit-identical across engines, the q_changepoint rows
+    never SUM doubles); ties break to the larger day on both engines.
+    Scale shape: one partial-aggregated orders scan, two bounded
+    ranking passes, a 1-row broadcast, one max_by. Nothing
+    single-partition, nothing data-sized past the first scan.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's monitoring/timeseries family.
+    """
+    return changepoint_report(
+        peaks_state(load_table(spark, sf_dir, "orders"))
+    )
+
+
+def changepoint_report(state: DataFrame) -> DataFrame:
+    """Close the best-split scan over any (day, rev_c) daily-revenue
+    state (|days|-bounded)."""
+    from locopy_spark.operators.ranking import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    cum = global_running_sum(
+        state, order_cols=["day"], value_col="rev_c", out_col="pre"
+    )
+    rn = global_row_number(cum, order_cols=["day"], out_col="k")
+    tot = state.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("sn")
+    )
+    scored = (
+        rn.crossJoin(F.broadcast(tot))
+        .filter("k < n")
+        .selectExpr(
+            "day",
+            "k",
+            "n",
+            "sn",
+            "pre + rev_c AS s_k",
+            "CAST(n AS DECIMAL(38,0)) * (pre + rev_c)"
+            " - CAST(k AS DECIMAL(38,0)) * sn AS d",
+        )
+        .selectExpr(
+            "day",
+            "k",
+            "n",
+            "sn",
+            "s_k",
+            "CAST(d AS DOUBLE) * CAST(d AS DOUBLE)"
+            " / CAST(k * (n - k) AS DOUBLE) AS score",
+        )
+    )
+    best = scored.agg(
+        F.expr(
+            "max(struct(score, day, k, n, sn, s_k)) AS b"
+        )
+    )
+    return best.selectExpr(
+        "cast(b.day as bigint) AS split_day",
+        "b.n AS n_days",
+        "b.k AS n_left",
+        "b.s_k AS s_left_c",
+        "b.sn - b.s_k AS s_right_c",
+        "b.score AS bss_score",
+        f"CAST(b.s_k AS DOUBLE) / CAST(b.k * {SCALE} AS DOUBLE)"
+        " AS mean_left",
+        f"CAST(b.sn - b.s_k AS DOUBLE)"
+        f" / CAST((b.n - b.k) * {SCALE} AS DOUBLE) AS mean_right",
+    )
+
+
+ORACLE["q_changepoint"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+             AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  r AS (
+    SELECT day,
+           ROW_NUMBER() OVER (ORDER BY day) AS k,
+           SUM(rev_c) OVER (ORDER BY day) AS s_k
+    FROM daily
+  ),
+  t AS (SELECT COUNT(*) AS n, SUM(rev_c) AS sn FROM daily),
+  sc AS (
+    SELECT day, k, n, sn, s_k,
+           CAST(n AS HUGEINT) * s_k - CAST(k AS HUGEINT) * sn AS d
+    FROM r, t WHERE k < n
+  ),
+  best AS (
+    SELECT day, k, n, sn, s_k,
+           CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+             / CAST(k * (n - k) AS DOUBLE) AS score
+    FROM sc ORDER BY score DESC, day DESC LIMIT 1
+  )
+  SELECT CAST(day AS BIGINT) AS split_day,
+         CAST(n AS BIGINT) AS n_days,
+         CAST(k AS BIGINT) AS n_left,
+         CAST(s_k AS BIGINT) AS s_left_c,
+         CAST(sn - s_k AS BIGINT) AS s_right_c,
+         score AS bss_score,
+         CAST(s_k AS DOUBLE) / CAST(k * {SCALE} AS DOUBLE) AS mean_left,
+         CAST(sn - s_k AS DOUBLE)
+           / CAST((n - k) * {SCALE} AS DOUBLE) AS mean_right
+  FROM best
+"""

@@ -2201,3 +2201,60 @@ def test_stickiness_vs_textbook(spark, tmp_path):
         assert row.sum_dau == sum_dau
         assert row.mau == mau
         assert row.stickiness_ppm == sum_dau * 1_000_000 // (n_days * mau)
+
+
+def test_changepoint_vs_bruteforce(spark, tmp_path):
+    """The argmax split equals a brute-force scan of every k with the
+    textbook between-segment SS formula on a seeded series with an
+    engineered level shift (and near-tie plateaus around it)."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import q_changepoint
+
+    r = _rng()
+    rows, daily = [], {}
+    base = datetime.date(2020, 1, 1)
+    for d in range(120):
+        # level shift at day 70: mean jumps 40 -> 90
+        level = 40 if d < 70 else 90
+        for _ in range(r.randrange(1, 4)):
+            v = level + r.randrange(-5, 6)
+            rows.append(
+                (len(rows), datetime.datetime.combine(
+                    base + datetime.timedelta(days=d),
+                    datetime.time(12)), float(v))
+            )
+            day = (base + datetime.timedelta(days=d)
+                   - datetime.date(1970, 1, 1)).days
+            daily[day] = daily.get(day, 0) + round(v * 1000)
+    _write(
+        spark, tmp_path, "orders",
+        [(i, ts, v) for i, ts, v in rows],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    got = q_changepoint(spark, str(tmp_path)).collect()[0]
+
+    days = sorted(daily)
+    n = len(days)
+    sn = sum(daily.values())
+    best = None
+    s_k = 0
+    for k, day in enumerate(days[:-1], start=1):
+        s_k += daily[day]
+        d_ = n * s_k - k * sn
+        score = float(d_) * float(d_) / float(k * (n - k))
+        key = (score, day)
+        if best is None or key > best[0]:
+            best = (key, day, k, s_k)
+    (_, bday, bk, bs) = best
+    assert got.split_day == bday
+    assert got.n_days == n
+    assert got.n_left == bk
+    assert got.s_left_c == bs
+    assert got.s_right_c == sn - bs
+    assert got.bss_score == float(n * bs - bk * sn) ** 2 / float(
+        bk * (n - bk)
+    )
+    # the engineered shift is found at (or adjacent to) day 70
+    assert abs(got.split_day - (base + datetime.timedelta(days=69)
+               - datetime.date(1970, 1, 1)).days) <= 1

@@ -1261,3 +1261,11 @@ def test_stickiness_grid_reduction_no_window(spark, sf_dir):
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df)
     assert not audit.has_window(df)
+
+
+def test_changepoint_bounded_ranking_no_cartesian(spark, sf_dir):
+    # shared peaks_state daily aggregate; prefix sum + rank are the
+    # range-partitioned primitives over the bounded daily table; the
+    # 1-row total crossJoin is a constant broadcast, not a cartesian
+    df = _q(spark, sf_dir, "q_changepoint")
+    assert not audit.has_cartesian(df)

@@ -1872,3 +1872,18 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_peak_days(spark, sf_dir).collect()]
     assert got and got == want
+    # second finisher over the SAME daily-revenue state: the best
+    # change-point closes from the identical monoid
+    from locopy_spark.queries.timeseries import (
+        changepoint_report,
+        q_changepoint,
+    )
+
+    got_c = [
+        tuple(r)
+        for r in changepoint_report(
+            spark.table("global_temp.peaks_t")
+        ).collect()
+    ]
+    want_c = [tuple(r) for r in q_changepoint(spark, sf_dir).collect()]
+    assert got_c and got_c == want_c
