@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_active_users",
     "q_stickiness",
     "q_changepoint",
+    "q_levene",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -1716,6 +1716,13 @@ def anova_state(orders: DataFrame) -> DataFrame:
         "o_orderpriority",
         F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
     )
+    return anova_state_from_values(v)
+
+
+def anova_state_from_values(v: DataFrame) -> DataFrame:
+    """The same 1-row power-sum state over ANY (o_orderpriority, v)
+    bigint values table — shared by q_anova (raw order values) and
+    q_levene (absolute deviations from the group median)."""
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("cast(v * v as decimal(38,0))")).alias("sq"),
@@ -1791,6 +1798,104 @@ def _sql_anova() -> str:
 
 
 ORACLE["q_anova"] = _sql_anova()
+
+
+# -- Brown–Forsythe variance homogeneity ---------------------------------------
+
+
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with group medians) of order-value
+    variance homogeneity across priorities — the check run BEFORE
+    trusting q_anova's F (pooled-variance ANOVA assumes equal spreads;
+    this tests exactly that assumption, median-centered so heavy tails
+    don't fake a signal).
+
+    Construction: per-priority exact rank-select median (the q_mad
+    type-1 device — value at ceil(n/2) of the group sort, exact
+    bigint), z = |v − med_g|, then the q_anova machinery VERBATIM over
+    z (shared ``anova_state_from_values`` power sums + the shared
+    fixed-order F closure — identical expression text on both
+    engines). Scale shape: one per-group-partitioned rank pass, a
+    |groups|-row broadcast back, one conditional-aggregate pass to a
+    1-row state.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("v")
+    wn = Window.partitionBy("o_orderpriority")
+    med = (
+        base.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.expr(
+                    "case when __rn = cast(ceil(0.5 * __n) as bigint)"
+                    " then v end"
+                )
+            ).alias("med_v")
+        )
+    )
+    z = base.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", F.expr("abs(v - med_v)").alias("v")
+    )
+    return anova_report(anova_state_from_values(z))
+
+
+def _sql_levene() -> str:
+    sb, s, k = _anova_fixed_terms()
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
+        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i}"
+        for i, g in enumerate(ANOVA_GROUPS, 1)
+    )
+    return f"""
+  WITH vals0 AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  r AS (
+    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS nn
+    FROM vals0
+  ),
+  med AS (
+    SELECT g, MAX(CASE WHEN rn = CAST(CEIL(0.5 * nn) AS BIGINT)
+                       THEN v END) AS med_v
+    FROM r GROUP BY 1
+  ),
+  vals AS (
+    SELECT vals0.g, ABS(v - med_v) AS v FROM vals0 JOIN med USING (g)
+  ),
+  agg AS (
+    SELECT COUNT(*) AS n, SUM(v * v) AS sq,
+           {cases}
+    FROM vals
+  ),
+  scored AS (
+    SELECT n, CAST({k} AS BIGINT) AS k,
+           (({sb}) - (({s}) / n) * ({s})) AS ssb,
+           ((CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))
+            - (({sb}) - (({s}) / n) * ({s}))) AS ssw
+    FROM agg
+  )
+  SELECT n, k, ssb, ssw,
+         CASE WHEN k > 1 AND n > k AND ssw > 0.0
+              THEN (ssb / (k - 1)) / (ssw / (n - k)) ELSE NULL END AS f_stat
+  FROM scored
+"""
+
+
+ORACLE["q_levene"] = _sql_levene()
 
 
 # -- weekly seasonality strength -----------------------------------------------

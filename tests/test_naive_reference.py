@@ -2258,3 +2258,52 @@ def test_changepoint_vs_bruteforce(spark, tmp_path):
     # the engineered shift is found at (or adjacent to) day 70
     assert abs(got.split_day - (base + datetime.timedelta(days=69)
                - datetime.date(1970, 1, 1)).days) <= 1
+
+
+def test_levene_vs_textbook(spark, tmp_path):
+    """Brown–Forsythe F equals the textbook computation (group
+    medians by type-1 rank-select, |v−med| deviations, one-way ANOVA
+    over the deviations) on seeded data with deliberately UNEQUAL
+    group spreads so F is large."""
+    import datetime
+
+    from locopy_spark.queries.stats import ANOVA_GROUPS, q_levene
+
+    r = _rng()
+    rows = []
+    groups = {}
+    for i in range(500):
+        gi = r.randrange(len(ANOVA_GROUPS))
+        g = ANOVA_GROUPS[gi]
+        # spread grows with group index: sd ~ (gi+1)*8
+        v = 1000 + (r.randrange(-8, 9)) * (gi + 1)
+        rows.append((i, g, float(v),
+                     datetime.datetime(2020, 1, 1)))
+        groups.setdefault(g, []).append(v)
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp",
+    )
+    got = q_levene(spark, str(tmp_path)).collect()[0]
+
+    # textbook: type-1 median (value at ceil(n/2) in sort order)
+    zs = {}
+    for g, vs in groups.items():
+        s = sorted(vs)
+        med = s[-(-len(s) // 2) - 1]  # ceil(n/2), 1-based -> 0-based
+        zs[g] = [abs(v - med) for v in vs]
+    n = sum(len(z) for z in zs.values())
+    k = len(zs)
+    grand = sum(sum(z) for z in zs.values()) / n
+    ssb = sum(len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs.values())
+    ssw = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.n == n and got.k == k
+    assert got.f_stat == pytest.approx(f, rel=1e-9)
+    assert got.ssb == pytest.approx(ssb, rel=1e-9)
+    assert got.ssw == pytest.approx(ssw, rel=1e-9)
+    # engineered heteroscedasticity -> decisively significant F
+    assert got.f_stat > 10

@@ -1269,3 +1269,12 @@ def test_changepoint_bounded_ranking_no_cartesian(spark, sf_dir):
     # 1-row total crossJoin is a constant broadcast, not a cartesian
     df = _q(spark, sf_dir, "q_changepoint")
     assert not audit.has_cartesian(df)
+
+
+def test_levene_grouped_rank_then_single_state(spark, sf_dir):
+    # per-group-partitioned rank pass (5 keys, bounded per-key sort),
+    # |groups|-row broadcast back, one conditional-aggregate to a
+    # 1-row state; no cartesian
+    df = _q(spark, sf_dir, "q_levene")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
