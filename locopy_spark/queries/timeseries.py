@@ -918,17 +918,18 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, bands a second. The streak is a classic gaps-and-islands
     over the bounded table (row_number difference), exact. Output is
     ONE row of summary + band columns via a bounded pivot — stable
-    schema at any SF."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr(
-            "datediff(cast(o_orderdate as date), date'1970-01-01')"
-        ).alias("day")
-    ).agg(
-        F.sum(
-            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
-        ).alias("rev_c")
-    )
+    schema at any SF.
+
+    Split as state + finisher since r8: the input IS the shared
+    ``peaks_state`` daily-revenue monoid, so ``stream_peaks``
+    maintains it continuously and this report is its third
+    on-demand finisher."""
+    return drawdown_report(peaks_state(load_table(spark, sf_dir, "orders")))
+
+
+def drawdown_report(daily: DataFrame) -> DataFrame:
+    """Close the drawdown profile over any (day, rev_c) daily-revenue
+    state (|calendar days|-bounded)."""
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     dd = daily.select(
         "day",

@@ -1887,3 +1887,14 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_c = [tuple(r) for r in q_changepoint(spark, sf_dir).collect()]
     assert got_c and got_c == want_c
+    # third finisher over the SAME state: the drawdown profile
+    from locopy_spark.queries.timeseries import drawdown_report, q_drawdown
+
+    got_d = [
+        tuple(r)
+        for r in drawdown_report(
+            spark.table("global_temp.peaks_t")
+        ).collect()
+    ]
+    want_d = [tuple(r) for r in q_drawdown(spark, sf_dir).collect()]
+    assert got_d and got_d == want_d
