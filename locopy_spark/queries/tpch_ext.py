@@ -1835,21 +1835,46 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-order MIN partial-aggregate, pure integer datediffs, and a
     \|priorities × days\|-bounded histogram; shares close as one ppm
     floor division against the broadcast per-priority total. Additive
-    monoid past the per-order MIN."""
+    monoid past the per-order MIN.
+
+    Split as state + finisher since r8: ``streaming.stateful.
+    stream_fulfillment`` maintains the per-order MIN-ship state
+    continuously over arriving lineitems; the histogram closes on
+    demand."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    first_ship = l.groupBy("l_orderkey").agg(
-        F.min(F.expr("cast(l_shipdate as date)")).alias("first_ship")
+    return fulfillment_report(fulfillment_state(o, l))
+
+
+def fulfillment_state(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The per-order fulfillment state ``(o_orderkey, o_orderpriority,
+    od_day, fs_day)``: fs_day is the MIN epoch day any line of the
+    order shipped — a per-key MIN monoid (the stream_survival
+    convention: |orders|-sized honest state; the lag and its band
+    derive only at read time because an earlier shipment can still
+    arrive)."""
+    fs = lineitem.groupBy("l_orderkey").agg(
+        F.min(
+            F.expr("datediff(cast(l_shipdate as date), date'1970-01-01')")
+        ).alias("fs_day")
     )
+    return orders.join(fs, orders.o_orderkey == fs.l_orderkey).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("od_day"),
+        "fs_day",
+    )
+
+
+def fulfillment_report(state: DataFrame) -> DataFrame:
+    """Close the per-priority lag histogram over the fulfillment
+    state."""
     cells = (
-        o.join(
-            first_ship, o.o_orderkey == first_ship.l_orderkey
-        )
-        .select(
+        state.select(
             "o_orderpriority",
-            F.expr(
-                "datediff(first_ship, cast(o_orderdate as date))"
-            ).alias("lag_days"),
+            F.expr("fs_day - od_day").alias("lag_days"),
         )
         .groupBy("o_orderpriority", "lag_days")
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -2259,3 +2259,48 @@ def stream_peaks(
         .queryName(f"peaks_{state_view}")
         .start()
     )
+
+
+def stream_fulfillment(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    state_view: str = "fulfillment_state",
+):
+    """Continuously-maintained per-order fulfillment state: each
+    micro-batch's lines reduce to per-order MIN ship days, join the
+    static orders dim for priority/order-day, and merge into the
+    state by per-key MIN (``queries.tpch_ext.fulfillment_state``
+    layout — |orders| rows, the stream_survival convention: the lag
+    derives ONLY in the finisher because an earlier shipment can
+    still arrive in a later batch). The per-priority lag histogram
+    (``fulfillment_report``) closes on demand — the live SLA
+    dashboard; batch twin: ``q_fulfillment_lag``."""
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_orderpriority string, od_day int, fs_day int",
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.tpch_ext import fulfillment_state
+
+        rows = fulfillment_state(orders, batch_df)
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(rows)
+            .groupBy("o_orderkey", "o_orderpriority", "od_day")
+            .agg(F.min("fs_day").alias("fs_day"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"fulfillment_{state_view}")
+        .start()
+    )

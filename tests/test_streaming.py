@@ -1898,3 +1898,41 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_d = [tuple(r) for r in q_drawdown(spark, sf_dir).collect()]
     assert got_d and got_d == want_d
+
+
+def test_stream_fulfillment_matches_batch(spark, sf_dir, tmp_path):
+    """Per-order first-ship days are a per-key MIN monoid; chunking by
+    SUPPLIER splits one order's lines across out-of-order batches so
+    the MIN genuinely merges; state + the lag-histogram finisher
+    equals batch q_fulfillment_lag exactly."""
+    from locopy_spark.queries.tpch_ext import (
+        fulfillment_report,
+        q_fulfillment_lag,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_fulfillment
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["3", "1", "2", "0"]):
+        l.filter(f"pmod(l_suppkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"fchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "fchunk*"))
+    )
+    q = stream_fulfillment(stream, o, state_view="fulfillment_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in fulfillment_report(
+            spark.table("global_temp.fulfillment_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_fulfillment_lag(spark, sf_dir).collect()]
+    assert got and got == want
