@@ -479,12 +479,31 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated |orders|-sized state) with orders on the order
     key, then the ≤\|max size\|-bounded rollup; value sums are exact
     scaled bigints, shares one ppm floor division, the average the
-    exact-sum/count double."""
+    exact-sum/count double.
+
+    Split as state + finisher since r8: ``streaming.stateful.
+    stream_basket_size`` maintains the per-order line-count state
+    continuously; the histogram closes on demand against the static
+    orders dim."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    sizes = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return basket_report(basket_state(l), o)
+
+
+def basket_state(lineitem: DataFrame) -> DataFrame:
+    """The per-order line-count state ``(l_orderkey, n_items)`` — a
+    plain-sum monoid per key (late lines simply add), |orders| rows."""
+    return lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def basket_report(sizes: DataFrame, orders: DataFrame) -> DataFrame:
+    """Close the basket-size histogram over the line-count state,
+    joining the orders dim for values (an order's SIZE keeps moving as
+    lines arrive, so the bucket assignment happens only here)."""
     cells = (
-        o.join(sizes, o.o_orderkey == sizes.l_orderkey)
+        orders.join(sizes, orders.o_orderkey == sizes.l_orderkey)
         .groupBy("n_items")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -2304,3 +2304,42 @@ def stream_fulfillment(
         .queryName(f"fulfillment_{state_view}")
         .start()
     )
+
+
+def stream_basket_size(
+    lineitem: DataFrame,
+    state_view: str = "basket_state",
+):
+    """Continuously-maintained per-order line-count state
+    (``queries.tpch.basket_state`` — a plain-sum monoid per order
+    key; |orders| rows forever). The histogram finisher
+    (``queries.tpch.basket_report``) buckets on demand against the
+    static orders dim — bucketing in-state would not be a monoid
+    because an order's SIZE keeps moving as lines arrive (the
+    stream_backlog convention). The live assortment dashboard; batch
+    twin: ``q_basket_size_dist``."""
+    from locopy_spark.queries.tpch import basket_state
+
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame([], "l_orderkey long, n_items bigint")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(basket_state(batch_df))
+            .groupBy("l_orderkey")
+            .agg(F.sum("n_items").alias("n_items"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"basket_{state_view}")
+        .start()
+    )

@@ -1936,3 +1936,38 @@ def test_stream_fulfillment_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_fulfillment_lag(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_basket_size_matches_batch(spark, sf_dir, tmp_path):
+    """Per-order line counts are a plain-sum monoid; chunking by
+    SUPPLIER splits one order's lines across out-of-order batches so
+    counts genuinely merge; state + the histogram finisher (bucketing
+    at read time) equals batch q_basket_size_dist exactly."""
+    from locopy_spark.queries.tpch import basket_report, q_basket_size_dist
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_basket_size
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        l.filter(f"pmod(l_suppkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"bszchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "bszchunk*"))
+    )
+    q = stream_basket_size(stream, state_view="basket_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in basket_report(
+            spark.table("global_temp.basket_t"), o
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_basket_size_dist(spark, sf_dir).collect()]
+    assert got and got == want
