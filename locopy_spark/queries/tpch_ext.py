@@ -1932,11 +1932,23 @@ def q_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated scan to the |customers ×
     years| state, ONE self-equi-join on (custkey, adjacent year) —
     both sides already co-keyed — then the |years × 100|-bounded
-    rollup with a broadcast row-total join."""
-    from locopy_spark.operators.ranking import grouped_global_row_number
+    rollup with a broadcast row-total join.
 
-    o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy(
+    Split as state + finisher since r8: ``streaming.stateful.
+    stream_value_migration`` maintains the per-(customer, year)
+    revenue monoid continuously; ranking and the transition matrix
+    derive only at read time (a customer's decile moves as later
+    orders land — ranking in-state would not be a monoid)."""
+    return migration_report(
+        migration_state(load_table(spark, sf_dir, "orders"))
+    )
+
+
+def migration_state(orders: DataFrame) -> DataFrame:
+    """The per-(customer, year) revenue state ``(o_custkey, yr,
+    rev_c)`` — exact scaled cents, a plain-sum monoid per key;
+    |customers × years| rows forever."""
+    return orders.groupBy(
         "o_custkey",
         F.expr("year(cast(o_orderdate as date))").alias("yr"),
     ).agg(
@@ -1944,6 +1956,12 @@ def q_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
         ).alias("rev_c")
     )
+
+
+def migration_report(rev: DataFrame) -> DataFrame:
+    """Close the decile transition matrix over the revenue state."""
+    from locopy_spark.operators.ranking import grouped_global_row_number
+
     ranked = grouped_global_row_number(
         rev,
         group_cols=["yr"],

@@ -2343,3 +2343,45 @@ def stream_basket_size(
         .queryName(f"basket_{state_view}")
         .start()
     )
+
+
+def stream_value_migration(
+    orders: DataFrame,
+    state_view: str = "migration_state",
+):
+    """Continuously-maintained per-(customer, year) revenue state
+    (``queries.tpch_ext.migration_state`` — exact scaled cents, a
+    plain-sum monoid; |customers × years| rows forever). The decile
+    transition matrix (``migration_report``) derives ONLY at read
+    time: a customer's within-year decile moves as later orders land,
+    so ranking in-state would not be a monoid (the stream_inequality
+    convention — this is its year-pair sibling). The live "are my top
+    customers staying top" dashboard; batch twin:
+    ``q_value_migration``."""
+    from locopy_spark.queries.tpch_ext import migration_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_custkey long, yr int, rev_c bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(migration_state(batch_df))
+            .groupBy("o_custkey", "yr")
+            .agg(F.sum("rev_c").alias("rev_c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"migration_{state_view}")
+        .start()
+    )

@@ -1971,3 +1971,40 @@ def test_stream_basket_size_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_basket_size_dist(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_value_migration_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(customer, year) revenue cents are a plain-sum monoid;
+    ranking + the 10x10 transition matrix derive only in the
+    finisher, so state across 4 out-of-order chunks + finisher equals
+    batch q_value_migration exactly."""
+    from locopy_spark.queries.tpch_ext import (
+        migration_report,
+        q_value_migration,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_value_migration
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"vmchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "vmchunk*"))
+    )
+    q = stream_value_migration(stream, state_view="migration_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in migration_report(
+            spark.table("global_temp.migration_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_value_migration(spark, sf_dir).collect()]
+    assert got and got == want
