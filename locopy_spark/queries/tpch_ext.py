@@ -2057,13 +2057,27 @@ def q_street_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     second. Scale shape: ONE lineitem×part equi-join on the part key
     (dimension broadcasts at bench SF; co-partitions/buckets at 100x),
     then the \|brands × 21\|-bounded rollup with broadcast brand
-    totals."""
+    totals.
+
+    Split as state + finisher since r8: the band is ROW-LOCAL (unit
+    price vs the part's own list price), so the (brand, band) cell
+    counts are themselves the additive state —
+    ``streaming.stateful.stream_street_vs_list`` merges per-batch
+    cells; only the shares close at read time."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    cells = (
-        l.join(
-            F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
-            l.l_partkey == p.p_partkey,
+    return svl_report(svl_state(l, p))
+
+
+def svl_state(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """The additive street-vs-list state ``(p_brand, band, n_lines)``:
+    banding is row-local (each line against its own part's list
+    price), so per-cell counts merge by key — |brands × 21| rows
+    forever."""
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_retailprice")),
+            lineitem.l_partkey == part.p_partkey,
         )
         .select(
             "p_brand",
@@ -2077,6 +2091,10 @@ def q_street_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "band")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+def svl_report(cells: DataFrame) -> DataFrame:
+    """Close brand shares over the street-vs-list cell state."""
     tot = cells.groupBy("p_brand").agg(F.sum("n_lines").alias("n_brand"))
     return (
         cells.join(F.broadcast(tot), "p_brand")

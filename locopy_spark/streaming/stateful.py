@@ -2385,3 +2385,44 @@ def stream_value_migration(
         .queryName(f"migration_{state_view}")
         .start()
     )
+
+
+def stream_street_vs_list(
+    lineitem: DataFrame,
+    part: DataFrame,
+    state_view: str = "svl_state",
+):
+    """Continuously-maintained street-vs-list pricing state: banding
+    is ROW-LOCAL (each line against its own part's broadcast list
+    price), so the per-(brand, band) counts are themselves the
+    additive state (``queries.tpch_ext.svl_state`` — |brands × 21|
+    rows forever; only brand shares close at read time via
+    ``svl_report``). The live pricing-integrity monitor; batch twin:
+    ``q_street_vs_list``."""
+    from locopy_spark.queries.tpch_ext import svl_state
+
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "p_brand string, band bigint, n_lines bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(svl_state(batch_df, part))
+            .groupBy("p_brand", "band")
+            .agg(F.sum("n_lines").alias("n_lines"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"svl_{state_view}")
+        .start()
+    )

@@ -2008,3 +2008,35 @@ def test_stream_value_migration_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_value_migration(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_street_vs_list_matches_batch(spark, sf_dir, tmp_path):
+    """(brand, band) cell counts are additive because banding is
+    row-local; state across 4 out-of-order lineitem chunks + the
+    share finisher equals batch q_street_vs_list exactly."""
+    from locopy_spark.queries.tpch_ext import q_street_vs_list, svl_report
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_street_vs_list
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    for i, pred in enumerate(["2", "3", "0", "1"]):
+        l.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"svlchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "svlchunk*"))
+    )
+    q = stream_street_vs_list(stream, p, state_view="svl_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in svl_report(spark.table("global_temp.svl_t")).collect()
+    ]
+    want = [tuple(r) for r in q_street_vs_list(spark, sf_dir).collect()]
+    assert got and got == want
