@@ -1560,6 +1560,15 @@ def test_stream_simpson_matches_batch(spark, sf_dir, tmp_path):
     got_h = [tuple(r) for r in hapax_report(state).collect()]
     want_h = [tuple(r) for r in t_hapax_ratio(spark, sf_dir).collect()]
     assert got_h and got_h == want_h
+    # fourth finisher on the same state: the source-overlap matrix
+    from locopy_spark.queries.corpus import (
+        source_overlap_report,
+        t_source_overlap,
+    )
+
+    got_o = [tuple(r) for r in source_overlap_report(state).collect()]
+    want_o = [tuple(r) for r in t_source_overlap(spark, sf_dir).collect()]
+    assert got_o and got_o == want_o
 
 
 def test_stream_norm_hist_matches_batch(spark, sf_dir, tmp_path):
