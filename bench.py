@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_stickiness",
     "q_changepoint",
     "q_levene",
+    "s_kappa",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -4083,6 +4083,29 @@ ORACLE["s_mrr_eval"] = _sql_mrr_eval()
 # -- nearest-centroid assignment confusion matrix -----------------------------
 
 
+def _assign_cells(emb: DataFrame) -> DataFrame:
+    """≤|labels|² nearest-centroid confusion cells ``(label, assigned,
+    n_vecs)`` — the shared core of s_centroid_assign (row shares) and
+    s_kappa (chance-corrected agreement)."""
+    dots = _purity_dots(emb, purity_centroids(purity_state(emb)))
+    scored = dots.select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))"
+        ).alias("score"),
+    )
+    assigned = scored.groupBy("vec_id", "label").agg(
+        F.expr(
+            "max_by(clabel, struct(score, -clabel))"
+        ).alias("assigned")
+    )
+    return assigned.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
 def s_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment confusion matrix — WHERE do the
     non-separated vectors go? s_centroid_purity answers "how many
@@ -4102,24 +4125,7 @@ def s_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score, clabel) total order — NO window, no global sort — then
     the ≤|labels|² rollup with ppm shares.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    dots = _purity_dots(emb, purity_centroids(purity_state(emb)))
-    scored = dots.select(
-        "vec_id",
-        "label",
-        "clabel",
-        F.expr(
-            "CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))"
-        ).alias("score"),
-    )
-    assigned = scored.groupBy("vec_id", "label").agg(
-        F.expr(
-            "max_by(clabel, struct(score, -clabel))"
-        ).alias("assigned")
-    )
-    cells = assigned.groupBy("label", "assigned").agg(
-        F.count(F.lit(1)).alias("n_vecs")
-    )
+    cells = _assign_cells(load_table(spark, sf_dir, "embeddings"))
     row_tot = cells.groupBy("label").agg(F.sum("n_vecs").alias("n_label"))
     return (
         cells.join(F.broadcast(row_tot), "label")
@@ -4133,7 +4139,9 @@ def s_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_oracle() -> str:
+def _sql_assign_cells() -> str:
+    """Shared WITH…cells prefix of the assignment-family oracles
+    (confusion shares AND kappa close over the same cells)."""
     from locopy_spark.queries.trends import _signed_ratio
 
     cq = _signed_ratio("s", "(n * 10)", 1, "//")
@@ -4175,15 +4183,113 @@ def _assign_oracle() -> str:
   cells AS (
     SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM assigned GROUP BY 1, 2
-  )
+  )"""
+
+
+ORACLE["s_centroid_assign"] = (
+    _sql_assign_cells()
+    + """
   SELECT label, assigned, n_vecs,
          CAST(n_vecs * 1000000 //
               SUM(n_vecs) OVER (PARTITION BY label) AS BIGINT) AS share_ppm
   FROM cells ORDER BY label, assigned
 """
+)
 
 
-ORACLE["s_centroid_assign"] = _assign_oracle()
+def s_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ of the nearest-centroid assignment against the true
+    labels — the chance-corrected agreement scalar read next to
+    s_centroid_assign's confusion matrix (raw accuracy flatters an
+    imbalanced label mix; κ subtracts the agreement the margins alone
+    would produce).
+
+    SECOND finisher on the shared ``_assign_cells`` confusion state:
+    one cube pass over the ≤|labels|² cells yields the total, the
+    diagonal, and both margin vectors simultaneously (the
+    q_goodman_lambda device); pe's Σ row_k·col_k widens through
+    DECIMAL(38)/HUGEINT; po/pe close as exact ppm floor divisions and
+    κ — which goes NEGATIVE for worse-than-chance assignments — routes
+    through the signed-ratio device (Spark div truncates, DuckDB //
+    floors; ABS keeps both in the agreeing regime).
+    """
+    from locopy_spark.queries.trends import _signed_ratio
+
+    cells = _assign_cells(load_table(spark, sf_dir, "embeddings"))
+    cube = cells.cube("label", "assigned").agg(
+        F.sum("n_vecs").alias("s"),
+        F.grouping("label").alias("gl"),
+        F.grouping("assigned").alias("ga"),
+        F.sum(
+            F.expr("case when label = assigned then n_vecs end")
+        ).alias("ds"),
+    )
+    scal = cube.filter("gl = 1 AND ga = 1").select(
+        F.col("s").alias("n"), F.expr("coalesce(ds, 0)").alias("diag")
+    )
+    rows = cube.filter("gl = 0 AND ga = 1").select(
+        F.col("label").alias("k"), F.col("s").alias("r")
+    )
+    cols = cube.filter("gl = 1 AND ga = 0").select(
+        F.col("assigned").alias("k"), F.col("s").alias("c")
+    )
+    sp = rows.join(cols, "k").agg(
+        F.expr(
+            "coalesce(SUM(CAST(r AS DECIMAL(38,0)) * c),"
+            " CAST(0 AS DECIMAL(38,0)))"
+        ).alias("sp")
+    )
+    kappa = _signed_ratio(
+        "(CAST(n AS DECIMAL(38,0)) * diag - sp)",
+        "(CAST(n AS DECIMAL(38,0)) * n - sp)",
+        1_000_000,
+        "div",
+    )
+    return scal.crossJoin(F.broadcast(sp)).selectExpr(
+        "n",
+        "diag",
+        "diag * 1000000 div n AS po_ppm",
+        "CAST(sp * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)"
+        " AS BIGINT) AS pe_ppm",
+        f"CAST({kappa} AS BIGINT) AS kappa_ppm",
+    )
+
+
+def _kappa_oracle() -> str:
+    from locopy_spark.queries.trends import _signed_ratio
+
+    kappa = _signed_ratio(
+        "(CAST(n AS HUGEINT) * diag - sp)",
+        "(CAST(n AS HUGEINT) * n - sp)",
+        1_000_000,
+        "//",
+    )
+    return (
+        _sql_assign_cells()
+        + f""",
+  m AS (
+    SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CASE WHEN label = assigned THEN n_vecs END),
+                         0) AS BIGINT) AS diag
+    FROM cells
+  ),
+  rr AS (SELECT label AS k, SUM(n_vecs) AS r FROM cells GROUP BY 1),
+  cc AS (SELECT assigned AS k, SUM(n_vecs) AS c FROM cells GROUP BY 1),
+  spt AS (
+    SELECT COALESCE(SUM(CAST(r AS HUGEINT) * c), 0) AS sp
+    FROM rr JOIN cc USING (k)
+  )
+  SELECT n, diag,
+         CAST(diag * 1000000 // n AS BIGINT) AS po_ppm,
+         CAST(sp * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           AS pe_ppm,
+         CAST({kappa} AS BIGINT) AS kappa_ppm
+  FROM m, spt
+"""
+    )
+
+
+ORACLE["s_kappa"] = _kappa_oracle()
 
 
 # -- simplified silhouette (squared distances, exact) --------------------------

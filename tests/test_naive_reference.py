@@ -2307,3 +2307,81 @@ def test_levene_vs_textbook(spark, tmp_path):
     assert got.ssw == pytest.approx(ssw, rel=1e-9)
     # engineered heteroscedasticity -> decisively significant F
     assert got.f_stat > 10
+
+
+def test_kappa_vs_textbook(spark, tmp_path):
+    """κ equals the textbook (po−pe)/(1−pe) computed brute-force from
+    the same nearest-centroid assignment on noisy-labelled clusters.
+    (κ cannot go negative here by construction — centroids are built
+    FROM the labels, so the majority side always agrees with its own
+    centroid; the negative branch of the shared signed-ratio device is
+    exercised by the s_silhouette and trend naive tests.)"""
+    import math
+    import struct
+
+    from locopy_spark.queries.docs_ext import (
+        EMB_DIM,
+        PURITY_V_SCALE,
+        s_kappa,
+    )
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    r = _rng()
+    embs = []
+    # two tight geometric clusters, labels flipped 30% of the time ->
+    # imperfect but above-chance agreement (0 < kappa < 1)
+    for i in range(80):
+        cl = i % 2
+        base = 0.8 if cl == 0 else -0.8
+        vec = [base + r.uniform(-0.05, 0.05) for _ in range(EMB_DIM)]
+        label = cl if r.random() < 0.7 else 1 - cl
+        embs.append((i, vec, label))
+    _write(spark, tmp_path, "embeddings", embs,
+           "vec_id long, embedding array<float>, label int")
+    got = s_kappa(spark, str(tmp_path)).collect()[0]
+
+    # brute-force the same quantized pipeline
+    q = {
+        i: [math.floor(f32(x) * PURITY_V_SCALE + 0.5) for x in v]
+        for i, v, _ in embs
+    }
+    labels = {i: l for i, _, l in embs}
+    cents = {}
+    for l in set(labels.values()):
+        ids = [i for i in q if labels[i] == l]
+        n = len(ids)
+        cents[l] = [
+            (1 if s >= 0 else -1) * (abs(s) // (n * 10))
+            for s in (sum(q[i][d] for i in ids) for d in range(EMB_DIM))
+        ]
+    n2 = {l: sum(c * c for c in cents[l]) for l in cents}
+    cells = {}
+    for i in q:
+        best = max(
+            sorted(cents, reverse=True),
+            key=lambda l: (
+                float(sum(a * b for a, b in zip(q[i], cents[l])))
+                / math.sqrt(float(n2[l])),
+                -l,
+            ),
+        )
+        k = (labels[i], best)
+        cells[k] = cells.get(k, 0) + 1
+    n = sum(cells.values())
+    diag = sum(v for (a, b), v in cells.items() if a == b)
+    rowm, colm = {}, {}
+    for (a, b), v in cells.items():
+        rowm[a] = rowm.get(a, 0) + v
+        colm[b] = colm.get(b, 0) + v
+    sp = sum(rowm[k] * colm.get(k, 0) for k in rowm)
+    num = n * diag - sp
+    den = n * n - sp
+    kappa_ppm = (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+    assert got.n == n and got.diag == diag
+    assert got.po_ppm == diag * 1_000_000 // n
+    assert got.pe_ppm == sp * 1_000_000 // (n * n)
+    assert got.kappa_ppm == kappa_ppm
+    # noisy alignment: above chance but far from perfect
+    assert 0 < got.kappa_ppm < 900_000

@@ -1278,3 +1278,10 @@ def test_levene_grouped_rank_then_single_state(spark, sf_dir):
     df = _q(spark, sf_dir, "q_levene")
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df)
+
+
+def test_kappa_single_cube_over_bounded_cells(spark, sf_dir):
+    # one broadcast-NL scoring pass to the <=|labels|^2 cells, one
+    # cube, bounded margin join; no cartesian
+    df = _q(spark, sf_dir, "s_kappa")
+    assert not audit.has_cartesian(df)
