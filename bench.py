@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_changepoint",
     "q_levene",
     "s_kappa",
+    "s_ndcg_eval",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -4080,6 +4080,206 @@ def _sql_mrr_eval() -> str:
 ORACLE["s_mrr_eval"] = _sql_mrr_eval()
 
 
+# -- NDCG@K eval of the int8 proxy order ---------------------------------------
+
+NDCG_K = 10
+
+
+def _ndcg_disc_ppb() -> list[int]:
+    """Integer ppb discount constants 1e9/log2(p+1), p = 1..K —
+    computed ONCE in Python and inlined as literals in both engines'
+    expressions, so no engine ever evaluates a logarithm (cross-engine
+    libm log2 is not guaranteed bit-identical; integer constants
+    are)."""
+    import math
+
+    return [round(1e9 / math.log2(p + 1)) for p in range(1, NDCG_K + 1)]
+
+
+def _ndcg_disc_case(rank_col: str) -> str:
+    disc = _ndcg_disc_ppb()
+    whens = " ".join(
+        f"WHEN {rank_col} = {p} THEN {d}"
+        for p, d in enumerate(disc, start=1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def _ndcg_idcg_ppb() -> int:
+    disc = _ndcg_disc_ppb()
+    return sum((NDCG_K + 1 - r) * disc[r - 1] for r in range(1, NDCG_K + 1))
+
+
+def s_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{K} of the int8-quantized retrieval order against the
+    exact cosine ranking — the graded companion to s_mrr_eval (MRR
+    scores only the single true top-1; NDCG scores how well the proxy
+    preserves the whole exact top-{K}, with linear gains K+1−r and
+    log2 position discounts).
+
+    Exactness: gains are exact integers off the exact-rank (the
+    s_knn_bruteforce fixed-point device); discounts are PRECOMPUTED
+    integer ppb constants inlined identically in both engines (no
+    runtime logarithm anywhere); each truth item's proxy rank closes
+    as 1 + count(strictly better under the proxy, id tie-break) — the
+    s_mrr_eval device per item; DCG is a pure bigint sum and NDCG one
+    exact ppm floor division against the constant IDCG. Scale shape:
+    the same two broadcast-query scans as s_mrr_eval over the shared
+    persisted coded table (an EVAL over |Q| sample queries, not a
+    serving path); per-item ranks are count aggregates, never global
+    sorts.
+    """
+    from locopy_spark.functions.vectors import cosine_from_fixed
+    from locopy_spark.operators.similarity import _int_dot
+
+    emb = managed_persist(
+        similarity.with_int8_codes(
+            similarity.with_fixed_norm(load_table(spark, sf_dir, "embeddings"))
+        ),
+        "mrr_eval",
+    )
+    truth = similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=NDCG_K
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("true_nn"),
+        F.expr(f"cast({NDCG_K} + 1 - rk as bigint)").alias("rel"),
+    )
+    qside = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("code_norm").alias("q_cnorm"),
+    )
+    pc = cosine_from_fixed(_int_dot("n_codes", "q_codes"), "q_cnorm", "n_cnorm")
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("codes").alias("n_codes"),
+            F.col("code_norm").alias("n_cnorm"),
+        )
+        .crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(pc).alias("pc"))
+    )
+    t_pc = scored.join(
+        F.broadcast(truth),
+        (scored.query_id == truth.query_id)
+        & (scored.neighbor_id == truth.true_nn),
+    ).select(truth.query_id, "true_nn", "rel", F.col("pc").alias("t_pc"))
+    ranked = (
+        scored.join(F.broadcast(t_pc), "query_id")
+        .groupBy("query_id", "true_nn", "rel")
+        .agg(
+            F.expr(
+                "cast(1 + sum(case when pc > t_pc or"
+                " (pc = t_pc and neighbor_id < true_nn)"
+                " then 1 else 0 end) as bigint)"
+            ).alias("proxy_rank")
+        )
+    )
+    disc_case = _ndcg_disc_case("proxy_rank")
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.expr(
+                f"cast(sum(case when proxy_rank <= {NDCG_K} then 1"
+                " else 0 end) as bigint)"
+            ).alias("n_in_topk"),
+            F.expr(f"sum(rel * {disc_case})").alias("dcg_ppb"),
+        )
+        .selectExpr(
+            "query_id",
+            "n_in_topk",
+            "dcg_ppb",
+            f"dcg_ppb * 1000000 div {_ndcg_idcg_ppb()} AS ndcg_ppm",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ndcg_eval() -> str:
+    from locopy_spark.functions.vectors import cosine_from_fixed, sql_fixed_dot
+
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    intdot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(n.codes)), "
+        "i -> CAST(n.codes[i] AS BIGINT) * q.codes[i])) AS BIGINT)"
+    )
+    selfdot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(codes)), "
+        "i -> CAST(codes[i] AS BIGINT) * codes[i])) AS BIGINT)"
+    )
+    exact_cos = cosine_from_fixed(
+        sql_fixed_dot("q.embedding", "n.embedding"), "q.norm_fix", "n.norm_fix"
+    )
+    pc = cosine_from_fixed(intdot, "q.code_norm", "n.code_norm")
+    disc_case = _ndcg_disc_case("proxy_rank")
+    return f"""
+  WITH e AS (
+    SELECT vec_id, embedding,
+           {sql_fixed_dot("embedding", "embedding")} AS norm_fix
+    FROM embeddings
+  ),
+  c0 AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+    FROM embeddings
+  ),
+  c1 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(FLOOR(x::DOUBLE / amax * 127 + 0.5) AS INT)) AS codes
+    FROM c0
+  ),
+  cn AS (SELECT vec_id, codes, {selfdot} AS code_norm FROM c1),
+  exact AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {exact_cos} AS cosine
+    FROM e q JOIN e n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({ids})
+  ),
+  truth AS (
+    SELECT query_id, neighbor_id AS true_nn,
+           CAST({NDCG_K} + 1 - rk AS BIGINT) AS rel
+    FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+             ) AS rk
+      FROM exact
+    ) WHERE rk <= {NDCG_K}
+  ),
+  prox AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {pc} AS pc
+    FROM cn q JOIN cn n ON q.vec_id != n.vec_id
+    WHERE q.vec_id IN ({ids})
+  ),
+  tp AS (
+    SELECT p.query_id, t.true_nn, t.rel, p.pc AS t_pc
+    FROM prox p JOIN truth t
+      ON p.query_id = t.query_id AND p.neighbor_id = t.true_nn
+  ),
+  r AS (
+    SELECT p.query_id, tp.true_nn, tp.rel,
+           CAST(1 + SUM(CASE WHEN p.pc > tp.t_pc OR
+                    (p.pc = tp.t_pc AND p.neighbor_id < tp.true_nn)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS proxy_rank
+    FROM prox p JOIN tp ON p.query_id = tp.query_id
+    GROUP BY 1, 2, 3
+  )
+  SELECT query_id,
+         CAST(SUM(CASE WHEN proxy_rank <= {NDCG_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_in_topk,
+         CAST(SUM(rel * {disc_case}) AS BIGINT) AS dcg_ppb,
+         CAST(SUM(rel * {disc_case}) * 1000000 // {_ndcg_idcg_ppb()}
+              AS BIGINT) AS ndcg_ppm
+  FROM r GROUP BY 1 ORDER BY query_id
+"""
+
+
+ORACLE["s_ndcg_eval"] = _sql_ndcg_eval()
+
+
 # -- nearest-centroid assignment confusion matrix -----------------------------
 
 

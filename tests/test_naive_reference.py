@@ -2385,3 +2385,93 @@ def test_kappa_vs_textbook(spark, tmp_path):
     assert got.kappa_ppm == kappa_ppm
     # noisy alignment: above chance but far from perfect
     assert 0 < got.kappa_ppm < 900_000
+
+
+def test_ndcg_eval_vs_bruteforce(spark, tmp_path):
+    """Per-query NDCG@K equals a brute-force Python re-derivation of
+    BOTH rankings (exact fixed-point cosine truth and the int8 proxy
+    order) with the same integer ppb discounts, on seeded vectors
+    where quantization genuinely reorders some neighbors."""
+    import math
+    import struct
+
+    from locopy_spark.functions.vectors import FIXED_SCALE
+    from locopy_spark.queries.docs import KNN_QUERY_IDS
+    from locopy_spark.queries.docs_ext import (
+        NDCG_K,
+        _ndcg_disc_ppb,
+        _ndcg_idcg_ppb,
+        s_ndcg_eval,
+    )
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    r = _rng()
+    embs = []
+    # near-parallel vectors with perturbations BELOW the int8 step
+    # (amax/127 ~ 0.008): exact cosine still orders them, the proxy
+    # collapses many into ties -> id tie-breaks genuinely reorder
+    for i in range(60):
+        embs.append((
+            i,
+            [0.9 + r.uniform(-0.004, 0.004) for _ in range(4)],
+            i % 3,
+        ))
+    _write(spark, tmp_path, "embeddings", embs,
+           "vec_id long, embedding array<float>, label int")
+    got = {
+        x.query_id: (x.n_in_topk, x.dcg_ppb, x.ndcg_ppm)
+        for x in s_ndcg_eval(spark, str(tmp_path)).collect()
+    }
+
+    vecs = {i: [f32(x) for x in v] for i, v, _ in embs}
+
+    def fdot(a, b):
+        return sum(
+            math.floor(f32(x) * f32(y) * FIXED_SCALE + 0.5)
+            for x, y in zip(a, b)
+        )
+
+    def cos(d, na, nb):
+        return float(d) / math.sqrt(float(na)) / math.sqrt(float(nb))
+
+    norms = {i: fdot(v, v) for i, v in vecs.items()}
+    codes = {}
+    for i, v in vecs.items():
+        amax = max(abs(f32(x)) for x in v)
+        codes[i] = [math.floor(f32(x) / amax * 127 + 0.5) for x in v]
+    cnorms = {i: sum(c * c for c in codes[i]) for i in codes}
+    disc = _ndcg_disc_ppb()
+    idcg = _ndcg_idcg_ppb()
+    for qid in KNN_QUERY_IDS:
+        exact = sorted(
+            (
+                (-cos(fdot(vecs[qid], vecs[n]), norms[qid], norms[n]), n)
+                for n in vecs
+                if n != qid
+            )
+        )
+        truth = [(n, NDCG_K + 1 - r_) for r_, (_, n) in
+                 enumerate(exact[:NDCG_K], start=1)]
+        pcs = {
+            n: cos(
+                sum(a * b for a, b in zip(codes[qid], codes[n])),
+                cnorms[qid], cnorms[n],
+            )
+            for n in vecs if n != qid
+        }
+        dcg = 0
+        found = 0
+        for n, rel in truth:
+            pr = 1 + sum(
+                1
+                for m in pcs
+                if pcs[m] > pcs[n] or (pcs[m] == pcs[n] and m < n)
+            )
+            if pr <= NDCG_K:
+                found += 1
+                dcg += rel * disc[pr - 1]
+        assert got[qid] == (found, dcg, dcg * 1_000_000 // idcg)
+    # quantization must not be a no-op: at least one query below perfect
+    assert any(v[2] < 1_000_000 for v in got.values())

@@ -1285,3 +1285,10 @@ def test_kappa_single_cube_over_bounded_cells(spark, sf_dir):
     # cube, bounded margin join; no cartesian
     df = _q(spark, sf_dir, "s_kappa")
     assert not audit.has_cartesian(df)
+
+
+def test_ndcg_eval_broadcast_eval_shape(spark, sf_dir):
+    # the same two broadcast-query scans as s_mrr_eval over the shared
+    # persisted coded table; per-item ranks are count aggregates
+    df = _q(spark, sf_dir, "s_ndcg_eval")
+    assert not audit.has_cartesian(df)
