@@ -2270,9 +2270,22 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's finance/operations family.
-    """
-    l = load_table(spark, sf_dir, "lineitem")
-    py = l.groupBy(
+
+    Split as state + finisher since r8: ``streaming.stateful.
+    stream_price_index`` maintains the per-(part, year) (rev_c, qty)
+    monoid continuously; unit prices and the matched-basket chain
+    derive only at read time (a part-year's unit price keeps moving
+    as lines arrive)."""
+    return price_index_report(
+        price_index_state(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def price_index_state(lineitem: DataFrame) -> DataFrame:
+    """The per-(part, year) state ``(l_partkey, yr, rev_c, qty)`` —
+    exact discounted cents + exact integer quantities, both plain-sum
+    monoids; |parts × years| rows forever."""
+    return lineitem.groupBy(
         "l_partkey",
         F.expr("year(cast(l_shipdate as date))").alias("yr"),
     ).agg(
@@ -2285,7 +2298,15 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias(
             "qty"
         ),
-    ).select(
+    )
+
+
+def price_index_report(state: DataFrame) -> DataFrame:
+    """Close the Laspeyres/Paasche/Fisher chain over the (part, year)
+    state: unit prices are micro-cent floor divisions derived HERE
+    (not in the state — they move as lines arrive), then the
+    adjacent-year matched join and the |years|-bounded rollup."""
+    py = state.select(
         "l_partkey",
         "yr",
         "qty",

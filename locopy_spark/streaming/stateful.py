@@ -2426,3 +2426,48 @@ def stream_street_vs_list(
         .queryName(f"svl_{state_view}")
         .start()
     )
+
+
+def stream_price_index(
+    lineitem: DataFrame,
+    state_view: str = "price_index_state",
+):
+    """Continuously-maintained per-(part, year) pricing state
+    (``queries.tpch_ext.price_index_state`` — exact discounted cents
+    + exact quantities, both plain-sum monoids; |parts × years| rows
+    forever). The Laspeyres/Paasche/Fisher chain
+    (``price_index_report``) derives ONLY at read time: a part-year's
+    unit price is a ratio of two still-moving sums, so banking it in
+    the state would not be a monoid (the stream_value_migration
+    convention). The live inflation dashboard; batch twin:
+    ``q_price_index``."""
+    from locopy_spark.queries.tpch_ext import price_index_state
+
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "l_partkey long, yr int, rev_c bigint, qty bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(price_index_state(batch_df))
+            .groupBy("l_partkey", "yr")
+            .agg(
+                F.sum("rev_c").alias("rev_c"),
+                F.sum("qty").alias("qty"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"price_index_{state_view}")
+        .start()
+    )

@@ -2049,3 +2049,41 @@ def test_stream_street_vs_list_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_street_vs_list(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_price_index_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(part, year) revenue/quantity sums are plain-sum monoids;
+    unit prices and the matched-basket index chain derive only in the
+    finisher, so state across 4 out-of-order SUPPLIER-keyed chunks
+    (one part-year's lines span batches) + finisher equals batch
+    q_price_index exactly."""
+    from locopy_spark.queries.tpch_ext import (
+        price_index_report,
+        q_price_index,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_price_index
+
+    l = load_table(spark, sf_dir, "lineitem")
+    for i, pred in enumerate(["1", "2", "0", "3"]):
+        l.filter(f"pmod(l_suppkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"pichunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "pichunk*"))
+    )
+    q = stream_price_index(stream, state_view="price_index_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in price_index_report(
+            spark.table("global_temp.price_index_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_price_index(spark, sf_dir).collect()]
+    assert got and got == want
