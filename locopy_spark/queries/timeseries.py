@@ -1037,10 +1037,25 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's engagement/timeseries family.
-    """
-    e = load_table(spark, sf_dir, "events")
-    day = sql_epoch_day(e, "ts")
-    grid = e.select(F.expr(day).alias("day"), "user_id").distinct()
+
+    Split as state + finisher since r8: the distinct (day, user) grid
+    is an idempotent SET state (union+distinct — re-delivery-safe by
+    algebra, the stream_co_engagement convention), maintained live by
+    ``streaming.stateful.stream_stickiness``."""
+    return stickiness_report(
+        stickiness_grid(load_table(spark, sf_dir, "events"))
+    )
+
+
+def stickiness_grid(events: DataFrame) -> DataFrame:
+    """The distinct (day, user_id) activity grid — an idempotent SET
+    monoid (merge is union+distinct), |users × days| rows forever."""
+    day = sql_epoch_day(events, "ts")
+    return events.select(F.expr(day).alias("day"), "user_id").distinct()
+
+
+def stickiness_report(grid: DataFrame) -> DataFrame:
+    """Close monthly DAU/MAU over the activity grid."""
     g2 = grid.select(
         "day",
         "user_id",

@@ -2471,3 +2471,40 @@ def stream_price_index(
         .queryName(f"price_index_{state_view}")
         .start()
     )
+
+
+def stream_stickiness(
+    events: DataFrame,
+    state_view: str = "stickiness_state",
+):
+    """Continuously-maintained distinct (day, user) activity grid
+    (``queries.timeseries.stickiness_grid`` — an idempotent SET
+    monoid: merge is union+distinct, so re-delivered and out-of-order
+    events are absorbed by algebra; |users × days| rows forever). The
+    monthly DAU/MAU finisher (``stickiness_report``) closes on demand
+    — the live engagement-intensity dashboard; batch twin:
+    ``q_stickiness``."""
+    from locopy_spark.queries.timeseries import stickiness_grid
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "day bigint, user_id long")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(stickiness_grid(batch_df))
+            .distinct()
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"stickiness_{state_view}")
+        .start()
+    )

@@ -2087,3 +2087,40 @@ def test_stream_price_index_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_price_index(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_stickiness_matches_batch(spark, sf_dir, tmp_path):
+    """The (day, user) grid is an idempotent SET; chunks OVERLAP (every
+    event delivered twice across chunks) and arrive out of order, and
+    the union+distinct state + monthly finisher still equals batch
+    q_stickiness exactly."""
+    from locopy_spark.queries.timeseries import q_stickiness, stickiness_report
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_stickiness
+
+    e = load_table(spark, sf_dir, "events")
+    # overlapping re-delivery: chunk i = {pmod in {i, i+1 mod 4}}
+    for i in range(4):
+        e.filter(
+            f"pmod(event_id, 4) in ({(i + 2) % 4}, {(i + 3) % 4})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stkchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "stkchunk*"))
+    )
+    q = stream_stickiness(stream, state_view="stickiness_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in stickiness_report(
+            spark.table("global_temp.stickiness_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_stickiness(spark, sf_dir).collect()]
+    assert got and got == want
