@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_levene",
     "s_kappa",
     "s_ndcg_eval",
+    "q_abc_xyz",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -2380,3 +2380,160 @@ ORACLE["q_price_index"] = """
               * CAST(pn * 1000000 // pd AS DOUBLE)) AS fisher_ppm
   FROM agg ORDER BY year
 """
+
+
+# -- ABC × XYZ inventory classification matrix -----------------------------------
+
+XYZ_X_PPM = 250_000  # CV² ≤ 0.25 (CV ≤ 0.5) → X
+XYZ_Y_PPM = 1_000_000  # CV² ≤ 1.00 (CV ≤ 1.0) → Y, else Z
+
+
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ inventory matrix: revenue importance (the q_pareto_abc
+    70/90 cumulative-share classes) crossed with demand variability
+    (CV² of monthly demand INCLUDING zero months, banded X ≤ 0.25,
+    Y ≤ 1.0, else Z) — the planning grid that says "A-X: automate
+    replenishment; A-Z: hold safety stock and watch it" which neither
+    axis gives alone.
+
+    Exactness: ONE lineitem scan to the (part, month) demand grid
+    carrying BOTH quantity and revenue sums; per-part rollups are
+    plain integer sums; CV² is the q_burstiness DECIMAL(38)/HUGEINT
+    device with n = the GLOBAL month count (missing months are real
+    zero-demand months — a part selling one huge month and nothing
+    else must land in Z); ABC is the exact prefix-sum construction
+    shared with q_pareto_abc; part shares are ppm floor divisions and
+    revenue the exact-sum double. Scale shape: grid-sized shuffles
+    only, one range-partitioned prefix sum, broadcast scalars,
+    ≤9-row output.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's operations family.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "year(cast(l_shipdate as date)) * 100"
+            " + month(cast(l_shipdate as date))"
+        ).alias("ym"),
+    ).agg(
+        F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias("q"),
+        F.sum(
+            F.expr("cast(floor(l_extendedprice + 0.5) as bigint)")
+        ).alias("r"),
+    )
+    nm = pm.agg(F.countDistinct("ym").alias("nm"))
+    per_part = pm.groupBy("l_partkey").agg(
+        F.sum("q").alias("sx"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sxx"),
+        F.sum("r").alias("r"),
+    )
+    cv2 = (
+        "CASE WHEN sx = 0 THEN 0 ELSE"
+        " CAST((CAST(nm AS DECIMAL(38,0)) * sxx"
+        "       - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"
+        " div (CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) END"
+    )
+    xyz = per_part.crossJoin(F.broadcast(nm)).select(
+        "l_partkey",
+        "r",
+        F.expr(
+            f"CASE WHEN ({cv2}) <= {XYZ_X_PPM} THEN 'X'"
+            f" WHEN ({cv2}) <= {XYZ_Y_PPM} THEN 'Y'"
+            " ELSE 'Z' END"
+        ).alias("xyz_class"),
+    )
+    tot = xyz.agg(
+        F.sum("r").alias("tot"), F.count(F.lit(1)).alias("n_parts_all")
+    )
+    ordered = global_running_sum(
+        xyz.select(
+            "l_partkey", "xyz_class", "r", F.expr("-r").alias("negr")
+        ),
+        order_cols=["negr", "l_partkey"],
+        value_col="r",
+        out_col="pre",
+    )
+    classed = ordered.crossJoin(F.broadcast(tot)).select(
+        "xyz_class",
+        "r",
+        "n_parts_all",
+        F.expr(
+            "CASE WHEN CAST(pre + r AS DECIMAL(38,0)) * 10"
+            " <= CAST(tot AS DECIMAL(38,0)) * 7 THEN 'A'"
+            " WHEN CAST(pre + r AS DECIMAL(38,0)) * 10"
+            " <= CAST(tot AS DECIMAL(38,0)) * 9 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("n_parts_all").alias("n_all"),
+            F.sum("r").alias("rev_u"),
+        )
+        .selectExpr(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            "n_parts * 1000000 div n_all AS parts_share_ppm",
+            "CAST(rev_u AS DOUBLE) AS revenue",
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+ORACLE["q_abc_xyz"] = f"""
+  WITH pm AS (
+    SELECT l_partkey,
+           year(CAST(l_shipdate AS DATE)) * 100
+             + month(CAST(l_shipdate AS DATE)) AS ym,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q,
+           SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS r
+    FROM lineitem GROUP BY 1, 2
+  ),
+  nmt AS (SELECT COUNT(DISTINCT ym) AS nm FROM pm),
+  per_part AS (
+    SELECT l_partkey, SUM(q) AS sx,
+           SUM(CAST(q AS HUGEINT) * q) AS sxx, SUM(r) AS r
+    FROM pm GROUP BY 1
+  ),
+  xyz AS (
+    SELECT l_partkey, r,
+           CASE WHEN cv2 <= {XYZ_X_PPM} THEN 'X'
+                WHEN cv2 <= {XYZ_Y_PPM} THEN 'Y' ELSE 'Z' END AS xyz_class
+    FROM (
+      SELECT l_partkey, r,
+             CASE WHEN sx = 0 THEN 0 ELSE
+               CAST((CAST(nm AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sx) * 1000000
+                    // (CAST(sx AS HUGEINT) * sx) AS BIGINT) END AS cv2
+      FROM per_part, nmt
+    )
+  ),
+  tot AS (
+    SELECT SUM(r) AS tot, CAST(COUNT(*) AS BIGINT) AS n_parts_all
+    FROM xyz
+  ),
+  classed AS (
+    SELECT xyz_class, r, n_parts_all,
+           CASE WHEN CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) * 10 <= CAST(tot AS HUGEINT) * 7 THEN 'A'
+                WHEN CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) * 10 <= CAST(tot AS HUGEINT) * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM xyz, tot
+  )
+  SELECT abc_class, xyz_class,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(COUNT(*) * 1000000 // MAX(n_parts_all) AS BIGINT)
+           AS parts_share_ppm,
+         CAST(SUM(r) AS DOUBLE) AS revenue
+  FROM classed GROUP BY 1, 2 ORDER BY abc_class, xyz_class
+"""

@@ -2475,3 +2475,81 @@ def test_ndcg_eval_vs_bruteforce(spark, tmp_path):
         assert got[qid] == (found, dcg, dcg * 1_000_000 // idcg)
     # quantization must not be a no-op: at least one query below perfect
     assert any(v[2] < 1_000_000 for v in got.values())
+
+
+def test_abc_xyz_vs_textbook(spark, tmp_path):
+    """The matrix equals a brute-force Python classification: parts
+    engineered across all three XYZ bands (steady / moderate /
+    one-spike demand) and a steep revenue skew so A, B and C are all
+    populated."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import (
+        XYZ_X_PPM,
+        XYZ_Y_PPM,
+        q_abc_xyz,
+    )
+
+    r = _rng()
+    rows = []
+    demand = {}  # (part, ym) -> (qty, rev_units)
+    months = [(1995, m) for m in range(1, 13)]
+    for pk in range(30):
+        kind = pk % 3  # 0: steady, 1: moderate, 2: single spike
+        scale_r = 10 ** (pk % 5)  # revenue skew across parts
+        for mi, (yy, mm) in enumerate(months):
+            if kind == 0:
+                qty = 20 + r.randrange(-2, 3)
+            elif kind == 1:
+                qty = r.choice([5, 40])
+            else:
+                qty = 300 if mi == pk % 12 else 0
+            if qty == 0:
+                continue
+            price = float(qty * scale_r)
+            rows.append(
+                (len(rows), pk, float(qty), price,
+                 datetime.datetime(yy, mm, 15))
+            )
+            q0, r0 = demand.get((pk, yy * 100 + mm), (0, 0))
+            demand[(pk, yy * 100 + mm)] = (q0 + qty, r0 + round(price))
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {
+        (x.abc_class, x.xyz_class): (x.n_parts, x.parts_share_ppm,
+                                     x.revenue)
+        for x in q_abc_xyz(spark, str(tmp_path)).collect()
+    }
+
+    nm = len({ym for _, ym in demand})
+    parts = sorted({pk for pk, _ in demand})
+    stats = {}
+    for pk in parts:
+        qs = [q for (p, _), (q, _) in demand.items() if p == pk]
+        rev = sum(rv for (p, _), (_, rv) in demand.items() if p == pk)
+        sx = sum(qs)
+        sxx = sum(q * q for q in qs)
+        cv2 = 0 if sx == 0 else (nm * sxx - sx * sx) * 1_000_000 // (sx * sx)
+        xyz = "X" if cv2 <= XYZ_X_PPM else ("Y" if cv2 <= XYZ_Y_PPM else "Z")
+        stats[pk] = (rev, xyz)
+    tot = sum(rv for rv, _ in stats.values())
+    cells = {}
+    cum = 0
+    for pk in sorted(parts, key=lambda p: (-stats[p][0], p)):
+        rv, xyz = stats[pk]
+        cum += rv
+        abc = "A" if cum * 10 <= tot * 7 else ("B" if cum * 10 <= tot * 9
+                                               else "C")
+        n, rr = cells.get((abc, xyz), (0, 0))
+        cells[(abc, xyz)] = (n + 1, rr + rv)
+    want = {
+        k: (n, n * 1_000_000 // len(parts), float(rr))
+        for k, (n, rr) in cells.items()
+    }
+    assert got == want
+    # all three XYZ bands and at least two ABC classes populated
+    assert {k[1] for k in got} == {"X", "Y", "Z"}
+    assert len({k[0] for k in got}) >= 2

@@ -1292,3 +1292,11 @@ def test_ndcg_eval_broadcast_eval_shape(spark, sf_dir):
     # persisted coded table; per-item ranks are count aggregates
     df = _q(spark, sf_dir, "s_ndcg_eval")
     assert not audit.has_cartesian(df)
+
+
+def test_abc_xyz_grid_sized_shuffles(spark, sf_dir):
+    # one lineitem scan to the (part, month) grid carrying qty AND
+    # revenue; per-part rollup; one range-partitioned prefix sum;
+    # broadcast scalars — no cartesian
+    df = _q(spark, sf_dir, "q_abc_xyz")
+    assert not audit.has_cartesian(df)
