@@ -2409,11 +2409,21 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's operations family.
-    """
-    from locopy_spark.operators.ranking import global_running_sum
 
-    li = load_table(spark, sf_dir, "lineitem")
-    pm = li.groupBy(
+    Split as state + finisher since r8: the (part, month) demand grid
+    is a plain-sum monoid (``streaming.stateful.stream_abc_xyz``
+    maintains it live); CV², classes and the prefix-sum ABC all
+    derive only at read time — every one of them moves as lines
+    arrive."""
+    return abc_xyz_report(
+        abc_xyz_state(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def abc_xyz_state(lineitem: DataFrame) -> DataFrame:
+    """The (part, month) demand grid ``(l_partkey, ym, q, r)`` — both
+    measures plain-sum monoids; |parts × months| rows forever."""
+    return lineitem.groupBy(
         "l_partkey",
         F.expr(
             "year(cast(l_shipdate as date)) * 100"
@@ -2425,6 +2435,12 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(l_extendedprice + 0.5) as bigint)")
         ).alias("r"),
     )
+
+
+def abc_xyz_report(pm: DataFrame) -> DataFrame:
+    """Close the ABC × XYZ matrix over the demand grid."""
+    from locopy_spark.operators.ranking import global_running_sum
+
     nm = pm.agg(F.countDistinct("ym").alias("nm"))
     per_part = pm.groupBy("l_partkey").agg(
         F.sum("q").alias("sx"),

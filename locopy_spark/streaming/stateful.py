@@ -2508,3 +2508,44 @@ def stream_stickiness(
         .queryName(f"stickiness_{state_view}")
         .start()
     )
+
+
+def stream_abc_xyz(
+    lineitem: DataFrame,
+    state_view: str = "abc_xyz_state",
+):
+    """Continuously-maintained (part, month) demand grid
+    (``queries.tpch_ext.abc_xyz_state`` — quantity AND revenue, both
+    plain-sum monoids; |parts × months| rows forever). The ABC × XYZ
+    matrix (``abc_xyz_report``) derives ONLY at read time: the CV²
+    band, the revenue ranking and the cumulative-share classes all
+    move as lines arrive, so none of them can live in the state (the
+    stream_value_migration convention). The live inventory-planning
+    grid; batch twin: ``q_abc_xyz``."""
+    from locopy_spark.queries.tpch_ext import abc_xyz_state
+
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "l_partkey long, ym int, q bigint, r bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(abc_xyz_state(batch_df))
+            .groupBy("l_partkey", "ym")
+            .agg(F.sum("q").alias("q"), F.sum("r").alias("r"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"abc_xyz_{state_view}")
+        .start()
+    )

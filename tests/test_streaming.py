@@ -2124,3 +2124,37 @@ def test_stream_stickiness_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_stickiness(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_abc_xyz_matches_batch(spark, sf_dir, tmp_path):
+    """The (part, month) demand grid is a plain-sum monoid; CV² bands
+    and prefix-sum ABC classes derive only in the finisher, so state
+    across 4 out-of-order SUPPLIER-keyed chunks + finisher equals
+    batch q_abc_xyz exactly."""
+    from locopy_spark.queries.tpch_ext import abc_xyz_report, q_abc_xyz
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_abc_xyz
+
+    l = load_table(spark, sf_dir, "lineitem")
+    for i, pred in enumerate(["2", "1", "3", "0"]):
+        l.filter(f"pmod(l_suppkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"axchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "axchunk*"))
+    )
+    q = stream_abc_xyz(stream, state_view="abc_xyz_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in abc_xyz_report(
+            spark.table("global_temp.abc_xyz_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_abc_xyz(spark, sf_dir).collect()]
+    assert got and got == want
