@@ -2553,3 +2553,97 @@ ORACLE["q_abc_xyz"] = f"""
          CAST(SUM(r) AS DOUBLE) AS revenue
   FROM classed GROUP BY 1, 2 ORDER BY abc_class, xyz_class
 """
+
+
+# -- returns vs discount odds ratio -----------------------------------------------
+
+OR_DISC_CUT = 0.05  # "deep discount" exposure threshold
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio + relative risk of a line being RETURNED given a
+    deep discount (> {OR_DISC_CUT}) — the 2×2 epidemiology panel
+    pointed at the returns question ("are we discounting our way into
+    returns?") that q_cramers_v's full-table association can't answer
+    about one specific exposure.
+
+    Exactness: one conditional-aggregate pass collapses lineitem to a
+    1-row 2×2 table (a=exposed·returned, b=exposed·kept, c=unexposed·
+    returned, d=unexposed·kept — a pure additive monoid, the
+    stream_anova shape); OR = ad/bc and RR = a(c+d)/c(a+b) close as
+    exact ppm floor divisions through DECIMAL(38)/HUGEINT with
+    greatest(·,1) zero-cell guards. Scale shape: one scan, one row,
+    row-local closure.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    return odds_report(odds_state(load_table(spark, sf_dir, "lineitem")))
+
+
+def odds_state(lineitem: DataFrame) -> DataFrame:
+    """The 1-row additive 2×2 state (a, b, c, d)."""
+    exposed = f"l_discount > {OR_DISC_CUT}"
+    returned = "l_returnflag = 'R'"
+    return lineitem.agg(
+        F.sum(
+            F.expr(f"case when {exposed} and {returned} then 1 else 0 end")
+        ).alias("a"),
+        F.sum(
+            F.expr(
+                f"case when {exposed} and not ({returned}) then 1 else 0 end"
+            )
+        ).alias("b"),
+        F.sum(
+            F.expr(
+                f"case when not ({exposed}) and {returned} then 1 else 0 end"
+            )
+        ).alias("c"),
+        F.sum(
+            F.expr(
+                f"case when not ({exposed}) and not ({returned})"
+                " then 1 else 0 end"
+            )
+        ).alias("d"),
+    )
+
+
+def odds_report(state: DataFrame) -> DataFrame:
+    """Close OR/RR over the 2×2 state as exact ppm floor divisions."""
+    return state.selectExpr(
+        "a",
+        "b",
+        "c",
+        "d",
+        "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000"
+        " div greatest(CAST(b AS DECIMAL(38,0)) * c, 1) AS BIGINT)"
+        " AS odds_ratio_ppm",
+        "CAST(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000"
+        " div greatest(CAST(c AS DECIMAL(38,0)) * (a + b), 1) AS BIGINT)"
+        " AS rel_risk_ppm",
+    )
+
+
+ORACLE["q_odds_ratio"] = f"""
+  WITH s AS (
+    SELECT
+      SUM(CASE WHEN l_discount > {OR_DISC_CUT} AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS a,
+      SUM(CASE WHEN l_discount > {OR_DISC_CUT} AND l_returnflag != 'R'
+               THEN 1 ELSE 0 END) AS b,
+      SUM(CASE WHEN l_discount <= {OR_DISC_CUT} AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS c,
+      SUM(CASE WHEN l_discount <= {OR_DISC_CUT} AND l_returnflag != 'R'
+               THEN 1 ELSE 0 END) AS d
+    FROM lineitem
+  )
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         CAST(CAST(a AS HUGEINT) * d * 1000000
+              // GREATEST(CAST(b AS HUGEINT) * c, 1) AS BIGINT)
+           AS odds_ratio_ppm,
+         CAST(CAST(a AS HUGEINT) * (c + d) * 1000000
+              // GREATEST(CAST(c AS HUGEINT) * (a + b), 1) AS BIGINT)
+           AS rel_risk_ppm
+  FROM s
+"""

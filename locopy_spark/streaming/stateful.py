@@ -2549,3 +2549,45 @@ def stream_abc_xyz(
         .queryName(f"abc_xyz_{state_view}")
         .start()
     )
+
+
+def stream_odds_ratio(
+    lineitem: DataFrame,
+    state_view: str = "odds_state",
+):
+    """Continuously-maintained 2×2 exposure/outcome state
+    (``queries.tpch_ext.odds_state`` — ONE row of four additive
+    counters, the stream_anova shape). OR/RR close row-locally on
+    demand via ``odds_report``. The live "are discounts buying
+    returns" monitor; batch twin: ``q_odds_ratio``."""
+    from locopy_spark.queries.tpch_ext import odds_state
+
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [(0, 0, 0, 0)], "a bigint, b bigint, c bigint, d bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(odds_state(batch_df))
+            .agg(
+                F.sum("a").alias("a"),
+                F.sum("b").alias("b"),
+                F.sum("c").alias("c"),
+                F.sum("d").alias("d"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"odds_{state_view}")
+        .start()
+    )

@@ -2553,3 +2553,44 @@ def test_abc_xyz_vs_textbook(spark, tmp_path):
     # all three XYZ bands and at least two ABC classes populated
     assert {k[1] for k in got} == {"X", "Y", "Z"}
     assert len({k[0] for k in got}) >= 2
+
+
+def test_odds_ratio_vs_textbook(spark, tmp_path):
+    """OR and RR equal the textbook 2x2 formulas computed brute-force
+    on seeded lines with a built-in exposure effect (deep discounts
+    return more often), so OR > 1 decisively."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import OR_DISC_CUT, q_odds_ratio
+
+    r = _rng()
+    rows = []
+    a = b = c = d = 0
+    for i in range(1000):
+        disc = r.choice([0.0, 0.02, 0.04, 0.06, 0.08, 0.10])
+        exposed = disc > OR_DISC_CUT
+        p_ret = 0.4 if exposed else 0.15
+        returned = r.random() < p_ret
+        flag = "R" if returned else r.choice(["N", "A"])
+        rows.append((i, 1.0, 100.0, disc, flag,
+                     datetime.datetime(2020, 1, 1)))
+        if exposed and returned:
+            a += 1
+        elif exposed:
+            b += 1
+        elif returned:
+            c += 1
+        else:
+            d += 1
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_returnflag string, l_shipdate timestamp",
+    )
+    got = q_odds_ratio(spark, str(tmp_path)).collect()[0]
+    assert (got.a, got.b, got.c, got.d) == (a, b, c, d)
+    assert got.odds_ratio_ppm == a * d * 1_000_000 // max(b * c, 1)
+    assert got.rel_risk_ppm == (
+        a * (c + d) * 1_000_000 // max(c * (a + b), 1)
+    )
+    assert got.odds_ratio_ppm > 1_000_000  # the engineered effect

@@ -1300,3 +1300,10 @@ def test_abc_xyz_grid_sized_shuffles(spark, sf_dir):
     # broadcast scalars — no cartesian
     df = _q(spark, sf_dir, "q_abc_xyz")
     assert not audit.has_cartesian(df)
+
+
+def test_odds_ratio_single_pass_one_row(spark, sf_dir):
+    # one conditional-aggregate scan to a 1-row state; row-local close
+    df = _q(spark, sf_dir, "q_odds_ratio")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 1

@@ -2158,3 +2158,34 @@ def test_stream_abc_xyz_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_abc_xyz(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_odds_ratio_matches_batch(spark, sf_dir, tmp_path):
+    """Four 2x2 counters are a 1-row additive monoid; state across 4
+    out-of-order chunks + the row-local OR/RR finisher equals batch
+    q_odds_ratio exactly."""
+    from locopy_spark.queries.tpch_ext import odds_report, q_odds_ratio
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_odds_ratio
+
+    l = load_table(spark, sf_dir, "lineitem")
+    for i, pred in enumerate(["3", "0", "2", "1"]):
+        l.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"orchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "orchunk*"))
+    )
+    q = stream_odds_ratio(stream, state_view="odds_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in odds_report(spark.table("global_temp.odds_t")).collect()
+    ]
+    want = [tuple(r) for r in q_odds_ratio(spark, sf_dir).collect()]
+    assert got and got == want
