@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ndcg_eval": docs_ext.s_ndcg_eval,
         "q_abc_xyz": tpch_ext.q_abc_xyz,
         "q_odds_ratio": tpch_ext.q_odds_ratio,
+        "q_attribution_markov": events_ext.q_attribution_markov,
         # --- remaining slots: the stalest r3-era docs/text greens
         # (last checked round 3, some pre-Spark-4) ---
         "d_exact_dedup": docs.d_exact_dedup,
@@ -125,8 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_lsh": docs.s_knn_lsh,
         "s_knn_ivf": docs_ext.s_knn_ivf,
         "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
-        "s_kmeans": docs_ext.s_kmeans,
         # ------- position 50 cutoff: window ends above this line -------
+        "s_kmeans": docs_ext.s_kmeans,
         "t_lang_id": docs.t_lang_id,
         "t_quality_score": docs.t_quality_score,
         "t_token_count": docs.t_token_count,

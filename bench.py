@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "s_ndcg_eval",
     "q_abc_xyz",
     "q_odds_ratio",
+    "q_attribution_markov",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

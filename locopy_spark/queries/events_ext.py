@@ -1975,3 +1975,245 @@ ORACLE["q_type_overlap"] = """
   JOIN sizes sb ON sb.event_type = type_b
   ORDER BY type_a, type_b
 """
+
+
+# -- Markov removal-effect attribution --------------------------------------------
+
+MA_ITERS = 16  # fixed value-iteration rounds = fixed plan/CTE depth
+
+
+def attribution_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The augmented journey transition matrix behind
+    q_attribution_markov: per-user event streams split into JOURNEYS
+    at each purchase (the purchase becomes the absorbing CONV token,
+    the next event starts a new journey), START prepended, and
+    non-converting journey tails closed with an explicit NULL edge —
+    so every journey is a complete absorbed path and out-degrees sum
+    exactly. Two same-key window passes (user, then user×journey) and
+    a \|types+3\|²-bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    w_user = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = (
+        e.select("user_id", "event_id", "event_type", ts_us.alias("ts_us"))
+        .withColumn(
+            "jid",
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "case when event_type = 'purchase' then 1 else 0 end"
+                    )
+                ).over(w_user.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "token",
+            F.expr(
+                "case when event_type = 'purchase' then 'CONV'"
+                " else event_type end"
+            ),
+        )
+    )
+    wj = W.partitionBy("user_id", "jid").orderBy("ts_us", "event_id")
+    seq = base.select(
+        "token",
+        F.lag("token").over(wj).alias("prev"),
+        F.lead("token").over(wj).alias("nxt"),
+    )
+    edges = seq.selectExpr(
+        "coalesce(prev, 'START') AS from_type", "token AS to_type"
+    ).unionAll(
+        seq.filter("nxt IS NULL AND token != 'CONV'").selectExpr(
+            "token AS from_type", "'NULL' AS to_type"
+        )
+    )
+    m = edges.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    f = m.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return m.join(F.broadcast(f), "from_type")
+
+
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys — the
+    data-driven alternative to q_first_touch / q_attribution_linear's
+    positional rules: a channel's credit is how much the journey
+    conversion probability DROPS when every path through that channel
+    is severed (Anderl et al.'s framework, the industry-standard
+    "Markov attribution").
+
+    Construction: journeys split at purchases (CONV absorbing), tails
+    closed with NULL (absorbing); conversion probability = absorption
+    mass into CONV from START after {MA_ITERS} fixed value-iteration
+    rounds in integer ppb (p ← Σ n_edge·p(next) div n_out — floors
+    drop mass identically on both engines); removal r zeroes every
+    edge INTO r (mass through r falls to NULL). The DuckDB twin runs
+    the SAME iterations with a removal DIMENSION crossed into the
+    state (channels+1 chains in one unrolled CTE stack). Scale shape:
+    the data-sized work is two same-key window passes building the
+    \|types+3\|² matrix; base + all removals then iterate inside ONE
+    Arrow task on that bounded table — metadata work at any SF (the
+    q_markov_stationary regime).
+    """
+    mat = attribution_edges(spark, sf_dir)
+
+    def iterate(pdf):
+        import pandas as pd
+
+        rows = list(
+            zip(pdf["from_type"], pdf["to_type"], pdf["n_trans"],
+                pdf["n_from"])
+        )
+        states = sorted(
+            {f for f, *_ in rows} | {t for _, t, *_ in rows}
+        )
+        channels = [
+            s for s in states if s not in ("START", "CONV", "NULL")
+        ]
+
+        def conv_prob(removed):
+            p = {s: 0 for s in states}
+            p["CONV"] = 10**9
+            for _ in range(MA_ITERS):
+                acc = {s: 0 for s in states}
+                for fr, to, n_ft, n_f in rows:
+                    v = 0 if to == removed else p[to]
+                    acc[fr] += int(n_ft) * int(v)
+                nxt = {}
+                for s in states:
+                    if s == "CONV":
+                        nxt[s] = 10**9
+                    elif s == "NULL":
+                        nxt[s] = 0
+                    else:
+                        n_f = next(
+                            (nf for fr, _, _, nf in rows if fr == s), None
+                        )
+                        nxt[s] = 0 if n_f is None else acc[s] // int(n_f)
+                p = nxt
+            return p["START"]
+
+        p_base = conv_prob(None)
+        rem = {c: conv_prob(c) for c in channels}
+        res = {c: max(0, p_base - rem[c]) for c in channels}
+        tot = sum(res.values())
+        return pd.DataFrame(
+            {
+                "event_type": channels,
+                "p_base_ppb": [p_base] * len(channels),
+                "p_removed_ppb": [rem[c] for c in channels],
+                "removal_ppb": [res[c] for c in channels],
+                "att_ppm": [
+                    res[c] * 10**6 // max(tot, 1) for c in channels
+                ],
+            }
+        )
+
+    out = (
+        mat.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            iterate,
+            "event_type string, p_base_ppb long, p_removed_ppb long,"
+            " removal_ppb long, att_ppm long",
+        )
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_attribution_markov() -> str:
+    steps = []
+    for i in range(1, MA_ITERS + 1):
+        steps.append(
+            f"""j{i} AS (
+    SELECT pv.r, m.from_type AS t,
+           SUM(CAST(m.n_trans AS HUGEINT)
+               * CASE WHEN m.to_type = pv.r THEN 0 ELSE pv.p END) AS acc
+    FROM m JOIN p{i - 1} pv ON pv.t = m.to_type
+    GROUP BY 1, 2
+  ),
+  p{i} AS (
+    SELECT g.r, g.t,
+           CASE WHEN g.t = 'CONV' THEN CAST(1000000000 AS HUGEINT)
+                WHEN g.t = 'NULL' THEN CAST(0 AS HUGEINT)
+                ELSE CAST(COALESCE(j.acc // f.n_from, 0) AS HUGEINT)
+           END AS p
+    FROM grid g
+    LEFT JOIN j{i} j ON j.r = g.r AND j.t = g.t
+    LEFT JOIN f ON f.from_type = g.t
+  )"""
+        )
+    chain = ",\n  ".join(steps)
+    k = MA_ITERS
+    return f"""
+  WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+  ),
+  tok AS (
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS jid,
+           CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS token,
+           us, event_id
+    FROM ev
+  ),
+  seq AS (
+    SELECT token,
+           LAG(token) OVER (PARTITION BY user_id, jid
+                            ORDER BY us, event_id) AS prev,
+           LEAD(token) OVER (PARTITION BY user_id, jid
+                             ORDER BY us, event_id) AS nxt
+    FROM tok
+  ),
+  edges0 AS (
+    SELECT COALESCE(prev, 'START') AS from_type, token AS to_type FROM seq
+    UNION ALL
+    SELECT token, 'NULL' FROM seq WHERE nxt IS NULL AND token != 'CONV'
+  ),
+  m AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM edges0 GROUP BY 1, 2
+  ),
+  f AS (
+    SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+    FROM m GROUP BY 1
+  ),
+  st AS (
+    SELECT DISTINCT from_type AS t FROM m
+    UNION SELECT DISTINCT to_type FROM m
+  ),
+  ch AS (
+    SELECT t AS c FROM st WHERE t NOT IN ('START', 'CONV', 'NULL')
+  ),
+  rm AS (SELECT c AS r FROM ch UNION ALL SELECT '__base__'),
+  grid AS (SELECT r, t FROM rm, st),
+  p0 AS (
+    SELECT r, t,
+           CASE WHEN t = 'CONV' THEN CAST(1000000000 AS HUGEINT)
+                ELSE CAST(0 AS HUGEINT) END AS p
+    FROM grid
+  ),
+  {chain},
+  basep AS (
+    SELECT p AS p_base FROM p{k} WHERE r = '__base__' AND t = 'START'
+  ),
+  res AS (
+    SELECT ch.c AS event_type,
+           CAST(basep.p_base AS BIGINT) AS p_base_ppb,
+           CAST(pr.p AS BIGINT) AS p_removed_ppb,
+           CAST(GREATEST(basep.p_base - pr.p, 0) AS BIGINT) AS removal_ppb
+    FROM ch JOIN p{k} pr ON pr.r = ch.c AND pr.t = 'START', basep
+  )
+  SELECT event_type, p_base_ppb, p_removed_ppb, removal_ppb,
+         CAST(removal_ppb * 1000000
+              // GREATEST(SUM(removal_ppb) OVER (), 1) AS BIGINT)
+           AS att_ppm
+  FROM res ORDER BY event_type
+"""
+
+
+ORACLE["q_attribution_markov"] = _sql_attribution_markov()

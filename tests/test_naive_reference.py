@@ -2594,3 +2594,103 @@ def test_odds_ratio_vs_textbook(spark, tmp_path):
         a * (c + d) * 1_000_000 // max(c * (a + b), 1)
     )
     assert got.odds_ratio_ppm > 1_000_000  # the engineered effect
+
+
+def test_attribution_markov_vs_bruteforce(spark, tmp_path):
+    """Removal effects equal a brute-force Python value iteration over
+    brute-force-built journeys, on seeded data where one channel is
+    engineered to gate most conversions (so its credit dominates)."""
+    import datetime
+
+    from locopy_spark.queries.events_ext import (
+        MA_ITERS,
+        q_attribution_markov,
+    )
+
+    r = _rng()
+    rows = []
+    eid = 0
+    for u in range(80):
+        t0 = datetime.datetime(2021, 1, 1) + datetime.timedelta(hours=u)
+        n = r.randrange(2, 9)
+        for k in range(n):
+            # 'signup' is the gateway: purchases mostly follow it
+            prev_signup = any(
+                rows[j][3] == "signup" and rows[j][2] == u
+                for j in range(len(rows) - k, len(rows))
+            )
+            if prev_signup and r.random() < 0.5:
+                et = "purchase"
+            else:
+                et = r.choice(["view", "click", "signup", "error"])
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=k), u, et, 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        x.event_type: (x.p_base_ppb, x.p_removed_ppb, x.removal_ppb,
+                       x.att_ppm)
+        for x in q_attribution_markov(spark, str(tmp_path)).collect()
+    }
+
+    # brute-force journeys
+    edges = {}
+    by_user = {}
+    for eid_, ts, u, et, _, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid_, et))
+    for u, evs in by_user.items():
+        toks, cur = [], []
+        for _, _, et in sorted(evs):
+            if et == "purchase":
+                cur.append("CONV")
+                toks.append(cur)
+                cur = []
+            else:
+                cur.append(et)
+        if cur:
+            toks.append(cur + ["NULL"])
+        for j in toks:
+            path = ["START"] + j
+            for a, b in zip(path, path[1:]):
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+    n_from = {}
+    for (a, _), v in edges.items():
+        n_from[a] = n_from.get(a, 0) + v
+    states = sorted({a for a, _ in edges} | {b for _, b in edges})
+    channels = [s for s in states if s not in ("START", "CONV", "NULL")]
+
+    def conv(removed):
+        p = {s: 0 for s in states}
+        p["CONV"] = 10**9
+        for _ in range(MA_ITERS):
+            acc = {s: 0 for s in states}
+            for (a, b), n in edges.items():
+                acc[a] += n * (0 if b == removed else p[b])
+            nxt = {}
+            for s in states:
+                if s == "CONV":
+                    nxt[s] = 10**9
+                elif s == "NULL":
+                    nxt[s] = 0
+                else:
+                    nxt[s] = (
+                        acc[s] // n_from[s] if s in n_from else 0
+                    )
+            p = nxt
+        return p["START"]
+
+    pb = conv(None)
+    res = {c: max(0, pb - conv(c)) for c in channels}
+    tot = sum(res.values())
+    want = {
+        c: (pb, conv(c), res[c], res[c] * 10**6 // max(tot, 1))
+        for c in channels
+    }
+    assert got == want
+    # the engineered gateway channel dominates the credit
+    assert got["signup"][3] == max(v[3] for v in got.values())

@@ -1307,3 +1307,10 @@ def test_odds_ratio_single_pass_one_row(spark, sf_dir):
     df = _q(spark, sf_dir, "q_odds_ratio")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 1
+
+
+def test_attribution_markov_bounded_iteration(spark, sf_dir):
+    # two same-key window passes to the bounded matrix; base + all
+    # removals iterate in one Arrow task; no cartesian anywhere
+    df = _q(spark, sf_dir, "q_attribution_markov")
+    assert not audit.has_cartesian(df)
