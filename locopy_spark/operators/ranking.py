@@ -304,3 +304,54 @@ def grouped_global_running_sum(
             group_cols,
         )
     return out
+
+
+def global_rank_and_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    rank_col: str = "rn",
+    sum_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`global_row_number` AND :func:`global_running_sum` from
+    ONE range-partitioned pass: a single ranged materialization, one
+    P-row driver round-trip carrying (count, sum) per partition, then
+    both local windows add their offsets.  Callers that need the rank
+    and the exclusive prefix sum together (change-point scans, Lorenz
+    tails) pay one shuffle instead of two."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per = {
+        r["__pid"]: (r["cnt"], r["s"] or 0)
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc_n, acc_s = {}, 0, 0
+    for pid in sorted(per):
+        offsets[pid] = (acc_n, acc_s)
+        acc_n += per[pid][0]
+        acc_s += per[pid][1]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, n, int(s)) for pid, (n, s) in offsets.items()],
+            "__pid int, __offn long, __offs long",
+        )
+    )
+    wr = Window.partitionBy("__pid").orderBy(*order_cols)
+    ws = wr.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(rank_col, F.row_number().over(wr) + F.col("__offn"))
+        .withColumn(
+            sum_col,
+            F.coalesce(F.sum(value_col).over(ws), F.lit(0))
+            + F.col("__offs"),
+        )
+        .drop("__pid", "__offn", "__offs")
+    )

@@ -1144,15 +1144,15 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def changepoint_report(state: DataFrame) -> DataFrame:
     """Close the best-split scan over any (day, rev_c) daily-revenue
     state (|days|-bounded)."""
-    from locopy_spark.operators.ranking import (
-        global_row_number,
-        global_running_sum,
-    )
+    from locopy_spark.operators.ranking import global_rank_and_running_sum
 
-    cum = global_running_sum(
-        state, order_cols=["day"], value_col="rev_c", out_col="pre"
+    rn = global_rank_and_running_sum(
+        state,
+        order_cols=["day"],
+        value_col="rev_c",
+        rank_col="k",
+        sum_col="pre",
     )
-    rn = global_row_number(cum, order_cols=["day"], out_col="k")
     tot = state.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("sn")
     )
