@@ -849,3 +849,31 @@ def test_prefix_filter_equals_allpairs_jaccard(spark, sf_dir):
         map(tuple, ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect())
     )
     assert fast == naive and fast
+
+
+def test_global_rank_and_running_sum_matches_windows(spark):
+    """The combined one-pass primitive equals the separate one-
+    partition reference windows for BOTH outputs at several partition
+    counts (partition-count exactness — offsets must compose)."""
+    from pyspark.sql.window import Window
+
+    from locopy_spark.operators.ranking import global_rank_and_running_sum
+
+    df = spark.range(0, 3000).select(
+        ((F.col("id") * 2654435761) % 99991).alias("k"),
+        F.col("id"),
+        (F.col("id") % 17 + 1).alias("v"),
+    )
+    wr = Window.orderBy("k", "id")
+    ws = wr.rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cum", F.coalesce(F.sum("v").over(ws), F.lit(0))
+    )
+    for parts in (1, 7, 16):
+        got = global_rank_and_running_sum(
+            df, ["k", "id"], "v", rank_col="rn", sum_col="cum",
+            num_partitions=parts,
+        )
+        assert (
+            got.join(want, ["k", "id", "v", "rn", "cum"]).count() == 3000
+        ), parts
