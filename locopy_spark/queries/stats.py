@@ -1915,17 +1915,22 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     power sums pivoted to ONE row, SSB/SST as fixed-order seven-term
     double chains (identical text both engines), η² in exact-operand
     double. Two bounded aggregates past the one data-sized scan.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr(
-            "datediff(cast(o_orderdate as date), date'1970-01-01')"
-        ).alias("day")
-    ).agg(
-        F.sum(
-            F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
-        ).alias("v")
-    ).select(F.expr("(day + 4) % 7").alias("dow"), "v")
+    Split as state + finisher since r8: the input IS the shared
+    ``peaks_state`` daily-revenue monoid (``stream_peaks`` maintains
+    it live - this is its FOURTH finisher)."""
+    from locopy_spark.queries.timeseries import peaks_state
+
+    return seasonal_strength_report(
+        peaks_state(load_table(spark, sf_dir, "orders"))
+    )
+
+
+def seasonal_strength_report(state: DataFrame) -> DataFrame:
+    """Close weekly eta-squared over any (day, rev_c) daily-revenue
+    state."""
+    daily = state.select(
+        F.expr("(day + 4) % 7").alias("dow"), F.col("rev_c").alias("v")
+    )
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("sq"),

@@ -1907,6 +1907,20 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_d = [tuple(r) for r in q_drawdown(spark, sf_dir).collect()]
     assert got_d and got_d == want_d
+    # fourth finisher over the SAME state: weekly seasonality strength
+    from locopy_spark.queries.stats import (
+        q_seasonal_strength,
+        seasonal_strength_report,
+    )
+
+    got_s = [
+        tuple(r)
+        for r in seasonal_strength_report(
+            spark.table("global_temp.peaks_t")
+        ).collect()
+    ]
+    want_s = [tuple(r) for r in q_seasonal_strength(spark, sf_dir).collect()]
+    assert got_s and got_s == want_s
 
 
 def test_stream_fulfillment_matches_batch(spark, sf_dir, tmp_path):
