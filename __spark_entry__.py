@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abc_xyz": tpch_ext.q_abc_xyz,
         "q_odds_ratio": tpch_ext.q_odds_ratio,
         "q_attribution_markov": events_ext.q_attribution_markov,
+        "m_payload_dedup": docs_ext.m_payload_dedup,
         # --- remaining slots: the stalest r3-era docs/text greens
         # (last checked round 3, some pre-Spark-4) ---
         "d_exact_dedup": docs.d_exact_dedup,
@@ -125,8 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_bruteforce": docs.s_knn_bruteforce,
         "s_knn_lsh": docs.s_knn_lsh,
         "s_knn_ivf": docs_ext.s_knn_ivf,
-        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         # ------- position 50 cutoff: window ends above this line -------
+        "s_tfidf_pairs": docs_ext.s_tfidf_pairs,
         "s_kmeans": docs_ext.s_kmeans,
         "t_lang_id": docs.t_lang_id,
         "t_quality_score": docs.t_quality_score,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_abc_xyz",
     "q_odds_ratio",
     "q_attribution_markov",
+    "m_payload_dedup",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

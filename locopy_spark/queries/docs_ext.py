@@ -4625,3 +4625,62 @@ def _silhouette_oracle() -> str:
 
 
 ORACLE["s_silhouette"] = _silhouette_oracle()
+
+
+# -- multimodal payload dedup ---------------------------------------------------
+
+
+def m_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-level dedup of multimodal payloads — the first pass every
+    image/audio corpus runs (byte-identical assets re-crawled under
+    different ids), through the REAL multimodal plumbing: binary
+    payload column + typed metadata struct (operators/multimodal.py
+    ``attach_payload``), grouped by the payload md5 that lands with
+    the metadata. Emits each duplicate group with its keeper (min
+    doc_id) and reclaimable bytes. d_exact_dedup is the text twin;
+    this one exercises the binary path a 100 TB media lake dedupes by
+    (the digest is computed ONCE at landing and travels in metadata —
+    no second pass over payload bytes).
+
+    Scale shape: payloads never shuffle — only (doc_id, digest,
+    byte_len) rows move; one partial-aggregated groupBy on the digest.
+    """
+    from locopy_spark.operators.multimodal import attach_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = attach_payload(docs).select(
+        "doc_id",
+        F.expr("media_meta.payload_md5").alias("digest"),
+        F.expr("cast(media_meta.byte_len as bigint)").alias("byte_len"),
+    )
+    return (
+        p.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.max("byte_len").alias("byte_len"),
+        )
+        .filter("n_copies > 1")
+        .selectExpr(
+            "digest",
+            "n_copies",
+            "keeper",
+            "(n_copies - 1) * byte_len AS dup_bytes",
+        )
+        .orderBy("keeper")
+    )
+
+
+ORACLE["m_payload_dedup"] = """
+  WITH p AS (
+    SELECT doc_id, md5(text) AS digest,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+  )
+  SELECT digest,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         MIN(doc_id) AS keeper,
+         CAST((COUNT(*) - 1) * MAX(byte_len) AS BIGINT) AS dup_bytes
+  FROM p GROUP BY digest HAVING COUNT(*) > 1
+  ORDER BY keeper
+"""

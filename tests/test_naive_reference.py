@@ -2694,3 +2694,51 @@ def test_attribution_markov_vs_bruteforce(spark, tmp_path):
     assert got == want
     # the engineered gateway channel dominates the credit
     assert got["signup"][3] == max(v[3] for v in got.values())
+
+
+def test_payload_dedup_vs_bruteforce(spark, tmp_path):
+    """Duplicate groups, keepers, and reclaimable bytes equal the
+    brute-force dict computation over seeded docs with engineered
+    byte-identical duplicates (including a triple)."""
+    import hashlib
+
+    from locopy_spark.queries.docs_ext import m_payload_dedup
+
+    r = _rng()
+    texts = []
+    for i in range(40):
+        if i in (7, 19):
+            texts.append(texts[3])  # duplicates of doc 3 (a triple)
+        elif i == 25:
+            texts.append(texts[10])
+        else:
+            texts.append(
+                " ".join(
+                    r.choice(["red", "blue", "disk", "spark"])
+                    for _ in range(6)
+                )
+                + f" #{i}"
+            )
+    docs = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    got = [
+        (x.digest, x.n_copies, x.keeper, x.dup_bytes)
+        for x in m_payload_dedup(spark, str(tmp_path)).collect()
+    ]
+    groups = {}
+    for i, t in enumerate(texts):
+        d = hashlib.md5(t.encode()).hexdigest()
+        groups.setdefault(d, []).append(i)
+    want = sorted(
+        (
+            (d, len(ids), min(ids),
+             (len(ids) - 1) * len(texts[ids[0]].encode()))
+            for d, ids in groups.items()
+            if len(ids) > 1
+        ),
+        key=lambda x: x[2],
+    )
+    assert got == want and len(got) == 2
+    assert got[0][1] == 3  # the engineered triple

@@ -1314,3 +1314,14 @@ def test_attribution_markov_bounded_iteration(spark, sf_dir):
     # removals iterate in one Arrow task; no cartesian anywhere
     df = _q(spark, sf_dir, "q_attribution_markov")
     assert not audit.has_cartesian(df)
+
+
+def test_payload_dedup_payloads_never_shuffle(spark, sf_dir):
+    # only (doc_id, digest, byte_len) rows move; the binary payload
+    # column must be pruned out before the digest groupBy exchange
+    df = _q(spark, sf_dir, "m_payload_dedup")
+    assert not audit.has_cartesian(df)
+    plan = audit.simple_plan(df)
+    # one hash aggregate exchange on the digest; no payload column in
+    # the exchange (it is derived and dropped projection-side)
+    assert audit.shuffle_count(df) <= 2
