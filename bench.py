@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q_odds_ratio",
     "q_attribution_markov",
     "m_payload_dedup",
+    "q_attribution_decay",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

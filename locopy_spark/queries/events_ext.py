@@ -2217,3 +2217,117 @@ def _sql_attribution_markov() -> str:
 
 
 ORACLE["q_attribution_markov"] = _sql_attribution_markov()
+
+
+# -- time-decay multi-touch attribution -------------------------------------------
+
+DECAY_HALF_US = ATTR_WINDOW_US // 4  # 4 half-lives across the window
+
+
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: a purchase's value splits
+    over its preceding-window touches with weights HALVING per
+    {DECAY_HALF_US}-µs of age — the recency-weighted member of the
+    attribution family (q_first_touch: winner-take-all;
+    q_attribution_linear: equal; q_attribution_markov: causal removal;
+    this: the industry time-decay default).
+
+    Exactness: weights are pure integers 1024 >> (age div half-life)
+    — powers of two, no float exponentials anywhere; per-(purchase,
+    type) weight sums are bigints and each type's credit is ONE
+    integer division value·sw_type div sw_total (the q_attribution_
+    linear closing device, floors dropping identically on both
+    engines). Shape: the SAME bucketed range join as q_first_touch /
+    q_attribution_linear; everything after is partial-aggregated
+    groupBys — the credit table is |purchases × types|.
+    """
+    from locopy_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(e, "ts")
+    points = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        ts_us.alias("p_us"),
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias(
+            "value_fix"
+        ),
+        (ts_us - F.lit(ATTR_WINDOW_US)).alias("lo_us"),
+        ts_us.alias("hi_us"),
+    )
+    cands = range_join(
+        points,
+        intervals,
+        point_col="p_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bucket=ATTR_WINDOW_US,
+        keys=["user_id"],
+    ).withColumn(
+        "w",
+        F.expr(
+            "shiftright(1024, cast(least((hi_us - p_us)"
+            f" div {DECAY_HALF_US}, 10) as int))"
+        ),
+    )
+    per_type = cands.groupBy("purchase_id", "value_fix", "touch_type").agg(
+        F.sum("w").alias("sw")
+    )
+    totals = per_type.groupBy("purchase_id").agg(
+        F.sum("sw").alias("sw_total")
+    )
+    credited = per_type.join(totals, "purchase_id").select(
+        "touch_type",
+        "purchase_id",
+        F.expr("value_fix * sw div sw_total").alias("credit_fix"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count_distinct("purchase_id").alias("n_purchases"),
+            F.sum("credit_fix").alias("credit_fix"),
+        )
+        .withColumn(
+            "credit", F.expr("cast(credit_fix as double) / 1000.0")
+        )
+        .orderBy("touch_type")
+    )
+
+
+ORACLE["q_attribution_decay"] = f"""
+  WITH c AS (
+    SELECT p.event_id AS purchase_id,
+           CAST(FLOOR(p.value * 1000 + 0.5) AS BIGINT) AS value_fix,
+           x.event_type AS touch_type,
+           1024 >> CAST(LEAST((epoch_us(p.ts) - epoch_us(x.ts))
+                              // {DECAY_HALF_US}, 10) AS INT) AS w
+    FROM events p JOIN events x
+      ON p.event_type = 'purchase'
+     AND x.event_type IN ('view', 'click')
+     AND x.user_id = p.user_id
+     AND epoch_us(x.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
+     AND epoch_us(x.ts) < epoch_us(p.ts)
+  ),
+  per_type AS (
+    SELECT purchase_id, value_fix, touch_type,
+           CAST(SUM(w) AS BIGINT) AS sw
+    FROM c GROUP BY 1, 2, 3
+  ),
+  totals AS (
+    SELECT purchase_id, CAST(SUM(sw) AS BIGINT) AS sw_total
+    FROM per_type GROUP BY 1
+  )
+  SELECT pt.touch_type,
+         COUNT(DISTINCT pt.purchase_id) AS n_purchases,
+         CAST(SUM(pt.value_fix * pt.sw // t.sw_total) AS BIGINT)
+           AS credit_fix,
+         CAST(CAST(SUM(pt.value_fix * pt.sw // t.sw_total) AS BIGINT)
+              AS DOUBLE) / 1000.0 AS credit
+  FROM per_type pt JOIN totals t ON pt.purchase_id = t.purchase_id
+  GROUP BY 1 ORDER BY 1
+"""

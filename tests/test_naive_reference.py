@@ -2742,3 +2742,62 @@ def test_payload_dedup_vs_bruteforce(spark, tmp_path):
     )
     assert got == want and len(got) == 2
     assert got[0][1] == 3  # the engineered triple
+
+
+def test_attribution_decay_vs_bruteforce(spark, tmp_path):
+    """Time-decay credits equal the brute-force Python computation
+    with the same power-of-two integer weights on seeded journeys
+    whose touch ages span all half-life buckets (so weights genuinely
+    differ from linear's equal split)."""
+    import datetime
+
+    from locopy_spark.queries.events_ext import (
+        ATTR_WINDOW_US,
+        DECAY_HALF_US,
+        q_attribution_decay,
+    )
+
+    r = _rng()
+    rows = []
+    eid = 0
+    touches = []  # (user, ts_us, type)
+    purchases = []  # (pid, user, ts_us, value_fix)
+    base = datetime.datetime(2021, 3, 1)
+    for u in range(50):
+        t0 = base + datetime.timedelta(hours=u)
+        n = r.randrange(1, 6)
+        for k in range(n):
+            et = r.choice(["view", "click"])
+            # ages spread over the full window: 1..29 minutes back
+            ts = t0 - datetime.timedelta(minutes=r.randrange(1, 30))
+            rows.append((eid, ts, u, et, 1.0, "{}"))
+            touches.append((u, int(ts.timestamp() * 1e6), et))
+            eid += 1
+        val = r.randrange(1, 500) / 10.0
+        rows.append((eid, t0, u, "purchase", val, "{}"))
+        purchases.append((eid, u, int(t0.timestamp() * 1e6),
+                          round(val * 1000)))
+        eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        x.touch_type: (x.n_purchases, x.credit_fix)
+        for x in q_attribution_decay(spark, str(tmp_path)).collect()
+    }
+    agg = {}
+    for pid, u, pus, vfix in purchases:
+        sw = {}
+        for tu, tus, et in touches:
+            if tu == u and pus - ATTR_WINDOW_US <= tus < pus:
+                b = min((pus - tus) // DECAY_HALF_US, 10)
+                sw[et] = sw.get(et, 0) + (1024 >> b)
+        tot = sum(sw.values())
+        for et, w in sw.items():
+            n, c = agg.get(et, (set(), 0))
+            n.add(pid)
+            agg[et] = (n, c + vfix * w // tot)
+    want = {et: (len(n), c) for et, (n, c) in agg.items()}
+    assert got == want

@@ -1325,3 +1325,11 @@ def test_payload_dedup_payloads_never_shuffle(spark, sf_dir):
     # one hash aggregate exchange on the digest; no payload column in
     # the exchange (it is derived and dropped projection-side)
     assert audit.shuffle_count(df) <= 2
+
+
+def test_attribution_decay_bucketed_range_join(spark, sf_dir):
+    # the same bucketed equi range join as q_attribution_linear; no
+    # inequality nested loop, no cartesian
+    df = _q(spark, sf_dir, "q_attribution_decay")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)
