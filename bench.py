@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q_attribution_markov",
     "m_payload_dedup",
     "q_attribution_decay",
+    "q_xmr_control",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

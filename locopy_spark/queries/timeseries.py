@@ -1234,3 +1234,90 @@ ORACLE["q_changepoint"] = f"""
            / CAST((n - k) * {SCALE} AS DOUBLE) AS mean_right
   FROM best
 """
+
+
+# -- XmR (individuals/moving-range) control chart ----------------------------------
+
+
+def q_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control-chart audit of daily
+    revenue: which days breach the ±2.66·mR̄ natural process limits —
+    Shewhart's test for "is this variation routine or a signal",
+    the SPC complement of q_anomaly_days' trailing z-score (XmR
+    limits come from short-run point-to-point variation, so a slow
+    drift inflates z's baseline but still trips XmR).
+
+    Exactness: the |days|-bounded daily state (the shared
+    ``peaks_state`` monoid — FIFTH finisher) yields the lag-1 moving
+    ranges; the breach test |x·n − S|·100·m > 266·SMR·n is pure
+    integer cross-multiplication through DECIMAL(38)/HUGEINT (no
+    division anywhere — 2.66 enters as the exact ratio 266/100);
+    center/limits are reported as exact-operand doubles. One bounded
+    lag window + two broadcast scalars.
+    """
+    return xmr_report(peaks_state(load_table(spark, sf_dir, "orders")))
+
+
+def xmr_report(state: DataFrame) -> DataFrame:
+    """Close the XmR breach scan over any (day, rev_c) daily state."""
+    mr = state.select(
+        "day",
+        "rev_c",
+        F.expr("abs(rev_c - lag(rev_c) over (order by day))").alias("mr"),
+    )
+    scal = mr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("s"),
+        F.sum(F.expr("case when mr is not null then 1 end")).alias("m"),
+        F.sum("mr").alias("smr"),
+    )
+    breaches = (
+        mr.crossJoin(F.broadcast(scal))
+        .filter(
+            "abs(CAST(rev_c AS DECIMAL(38,0)) * n - CAST(s AS"
+            " DECIMAL(38,0))) * 100 * m"
+            " > CAST(266 AS DECIMAL(38,0)) * smr * n"
+        )
+        .selectExpr(
+            "day",
+            f"CAST(rev_c AS DOUBLE) / {SCALE}.0 AS revenue",
+            "CAST(CASE WHEN CAST(rev_c AS DECIMAL(38,0)) * n >"
+            " CAST(s AS DECIMAL(38,0)) THEN 1 ELSE -1 END AS INT)"
+            " AS side",
+            "CAST(s AS DOUBLE) / n / 1000.0 AS center",
+            "CAST(smr AS DOUBLE) / m / 1000.0 AS avg_moving_range",
+        )
+        .orderBy("day")
+    )
+    return breaches
+
+
+ORACLE["q_xmr_control"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+             AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  mr AS (
+    SELECT day, rev_c,
+           ABS(rev_c - LAG(rev_c) OVER (ORDER BY day)) AS mr
+    FROM daily
+  ),
+  scal AS (
+    SELECT COUNT(*) AS n, SUM(rev_c) AS s,
+           COUNT(mr) AS m, SUM(mr) AS smr
+    FROM mr
+  )
+  SELECT day,
+         CAST(rev_c AS DOUBLE) / {SCALE}.0 AS revenue,
+         CAST(CASE WHEN CAST(rev_c AS HUGEINT) * n > CAST(s AS HUGEINT)
+              THEN 1 ELSE -1 END AS INT) AS side,
+         CAST(s AS DOUBLE) / n / 1000.0 AS center,
+         CAST(smr AS DOUBLE) / m / 1000.0 AS avg_moving_range
+  FROM mr, scal
+  WHERE ABS(CAST(rev_c AS HUGEINT) * n - CAST(s AS HUGEINT)) * 100 * m
+        > CAST(266 AS HUGEINT) * smr * n
+  ORDER BY day
+"""

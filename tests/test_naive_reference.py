@@ -2801,3 +2801,50 @@ def test_attribution_decay_vs_bruteforce(spark, tmp_path):
             agg[et] = (n, c + vfix * w // tot)
     want = {et: (len(n), c) for et, (n, c) in agg.items()}
     assert got == want
+
+
+def test_xmr_control_vs_textbook(spark, tmp_path):
+    """Breach days equal the textbook XmR computation (mean, average
+    moving range, +/-2.66*mR limits) on a seeded series with two
+    engineered out-of-control spikes (one high, one low)."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import q_xmr_control
+
+    r = _rng()
+    base = datetime.date(2020, 5, 1)
+    daily = {}
+    rows = []
+    for d in range(90):
+        v = 100 + r.randrange(-3, 4)
+        if d == 40:
+            v = 200  # engineered high spike
+        if d == 70:
+            v = 20  # engineered low spike
+        rows.append(
+            (d, datetime.datetime.combine(
+                base + datetime.timedelta(days=d), datetime.time(9)),
+             float(v))
+        )
+        day = (base + datetime.timedelta(days=d)
+               - datetime.date(1970, 1, 1)).days
+        daily[day] = v * 1000
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    got = [(x.day, x.side) for x in
+           q_xmr_control(spark, str(tmp_path)).collect()]
+
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    s = sum(xs)
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    m, smr = len(mrs), sum(mrs)
+    want = [
+        (d, 1 if daily[d] * n > s else -1)
+        for d in days
+        if abs(daily[d] * n - s) * 100 * m > 266 * smr * n
+    ]
+    assert got == want
+    sides = {s_ for _, s_ in got}
+    assert sides == {1, -1}  # both engineered spikes trip their side

@@ -1333,3 +1333,10 @@ def test_attribution_decay_bucketed_range_join(spark, sf_dir):
     df = _q(spark, sf_dir, "q_attribution_decay")
     assert not audit.has_cartesian(df)
     assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_xmr_control_bounded_window(spark, sf_dir):
+    # shared peaks_state daily aggregate; the lag window runs over the
+    # bounded daily table; scalars broadcast; no cartesian
+    df = _q(spark, sf_dir, "q_xmr_control")
+    assert not audit.has_cartesian(df)

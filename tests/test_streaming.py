@@ -1921,6 +1921,15 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_s = [tuple(r) for r in q_seasonal_strength(spark, sf_dir).collect()]
     assert got_s and got_s == want_s
+    # fifth finisher over the SAME state: XmR control-chart breaches
+    from locopy_spark.queries.timeseries import q_xmr_control, xmr_report
+
+    got_x = [
+        tuple(r)
+        for r in xmr_report(spark.table("global_temp.peaks_t")).collect()
+    ]
+    want_x = [tuple(r) for r in q_xmr_control(spark, sf_dir).collect()]
+    assert got_x == want_x
 
 
 def test_stream_fulfillment_matches_batch(spark, sf_dir, tmp_path):
