@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "m_payload_dedup",
     "q_attribution_decay",
     "q_xmr_control",
+    "q_brand_xcorr",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

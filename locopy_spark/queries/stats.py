@@ -2005,3 +2005,157 @@ def _sql_seasonal_strength() -> str:
 
 
 ORACLE["q_seasonal_strength"] = _sql_seasonal_strength()
+
+
+# -- brand substitution / cannibalization matrix -----------------------------------
+
+BX_R_CUT = 0.2  # |r| threshold for the substitute/complement call
+
+
+def q_brand_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-pair demand correlation (cannibalization matrix): Pearson
+    r between every two brands' ZERO-FILLED monthly quantity series —
+    the assortment read behind "does brand A eat brand B's demand"
+    (persistently negative r: substitutes — promoting one moves the
+    other; positive: complements/common seasonality). q_xcorr answers
+    this for two fixed event series at many lags; this answers it at
+    lag 0 for every brand pair.
+
+    Exactness: the (brand, month) grid carries exact integer
+    quantities; missing months ZERO-FILL from the broadcast
+    brand×month spine (a brand absent in a month is real zero demand
+    — dropping the month would bias r toward +1); the pair join is a
+    month-aligned self-equi-join of the bounded grid; per-pair
+    DECIMAL(38) power sums close through the shared _CORR fixed
+    formula text (identical on both engines), zero-variance pairs
+    NULL. Scale shape: one partial-aggregated fact scan with a
+    broadcast part join; everything after runs on the
+    |brands × months| grid and the |brands|²/2 pair table.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    grid = (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            l.l_partkey == p.p_partkey,
+        )
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "year(cast(l_shipdate as date)) * 100"
+                " + month(cast(l_shipdate as date))"
+            ).alias("ym"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias(
+                "q"
+            )
+        )
+    )
+    brands = grid.select("p_brand").distinct()
+    months = grid.select("ym").distinct()
+    spine = brands.crossJoin(F.broadcast(months))
+    filled = spine.join(grid, ["p_brand", "ym"], "left").select(
+        "p_brand", "ym", F.expr("coalesce(q, 0)").alias("q")
+    )
+    a, b = filled.alias("a"), filled.alias("b")
+    sums = (
+        a.join(b, F.expr("a.ym = b.ym AND a.p_brand < b.p_brand"))
+        .select(
+            F.expr("a.p_brand").alias("brand_a"),
+            F.expr("b.p_brand").alias("brand_b"),
+            F.expr("a.q").alias("x"),
+            F.expr("b.q").alias("y"),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+            F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+            F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("sxy"),
+            F.sum(F.expr("cast(x * x as decimal(38,0))")).alias("sx2"),
+            F.sum(F.expr("cast(y * y as decimal(38,0))")).alias("sy2"),
+        )
+    )
+    fmt = dict(n="n", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2")
+    guarded = (
+        "CASE WHEN n * CAST(sx2 AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0"
+        " AND n * CAST(sy2 AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0"
+        f" THEN {_CORR.format(**fmt)} END"
+    )
+    return (
+        sums.select(
+            "brand_a",
+            "brand_b",
+            F.col("n").alias("n_months"),
+            F.expr(guarded).alias("r"),
+        )
+        .withColumn(
+            "relation",
+            F.expr(
+                f"CASE WHEN r < -{BX_R_CUT} THEN 'substitute'"
+                f" WHEN r > {BX_R_CUT} THEN 'complement'"
+                " WHEN r IS NULL THEN 'flat' ELSE 'independent' END"
+            ),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+def _sql_brand_xcorr() -> str:
+    fmt = dict(n="n", sx="sx", sy="sy", sxy="sxy", sx2="sx2", sy2="sy2")
+    corr = _CORR.format(**fmt)
+    return f"""
+  WITH grid AS (
+    SELECT p_brand,
+           year(CAST(l_shipdate AS DATE)) * 100
+             + month(CAST(l_shipdate AS DATE)) AS ym,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+  ),
+  spine AS (
+    SELECT b.p_brand, m.ym
+    FROM (SELECT DISTINCT p_brand FROM grid) b,
+         (SELECT DISTINCT ym FROM grid) m
+  ),
+  filled AS (
+    SELECT s.p_brand, s.ym, COALESCE(g.q, 0) AS q
+    FROM spine s LEFT JOIN grid g
+      ON g.p_brand = s.p_brand AND g.ym = s.ym
+  ),
+  sums AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(a.q AS HUGEINT)) AS sx,
+           SUM(CAST(b.q AS HUGEINT)) AS sy,
+           SUM(CAST(a.q AS HUGEINT) * b.q) AS sxy,
+           SUM(CAST(a.q AS HUGEINT) * a.q) AS sx2,
+           SUM(CAST(b.q AS HUGEINT) * b.q) AS sy2
+    FROM filled a JOIN filled b
+      ON a.ym = b.ym AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+  ),
+  scored AS (
+    SELECT brand_a, brand_b, n AS n_months,
+           CASE WHEN n * CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                AND n * CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                THEN {corr} END AS r
+    FROM sums
+  )
+  SELECT brand_a, brand_b, n_months, r,
+         CASE WHEN r < -{BX_R_CUT} THEN 'substitute'
+              WHEN r > {BX_R_CUT} THEN 'complement'
+              WHEN r IS NULL THEN 'flat' ELSE 'independent' END AS relation
+  FROM scored ORDER BY brand_a, brand_b
+"""
+
+
+ORACLE["q_brand_xcorr"] = _sql_brand_xcorr()

@@ -2848,3 +2848,76 @@ def test_xmr_control_vs_textbook(spark, tmp_path):
     assert got == want
     sides = {s_ for _, s_ in got}
     assert sides == {1, -1}  # both engineered spikes trip their side
+
+
+def test_brand_xcorr_vs_textbook(spark, tmp_path):
+    """Pair correlations equal textbook Pearson over the zero-filled
+    monthly grids, on seeded data with an engineered substitute pair
+    (anti-phase demand) and an engineered complement pair (in-phase),
+    plus a brand absent some months (the zero-fill path)."""
+    import datetime
+    import math
+
+    from locopy_spark.queries.stats import BX_R_CUT, q_brand_xcorr
+
+    r = _rng()
+    parts = {0: "B_A", 1: "B_B", 2: "B_C", 3: "B_D"}
+    rows, grid = [], {}
+    for mi in range(12):
+        phase = mi % 2
+        demand = {
+            "B_A": 50 + 40 * phase + r.randrange(0, 3),
+            "B_B": 90 - 40 * phase + r.randrange(0, 3),  # anti-phase
+            "B_C": 45 + 40 * phase + r.randrange(0, 3),  # in-phase w/ A
+            "B_D": (10 if mi % 3 == 0 else 0),  # absent most months
+        }
+        for pk, brand in parts.items():
+            q = demand[brand]
+            if q == 0:
+                continue
+            rows.append(
+                (len(rows), pk, float(q), float(q) * 3.0,
+                 datetime.datetime(1997, mi + 1, 10))
+            )
+            grid[(brand, mi)] = q
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate timestamp",
+    )
+    _write(
+        spark, tmp_path, "part",
+        [(pk, b) for pk, b in parts.items()],
+        "p_partkey long, p_brand string",
+    )
+    got = {
+        (x.brand_a, x.brand_b): (x.n_months, x.r, x.relation)
+        for x in q_brand_xcorr(spark, str(tmp_path)).collect()
+    }
+    brands = sorted(parts.values())
+    for i, ba in enumerate(brands):
+        for bb in brands[i + 1:]:
+            xs = [grid.get((ba, m), 0) for m in range(12)]
+            ys = [grid.get((bb, m), 0) for m in range(12)]
+            n = 12
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sx2 = sum(a * a for a in xs)
+            sy2 = sum(b * b for b in ys)
+            vx = n * float(sx2) - float(sx) * float(sx)
+            vy = n * float(sy2) - float(sy) * float(sy)
+            rr = (
+                (n * float(sxy) - float(sx) * float(sy))
+                / (math.sqrt(vx) * math.sqrt(vy))
+                if vx > 0 and vy > 0
+                else None
+            )
+            nm, gr, rel = got[(ba, bb)]
+            assert nm == n
+            assert gr == rr
+            if rr is not None and rr < -BX_R_CUT:
+                assert rel == "substitute"
+            elif rr is not None and rr > BX_R_CUT:
+                assert rel == "complement"
+    assert got[("B_A", "B_B")][2] == "substitute"
+    assert got[("B_A", "B_C")][2] == "complement"

@@ -1340,3 +1340,11 @@ def test_xmr_control_bounded_window(spark, sf_dir):
     # bounded daily table; scalars broadcast; no cartesian
     df = _q(spark, sf_dir, "q_xmr_control")
     assert not audit.has_cartesian(df)
+
+
+def test_brand_xcorr_grid_sized_pair_join(spark, sf_dir):
+    # one broadcast part join to the (brand, month) grid; the pair
+    # self-join runs month-aligned over the bounded grid; no cartesian
+    df = _q(spark, sf_dir, "q_brand_xcorr")
+    assert not audit.has_cartesian(df)
+    assert audit.has_broadcast_join(df)
