@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_attribution_decay",
     "q_xmr_control",
     "q_brand_xcorr",
+    "q_croston",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -2647,3 +2647,114 @@ ORACLE["q_odds_ratio"] = f"""
            AS rel_risk_ppm
   FROM s
 """
+
+
+# -- Croston intermittent-demand forecast ------------------------------------------
+
+CROSTON_MIN_DEMANDS = 3
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast per part — the method of
+    record for the sparse/lumpy Z-class demand q_abc_xyz isolates
+    (plain exponential smoothing biases toward zero on mostly-zero
+    series; Croston smooths demand SIZE and inter-demand INTERVAL
+    separately and forecasts their ratio).
+
+    Engine-exact (the q_holt_linear device): both recurrences are
+    α=½ halvings on exact integers over the shared ``abc_xyz_state``
+    (part, month) grid —
+
+        z_k = ⌊(d_k + z_{k−1}) / 2⌋        (z_1 = d_1)
+        p_k = ⌊(i_k + p_{k−1}) / 2⌋        (p_1 = 1 by convention)
+
+    with i_k the linear-month gap between consecutive demands;
+    the demand rate closes as ONE exact ppm floor division z·10⁶ div
+    p. The inherently-sequential recurrences run as per-part Arrow
+    tasks (groups are ≤|months| rows — parallel across parts, bounded
+    within); the DuckDB twin is a per-part recursive CTE over the
+    identical halvings. Parts with < {CROSTON_MIN_DEMANDS} demand
+    months are excluded on both engines.
+    """
+    pm = abc_xyz_state(load_table(spark, sf_dir, "lineitem"))
+    nz = pm.filter("q > 0").select(
+        "l_partkey",
+        F.expr("(ym div 100) * 12 + (ym % 100)").alias("t"),
+        "q",
+    )
+
+    def croston(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        z = p = None
+        prev_t = None
+        for t, d in zip(pdf["t"].tolist(), pdf["q"].tolist()):
+            if z is None:
+                z, p = int(d), 1
+            else:
+                z = (int(d) + z) // 2
+                p = ((int(t) - prev_t) + p) // 2
+            prev_t = int(t)
+        return pd.DataFrame(
+            {
+                "l_partkey": [int(pdf["l_partkey"].iloc[0])],
+                "n_demands": [len(pdf)],
+                "z_fix": [z],
+                "p_fix": [p],
+            }
+        )
+
+    out = nz.groupBy("l_partkey").applyInPandas(
+        croston,
+        "l_partkey long, n_demands long, z_fix long, p_fix long",
+    )
+    return (
+        out.filter(f"n_demands >= {CROSTON_MIN_DEMANDS}")
+        .selectExpr(
+            "l_partkey",
+            "n_demands",
+            "z_fix",
+            "p_fix",
+            "z_fix * 1000000 div p_fix AS croston_rate_ppm",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE["q_croston"] = f"""
+  WITH RECURSIVE pm AS (
+    SELECT l_partkey,
+           year(CAST(l_shipdate AS DATE)) * 100
+             + month(CAST(l_shipdate AS DATE)) AS ym,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q
+    FROM lineitem GROUP BY 1, 2
+  ),
+  nz AS (
+    SELECT l_partkey, (ym // 100) * 12 + (ym % 100) AS t, q
+    FROM pm WHERE q > 0
+  ),
+  idx AS (
+    SELECT l_partkey, t, q,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY t) AS k,
+           t - LAG(t) OVER (PARTITION BY l_partkey ORDER BY t) AS iv
+    FROM nz
+  ),
+  cnt AS (SELECT l_partkey, COUNT(*) AS n FROM nz GROUP BY 1),
+  cro(l_partkey, k, z, p) AS (
+    SELECT l_partkey, k, CAST(q AS BIGINT), CAST(1 AS BIGINT)
+    FROM idx WHERE k = 1
+    UNION ALL
+    SELECT i.l_partkey, i.k,
+           CAST(FLOOR((i.q + c.z) / 2.0) AS BIGINT),
+           CAST(FLOOR((i.iv + c.p) / 2.0) AS BIGINT)
+    FROM idx i JOIN cro c
+      ON i.l_partkey = c.l_partkey AND i.k = c.k + 1
+  )
+  SELECT c.l_partkey, CAST(cnt.n AS BIGINT) AS n_demands,
+         c.z AS z_fix, c.p AS p_fix,
+         CAST(c.z * 1000000 // c.p AS BIGINT) AS croston_rate_ppm
+  FROM cro c JOIN cnt ON c.l_partkey = cnt.l_partkey
+  WHERE c.k = cnt.n AND cnt.n >= {CROSTON_MIN_DEMANDS}
+  ORDER BY c.l_partkey
+"""

@@ -2921,3 +2921,54 @@ def test_brand_xcorr_vs_textbook(spark, tmp_path):
                 assert rel == "complement"
     assert got[("B_A", "B_B")][2] == "substitute"
     assert got[("B_A", "B_C")][2] == "complement"
+
+
+def test_croston_vs_textbook(spark, tmp_path):
+    """Final smoothed size/interval and the rate equal a brute-force
+    Python replay of the halving recurrences on seeded intermittent
+    series (varied gaps, parts below the min-demand cutoff excluded)."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import (
+        CROSTON_MIN_DEMANDS,
+        q_croston,
+    )
+
+    r = _rng()
+    rows = []
+    series = {}  # part -> [(linmonth, qty)]
+    for pk in range(20):
+        months = sorted(r.sample(range(24), r.randrange(1, 10)))
+        for m in months:
+            yy, mm = 1995 + m // 12, m % 12 + 1
+            qty = r.randrange(1, 60)
+            rows.append(
+                (len(rows), pk, float(qty), float(qty) * 2.0,
+                 datetime.datetime(yy, mm, 12))
+            )
+            series.setdefault(pk, []).append((yy * 12 + mm, qty))
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {
+        x.l_partkey: (x.n_demands, x.z_fix, x.p_fix, x.croston_rate_ppm)
+        for x in q_croston(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for pk, pts in series.items():
+        if len(pts) < CROSTON_MIN_DEMANDS:
+            continue
+        z = p = prev = None
+        for t, d in pts:
+            if z is None:
+                z, p = d, 1
+            else:
+                z = (d + z) // 2
+                p = ((t - prev) + p) // 2
+            prev = t
+        want[pk] = (len(pts), z, p, z * 1_000_000 // p)
+    assert got == want
+    assert any(n < CROSTON_MIN_DEMANDS for n in
+               (len(v) for v in series.values()))  # cutoff exercised

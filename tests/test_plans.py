@@ -1348,3 +1348,10 @@ def test_brand_xcorr_grid_sized_pair_join(spark, sf_dir):
     df = _q(spark, sf_dir, "q_brand_xcorr")
     assert not audit.has_cartesian(df)
     assert audit.has_broadcast_join(df)
+
+
+def test_croston_per_part_arrow_groups(spark, sf_dir):
+    # shared (part, month) grid; the sequential recurrences run as
+    # per-part Arrow groups — no cartesian, no global sort
+    df = _q(spark, sf_dir, "q_croston")
+    assert not audit.has_cartesian(df)
