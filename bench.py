@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_xmr_control",
     "q_brand_xcorr",
     "q_croston",
+    "q_demand_obsolete",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -2676,7 +2676,12 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical halvings. Parts with < {CROSTON_MIN_DEMANDS} demand
     months are excluded on both engines.
     """
-    pm = abc_xyz_state(load_table(spark, sf_dir, "lineitem"))
+    return croston_report(abc_xyz_state(load_table(spark, sf_dir, "lineitem")))
+
+
+def croston_report(pm: DataFrame) -> DataFrame:
+    """Close Croston over any (l_partkey, ym, q, …) demand grid —
+    SECOND finisher on the stream_abc_xyz state."""
     nz = pm.filter("q > 0").select(
         "l_partkey",
         F.expr("(ym div 100) * 12 + (ym % 100)").alias("t"),
@@ -2757,4 +2762,87 @@ ORACLE["q_croston"] = f"""
   FROM cro c JOIN cnt ON c.l_partkey = cnt.l_partkey
   WHERE c.k = cnt.n AND cnt.n >= {CROSTON_MIN_DEMANDS}
   ORDER BY c.l_partkey
+"""
+
+
+# -- demand obsolescence (EOL) flags ------------------------------------------------
+
+EOL_FACTOR = 3  # dormant for > 3x the part's own demand rhythm
+
+
+def q_demand_obsolete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-life demand flags: parts whose silence since their LAST
+    demand month exceeds {EOL_FACTOR}× their own average inter-demand
+    interval — the "stop restocking this" list that a fixed dormancy
+    cutoff gets wrong in both directions (a weekly seller silent for
+    two months is dead; a twice-a-year seller silent for two months is
+    routine). THIRD finisher on the shared (part, month) demand grid
+    (q_abc_xyz classifies, q_croston forecasts, this retires).
+
+    Exactness: pure integer cross-multiplication — silent·(n−1) >
+    {EOL_FACTOR}·span with span = t_last − t_first (no ADI division
+    anywhere); the reported adi_ppm/silent months are exact ppm floor
+    divisions; the horizon is the grid's global max month (broadcast
+    1-row). Only parts with ≥ 2 demand months have a rhythm to
+    violate; output is the flagged list ordered by part.
+    """
+    return obsolete_report(
+        abc_xyz_state(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def obsolete_report(pm: DataFrame) -> DataFrame:
+    """Close the EOL scan over any (l_partkey, ym, q, …) demand grid."""
+    nz = pm.filter("q > 0").select(
+        "l_partkey",
+        F.expr("(ym div 100) * 12 + (ym % 100)").alias("t"),
+    )
+    per = nz.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+    )
+    mx = nz.agg(F.max("t").alias("t_now"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(
+            "n >= 2 AND (t_now - t_last) * (n - 1)"
+            f" > {EOL_FACTOR} * (t_last - t_first)"
+        )
+        .selectExpr(
+            "l_partkey",
+            "n AS n_demands",
+            "t_now - t_last AS silent_months",
+            "(t_last - t_first) * 1000000 div (n - 1) AS adi_ppm",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE["q_demand_obsolete"] = f"""
+  WITH pm AS (
+    SELECT l_partkey,
+           year(CAST(l_shipdate AS DATE)) * 100
+             + month(CAST(l_shipdate AS DATE)) AS ym,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q
+    FROM lineitem GROUP BY 1, 2
+  ),
+  nz AS (
+    SELECT l_partkey, (ym // 100) * 12 + (ym % 100) AS t
+    FROM pm WHERE q > 0
+  ),
+  per AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(t) AS t_first, MAX(t) AS t_last
+    FROM nz GROUP BY 1
+  ),
+  mx AS (SELECT MAX(t) AS t_now FROM nz)
+  SELECT l_partkey, n AS n_demands,
+         CAST(t_now - t_last AS BIGINT) AS silent_months,
+         CAST((t_last - t_first) * 1000000 // (n - 1) AS BIGINT)
+           AS adi_ppm
+  FROM per, mx
+  WHERE n >= 2 AND (t_now - t_last) * (n - 1)
+        > {EOL_FACTOR} * (t_last - t_first)
+  ORDER BY l_partkey
 """

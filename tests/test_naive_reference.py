@@ -2972,3 +2972,47 @@ def test_croston_vs_textbook(spark, tmp_path):
     assert got == want
     assert any(n < CROSTON_MIN_DEMANDS for n in
                (len(v) for v in series.values()))  # cutoff exercised
+
+
+def test_demand_obsolete_vs_textbook(spark, tmp_path):
+    """EOL flags equal the brute-force rhythm test on seeded series:
+    a dead weekly seller flags, a slow-but-alive seller does not."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import EOL_FACTOR, q_demand_obsolete
+
+    rows = []
+    series = {
+        0: list(range(12)),          # monthly seller, dies at month 11
+        1: [0, 6, 12, 18],           # twice-a-year, last at 18 (alive)
+        2: list(range(20, 24)),      # active through the end
+        3: [2],                      # single demand: no rhythm
+    }
+    for pk, months in series.items():
+        for m in months:
+            yy, mm = 1995 + m // 12, m % 12 + 1
+            rows.append(
+                (len(rows), pk, 5.0, 10.0, datetime.datetime(yy, mm, 8))
+            )
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {
+        x.l_partkey: (x.n_demands, x.silent_months, x.adi_ppm)
+        for x in q_demand_obsolete(spark, str(tmp_path)).collect()
+    }
+    t_now = max(max(m) for m in series.values())
+    want = {}
+    for pk, months in series.items():
+        lm = [1995 * 12 + m // 12 * 12 + m % 12 + 1 for m in months]
+        n, tf, tl = len(lm), min(lm), max(lm)
+        if n >= 2 and (t_now_lin := max(
+            max(1995 * 12 + m // 12 * 12 + m % 12 + 1 for m in mm)
+            for mm in series.values()
+        )) and ((t_now_lin - tl) * (n - 1) > EOL_FACTOR * (tl - tf)):
+            want[pk] = (n, t_now_lin - tl,
+                        (tl - tf) * 1_000_000 // (n - 1))
+    assert got == want
+    assert 0 in got and 1 not in got and 2 not in got and 3 not in got

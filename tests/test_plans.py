@@ -1355,3 +1355,9 @@ def test_croston_per_part_arrow_groups(spark, sf_dir):
     # per-part Arrow groups — no cartesian, no global sort
     df = _q(spark, sf_dir, "q_croston")
     assert not audit.has_cartesian(df)
+
+
+def test_demand_obsolete_grid_rollup(spark, sf_dir):
+    # shared demand grid -> per-part min/max/count + 1-row broadcast
+    df = _q(spark, sf_dir, "q_demand_obsolete")
+    assert not audit.has_cartesian(df)

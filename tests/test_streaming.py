@@ -2181,6 +2181,21 @@ def test_stream_abc_xyz_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_abc_xyz(spark, sf_dir).collect()]
     assert got and got == want
+    # second + third finishers over the SAME demand grid
+    from locopy_spark.queries.tpch_ext import (
+        croston_report,
+        obsolete_report,
+        q_croston,
+        q_demand_obsolete,
+    )
+
+    state = spark.table("global_temp.abc_xyz_t")
+    got_c = [tuple(r) for r in croston_report(state).collect()]
+    want_c = [tuple(r) for r in q_croston(spark, sf_dir).collect()]
+    assert got_c and got_c == want_c
+    got_o = [tuple(r) for r in obsolete_report(state).collect()]
+    want_o = [tuple(r) for r in q_demand_obsolete(spark, sf_dir).collect()]
+    assert got_o == want_o
 
 
 def test_stream_odds_ratio_matches_batch(spark, sf_dir, tmp_path):
