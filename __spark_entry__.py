@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brand_xcorr": stats.q_brand_xcorr,
         "q_croston": tpch_ext.q_croston,
         "q_demand_obsolete": tpch_ext.q_demand_obsolete,
+        "q_bollinger": timeseries.q_bollinger,
+        "q_rsi": timeseries.q_rsi,
         # --- remaining slots: the stalest r3-era docs/text greens
         # (last checked round 3, some pre-Spark-4) ---
         "d_exact_dedup": docs.d_exact_dedup,
@@ -124,9 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_embedding_dedup": docs.d_embedding_dedup,
         "d_dup_clusters": docs_ext.d_dup_clusters,
         "d_hash_split": docs_ext.d_hash_split,
+        # ------- position 50 cutoff: window ends above this line -------
         "d_balanced_sample": docs_ext.d_balanced_sample,
         "d_source_dedup": docs_ext.d_source_dedup,
-        # ------- position 50 cutoff: window ends above this line -------
         "d_contamination": docs_ext.d_contamination,
         "d_edit_verify": docs_ext.d_edit_verify,
         "s_knn_bruteforce": docs.s_knn_bruteforce,

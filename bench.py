@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q_brand_xcorr",
     "q_croston",
     "q_demand_obsolete",
+    "q_bollinger",
+    "q_rsi",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -1321,3 +1321,208 @@ ORACLE["q_xmr_control"] = f"""
         > CAST(266 AS HUGEINT) * smr * n
   ORDER BY day
 """
+
+
+# -- Bollinger-band breach scan ------------------------------------------------------
+
+BOLL_W = 7  # rolling window (observed days)
+BOLL_K = 2  # band half-width in sigmas
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach scan of daily revenue: days falling
+    outside the rolling {BOLL_W}-day mean ± {BOLL_K}σ band — the
+    LOCAL-volatility complement of q_xmr_control (XmR limits are
+    global, from the whole series' average moving range; Bollinger
+    re-estimates the band from only the trailing week, so a calm
+    stretch tightens the band and a mild wobble inside it still
+    signals). SIXTH finisher on the shared ``peaks_state`` daily
+    monoid — ``stream_peaks`` maintains the state; the band scan
+    closes on demand.
+
+    Exactness: with S and Q the rolling sum and sum-of-squares of the
+    exact cents, the breach test (x·w − S)² > k²·(w·Q − S²) is the
+    squared band inequality cleared of BOTH divisions — pure integer
+    cross-multiplication through DECIMAL(38)/HUGEINT, no sqrt anywhere
+    (the σ² factorization: (x−μ)² > k²σ² ⇔ (xw−S)² > k²(wQ−S²)).
+    z²·10⁶ is then ONE exact floor division of the same operands.
+    Only full windows (w observed days) are scored; the window runs
+    over the |calendar days|-bounded daily state, never raw orders.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's monitoring family.
+    """
+    return bollinger_report(peaks_state(load_table(spark, sf_dir, "orders")))
+
+
+def bollinger_report(state: DataFrame) -> DataFrame:
+    """Close the Bollinger breach scan over any (day, rev_c) daily
+    state (|days|-bounded)."""
+    w = W.orderBy("day").rowsBetween(-(BOLL_W - 1), 0)
+    rolled = state.select(
+        "day",
+        "rev_c",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("rev_c").over(w).alias("s"),
+        F.sum(F.expr("CAST(rev_c AS DECIMAL(38,0)) * rev_c"))
+        .over(w)
+        .alias("q"),
+    )
+    lhs = f"CAST(rev_c AS DECIMAL(38,0)) * {BOLL_W} - CAST(s AS DECIMAL(38,0))"
+    var_w2 = (
+        f"CAST(q AS DECIMAL(38,0)) * {BOLL_W} "
+        "- CAST(s AS DECIMAL(38,0)) * s"
+    )
+    return (
+        rolled.filter(f"cnt = {BOLL_W}")
+        .filter(f"({lhs}) * ({lhs}) > {BOLL_K * BOLL_K} * ({var_w2})")
+        .selectExpr(
+            "day",
+            f"CAST(rev_c AS DOUBLE) / {SCALE}.0 AS revenue",
+            f"CAST(CASE WHEN CAST(rev_c AS DECIMAL(38,0)) * {BOLL_W}"
+            " > CAST(s AS DECIMAL(38,0)) THEN 1 ELSE -1 END AS INT)"
+            " AS side",
+            f"CAST(({lhs}) * ({lhs}) * 1000000"
+            f" div greatest({var_w2}, 1) AS BIGINT) AS z2_ppm",
+            f"CAST(s AS DOUBLE) / {BOLL_W} / {SCALE}.0 AS roll_mean",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q_bollinger"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+             AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  rolled AS (
+    SELECT day, rev_c,
+           COUNT(*) OVER fr AS cnt,
+           SUM(rev_c) OVER fr AS s,
+           SUM(CAST(rev_c AS HUGEINT) * rev_c) OVER fr AS q
+    FROM daily
+    WINDOW fr AS (ORDER BY day
+                  ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW)
+  )
+  SELECT day,
+         CAST(rev_c AS DOUBLE) / {SCALE}.0 AS revenue,
+         CAST(CASE WHEN CAST(rev_c AS HUGEINT) * {BOLL_W}
+              > CAST(s AS HUGEINT) THEN 1 ELSE -1 END AS INT) AS side,
+         CAST((CAST(rev_c AS HUGEINT) * {BOLL_W} - s)
+              * (CAST(rev_c AS HUGEINT) * {BOLL_W} - s) * 1000000
+              // GREATEST(CAST(q AS HUGEINT) * {BOLL_W}
+                          - CAST(s AS HUGEINT) * s, 1) AS BIGINT)
+           AS z2_ppm,
+         CAST(s AS DOUBLE) / {BOLL_W} / {SCALE}.0 AS roll_mean
+  FROM rolled
+  WHERE cnt = {BOLL_W}
+    AND (CAST(rev_c AS HUGEINT) * {BOLL_W} - s)
+        * (CAST(rev_c AS HUGEINT) * {BOLL_W} - s)
+        > {BOLL_K * BOLL_K} * (CAST(q AS HUGEINT) * {BOLL_W}
+                               - CAST(s AS HUGEINT) * s)
+  ORDER BY day
+"""
+
+
+# -- RSI momentum scan --------------------------------------------------------------
+
+RSI_P = 14  # diffs per RSI window (Cutler's SMA variant)
+RSI_HI = 600_000  # overbought threshold, ppm
+RSI_LO = 400_000  # oversold threshold, ppm
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI momentum scan of daily revenue (Cutler's SMA variant): days
+    whose {RSI_P}-diff relative-strength index leaves the
+    [{RSI_LO}, {RSI_HI}] ppm neutral zone — the DIRECTIONAL read the
+    band charts don't give (Bollinger/XmR flag "far from center";
+    RSI flags "gains have dominated losses for two weeks straight",
+    catching sustained one-sided grinds that never leave the band).
+    SEVENTH finisher on the shared ``peaks_state`` daily monoid.
+
+    Exactness: day-over-day diffs of exact cents split into gain/loss
+    parts (a lag over the |days|-bounded state); G and L are rolling
+    {RSI_P}-row integer sums; RSI = G·10⁶ div (G+L) is ONE exact ppm
+    floor division through DECIMAL(38)/HUGEINT (Cutler's SMA form is
+    order-exact — Wilder's EWMA would drag an infinite float tail).
+    Only full windows ({RSI_P} diffs) are scored.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's monitoring family.
+    """
+    return rsi_report(peaks_state(load_table(spark, sf_dir, "orders")))
+
+
+def rsi_report(state: DataFrame) -> DataFrame:
+    """Close the RSI scan over any (day, rev_c) daily state
+    (|days|-bounded)."""
+    d = state.select(
+        "day",
+        F.expr("rev_c - lag(rev_c) over (order by day)").alias("d"),
+    ).filter("d is not null")
+    w = W.orderBy("day").rowsBetween(-(RSI_P - 1), 0)
+    rolled = d.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum(F.expr("greatest(d, 0)")).over(w).alias("g"),
+        F.sum(F.expr("greatest(-d, 0)")).over(w).alias("l"),
+    )
+    rsi = (
+        "CAST(CAST(g AS DECIMAL(38,0)) * 1000000"
+        " div greatest(CAST(g AS DECIMAL(38,0)) + l, 1) AS BIGINT)"
+    )
+    return (
+        rolled.filter(f"cnt = {RSI_P}")
+        .filter(f"({rsi}) >= {RSI_HI} OR ({rsi}) <= {RSI_LO}")
+        .selectExpr(
+            "day",
+            f"({rsi}) AS rsi_ppm",
+            f"CAST(CASE WHEN ({rsi}) >= {RSI_HI} THEN 'overbought'"
+            " ELSE 'oversold' END AS STRING) AS signal",
+            "g AS gain_c",
+            "l AS loss_c",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q_rsi"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+             AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  diffs AS (
+    SELECT day, rev_c - LAG(rev_c) OVER (ORDER BY day) AS d
+    FROM daily
+    QUALIFY d IS NOT NULL
+  ),
+  rolled AS (
+    SELECT day,
+           COUNT(*) OVER fr AS cnt,
+           SUM(GREATEST(d, 0)) OVER fr AS g,
+           SUM(GREATEST(-d, 0)) OVER fr AS l
+    FROM diffs
+    WINDOW fr AS (ORDER BY day
+                  ROWS BETWEEN {RSI_P - 1} PRECEDING AND CURRENT ROW)
+  ),
+  scored AS (
+    SELECT day, g, l,
+           CAST(CAST(g AS HUGEINT) * 1000000
+                // GREATEST(CAST(g AS HUGEINT) + l, 1) AS BIGINT)
+             AS rsi_ppm
+    FROM rolled WHERE cnt = {RSI_P}
+  )
+  SELECT day, rsi_ppm,
+         CASE WHEN rsi_ppm >= {RSI_HI} THEN 'overbought'
+              ELSE 'oversold' END AS signal,
+         CAST(g AS BIGINT) AS gain_c, CAST(l AS BIGINT) AS loss_c
+  FROM scored
+  WHERE rsi_ppm >= {RSI_HI} OR rsi_ppm <= {RSI_LO}
+  ORDER BY day
+"""

@@ -3016,3 +3016,108 @@ def test_demand_obsolete_vs_textbook(spark, tmp_path):
                         (tl - tf) * 1_000_000 // (n - 1))
     assert got == want
     assert 0 in got and 1 not in got and 2 not in got and 3 not in got
+
+
+def test_bollinger_vs_textbook(spark, tmp_path):
+    """Breach days equal the textbook rolling mean +/- 2*sigma band
+    (squared inequality, population sigma over the 7-day window) on a
+    seeded series with one engineered high spike and one engineered
+    low spike placed after calm stretches."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import BOLL_K, BOLL_W, q_bollinger
+
+    r = _rng()
+    base = datetime.date(2021, 2, 1)
+    daily = {}
+    rows = []
+    for d in range(60):
+        v = 100 + r.randrange(-4, 5)
+        if d == 30:
+            v = 250  # engineered high breach
+        if d == 50:
+            v = 10  # engineered low breach
+        rows.append(
+            (d, datetime.datetime.combine(
+                base + datetime.timedelta(days=d), datetime.time(9)),
+             float(v))
+        )
+        day = (base + datetime.timedelta(days=d)
+               - datetime.date(1970, 1, 1)).days
+        daily[day] = v * 1000
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    got = [(x.day, x.side, x.z2_ppm) for x in
+           q_bollinger(spark, str(tmp_path)).collect()]
+
+    days = sorted(daily)
+    want = []
+    for i in range(BOLL_W - 1, len(days)):
+        window = [daily[d] for d in days[i - BOLL_W + 1: i + 1]]
+        x = daily[days[i]]
+        s, q = sum(window), sum(v * v for v in window)
+        lhs = (x * BOLL_W - s) ** 2
+        rhs = BOLL_K * BOLL_K * (BOLL_W * q - s * s)
+        if lhs > rhs:
+            want.append(
+                (days[i], 1 if x * BOLL_W > s else -1,
+                 lhs * 1_000_000 // max(BOLL_W * q - s * s, 1))
+            )
+    assert got == want
+    sides = {s_ for _, s_, _ in got}
+    assert sides == {1, -1}  # both engineered spikes trip their side
+
+
+def test_rsi_vs_textbook(spark, tmp_path):
+    """Signal days equal textbook Cutler RSI (rolling 14-diff SMA of
+    gains vs losses) on a seeded series with an engineered monotone
+    climb (overbought) and an engineered monotone slide (oversold)."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import (
+        RSI_HI,
+        RSI_LO,
+        RSI_P,
+        q_rsi,
+    )
+
+    r = _rng()
+    base = datetime.date(2021, 6, 1)
+    daily = {}
+    rows = []
+    v = 100
+    for d in range(80):
+        if 20 <= d < 40:
+            v += r.randrange(3, 7)  # monotone climb -> overbought
+        elif 50 <= d < 70:
+            v -= r.randrange(3, 7)  # monotone slide -> oversold
+        else:
+            v += r.randrange(-2, 3)
+        rows.append(
+            (d, datetime.datetime.combine(
+                base + datetime.timedelta(days=d), datetime.time(9)),
+             float(max(v, 5)))
+        )
+        day = (base + datetime.timedelta(days=d)
+               - datetime.date(1970, 1, 1)).days
+        daily[day] = max(v, 5) * 1000
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    got = [(x.day, x.rsi_ppm, x.signal) for x in
+           q_rsi(spark, str(tmp_path)).collect()]
+
+    days = sorted(daily)
+    diffs = [(days[i], daily[days[i]] - daily[days[i - 1]])
+             for i in range(1, len(days))]
+    want = []
+    for i in range(RSI_P - 1, len(diffs)):
+        window = [dv for _, dv in diffs[i - RSI_P + 1: i + 1]]
+        g = sum(dv for dv in window if dv > 0)
+        lo = sum(-dv for dv in window if dv < 0)
+        rsi = g * 1_000_000 // max(g + lo, 1)
+        if rsi >= RSI_HI or rsi <= RSI_LO:
+            want.append((diffs[i][0], rsi,
+                         "overbought" if rsi >= RSI_HI else "oversold"))
+    assert got == want
+    signals = {sg for _, _, sg in got}
+    assert signals == {"overbought", "oversold"}  # both regimes hit

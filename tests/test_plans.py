@@ -1361,3 +1361,15 @@ def test_demand_obsolete_grid_rollup(spark, sf_dir):
     # shared demand grid -> per-part min/max/count + 1-row broadcast
     df = _q(spark, sf_dir, "q_demand_obsolete")
     assert not audit.has_cartesian(df)
+
+
+def test_bollinger_bounded_daily_window(spark, sf_dir):
+    # bounded daily table; one ordered rolling frame; no cartesian
+    df = _q(spark, sf_dir, "q_bollinger")
+    assert not audit.has_cartesian(df)
+
+
+def test_rsi_bounded_daily_window(spark, sf_dir):
+    # bounded daily table; lag + one ordered rolling frame; no cartesian
+    df = _q(spark, sf_dir, "q_rsi")
+    assert not audit.has_cartesian(df)

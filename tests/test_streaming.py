@@ -1930,6 +1930,26 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_x = [tuple(r) for r in q_xmr_control(spark, sf_dir).collect()]
     assert got_x == want_x
+    # sixth finisher over the SAME state: Bollinger band breaches
+    from locopy_spark.queries.timeseries import bollinger_report, q_bollinger
+
+    got_b = [
+        tuple(r)
+        for r in bollinger_report(
+            spark.table("global_temp.peaks_t")
+        ).collect()
+    ]
+    want_b = [tuple(r) for r in q_bollinger(spark, sf_dir).collect()]
+    assert got_b and got_b == want_b
+    # seventh finisher over the SAME state: RSI momentum signals
+    from locopy_spark.queries.timeseries import q_rsi, rsi_report
+
+    got_r = [
+        tuple(r)
+        for r in rsi_report(spark.table("global_temp.peaks_t")).collect()
+    ]
+    want_r = [tuple(r) for r in q_rsi(spark, sf_dir).collect()]
+    assert got_r and got_r == want_r
 
 
 def test_stream_fulfillment_matches_batch(spark, sf_dir, tmp_path):
