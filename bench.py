@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_demand_obsolete",
     "q_bollinger",
     "q_rsi",
+    "q_newsvendor",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

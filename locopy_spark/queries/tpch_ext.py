@@ -2846,3 +2846,95 @@ ORACLE["q_demand_obsolete"] = f"""
         > {EOL_FACTOR} * (t_last - t_first)
   ORDER BY l_partkey
 """
+
+
+# -- newsvendor critical-fractile stocking quantity ---------------------------------
+
+NV_NUM, NV_DEN = 4, 5  # critical fractile cu/(cu+co) = 4/5
+NV_MIN_MONTHS = 6
+
+
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking quantity per part: the smallest monthly
+    order-up-to level covering the {NV_NUM}/{NV_DEN} critical fractile
+    of the part's OWN demand-month distribution — the "how much to
+    stock" answer that closes the planning loop q_abc_xyz opens
+    (classify) and q_croston continues (forecast a rate): the
+    newsvendor quantile is the textbook optimal under-/over-stock
+    trade-off, and on lumpy demand it is NOT a scaled mean. FOURTH
+    finisher on the shared ``abc_xyz_state`` (part, month) demand grid.
+
+    Exactness: Q* is a pure ORDER STATISTIC — the ⌈n·{NV_NUM}/{NV_DEN}⌉-th
+    smallest monthly demand, k = ({NV_NUM}n + {NV_DEN - 1}) div {NV_DEN}
+    in integers, selected by a per-part row_number over the
+    |months|-bounded grid with a deterministic (q, ym) tie order; the
+    cover ratio Q*·n·10⁶ div Σq is ONE exact ppm floor division. Only
+    parts with ≥ {NV_MIN_MONTHS} demand months are scored (conditional-
+    on-demand fractile, the q_croston demand-month convention).
+    Scale shape: one partial-aggregated scan to the grid, one bounded
+    per-part window — nothing data-sized past the first scan.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's operations-planning family.
+    """
+    return newsvendor_report(
+        abc_xyz_state(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def newsvendor_report(pm: DataFrame) -> DataFrame:
+    """Close the newsvendor quantile over any (l_partkey, ym, q, …)
+    demand grid — FOURTH finisher on the stream_abc_xyz state."""
+    nz = pm.filter("q > 0").select("l_partkey", "ym", "q")
+    w_rn = W.partitionBy("l_partkey").orderBy("q", "ym")
+    w_all = W.partitionBy("l_partkey")
+    scored = nz.select(
+        "l_partkey",
+        "q",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("q").over(w_all).alias("sq"),
+    )
+    return (
+        scored.filter(
+            f"n >= {NV_MIN_MONTHS}"
+            f" AND rn = ({NV_NUM} * n + {NV_DEN - 1}) div {NV_DEN}"
+        )
+        .selectExpr(
+            "l_partkey",
+            "n AS n_months",
+            "q AS q_star",
+            "CAST(CAST(q AS DECIMAL(38,0)) * n * 1000000"
+            " div sq AS BIGINT) AS cover_ppm",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE["q_newsvendor"] = f"""
+  WITH pm AS (
+    SELECT l_partkey,
+           year(CAST(l_shipdate AS DATE)) * 100
+             + month(CAST(l_shipdate AS DATE)) AS ym,
+           SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q
+    FROM lineitem GROUP BY 1, 2
+  ),
+  nz AS (SELECT l_partkey, ym, q FROM pm WHERE q > 0),
+  scored AS (
+    SELECT l_partkey, q,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY q, ym) AS rn,
+           COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+           SUM(q) OVER (PARTITION BY l_partkey) AS sq
+    FROM nz
+  )
+  SELECT l_partkey,
+         CAST(n AS BIGINT) AS n_months,
+         CAST(q AS BIGINT) AS q_star,
+         CAST(CAST(q AS HUGEINT) * n * 1000000 // sq AS BIGINT)
+           AS cover_ppm
+  FROM scored
+  WHERE n >= {NV_MIN_MONTHS}
+    AND rn = ({NV_NUM} * n + {NV_DEN - 1}) // {NV_DEN}
+  ORDER BY l_partkey
+"""

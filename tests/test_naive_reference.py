@@ -3121,3 +3121,60 @@ def test_rsi_vs_textbook(spark, tmp_path):
     assert got == want
     signals = {sg for _, _, sg in got}
     assert signals == {"overbought", "oversold"}  # both regimes hit
+
+
+def test_newsvendor_vs_textbook(spark, tmp_path):
+    """Per-part stocking levels equal the textbook discrete newsvendor
+    quantile (smallest q with empirical CDF >= 4/5 over demand months)
+    on seeded data with an engineered lumpy part (one huge month that
+    the 4/5 fractile must NOT chase) and a part below the month
+    minimum (excluded)."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import (
+        NV_DEN,
+        NV_MIN_MONTHS,
+        NV_NUM,
+        q_newsvendor,
+    )
+
+    r = _rng()
+    rows = []
+    demands = {}  # pk -> {ym_linear: qty}
+    base = datetime.date(2019, 1, 1)
+    for pk, months in ((0, 12), (1, 12), (2, NV_MIN_MONTHS - 1)):
+        for mi in range(months):
+            qty = r.randrange(5, 30)
+            if pk == 1 and mi == 6:
+                qty = 500  # engineered lump
+            d = base.replace(year=2019 + mi // 12, month=mi % 12 + 1)
+            rows.append(
+                (pk, datetime.datetime.combine(d, datetime.time(12)),
+                 float(qty), 100.0)
+            )
+            ym = d.year * 100 + d.month
+            demands.setdefault(pk, {})
+            demands[pk][ym] = demands[pk].get(ym, 0) + qty
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_partkey long, l_shipdate timestamp,"
+        " l_quantity double, l_extendedprice double",
+    )
+    got = {
+        x.l_partkey: (x.n_months, x.q_star, x.cover_ppm)
+        for x in q_newsvendor(spark, str(tmp_path)).collect()
+    }
+
+    want = {}
+    for pk, bym in demands.items():
+        qs = sorted((q, ym) for ym, q in bym.items() if q > 0)
+        n = len(qs)
+        if n < NV_MIN_MONTHS:
+            continue
+        k = (NV_NUM * n + NV_DEN - 1) // NV_DEN
+        q_star = qs[k - 1][0]
+        want[pk] = (n, q_star, q_star * n * 1_000_000 // sum(q for q, _ in qs))
+    assert got == want
+    assert 2 not in got  # below the month minimum
+    # the lump lands ABOVE the 4/5 fractile: Q* stays at routine scale
+    assert got[1][1] < 500

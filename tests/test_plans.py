@@ -1373,3 +1373,9 @@ def test_rsi_bounded_daily_window(spark, sf_dir):
     # bounded daily table; lag + one ordered rolling frame; no cartesian
     df = _q(spark, sf_dir, "q_rsi")
     assert not audit.has_cartesian(df)
+
+
+def test_newsvendor_grid_order_statistic(spark, sf_dir):
+    # shared demand grid -> per-part bounded windows; no cartesian
+    df = _q(spark, sf_dir, "q_newsvendor")
+    assert not audit.has_cartesian(df)

@@ -2216,6 +2216,12 @@ def test_stream_abc_xyz_matches_batch(spark, sf_dir, tmp_path):
     got_o = [tuple(r) for r in obsolete_report(state).collect()]
     want_o = [tuple(r) for r in q_demand_obsolete(spark, sf_dir).collect()]
     assert got_o == want_o
+    # fourth finisher over the SAME demand grid: newsvendor quantiles
+    from locopy_spark.queries.tpch_ext import newsvendor_report, q_newsvendor
+
+    got_n = [tuple(r) for r in newsvendor_report(state).collect()]
+    want_n = [tuple(r) for r in q_newsvendor(spark, sf_dir).collect()]
+    assert got_n and got_n == want_n
 
 
 def test_stream_odds_ratio_matches_batch(spark, sf_dir, tmp_path):
