@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bollinger": timeseries.q_bollinger,
         "q_rsi": timeseries.q_rsi,
         "q_newsvendor": tpch_ext.q_newsvendor,
+        "q_jaccard_links": mining.q_jaccard_links,
         # --- remaining slots: the stalest r3-era docs/text greens
         # (last checked round 3, some pre-Spark-4) ---
         "d_exact_dedup": docs.d_exact_dedup,
@@ -125,8 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh": docs.d_minhash_lsh,
         "d_simhash": docs.d_simhash,
         "d_embedding_dedup": docs.d_embedding_dedup,
-        "d_dup_clusters": docs_ext.d_dup_clusters,
         # ------- position 50 cutoff: window ends above this line -------
+        "d_dup_clusters": docs_ext.d_dup_clusters,
         "d_hash_split": docs_ext.d_hash_split,
         "d_balanced_sample": docs_ext.d_balanced_sample,
         "d_source_dedup": docs_ext.d_source_dedup,

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q_bollinger",
     "q_rsi",
     "q_newsvendor",
+    "q_jaccard_links",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",
@@ -319,6 +320,7 @@ BENCH_QUERIES = [
     "q_assortativity_shared",
     "q_degree_dist_shared",
     "q_kcore_shared",
+    "q_jaccard_links_shared",
 ]
 
 # Machine-readable exclusion manifest: queries() keys NOT benched, with
@@ -429,6 +431,7 @@ def _graph_shared_queries():
         "q_assortativity_shared": _shared(mining.q_assortativity),
         "q_degree_dist_shared": _shared(mining.q_degree_dist),
         "q_kcore_shared": _shared(mining.q_kcore),
+        "q_jaccard_links_shared": _shared(mining.q_jaccard_links),
     }
 
 

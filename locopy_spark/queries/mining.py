@@ -1780,3 +1780,120 @@ def _lpa_oracle() -> str:
 
 
 ORACLE["q_lpa_communities"] = _lpa_oracle()
+
+
+# -- Jaccard link prediction --------------------------------------------------------
+
+LP_DEGCAP = 80  # hub exclusion: middle vertices above this degree carry no signal
+LP_TOPK = 30
+
+
+def q_jaccard_links(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Jaccard link prediction on the co-purchase graph: the top
+    {LP_TOPK} NON-adjacent part pairs ranked by common-neighbor
+    Jaccard — "these two parts should be cross-sold but never were",
+    the forward-looking read next to q_graph_triangles' census of
+    links that exist.
+
+    Scale shape: candidate pairs come ONLY through middle vertices of
+    degree ≤ {LP_DEGCAP} (hub exclusion — the Adamic-Adar intuition
+    made a hard gate: a common neighbor shared with thousands of
+    parts carries no pair signal, and capping the middle bounds the
+    wedge stream at |V|·cap² instead of Σd² — 2.4 M vs 149 M wedges
+    at sf0.1). The wedge self-join runs over the capped adjacency
+    with map-side partial counting; existing edges leave by anti-join;
+    degrees join |candidate|-sized. Jaccard = cn·10⁶ div (dᵤ+d𝓌−cn)
+    is ONE exact ppm floor division (numerator = capped common
+    neighbors, denominator = full degrees — a documented lower-bound
+    score); ties break (cn, u, w)-deterministically; top-K is a
+    TakeOrdered, never a global sort.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's graph-mining family.
+    """
+    e = managed_persist(
+        edges if edges is not None else copurchase_edges(spark, sf_dir),
+        "jaccard_links",
+    )
+    nbr = e.selectExpr("a AS v", "b AS n").unionAll(
+        e.selectExpr("b AS v", "a AS n")
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    mid = (
+        nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v")
+        .select("v", "n")
+    )
+    wedges = (
+        mid.alias("x")
+        .join(mid.alias("y"), "v")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias("u"), F.col("y.n").alias("w"))
+    )
+    cn = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
+    cand = cn.join(
+        e, (cn["u"] == e["a"]) & (cn["w"] == e["b"]), "left_anti"
+    )
+    du = deg.selectExpr("v AS u", "d AS deg_a")
+    dw = deg.selectExpr("v AS w", "d AS deg_b")
+    return (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .selectExpr(
+            "u AS part_a",
+            "w AS part_b",
+            "cn AS common_neighbors",
+            "deg_a",
+            "deg_b",
+            "cn * 1000000 div (deg_a + deg_b - cn) AS jaccard_ppm",
+        )
+        .orderBy(
+            F.desc("jaccard_ppm"),
+            F.desc("common_neighbors"),
+            "part_a",
+            "part_b",
+        )
+        .limit(LP_TOPK)
+    )
+
+
+ORACLE["q_jaccard_links"] = f"""
+  WITH b AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e AS MATERIALIZED (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  nbr AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+  deg AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d FROM nbr GROUP BY 1
+  ),
+  mid AS (
+    SELECT nbr.v, nbr.n FROM nbr
+    JOIN deg ON nbr.v = deg.v AND deg.d <= {LP_DEGCAP}
+  ),
+  wed AS (
+    SELECT x.n AS u, y.n AS w
+    FROM mid x JOIN mid y ON x.v = y.v AND x.n < y.n
+  ),
+  cnt AS (SELECT u, w, COUNT(*) AS cn FROM wed GROUP BY 1, 2),
+  cand AS (
+    SELECT c.* FROM cnt c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.w)
+  )
+  SELECT c.u AS part_a, c.w AS part_b,
+         CAST(c.cn AS BIGINT) AS common_neighbors,
+         CAST(du.d AS BIGINT) AS deg_a,
+         CAST(dw.d AS BIGINT) AS deg_b,
+         CAST(c.cn * 1000000 // (du.d + dw.d - c.cn) AS BIGINT)
+           AS jaccard_ppm
+  FROM cand c
+  JOIN deg du ON c.u = du.v
+  JOIN deg dw ON c.w = dw.v
+  ORDER BY jaccard_ppm DESC, common_neighbors DESC, part_a, part_b
+  LIMIT {LP_TOPK}
+"""

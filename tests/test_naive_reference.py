@@ -3178,3 +3178,71 @@ def test_newsvendor_vs_textbook(spark, tmp_path):
     assert 2 not in got  # below the month minimum
     # the lump lands ABOVE the 4/5 fractile: Q* stays at routine scale
     assert got[1][1] < 500
+
+
+def test_jaccard_links_vs_textbook(spark, tmp_path):
+    """Predicted links equal brute-force capped-common-neighbor
+    Jaccard over all non-adjacent pairs, on a seeded graph with an
+    engineered super-hub (degree > LP_DEGCAP) whose wedges must NOT
+    generate candidates, plus a normal clique-ish cluster that must."""
+    import datetime
+    import itertools
+
+    from locopy_spark.queries.mining import (
+        LP_DEGCAP,
+        LP_TOPK,
+        q_jaccard_links,
+    )
+
+    ts = datetime.datetime(2020, 1, 1, 12)
+    baskets = []
+    # engineered hub: part 999 shares one order with each of 81 spokes,
+    # so every spoke pair has exactly one common neighbor — the hub —
+    # and the degree cap must suppress ALL of them
+    for i in range(LP_DEGCAP + 1):
+        baskets.append([999, 1000 + i])
+    # normal cluster: overlapping small baskets generate real candidates
+    baskets += [[1, 2, 3], [1, 2, 4], [2, 3, 4], [3, 5], [4, 5], [1, 6],
+                [5, 6], [2, 6]]
+    rows = [
+        (ok, int(pk), ts)
+        for ok, ps in enumerate(baskets)
+        for pk in ps
+    ]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey long, l_partkey long, l_shipdate timestamp")
+    got = [
+        (x.part_a, x.part_b, x.common_neighbors, x.deg_a, x.deg_b,
+         x.jaccard_ppm)
+        for x in q_jaccard_links(spark, str(tmp_path)).collect()
+    ]
+
+    edges = set()
+    for ps in baskets:
+        for a, b in itertools.combinations(sorted(set(ps)), 2):
+            edges.add((a, b))
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    cand = {}
+    for v, ns in nbrs.items():
+        if deg[v] > LP_DEGCAP:
+            continue
+        for u, w in itertools.combinations(sorted(ns), 2):
+            if (u, w) not in edges:
+                cand[(u, w)] = cand.get((u, w), 0) + 1
+    scored = [
+        (cn * 1_000_000 // (deg[u] + deg[w] - cn), cn, u, w)
+        for (u, w), cn in cand.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    want = [
+        (u, w, cn, deg[u], deg[w], j)
+        for j, cn, u, w in scored[:LP_TOPK]
+    ]
+    assert got == want
+    # no hub-only pair leaked through the cap
+    assert all(a < 999 and b < 999 for a, b, *_ in got)
+    assert got  # the normal cluster produced real candidates

@@ -1379,3 +1379,10 @@ def test_newsvendor_grid_order_statistic(spark, sf_dir):
     # shared demand grid -> per-part bounded windows; no cartesian
     df = _q(spark, sf_dir, "q_newsvendor")
     assert not audit.has_cartesian(df)
+
+
+def test_jaccard_links_capped_wedges(spark, sf_dir):
+    # capped middle-vertex adjacency self-join; anti-join to edges;
+    # degree joins candidate-sized; top-K TakeOrdered; no cartesian
+    df = _q(spark, sf_dir, "q_jaccard_links")
+    assert not audit.has_cartesian(df)
