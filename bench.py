@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q_rsi",
     "q_newsvendor",
     "q_jaccard_links",
+    "q_little_law",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

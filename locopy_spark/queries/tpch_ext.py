@@ -2938,3 +2938,152 @@ ORACLE["q_newsvendor"] = f"""
     AND rn = ({NV_NUM} * n + {NV_DEN - 1}) // {NV_DEN}
   ORDER BY l_partkey
 """
+
+
+# -- Little's-law flow audit --------------------------------------------------------
+
+
+def q_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law flow audit per month: average work-in-progress
+    (open orders), completion throughput, and BOTH cycle-time reads —
+    the one implied by L = λ·W from WIP and throughput, and the one
+    measured directly from completed orders — side by side. When the
+    two diverge the flow is non-stationary (WIP building up or
+    draining), which is exactly what an operations review wants
+    flagged; q_backlog_aging shows the queue's age NOW, this shows
+    the conservation law OVER TIME.
+
+    An order is in progress from its order date through its LAST ship
+    day (MAX over lines — the q_fulfillment_lag complement, which
+    takes the first). Exactness: per-order intervals explode to a
+    month spine (sequence/generate_series — ≤ a few rows per order,
+    never day-level), in-month overlap is pure date arithmetic on
+    both engines, and all three ratios are exact ppm floor divisions
+    of integer day sums. Implied = wip_days div closed; actual =
+    Σ(close−open+1) div closed; the two agree in total by the
+    conservation identity Σ_m wip(m) ≡ Σ_orders cycle (asserted in
+    the naive twin). Scale shape: one lineitem partial-agg scan, one
+    |orders|-sized join, a ≤4×|orders| explode, two month-sized aggs.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's operations family.
+    """
+    return little_law_report(
+        cycle_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+def cycle_state(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The per-order flow state (o_orderkey, open_date, close_date):
+    open is static (the order date), close is a per-key MAX-ship
+    monoid — late lines can only extend it, so out-of-order batches
+    merge by MAX (the stream_fulfillment convention, flipped). Close
+    is clamped to ≥ open (the synthetic data ships some lines before
+    the order date; an order is in progress at least its order day) —
+    the clamp commutes with MAX, so the state stays a monoid."""
+    closes = lineitem.groupBy("l_orderkey").agg(
+        F.expr("max(cast(l_shipdate as date))").alias("max_ship")
+    )
+    return closes.join(
+        orders.selectExpr(
+            "o_orderkey", "cast(o_orderdate as date) AS open_date"
+        ),
+        closes["l_orderkey"] == F.col("o_orderkey"),
+    ).selectExpr(
+        "o_orderkey",
+        "open_date",
+        "greatest(max_ship, open_date) AS close_date",
+    )
+
+
+def little_law_report(state: DataFrame) -> DataFrame:
+    """Close the Little's-law panel over any (o_orderkey, open_date,
+    close_date) flow state."""
+    spine = state.select(
+        "open_date",
+        "close_date",
+        F.expr(
+            "explode(sequence(trunc(open_date, 'MM'),"
+            " trunc(close_date, 'MM'), interval 1 month))"
+        ).alias("mstart"),
+    )
+    wip = spine.groupBy(
+        F.expr("year(mstart) * 100 + month(mstart)").alias("ym")
+    ).agg(
+        F.sum(
+            F.expr(
+                "datediff(least(close_date, last_day(mstart)),"
+                " greatest(open_date, mstart)) + 1"
+            )
+        ).alias("wip_days"),
+        F.max(F.expr("day(last_day(mstart))")).alias("dim"),
+    )
+    closes = state.groupBy(
+        F.expr("year(close_date) * 100 + month(close_date)").alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("n_closed"),
+        F.sum(
+            F.expr("datediff(close_date, open_date) + 1")
+        ).alias("cycle_days"),
+    )
+    return (
+        wip.join(closes, "ym", "left")
+        .selectExpr(
+            "ym",
+            "wip_days",
+            "coalesce(n_closed, 0) AS n_closed",
+            "wip_days * 1000000 div dim AS avg_wip_ppm",
+            "wip_days * 1000000 div greatest(coalesce(n_closed, 0), 1)"
+            " AS implied_cycle_ppm",
+            "coalesce(cycle_days, 0) * 1000000"
+            " div greatest(coalesce(n_closed, 0), 1) AS actual_cycle_ppm",
+        )
+        .orderBy("ym")
+    )
+
+
+ORACLE["q_little_law"] = """
+  WITH per AS (
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS open_date,
+           greatest(CAST(MAX(l.l_shipdate) AS DATE),
+                    CAST(o.o_orderdate AS DATE)) AS close_date
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+  ),
+  sp AS (
+    SELECT open_date, close_date,
+           CAST(unnest(generate_series(date_trunc('month', open_date),
+                date_trunc('month', close_date), INTERVAL 1 MONTH))
+                AS DATE) AS mstart
+    FROM per
+  ),
+  wip AS (
+    SELECT year(mstart) * 100 + month(mstart) AS ym,
+           SUM(datediff('day', greatest(open_date, mstart),
+               least(close_date, last_day(mstart))) + 1) AS wip_days,
+           MAX(day(last_day(mstart))) AS dim
+    FROM sp GROUP BY 1
+  ),
+  closes AS (
+    SELECT year(close_date) * 100 + month(close_date) AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_closed,
+           SUM(datediff('day', open_date, close_date) + 1) AS cycle_days
+    FROM per GROUP BY 1
+  )
+  SELECT CAST(w.ym AS BIGINT) AS ym,
+         CAST(w.wip_days AS BIGINT) AS wip_days,
+         CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed,
+         CAST(w.wip_days * 1000000 // w.dim AS BIGINT) AS avg_wip_ppm,
+         CAST(w.wip_days * 1000000
+              // GREATEST(COALESCE(c.n_closed, 0), 1) AS BIGINT)
+           AS implied_cycle_ppm,
+         CAST(COALESCE(c.cycle_days, 0) * 1000000
+              // GREATEST(COALESCE(c.n_closed, 0), 1) AS BIGINT)
+           AS actual_cycle_ppm
+  FROM wip w LEFT JOIN closes c ON w.ym = c.ym
+  ORDER BY ym
+"""

@@ -2591,3 +2591,49 @@ def stream_odds_ratio(
         .queryName(f"odds_{state_view}")
         .start()
     )
+
+
+def stream_cycle_time(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    state_view: str = "cycle_state",
+):
+    """Continuously-maintained per-order flow state: each micro-batch's
+    lines reduce to per-order MAX ship days, join the static orders
+    dim for the open date, and merge into the state by per-key MAX
+    (``queries.tpch_ext.cycle_state`` layout — |orders| rows; the
+    clamp to ≥ open commutes with MAX so late/re-delivered chunks
+    merge exactly). The Little's-law month panel
+    (``little_law_report``) closes on demand — WIP, throughput and
+    both cycle-time reads all derive only at read time because a late
+    line can still EXTEND an order's interval and move every month it
+    spans. The live flow-conservation dashboard; batch twin:
+    ``q_little_law``."""
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderkey long, open_date date, close_date date"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.tpch_ext import cycle_state
+
+        rows = cycle_state(orders, batch_df)
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(rows)
+            .groupBy("o_orderkey", "open_date")
+            .agg(F.max("close_date").alias("close_date"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"cycle_time_{state_view}")
+        .start()
+    )

@@ -3246,3 +3246,75 @@ def test_jaccard_links_vs_textbook(spark, tmp_path):
     # no hub-only pair leaked through the cap
     assert all(a < 999 and b < 999 for a, b, *_ in got)
     assert got  # the normal cluster produced real candidates
+
+
+def test_little_law_vs_textbook(spark, tmp_path):
+    """Monthly WIP/throughput/cycle panel equals a brute-force
+    day-walk over seeded intervals (including an order spanning three
+    months, a one-day order, and a ship-before-order row that the
+    clamp must pin to the order day), and the conservation identity
+    sum_m wip(m) == sum_orders cycle holds exactly."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import q_little_law
+
+    ts = datetime.time(10)
+    orders = [
+        (1, datetime.date(2020, 1, 10)),   # closes same month
+        (2, datetime.date(2020, 1, 25)),   # spans Jan->Mar
+        (3, datetime.date(2020, 2, 14)),   # one-day order
+        (4, datetime.date(2020, 3, 5)),    # ship BEFORE order (clamped)
+    ]
+    ships = {
+        1: [datetime.date(2020, 1, 12), datetime.date(2020, 1, 20)],
+        2: [datetime.date(2020, 2, 2), datetime.date(2020, 3, 10)],
+        3: [datetime.date(2020, 2, 14)],
+        4: [datetime.date(2020, 3, 1)],
+    }
+    _write(spark, tmp_path, "orders",
+           [(ok, datetime.datetime.combine(d, ts)) for ok, d in orders],
+           "o_orderkey long, o_orderdate timestamp")
+    _write(spark, tmp_path, "lineitem",
+           [(ok, datetime.datetime.combine(d, ts))
+            for ok, ds in ships.items() for d in ds],
+           "l_orderkey long, l_shipdate timestamp")
+    got = [
+        (x.ym, x.wip_days, x.n_closed, x.avg_wip_ppm,
+         x.implied_cycle_ppm, x.actual_cycle_ppm)
+        for x in q_little_law(spark, str(tmp_path)).collect()
+    ]
+
+    # brute force: walk every calendar day of every order's interval
+    one = datetime.timedelta(days=1)
+    wip, closes, cycles = {}, {}, {}
+    intervals = {}
+    for ok, od in orders:
+        cd = max(max(ships[ok]), od)  # the clamp
+        intervals[ok] = (od, cd)
+        d = od
+        while d <= cd:
+            wip[d.year * 100 + d.month] = wip.get(d.year * 100 + d.month,
+                                                  0) + 1
+            d += one
+        ym_c = cd.year * 100 + cd.month
+        closes[ym_c] = closes.get(ym_c, 0) + 1
+        cycles[ym_c] = cycles.get(ym_c, 0) + (cd - od).days + 1
+    import calendar
+
+    want = []
+    for ym in sorted(wip):
+        dim = calendar.monthrange(ym // 100, ym % 100)[1]
+        nc = closes.get(ym, 0)
+        want.append((
+            ym, wip[ym], nc,
+            wip[ym] * 1_000_000 // dim,
+            wip[ym] * 1_000_000 // max(nc, 1),
+            cycles.get(ym, 0) * 1_000_000 // max(nc, 1),
+        ))
+    assert got == want
+    # the conservation law: total WIP-days == total cycle-days
+    assert sum(w for _, w, *_ in want) == sum(
+        (cd - od).days + 1 for od, cd in intervals.values()
+    )
+    # the clamp pinned order 4 to its order day or later
+    assert intervals[4][1] >= intervals[4][0]

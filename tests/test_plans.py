@@ -1386,3 +1386,10 @@ def test_jaccard_links_capped_wedges(spark, sf_dir):
     # degree joins candidate-sized; top-K TakeOrdered; no cartesian
     df = _q(spark, sf_dir, "q_jaccard_links")
     assert not audit.has_cartesian(df)
+
+
+def test_little_law_month_spine_explode(spark, sf_dir):
+    # per-order state -> <=|months-per-order| spine explode -> two
+    # month-sized aggs; no cartesian
+    df = _q(spark, sf_dir, "q_little_law")
+    assert not audit.has_cartesian(df)

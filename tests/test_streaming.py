@@ -2253,3 +2253,41 @@ def test_stream_odds_ratio_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_odds_ratio(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_cycle_time_matches_batch(spark, sf_dir, tmp_path):
+    """Per-order close days are a per-key MAX monoid (clamp commutes
+    with MAX); chunking by SUPPLIER splits one order's lines across
+    out-of-order batches so the MAX genuinely merges; state + the
+    Little's-law month panel equals batch q_little_law exactly."""
+    from locopy_spark.queries.tpch_ext import (
+        little_law_report,
+        q_little_law,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cycle_time
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        l.filter(f"pmod(l_suppkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cychunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cychunk*"))
+    )
+    q = stream_cycle_time(stream, o, state_view="cycle_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in little_law_report(
+            spark.table("global_temp.cycle_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_little_law(spark, sf_dir).collect()]
+    assert got and got == want
