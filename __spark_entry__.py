@@ -120,13 +120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_newsvendor": tpch_ext.q_newsvendor,
         "q_jaccard_links": mining.q_jaccard_links,
         "q_little_law": tpch_ext.q_little_law,
+        "q_supplier_leadtime": tpch_ext.q_supplier_leadtime,
         # --- remaining slots: the stalest r3-era docs/text greens
         # (last checked round 3, some pre-Spark-4) ---
         "d_exact_dedup": docs.d_exact_dedup,
         "d_ngram_jaccard": docs.d_ngram_jaccard,
         "d_minhash_lsh": docs.d_minhash_lsh,
-        "d_simhash": docs.d_simhash,
         # ------- position 50 cutoff: window ends above this line -------
+        "d_simhash": docs.d_simhash,
         "d_embedding_dedup": docs.d_embedding_dedup,
         "d_dup_clusters": docs_ext.d_dup_clusters,
         "d_hash_split": docs_ext.d_hash_split,

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_newsvendor",
     "q_jaccard_links",
     "q_little_law",
+    "q_supplier_leadtime",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -3087,3 +3087,132 @@ ORACLE["q_little_law"] = """
   FROM wip w LEFT JOIN closes c ON w.ym = c.ym
   ORDER BY ym
 """
+
+
+# -- supplier lead-time scorecard ---------------------------------------------------
+
+
+def q_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time scorecard: per supplier, the exact median
+    and p95 of line-level lead time (ship − order days, clamped ≥ 0)
+    plus the return rate — the vendor-review panel next to
+    q_fulfillment_lag (which profiles ORDER-level first-ship lag by
+    priority; this profiles LINE-level lead time by SUPPLIER, the
+    axis a procurement review ranks on).
+
+    Scale shape — the two-pass exact-quantile device: the data-sized
+    work is ONE |lineitem| join to orders + ONE groupBy down to the
+    (supplier, lag_days) GRID (lag is calendar-bounded, so the grid
+    is |suppliers|·|lags|, independent of line volume); the quantile
+    selection then runs as a bounded per-supplier running sum over
+    the grid — never a per-supplier sort of raw lines, so a 100×
+    supplier's partition never grows. Medians/p95 are pure order
+    statistics (smallest lag with cum ≥ ⌈n/2⌉ / ⌈19n/20⌉, ceilings in
+    integers); the return rate is ONE exact ppm floor division.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's operations family.
+    """
+    return leadtime_report(
+        leadtime_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+def leadtime_state(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The (suppkey, lag_days) grid state: line counts + return counts
+    per cell — both plain-sum monoids (late chunks add in), bounded by
+    |suppliers|·|calendar lags| regardless of line volume."""
+    j = lineitem.join(
+        orders.selectExpr("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return j.groupBy(
+        "l_suppkey",
+        F.expr(
+            "greatest(datediff(cast(l_shipdate as date),"
+            " cast(o_orderdate as date)), 0)"
+        ).alias("lag"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("case when l_returnflag = 'R' then 1 else 0 end")
+        ).alias("nr"),
+    )
+
+
+def leadtime_report(grid: DataFrame) -> DataFrame:
+    """Close the scorecard over any (l_suppkey, lag, n, nr) grid."""
+    w = W.partitionBy("l_suppkey").orderBy("lag")
+    w_all = W.partitionBy("l_suppkey")
+    cum = grid.select(
+        "l_suppkey",
+        "lag",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(w_all).alias("tot"),
+        F.sum("nr").over(w_all).alias("totr"),
+    )
+    med = (
+        cum.filter("cum * 2 >= tot")
+        .groupBy("l_suppkey")
+        .agg(
+            F.min("lag").alias("median_lag"),
+            F.max("tot").alias("n_lines"),
+            F.max("totr").alias("n_returned"),
+        )
+    )
+    p95 = (
+        cum.filter("cum * 20 >= tot * 19")
+        .groupBy("l_suppkey")
+        .agg(F.min("lag").alias("p95_lag"))
+    )
+    return (
+        med.join(p95, "l_suppkey")
+        .selectExpr(
+            "l_suppkey",
+            "n_lines",
+            "median_lag",
+            "p95_lag",
+            "n_returned * 1000000 div n_lines AS return_ppm",
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+ORACLE["q_supplier_leadtime"] = """
+  WITH grid AS (
+    SELECT l_suppkey,
+           greatest(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)), 0) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+  ),
+  cum AS (
+    SELECT l_suppkey, lag,
+           SUM(n) OVER (PARTITION BY l_suppkey ORDER BY lag) AS cum,
+           SUM(n) OVER (PARTITION BY l_suppkey) AS tot,
+           SUM(nr) OVER (PARTITION BY l_suppkey) AS totr
+    FROM grid
+  ),
+  med AS (
+    SELECT l_suppkey, MIN(lag) AS median_lag, MAX(tot) AS n_lines,
+           MAX(totr) AS n_returned
+    FROM cum WHERE cum * 2 >= tot GROUP BY 1
+  ),
+  p95 AS (
+    SELECT l_suppkey, MIN(lag) AS p95_lag
+    FROM cum WHERE cum * 20 >= tot * 19 GROUP BY 1
+  )
+  SELECT m.l_suppkey,
+         CAST(m.n_lines AS BIGINT) AS n_lines,
+         CAST(m.median_lag AS BIGINT) AS median_lag,
+         CAST(p.p95_lag AS BIGINT) AS p95_lag,
+         CAST(m.n_returned * 1000000 // m.n_lines AS BIGINT)
+           AS return_ppm
+  FROM med m JOIN p95 p ON m.l_suppkey = p.l_suppkey
+  ORDER BY m.l_suppkey
+"""

@@ -2637,3 +2637,48 @@ def stream_cycle_time(
         .queryName(f"cycle_time_{state_view}")
         .start()
     )
+
+
+def stream_leadtime(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    state_view: str = "leadtime_state",
+):
+    """Continuously-maintained (supplier, lag_days) lead-time grid:
+    each micro-batch's lines join the static orders dim, band to
+    calendar-bounded lag cells, and ADD into the state (line counts
+    and return counts are both plain-sum monoids —
+    ``queries.tpch_ext.leadtime_state`` layout; the grid stays
+    |suppliers|·|lags| regardless of volume). The scorecard finisher
+    (``leadtime_report``) derives medians/p95/return rates only at
+    read time because a supplier's quantiles keep moving as lines
+    arrive. The live vendor-review dashboard; batch twin:
+    ``q_supplier_leadtime``."""
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "l_suppkey long, lag int, n bigint, nr bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.tpch_ext import leadtime_state
+
+        rows = leadtime_state(orders, batch_df)
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(rows)
+            .groupBy("l_suppkey", "lag")
+            .agg(F.sum("n").alias("n"), F.sum("nr").alias("nr"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"leadtime_{state_view}")
+        .start()
+    )

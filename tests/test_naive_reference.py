@@ -3318,3 +3318,63 @@ def test_little_law_vs_textbook(spark, tmp_path):
     )
     # the clamp pinned order 4 to its order day or later
     assert intervals[4][1] >= intervals[4][0]
+
+
+def test_supplier_leadtime_vs_textbook(spark, tmp_path):
+    """Scorecards equal brute-force order statistics (ceil-rank median
+    and p95 over the raw lag list) on seeded data with an engineered
+    slow supplier, a ship-before-order row (clamped to lag 0), and a
+    supplier whose returns are concentrated."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import q_supplier_leadtime
+
+    r = _rng()
+    base = datetime.date(2020, 3, 1)
+    ts = datetime.time(8)
+    orows, lrows = [], []
+    lags = {0: [], 1: [], 2: []}
+    ok = 0
+    for sk, spec in ((0, "fast"), (1, "slow"), (2, "returny")):
+        for i in range(40):
+            od = base + datetime.timedelta(days=r.randrange(0, 60))
+            if spec == "fast":
+                lag = r.randrange(0, 5)
+            elif spec == "slow":
+                lag = r.randrange(20, 60)
+            else:
+                lag = r.randrange(0, 10)
+            if i == 0:
+                lag = -3  # ship BEFORE order: must clamp to 0
+            rf = "R" if (spec == "returny" and i % 2 == 0) else "N"
+            orows.append((ok, datetime.datetime.combine(od, ts)))
+            lrows.append(
+                (ok, sk,
+                 datetime.datetime.combine(
+                     od + datetime.timedelta(days=lag), ts), rf)
+            )
+            lags[sk].append((max(lag, 0), rf))
+            ok += 1
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_orderdate timestamp")
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_orderkey long, l_suppkey long, l_shipdate timestamp,"
+           " l_returnflag string")
+    got = {
+        x.l_suppkey: (x.n_lines, x.median_lag, x.p95_lag, x.return_ppm)
+        for x in q_supplier_leadtime(spark, str(tmp_path)).collect()
+    }
+
+    want = {}
+    for sk, pairs in lags.items():
+        xs = sorted(l for l, _ in pairs)
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1] if n % 2 else xs[n // 2 - 1]
+        # ceil-rank order statistics: smallest lag with cum >= ceil(q*n)
+        med = xs[-(-n // 2) - 1]
+        p95 = xs[-(-19 * n // 20) - 1]
+        nr = sum(1 for _, rf in pairs if rf == "R")
+        want[sk] = (n, med, p95, nr * 1_000_000 // n)
+    assert got == want
+    assert got[1][1] > got[0][1]  # the slow supplier ranks slower
+    assert got[2][3] == 500_000  # the returny supplier's exact rate

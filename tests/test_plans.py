@@ -1393,3 +1393,10 @@ def test_little_law_month_spine_explode(spark, sf_dir):
     # month-sized aggs; no cartesian
     df = _q(spark, sf_dir, "q_little_law")
     assert not audit.has_cartesian(df)
+
+
+def test_supplier_leadtime_grid_quantiles(spark, sf_dir):
+    # one |lineitem| join, one groupBy to the bounded (supplier, lag)
+    # grid, bounded per-supplier windows; no cartesian
+    df = _q(spark, sf_dir, "q_supplier_leadtime")
+    assert not audit.has_cartesian(df)

@@ -2291,3 +2291,41 @@ def test_stream_cycle_time_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_little_law(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_leadtime_matches_batch(spark, sf_dir, tmp_path):
+    """(supplier, lag) cells are plain-sum monoids; chunking by ORDER
+    key splits one supplier's lines across out-of-order batches so the
+    sums genuinely merge; state + the scorecard finisher equals batch
+    q_supplier_leadtime exactly."""
+    from locopy_spark.queries.tpch_ext import (
+        leadtime_report,
+        q_supplier_leadtime,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_leadtime
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        l.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ltchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ltchunk*"))
+    )
+    q = stream_leadtime(stream, o, state_view="leadtime_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in leadtime_report(
+            spark.table("global_temp.leadtime_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_supplier_leadtime(spark, sf_dir).collect()]
+    assert got and got == want
