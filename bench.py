@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_jaccard_links",
     "q_little_law",
     "q_supplier_leadtime",
+    "q_mase",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

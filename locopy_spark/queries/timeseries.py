@@ -1526,3 +1526,88 @@ ORACLE["q_rsi"] = f"""
   WHERE rsi_ppm >= {RSI_HI} OR rsi_ppm <= {RSI_LO}
   ORDER BY day
 """
+
+
+# -- MASE forecast-skill panel -------------------------------------------------------
+
+MASE_SEASON = 7  # seasonal-naive lag, observed days
+
+
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE forecast-skill panel of daily revenue: does the
+    seasonal-naive forecast (repeat the value from {MASE_SEASON}
+    observed days back) beat the plain naive forecast (repeat
+    yesterday)? The one-row go/no-go a forecasting review starts
+    from — MASE < 1 says the weekly pattern carries real signal worth
+    modeling (and is the standard scale-free skill score, comparable
+    across series). EIGHTH finisher on the shared ``peaks_state``
+    daily monoid — ``stream_peaks`` maintains the state; the skill
+    panel closes on demand.
+
+    Exactness: both error sums are plain integer sums of |diffs| of
+    exact cents over the SAME scored suffix (days with both lags
+    observed, so the comparison is apples-to-apples); the skill ratio
+    is ONE exact ppm floor division. Lags are row-position lags over
+    the observed-day sequence (the q_rsi convention — on a dense
+    calendar this IS the weekly lag; on sparse series it is the
+    "7 observations back" analogue, identical on both engines).
+    The window runs over the |calendar days|-bounded daily state.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's forecasting family.
+    """
+    return mase_report(peaks_state(load_table(spark, sf_dir, "orders")))
+
+
+def mase_report(state: DataFrame) -> DataFrame:
+    """Close the MASE skill panel over any (day, rev_c) daily state
+    (|days|-bounded)."""
+    w = W.orderBy("day")
+    lagged = state.select(
+        "rev_c",
+        F.lag("rev_c", 1).over(w).alias("p1"),
+        F.lag("rev_c", MASE_SEASON).over(w).alias("p7"),
+    ).filter("p7 is not null")
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.expr("abs(rev_c - p1)")).alias("sae_naive_c"),
+        F.sum(F.expr("abs(rev_c - p7)")).alias("sae_seasonal_c"),
+    ).selectExpr(
+        "n_scored",
+        "sae_naive_c",
+        "sae_seasonal_c",
+        "sae_seasonal_c * 1000000 div greatest(sae_naive_c, 1)"
+        " AS mase_ppm",
+        "CAST(sae_seasonal_c < sae_naive_c AS INT) AS seasonal_better",
+    )
+
+
+ORACLE["q_mase"] = f"""
+  WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           SUM(CAST(FLOOR(o_totalprice * {{SCALE}} + 0.5) AS BIGINT))
+             AS rev_c
+    FROM orders GROUP BY 1
+  ),
+  lagged AS (
+    SELECT rev_c,
+           LAG(rev_c, 1) OVER (ORDER BY day) AS p1,
+           LAG(rev_c, {MASE_SEASON}) OVER (ORDER BY day) AS p7
+    FROM daily
+    QUALIFY p7 IS NOT NULL
+  ),
+  agg AS (
+    SELECT COUNT(*) AS n_scored,
+           CAST(SUM(ABS(rev_c - p1)) AS BIGINT) AS sae_naive_c,
+           CAST(SUM(ABS(rev_c - p7)) AS BIGINT) AS sae_seasonal_c
+    FROM lagged
+  )
+  SELECT CAST(n_scored AS BIGINT) AS n_scored, sae_naive_c,
+         sae_seasonal_c,
+         CAST(sae_seasonal_c * 1000000
+              // GREATEST(sae_naive_c, 1) AS BIGINT) AS mase_ppm,
+         CAST(sae_seasonal_c < sae_naive_c AS INT) AS seasonal_better
+  FROM agg
+"""
+ORACLE["q_mase"] = ORACLE["q_mase"].replace("{SCALE}", str(SCALE))

@@ -3378,3 +3378,40 @@ def test_supplier_leadtime_vs_textbook(spark, tmp_path):
     assert got == want
     assert got[1][1] > got[0][1]  # the slow supplier ranks slower
     assert got[2][3] == 500_000  # the returny supplier's exact rate
+
+
+def test_mase_vs_textbook(spark, tmp_path):
+    """The skill panel equals the hand-computed MASE (sum of |lag-7
+    error| over sum of |lag-1 error| on the shared scored suffix) on a
+    seeded series with an engineered strong weekly pattern — where the
+    seasonal-naive forecast must win (mase_ppm < 1e6)."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import MASE_SEASON, q_mase
+
+    r = _rng()
+    base = datetime.date(2022, 2, 1)
+    rows, daily = [], {}
+    for d in range(60):
+        v = 100 + 40 * (d % 7) + r.randrange(-3, 4)  # weekly sawtooth
+        rows.append(
+            (d, datetime.datetime.combine(
+                base + datetime.timedelta(days=d), datetime.time(9)),
+             float(v))
+        )
+        day = (base + datetime.timedelta(days=d)
+               - datetime.date(1970, 1, 1)).days
+        daily[day] = v * 1000
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    got = [tuple(x) for x in q_mase(spark, str(tmp_path)).collect()]
+
+    days = sorted(daily)
+    scored = range(MASE_SEASON, len(days))
+    sae1 = sum(abs(daily[days[i]] - daily[days[i - 1]]) for i in scored)
+    sae7 = sum(
+        abs(daily[days[i]] - daily[days[i - MASE_SEASON]]) for i in scored
+    )
+    mase = sae7 * 1_000_000 // max(sae1, 1)
+    assert got == [(len(list(scored)), sae1, sae7, mase, 1)]
+    assert mase < 1_000_000  # the weekly pattern must carry signal

@@ -1400,3 +1400,10 @@ def test_supplier_leadtime_grid_quantiles(spark, sf_dir):
     # grid, bounded per-supplier windows; no cartesian
     df = _q(spark, sf_dir, "q_supplier_leadtime")
     assert not audit.has_cartesian(df)
+
+
+def test_mase_bounded_window(spark, sf_dir):
+    # one partial-aggregated daily state, one |days|-bounded window,
+    # one global agg; no cartesian
+    df = _q(spark, sf_dir, "q_mase")
+    assert not audit.has_cartesian(df)

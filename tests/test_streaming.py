@@ -1950,6 +1950,15 @@ def test_stream_peaks_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_r = [tuple(r) for r in q_rsi(spark, sf_dir).collect()]
     assert got_r and got_r == want_r
+    # eighth finisher over the SAME state: the MASE forecast-skill panel
+    from locopy_spark.queries.timeseries import mase_report, q_mase
+
+    got_m = [
+        tuple(r)
+        for r in mase_report(spark.table("global_temp.peaks_t")).collect()
+    ]
+    want_m = [tuple(r) for r in q_mase(spark, sf_dir).collect()]
+    assert got_m and got_m == want_m
 
 
 def test_stream_fulfillment_matches_batch(spark, sf_dir, tmp_path):
