@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_little_law",
     "q_supplier_leadtime",
     "q_mase",
+    "q_logrank",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

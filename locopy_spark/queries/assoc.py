@@ -1018,3 +1018,164 @@ ORACLE["q_kruskal_wallis"] = f"""
   SELECT n, ties_t, {_KW_KEEP}, h, {_KW_HC} AS h_tie_corrected
   FROM h
 """
+
+
+# -- two-group log-rank test ---------------------------------------------------
+
+LOGRANK_SEG = "AUTOMOBILE"
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test: does customer lifetime (the
+    q_kaplan_meier churn model — event when the last order sits more
+    than {KM_CHURN_DAYS} days before the horizon, censored otherwise)
+    differ between the '{LOGRANK_SEG}' market segment and everyone
+    else? THE standard significance companion to the survival curves:
+    KM/NA show the two curves, this one row says whether the gap is
+    real (|z| ≳ 1.96 at 5%).
+
+    Scale shape: one partial-aggregated span per customer (the shared
+    span_state device, plus one customer-dimension join for the group
+    flag), one groupBy down to the |distinct lifetimes|-bounded exit
+    table, and TWO range-partitioned exclusive prefix sums
+    (operators.ranking.global_running_sum — no one-partition window)
+    for the group/overall risk sets. Every per-event-time term is
+    exact fixed point: E1 accumulates ⌊d·n1·1e9/n⌋ (ppb), the
+    hypergeometric variance accumulates
+    ⌊d·n1·(n−n1)·(n−d)·1e9/(n²·(n−1))⌋ — products widen through
+    DECIMAL(38,0)/HUGEINT (≤ ~5e29 at 1.5e5 customers, quotients fit
+    bigint at any N where d ≤ n), and the single final double
+    (z = (O1·1e9 − E1)/√(V·1e9)) is byte-identical on both engines.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's survival family.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    span = span_state(orders)
+    grp = customer.select(
+        "c_custkey",
+        F.expr(
+            f"cast(c_mktsegment = '{LOGRANK_SEG}' as int)"
+        ).alias("g1"),
+    )
+    mx = span.agg(F.max("last_d").alias("mx"))
+    life = (
+        span.join(grp, span["o_custkey"] == F.col("c_custkey"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("datediff(last_d, first_d)").alias("t"),
+            F.expr(
+                f"cast(datediff(mx, last_d) > {KM_CHURN_DAYS} as int)"
+            ).alias("ev"),
+            "g1",
+        )
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.expr("ev * g1")).alias("d1"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum("g1").alias("m1"),
+    )
+    cum = global_running_sum(
+        global_running_sum(per_t, order_cols=["t"], value_col="m",
+                           out_col="pre_m"),
+        order_cols=["t"], value_col="m1", out_col="pre_m1",
+    )
+    tot = life.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("g1").alias("n1_all"),
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "d", "d1", "n_all", "n1_all",
+        "n_all - pre_m AS n",
+        "n1_all - pre_m1 AS n1",
+    )
+    terms = risk.filter("d >= 1").selectExpr(
+        "d1",
+        "n_all",
+        "n1_all",
+        "CAST(d AS DECIMAL(38,0)) * n1 * 1000000000 div n AS e1",
+        "CASE WHEN n > 1 THEN"
+        " CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d)"
+        " * 1000000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+        " ELSE 0 END AS v",
+    )
+    return terms.groupBy("n_all", "n1_all").agg(
+        F.sum("d1").alias("o1_events"),
+        F.sum("e1").alias("e1_ppb"),
+        F.sum("v").alias("var_ppb"),
+    ).selectExpr(
+        "CAST(n1_all AS BIGINT) AS n1_customers",
+        "CAST(n_all - n1_all AS BIGINT) AS n0_customers",
+        "CAST(o1_events AS BIGINT) AS o1_events",
+        "CAST(e1_ppb AS BIGINT) AS e1_ppb",
+        "CAST(var_ppb AS BIGINT) AS var_ppb",
+        "CASE WHEN var_ppb > 0 THEN"
+        " (CAST(o1_events AS DOUBLE) * 1.0e9 - CAST(e1_ppb AS DOUBLE))"
+        " / SQRT(CAST(var_ppb AS DOUBLE) * 1.0e9)"
+        " ELSE NULL END AS z_score",
+    )
+
+
+ORACLE["q_logrank"] = f"""
+  WITH span AS (
+    SELECT o_custkey,
+           MIN(CAST(o_orderdate AS DATE)) AS fd,
+           MAX(CAST(o_orderdate AS DATE)) AS ld
+    FROM orders GROUP BY 1
+  ),
+  mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+  life AS (
+    SELECT datediff('day', fd, ld) AS t,
+           CAST(datediff('day', ld, mx) > {KM_CHURN_DAYS} AS INT) AS ev,
+           CAST(c_mktsegment = '{LOGRANK_SEG}' AS INT) AS g1
+    FROM span JOIN customer ON o_custkey = c_custkey, mx
+  ),
+  per_t AS (
+    SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(ev * g1) AS BIGINT) AS d1,
+           COUNT(*) AS m, CAST(SUM(g1) AS BIGINT) AS m1
+    FROM life GROUP BY 1
+  ),
+  tot AS (
+    SELECT COUNT(*) AS n_all, CAST(SUM(g1) AS BIGINT) AS n1_all
+    FROM life
+  ),
+  risk AS (
+    SELECT d, d1, n_all, n1_all,
+           n_all - COALESCE(SUM(m) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n,
+           n1_all - COALESCE(SUM(m1) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n1
+    FROM per_t, tot
+  ),
+  terms AS (
+    SELECT d1, n_all, n1_all,
+           CAST(d AS HUGEINT) * n1 * 1000000000 // n AS e1,
+           CASE WHEN n > 1 THEN
+             CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d)
+             * 1000000000 // (CAST(n AS HUGEINT) * n * (n - 1))
+           ELSE 0 END AS v
+    FROM risk WHERE d >= 1
+  ),
+  agg AS (
+    SELECT n_all, n1_all,
+           CAST(SUM(d1) AS BIGINT) AS o1_events,
+           CAST(SUM(e1) AS BIGINT) AS e1_ppb,
+           CAST(SUM(v) AS BIGINT) AS var_ppb
+    FROM terms GROUP BY 1, 2
+  )
+  SELECT CAST(n1_all AS BIGINT) AS n1_customers,
+         CAST(n_all - n1_all AS BIGINT) AS n0_customers,
+         o1_events, e1_ppb, var_ppb,
+         CASE WHEN var_ppb > 0 THEN
+           (CAST(o1_events AS DOUBLE) * 1.0e9 - CAST(e1_ppb AS DOUBLE))
+           / SQRT(CAST(var_ppb AS DOUBLE) * 1.0e9)
+         ELSE NULL END AS z_score
+  FROM agg
+"""

@@ -3415,3 +3415,94 @@ def test_mase_vs_textbook(spark, tmp_path):
     mase = sae7 * 1_000_000 // max(sae1, 1)
     assert got == [(len(list(scored)), sae1, sae7, mase, 1)]
     assert mase < 1_000_000  # the weekly pattern must carry signal
+
+
+def test_logrank_vs_textbook(spark, tmp_path):
+    """The one-row panel equals a from-scratch log-rank computation
+    (risk sets by hand over every exit time, floor-fixed-point E1/V
+    terms, final z) on seeded data with an engineered short-lived
+    segment — which the test asserts is detected (z < -1.96: group 1
+    churns EARLIER, so it accumulates MORE events than expected while
+    at risk)."""
+    import datetime
+    import math
+
+    from locopy_spark.queries.assoc import (
+        KM_CHURN_DAYS,
+        LOGRANK_SEG,
+        q_logrank,
+    )
+
+    r = _rng()
+    base = datetime.date(2019, 1, 1)
+    ts = datetime.time(8)
+    orows, crows = [], []
+    lifes = []  # (t, ev, g1)
+    horizon_span = 700
+    ok = 0
+    for ck in range(60):
+        g1 = ck % 3 == 0
+        crows.append((ck, LOGRANK_SEG if g1 else "MACHINERY"))
+        first = r.randrange(0, 40)
+        # engineered effect: segment customers live ~60 days, rest ~400
+        life = r.randrange(30, 90) if g1 else r.randrange(300, 500)
+        last = min(first + life, horizon_span)
+        for d in (first, last):
+            orows.append(
+                (ok, ck,
+                 datetime.datetime.combine(
+                     base + datetime.timedelta(days=d), ts))
+            )
+            ok += 1
+        lifes.append((last - first, g1))
+    # pin the horizon with one long-lived non-segment customer
+    crows.append((999, "HOUSEHOLD"))
+    orows.append((ok, 999, datetime.datetime.combine(base, ts)))
+    orows.append(
+        (ok + 1, 999,
+         datetime.datetime.combine(
+             base + datetime.timedelta(days=horizon_span), ts))
+    )
+    lifes.append((horizon_span, False))
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    _write(spark, tmp_path, "customer", crows,
+           "c_custkey long, c_mktsegment string")
+    got = [tuple(x) for x in q_logrank(spark, str(tmp_path)).collect()]
+
+    # from scratch: reconstruct spans, exit table, risk sets, terms
+    per_t = {}
+    n_all = len(lifes)
+    n1_all = sum(1 for _, g in lifes if g)
+    # reconstruct last day per customer to decide the event flag
+    lasts = {}
+    for okk, ck, od in orows:
+        d = (od.date() - base).days
+        lo, hi = lasts.get(ck, (d, d))
+        lasts[ck] = (min(lo, d), max(hi, d))
+    for ck, (lo, hi) in lasts.items():
+        t = hi - lo
+        ev = 1 if (horizon_span - hi) > KM_CHURN_DAYS else 0
+        g = 1 if (ck % 3 == 0 and ck != 999) else 0
+        cell = per_t.setdefault(t, [0, 0, 0, 0])
+        cell[0] += ev
+        cell[1] += ev * g
+        cell[2] += 1
+        cell[3] += g
+    o1 = e1 = v = 0
+    pre_m = pre_m1 = 0
+    for t in sorted(per_t):
+        d, d1, m, m1 = per_t[t]
+        n = n_all - pre_m
+        n1 = n1_all - pre_m1
+        if d >= 1:
+            o1 += d1
+            e1 += d * n1 * 10**9 // n
+            if n > 1:
+                v += (d * n1 * (n - n1) * (n - d) * 10**9
+                      // (n * n * (n - 1)))
+        pre_m += m
+        pre_m1 += m1
+    z = (o1 * 1.0e9 - float(e1)) / math.sqrt(float(v) * 1.0e9)
+    assert got == [(n1_all, n_all - n1_all, o1, e1, v, z)]
+    assert z > 1.96  # group 1 churns earlier: more events than expected

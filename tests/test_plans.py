@@ -1407,3 +1407,10 @@ def test_mase_bounded_window(spark, sf_dir):
     # one global agg; no cartesian
     df = _q(spark, sf_dir, "q_mase")
     assert not audit.has_cartesian(df)
+
+
+def test_logrank_prefix_sum_no_cartesian(spark, sf_dir):
+    # span partial-agg + dimension join + two ranged prefix sums over
+    # the bounded exit table; broadcast totals; no cartesian
+    df = _q(spark, sf_dir, "q_logrank")
+    assert not audit.has_cartesian(df)
