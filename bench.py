@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "q_supplier_leadtime",
     "q_mase",
     "q_logrank",
+    "q_ship_sla",
+    "q_friedman",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -2159,3 +2159,132 @@ def _sql_brand_xcorr() -> str:
 
 
 ORACLE["q_brand_xcorr"] = _sql_brand_xcorr()
+
+
+# -- Friedman rank test --------------------------------------------------------------
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: blocking monthly shipped revenue by ship
+    month, do the order PRIORITIES differ systematically? The
+    nonparametric repeated-measures companion to
+    q_anova/q_kruskal_wallis — months are blocks (absorbing
+    seasonality and volume drift), priorities are treatments, and only
+    the within-month RANKING of priority revenues enters the
+    statistic, so one huge month can't dominate.
+
+    Scale shape: all data-sized work is the ONE |lineitem| join + the
+    partial-aggregated groupBy of ``tpch_ext.sla_state`` down to the
+    |months|·|priorities| grid (the same additive state stream_sla
+    maintains live); ranking runs per-month over k-row bounded
+    partitions, never over raw lines. Exactness: tie-averaged ranks
+    are kept in integer HALF-units (r2 = 2·rank + ties − 1 = 2·avg
+    rank), per-mode sums and their squares are exact bigints, and the
+    single final double Q = 3·ΣR2_j²/(n·k·(k+1)) − 3·n·(k+1) is
+    byte-identical on both engines (no tie-correction denominator —
+    documented, consistent across engines, negligible for continuous
+    revenue totals). Only COMPLETE blocks (all k modes present) are
+    scored, per the test's definition.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    from locopy_spark.queries.tpch_ext import sla_state
+
+    return friedman_report(
+        sla_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+def friedman_report(state: DataFrame) -> DataFrame:
+    """Close the Friedman panel over any (ym, prio, ..., rev_c) grid."""
+    from pyspark.sql.window import Window as W
+
+    k_df = state.agg(
+        F.countDistinct("prio").alias("k")
+    )
+    sized = (
+        state.groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(k_df), F.col("cnt") == F.col("k"))
+        .select("ym", "k")
+    )
+    complete = state.join(sized, "ym")
+    ranked = complete.select(
+        "prio",
+        "k",
+        (
+            2 * F.rank().over(W.partitionBy("ym").orderBy("rev_c"))
+            + F.count(F.lit(1)).over(W.partitionBy("ym", "rev_c"))
+            - 1
+        ).alias("r2"),
+    )
+    per_mode = ranked.groupBy("prio", "k").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("r2").alias("r2_sum"),
+    )
+    scalar = per_mode.groupBy("k").agg(
+        F.max("n_blocks").alias("n"),
+        F.sum(F.expr("r2_sum * r2_sum")).alias("ssq"),
+    ).selectExpr(
+        "3.0 * CAST(ssq AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * k * (k + 1))"
+        " - 3.0 * CAST(n AS DOUBLE) * (k + 1) AS q_stat",
+    )
+    return (
+        per_mode.crossJoin(F.broadcast(scalar))
+        .selectExpr(
+            "prio",
+            "CAST(k AS BIGINT) AS k_groups",
+            "n_blocks",
+            "r2_sum",
+            "q_stat",
+        )
+        .orderBy("prio")
+    )
+
+
+ORACLE["q_friedman"] = f"""
+  WITH grid AS (
+    SELECT year(CAST(l_shipdate AS DATE)) * 100
+             + month(CAST(l_shipdate AS DATE)) AS ym,
+           o_orderpriority AS prio,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * {{SCALE}} + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+  ),
+  kk AS (SELECT COUNT(DISTINCT prio) AS k FROM grid),
+  complete AS (
+    SELECT g.ym, g.prio, g.rev_c, kk.k
+    FROM grid g, kk
+    WHERE g.ym IN (
+      SELECT ym FROM grid GROUP BY ym
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    )
+  ),
+  ranked AS (
+    SELECT prio, k,
+           2 * RANK() OVER (PARTITION BY ym ORDER BY rev_c)
+             + COUNT(*) OVER (PARTITION BY ym, rev_c) - 1 AS r2
+    FROM complete
+  ),
+  per_mode AS (
+    SELECT prio, k, COUNT(*) AS n_blocks,
+           CAST(SUM(r2) AS BIGINT) AS r2_sum
+    FROM ranked GROUP BY 1, 2
+  ),
+  scalar AS (
+    SELECT 3.0 * CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS DOUBLE)
+             / (CAST(MAX(n_blocks) AS DOUBLE) * k * (k + 1))
+           - 3.0 * CAST(MAX(n_blocks) AS DOUBLE) * (k + 1) AS q_stat
+    FROM per_mode GROUP BY k
+  )
+  SELECT prio, CAST(k AS BIGINT) AS k_groups, n_blocks, r2_sum, q_stat
+  FROM per_mode, scalar
+  ORDER BY prio
+"""
+ORACLE["q_friedman"] = ORACLE["q_friedman"].replace("{SCALE}", str(SCALE))

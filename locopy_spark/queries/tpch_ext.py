@@ -3216,3 +3216,106 @@ ORACLE["q_supplier_leadtime"] = """
   FROM med m JOIN p95 p ON m.l_suppkey = p.l_suppkey
   ORDER BY m.l_suppkey
 """
+
+
+# -- ship-SLA attainment panel -------------------------------------------------------
+
+SLA_DAYS = 90  # the q12_late_lines lateness convention
+
+
+def sla_state(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The (ship-month, order-priority) SLA grid: line count, on-time
+    count (shipped within {SLA_DAYS} days of order — the
+    q12_late_lines convention), total days late beyond the SLA, and
+    exact revenue cents per cell — all plain-sum monoids
+    (late/re-delivered chunks add in), bounded by |months|·|priorities|
+    regardless of line volume. ONE |lineitem| join + ONE
+    partial-aggregated groupBy. Shared by ``q_ship_sla`` (attainment
+    panel), ``stats.q_friedman`` (priority-effect test), and
+    ``streaming.stateful.stream_sla``."""
+    j = lineitem.join(
+        orders.selectExpr("o_orderkey", "o_orderdate", "o_orderpriority"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return j.groupBy(
+        F.expr("year(l_shipdate) * 100 + month(l_shipdate)").alias("ym"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(
+                "cast(datediff(cast(l_shipdate as date),"
+                f" cast(o_orderdate as date)) <= {SLA_DAYS} as int)"
+            )
+        ).alias("n_ontime"),
+        F.sum(
+            F.expr(
+                "greatest(datediff(cast(l_shipdate as date),"
+                f" cast(o_orderdate as date)) - {SLA_DAYS}, 0)"
+            )
+        ).alias("late_days"),
+        F.sum(
+            F.expr(f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)")
+        ).alias("rev_c"),
+    )
+
+
+def q_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-SLA attainment panel: per ship month and order priority,
+    the {SLA_DAYS}-day on-time rate and the mean days-late-beyond-SLA
+    among late lines — the delivery-performance TREND a logistics
+    review reads next to q12_late_lines (which buckets one flag count
+    by priority; this tracks the rate per month so degradation is
+    visible when it starts, the axis an SLA renegotiation ranks on).
+
+    Scale shape: all data-sized work is ONE |lineitem| join + the
+    partial-aggregated groupBy of ``sla_state`` down to the
+    |months|·|priorities| grid (every measure a plain-sum monoid — the
+    same state stream_sla maintains live); rates close as exact ppm
+    floor divisions over the bounded grid.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine\'s operations family.
+    """
+    return sla_report(
+        sla_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+def sla_report(state: DataFrame) -> DataFrame:
+    """Close the SLA panel over any (ym, prio, n, n_ontime, late_days,
+    rev_c) grid."""
+    return state.selectExpr(
+        "ym",
+        "prio",
+        "n AS n_lines",
+        "n_ontime * 1000000 div n AS ontime_ppm",
+        "late_days * 1000000 div greatest(n - n_ontime, 1)"
+        " AS late_days_ppm",
+    ).orderBy("ym", "prio")
+
+
+ORACLE["q_ship_sla"] = f"""
+  SELECT year(CAST(l_shipdate AS DATE)) * 100
+           + month(CAST(l_shipdate AS DATE)) AS ym,
+         o_orderpriority AS prio,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CAST(datediff(\'day\', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE))
+                       <= {SLA_DAYS} AS INT))
+              * 1000000 // COUNT(*) AS BIGINT) AS ontime_ppm,
+         CAST(SUM(GREATEST(datediff(\'day\', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE))
+                           - {SLA_DAYS}, 0)) * 1000000
+              // GREATEST(COUNT(*)
+                 - SUM(CAST(datediff(\'day\', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE))
+                            <= {SLA_DAYS} AS INT)), 1)
+              AS BIGINT) AS late_days_ppm
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""

@@ -2682,3 +2682,56 @@ def stream_leadtime(
         .queryName(f"leadtime_{state_view}")
         .start()
     )
+
+
+def stream_sla(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    state_view: str = "sla_state",
+):
+    """Continuously-maintained (ship-month, order-priority) SLA grid:
+    each micro-batch's lines join the static orders dim, band to
+    month×priority cells, and ADD into the state (line/on-time counts,
+    late days, and revenue cents are all plain-sum monoids —
+    ``queries.tpch_ext.sla_state`` layout; the grid stays
+    |months|·|priorities| regardless of volume). ONE state serves TWO
+    read-time finishers: the attainment panel (``sla_report``, batch
+    twin ``q_ship_sla``) and the Friedman priority-effect test
+    (``stats.friedman_report``, batch twin ``q_friedman``) — rates and
+    within-month ranks both keep moving as lines arrive, so neither
+    would be a monoid in-state."""
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "ym int, prio string, n bigint, n_ontime bigint,"
+        " late_days bigint, rev_c bigint",
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.tpch_ext import sla_state
+
+        rows = sla_state(orders, batch_df)
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(rows)
+            .groupBy("ym", "prio")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("n_ontime").alias("n_ontime"),
+                F.sum("late_days").alias("late_days"),
+                F.sum("rev_c").alias("rev_c"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"sla_{state_view}")
+        .start()
+    )

@@ -3506,3 +3506,103 @@ def test_logrank_vs_textbook(spark, tmp_path):
     z = (o1 * 1.0e9 - float(e1)) / math.sqrt(float(v) * 1.0e9)
     assert got == [(n1_all, n_all - n1_all, o1, e1, v, z)]
     assert z > 1.96  # group 1 churns earlier: more events than expected
+
+
+def test_ship_sla_vs_textbook(spark, tmp_path):
+    """Panel rates equal hand-computed per-(month, priority) on-time
+    ppm and mean-late-days ppm on seeded data with an engineered
+    always-late priority and a boundary line shipped exactly ON the
+    SLA day (which must count as on-time)."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import SLA_DAYS, q_ship_sla
+
+    r = _rng()
+    base = datetime.date(2020, 1, 10)
+    ts = datetime.time(7)
+    orows, lrows = [], []
+    cells = {}
+    ok = 0
+    for i in range(120):
+        prio = "1-URGENT" if i % 2 == 0 else "5-LOW"
+        od = base + datetime.timedelta(days=r.randrange(0, 50))
+        if prio == "1-URGENT":
+            lag = r.randrange(0, 40)  # always inside SLA
+        else:
+            lag = r.randrange(80, 200)  # straddles the SLA boundary
+        if i == 1:
+            lag = SLA_DAYS  # exact boundary: on-time by definition
+        sd = od + datetime.timedelta(days=lag)
+        orows.append((ok, datetime.datetime.combine(od, ts), prio))
+        lrows.append((ok, datetime.datetime.combine(sd, ts), 10.0))
+        ym = sd.year * 100 + sd.month
+        c = cells.setdefault((ym, prio), [0, 0, 0])
+        c[0] += 1
+        c[1] += 1 if lag <= SLA_DAYS else 0
+        c[2] += max(lag - SLA_DAYS, 0)
+        ok += 1
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_orderdate timestamp, o_orderpriority string")
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_orderkey long, l_shipdate timestamp, l_extendedprice double")
+    got = [(x.ym, x.prio, x.n_lines, x.ontime_ppm, x.late_days_ppm)
+           for x in q_ship_sla(spark, str(tmp_path)).collect()]
+    want = sorted(
+        (ym, prio, n, ont * 1_000_000 // n,
+         late * 1_000_000 // max(n - ont, 1))
+        for (ym, prio), (n, ont, late) in cells.items()
+    )
+    assert got == want
+
+
+def test_friedman_vs_textbook(spark, tmp_path):
+    """Panel equals the textbook Friedman computation (tie-averaged
+    within-block ranks of per-priority monthly revenue, Q from rank
+    sums) on seeded data with an engineered dominant priority — which
+    the test asserts is detected (Q above the 5% chi-square cutoff for
+    k−1 = 2 df)."""
+    import datetime
+
+    from locopy_spark.queries.stats import q_friedman
+
+    r = _rng()
+    ts = datetime.time(7)
+    orows, lrows = [], []
+    rev = {}
+    ok = 0
+    prios = ["1-URGENT", "3-MEDIUM", "5-LOW"]
+    for m in range(8):  # 8 complete blocks
+        od = datetime.date(2021, m + 1, 5)
+        for prio in prios:
+            # engineered effect: URGENT always biggest
+            v = (3000 if prio == "1-URGENT" else 1000) + r.randrange(0, 500)
+            orows.append((ok, datetime.datetime.combine(od, ts), prio))
+            lrows.append(
+                (ok, datetime.datetime.combine(od, ts), float(v))
+            )
+            ym = od.year * 100 + od.month
+            rev[(ym, prio)] = rev.get((ym, prio), 0) + v * 1000
+            ok += 1
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_orderdate timestamp, o_orderpriority string")
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_orderkey long, l_shipdate timestamp, l_extendedprice double")
+    got = [tuple(x) for x in q_friedman(spark, str(tmp_path)).collect()]
+
+    k = len(prios)
+    yms = sorted({ym for ym, _ in rev})
+    r2_sums = {p: 0 for p in prios}
+    for ym in yms:
+        vals = sorted(rev[(ym, p)] for p in prios)
+        for p in prios:
+            v = rev[(ym, p)]
+            rnk = 1 + sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            r2_sums[p] += 2 * rnk + ties - 1
+    n = len(yms)
+    ssq = sum(v * v for v in r2_sums.values())
+    q_stat = 3.0 * float(ssq) / (float(n) * k * (k + 1)) \
+        - 3.0 * float(n) * (k + 1)
+    want = [(p, k, n, r2_sums[p], q_stat) for p in sorted(prios)]
+    assert got == want
+    assert q_stat > 5.991  # chi2(0.95, df=2): the effect is detected

@@ -1414,3 +1414,17 @@ def test_logrank_prefix_sum_no_cartesian(spark, sf_dir):
     # the bounded exit table; broadcast totals; no cartesian
     df = _q(spark, sf_dir, "q_logrank")
     assert not audit.has_cartesian(df)
+
+
+def test_ship_sla_grid_no_cartesian(spark, sf_dir):
+    # one |lineitem| join + one groupBy to the bounded month x priority
+    # grid; row-local ppm closes; no cartesian
+    df = _q(spark, sf_dir, "q_ship_sla")
+    assert not audit.has_cartesian(df)
+
+
+def test_friedman_bounded_ranks(spark, sf_dir):
+    # grid partial-agg, per-month k-row rank windows, broadcast scalar;
+    # no cartesian beyond the 1-row broadcast
+    df = _q(spark, sf_dir, "q_friedman")
+    assert not audit.has_cartesian(df)

@@ -2338,3 +2338,40 @@ def test_stream_leadtime_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_supplier_leadtime(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_sla_matches_batch(spark, sf_dir, tmp_path):
+    """(ship-month, priority) cells are plain-sum monoids; chunking by
+    ORDER key splits one month's lines across out-of-order batches so
+    the sums genuinely merge; ONE state feeds TWO finishers — the SLA
+    attainment panel equals batch q_ship_sla AND the Friedman
+    priority-effect panel equals batch q_friedman, bit-exactly."""
+    from locopy_spark.queries.stats import friedman_report, q_friedman
+    from locopy_spark.queries.tpch_ext import q_ship_sla, sla_report
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_sla
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        l.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"slachunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "slachunk*"))
+    )
+    q = stream_sla(stream, o, state_view="sla_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.table("global_temp.sla_t")
+    got = [tuple(r) for r in sla_report(state).collect()]
+    want = [tuple(r) for r in q_ship_sla(spark, sf_dir).collect()]
+    assert got and got == want
+    # second finisher over the SAME state: the Friedman rank panel
+    got_f = [tuple(r) for r in friedman_report(state).collect()]
+    want_f = [tuple(r) for r in q_friedman(spark, sf_dir).collect()]
+    assert got_f and got_f == want_f
