@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_logrank",
     "q_ship_sla",
     "q_friedman",
+    "q_clustering_coef",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",
@@ -327,6 +328,7 @@ BENCH_QUERIES = [
     "q_degree_dist_shared",
     "q_kcore_shared",
     "q_jaccard_links_shared",
+    "q_clustering_coef_shared",
 ]
 
 # Machine-readable exclusion manifest: queries() keys NOT benched, with
@@ -438,6 +440,7 @@ def _graph_shared_queries():
         "q_degree_dist_shared": _shared(mining.q_degree_dist),
         "q_kcore_shared": _shared(mining.q_kcore),
         "q_jaccard_links_shared": _shared(mining.q_jaccard_links),
+        "q_clustering_coef_shared": _shared(mining.q_clustering_coef),
     }
 
 

@@ -1897,3 +1897,111 @@ ORACLE["q_jaccard_links"] = f"""
   ORDER BY jaccard_ppm DESC, common_neighbors DESC, part_a, part_b
   LIMIT {LP_TOPK}
 """
+
+
+# -- local clustering-coefficient profile ---------------------------------------------
+
+CC_BAND = 100_000  # ppm per histogram band (10 bands + the cc=1 band)
+
+
+def q_clustering_coef(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Local clustering-coefficient profile of the co-purchase graph:
+    for every part of degree 2..{LP_DEGCAP}, the fraction of its
+    neighbor pairs that are themselves connected (cc_v =
+    2·tri_v/(d_v·(d_v−1))), histogrammed into {CC_BAND}-ppm bands —
+    the local-cohesion read next to q_graph_triangles' global census:
+    a high-cc band full of mid-degree parts is the cross-sell-bundle
+    signature, a fat cc=0 band is star-shaped catalog structure.
+
+    Scale shape: centers are HARD-GATED to degree ≤ {LP_DEGCAP} (the
+    q_jaccard_links hub exclusion, here part of the SEMANTICS — hubs'
+    coefficients are numerically meaningless and their wedge sets
+    quadratic), so the wedge stream is bounded by |V|·cap² instead of
+    Σd²; triangles close by ONE equi-join of wedges against the edge
+    list (a < b both sides, no inequality join); zero-triangle centers
+    re-enter by left join. cc and band are exact ppm floor divisions;
+    the result is |bands|-sized.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's graph-mining family.
+    """
+    e = managed_persist(
+        edges if edges is not None else copurchase_edges(spark, sf_dir),
+        "clustering_coef",
+    )
+    nbr = e.selectExpr("a AS v", "b AS n").unionAll(
+        e.selectExpr("b AS v", "a AS n")
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(f"d >= 2 AND d <= {LP_DEGCAP}")
+    mid = nbr.join(centers.select("v"), "v")
+    wedges = (
+        mid.alias("x")
+        .join(mid.alias("y"), "v")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select("v", F.col("x.n").alias("u"), F.col("y.n").alias("w"))
+    )
+    tri = (
+        wedges.join(e, (wedges["u"] == e["a"]) & (wedges["w"] == e["b"]))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    cc = (
+        centers.join(tri, "v", "left")
+        .selectExpr(
+            "coalesce(tri, 0) * 2000000 div (d * (d - 1)) AS cc_ppm"
+        )
+    )
+    return (
+        cc.groupBy(F.expr(f"cc_ppm div {CC_BAND}").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("cc_ppm").alias("sum_cc_ppm"),
+        )
+        .selectExpr(
+            "band",
+            "n_nodes",
+            "sum_cc_ppm div n_nodes AS avg_cc_ppm",
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE["q_clustering_coef"] = f"""
+  WITH b AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+    FROM lineitem GROUP BY 1
+  ),
+  ex AS (SELECT l_orderkey, unnest(ps) AS pa FROM b),
+  e AS MATERIALIZED (
+    SELECT DISTINCT x.pa AS a, y.pa AS b
+    FROM ex x JOIN ex y ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa
+  ),
+  nbr AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+  deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM nbr GROUP BY 1),
+  centers AS (
+    SELECT v, d FROM deg WHERE d >= 2 AND d <= {LP_DEGCAP}
+  ),
+  mid AS (
+    SELECT nbr.v, nbr.n FROM nbr JOIN centers c ON nbr.v = c.v
+  ),
+  wed AS (
+    SELECT x.v, x.n AS u, y.n AS w
+    FROM mid x JOIN mid y ON x.v = y.v AND x.n < y.n
+  ),
+  tri AS (
+    SELECT wed.v, COUNT(*) AS tri
+    FROM wed JOIN e ON wed.u = e.a AND wed.w = e.b
+    GROUP BY 1
+  ),
+  cc AS (
+    SELECT COALESCE(t.tri, 0) * 2000000 // (c.d * (c.d - 1)) AS cc_ppm
+    FROM centers c LEFT JOIN tri t ON c.v = t.v
+  )
+  SELECT CAST(cc_ppm // {CC_BAND} AS BIGINT) AS band,
+         COUNT(*) AS n_nodes,
+         CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS avg_cc_ppm
+  FROM cc GROUP BY 1 ORDER BY 1
+"""

@@ -3606,3 +3606,73 @@ def test_friedman_vs_textbook(spark, tmp_path):
     want = [(p, k, n, r2_sums[p], q_stat) for p in sorted(prios)]
     assert got == want
     assert q_stat > 5.991  # chi2(0.95, df=2): the effect is detected
+
+
+def test_clustering_coef_vs_textbook(spark, tmp_path):
+    """The banded profile equals brute-force per-node clustering
+    coefficients (all neighbor pairs checked against the edge set) on
+    a seeded graph with an engineered clique (cc = 1), an engineered
+    star (cc = 0 spokes), and a hub above the degree cap that must be
+    EXCLUDED as a center yet still COUNT as a neighbor of others."""
+    import datetime
+    import itertools
+
+    from locopy_spark.queries.mining import (
+        CC_BAND,
+        LP_DEGCAP,
+        q_clustering_coef,
+    )
+
+    ts = datetime.datetime(2020, 5, 1, 8)
+    baskets = []
+    # clique on 4 parts: every neighbor pair connected -> cc = 1
+    baskets.append([0, 1, 2, 3])
+    # star: center 10, spokes 11..14 never co-bought together
+    for sp in (11, 12, 13, 14):
+        baskets.append([10, sp])
+    # triangle hanging off the star center
+    baskets.append([10, 15])
+    baskets.append([10, 16])
+    baskets.append([15, 16])
+    # hub above the cap: part 99 co-bought with LP_DEGCAP+5 others
+    for i in range(LP_DEGCAP + 5):
+        baskets.append([99, 200 + i])
+    lrows = [
+        (ok, pk, ts) for ok, ps in enumerate(baskets) for pk in ps
+    ]
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_orderkey long, l_partkey long, l_shipdate timestamp")
+    got = [(x.band, x.n_nodes, x.avg_cc_ppm)
+           for x in q_clustering_coef(spark, str(tmp_path)).collect()]
+
+    edges = set()
+    for ps in baskets:
+        for a, b in itertools.combinations(sorted(set(ps)), 2):
+            edges.add((a, b))
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    ccs = []
+    for v, ns in nbrs.items():
+        d = len(ns)
+        if d < 2 or d > LP_DEGCAP:
+            continue
+        tri = sum(
+            1 for a, b in itertools.combinations(sorted(ns), 2)
+            if (a, b) in edges
+        )
+        ccs.append(tri * 2_000_000 // (d * (d - 1)))
+    want = {}
+    for cc in ccs:
+        band = cc // CC_BAND
+        n, sm = want.get(band, (0, 0))
+        want[band] = (n + 1, sm + cc)
+    want_rows = sorted(
+        (band, n, sm // n) for band, (n, sm) in want.items()
+    )
+    assert got == want_rows
+    assert any(band == 10 for band, _, _ in got)  # the clique band
+    assert any(band == 0 for band, _, _ in got)   # the star spokes
+    # the hub is not a center: no row counts it
+    assert sum(n for _, n, _ in got) == len(ccs)

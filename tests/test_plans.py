@@ -1428,3 +1428,11 @@ def test_friedman_bounded_ranks(spark, sf_dir):
     # no cartesian beyond the 1-row broadcast
     df = _q(spark, sf_dir, "q_friedman")
     assert not audit.has_cartesian(df)
+
+
+def test_clustering_coef_no_cartesian(spark, sf_dir):
+    # capped-center wedge self-join + ONE equi-join against the edge
+    # list; left join re-enters zero-triangle centers; no cartesian
+    df = _q(spark, sf_dir, "q_clustering_coef")
+    assert not audit.has_cartesian(df)
+    assert not audit.has_broadcast_nested_loop(df)

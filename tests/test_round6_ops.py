@@ -248,12 +248,14 @@ def test_graph_queries_accept_injected_edges(spark, sf_dir):
     from locopy_spark.queries.mining import (
         copurchase_edges,
         q_assortativity,
+        q_clustering_coef,
         q_degree_dist,
         q_jaccard_links,
     )
 
     e = copurchase_edges(spark, sf_dir).localCheckpoint()
-    for fn in (q_assortativity, q_degree_dist, q_jaccard_links):
+    for fn in (q_assortativity, q_degree_dist, q_jaccard_links,
+               q_clustering_coef):
         a = [tuple(r) for r in fn(spark, sf_dir).collect()]
         b = [tuple(r) for r in fn(spark, sf_dir, edges=e).collect()]
         assert a == b, fn.__name__
