@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_ship_sla",
     "q_friedman",
     "q_clustering_coef",
+    "q_mcnemar",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

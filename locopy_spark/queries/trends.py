@@ -1074,3 +1074,105 @@ ORACLE["q_mix_drift"] = """
               AS BIGINT) AS chi2_ppm
   FROM scored GROUP BY 1 ORDER BY month_idx
 """
+
+
+# -- McNemar paired year-over-year activity test --------------------------------------
+
+MCN_Y1 = 1997
+MCN_Y2 = 1998
+
+
+def mcnemar_state(orders: DataFrame) -> DataFrame:
+    """The per-customer paired-activity state ``(o_custkey, in1,
+    in2)``: did the customer order in {MCN_Y1} / in {MCN_Y2}? Each
+    flag is an OR monoid (MAX over 0/1 — late or re-delivered chunks
+    can only turn a 0 into a 1, so any batching/arrival order
+    reproduces the batch flags); |customers| rows forever. Shared by
+    ``q_mcnemar`` and ``streaming.stateful.stream_mcnemar``."""
+    return (
+        orders.filter(
+            f"year(o_orderdate) IN ({MCN_Y1}, {MCN_Y2})"
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.expr(f"cast(year(o_orderdate) = {MCN_Y1} as int)")
+            ).alias("in1"),
+            F.max(
+                F.expr(f"cast(year(o_orderdate) = {MCN_Y2} as int)")
+            ).alias("in2"),
+        )
+    )
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test of year-over-year customer activity: among
+    customers active in {MCN_Y1} or {MCN_Y2}, are the DISCORDANT
+    counts (active-then-gone b vs gone-then-active c) balanced? The
+    churn-vs-acquisition significance read a retention review wants
+    before celebrating a flat active-customer count — the PAIRED
+    complement of q_new_vs_returning (same customers, matched across
+    years, so between-customer variance cancels).
+
+    Scale shape: all data-sized work is the ONE partial-aggregated
+    groupBy of ``mcnemar_state`` down to |customers| flag pairs (both
+    flags OR monoids — the state stream_mcnemar maintains live), then
+    ONE count-aggregate to the four cells. Exactness: χ² =
+    (b−c)²/(b+c) closes as an exact ppm floor division plus ONE
+    byte-identical double; the continuity-corrected variant
+    (|b−c|−1)²/(b+c) is emitted alongside (the small-count default).
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    return mcnemar_report(mcnemar_state(load_table(spark, sf_dir, "orders")))
+
+
+def mcnemar_report(state: DataFrame) -> DataFrame:
+    """Close the 2x2 paired panel over any (o_custkey, in1, in2)
+    flag state."""
+    return state.agg(
+        F.sum(F.expr("in1 * in2")).alias("n_both"),
+        F.sum(F.expr("in1 * (1 - in2)")).alias("b_lost"),
+        F.sum(F.expr("(1 - in1) * in2")).alias("c_gained"),
+    ).selectExpr(
+        "n_both",
+        "b_lost",
+        "c_gained",
+        "(b_lost - c_gained) * (b_lost - c_gained) * 1000000"
+        " div greatest(b_lost + c_gained, 1) AS chi2_ppm",
+        "CASE WHEN b_lost + c_gained > 0 THEN"
+        " CAST((abs(b_lost - c_gained) - 1)"
+        " * (abs(b_lost - c_gained) - 1) AS DOUBLE)"
+        " / CAST(b_lost + c_gained AS DOUBLE)"
+        " ELSE NULL END AS chi2_corrected",
+    )
+
+
+ORACLE["q_mcnemar"] = f"""
+  WITH state AS (
+    SELECT o_custkey,
+           MAX(CAST(year(CAST(o_orderdate AS DATE)) = {MCN_Y1} AS INT))
+             AS in1,
+           MAX(CAST(year(CAST(o_orderdate AS DATE)) = {MCN_Y2} AS INT))
+             AS in2
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN ({MCN_Y1}, {MCN_Y2})
+    GROUP BY 1
+  ),
+  agg AS (
+    SELECT CAST(SUM(in1 * in2) AS BIGINT) AS n_both,
+           CAST(SUM(in1 * (1 - in2)) AS BIGINT) AS b_lost,
+           CAST(SUM((1 - in1) * in2) AS BIGINT) AS c_gained
+    FROM state
+  )
+  SELECT n_both, b_lost, c_gained,
+         CAST((b_lost - c_gained) * (b_lost - c_gained) * 1000000
+              // GREATEST(b_lost + c_gained, 1) AS BIGINT) AS chi2_ppm,
+         CASE WHEN b_lost + c_gained > 0 THEN
+           CAST((ABS(b_lost - c_gained) - 1)
+                * (ABS(b_lost - c_gained) - 1) AS DOUBLE)
+           / CAST(b_lost + c_gained AS DOUBLE)
+         ELSE NULL END AS chi2_corrected
+  FROM agg
+"""

@@ -2735,3 +2735,45 @@ def stream_sla(
         .queryName(f"sla_{state_view}")
         .start()
     )
+
+
+def stream_mcnemar(
+    orders: DataFrame,
+    state_view: str = "mcnemar_state",
+):
+    """Continuously-maintained per-customer paired-activity flags
+    (``queries.trends.mcnemar_state`` — each flag an OR monoid, so
+    OVERLAPPING or re-delivered chunks are absorbed idempotently;
+    |customers| rows forever). The 2x2 cells and the χ² close only in
+    the finisher (``mcnemar_report``) — a customer's discordance
+    keeps moving while either year can still receive orders. The live
+    churn-vs-acquisition significance read; batch twin:
+    ``q_mcnemar``."""
+    from locopy_spark.queries.trends import mcnemar_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "o_custkey long, in1 int, in2 int")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(mcnemar_state(batch_df))
+            .groupBy("o_custkey")
+            .agg(
+                F.max("in1").alias("in1"),
+                F.max("in2").alias("in2"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"mcnemar_{state_view}")
+        .start()
+    )

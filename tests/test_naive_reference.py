@@ -3676,3 +3676,53 @@ def test_clustering_coef_vs_textbook(spark, tmp_path):
     assert any(band == 0 for band, _, _ in got)   # the star spokes
     # the hub is not a center: no row counts it
     assert sum(n for _, n, _ in got) == len(ccs)
+
+
+def test_mcnemar_vs_textbook(spark, tmp_path):
+    """The 2x2 panel equals hand-tallied concordant/discordant counts
+    (multi-order customers collapse to one flag pair) on seeded data
+    with an engineered churn excess — which the continuity-corrected
+    chi-square must flag (> 3.841, the 5% cutoff at 1 df)."""
+    import datetime
+
+    from locopy_spark.queries.trends import MCN_Y1, MCN_Y2, q_mcnemar
+
+    r = _rng()
+    ts = datetime.time(8)
+    orows = []
+    flags = {}
+    ok = 0
+    for ck in range(90):
+        # 30 both-years, 40 lost (y1 only), 10 gained (y2 only),
+        # 10 outside either year entirely (must not enter the table)
+        if ck < 30:
+            years = [MCN_Y1, MCN_Y2]
+        elif ck < 70:
+            years = [MCN_Y1]
+        elif ck < 80:
+            years = [MCN_Y2]
+        else:
+            years = [MCN_Y1 - 2]
+        for y in years:
+            # several orders per active year: flags stay 0/1
+            for _ in range(r.randrange(1, 4)):
+                d = datetime.date(y, r.randrange(1, 13), r.randrange(1, 28))
+                orows.append(
+                    (ok, ck, datetime.datetime.combine(d, ts))
+                )
+                ok += 1
+        if MCN_Y1 in years or MCN_Y2 in years:
+            flags[ck] = (int(MCN_Y1 in years), int(MCN_Y2 in years))
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    got = [tuple(x) for x in q_mcnemar(spark, str(tmp_path)).collect()]
+
+    n_both = sum(1 for a, b in flags.values() if a and b)
+    b_lost = sum(1 for a, b in flags.values() if a and not b)
+    c_gain = sum(1 for a, b in flags.values() if not a and b)
+    chi2_ppm = (b_lost - c_gain) ** 2 * 1_000_000 // max(b_lost + c_gain, 1)
+    chi2_corr = float((abs(b_lost - c_gain) - 1) ** 2) \
+        / float(b_lost + c_gain)
+    assert got == [(n_both, b_lost, c_gain, chi2_ppm, chi2_corr)]
+    assert (n_both, b_lost, c_gain) == (30, 40, 10)
+    assert chi2_corr > 3.841  # the churn excess is detected

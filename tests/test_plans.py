@@ -1436,3 +1436,11 @@ def test_clustering_coef_no_cartesian(spark, sf_dir):
     df = _q(spark, sf_dir, "q_clustering_coef")
     assert not audit.has_cartesian(df)
     assert not audit.has_broadcast_nested_loop(df)
+
+
+def test_mcnemar_single_state_pass(spark, sf_dir):
+    # one year-filtered scan -> per-customer OR flags -> one count agg;
+    # no joins at all
+    df = _q(spark, sf_dir, "q_mcnemar")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2  # custkey agg + final 1-row agg

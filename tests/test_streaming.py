@@ -2375,3 +2375,40 @@ def test_stream_sla_matches_batch(spark, sf_dir, tmp_path):
     got_f = [tuple(r) for r in friedman_report(state).collect()]
     want_f = [tuple(r) for r in q_friedman(spark, sf_dir).collect()]
     assert got_f and got_f == want_f
+
+
+def test_stream_mcnemar_matches_batch(spark, sf_dir, tmp_path):
+    """Per-customer year flags are OR monoids; the four chunks OVERLAP
+    (each order is delivered twice across chunks) so idempotent
+    absorption is genuinely exercised; state + the 2x2/chi-square
+    finisher equals batch q_mcnemar exactly."""
+    from locopy_spark.queries.trends import mcnemar_report, q_mcnemar
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_mcnemar
+
+    o = load_table(spark, sf_dir, "orders")
+    # overlapping chunks: pmod 0|1, 1|2, 2|3, 3|0 — every order twice
+    for i, (p1, p2) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        o.filter(
+            f"pmod(o_orderkey, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"mcchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "mcchunk*"))
+    )
+    q = stream_mcnemar(stream, state_view="mcnemar_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in mcnemar_report(
+            spark.table("global_temp.mcnemar_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_mcnemar(spark, sf_dir).collect()]
+    assert got and got == want
