@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_friedman",
     "q_clustering_coef",
     "q_mcnemar",
+    "q_price_dispersion",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

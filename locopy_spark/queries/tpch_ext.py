@@ -3319,3 +3319,107 @@ ORACLE["q_ship_sla"] = f"""
   GROUP BY 1, 2
   ORDER BY 1, 2
 """
+
+
+# -- price-dispersion discipline panel -----------------------------------------------
+
+PD_BAND = 100_000  # ppm of CV² per band
+PD_TOP = 10        # open-ended top band
+
+
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-dispersion discipline panel: per brand, how many parts
+    sell at consistent prices vs all over the map — each part's
+    squared coefficient of variation of sale price (CV² = var/mean²,
+    population form) banded into {PD_BAND}-ppm bins (top bin
+    open-ended at {PD_TOP}) — the pricing-governance read next to
+    q_price_index (which tracks the LEVEL over time; this flags
+    within-part INCONSISTENCY a discounting audit chases).
+
+    Scale shape: the ONE data-sized pass aggregates lineitem straight
+    to per-part power sums (n, Σx, Σx² — exact cents, Σx² widened
+    through DECIMAL(38)/HUGEINT); the brand dimension joins the
+    |parts|-sized aggregate, never the fact table (aggregate-then-
+    join-dim — at 100 TB the join input is 5 orders of magnitude
+    smaller than lineitem). CV² = (n·Σx² − (Σx)²)·10⁶ div (Σx)² is
+    ONE exact ppm floor division (denominator > 0: prices are
+    positive); single-line parts are excluded (no dispersion is
+    measurable), documented on both engines.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's pricing family.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)")
+        ).alias("s"),
+        F.sum(
+            F.expr(
+                f"cast(cast(floor(l_extendedprice * {SCALE} + 0.5)"
+                " as decimal(38,0))"
+                f" * cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)"
+                " as decimal(38,0))"
+            )
+        ).alias("s2"),
+    )
+    banded = per_part.filter("n >= 2").selectExpr(
+        "l_partkey",
+        f"least((n * s2 - cast(s as decimal(38,0)) * s) * 1000000"
+        f" div (cast(s as decimal(38,0)) * s), {PD_TOP * PD_BAND})"
+        " AS cv2_ppm",
+    ).selectExpr(
+        "l_partkey",
+        "cv2_ppm",
+        f"least(cv2_ppm div {PD_BAND}, {PD_TOP}) AS band",
+    )
+    return (
+        banded.join(
+            p.selectExpr("p_partkey", "p_brand"),
+            banded["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cv2_ppm").alias("sum_cv2"),
+        )
+        .selectExpr(
+            "p_brand",
+            "band",
+            "n_parts",
+            "sum_cv2 div n_parts AS avg_cv2_ppm",
+        )
+        .orderBy("p_brand", "band")
+    )
+
+
+ORACLE["q_price_dispersion"] = f"""
+  WITH per_part AS (
+    SELECT l_partkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * {SCALE} + 0.5)
+                         AS BIGINT)) AS HUGEINT) AS s,
+           SUM(CAST(FLOOR(l_extendedprice * {SCALE} + 0.5) AS HUGEINT)
+               * CAST(FLOOR(l_extendedprice * {SCALE} + 0.5) AS BIGINT))
+             AS s2
+    FROM lineitem GROUP BY 1
+  ),
+  banded AS (
+    SELECT l_partkey,
+           LEAST((n * s2 - s * s) * 1000000 // (s * s),
+                 {PD_TOP * PD_BAND}) AS cv2_ppm
+    FROM per_part WHERE n >= 2
+  ),
+  cells AS (
+    SELECT p_brand,
+           LEAST(cv2_ppm // {PD_BAND}, {PD_TOP}) AS band,
+           cv2_ppm
+    FROM banded JOIN part ON l_partkey = p_partkey
+  )
+  SELECT p_brand, CAST(band AS BIGINT) AS band,
+         COUNT(*) AS n_parts,
+         CAST(SUM(cv2_ppm) // COUNT(*) AS BIGINT) AS avg_cv2_ppm
+  FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -3726,3 +3726,65 @@ def test_mcnemar_vs_textbook(spark, tmp_path):
     assert got == [(n_both, b_lost, c_gain, chi2_ppm, chi2_corr)]
     assert (n_both, b_lost, c_gain) == (30, 40, 10)
     assert chi2_corr > 3.841  # the churn excess is detected
+
+
+def test_price_dispersion_vs_textbook(spark, tmp_path):
+    """Brand cells equal brute-force per-part CV-squared banding on
+    seeded data with an engineered constant-price part (band 0), a
+    wildly-discounted part (top band, capped), and a single-line part
+    that must be EXCLUDED."""
+    import datetime
+
+    from locopy_spark.queries.tpch_ext import (
+        PD_BAND,
+        PD_TOP,
+        q_price_dispersion,
+    )
+
+    r = _rng()
+    ts = datetime.datetime(2021, 3, 1, 9)
+    lrows, prows = [], []
+    prices = {}
+    for pk in range(12):
+        brand = f"Brand#{pk % 3}"
+        prows.append((pk, brand))
+        if pk == 0:
+            ps = [50.0] * 6                      # constant: band 0
+        elif pk == 1:
+            ps = [1.0, 400.0, 2.0, 900.0]        # wild: capped top band
+        elif pk == 2:
+            ps = [77.0]                          # single line: excluded
+        else:
+            ps = [
+                float(100 + r.randrange(0, 30))
+                for _ in range(r.randrange(2, 7))
+            ]
+        prices[pk] = ps
+        for v in ps:
+            lrows.append((pk, ts, v))
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_partkey long, l_shipdate timestamp, l_extendedprice double")
+    _write(spark, tmp_path, "part", prows,
+           "p_partkey long, p_brand string")
+    got = [(x.p_brand, x.band, x.n_parts, x.avg_cv2_ppm)
+           for x in q_price_dispersion(spark, str(tmp_path)).collect()]
+
+    cells = {}
+    for pk, ps in prices.items():
+        if len(ps) < 2:
+            continue
+        cs = [round(v * 1000) for v in ps]
+        n, s, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        cv2 = min((n * s2 - s * s) * 1_000_000 // (s * s),
+                  PD_TOP * PD_BAND)
+        band = min(cv2 // PD_BAND, PD_TOP)
+        brand = f"Brand#{pk % 3}"
+        nn, sm = cells.get((brand, band), (0, 0))
+        cells[(brand, band)] = (nn + 1, sm + cv2)
+    want = sorted(
+        (brand, band, n, sm // n)
+        for (brand, band), (n, sm) in cells.items()
+    )
+    assert got == want
+    assert any(band == PD_TOP for _, band, _, _ in got)  # capped part
+    assert any(band == 0 for _, band, _, _ in got)       # constant part

@@ -1444,3 +1444,10 @@ def test_mcnemar_single_state_pass(spark, sf_dir):
     df = _q(spark, sf_dir, "q_mcnemar")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 2  # custkey agg + final 1-row agg
+
+
+def test_price_dispersion_agg_before_dim_join(spark, sf_dir):
+    # lineitem aggregates to |parts|-sized power sums BEFORE the part
+    # dim joins; no cartesian
+    df = _q(spark, sf_dir, "q_price_dispersion")
+    assert not audit.has_cartesian(df)
