@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_clustering_coef",
     "q_mcnemar",
     "q_price_dispersion",
+    "q_growth_accounting",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -1611,3 +1611,123 @@ ORACLE["q_mase"] = f"""
   FROM agg
 """
 ORACLE["q_mase"] = ORACLE["q_mase"].replace("{SCALE}", str(SCALE))
+
+
+# -- growth accounting --------------------------------------------------------------
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting of weekly active users: every week's
+    actives split into NEW (first week ever), RETAINED (also active
+    the previous week), and RESURRECTED (active before, but not last
+    week), plus the week's CHURNED (active last week, gone now) — the
+    standard product-growth panel (active ≡ new + retained +
+    resurrected, every week) that says WHY the WAU curve moved, not
+    just that it did; the flow complement of q_active_users /
+    q_retention_cohorts.
+
+    Scale shape: everything reduces to the distinct (user, week) grid
+    (``growth_grid`` — one shuffle, grid-sized, independent of raw
+    event volume; an idempotent SET monoid ``stream_growth``
+    maintains live); classification is one lag/lead window pass KEYED
+    BY USER over the grid (thousands of parallel partitions, never
+    one-partition), churn attribution one more grid-sized groupBy,
+    and the week arms meet in a full-outer join on the
+    |weeks|-bounded axis (a gap week can hold churn yet zero
+    actives). Users active in the final observed week cannot churn
+    yet — the horizon guard joins broadcast.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's engagement family.
+    """
+    return growth_report(growth_grid(load_table(spark, sf_dir, "events")))
+
+
+def growth_grid(events: DataFrame) -> DataFrame:
+    """The distinct (user_id, wi) week-activity grid, wi = epoch day
+    div 7 (integer week index, so gap arithmetic is plain
+    subtraction) — an idempotent SET monoid (merge = union+distinct),
+    |users × weeks| rows forever."""
+    day = sql_epoch_day(events, "ts")
+    return events.select(
+        "user_id",
+        F.expr(f"cast({day} as int) div 7").alias("wi"),
+    ).distinct()
+
+
+def growth_report(grid: DataFrame) -> DataFrame:
+    """Close the growth-accounting panel over any (user_id, wi)
+    week-activity grid."""
+    w = W.partitionBy("user_id").orderBy("wi")
+    seq = grid.select(
+        "user_id",
+        "wi",
+        F.lag("wi").over(w).alias("prev"),
+        F.lead("wi").over(w).alias("nxt"),
+    )
+    mx = grid.agg(F.max("wi").alias("max_wi"))
+    flows = seq.groupBy("wi").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.expr("cast(prev is null as int)")).alias("new_users"),
+        F.sum(F.expr("cast(prev = wi - 1 as int)")).alias("retained"),
+        F.sum(
+            F.expr("cast(prev is not null and prev < wi - 1 as int)")
+        ).alias("resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter("(nxt is null and wi < max_wi) or nxt > wi + 1")
+        .groupBy(F.expr("wi + 1").alias("wi"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        flows.join(churn, "wi", "full_outer")
+        .selectExpr(
+            "wi * 7 AS week_start_day",
+            "coalesce(active, 0) AS active",
+            "coalesce(new_users, 0) AS new_users",
+            "coalesce(retained, 0) AS retained",
+            "coalesce(resurrected, 0) AS resurrected",
+            "coalesce(churned, 0) AS churned",
+        )
+        .orderBy("week_start_day")
+    )
+
+
+ORACLE["q_growth_accounting"] = """
+  WITH grid AS (
+    SELECT DISTINCT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+             AS wi
+    FROM events
+  ),
+  seq AS (
+    SELECT user_id, wi,
+           LAG(wi) OVER (PARTITION BY user_id ORDER BY wi) AS prev,
+           LEAD(wi) OVER (PARTITION BY user_id ORDER BY wi) AS nxt
+    FROM grid
+  ),
+  mx AS (SELECT MAX(wi) AS max_wi FROM grid),
+  flows AS (
+    SELECT wi, COUNT(*) AS active,
+           CAST(SUM(CAST(prev IS NULL AS INT)) AS BIGINT) AS new_users,
+           CAST(SUM(CAST(prev = wi - 1 AS INT)) AS BIGINT) AS retained,
+           CAST(SUM(CAST(prev IS NOT NULL AND prev < wi - 1 AS INT))
+                AS BIGINT) AS resurrected
+    FROM seq GROUP BY 1
+  ),
+  churn AS (
+    SELECT wi + 1 AS wi, COUNT(*) AS churned
+    FROM seq, mx
+    WHERE (nxt IS NULL AND wi < max_wi) OR nxt > wi + 1
+    GROUP BY 1
+  )
+  SELECT CAST(wi * 7 AS BIGINT) AS week_start_day,
+         COALESCE(active, 0) AS active,
+         COALESCE(new_users, 0) AS new_users,
+         COALESCE(retained, 0) AS retained,
+         COALESCE(resurrected, 0) AS resurrected,
+         COALESCE(churned, 0) AS churned
+  FROM flows FULL OUTER JOIN churn USING (wi)
+  ORDER BY week_start_day
+"""

@@ -2777,3 +2777,41 @@ def stream_mcnemar(
         .queryName(f"mcnemar_{state_view}")
         .start()
     )
+
+
+def stream_growth(
+    events: DataFrame,
+    state_view: str = "growth_state",
+):
+    """Continuously-maintained distinct (user, week) activity grid
+    (``queries.timeseries.growth_grid`` — an idempotent SET monoid:
+    merge is union+distinct, so OVERLAPPING or re-delivered chunks are
+    absorbed; |users × weeks| rows forever). The growth-accounting
+    split (``growth_report``) closes only at read time — a user's
+    new/retained/resurrected/churned classification keeps moving as
+    neighbor weeks fill in and the horizon advances. The live WAU
+    flow dashboard; batch twin: ``q_growth_accounting``."""
+    from locopy_spark.queries.timeseries import growth_grid
+
+    spark = events.sparkSession
+    empty = spark.createDataFrame([], "user_id long, wi int")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(growth_grid(batch_df))
+            .distinct()
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"growth_{state_view}")
+        .start()
+    )

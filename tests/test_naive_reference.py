@@ -3788,3 +3788,67 @@ def test_price_dispersion_vs_textbook(spark, tmp_path):
     assert got == want
     assert any(band == PD_TOP for _, band, _, _ in got)  # capped part
     assert any(band == 0 for _, band, _, _ in got)       # constant part
+
+
+def test_growth_accounting_vs_textbook(spark, tmp_path):
+    """The weekly flow panel equals a hand-classified simulation
+    (new/retained/resurrected/churned per user-week) on seeded data
+    with an engineered gap-week (zero actives, positive churn), a
+    resurrection, and final-week users who must NOT churn (horizon
+    guard)."""
+    import datetime
+
+    from locopy_spark.queries.timeseries import q_growth_accounting
+
+    base_day = 19000  # epoch day, divisible by... (week index = day//7)
+    base_day -= base_day % 7  # align to a week boundary for readability
+    # users -> the set of week offsets they are active in
+    activity = {
+        1: [0, 1, 2, 3, 4],      # steady: retained forever
+        2: [0, 2, 4],            # every other week: resurrects twice
+        3: [0],                  # one-and-done: churns into week 1
+        4: [1, 2],               # joins week 1, churns into week 3
+        5: [4],                  # brand new in the final week
+        6: [0, 1],               # churns into week 2, never returns
+    }
+    rows = []
+    eid = 0
+    for uid, weeks in activity.items():
+        for wk in weeks:
+            for rep in range(2):  # multiple events per active week
+                d = base_day + wk * 7 + rep * 3
+                ts = datetime.datetime(1970, 1, 1) \
+                    + datetime.timedelta(days=d, hours=9)
+                rows.append((eid, ts, uid))
+                eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long")
+    got = [tuple(x) for x in q_growth_accounting(spark, str(tmp_path))
+           .collect()]
+
+    w0 = base_day // 7
+    max_w = max(w for ws in activity.values() for w in ws)
+    panel = {}
+    for uid, weeks in activity.items():
+        ws = sorted(weeks)
+        for i, wk in enumerate(ws):
+            p = panel.setdefault(wk, [0, 0, 0, 0, 0])
+            p[0] += 1
+            if i == 0:
+                p[1] += 1
+            elif ws[i - 1] == wk - 1:
+                p[2] += 1
+            else:
+                p[3] += 1
+            nxt = ws[i + 1] if i + 1 < len(ws) else None
+            if (nxt is None and wk < max_w) or (nxt and nxt > wk + 1):
+                panel.setdefault(wk + 1, [0, 0, 0, 0, 0])[4] += 1
+    want = [
+        ((w0 + wk) * 7, a, n, r, rs, c)
+        for wk, (a, n, r, rs, c) in sorted(panel.items())
+    ]
+    assert got == want
+    # active == new + retained + resurrected every week
+    assert all(a == n + r + rs for _, a, n, r, rs, _ in got)
+    # final-week joiners never churn: total churn < total new
+    assert sum(c for *_, c in got) < sum(n for _, _, n, *_ in got)

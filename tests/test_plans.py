@@ -1451,3 +1451,10 @@ def test_price_dispersion_agg_before_dim_join(spark, sf_dir):
     # dim joins; no cartesian
     df = _q(spark, sf_dir, "q_price_dispersion")
     assert not audit.has_cartesian(df)
+
+
+def test_growth_accounting_user_keyed_windows(spark, sf_dir):
+    # distinct grid -> user-keyed lag/lead windows -> grid-sized aggs
+    # -> |weeks|-bounded full-outer; no cartesian
+    df = _q(spark, sf_dir, "q_growth_accounting")
+    assert not audit.has_cartesian(df)

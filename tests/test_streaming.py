@@ -2412,3 +2412,42 @@ def test_stream_mcnemar_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_mcnemar(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_growth_matches_batch(spark, sf_dir, tmp_path):
+    """The (user, week) grid is an idempotent SET monoid; the four
+    chunks OVERLAP (every event delivered twice) so union+distinct
+    absorption is genuinely exercised; state + the flow finisher
+    equals batch q_growth_accounting exactly."""
+    from locopy_spark.queries.timeseries import (
+        growth_report,
+        q_growth_accounting,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_growth
+
+    e = load_table(spark, sf_dir, "events")
+    for i, (p1, p2) in enumerate([(2, 3), (0, 1), (3, 0), (1, 2)]):
+        e.filter(
+            f"pmod(event_id, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"grchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "grchunk*"))
+    )
+    q = stream_growth(stream, state_view="growth_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in growth_report(
+            spark.table("global_temp.growth_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_growth_accounting(spark, sf_dir).collect()]
+    assert got and got == want
