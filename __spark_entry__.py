@@ -81,7 +81,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 15-21: the r1-era block, last driver-checked
         # round 1 under Spark 3 ---
         "q_stats_moments": tpch_ext.q_stats_moments,
-        "q_value_deciles": tpch_ext.q_value_deciles,
         # --- slots 22-25: stale streaming-twin batch pairs — the
         # r4-era batch twins of long-running streaming jobs
         # (stream_window_agg / stream_sessionize / stream_incr_rollup
@@ -124,10 +123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mcnemar": trends.q_mcnemar,
         "q_price_dispersion": tpch_ext.q_price_dispersion,
         "q_growth_accounting": timeseries.q_growth_accounting,
+        "q_did": trends.q_did,
         # ------- position 50 cutoff: window ends above this line -------
         # --- displaced to round 9 by late round-8 additions (the
         # window is finite; every key below is still re-verified by
         # the in-repo DuckDB gate at sf0.001 inside each pytest run) ---
+        "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,
         "q_intersect_customers": tpch_ext.q_intersect_customers,
         "q_dow_revenue": tpch_ext.q_dow_revenue,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_mcnemar",
     "q_price_dispersion",
     "q_growth_accounting",
+    "q_did",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -1176,3 +1176,115 @@ ORACLE["q_mcnemar"] = f"""
          ELSE NULL END AS chi2_corrected
   FROM agg
 """
+
+
+# -- difference-in-differences -----------------------------------------------------
+
+DID_CUT_YEAR = 1998  # post-period starts here
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: did PROMO parts' average revenue
+    per line move differently across the {DID_CUT_YEAR} cut than
+    everyone else's? The workhorse causal panel — the control group's
+    pre→post drift nets out market-wide trends, so what remains is
+    the treatment-specific effect a promo-policy review actually
+    wants (q_discount_elasticity reads a cross-sectional slope; this
+    reads a before/after experiment).
+
+    Scale shape: ONE fact-dim equi-join tags each line with its
+    treatment flag (part dim projected to two columns — broadcast
+    at any realistic |part|/executor-memory ratio), ONE
+    partial-aggregated groupBy down to the FOUR (treat, post) cells,
+    then a row-local pivot of the 4-row table into the panel.
+    Exactness: cell means are exact micro-cent floor divisions
+    (Σcents·10⁶ div n) and the DiD is plain integer arithmetic over
+    the four floors — byte-identical on both engines.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's causal family.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    from locopy_spark.functions.numeric import SCALE
+
+    tagged = l.join(
+        p.selectExpr(
+            "p_partkey",
+            "cast(p_type LIKE 'PROMO%' as int) AS treat",
+        ),
+        l["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "treat",
+        F.expr(
+            f"cast(year(l_shipdate) >= {DID_CUT_YEAR} as int)"
+        ).alias("post"),
+        F.expr(
+            f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)"
+        ).alias("c"),
+    )
+    cells = tagged.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+    ).selectExpr(
+        "treat",
+        "post",
+        "n",
+        "cast(s as decimal(38,0)) * 1000000 div n AS mean_uc",
+    )
+    return cells.agg(
+        F.max(F.expr("case when treat = 1 and post = 0 then n end"))
+        .alias("n_treat_pre"),
+        F.max(F.expr("case when treat = 1 and post = 1 then n end"))
+        .alias("n_treat_post"),
+        F.max(F.expr("case when treat = 0 and post = 0 then n end"))
+        .alias("n_ctrl_pre"),
+        F.max(F.expr("case when treat = 0 and post = 1 then n end"))
+        .alias("n_ctrl_post"),
+        F.max(F.expr("case when treat = 1 and post = 0 then mean_uc end"))
+        .alias("treat_pre_uc"),
+        F.max(F.expr("case when treat = 1 and post = 1 then mean_uc end"))
+        .alias("treat_post_uc"),
+        F.max(F.expr("case when treat = 0 and post = 0 then mean_uc end"))
+        .alias("ctrl_pre_uc"),
+        F.max(F.expr("case when treat = 0 and post = 1 then mean_uc end"))
+        .alias("ctrl_post_uc"),
+    ).selectExpr(
+        "n_treat_pre", "n_treat_post", "n_ctrl_pre", "n_ctrl_post",
+        "treat_pre_uc", "treat_post_uc", "ctrl_pre_uc", "ctrl_post_uc",
+        "(treat_post_uc - treat_pre_uc) - (ctrl_post_uc - ctrl_pre_uc)"
+        " AS did_uc",
+    )
+
+
+ORACLE["q_did"] = f"""
+  WITH cells AS (
+    SELECT CAST(p_type LIKE 'PROMO%' AS INT) AS treat,
+           CAST(year(CAST(l_shipdate AS DATE)) >= {DID_CUT_YEAR} AS INT)
+             AS post,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1000 + 0.5) AS BIGINT))
+                * 1000000 // COUNT(*) AS BIGINT) AS mean_uc
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+  )
+  SELECT
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_treat_pre,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_treat_post,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_ctrl_pre,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_ctrl_post,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_uc END)
+      AS treat_pre_uc,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_uc END)
+      AS treat_post_uc,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_uc END)
+      AS ctrl_pre_uc,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_uc END)
+      AS ctrl_post_uc,
+    (MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_uc END)
+     - MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_uc END))
+    - (MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_uc END)
+       - MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_uc END))
+      AS did_uc
+  FROM cells
+"""

@@ -3852,3 +3852,48 @@ def test_growth_accounting_vs_textbook(spark, tmp_path):
     assert all(a == n + r + rs for _, a, n, r, rs, _ in got)
     # final-week joiners never churn: total churn < total new
     assert sum(c for *_, c in got) < sum(n for _, _, n, *_ in got)
+
+
+def test_did_vs_textbook(spark, tmp_path):
+    """The panel equals a hand-computed 2x2 DiD (floor micro-cent cell
+    means) on seeded data with an engineered treatment effect: promo
+    parts gain +50 post-cut while controls gain +10 — the recovered
+    DiD must equal the planted +40 up to floor rounding."""
+    import datetime
+
+    from locopy_spark.queries.trends import DID_CUT_YEAR, q_did
+
+    r = _rng()
+    lrows, prows = [], []
+    cells = {}
+    for pk in range(20):
+        treat = pk % 2
+        prows.append(
+            (pk, "PROMO BRUSHED" if treat else "STANDARD ANODIZED")
+        )
+        for i in range(30):
+            post = i % 2
+            year = DID_CUT_YEAR + (1 if post else -2)
+            d = datetime.datetime(year, 1 + r.randrange(0, 12), 15)
+            base = 100 + 10 * treat
+            v = base + (50 if treat and post else 0) \
+                + (10 if (not treat) and post else 0) \
+                + r.randrange(0, 5)
+            lrows.append((pk, d, float(v)))
+            n, s = cells.get((treat, post), (0, 0))
+            cells[(treat, post)] = (n + 1, s + v * 1000)
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_partkey long, l_shipdate timestamp, l_extendedprice double")
+    _write(spark, tmp_path, "part", prows, "p_partkey long, p_type string")
+    got = [tuple(x) for x in q_did(spark, str(tmp_path)).collect()]
+
+    m = {k: s * 1_000_000 // n for k, (n, s) in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    want = [(
+        cells[(1, 0)][0], cells[(1, 1)][0],
+        cells[(0, 0)][0], cells[(0, 1)][0],
+        m[(1, 0)], m[(1, 1)], m[(0, 0)], m[(0, 1)], did,
+    )]
+    assert got == want
+    # the planted +40 effect (in micro-cents: 40*1000*1e6), +-floor noise
+    assert abs(did - 40_000 * 1_000_000) < 5_000 * 1_000_000

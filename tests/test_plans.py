@@ -1458,3 +1458,10 @@ def test_growth_accounting_user_keyed_windows(spark, sf_dir):
     # -> |weeks|-bounded full-outer; no cartesian
     df = _q(spark, sf_dir, "q_growth_accounting")
     assert not audit.has_cartesian(df)
+
+
+def test_did_broadcast_dim_and_four_cells(spark, sf_dir):
+    # fact-dim equi-join (2-col part projection), one partial-agg to
+    # 4 cells, row-local pivot; no cartesian
+    df = _q(spark, sf_dir, "q_did")
+    assert not audit.has_cartesian(df)
