@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_price_dispersion",
     "q_growth_accounting",
     "q_did",
+    "q_cliffs_delta",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

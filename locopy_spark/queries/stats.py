@@ -2288,3 +2288,99 @@ ORACLE["q_friedman"] = f"""
   ORDER BY prio
 """
 ORACLE["q_friedman"] = ORACLE["q_friedman"].replace("{SCALE}", str(SCALE))
+
+
+# -- Cliff's delta effect size -------------------------------------------------------
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the q_ks_test /
+    q_mann_whitney segment pair ({KS_SEG_A} vs {KS_SEG_B} order
+    values): δ = P(a > b) − P(a < b) — the MAGNITUDE companion the
+    significance tests need (at 100 TB every U test is "significant";
+    δ says whether the shift is big enough to matter, and unlike
+    Cohen's d it assumes nothing about the distributions).
+
+    Scale shape: the same per-value grid + ONE range-partitioned
+    exclusive prefix sum as q_mann_whitney (value domain bounded by
+    distinct order totals, never a pairwise join); the pair counts
+    close by the identity #(a<b) = n_a·n_b − #(a>b) − #(a=b), so ONE
+    prefix pass suffices: #(a>b) = Σ_v d_a(v)·cum_b(<v), #(a=b) =
+    Σ_v d_a(v)·d_b(v) — exact DECIMAL(38)/HUGEINT bigints. δ closes
+    as the single byte-identical double (2·gt + eq − n_a·n_b)/(n_a·n_b)
+    (no signed floor division anywhere — Spark ``div`` truncates
+    toward zero while DuckDB ``//`` floors, so a negative δ would
+    diverge in fixed point; the double form is portable).
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    from locopy_spark.operators.ranking import global_running_sum
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
+    vals = o.join(
+        c.filter(F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])).select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    ).select(v.alias("v"), (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"))
+    g = vals.groupBy("v").agg(
+        F.sum(F.expr("cast(is_a as bigint)")).alias("d_a"),
+        F.sum(F.expr("cast(not is_a as bigint)")).alias("d_b"),
+    )
+    cum = global_running_sum(g, order_cols=["v"], value_col="d_b",
+                             out_col="pre_b")
+    return cum.agg(
+        F.sum("d_a").alias("n_a"),
+        F.sum("d_b").alias("n_b"),
+        F.sum(
+            F.expr("CAST(d_a AS DECIMAL(38,0)) * pre_b")
+        ).alias("n_gt"),
+        F.sum(
+            F.expr("CAST(d_a AS DECIMAL(38,0)) * d_b")
+        ).alias("n_eq"),
+    ).selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(n_gt AS BIGINT) AS n_gt",
+        "CAST(n_eq AS BIGINT) AS n_eq",
+        "(CAST(n_gt AS DOUBLE) * 2 + CAST(n_eq AS DOUBLE)"
+        " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS cliffs_delta",
+    )
+
+
+ORACLE["q_cliffs_delta"] = f"""
+  WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS v,
+           (c_mktsegment = '{KS_SEG_A}') AS is_a
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+  ),
+  g AS (
+    SELECT v, CAST(SUM(CAST(is_a AS BIGINT)) AS BIGINT) AS d_a,
+           CAST(SUM(CAST(NOT is_a AS BIGINT)) AS BIGINT) AS d_b
+    FROM vals GROUP BY 1
+  ),
+  cum AS (
+    SELECT v, d_a, d_b,
+           CAST(COALESCE(SUM(d_b) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS pre_b
+    FROM g
+  ),
+  agg AS (
+    SELECT CAST(SUM(d_a) AS BIGINT) AS n_a,
+           CAST(SUM(d_b) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(d_a AS HUGEINT) * pre_b) AS BIGINT) AS n_gt,
+           CAST(SUM(CAST(d_a AS HUGEINT) * d_b) AS BIGINT) AS n_eq
+    FROM cum
+  )
+  SELECT n_a, n_b, n_gt, n_eq,
+         (CAST(n_gt AS DOUBLE) * 2 + CAST(n_eq AS DOUBLE)
+          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS cliffs_delta
+  FROM agg
+"""

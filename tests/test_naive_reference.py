@@ -3897,3 +3897,50 @@ def test_did_vs_textbook(spark, tmp_path):
     assert got == want
     # the planted +40 effect (in micro-cents: 40*1000*1e6), +-floor noise
     assert abs(did - 40_000 * 1_000_000) < 5_000 * 1_000_000
+
+
+def test_cliffs_delta_vs_textbook(spark, tmp_path):
+    """The one-row panel equals the brute-force all-pairs Cliff's
+    delta on seeded two-segment data with engineered stochastic
+    dominance (segment A shifted up) and deliberate cross-group ties
+    — delta must be positive and match exactly."""
+    import datetime
+
+    from locopy_spark.queries.stats import (
+        KS_SEG_A,
+        KS_SEG_B,
+        q_cliffs_delta,
+    )
+
+    r = _rng()
+    ts = datetime.datetime(2020, 7, 1, 10)
+    orows, crows = [], []
+    xs, ys = [], []
+    ck = 0
+    for i in range(70):
+        seg = KS_SEG_A if i % 2 == 0 else KS_SEG_B
+        # A shifted up by 20, values coarse so ties happen across groups
+        v = (40 if seg == KS_SEG_A else 20) + 5 * r.randrange(0, 9)
+        crows.append((ck, seg))
+        orows.append((ck, ck, ts, float(v)))
+        (xs if seg == KS_SEG_A else ys).append(v * 1000)
+        ck += 1
+    # a customer from an EXCLUDED segment must not enter
+    crows.append((ck, "HOUSEHOLD"))
+    orows.append((ck, ck, ts, 9999.0))
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+           " o_totalprice double")
+    _write(spark, tmp_path, "customer", crows,
+           "c_custkey long, c_mktsegment string")
+    got = [tuple(x) for x in q_cliffs_delta(spark, str(tmp_path)).collect()]
+
+    gt = sum(1 for a in xs for b in ys if a > b)
+    eq = sum(1 for a in xs for b in ys if a == b)
+    lt = len(xs) * len(ys) - gt - eq
+    delta = (2.0 * gt + eq - float(len(xs)) * len(ys)) \
+        / (float(len(xs)) * len(ys))
+    assert got == [(len(xs), len(ys), gt, eq, delta)]
+    assert abs(delta - (gt - lt) / (len(xs) * len(ys))) < 1e-12
+    assert delta > 0.3  # the planted dominance is recovered
+    assert eq > 0       # cross-group ties genuinely exercised

@@ -1465,3 +1465,10 @@ def test_did_broadcast_dim_and_four_cells(spark, sf_dir):
     # 4 cells, row-local pivot; no cartesian
     df = _q(spark, sf_dir, "q_did")
     assert not audit.has_cartesian(df)
+
+
+def test_cliffs_delta_single_prefix_pass(spark, sf_dir):
+    # per-value grid + one ranged prefix sum; identity closes the
+    # third count; no pairwise join, no cartesian
+    df = _q(spark, sf_dir, "q_cliffs_delta")
+    assert not audit.has_cartesian(df)
