@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 14: q_except_customers — the r1-era re-check
         # displaced from the round-7 window's slot 50 by the
         # lockstep rule ---
-        "q_except_customers": tpch_ext.q_except_customers,
         # --- r1-era block, last driver-checked round 1 under
         # Spark 3 (tail members displaced to round 9 by late round-8
         # additions) ---
@@ -125,10 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_growth_accounting": timeseries.q_growth_accounting,
         "q_did": trends.q_did,
         "q_cliffs_delta": stats.q_cliffs_delta,
+        "q_capture_recapture": trends.q_capture_recapture,
         # ------- position 50 cutoff: window ends above this line -------
         # --- displaced to round 9 by late round-8 additions (the
         # window is finite; every key below is still re-verified by
         # the in-repo DuckDB gate at sf0.001 inside each pytest run) ---
+        "q_except_customers": tpch_ext.q_except_customers,
         "q_stats_moments": tpch_ext.q_stats_moments,
         "q_value_deciles": tpch_ext.q_value_deciles,
         "q_grouping_sets": tpch_ext.q_grouping_sets,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_growth_accounting",
     "q_did",
     "q_cliffs_delta",
+    "q_capture_recapture",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

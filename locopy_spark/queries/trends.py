@@ -1288,3 +1288,82 @@ ORACLE["q_did"] = f"""
       AS did_uc
   FROM cells
 """
+
+
+# -- capture-recapture population estimate -------------------------------------------
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture estimate of the reachable customer
+    population: treating {MCN_Y1} actives as the first capture and
+    {MCN_Y2} actives as the second, Lincoln–Petersen N̂ = n1·n2/m
+    (with Chapman's small-m correction) estimates how many customers
+    are OUT there — including those seen in neither year — and the
+    coverage ratio says what fraction the two years actually touched.
+    The ecology estimator turned data-quality read: SECOND finisher on
+    the shared ``mcnemar_state`` flag pairs (one state: a paired
+    significance test AND a population estimate).
+
+    Exactness: n1, n2, and the recaptured overlap m are plain integer
+    sums off the OR-monoid flags; both estimators and the coverage
+    ratio close as exact floor divisions (Chapman: ⌊(n1+1)(n2+1)/
+    (m+1)⌋ − 1, unbiased for m ≥ 0 — products widen through
+    DECIMAL(38)/HUGEINT for 1e12-customer safety).
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's estimation family.
+    """
+    return capture_report(
+        mcnemar_state(load_table(spark, sf_dir, "orders"))
+    )
+
+
+def capture_report(state: DataFrame) -> DataFrame:
+    """Close the capture-recapture panel over any (o_custkey, in1,
+    in2) flag state."""
+    return state.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.expr("in1 * in2")).alias("m"),
+    ).selectExpr(
+        "n1",
+        "n2",
+        "m",
+        "n1 + n2 - m AS observed",
+        "CAST(n1 AS DECIMAL(38,0)) * n2 div greatest(m, 1) AS lp_est",
+        "CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) div (m + 1) - 1"
+        " AS chapman_est",
+        "(n1 + n2 - m) * 1000000"
+        " div greatest(CAST(n1 AS DECIMAL(38,0)) * n2"
+        " div greatest(m, 1), 1) AS coverage_ppm",
+    )
+
+
+ORACLE["q_capture_recapture"] = f"""
+  WITH state AS (
+    SELECT o_custkey,
+           MAX(CAST(year(CAST(o_orderdate AS DATE)) = {MCN_Y1} AS INT))
+             AS in1,
+           MAX(CAST(year(CAST(o_orderdate AS DATE)) = {MCN_Y2} AS INT))
+             AS in2
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN ({MCN_Y1}, {MCN_Y2})
+    GROUP BY 1
+  ),
+  agg AS (
+    SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+           CAST(SUM(in2) AS BIGINT) AS n2,
+           CAST(SUM(in1 * in2) AS BIGINT) AS m
+    FROM state
+  )
+  SELECT n1, n2, m,
+         n1 + n2 - m AS observed,
+         CAST(CAST(n1 AS HUGEINT) * n2 // GREATEST(m, 1) AS BIGINT)
+           AS lp_est,
+         CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
+              AS BIGINT) AS chapman_est,
+         CAST((n1 + n2 - m) * 1000000
+              // GREATEST(CAST(n1 AS HUGEINT) * n2 // GREATEST(m, 1), 1)
+              AS BIGINT) AS coverage_ppm
+  FROM agg
+"""

@@ -3944,3 +3944,46 @@ def test_cliffs_delta_vs_textbook(spark, tmp_path):
     assert abs(delta - (gt - lt) / (len(xs) * len(ys))) < 1e-12
     assert delta > 0.3  # the planted dominance is recovered
     assert eq > 0       # cross-group ties genuinely exercised
+
+
+def test_capture_recapture_vs_textbook(spark, tmp_path):
+    """The panel equals hand-computed Lincoln-Petersen and Chapman
+    estimates on seeded data with a KNOWN total population (120
+    customers, independent 50%/40% capture odds) — both estimators
+    must land within 25% of the truth and coverage must be partial."""
+    import datetime
+
+    from locopy_spark.queries.trends import (
+        MCN_Y1,
+        MCN_Y2,
+        q_capture_recapture,
+    )
+
+    r = _rng()
+    ts = datetime.time(8)
+    orows = []
+    n1 = n2 = m = 0
+    ok = 0
+    for ck in range(120):
+        c1 = r.random() < 0.5
+        c2 = r.random() < 0.4
+        n1 += c1
+        n2 += c2
+        m += c1 and c2
+        for y, hit in ((MCN_Y1, c1), (MCN_Y2, c2)):
+            if hit:
+                d = datetime.date(y, r.randrange(1, 13), r.randrange(1, 28))
+                orows.append((ok, ck, datetime.datetime.combine(d, ts)))
+                ok += 1
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    got = [tuple(x) for x in q_capture_recapture(spark, str(tmp_path))
+           .collect()]
+
+    lp = n1 * n2 // max(m, 1)
+    ch = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    obs = n1 + n2 - m
+    cov = obs * 1_000_000 // max(lp, 1)
+    assert got == [(n1, n2, m, obs, lp, ch, cov)]
+    assert abs(lp - 120) <= 30 and abs(ch - 120) <= 30
+    assert cov < 1_000_000  # two captures did not see everyone

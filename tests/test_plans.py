@@ -1472,3 +1472,10 @@ def test_cliffs_delta_single_prefix_pass(spark, sf_dir):
     # third count; no pairwise join, no cartesian
     df = _q(spark, sf_dir, "q_cliffs_delta")
     assert not audit.has_cartesian(df)
+
+
+def test_capture_recapture_one_state_pass(spark, sf_dir):
+    # the shared mcnemar flag state + one count agg; no joins
+    df = _q(spark, sf_dir, "q_capture_recapture")
+    assert not audit.has_cartesian(df)
+    assert audit.shuffle_count(df) <= 2

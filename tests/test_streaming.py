@@ -2412,6 +2412,20 @@ def test_stream_mcnemar_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_mcnemar(spark, sf_dir).collect()]
     assert got and got == want
+    # second finisher over the SAME state: capture-recapture estimate
+    from locopy_spark.queries.trends import (
+        capture_report,
+        q_capture_recapture,
+    )
+
+    got_c = [
+        tuple(r)
+        for r in capture_report(
+            spark.table("global_temp.mcnemar_t")
+        ).collect()
+    ]
+    want_c = [tuple(r) for r in q_capture_recapture(spark, sf_dir).collect()]
+    assert got_c and got_c == want_c
 
 
 def test_stream_growth_matches_batch(spark, sf_dir, tmp_path):
