@@ -1204,16 +1204,27 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's causal family.
     """
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    return did_report(
+        did_state(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+        )
+    )
+
+
+def did_state(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """The FOUR-cell (treat, post) DiD grid: line count + exact
+    revenue cents per cell — both plain-sum monoids (late chunks add
+    in; the grid is 4 rows forever). Shared by ``q_did`` and
+    ``streaming.stateful.stream_did``."""
     from locopy_spark.functions.numeric import SCALE
 
-    tagged = l.join(
-        p.selectExpr(
+    tagged = lineitem.join(
+        part.selectExpr(
             "p_partkey",
             "cast(p_type LIKE 'PROMO%' as int) AS treat",
         ),
-        l["l_partkey"] == F.col("p_partkey"),
+        lineitem["l_partkey"] == F.col("p_partkey"),
     ).select(
         "treat",
         F.expr(
@@ -1223,10 +1234,15 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)"
         ).alias("c"),
     )
-    cells = tagged.groupBy("treat", "post").agg(
+    return tagged.groupBy("treat", "post").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-    ).selectExpr(
+    )
+
+
+def did_report(state: DataFrame) -> DataFrame:
+    """Close the DiD panel over any (treat, post, n, s) cell grid."""
+    cells = state.selectExpr(
         "treat",
         "post",
         "n",

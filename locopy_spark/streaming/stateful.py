@@ -2815,3 +2815,45 @@ def stream_growth(
         .queryName(f"growth_{state_view}")
         .start()
     )
+
+
+def stream_did(
+    lineitem: DataFrame,
+    part: DataFrame,
+    state_view: str = "did_state",
+):
+    """Continuously-maintained difference-in-differences cell grid:
+    each micro-batch's lines join the static part dim for the
+    treatment flag, band to the FOUR (treat, post) cells, and ADD
+    into the state (``queries.trends.did_state`` layout — line counts
+    and revenue cents are plain-sum monoids; 4 rows forever). The
+    panel (``did_report``) closes at read time — cell means and the
+    DiD keep moving as lines arrive. The live experiment dashboard;
+    batch twin: ``q_did``."""
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "treat int, post int, n bigint, s bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.trends import did_state
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(did_state(batch_df, part))
+            .groupBy("treat", "post")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"did_{state_view}")
+        .start()
+    )

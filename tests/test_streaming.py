@@ -2465,3 +2465,35 @@ def test_stream_growth_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_growth_accounting(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_did_matches_batch(spark, sf_dir, tmp_path):
+    """The four (treat, post) cells are plain-sum monoids; chunking by
+    ORDER key spreads every cell across out-of-order batches; state +
+    the panel finisher equals batch q_did exactly."""
+    from locopy_spark.queries.trends import did_report, q_did
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_did
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    for i, pred in enumerate(["3", "0", "2", "1"]):
+        l.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"didchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "didchunk*"))
+    )
+    q = stream_did(stream, p, state_view="did_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in did_report(spark.table("global_temp.did_t")).collect()
+    ]
+    want = [tuple(r) for r in q_did(spark, sf_dir).collect()]
+    assert got and got == want
