@@ -3349,9 +3349,19 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's pricing family.
     """
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    per_part = l.groupBy("l_partkey").agg(
+    return dispersion_report(
+        dispersion_state(load_table(spark, sf_dir, "lineitem")),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def dispersion_state(lineitem: DataFrame) -> DataFrame:
+    """The per-part price power-sum state ``(l_partkey, n, s, s2)`` —
+    every column a plain-sum monoid (Σx² widened DECIMAL(38)), so any
+    batching/arrival order reproduces the batch sums; |parts| rows
+    forever. Shared by ``q_price_dispersion`` and
+    ``streaming.stateful.stream_dispersion``."""
+    return lineitem.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.expr(f"cast(floor(l_extendedprice * {SCALE} + 0.5) as bigint)")
@@ -3365,6 +3375,12 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s2"),
     )
+
+
+def dispersion_report(per_part: DataFrame, part: DataFrame) -> DataFrame:
+    """Close the banded panel over any (l_partkey, n, s, s2) power-sum
+    state plus the static part dim."""
+    p = part
     banded = per_part.filter("n >= 2").selectExpr(
         "l_partkey",
         f"least((n * s2 - cast(s as decimal(38,0)) * s) * 1000000"

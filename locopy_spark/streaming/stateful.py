@@ -2857,3 +2857,49 @@ def stream_did(
         .queryName(f"did_{state_view}")
         .start()
     )
+
+
+def stream_dispersion(
+    lineitem: DataFrame,
+    part: DataFrame,
+    state_view: str = "dispersion_state",
+):
+    """Continuously-maintained per-part price power sums
+    (``queries.tpch_ext.dispersion_state`` — n, Σx, Σx² all plain-sum
+    monoids, Σx² widened DECIMAL(38); |parts| rows forever). The
+    banded CV² panel (``dispersion_report``) closes at read time
+    against the static part dim — a part's dispersion keeps moving as
+    lines arrive, and single-line parts only become scoreable when
+    their second line lands. The live pricing-discipline dashboard;
+    batch twin: ``q_price_dispersion``."""
+    spark = lineitem.sparkSession
+    empty = spark.createDataFrame(
+        [], "l_partkey long, n bigint, s bigint, s2 decimal(38,0)"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.tpch_ext import dispersion_state
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(dispersion_state(batch_df))
+            .groupBy("l_partkey")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("s2").cast("decimal(38,0)").alias("s2"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        lineitem.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"dispersion_{state_view}")
+        .start()
+    )

@@ -2497,3 +2497,42 @@ def test_stream_did_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_did(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_dispersion_matches_batch(spark, sf_dir, tmp_path):
+    """Per-part power sums are plain-sum monoids; chunking by ORDER
+    key splits one part's lines across out-of-order batches so the
+    sums genuinely merge (and a part can cross the n >= 2 scoring
+    threshold mid-stream); state + the banded finisher equals batch
+    q_price_dispersion exactly."""
+    from locopy_spark.queries.tpch_ext import (
+        dispersion_report,
+        q_price_dispersion,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_dispersion
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    for i, pred in enumerate(["0", "2", "1", "3"]):
+        l.filter(f"pmod(l_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"dspchunk{i}"))
+    stream = (
+        spark.readStream.schema(l.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "dspchunk*"))
+    )
+    q = stream_dispersion(stream, p, state_view="dispersion_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in dispersion_report(
+            spark.table("global_temp.dispersion_t"), p
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_price_dispersion(spark, sf_dir).collect()]
+    assert got and got == want
