@@ -1050,28 +1050,45 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's survival family.
     """
-    from locopy_spark.operators.ranking import global_running_sum
+    return logrank_report(
+        grouped_span_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
 
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    span = span_state(orders)
+
+def grouped_span_state(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The grouped per-customer span state ``(o_custkey, g1, first_d,
+    last_d)``: the span_state (MIN, MAX) monoid per key plus the
+    static group flag from the customer dim (constant per key, so the
+    streaming merge keys on (custkey, g1) and any batching/arrival
+    order reproduces the batch spans); |customers| rows forever.
+    Shared by ``q_logrank`` and ``streaming.stateful.stream_logrank``."""
     grp = customer.select(
         "c_custkey",
         F.expr(
             f"cast(c_mktsegment = '{LOGRANK_SEG}' as int)"
         ).alias("g1"),
     )
-    mx = span.agg(F.max("last_d").alias("mx"))
-    life = (
-        span.join(grp, span["o_custkey"] == F.col("c_custkey"))
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.expr("datediff(last_d, first_d)").alias("t"),
-            F.expr(
-                f"cast(datediff(mx, last_d) > {KM_CHURN_DAYS} as int)"
-            ).alias("ev"),
-            "g1",
-        )
+    span = span_state(orders)
+    return span.join(grp, span["o_custkey"] == F.col("c_custkey")).select(
+        "o_custkey", "g1", "first_d", "last_d"
+    )
+
+
+def logrank_report(state: DataFrame) -> DataFrame:
+    """Close the log-rank panel over any (o_custkey, g1, first_d,
+    last_d) grouped span state."""
+    from locopy_spark.operators.ranking import global_running_sum
+
+    mx = state.agg(F.max("last_d").alias("mx"))
+    life = state.crossJoin(F.broadcast(mx)).select(
+        F.expr("datediff(last_d, first_d)").alias("t"),
+        F.expr(
+            f"cast(datediff(mx, last_d) > {KM_CHURN_DAYS} as int)"
+        ).alias("ev"),
+        "g1",
     )
     per_t = life.groupBy("t").agg(
         F.sum("ev").alias("d"),

@@ -2903,3 +2903,49 @@ def stream_dispersion(
         .queryName(f"dispersion_{state_view}")
         .start()
     )
+
+
+def stream_logrank(
+    orders: DataFrame,
+    customer: DataFrame,
+    state_view: str = "logrank_state",
+):
+    """Continuously-maintained grouped per-customer span state
+    (``queries.assoc.grouped_span_state`` — a (MIN, MAX) monoid per
+    key plus the static group flag joined from the customer dim each
+    batch; |customers| rows forever). The log-rank panel
+    (``logrank_report``) closes only at read time — lifetimes,
+    censoring, risk sets, AND the horizon all move as later orders
+    arrive (the stream_survival convention, grouped). The live
+    segment-survival significance read; batch twin: ``q_logrank``."""
+    from locopy_spark.queries.assoc import grouped_span_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_custkey long, g1 int, first_d date, last_d date"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(grouped_span_state(batch_df, customer))
+            .groupBy("o_custkey", "g1")
+            .agg(
+                F.min("first_d").alias("first_d"),
+                F.max("last_d").alias("last_d"),
+            )
+            .select("o_custkey", "g1", "first_d", "last_d")
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"logrank_{state_view}")
+        .start()
+    )

@@ -2536,3 +2536,38 @@ def test_stream_dispersion_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_price_dispersion(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_logrank_matches_batch(spark, sf_dir, tmp_path):
+    """Grouped spans are (MIN, MAX) monoids per customer; chunking by
+    ORDER key splits one customer's orders across out-of-order batches
+    so the span genuinely merges (and the global horizon moves);
+    state + the log-rank finisher equals batch q_logrank exactly."""
+    from locopy_spark.queries.assoc import logrank_report, q_logrank
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_logrank
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for i, pred in enumerate(["1", "3", "2", "0"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"lrchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lrchunk*"))
+    )
+    q = stream_logrank(stream, c, state_view="logrank_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in logrank_report(
+            spark.table("global_temp.logrank_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_logrank(spark, sf_dir).collect()]
+    assert got and got == want
