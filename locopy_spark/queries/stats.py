@@ -2315,21 +2315,37 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's statistics family.
     """
-    from locopy_spark.operators.ranking import global_running_sum
+    return cliffs_report(
+        cliffs_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
 
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+
+def cliffs_state(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The per-value segment grid ``(v, d_a, d_b)``: counts of each
+    segment's order totals at each exact cent value — both plain-sum
+    monoids (late chunks add in), bounded by |distinct totals|
+    regardless of order volume. Shared by ``q_cliffs_delta`` and
+    ``streaming.stateful.stream_cliffs``."""
     v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
-    vals = o.join(
-        c.filter(F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])).select(
-            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-        ),
+    vals = orders.join(
+        customer.filter(
+            F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])
+        ).select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
         "o_custkey",
     ).select(v.alias("v"), (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"))
-    g = vals.groupBy("v").agg(
+    return vals.groupBy("v").agg(
         F.sum(F.expr("cast(is_a as bigint)")).alias("d_a"),
         F.sum(F.expr("cast(not is_a as bigint)")).alias("d_b"),
     )
+
+
+def cliffs_report(g: DataFrame) -> DataFrame:
+    """Close the effect-size panel over any (v, d_a, d_b) grid."""
+    from locopy_spark.operators.ranking import global_running_sum
+
     cum = global_running_sum(g, order_cols=["v"], value_col="d_b",
                              out_col="pre_b")
     return cum.agg(

@@ -2949,3 +2949,44 @@ def stream_logrank(
         .queryName(f"logrank_{state_view}")
         .start()
     )
+
+
+def stream_cliffs(
+    orders: DataFrame,
+    customer: DataFrame,
+    state_view: str = "cliffs_state",
+):
+    """Continuously-maintained per-value segment grid
+    (``queries.stats.cliffs_state`` — counts of each segment's order
+    totals per exact cent value, plain-sum monoids; |distinct totals|
+    rows regardless of volume — each micro-batch joins the static
+    customer dim for the segment flag). The effect-size panel
+    (``cliffs_report``) closes at read time via one ranged prefix
+    pass — δ keeps moving as orders arrive. The live
+    practical-significance read next to the significance tests;
+    batch twin: ``q_cliffs_delta``."""
+    from locopy_spark.queries.stats import cliffs_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "v bigint, d_a bigint, d_b bigint")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(cliffs_state(batch_df, customer))
+            .groupBy("v")
+            .agg(F.sum("d_a").alias("d_a"), F.sum("d_b").alias("d_b"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"cliffs_{state_view}")
+        .start()
+    )

@@ -2571,3 +2571,38 @@ def test_stream_logrank_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_logrank(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_cliffs_matches_batch(spark, sf_dir, tmp_path):
+    """Per-value segment counts are plain-sum monoids; chunking by
+    ORDER key spreads every value cell across out-of-order batches;
+    state + the prefix-pass finisher equals batch q_cliffs_delta
+    exactly."""
+    from locopy_spark.queries.stats import cliffs_report, q_cliffs_delta
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cliffs
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"clchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "clchunk*"))
+    )
+    q = stream_cliffs(stream, c, state_view="cliffs_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in cliffs_report(
+            spark.table("global_temp.cliffs_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_cliffs_delta(spark, sf_dir).collect()]
+    assert got and got == want
