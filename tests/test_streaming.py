@@ -653,6 +653,18 @@ def test_stream_triangle_count_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     got = spark.table("global_temp.tri_c").collect()[0].n_triangles
     assert got == want and want > 0
+    # second read over the SAME maintained edge state: the local
+    # clustering-coefficient profile closes on demand via edges=
+    from locopy_spark.queries.mining import q_clustering_coef
+
+    got_cc = [
+        tuple(r)
+        for r in q_clustering_coef(
+            spark, sf_dir, edges=spark.table("global_temp.tri_s")
+        ).collect()
+    ]
+    want_cc = [tuple(r) for r in q_clustering_coef(spark, sf_dir).collect()]
+    assert got_cc and got_cc == want_cc
 
 
 def test_stream_fertility_matches_batch(spark, sf_dir, tmp_path):
