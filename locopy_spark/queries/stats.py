@@ -2200,9 +2200,17 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def friedman_report(state: DataFrame) -> DataFrame:
-    """Close the Friedman panel over any (ym, prio, ..., rev_c) grid."""
+    """Close the Friedman panel over any (ym, prio, ..., rev_c) grid.
+
+    The grid is persisted before fan-out: THREE subtrees (the k
+    scalar, the complete-block filter, and the ranked pass) consume
+    it, and without the persist each analyzed subtree re-expands the
+    data-sized grid build — one |lineitem| pass instead of three."""
     from pyspark.sql.window import Window as W
 
+    from locopy_spark.functions.cache import managed_persist
+
+    state = managed_persist(state, "friedman_grid")
     k_df = state.agg(
         F.countDistinct("prio").alias("k")
     )
