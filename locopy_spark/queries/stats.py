@@ -2035,25 +2035,27 @@ def q_brand_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's statistics family.
     """
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    from locopy_spark.queries.tpch_ext import abc_xyz_state
+
+    return brand_xcorr_report(
+        abc_xyz_state(load_table(spark, sf_dir, "lineitem")),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def brand_xcorr_report(state: DataFrame, part: DataFrame) -> DataFrame:
+    """Close the cannibalization matrix over any (l_partkey, ym, q, r)
+    demand grid plus the static part dim — FIFTH finisher on the
+    shared ``abc_xyz_state`` (the brand grid is the part grid rolled
+    up through the dim, so sums of sums reproduce the direct scan
+    exactly)."""
     grid = (
-        l.join(
-            F.broadcast(p.select("p_partkey", "p_brand")),
-            l.l_partkey == p.p_partkey,
+        state.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            state["l_partkey"] == F.col("p_partkey"),
         )
-        .groupBy(
-            "p_brand",
-            F.expr(
-                "year(cast(l_shipdate as date)) * 100"
-                " + month(cast(l_shipdate as date))"
-            ).alias("ym"),
-        )
-        .agg(
-            F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias(
-                "q"
-            )
-        )
+        .groupBy("p_brand", "ym")
+        .agg(F.sum("q").alias("q"))
     )
     brands = grid.select("p_brand").distinct()
     months = grid.select("ym").distinct()

@@ -2243,6 +2243,15 @@ def test_stream_abc_xyz_matches_batch(spark, sf_dir, tmp_path):
     got_n = [tuple(r) for r in newsvendor_report(state).collect()]
     want_n = [tuple(r) for r in q_newsvendor(spark, sf_dir).collect()]
     assert got_n and got_n == want_n
+    # fifth finisher over the SAME demand grid: the brand
+    # cannibalization matrix (grid rolled up through the part dim)
+    from locopy_spark.queries.stats import brand_xcorr_report, q_brand_xcorr
+    from locopy_spark.sources.tables import load_table as _lt
+
+    part = _lt(spark, sf_dir, "part")
+    got_b = [tuple(r) for r in brand_xcorr_report(state, part).collect()]
+    want_b = [tuple(r) for r in q_brand_xcorr(spark, sf_dir).collect()]
+    assert got_b and got_b == want_b
 
 
 def test_stream_odds_ratio_matches_batch(spark, sf_dir, tmp_path):
