@@ -665,6 +665,17 @@ def test_stream_triangle_count_matches_batch(spark, sf_dir, tmp_path):
     ]
     want_cc = [tuple(r) for r in q_clustering_coef(spark, sf_dir).collect()]
     assert got_cc and got_cc == want_cc
+    # third read over the SAME edge state: Jaccard link prediction
+    from locopy_spark.queries.mining import q_jaccard_links
+
+    got_j = [
+        tuple(r)
+        for r in q_jaccard_links(
+            spark, sf_dir, edges=spark.table("global_temp.tri_s")
+        ).collect()
+    ]
+    want_j = [tuple(r) for r in q_jaccard_links(spark, sf_dir).collect()]
+    assert got_j and got_j == want_j
 
 
 def test_stream_fertility_matches_batch(spark, sf_dir, tmp_path):
