@@ -1768,8 +1768,10 @@ def anova_report(state: DataFrame) -> DataFrame:
 def _sql_anova() -> str:
     sb, s, k = _anova_fixed_terms()
     cases = ",\n           ".join(
-        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
-        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i}"
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN cnt ELSE 0 END) AS BIGINT)"
+        f" AS n{i},\n"
+        f"           SUM(CAST(CASE WHEN g = '{g}' THEN v ELSE 0 END"
+        f" AS HUGEINT) * cnt) AS s{i}"
         for i, g in enumerate(ANOVA_GROUPS, 1)
     )
     return f"""
@@ -1822,39 +1824,85 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's statistics family.
     """
-    from pyspark.sql.window import Window
+    return levene_report(
+        levene_state(load_table(spark, sf_dir, "orders"))
+    )
 
-    o = load_table(spark, sf_dir, "orders")
-    base = o.select(
+
+def levene_state(orders: DataFrame) -> DataFrame:
+    """The (priority, whole-dollar value) grid ``(o_orderpriority, v,
+    cnt)`` — a plain-sum monoid (late chunks add in), bounded by
+    |priorities|·|dollar values| REGARDLESS of order volume (the
+    leadtime-grid device: at 100 TB this is the difference between a
+    value-domain-sized state and a data-sized rank window). Shared by
+    ``q_levene`` and ``streaming.stateful.stream_levene``.
+
+    Refactored from a per-row row_number rank pass in late r8: the
+    grid reproduces the type-1 lower median exactly (smallest v with
+    cum ≥ ⌈n/2⌉) and every downstream power sum is a cnt-weighted
+    grid sum — bit-identical output, re-gated at all three SFs."""
+    return orders.groupBy(
         "o_orderpriority",
         F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def levene_report(grid: DataFrame) -> DataFrame:
+    """Close Brown–Forsythe over any (o_orderpriority, v, cnt) grid:
+    grid-sized cumulative sums pick each group's exact median, then
+    the shared ANOVA F closure runs over cnt-weighted power sums of
+    the absolute deviations."""
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("o_orderpriority").orderBy("v")
+    tot = grid.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_g")
     )
-    wr = Window.partitionBy("o_orderpriority").orderBy("v")
-    wn = Window.partitionBy("o_orderpriority")
+    cum = grid.select(
+        "o_orderpriority", "v", F.sum("cnt").over(wc).alias("cum")
+    )
     med = (
-        base.withColumn("__rn", F.row_number().over(wr))
-        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        cum.join(F.broadcast(tot), "o_orderpriority")
+        .filter("cum >= (n_g + 1) div 2")
         .groupBy("o_orderpriority")
-        .agg(
-            F.max(
+        .agg(F.min("v").alias("med_v"))
+    )
+    z = grid.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.expr("abs(v - med_v)").alias("v"),
+        "cnt",
+    )
+    aggs = [
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("cast(v * v as decimal(38,0)) * cnt")).alias("sq"),
+    ]
+    for i, g in enumerate(ANOVA_GROUPS, 1):
+        aggs.append(
+            F.sum(
                 F.expr(
-                    "case when __rn = cast(ceil(0.5 * __n) as bigint)"
-                    " then v end"
+                    f"case when o_orderpriority = '{g}' then cnt"
+                    " else 0 end"
                 )
-            ).alias("med_v")
+            ).alias(f"n{i}")
         )
-    )
-    z = base.join(F.broadcast(med), "o_orderpriority").select(
-        "o_orderpriority", F.expr("abs(v - med_v)").alias("v")
-    )
-    return anova_report(anova_state_from_values(z))
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"cast(case when o_orderpriority = '{g}' then v"
+                    " else 0 end as decimal(38,0)) * cnt"
+                )
+            ).alias(f"s{i}")
+        )
+    return anova_report(z.agg(*aggs))
 
 
 def _sql_levene() -> str:
     sb, s, k = _anova_fixed_terms()
     cases = ",\n           ".join(
-        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
-        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i}"
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN cnt ELSE 0 END) AS BIGINT)"
+        f" AS n{i},\n"
+        f"           SUM(CAST(CASE WHEN g = '{g}' THEN v ELSE 0 END"
+        f" AS HUGEINT) * cnt) AS s{i}"
         for i, g in enumerate(ANOVA_GROUPS, 1)
     )
     return f"""
@@ -1863,21 +1911,27 @@ def _sql_levene() -> str:
            CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
     FROM orders
   ),
-  r AS (
-    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
-           COUNT(*) OVER (PARTITION BY g) AS nn
-    FROM vals0
+  grid AS (
+    SELECT g, v, COUNT(*) AS cnt FROM vals0 GROUP BY 1, 2
+  ),
+  tot AS (SELECT g, SUM(cnt) AS n_g FROM grid GROUP BY 1),
+  cum AS (
+    SELECT g, v, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum
+    FROM grid
   ),
   med AS (
-    SELECT g, MAX(CASE WHEN rn = CAST(CEIL(0.5 * nn) AS BIGINT)
-                       THEN v END) AS med_v
-    FROM r GROUP BY 1
+    SELECT c.g, MIN(v) AS med_v
+    FROM cum c JOIN tot t ON c.g = t.g
+    WHERE c.cum >= (t.n_g + 1) // 2
+    GROUP BY 1
   ),
   vals AS (
-    SELECT vals0.g, ABS(v - med_v) AS v FROM vals0 JOIN med USING (g)
+    SELECT grid.g, ABS(v - med_v) AS v, cnt
+    FROM grid JOIN med USING (g)
   ),
   agg AS (
-    SELECT COUNT(*) AS n, SUM(v * v) AS sq,
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+           SUM(CAST(v AS HUGEINT) * v * cnt) AS sq,
            {cases}
     FROM vals
   ),

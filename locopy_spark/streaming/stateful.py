@@ -2990,3 +2990,44 @@ def stream_cliffs(
         .queryName(f"cliffs_{state_view}")
         .start()
     )
+
+
+def stream_levene(
+    orders: DataFrame,
+    state_view: str = "levene_state",
+):
+    """Continuously-maintained (priority, whole-dollar value) grid
+    (``queries.stats.levene_state`` — a plain-sum monoid, bounded by
+    |priorities|·|dollar values| regardless of volume). The
+    Brown–Forsythe finisher (``levene_report``) closes at read time —
+    each group's median, and therefore every deviation, keeps moving
+    as orders arrive, so only the grid is a monoid. The live
+    variance-homogeneity guard in front of the streaming ANOVA
+    (stream_anova); batch twin: ``q_levene``."""
+    from locopy_spark.queries.stats import levene_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, v bigint, cnt bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(levene_state(batch_df))
+            .groupBy("o_orderpriority", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"levene_{state_view}")
+        .start()
+    )

@@ -1272,7 +1272,8 @@ def test_changepoint_bounded_ranking_no_cartesian(spark, sf_dir):
 
 
 def test_levene_grouped_rank_then_single_state(spark, sf_dir):
-    # per-group-partitioned rank pass (5 keys, bounded per-key sort),
+    # (priority, value) grid partial-agg (value-domain bounded, never
+    # a data-sized rank window), grid-sized cum sums pick the median,
     # |groups|-row broadcast back, one conditional-aggregate to a
     # 1-row state; no cartesian
     df = _q(spark, sf_dir, "q_levene")

@@ -2638,3 +2638,37 @@ def test_stream_cliffs_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_cliffs_delta(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_levene_matches_batch(spark, sf_dir, tmp_path):
+    """(priority, value) grid cells are plain-sum monoids; chunking by
+    ORDER key spreads every cell across out-of-order batches (group
+    medians move between batches); state + the Brown-Forsythe finisher
+    equals batch q_levene exactly."""
+    from locopy_spark.queries.stats import levene_report, q_levene
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_levene
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["0", "3", "1", "2"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"lvchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lvchunk*"))
+    )
+    q = stream_levene(stream, state_view="levene_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in levene_report(
+            spark.table("global_temp.levene_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_levene(spark, sf_dir).collect()]
+    assert got and got == want
