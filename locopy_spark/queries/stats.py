@@ -1768,10 +1768,8 @@ def anova_report(state: DataFrame) -> DataFrame:
 def _sql_anova() -> str:
     sb, s, k = _anova_fixed_terms()
     cases = ",\n           ".join(
-        f"CAST(SUM(CASE WHEN g = '{g}' THEN cnt ELSE 0 END) AS BIGINT)"
-        f" AS n{i},\n"
-        f"           SUM(CAST(CASE WHEN g = '{g}' THEN v ELSE 0 END"
-        f" AS HUGEINT) * cnt) AS s{i}"
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
+        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i}"
         for i, g in enumerate(ANOVA_GROUPS, 1)
     )
     return f"""
