@@ -877,3 +877,86 @@ def test_global_rank_and_running_sum_matches_windows(spark):
         assert (
             got.join(want, ["k", "id", "v", "rn", "cum"]).count() == 3000
         ), parts
+
+
+# -- round-8-late finisher edge semantics --------------------------------------------
+
+
+def test_mase_report_short_series(spark):
+    """A series shorter than the seasonal lag scores zero days — the
+    panel must return its single row (count 0) without error, not
+    crash on the empty window."""
+    from locopy_spark.queries.timeseries import mase_report
+
+    state = spark.createDataFrame(
+        [(1, 100), (2, 110), (3, 90)], "day int, rev_c long"
+    )
+    rows = mase_report(state).collect()
+    assert len(rows) == 1 and rows[0].n_scored == 0
+
+
+def test_friedman_report_no_complete_blocks(spark):
+    """With every month missing at least one priority there are no
+    complete blocks: the panel is EMPTY (not a crash, not a row of
+    nulls) — the Friedman test is undefined without blocks."""
+    from locopy_spark.queries.stats import friedman_report
+
+    state = spark.createDataFrame(
+        [(202001, "A", 1, 1, 0, 100), (202002, "B", 1, 1, 0, 200)],
+        "ym int, prio string, n long, n_ontime long,"
+        " late_days long, rev_c long",
+    )
+    assert friedman_report(state).collect() == []
+
+
+def test_logrank_report_single_group(spark):
+    """With every customer in the same group the hypergeometric
+    variance is zero and z must be NULL (no crash, no division by
+    zero) — the degenerate comparison is reported, not invented."""
+    import datetime
+
+    from locopy_spark.queries.assoc import logrank_report
+
+    d = datetime.date
+    state = spark.createDataFrame(
+        [
+            (1, 1, d(2019, 1, 1), d(2019, 3, 1)),
+            (2, 1, d(2019, 1, 5), d(2019, 2, 1)),
+            (3, 1, d(2019, 1, 2), d(2020, 6, 1)),
+        ],
+        "o_custkey long, g1 int, first_d date, last_d date",
+    )
+    rows = logrank_report(state).collect()
+    assert len(rows) == 1
+    assert rows[0].n0_customers == 0
+    assert rows[0].z_score is None
+
+
+def test_growth_report_single_week(spark):
+    """One observed week: everyone is NEW, nobody can churn (horizon
+    guard) — active == new, churned == 0."""
+    from locopy_spark.queries.timeseries import growth_report
+
+    grid = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "user_id long, wi int"
+    )
+    rows = growth_report(grid).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.active, r.new_users, r.retained, r.resurrected, r.churned) \
+        == (3, 3, 0, 0, 0)
+
+
+def test_capture_report_zero_overlap(spark):
+    """Disjoint captures (m = 0): Lincoln-Petersen guards with
+    GREATEST(m, 1) and Chapman stays exact — no division by zero."""
+    from locopy_spark.queries.trends import capture_report
+
+    state = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 0), (3, 0, 1)],
+        "o_custkey long, in1 int, in2 int",
+    )
+    r = capture_report(state).collect()[0]
+    assert (r.n1, r.n2, r.m) == (2, 1, 0)
+    assert r.lp_est == 2  # n1*n2 div max(m,1)
+    assert r.chapman_est == (2 + 1) * (1 + 1) // 1 - 1
