@@ -1849,9 +1849,17 @@ def levene_report(grid: DataFrame) -> DataFrame:
     """Close Brown–Forsythe over any (o_orderpriority, v, cnt) grid:
     grid-sized cumulative sums pick each group's exact median, then
     the shared ANOVA F closure runs over cnt-weighted power sums of
-    the absolute deviations."""
+    the absolute deviations.
+
+    The grid is persisted before fan-out (the friedman_report lesson):
+    FOUR subtrees (totals, cumulative sums, the median pick, and the
+    deviation pass) consume it, and the persist makes the data-sized
+    orders scan run once instead of per-subtree."""
     from pyspark.sql.window import Window
 
+    from locopy_spark.functions.cache import managed_persist
+
+    grid = managed_persist(grid, "levene_grid")
     wc = Window.partitionBy("o_orderpriority").orderBy("v")
     tot = grid.groupBy("o_orderpriority").agg(
         F.sum("cnt").alias("n_g")
