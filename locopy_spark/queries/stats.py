@@ -1007,31 +1007,27 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression for the α=0.05 decision (identical text both
     engines).
     """
+    return ks_report(
+        cliffs_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
+
+
+def ks_report(grid: DataFrame) -> DataFrame:
+    """Close the KS panel over any (v, d_a, d_b) per-value segment
+    grid — since late r8 the SAME ``cliffs_state`` the stream_cliffs
+    maintainer keeps live (one state: location test, shape test and
+    effect size)."""
     from locopy_spark.operators.ranking import global_running_sum
 
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
-    vals = (
-        o.join(
-            c.filter(F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])).select(
-                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-            ),
-            "o_custkey",
-        )
-        .select(v.alias("v"), (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"))
-    )
-    tot = vals.agg(
-        F.sum(F.expr("cast(is_a as bigint)")).alias("n_a"),
-        F.sum(F.expr("cast(not is_a as bigint)")).alias("n_b"),
+    tot = grid.agg(
+        F.sum("d_a").alias("n_a"),
+        F.sum("d_b").alias("n_b"),
     )
     g = (
-        vals.groupBy("v")
-        .agg(
-            F.sum(F.expr("cast(is_a as bigint)")).alias("d_a"),
-            F.sum(F.expr("cast(not is_a as bigint)")).alias("d_b"),
-        )
-        .crossJoin(F.broadcast(tot))
+        grid.crossJoin(F.broadcast(tot))
         .select(
             "v",
             "n_a",
@@ -1122,24 +1118,22 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal z closes as one deterministic double expression shared
     verbatim by both engines.
     """
+    return mw_report(
+        cliffs_state(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+    )
+
+
+def mw_report(grid: DataFrame) -> DataFrame:
+    """Close the U/z panel over any (v, d_a, d_b) per-value segment
+    grid — since late r8 the SAME ``cliffs_state`` the stream_cliffs
+    maintainer keeps live (t = d_a + d_b reproduces the pooled run
+    lengths exactly)."""
     from locopy_spark.operators.ranking import global_running_sum
 
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    v = F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
-    vals = (
-        o.join(
-            c.filter(F.col("c_mktsegment").isin([KS_SEG_A, KS_SEG_B])).select(
-                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-            ),
-            "o_custkey",
-        )
-        .select(v.alias("v"), (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"))
-    )
-    g = vals.groupBy("v").agg(
-        F.sum(F.expr("cast(is_a as bigint)")).alias("d_a"),
-        F.count(F.lit(1)).alias("t"),
-    )
+    g = grid.selectExpr("v", "d_a", "d_a + d_b AS t")
     cum = global_running_sum(g, order_cols=["v"], value_col="t", out_col="pre")
     agg = cum.agg(
         F.sum("d_a").alias("n_a"),

@@ -2630,14 +2630,25 @@ def test_stream_cliffs_matches_batch(spark, sf_dir, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = [
-        tuple(r)
-        for r in cliffs_report(
-            spark.table("global_temp.cliffs_t")
-        ).collect()
-    ]
+    state = spark.table("global_temp.cliffs_t")
+    got = [tuple(r) for r in cliffs_report(state).collect()]
     want = [tuple(r) for r in q_cliffs_delta(spark, sf_dir).collect()]
     assert got and got == want
+    # second + third finishers over the SAME value grid: the full
+    # two-sample panel (shape test + location test) closes live
+    from locopy_spark.queries.stats import (
+        ks_report,
+        mw_report,
+        q_ks_test,
+        q_mann_whitney,
+    )
+
+    got_k = [tuple(r) for r in ks_report(state).collect()]
+    want_k = [tuple(r) for r in q_ks_test(spark, sf_dir).collect()]
+    assert got_k and got_k == want_k
+    got_m = [tuple(r) for r in mw_report(state).collect()]
+    want_m = [tuple(r) for r in q_mann_whitney(spark, sf_dir).collect()]
+    assert got_m and got_m == want_m
 
 
 def test_stream_levene_matches_batch(spark, sf_dir, tmp_path):
