@@ -1644,15 +1644,26 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def growth_grid(events: DataFrame) -> DataFrame:
-    """The distinct (user_id, wi) week-activity grid, wi = epoch day
-    div 7 (integer week index, so gap arithmetic is plain
+    """The distinct (user_id, wi) week-activity grid, wi = FLOORED
+    epoch day // 7 (integer week index, so gap arithmetic is plain
     subtraction) — an idempotent SET monoid (merge = union+distinct),
-    |users × weeks| rows forever."""
+    |users × weeks| rows forever.  The week division floors toward
+    negative infinity (same remainder trick as ``sql_epoch_day``),
+    matching DuckDB ``//`` for pre-1970 timestamps; plain ``div``
+    would truncate toward zero and widen the week-0 bin."""
     day = sql_epoch_day(events, "ts")
-    return events.select(
-        "user_id",
-        F.expr(f"cast({day} as int) div 7").alias("wi"),
-    ).distinct()
+    return (
+        events.select(
+            "user_id", F.expr(f"cast({day} as bigint)").alias("d")
+        )
+        .select(
+            "user_id",
+            F.expr("cast((d - ((d % 7) + 7) % 7) div 7 as int)").alias(
+                "wi"
+            ),
+        )
+        .distinct()
+    )
 
 
 def growth_report(grid: DataFrame) -> DataFrame:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from locopy_spark.functions.numeric import sql_epoch_day
+from locopy_spark.functions.numeric import SCALE, sql_epoch_day
 from locopy_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -1139,7 +1139,8 @@ def mcnemar_report(state: DataFrame) -> DataFrame:
         "n_both",
         "b_lost",
         "c_gained",
-        "(b_lost - c_gained) * (b_lost - c_gained) * 1000000"
+        "cast(b_lost - c_gained as decimal(38,0))"
+        " * (b_lost - c_gained) * 1000000"
         " div greatest(b_lost + c_gained, 1) AS chi2_ppm",
         "CASE WHEN b_lost + c_gained > 0 THEN"
         " CAST((abs(b_lost - c_gained) - 1)"
@@ -1167,7 +1168,8 @@ ORACLE["q_mcnemar"] = f"""
     FROM state
   )
   SELECT n_both, b_lost, c_gained,
-         CAST((b_lost - c_gained) * (b_lost - c_gained) * 1000000
+         CAST(CAST(b_lost - c_gained AS HUGEINT)
+              * (b_lost - c_gained) * 1000000
               // GREATEST(b_lost + c_gained, 1) AS BIGINT) AS chi2_ppm,
          CASE WHEN b_lost + c_gained > 0 THEN
            CAST((ABS(b_lost - c_gained) - 1)
@@ -1217,8 +1219,6 @@ def did_state(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     revenue cents per cell — both plain-sum monoids (late chunks add
     in; the grid is 4 rows forever). Shared by ``q_did`` and
     ``streaming.stateful.stream_did``."""
-    from locopy_spark.functions.numeric import SCALE
-
     tagged = lineitem.join(
         part.selectExpr(
             "p_partkey",
@@ -1279,7 +1279,7 @@ ORACLE["q_did"] = f"""
            CAST(year(CAST(l_shipdate AS DATE)) >= {DID_CUT_YEAR} AS INT)
              AS post,
            COUNT(*) AS n,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 1000 + 0.5) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(l_extendedprice * {SCALE} + 0.5) AS BIGINT))
                 * 1000000 // COUNT(*) AS BIGINT) AS mean_uc
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2
