@@ -53,13 +53,35 @@ def stream_batch_twins() -> dict[str, str]:
 
 def driver_checked_keys() -> set[str]:
     """Keys with at least one driver CORRECTNESS_r*.json row."""
-    seen: set[str] = set()
+    return set(latest_driver_round())
+
+
+def latest_driver_round() -> dict[str, int]:
+    """{key: latest round with a driver CORRECTNESS row}."""
+    latest: dict[str, int] = {}
     for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        r = int(m.group(1))
         try:
-            seen |= set(json.load(open(p)))
+            for k in json.load(open(p)):
+                latest[k] = max(latest.get(k, 0), r)
         except Exception:
             pass
-    return seen
+    return latest
+
+
+# Staleness ceiling (structural since r9, VERDICT r8 task 3): a key
+# whose latest driver row is MORE than CEILING rounds old must sit
+# inside the current first-50 window, i.e. be about to get a fresh
+# row this round.  Before this, the ceiling was comment-discipline —
+# and the r1-era block proved discipline slips when the window fills.
+# CEILING is 6 for round 9 because the inherited backlog (9 r1-era +
+# 41 r3-era keys) plus the two refactor pins exceeds one 50-slot
+# window, so 2 r3 keys must wait one extra round just past the
+# cutoff; ratchet to 5 in round 10 once the r3 block clears.
+STALENESS_CEILING = 6
 
 
 def main() -> int:
@@ -103,6 +125,16 @@ def main() -> int:
         problems.append(
             f"never-driver-checked key outside the first-50 window: {k}"
         )
+    # Staleness ceiling: see STALENESS_CEILING above.
+    latest = latest_driver_round()
+    current = max(latest.values(), default=0) + 1
+    for k, r in sorted(latest.items()):
+        if k in qs and current - r > STALENESS_CEILING and k not in window:
+            problems.append(
+                f"staleness ceiling: {k}'s latest driver row is r{r} "
+                f"({current - r} rounds old > {STALENESS_CEILING}) and it "
+                "is outside the current first-50 window"
+            )
     # Streaming drift: every §2.4 row names a real job function and
     # every stream_* function in the streaming package has a §2.4 row.
     import locopy_spark.streaming.jobs as sjobs
