@@ -481,11 +481,19 @@ def main() -> int:
         # so later queries aren't measured under earlier queries' cache
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
+    # The driver captures a bounded TAIL of stdout, so the end of the
+    # full line is what survives: order the per-query map with the
+    # current driver window's keys LAST so the captured fragment shows
+    # the newest/rotated keys instead of an arbitrary suffix
+    # (BENCH_r08's tail cut at ~55 arbitrary keys).
+    window = set(list(entrymod.queries())[:50])
+    ordered = {k: v for k, v in timings.items() if k not in window}
+    ordered.update({k: v for k, v in timings.items() if k in window})
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": ordered,
         "excluded": EXCLUDED,
         "sf": sf_dir,
     }

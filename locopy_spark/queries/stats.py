@@ -1046,9 +1046,12 @@ def ks_report(grid: DataFrame) -> DataFrame:
         .groupBy("n_a", "n_b")
         .agg(
             F.expr(
-                "CAST(CAST(MAX(gap) AS DECIMAL(38,0)) * 1000000000"
+                # one-segment-empty (possible mid-stream, never on the
+                # gated tables): NULL, not an ANSI divide-by-zero crash
+                "CASE WHEN MAX(n_a) = 0 OR MAX(n_b) = 0 THEN NULL ELSE"
+                " CAST(CAST(MAX(gap) AS DECIMAL(38,0)) * 1000000000"
                 " div (CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b))"
-                " AS BIGINT)"
+                " AS BIGINT) END"
             ).alias("d_ppb")
         )
         .select(
@@ -1056,9 +1059,11 @@ def ks_report(grid: DataFrame) -> DataFrame:
             "n_b",
             "d_ppb",
             F.expr(
-                "CAST(d_ppb AS DOUBLE) / 1000000000.0"
+                "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+                " CAST(d_ppb AS DOUBLE) / 1000000000.0"
                 f" > {KS_C95} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS"
                 " DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+                " END"
             ).alias("reject_95"),
         )
     )
@@ -1089,16 +1094,18 @@ ORACLE["q_ks_test"] = f"""
   ),
   agg AS (
     SELECT n_a, n_b,
-           CAST(CAST(MAX(gap) AS HUGEINT) * 1000000000
-                // (CAST(MAX(n_a) AS HUGEINT) * MAX(n_b)) AS BIGINT)
-             AS d_ppb
+           CASE WHEN MAX(n_a) = 0 OR MAX(n_b) = 0 THEN NULL ELSE
+             CAST(CAST(MAX(gap) AS HUGEINT) * 1000000000
+                  // (CAST(MAX(n_a) AS HUGEINT) * MAX(n_b)) AS BIGINT)
+           END AS d_ppb
     FROM cum GROUP BY n_a, n_b
   )
   SELECT n_a, n_b, d_ppb,
-         CAST(d_ppb AS DOUBLE) / 1000000000.0
-           > {KS_C95} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-           AS reject_95
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+           CAST(d_ppb AS DOUBLE) / 1000000000.0
+             > {KS_C95} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         END AS reject_95
   FROM agg
 """
 
@@ -1146,15 +1153,24 @@ def mw_report(grid: DataFrame) -> DataFrame:
     )
     # doubled U_A = doubled R_A − n_a(n_a+1); z from the tie-corrected
     # normal approximation — one double expression, identical text on
-    # both engines (every input is an exact integer)
-    z_expr = (
-        "(CAST(u_a_x2 AS DOUBLE) / 2.0"
-        " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
-        " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+    # both engines (every input is an exact integer).  Degenerate
+    # grids (one segment empty, or EVERY pooled value in one tie run,
+    # both possible mid-stream) have zero rank variance: NULL, not an
+    # ANSI divide-by-zero crash.
+    var_expr = (
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+        " CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
         " * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)"
         " - CAST(ties_t AS DOUBLE)"
         " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
-        " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))"
+        " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) END"
+    )
+    z_expr = (
+        "CASE WHEN mw_var IS NULL OR mw_var <= 0.0"
+        " THEN CAST(NULL AS DOUBLE) ELSE"
+        " (CAST(u_a_x2 AS DOUBLE) / 2.0"
+        " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+        " / sqrt(mw_var) END"
     )
     return (
         agg.select(
@@ -1165,6 +1181,8 @@ def mw_report(grid: DataFrame) -> DataFrame:
             ),
             F.expr("CAST(ties_t AS BIGINT)").alias("ties_t"),
         )
+        .select("n_a", "n_b", "u_a_x2", "ties_t",
+                F.expr(var_expr).alias("mw_var"))
         .select("n_a", "n_b", "u_a_x2", "ties_t", F.expr(z_expr).alias("z"))
     )
 
@@ -1200,17 +1218,26 @@ ORACLE["q_mann_whitney"] = f"""
            CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
            CAST(ties_t AS BIGINT) AS ties_t
     FROM agg
+  ),
+  vard AS (
+    SELECT *,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+             * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+               - CAST(ties_t AS DOUBLE)
+               / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+           END AS mw_var
+    FROM fin
   )
   SELECT n_a, n_b, u_a_x2, ties_t,
-         (CAST(u_a_x2 AS DOUBLE) / 2.0
-          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
-         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-             - CAST(ties_t AS DOUBLE)
-             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
-           AS z
-  FROM fin
+         CASE WHEN mw_var IS NULL OR mw_var <= 0.0
+           THEN CAST(NULL AS DOUBLE) ELSE
+           (CAST(u_a_x2 AS DOUBLE) / 2.0
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           / sqrt(mw_var)
+         END AS z
+  FROM vard
 """
 
 
@@ -2426,9 +2453,13 @@ def cliffs_report(g: DataFrame) -> DataFrame:
         "CAST(n_b AS BIGINT) AS n_b",
         "CAST(n_gt AS BIGINT) AS n_gt",
         "CAST(n_eq AS BIGINT) AS n_eq",
-        "(CAST(n_gt AS DOUBLE) * 2 + CAST(n_eq AS DOUBLE)"
+        # one-segment-empty (possible mid-stream): NULL, not an ANSI
+        # divide-by-zero crash
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+        " (CAST(n_gt AS DOUBLE) * 2 + CAST(n_eq AS DOUBLE)"
         " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
-        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS cliffs_delta",
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
+        " AS cliffs_delta",
     )
 
 
@@ -2459,8 +2490,10 @@ ORACLE["q_cliffs_delta"] = f"""
     FROM cum
   )
   SELECT n_a, n_b, n_gt, n_eq,
-         (CAST(n_gt AS DOUBLE) * 2 + CAST(n_eq AS DOUBLE)
-          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS cliffs_delta
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+           (CAST(n_gt AS DOUBLE) * 2 + CAST(n_eq AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         END AS cliffs_delta
   FROM agg
 """

@@ -522,3 +522,135 @@ def test_global_running_sum_matches_serial_accumulation(spark):
         prefix = [0, *itertools.accumulate(v for _, v in ordered)]
         want = {k: prefix[i] for i, (k, _) in enumerate(ordered)}
         assert got == want, f"num_partitions={n_parts}"
+
+
+# -- the shared two-sample panel grid (cliffs_state → ks/mw/cliffs) ----------
+#
+# Since late r8 all three two-sample finishers (q_ks_test,
+# q_mann_whitney, q_cliffs_delta) close over ONE per-value segment
+# grid (v, d_a, d_b) — the state stream_cliffs maintains live.  The
+# load-bearing identity is t = d_a + d_b: the grid must reproduce the
+# POOLED tie-run lengths exactly, or the doubled-rank algebra (MW),
+# the common-denominator ECDF gap (KS), and the dominance pair counts
+# (Cliffs) all silently drift.  This property drives the REAL Spark
+# finishers over adversarial tie patterns and compares against
+# brute-force textbook re-derivations.
+
+
+def _panel_bruteforce(a_vals, b_vals):
+    """Textbook KS / MW / Cliffs on two integer-value samples, using
+    the SAME exact-integer closing conventions as the engines."""
+    n_a, n_b = len(a_vals), len(b_vals)
+    pooled = sorted(set(a_vals) | set(b_vals))
+    d_a = {v: a_vals.count(v) for v in pooled}
+    d_b = {v: b_vals.count(v) for v in pooled}
+    # KS: max common-denominator ECDF gap, floor-divided to ppb
+    ca = cb = 0
+    max_gap = 0
+    for v in pooled:
+        ca += d_a[v]
+        cb += d_b[v]
+        max_gap = max(max_gap, abs(ca * n_b - cb * n_a))
+    d_ppb = (max_gap * 10**9) // (n_a * n_b)
+    reject = (d_ppb / 1.0e9) > 1.358 * math.sqrt(
+        (float(n_a) + float(n_b)) / (float(n_a) * float(n_b))
+    )
+    # MW: doubled tie-averaged ranks (2·cum_before + t + 1)
+    cum = 0
+    r_a_x2 = 0
+    ties_t = 0
+    for v in pooled:
+        t = d_a[v] + d_b[v]
+        r_a_x2 += d_a[v] * (2 * cum + t + 1)
+        ties_t += t * t * t - t
+        cum += t
+    u_a_x2 = r_a_x2 - n_a * (n_a + 1)
+    var = float(n_a) * float(n_b) / 12.0 * (
+        (float(n_a) + float(n_b) + 1.0)
+        - float(ties_t)
+        / ((float(n_a) + float(n_b)) * (float(n_a) + float(n_b) - 1.0))
+    )
+    # all-pooled-values-tied ⇒ zero variance; Spark doubles yield NULL
+    # on division by zero, so the engine's z is NULL there
+    z = (
+        None
+        if math.sqrt(max(var, 0.0)) == 0.0
+        else (u_a_x2 / 2.0 - float(n_a) * float(n_b) / 2.0) / math.sqrt(var)
+    )
+    # Cliffs: dominance pair counts
+    n_gt = sum(1 for x in a_vals for y in b_vals if x > y)
+    n_eq = sum(1 for x in a_vals for y in b_vals if x == y)
+    delta = (n_gt * 2.0 + float(n_eq) - float(n_a) * float(n_b)) / (
+        float(n_a) * float(n_b)
+    )
+    return {
+        "ks": (n_a, n_b, d_ppb, reject),
+        "mw": (n_a, n_b, u_a_x2, ties_t, z),
+        "cliffs": (n_a, n_b, n_gt, n_eq, delta),
+    }
+
+
+def _run_panel(spark, samples):
+    from locopy_spark.queries.stats import cliffs_report, ks_report, mw_report
+
+    a_vals = sorted(v for v, seg in samples if seg == 0)
+    b_vals = sorted(v for v, seg in samples if seg == 1)
+    pooled = sorted({v for v, _ in samples})
+    grid = spark.createDataFrame(
+        [
+            (v, a_vals.count(v), b_vals.count(v))
+            for v in pooled
+        ],
+        "v long, d_a long, d_b long",
+    )
+    want = _panel_bruteforce(a_vals, b_vals)
+    ks = ks_report(grid).collect()[0]
+    assert (ks.n_a, ks.n_b, ks.d_ppb, ks.reject_95) == want["ks"]
+    mw = mw_report(grid).collect()[0]
+    assert (mw.n_a, mw.n_b, mw.u_a_x2, mw.ties_t) == want["mw"][:4]
+    assert mw.z == want["mw"][4]
+    cl = cliffs_report(grid).collect()[0]
+    assert (cl.n_a, cl.n_b, cl.n_gt, cl.n_eq) == want["cliffs"][:4]
+    assert cl.cliffs_delta == want["cliffs"][4]
+
+
+from hypothesis import example  # noqa: E402
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1)),
+        min_size=2,
+        max_size=40,
+    ).filter(
+        lambda s: any(seg == 0 for _, seg in s)
+        and any(seg == 1 for _, seg in s)
+    )
+)
+@example([(3, 0)] * 9 + [(3, 1)] * 7)            # ALL ties: one pooled run
+@example([(1, 0), (2, 1)])                       # singleton segments
+@example([(0, 0), (0, 1), (5, 0), (5, 1)])       # tie runs at both extremes
+@example([(1, 0)] * 20 + [(1, 1), (4, 1)])       # near-degenerate B
+@settings(max_examples=10, deadline=None)
+def test_two_sample_panel_finishers_match_bruteforce(spark, samples):
+    """The grid → finisher path for all three two-sample keys must
+    equal textbook brute force on adversarial tie patterns — exact
+    integer columns AND the shared double expressions, bit for bit."""
+    _run_panel(spark, samples)
+
+
+def test_two_sample_panel_empty_side_yields_null_ratios(spark):
+    """One-segment-empty input (can't happen on the gated tables, can
+    happen mid-stream): integer monoid columns must still be exact and
+    the ratio columns must be NULL, never a crash or a wrong number."""
+    from locopy_spark.queries.stats import cliffs_report, ks_report, mw_report
+
+    grid = spark.createDataFrame(
+        [(1, 3, 0), (4, 2, 0)], "v long, d_a long, d_b long"
+    )
+    ks = ks_report(grid).collect()[0]
+    assert (ks.n_a, ks.n_b) == (5, 0) and ks.d_ppb is None
+    mw = mw_report(grid).collect()[0]
+    assert (mw.n_a, mw.n_b, mw.u_a_x2) == (5, 0, 0)
+    cl = cliffs_report(grid).collect()[0]
+    assert (cl.n_a, cl.n_b, cl.n_gt, cl.n_eq) == (5, 0, 0, 0)
