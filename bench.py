@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "q_kcore_shared",
     "q_jaccard_links_shared",
     "q_clustering_coef_shared",
+    "q_lpa_communities_shared",
 ]
 
 # Machine-readable exclusion manifest: queries() keys NOT benched, with
@@ -414,16 +415,36 @@ _EDGES_TABLE = "bench_copurchase_edges"
 
 def _graph_shared_queries():
     """The amortized graph-family shape: at 100x the edge list is built
-    once (bucketed by ``a`` so downstream equi-joins on the bucket key
-    read it pre-partitioned) and six consumers share it. Each _shared
-    twin injects the materialized table via the queries' ``edges=``
+    once, SUPPORT-ANNOTATED (a, b, sup — the pair aggregate IS the
+    distinct, so support costs nothing extra) and bucketed by ``a`` so
+    downstream equi-joins on the bucket key read it pre-partitioned.
+    Every graph consumer shares it: plain consumers read the (a, b)
+    projection, the community family (q_lpa_communities) reads the
+    sup >= LPA_MIN_SUPPORT slice — one basket expansion for the whole
+    family.  Each _shared twin injects via the queries' ``edges=``
     parameter; graph_edges_materialize times the one-off build."""
     from locopy_spark.queries import mining
     from locopy_spark.sources.bucketed import write_bucketed
 
     def materialize(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        l = mining.load_table(spark, sf_dir, "lineitem")
+        baskets = l.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        annotated = (
+            baskets.select(
+                F.explode(
+                    F.expr(mining.basket_pairs_expr("ps", "a", "b"))
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
         write_bucketed(
-            mining.copurchase_edges(spark, sf_dir),
+            annotated,
             _EDGES_TABLE,
             "a",
             n_buckets=8,
@@ -433,7 +454,21 @@ def _graph_shared_queries():
 
     def _shared(fn):
         def run(spark, sf_dir):
-            return fn(spark, sf_dir, edges=spark.table(_EDGES_TABLE))
+            return fn(
+                spark, sf_dir,
+                edges=spark.table(_EDGES_TABLE).select("a", "b"),
+            )
+
+        return run
+
+    def _shared_sparse(fn):
+        def run(spark, sf_dir):
+            return fn(
+                spark, sf_dir,
+                edges=spark.table(_EDGES_TABLE)
+                .filter(f"sup >= {mining.LPA_MIN_SUPPORT}")
+                .select("a", "b"),
+            )
 
         return run
 
@@ -447,6 +482,7 @@ def _graph_shared_queries():
         "q_kcore_shared": _shared(mining.q_kcore),
         "q_jaccard_links_shared": _shared(mining.q_jaccard_links),
         "q_clustering_coef_shared": _shared(mining.q_clustering_coef),
+        "q_lpa_communities_shared": _shared_sparse(mining.q_lpa_communities),
     }
 
 

@@ -1691,7 +1691,9 @@ def repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lpa_communities(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Synchronous label-propagation communities over the repeat
     co-purchase graph — the community-detection read next to the
     component/triangle/core family (d_dup_clusters finds CONNECTED
@@ -1711,8 +1713,18 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     market-basket shape); each round shuffles the |2E| neighbor-label
     join and two |V|-sized aggregates — no adjacency ever
     materializes per-row beyond the edge list.
+
+    ``edges`` injects the SPARSIFIED relation (the
+    ``repeat_copurchase_edges`` output: support-filtered (a, b)
+    pairs) — the amortized shape where one support-annotated edge
+    table serves every graph consumer, LPA reading the sup >=
+    {LPA_MIN_SUPPORT} slice.
     """
-    e = managed_persist(repeat_copurchase_edges(spark, sf_dir), "lpa")
+    e = managed_persist(
+        edges if edges is not None
+        else repeat_copurchase_edges(spark, sf_dir),
+        "lpa",
+    )
     und = managed_persist(
         e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
             e.select(F.col("b").alias("v"), F.col("a").alias("u"))

@@ -259,3 +259,19 @@ def test_graph_queries_accept_injected_edges(spark, sf_dir):
         a = [tuple(r) for r in fn(spark, sf_dir).collect()]
         b = [tuple(r) for r in fn(spark, sf_dir, edges=e).collect()]
         assert a == b, fn.__name__
+
+
+def test_lpa_accepts_injected_sparsified_edges(spark, sf_dir):
+    """q_lpa_communities consumes the SPARSIFIED relation (support >=
+    LPA_MIN_SUPPORT); injecting it — the slice the bench derives from
+    the one support-annotated shared edge table — must be
+    result-identical to the standalone build."""
+    from locopy_spark.queries.mining import (
+        q_lpa_communities,
+        repeat_copurchase_edges,
+    )
+
+    e = repeat_copurchase_edges(spark, sf_dir).localCheckpoint()
+    a = [tuple(r) for r in q_lpa_communities(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_lpa_communities(spark, sf_dir, edges=e).collect()]
+    assert a == b
