@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "q_did",
     "q_cliffs_delta",
     "q_capture_recapture",
+    "q_cuped",
+    "q_posthoc_pairs",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

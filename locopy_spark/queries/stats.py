@@ -2497,3 +2497,148 @@ ORACLE["q_cliffs_delta"] = f"""
          END AS cliffs_delta
   FROM agg
 """
+
+
+# -- post-hoc pairwise comparisons (third finisher on the ANOVA state) ---------
+
+# Bonferroni-corrected critical value: α = 0.05 two-sided over the
+# C(5,2) = 10 priority pairs → z_{1 − 0.05/20}, embedded as ONE
+# literal (statistics.NormalDist().inv_cdf(0.9975)) so both engines
+# compare against the identical constant — no erf/quantile calls in
+# either engine.
+POSTHOC_Z_CRIT = "2.8070337683438114"
+
+
+def q_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc pairwise mean comparisons across order priorities —
+    the question a significant q_anova F immediately raises (WHICH
+    priorities differ?), answered with Bonferroni-corrected z tests
+    that reuse ANOVA's pooled within-group variance (MSW), the
+    textbook Fisher-LSD-with-correction panel.
+
+    ANOTHER finisher on the SAME 1-row ``anova_state`` power-sum
+    aggregate (stream_anova maintains it live): the data-sized work
+    is that one conditional-aggregate pass, already priced; this
+    closure fans the row out to the C(5,2)=10 bounded pair rows
+    row-locally (explode over a literal struct array — no shuffle,
+    no join).  MSW closes over the fixed-order five-term chains (the
+    q_anova device); each pair's z = Δmean/√(MSW·(1/n_a+1/n_b)) is a
+    fixed-text double over exact integers; degenerate states (empty
+    group, zero MSW — possible mid-stream) yield NULL z, never an
+    ANSI divide crash.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return posthoc_report(anova_state(o))
+
+
+def posthoc_report(state: DataFrame) -> DataFrame:
+    """Close the pairwise panel over the 1-row ANOVA state."""
+    sb, s, k = _anova_fixed_terms()
+    scored = state.selectExpr(
+        "*",
+        f"((CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))"
+        f" - (({sb}) - (({s}) / n) * ({s}))) AS ssw",
+        f"CAST({k} AS BIGINT) AS k",
+    ).selectExpr(
+        "*",
+        "CASE WHEN n > k THEN ssw / (n - k) ELSE NULL END AS msw",
+    )
+    pairs = ", ".join(
+        f"struct('{ga}' AS g_a, '{gb}' AS g_b,"
+        f" n{i} AS n_a, n{j} AS n_b,"
+        f" CAST(s{i} AS BIGINT) AS s_a, CAST(s{j} AS BIGINT) AS s_b)"
+        for i, ga in enumerate(ANOVA_GROUPS, 1)
+        for j, gb in enumerate(ANOVA_GROUPS, 1)
+        if i < j
+    )
+    exploded = scored.selectExpr(
+        "msw", f"explode(array({pairs})) AS p"
+    ).selectExpr("msw", "p.*")
+    return exploded.selectExpr(
+        "g_a", "g_b", "n_a", "n_b", "s_a", "s_b",
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+        " CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_diff",
+        "CASE WHEN n_a = 0 OR n_b = 0 OR msw IS NULL OR msw <= 0.0"
+        " THEN NULL ELSE"
+        " (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt(msw * (1.0 / CAST(n_a AS DOUBLE)"
+        " + 1.0 / CAST(n_b AS DOUBLE))) END AS z_pair",
+        "CASE WHEN n_a = 0 OR n_b = 0 OR msw IS NULL OR msw <= 0.0"
+        " THEN NULL ELSE"
+        " ABS((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt(msw * (1.0 / CAST(n_a AS DOUBLE)"
+        f" + 1.0 / CAST(n_b AS DOUBLE)))) > {POSTHOC_Z_CRIT}"
+        " END AS reject_bonf",
+    ).orderBy("g_a", "g_b")
+
+
+def _sql_posthoc() -> str:
+    sb, s, k = _anova_fixed_terms()
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
+        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i}"
+        for i, g in enumerate(ANOVA_GROUPS, 1)
+    )
+    pairs = ", ".join(
+        f"{{'g_a': '{ga}', 'g_b': '{gb}',"
+        f" 'n_a': n{i}, 'n_b': n{j},"
+        f" 's_a': CAST(s{i} AS BIGINT), 's_b': CAST(s{j} AS BIGINT)}}"
+        for i, ga in enumerate(ANOVA_GROUPS, 1)
+        for j, gb in enumerate(ANOVA_GROUPS, 1)
+        if i < j
+    )
+    return f"""
+  WITH vals AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  agg AS (
+    SELECT COUNT(*) AS n, SUM(v * v) AS sq,
+           {cases}
+    FROM vals
+  ),
+  scored AS (
+    SELECT *,
+           ((CAST(sq AS DOUBLE) - (({s}) / n) * ({s}))
+            - (({sb}) - (({s}) / n) * ({s}))) AS ssw,
+           CAST({k} AS BIGINT) AS k
+    FROM agg
+  ),
+  mswed AS (
+    SELECT *,
+           CASE WHEN n > k THEN ssw / (n - k) ELSE NULL END AS msw
+    FROM scored
+  ),
+  exploded AS (
+    SELECT msw, UNNEST([{pairs}], recursive := true)
+    FROM mswed
+  )
+  SELECT g_a, g_b, n_a, n_b, s_a, s_b,
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_diff,
+         CASE WHEN n_a = 0 OR n_b = 0 OR msw IS NULL OR msw <= 0.0
+           THEN NULL ELSE
+           (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(msw * (1.0 / CAST(n_a AS DOUBLE)
+           + 1.0 / CAST(n_b AS DOUBLE))) END AS z_pair,
+         CASE WHEN n_a = 0 OR n_b = 0 OR msw IS NULL OR msw <= 0.0
+           THEN NULL ELSE
+           ABS((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(msw * (1.0 / CAST(n_a AS DOUBLE)
+           + 1.0 / CAST(n_b AS DOUBLE)))) > {POSTHOC_Z_CRIT}
+         END AS reject_bonf
+  FROM exploded ORDER BY g_a, g_b
+"""
+
+
+ORACLE["q_posthoc_pairs"] = _sql_posthoc()

@@ -1383,3 +1383,181 @@ ORACLE["q_capture_recapture"] = f"""
               AS BIGINT) AS coverage_ppm
   FROM agg
 """
+
+
+# -- CUPED variance-reduced experiment readout --------------------------------------
+
+CUPED_PRE_Y = 1997   # pre-period covariate year
+CUPED_POST_Y = 1998  # experiment (post) year
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout of customer revenue: the post-period
+    treatment/control revenue difference with each customer's
+    PRE-period revenue regressed out (θ = cov(pre, post)/var(pre),
+    adjusted post = post − θ·(pre − mean(pre))) — the standard
+    variance-reduction device that makes an experiment readable at a
+    fraction of the sample, and the natural third panel next to
+    q_ab_test (raw proportions) and q_did (trend netting).  Variant =
+    ``c_custkey % 2`` (the q_ab_test split convention).
+
+    Exactness: the per-customer (treat, pre, post) cent grid is the
+    state (both sums plain-add monoids keyed by customer —
+    ``stream_cuped`` maintains it live); θ closes as ONE double
+    division of two exact DECIMAL(38)/HUGEINT cross-moment integers
+    (N·Σxy − Σx·Σy over N·Σx² − Σx·Σx), and the adjusted difference
+    and variance-reduction ratio are fixed-order double expressions
+    over exact integers — byte-identical on both engines.
+
+    Scale shape: ONE filtered scan of orders, ONE partial-aggregated
+    groupBy to |customers with a pre/post order| rows, ONE 1-row
+    moment aggregate.  No windows, no joins.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's causal family.
+    """
+    return cuped_report(cuped_state(load_table(spark, sf_dir, "orders")))
+
+
+def cuped_state(orders: DataFrame) -> DataFrame:
+    """The per-customer (treat, pre_c, post_c) cent grid over the two
+    experiment years — per-key plain-sum monoids (late chunks add
+    in).  Shared by ``q_cuped`` and ``streaming.stateful
+    .stream_cuped``."""
+    return (
+        orders.filter(
+            F.expr(
+                f"year(o_orderdate) IN ({CUPED_PRE_Y}, {CUPED_POST_Y})"
+            )
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"cast(case when year(o_orderdate) = {CUPED_PRE_Y}"
+                    f" then floor(o_totalprice * {SCALE} + 0.5)"
+                    " else 0 end as bigint)"
+                )
+            ).alias("pre_c"),
+            F.sum(
+                F.expr(
+                    f"cast(case when year(o_orderdate) = {CUPED_POST_Y}"
+                    f" then floor(o_totalprice * {SCALE} + 0.5)"
+                    " else 0 end as bigint)"
+                )
+            ).alias("post_c"),
+        )
+        .select(
+            F.expr("cast(o_custkey % 2 as int)").alias("treat"),
+            "pre_c",
+            "post_c",
+        )
+    )
+
+
+def cuped_report(state: DataFrame) -> DataFrame:
+    """Close the CUPED panel over any (treat, pre_c, post_c) grid.
+    Degenerate grids (one arm empty, or zero pre-period variance —
+    possible mid-stream, never on the gated tables) yield NULL
+    ratios, not an ANSI divide-by-zero crash."""
+    agg = state.agg(
+        F.sum(F.expr("cast(treat = 0 as bigint)")).alias("n0"),
+        F.sum(F.expr("cast(treat = 1 as bigint)")).alias("n1"),
+        F.sum(F.expr("case when treat = 0 then pre_c else 0 end")).alias("pre0_c"),
+        F.sum(F.expr("case when treat = 1 then pre_c else 0 end")).alias("pre1_c"),
+        F.sum(F.expr("case when treat = 0 then post_c else 0 end")).alias("post0_c"),
+        F.sum(F.expr("case when treat = 1 then post_c else 0 end")).alias("post1_c"),
+        F.sum(F.expr("cast(pre_c as decimal(38,0)) * pre_c")).alias("sp2"),
+        F.sum(F.expr("cast(pre_c as decimal(38,0)) * post_c")).alias("spp"),
+        F.sum(F.expr("cast(post_c as decimal(38,0)) * post_c")).alias("so2"),
+    )
+    # exact integer cross-moments first (DECIMAL(38)/HUGEINT), then θ
+    # as ONE double division and fixed-order double arithmetic after
+    mid = agg.selectExpr(
+        "n0", "n1", "pre0_c", "pre1_c", "post0_c", "post1_c",
+        "spp * (n0 + n1)"
+        " - CAST(pre0_c + pre1_c AS DECIMAL(38,0)) * (post0_c + post1_c)"
+        " AS cov_n",
+        "sp2 * (n0 + n1)"
+        " - CAST(pre0_c + pre1_c AS DECIMAL(38,0)) * (pre0_c + pre1_c)"
+        " AS varp_n",
+        "so2 * (n0 + n1)"
+        " - CAST(post0_c + post1_c AS DECIMAL(38,0)) * (post0_c + post1_c)"
+        " AS varo_n",
+    )
+    return mid.selectExpr(
+        "n0", "n1", "pre0_c", "pre1_c", "post0_c", "post1_c",
+        "CASE WHEN n0 = 0 OR n1 = 0 OR varp_n = 0 THEN NULL ELSE"
+        " CAST(cov_n AS DOUBLE) / CAST(varp_n AS DOUBLE) END AS theta",
+        "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE"
+        " CAST(post1_c AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(post0_c AS DOUBLE) / CAST(n0 AS DOUBLE) END AS raw_diff",
+        "CASE WHEN n0 = 0 OR n1 = 0 OR varp_n = 0 THEN NULL ELSE"
+        " (CAST(post1_c AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(post0_c AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " - (CAST(cov_n AS DOUBLE) / CAST(varp_n AS DOUBLE))"
+        " * (CAST(pre1_c AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(pre0_c AS DOUBLE) / CAST(n0 AS DOUBLE)) END AS cuped_diff",
+        "CASE WHEN varp_n = 0 OR varo_n = 0 THEN NULL ELSE"
+        " (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))"
+        " / (CAST(varp_n AS DOUBLE) * CAST(varo_n AS DOUBLE))"
+        " END AS var_reduction",
+    )
+
+
+ORACLE["q_cuped"] = f"""
+  WITH state AS (
+    SELECT o_custkey % 2 AS treat,
+           CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = {CUPED_PRE_Y}
+                    THEN CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pre_c,
+           CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = {CUPED_POST_Y}
+                    THEN CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS post_c
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN ({CUPED_PRE_Y}, {CUPED_POST_Y})
+    GROUP BY o_custkey
+  ),
+  agg AS (
+    SELECT CAST(SUM(CAST(treat = 0 AS BIGINT)) AS BIGINT) AS n0,
+           CAST(SUM(CAST(treat = 1 AS BIGINT)) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN treat = 0 THEN pre_c ELSE 0 END) AS BIGINT) AS pre0_c,
+           CAST(SUM(CASE WHEN treat = 1 THEN pre_c ELSE 0 END) AS BIGINT) AS pre1_c,
+           CAST(SUM(CASE WHEN treat = 0 THEN post_c ELSE 0 END) AS BIGINT) AS post0_c,
+           CAST(SUM(CASE WHEN treat = 1 THEN post_c ELSE 0 END) AS BIGINT) AS post1_c,
+           SUM(CAST(pre_c AS HUGEINT) * pre_c) AS sp2,
+           SUM(CAST(pre_c AS HUGEINT) * post_c) AS spp,
+           SUM(CAST(post_c AS HUGEINT) * post_c) AS so2
+    FROM state
+  ),
+  mid AS (
+    SELECT n0, n1, pre0_c, pre1_c, post0_c, post1_c,
+           spp * (n0 + n1)
+             - CAST(pre0_c + pre1_c AS HUGEINT) * (post0_c + post1_c)
+             AS cov_n,
+           sp2 * (n0 + n1)
+             - CAST(pre0_c + pre1_c AS HUGEINT) * (pre0_c + pre1_c)
+             AS varp_n,
+           so2 * (n0 + n1)
+             - CAST(post0_c + post1_c AS HUGEINT) * (post0_c + post1_c)
+             AS varo_n
+    FROM agg
+  )
+  SELECT n0, n1, pre0_c, pre1_c, post0_c, post1_c,
+         CASE WHEN n0 = 0 OR n1 = 0 OR varp_n = 0 THEN NULL ELSE
+           CAST(cov_n AS DOUBLE) / CAST(varp_n AS DOUBLE) END AS theta,
+         CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE
+           CAST(post1_c AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(post0_c AS DOUBLE) / CAST(n0 AS DOUBLE) END AS raw_diff,
+         CASE WHEN n0 = 0 OR n1 = 0 OR varp_n = 0 THEN NULL ELSE
+           (CAST(post1_c AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(post0_c AS DOUBLE) / CAST(n0 AS DOUBLE))
+           - (CAST(cov_n AS DOUBLE) / CAST(varp_n AS DOUBLE))
+           * (CAST(pre1_c AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(pre0_c AS DOUBLE) / CAST(n0 AS DOUBLE)) END AS cuped_diff,
+         CASE WHEN varp_n = 0 OR varo_n = 0 THEN NULL ELSE
+           (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
+           / (CAST(varp_n AS DOUBLE) * CAST(varo_n AS DOUBLE))
+           END AS var_reduction
+  FROM mid
+"""
