@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q_capture_recapture",
     "q_cuped",
     "q_posthoc_pairs",
+    "q_attribution_shapley",
+    "q_sprt",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -2331,3 +2331,201 @@ ORACLE["q_attribution_decay"] = f"""
   FROM per_type pt JOIN totals t ON pt.purchase_id = t.purchase_id
   GROUP BY 1 ORDER BY 1
 """
+
+
+# -- exact Shapley channel attribution ---------------------------------------------
+
+# Ordered channel list → bit i of the per-user touch mask.  k = 4
+# keeps the coalition lattice at 2⁴ = 16 rows — bounded forever.
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+# |S|!·(k−1−|S|)! for |S| = 0..3 (k = 4): the Shapley weight scaled
+# by k! = 24 so every φ stays an exact integer.
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+_SHAPLEY_KFACT = 24
+
+
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    gold standard the linear/decay/Markov panels approximate: each
+    channel's credit is its average marginal contribution to the
+    conversion count over every ordering of the channel set, computed
+    in closed form over the coalition lattice.
+
+    Construction: per user, ONE groupBy derives the first-purchase
+    time and each channel's first-touch time; the user's MASK sets
+    bit i iff channel i was touched before the first purchase (all
+    touches count for never-converters), conv = purchased.  The
+    |2^k|-row mask grid (users, convs per mask) is the sufficient
+    state — per-mask plain-sum monoids (``stream_shapley`` maintains
+    it live).  v(S) = converters reachable through S = Σ convs over
+    masks ⊆ S (mask|S = S) — a 16×16 bounded zeta transform;
+    φ_i·k! = Σ_{{S∌i}} |S|!(k−1−|S|)!·(v(S∪i) − v(S)) closes as exact
+    integer arithmetic (weights are literals), and the efficiency
+    identity Σφ = v(full) − v(∅) is pytest-asserted.
+
+    Scale shape: the ONLY data-sized work is the one per-user
+    conditional aggregate (|events| scan → |users| rows → 16-row
+    grid); the lattice joins are constant-sized broadcasts.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's attribution family
+    (events_ext.py:q_attribution_linear / _decay / _markov).
+    """
+    return shapley_report(
+        shapley_state(load_table(spark, sf_dir, "events")), spark
+    )
+
+
+def shapley_state(events: DataFrame) -> DataFrame:
+    """The (mask, users, convs) coalition grid — 2^k rows forever,
+    per-mask plain-sum monoids.  NOTE for streaming: the per-user
+    mask/conv row is itself a (min, OR) merge, so the live maintainer
+    keys on user and re-grids (the mcnemar_state device)."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.expr(
+                f"case when event_type = 'purchase' then {sql_epoch_us(events, 'ts')} end"
+            )
+        ).alias("conv_us"),
+        *[
+            F.min(
+                F.expr(
+                    f"case when event_type = '{ch}' then {sql_epoch_us(events, 'ts')} end"
+                )
+            ).alias(f"t{i}_us")
+            for i, ch in enumerate(SHAPLEY_CHANNELS)
+        ],
+    )
+    mask_expr = " + ".join(
+        f"(case when t{i}_us is not null"
+        f" and (conv_us is null or t{i}_us < conv_us)"
+        f" then {1 << i} else 0 end)"
+        for i in range(len(SHAPLEY_CHANNELS))
+    )
+    return (
+        per_user.select(
+            F.expr(f"cast({mask_expr} as int)").alias("mask"),
+            F.expr("cast(conv_us is not null as bigint)").alias("conv"),
+        )
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("conv").alias("convs"),
+        )
+    )
+
+
+def shapley_report(grid: DataFrame, spark: SparkSession) -> DataFrame:
+    """Close the per-channel Shapley panel over any (mask, users,
+    convs) coalition grid."""
+    k = len(SHAPLEY_CHANNELS)
+    n_masks = 1 << k
+    # v(S): zeta transform over the bounded lattice (broadcast join)
+    subsets = spark.range(n_masks).select(F.col("id").cast("int").alias("s"))
+    v = (
+        F.broadcast(grid)
+        .crossJoin(subsets)
+        .filter(F.expr("(mask | s) = s"))
+        .groupBy("s")
+        .agg(F.sum("convs").alias("v"))
+    )
+    w_case = "CASE bit_count(s) " + " ".join(
+        f"WHEN {sz} THEN {w}" for sz, w in _SHAPLEY_W.items()
+    ) + " END"
+    channels = spark.createDataFrame(
+        [(ch, 1 << i) for i, ch in enumerate(SHAPLEY_CHANNELS)],
+        "channel string, bit int",
+    )
+    marginal = (
+        F.broadcast(channels)
+        .crossJoin(v.select("s", "v"))
+        .filter(F.expr("(s & bit) = 0"))
+        .join(
+            v.select(F.col("s").alias("s2"), F.col("v").alias("v2")),
+            F.expr("s2 = (s | bit)"),
+        )
+        .groupBy("channel")
+        .agg(F.sum(F.expr(f"({w_case}) * (v2 - v)")).alias("phi_x24"))
+    )
+    totals = (
+        v.filter(F.expr(f"s = {n_masks - 1}"))
+        .select(F.col("v").alias("v_full"))
+        .crossJoin(
+            v.filter(F.expr("s = 0")).select(F.col("v").alias("v_empty"))
+        )
+    )
+    return (
+        marginal.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "channel",
+            "cast(phi_x24 as bigint) AS phi_x24",
+            "v_full",
+            "v_empty",
+            "cast(cast(phi_x24 as decimal(38,0)) * 1000000"
+            f" div greatest({_SHAPLEY_KFACT} * (v_full - v_empty), 1)"
+            " as bigint) AS share_ppm",
+        )
+        .orderBy("channel")
+    )
+
+
+def _sql_shapley() -> str:
+    k = len(SHAPLEY_CHANNELS)
+    n_masks = 1 << k
+    mins = ",\n           ".join(
+        f"MIN(CASE WHEN event_type = '{ch}' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t{i}_us"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    mask_expr = " + ".join(
+        f"(CASE WHEN t{i}_us IS NOT NULL"
+        f" AND (conv_us IS NULL OR t{i}_us < conv_us)"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(k)
+    )
+    w_case = "CASE bit_count(v.s) " + " ".join(
+        f"WHEN {sz} THEN {w}" for sz, w in _SHAPLEY_W.items()
+    ) + " END"
+    chans = ", ".join(
+        f"('{ch}', {1 << i})" for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    return f"""
+  WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS conv_us,
+           {mins}
+    FROM events GROUP BY 1
+  ),
+  grid AS (
+    SELECT CAST({mask_expr} AS INT) AS mask,
+           COUNT(*) AS users,
+           CAST(SUM(CAST(conv_us IS NOT NULL AS BIGINT)) AS BIGINT) AS convs
+    FROM per_user GROUP BY 1
+  ),
+  v AS (
+    SELECT t.s, CAST(SUM(g.convs) AS BIGINT) AS v
+    FROM range({n_masks}) AS t(s) JOIN grid g ON (g.mask | t.s) = t.s
+    GROUP BY 1
+  ),
+  channels AS (SELECT * FROM (VALUES {chans}) AS c(channel, bit)),
+  marginal AS (
+    SELECT c.channel,
+           CAST(SUM(({w_case}) * (v2.v - v.v)) AS BIGINT) AS phi_x24
+    FROM channels c
+    JOIN v ON (v.s & c.bit) = 0
+    JOIN v v2 ON v2.s = (v.s | c.bit)
+    GROUP BY 1
+  ),
+  totals AS (
+    SELECT (SELECT v FROM v WHERE s = {n_masks - 1}) AS v_full,
+           (SELECT v FROM v WHERE s = 0) AS v_empty
+  )
+  SELECT channel, phi_x24, v_full, v_empty,
+         CAST(CAST(phi_x24 AS HUGEINT) * 1000000
+              // GREATEST({_SHAPLEY_KFACT} * (v_full - v_empty), 1)
+              AS BIGINT) AS share_ppm
+  FROM marginal, totals ORDER BY channel
+"""
+
+
+ORACLE["q_attribution_shapley"] = _sql_shapley()

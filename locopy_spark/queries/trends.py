@@ -1561,3 +1561,135 @@ ORACLE["q_cuped"] = f"""
            END AS var_reduction
   FROM mid
 """
+
+
+# -- sequential probability ratio test (SPRT) ---------------------------------------
+
+# Wald SPRT design constants: H0 p=0.15 vs H1 p=0.25 daily purchase
+# conversion, α = β = 0.05.  The per-observation log-likelihood
+# increments and the decision bounds are EMBEDDED as integer-ppb
+# literals (math.log evaluated once, offline) so NEITHER engine calls
+# a log function — cumulative LLR stays exact integer arithmetic.
+SPRT_A_PPB = 510825624        # round(1e9·ln(p1/p0)) per conversion
+SPRT_B_PPB = -125163143       # round(1e9·ln((1−p1)/(1−p0))) per miss
+SPRT_UP_PPB = 2944438979      # round(1e9·ln((1−β)/α)) → accept H1
+SPRT_DN_PPB = -2944438979     # round(1e9·ln(β/(1−α))) → accept H0
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over the experiment
+    variant's daily purchase conversion — the always-valid sequential
+    monitor that says, day by day, whether the evidence has crossed
+    the accept-H1 / accept-H0 boundary or the test must continue: the
+    peeking-safe companion to q_ab_test's fixed-horizon z (peeking at
+    a z-test inflates false positives; the SPRT's thresholds are
+    valid at EVERY look).
+
+    Exactness: the state is the per-(day, user) activity grid of the
+    variant-1 arm with an OR-monoid converted flag (idempotent —
+    ``stream_sprt`` maintains it live); daily (n, x) counts collapse
+    from the grid, each day's LLR increment x·A + (n−x)·B is exact
+    integer ppb (A, B literal constants), and the cumulative LLR is
+    one range-partitioned prefix sum over the |days|-bounded
+    aggregate (operators.ranking.global_running_sum — no
+    one-partition window).  The decision column is a pure integer
+    comparison against the literal Wald bounds.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's experimentation family.
+    """
+    return sprt_report(sprt_state(load_table(spark, sf_dir, "events")))
+
+
+def sprt_state(events: DataFrame) -> DataFrame:
+    """The per-(day, user) variant-1 activity grid with converted
+    flag — an idempotent (SET, OR) monoid bounded by |users × days|.
+    Shared by ``q_sprt`` and ``streaming.stateful.stream_sprt``."""
+    day = sql_epoch_day(events, "ts")
+    return (
+        events.filter("user_id % 2 = 1")
+        .select(
+            F.expr(f"cast({day} as int)").alias("day"),
+            "user_id",
+            F.expr("cast(event_type = 'purchase' as int)").alias("conv"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.max("conv").alias("conv"))
+    )
+
+
+def sprt_report(grid: DataFrame) -> DataFrame:
+    """Close the sequential monitor over any (day, user_id, conv)
+    activity grid."""
+    from locopy_spark.operators.ranking import global_running_sum
+
+    daily = grid.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    ).select(
+        "day",
+        "n_users",
+        "n_conv",
+        F.expr(
+            f"n_conv * {SPRT_A_PPB} + (n_users - n_conv)"
+            f" * cast({SPRT_B_PPB} as bigint)"
+        ).alias("llr_ppb"),
+    )
+    cum = global_running_sum(
+        daily, order_cols=["day"], value_col="llr_ppb", out_col="pre"
+    )
+    return (
+        cum.select(
+            "day",
+            "n_users",
+            "n_conv",
+            "llr_ppb",
+            F.expr("pre + llr_ppb").alias("cum_llr_ppb"),
+        )
+        .selectExpr(
+            "day",
+            "n_users",
+            "n_conv",
+            "llr_ppb",
+            "cum_llr_ppb",
+            f"CASE WHEN cum_llr_ppb >= {SPRT_UP_PPB} THEN 'accept_h1'"
+            f" WHEN cum_llr_ppb <= {SPRT_DN_PPB} THEN 'accept_h0'"
+            " ELSE 'continue' END AS decision",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q_sprt"] = f"""
+  WITH grid AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           user_id,
+           MAX(CAST(event_type = 'purchase' AS INT)) AS conv
+    FROM events WHERE user_id % 2 = 1
+    GROUP BY 1, 2
+  ),
+  daily AS (
+    SELECT day, COUNT(*) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_conv
+    FROM grid GROUP BY 1
+  ),
+  scored AS (
+    SELECT day, n_users, n_conv,
+           n_conv * {SPRT_A_PPB}
+             + (n_users - n_conv) * CAST({SPRT_B_PPB} AS BIGINT) AS llr_ppb
+    FROM daily
+  ),
+  cum AS (
+    SELECT day, n_users, n_conv, llr_ppb,
+           CAST(SUM(llr_ppb) OVER (
+             ORDER BY day ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_llr_ppb
+    FROM scored
+  )
+  SELECT day, CAST(n_users AS BIGINT) AS n_users, n_conv, llr_ppb,
+         cum_llr_ppb,
+         CASE WHEN cum_llr_ppb >= {SPRT_UP_PPB} THEN 'accept_h1'
+              WHEN cum_llr_ppb <= {SPRT_DN_PPB} THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+  FROM cum ORDER BY day
+"""
