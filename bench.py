@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "q_posthoc_pairs",
     "q_attribution_shapley",
     "q_sprt",
+    "q_bass_diffusion",
+    "q_loyalty_migration",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

@@ -1742,3 +1742,246 @@ ORACLE["q_growth_accounting"] = """
   FROM flows FULL OUTER JOIN churn USING (wi)
   ORDER BY week_start_day
 """
+
+
+# -- Bass diffusion fit --------------------------------------------------------------
+
+
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Bass diffusion fit of customer adoption: weekly FIRST
+    purchases N_t regressed on cumulative adopters, N_t = a + b·C_{t−1}
+    + c·C²_{t−1}, giving the innovation coefficient p, imitation
+    coefficient q, and market-size estimate m̂ — the canonical
+    product-diffusion read (is growth word-of-mouth driven? where is
+    saturation?) next to q_growth_accounting's descriptive flows.
+
+    Exactness: the state is the per-customer first-order week (an
+    idempotent MIN monoid — ``stream_bass`` maintains it live)
+    collapsed to the |weeks|-bounded adopters grid, gap-filled over
+    the observed span (zero-adopter weeks are real observations);
+    C_{t−1} is one range-partitioned exclusive prefix sum, the seven
+    normal-equation power sums accumulate in DECIMAL(38)/HUGEINT
+    (exact while C⁴·weeks < 10³⁸ — beyond 10⁸ adopters the x⁴ column
+    saturates both engines identically wide), and the Cramer
+    determinants + root close as fixed-order double expressions with
+    sqrt (IEEE-exact) — byte-identical text on both engines;
+    degenerate grids yield NULL estimates.
+
+    Scale shape: ONE partial-aggregated groupBy to |customers| first
+    weeks, ONE to the |weeks| grid; everything after is bounded.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's forecasting family
+    (q_holt_winters / q_croston / q_mase).
+    """
+    return bass_report(bass_state(load_table(spark, sf_dir, "orders")), spark)
+
+
+def bass_state(orders: DataFrame) -> DataFrame:
+    """The per-week adopters grid (wi, adopters) from each customer's
+    FIRST order week — the per-customer MIN is the live state
+    (idempotent), the grid its bounded projection."""
+    day = sql_epoch_day(orders, "o_orderdate")
+    return (
+        orders.select(
+            "o_custkey",
+            F.expr(f"cast({day} as bigint)").alias("d"),
+        )
+        .select(
+            "o_custkey",
+            F.expr("cast((d - ((d % 7) + 7) % 7) div 7 as int)").alias("wi"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("wi").alias("first_wi"))
+        .groupBy(F.col("first_wi").alias("wi"))
+        .agg(F.count(F.lit(1)).alias("adopters"))
+    )
+
+
+def bass_report(grid: DataFrame, spark: SparkSession) -> DataFrame:
+    """Close the Bass fit over any (wi, adopters) adoption grid."""
+    from locopy_spark.operators.ranking import global_running_sum
+
+    span = grid.agg(
+        F.min("wi").alias("lo"), F.max("wi").alias("hi")
+    )
+    weeks = span.selectExpr("explode(sequence(lo, hi)) AS wi")
+    filled = (
+        weeks.join(grid, "wi", "left")
+        .selectExpr("wi", "coalesce(adopters, 0) AS n_t")
+    )
+    cum = global_running_sum(
+        filled, order_cols=["wi"], value_col="n_t", out_col="c_prev"
+    )
+    agg = cum.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.expr("cast(c_prev as decimal(38,0))")).alias("s1"),
+        F.sum(F.expr("cast(c_prev as decimal(38,0)) * c_prev")).alias("s2"),
+        F.sum(
+            F.expr("cast(c_prev as decimal(38,0)) * c_prev * c_prev")
+        ).alias("s3"),
+        F.sum(
+            F.expr(
+                "cast(cast(c_prev as decimal(38,0)) * c_prev as decimal(38,0))"
+                " * (cast(c_prev as decimal(38,0)) * c_prev)"
+            )
+        ).alias("s4"),
+        F.sum("n_t").alias("sy"),
+        F.sum(F.expr("cast(c_prev as decimal(38,0)) * n_t")).alias("sxy"),
+        F.sum(
+            F.expr("cast(c_prev as decimal(38,0)) * c_prev * n_t")
+        ).alias("sx2y"),
+    )
+    # Cramer's rule on the 3×3 normal equations in fixed-order doubles
+    # over the exact sums; then m̂ = larger root of c·m² + b·m + a = 0
+    # (the market size where adoption stops), p = a/m̂, q = b + p.
+    d_terms = {
+        "det": "(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+               " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+               " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+               " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+               " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+               " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))",
+        "det_a": "(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+                 " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+                 " - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+                 " - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))"
+                 " + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE)"
+                 " - CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE)))",
+        "det_b": "(CAST(s0 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+                 " - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))"
+                 " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+                 " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+                 " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE)"
+                 " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE)))",
+        "det_c": "(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE)"
+                 " - CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE))"
+                 " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE)"
+                 " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))"
+                 " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+                 " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))",
+    }
+    coef = agg.selectExpr(
+        "s0 AS n_weeks",
+        "sy AS total_adopters",
+        f"CASE WHEN {d_terms['det']} = 0.0 THEN NULL ELSE"
+        f" {d_terms['det_a']} / {d_terms['det']} END AS coef_a",
+        f"CASE WHEN {d_terms['det']} = 0.0 THEN NULL ELSE"
+        f" {d_terms['det_b']} / {d_terms['det']} END AS coef_b",
+        f"CASE WHEN {d_terms['det']} = 0.0 THEN NULL ELSE"
+        f" {d_terms['det_c']} / {d_terms['det']} END AS coef_c",
+    )
+    return coef.selectExpr(
+        "n_weeks",
+        "total_adopters",
+        "coef_a",
+        "coef_b",
+        "coef_c",
+        "CASE WHEN coef_c IS NULL OR coef_c >= 0.0"
+        " OR coef_b * coef_b - 4.0 * coef_c * coef_a < 0.0 THEN NULL ELSE"
+        " (-coef_b - sqrt(coef_b * coef_b - 4.0 * coef_c * coef_a))"
+        " / (2.0 * coef_c) END AS m_hat",
+    ).selectExpr(
+        "n_weeks",
+        "total_adopters",
+        "coef_a",
+        "coef_b",
+        "coef_c",
+        "m_hat",
+        "CASE WHEN m_hat IS NULL OR m_hat = 0.0 THEN NULL ELSE"
+        " coef_a / m_hat END AS p_hat",
+        "CASE WHEN m_hat IS NULL OR m_hat = 0.0 THEN NULL ELSE"
+        " coef_b + coef_a / m_hat END AS q_hat",
+    )
+
+
+def _sql_bass() -> str:
+    det = ("(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+           " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+           " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+           " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+           " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+           " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))")
+    det_a = ("(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+             " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+             " - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+             " - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))"
+             " + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE)"
+             " - CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE)))")
+    det_b = ("(CAST(s0 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+             " - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))"
+             " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+             " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+             " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE)"
+             " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE)))")
+    det_c = ("(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE)"
+             " - CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE))"
+             " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE)"
+             " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))"
+             " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+             " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))")
+    return f"""
+  WITH firsts AS (
+    SELECT o_custkey,
+           MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7) AS wi
+    FROM orders GROUP BY 1
+  ),
+  grid AS (
+    SELECT wi, COUNT(*) AS adopters FROM firsts GROUP BY 1
+  ),
+  span AS (SELECT MIN(wi) AS lo, MAX(wi) AS hi FROM grid),
+  weeks AS (
+    SELECT UNNEST(range(lo, hi + 1)) AS wi FROM span
+  ),
+  filled AS (
+    SELECT w.wi, COALESCE(g.adopters, 0) AS n_t
+    FROM weeks w LEFT JOIN grid g ON w.wi = g.wi
+  ),
+  cum AS (
+    SELECT wi, n_t,
+           CAST(COALESCE(SUM(n_t) OVER (
+             ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS c_prev
+    FROM filled
+  ),
+  agg AS (
+    SELECT COUNT(*) AS s0,
+           SUM(CAST(c_prev AS HUGEINT)) AS s1,
+           SUM(CAST(c_prev AS HUGEINT) * c_prev) AS s2,
+           SUM(CAST(c_prev AS HUGEINT) * c_prev * c_prev) AS s3,
+           SUM((CAST(c_prev AS HUGEINT) * c_prev)
+               * (CAST(c_prev AS HUGEINT) * c_prev)) AS s4,
+           CAST(SUM(n_t) AS BIGINT) AS sy,
+           SUM(CAST(c_prev AS HUGEINT) * n_t) AS sxy,
+           SUM(CAST(c_prev AS HUGEINT) * c_prev * n_t) AS sx2y
+    FROM cum
+  ),
+  coef AS (
+    SELECT CAST(s0 AS BIGINT) AS n_weeks, sy AS total_adopters,
+           CASE WHEN {det} = 0.0 THEN NULL ELSE
+             {det_a} / {det} END AS coef_a,
+           CASE WHEN {det} = 0.0 THEN NULL ELSE
+             {det_b} / {det} END AS coef_b,
+           CASE WHEN {det} = 0.0 THEN NULL ELSE
+             {det_c} / {det} END AS coef_c
+    FROM agg
+  ),
+  rooted AS (
+    SELECT *,
+           CASE WHEN coef_c IS NULL OR coef_c >= 0.0
+             OR coef_b * coef_b - 4.0 * coef_c * coef_a < 0.0 THEN NULL ELSE
+             (-coef_b - sqrt(coef_b * coef_b - 4.0 * coef_c * coef_a))
+             / (2.0 * coef_c) END AS m_hat
+    FROM coef
+  )
+  SELECT n_weeks, total_adopters, coef_a, coef_b, coef_c, m_hat,
+         CASE WHEN m_hat IS NULL OR m_hat = 0.0 THEN NULL ELSE
+           coef_a / m_hat END AS p_hat,
+         CASE WHEN m_hat IS NULL OR m_hat = 0.0 THEN NULL ELSE
+           coef_b + coef_a / m_hat END AS q_hat
+  FROM rooted
+"""
+
+
+ORACLE["q_bass_diffusion"] = _sql_bass()

@@ -3450,3 +3450,145 @@ ORACLE["q_price_dispersion"] = f"""
          CAST(SUM(cv2_ppm) // COUNT(*) AS BIGINT) AS avg_cv2_ppm
   FROM cells GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- loyalty-tier migration matrix ---------------------------------------------------
+
+LOY_Y1, LOY_Y2 = 1997, 1998
+# Deterministic frequency tiers (orders in the year) — rule-based, not
+# quantile-based, so the per-customer year rows stay plain additive
+# monoids and the tier is a row-local CASE at close time.
+_LOY_TIER = (
+    "CASE WHEN {n} = 0 THEN 'none' WHEN {n} = 1 THEN 'one-time'"
+    " WHEN {n} <= 3 THEN 'repeat' ELSE 'loyal' END"
+)
+
+
+def q_loyalty_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loyalty-tier migration matrix {LOY_Y1} → {LOY_Y2}: every
+    customer active in either year classified by order frequency
+    (none / one-time / repeat / loyal) in EACH year, with the exact
+    revenue carried by every (from, to) cell — the customer-base flow
+    read (who upgraded, who lapsed, what revenue moved with them)
+    that q_new_vs_returning's binary split and q_growth_accounting's
+    weekly flows both coarsen away.
+
+    Exactness & streaming: the state is the per-customer (n1, rev1_c,
+    n2, rev2_c) year pair — ALL four columns plain-sum monoids keyed
+    by customer (``stream_loyalty`` maintains it live); tiers are
+    row-local CASE rules over the merged counts (rule-based, NOT
+    quantile-based, precisely so late chunks can keep adding), the
+    matrix is a ≤16-row bounded groupBy, and cell shares close as
+    exact ppm floor divisions off a 1-row broadcast total.
+
+    Scale shape: ONE filtered scan of orders, ONE partial-aggregated
+    groupBy to |active customers| rows, ONE bounded matrix aggregate.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's customer-analytics family
+    (q_rfm_segmentation / q_new_vs_returning / q_mcnemar).
+    """
+    return loyalty_report(
+        loyalty_state(load_table(spark, sf_dir, "orders"))
+    )
+
+
+def loyalty_state(orders: DataFrame) -> DataFrame:
+    """The per-customer (n1, rev1_c, n2, rev2_c) two-year activity
+    pair — plain-sum monoids keyed by customer."""
+    return (
+        orders.filter(
+            F.expr(f"year(o_orderdate) IN ({LOY_Y1}, {LOY_Y2})")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr(f"cast(year(o_orderdate) = {LOY_Y1} as bigint)")
+            ).alias("n1"),
+            F.sum(
+                F.expr(
+                    f"cast(case when year(o_orderdate) = {LOY_Y1}"
+                    f" then floor(o_totalprice * {SCALE} + 0.5)"
+                    " else 0 end as bigint)"
+                )
+            ).alias("rev1_c"),
+            F.sum(
+                F.expr(f"cast(year(o_orderdate) = {LOY_Y2} as bigint)")
+            ).alias("n2"),
+            F.sum(
+                F.expr(
+                    f"cast(case when year(o_orderdate) = {LOY_Y2}"
+                    f" then floor(o_totalprice * {SCALE} + 0.5)"
+                    " else 0 end as bigint)"
+                )
+            ).alias("rev2_c"),
+        )
+    )
+
+
+def loyalty_report(state: DataFrame) -> DataFrame:
+    """Close the migration matrix over any per-customer year pair."""
+    cells = (
+        state.select(
+            F.expr(_LOY_TIER.format(n="n1")).alias("tier_from"),
+            F.expr(_LOY_TIER.format(n="n2")).alias("tier_to"),
+            "rev1_c",
+            "rev2_c",
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev1_c").alias("rev_from_c"),
+            F.sum("rev2_c").alias("rev_to_c"),
+        )
+    )
+    tot = cells.agg(F.sum("n_customers").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "tier_from",
+            "tier_to",
+            "n_customers",
+            "rev_from_c",
+            "rev_to_c",
+            "cast(cast(n_customers as decimal(38,0)) * 1000000"
+            " div n_total as bigint) AS share_ppm",
+        )
+        .orderBy("tier_from", "tier_to")
+    )
+
+
+ORACLE["q_loyalty_migration"] = f"""
+  WITH state AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(year(CAST(o_orderdate AS DATE)) = {LOY_Y1}
+                    AS BIGINT)) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = {LOY_Y1}
+                    THEN CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS rev1_c,
+           CAST(SUM(CAST(year(CAST(o_orderdate AS DATE)) = {LOY_Y2}
+                    AS BIGINT)) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = {LOY_Y2}
+                    THEN CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS rev2_c
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN ({LOY_Y1}, {LOY_Y2})
+    GROUP BY o_custkey
+  ),
+  cells AS (
+    SELECT CASE WHEN n1 = 0 THEN 'none' WHEN n1 = 1 THEN 'one-time'
+                WHEN n1 <= 3 THEN 'repeat' ELSE 'loyal' END AS tier_from,
+           CASE WHEN n2 = 0 THEN 'none' WHEN n2 = 1 THEN 'one-time'
+                WHEN n2 <= 3 THEN 'repeat' ELSE 'loyal' END AS tier_to,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev1_c) AS BIGINT) AS rev_from_c,
+           CAST(SUM(rev2_c) AS BIGINT) AS rev_to_c
+    FROM state GROUP BY 1, 2
+  ),
+  tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS n_total FROM cells)
+  SELECT tier_from, tier_to, CAST(n_customers AS BIGINT) AS n_customers,
+         rev_from_c, rev_to_c,
+         CAST(CAST(n_customers AS HUGEINT) * 1000000 // n_total AS BIGINT)
+           AS share_ppm
+  FROM cells, tot ORDER BY tier_from, tier_to
+"""
