@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "q_sprt",
     "q_bass_diffusion",
     "q_loyalty_migration",
+    "q_ndr",
+    "q_funnel_sig",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

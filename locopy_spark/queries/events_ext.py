@@ -2529,3 +2529,136 @@ def _sql_shapley() -> str:
 
 
 ORACLE["q_attribution_shapley"] = _sql_shapley()
+
+
+# -- funnel stage-dropoff significance ----------------------------------------------
+
+
+def q_funnel_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-tests on each funnel transition, split by the
+    experiment variant (``user_id % 2`` — the q_ab_test convention):
+    did the variant move view→click, and click→purchase, conversion
+    significantly? — the per-STAGE significance read that q_ab_test's
+    single end-to-end proportion and q_events_funnel's raw counts
+    both leave open (a variant can help one transition and hurt the
+    next; the end-to-end z nets them out).
+
+    Exactness & streaming: the state is the per-user (variant,
+    first-view, first-click, first-purchase) conditional-min row — an
+    idempotent MIN monoid keyed by user (``stream_funnel_sig``
+    maintains it live); ordered stage flags (view < click <
+    purchase, the q_events_funnel ordering) collapse to ONE 1-row
+    conditional count aggregate, the two transition rows fan out
+    row-locally (literal struct array — no shuffle), and each z is
+    the repo's pooled two-proportion formula (identical text both
+    engines) over exact counts; degenerate cells yield NULL z.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's experimentation family
+    (q_ab_test / q_sprt / q_events_funnel).
+    """
+    return funnel_sig_report(
+        funnel_sig_state(load_table(spark, sf_dir, "events"))
+    )
+
+
+def funnel_sig_state(events: DataFrame) -> DataFrame:
+    """The per-user (variant, first_view_us, first_click_us,
+    first_purchase_us) conditional-min row — idempotent MIN monoids
+    keyed by user."""
+    t = epoch_us(events, "ts")
+    return events.groupBy("user_id").agg(
+        F.max(F.expr("cast(user_id % 2 as int)")).alias("variant"),
+        F.min(F.when(F.col("event_type") == "view", t)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("p_us"),
+    )
+
+
+def funnel_sig_report(state: DataFrame) -> DataFrame:
+    """Close the per-transition significance panel over any per-user
+    conditional-min state."""
+    from locopy_spark.queries.mining import _Z
+
+    agg = state.selectExpr(
+        "variant",
+        "cast(v_us is not null as bigint) AS s1",
+        "cast(v_us is not null and c_us is not null"
+        " and v_us < c_us as bigint) AS s2",
+        "cast(v_us is not null and c_us is not null and p_us is not null"
+        " and v_us < c_us and c_us < p_us as bigint) AS s3",
+    ).agg(
+        F.sum(F.expr("case when variant = 0 then s1 else 0 end")).alias("s1_0"),
+        F.sum(F.expr("case when variant = 1 then s1 else 0 end")).alias("s1_1"),
+        F.sum(F.expr("case when variant = 0 then s2 else 0 end")).alias("s2_0"),
+        F.sum(F.expr("case when variant = 1 then s2 else 0 end")).alias("s2_1"),
+        F.sum(F.expr("case when variant = 0 then s3 else 0 end")).alias("s3_0"),
+        F.sum(F.expr("case when variant = 1 then s3 else 0 end")).alias("s3_1"),
+    )
+    rows = agg.selectExpr(
+        "explode(array("
+        "struct('view->click' AS transition,"
+        " s1_0 AS n0, s2_0 AS c0, s1_1 AS n1, s2_1 AS c1),"
+        "struct('click->purchase' AS transition,"
+        " s2_0 AS n0, s3_0 AS c0, s2_1 AS n1, s3_1 AS c1)"
+        ")) AS r"
+    ).selectExpr("r.*")
+    z = _Z.format(n0="n0", n1="n1", c0="c0", c1="c1")
+    return rows.selectExpr(
+        "transition", "n0", "c0", "n1", "c1",
+        "CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0"
+        f" OR c0 + c1 = n0 + n1 THEN NULL ELSE {z} END AS z_score",
+    ).orderBy("transition")
+
+
+def _sql_funnel_sig() -> str:
+    from locopy_spark.queries.mining import _Z
+
+    z = _Z.format(n0="n0", n1="n1", c0="c0", c1="c1")
+    return f"""
+  WITH state AS (
+    SELECT user_id, MAX(user_id % 2) AS variant,
+           MIN(CASE WHEN event_type = 'view'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us,
+           MIN(CASE WHEN event_type = 'click'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c_us,
+           MIN(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+    FROM events GROUP BY 1
+  ),
+  flags AS (
+    SELECT variant,
+           CAST(v_us IS NOT NULL AS BIGINT) AS s1,
+           CAST(v_us IS NOT NULL AND c_us IS NOT NULL
+                AND v_us < c_us AS BIGINT) AS s2,
+           CAST(v_us IS NOT NULL AND c_us IS NOT NULL AND p_us IS NOT NULL
+                AND v_us < c_us AND c_us < p_us AS BIGINT) AS s3
+    FROM state
+  ),
+  agg AS (
+    SELECT
+      CAST(SUM(CASE WHEN variant = 0 THEN s1 ELSE 0 END) AS BIGINT) AS s1_0,
+      CAST(SUM(CASE WHEN variant = 1 THEN s1 ELSE 0 END) AS BIGINT) AS s1_1,
+      CAST(SUM(CASE WHEN variant = 0 THEN s2 ELSE 0 END) AS BIGINT) AS s2_0,
+      CAST(SUM(CASE WHEN variant = 1 THEN s2 ELSE 0 END) AS BIGINT) AS s2_1,
+      CAST(SUM(CASE WHEN variant = 0 THEN s3 ELSE 0 END) AS BIGINT) AS s3_0,
+      CAST(SUM(CASE WHEN variant = 1 THEN s3 ELSE 0 END) AS BIGINT) AS s3_1
+    FROM flags
+  ),
+  rows_ AS (
+    SELECT UNNEST([
+      {{'transition': 'view->click',
+        'n0': s1_0, 'c0': s2_0, 'n1': s1_1, 'c1': s2_1}},
+      {{'transition': 'click->purchase',
+        'n0': s2_0, 'c0': s3_0, 'n1': s2_1, 'c1': s3_1}}
+    ], recursive := true)
+    FROM agg
+  )
+  SELECT transition, n0, c0, n1, c1,
+         CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
+           OR c0 + c1 = n0 + n1 THEN NULL ELSE {z} END AS z_score
+  FROM rows_ ORDER BY transition
+"""
+
+
+ORACLE["q_funnel_sig"] = _sql_funnel_sig()

@@ -1985,3 +1985,114 @@ def _sql_bass() -> str:
 
 
 ORACLE["q_bass_diffusion"] = _sql_bass()
+
+
+# -- net dollar retention ------------------------------------------------------------
+
+
+def q_ndr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net dollar retention by year: for each year's active customer
+    cohort, the exact revenue THE SAME customers produced the next
+    year, as a ppm ratio — the SaaS-standard expansion/contraction/
+    churn net (NDR > 1e6 means existing customers alone grew revenue)
+    plus logo retention, the count companion.  The revenue-weighted
+    complement of q_growth_accounting's user flows and q_cohort_ltv's
+    cumulative curves.
+
+    Exactness & streaming: the state is the per-(customer, year)
+    revenue-cent grid — ONE partial-aggregated groupBy, a plain-sum
+    monoid keyed by (customer, year) that ``stream_ndr`` maintains
+    live; the finisher self-joins the grid on (customer, year+1)
+    (grid-sized equi-join, co-partitioned on the customer key) and
+    closes per-year ratios as exact floor divisions widened through
+    DECIMAL(38)/HUGEINT.  The final observed year has no next-year
+    data and is excluded by the |years|-bounded horizon guard.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's engagement family.
+    """
+    return ndr_report(ndr_state(load_table(spark, sf_dir, "orders")))
+
+
+def ndr_state(orders: DataFrame) -> DataFrame:
+    """The per-(customer, year) revenue-cent grid — a plain-sum
+    monoid.  Shared by ``q_ndr`` and ``streaming.stateful
+    .stream_ndr``."""
+    return (
+        orders.select(
+            "o_custkey",
+            F.expr("year(o_orderdate)").alias("yr"),
+            F.expr(
+                f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+            ).alias("rev_c"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+
+
+def ndr_report(grid: DataFrame) -> DataFrame:
+    """Close the per-year NDR panel over any (o_custkey, yr, rev_c)
+    grid."""
+    nxt = grid.select(
+        "o_custkey",
+        F.expr("yr - 1").alias("yr"),
+        F.col("rev_c").alias("rev_next_c"),
+    )
+    joined = grid.join(nxt, ["o_custkey", "yr"], "left")
+    horizon = grid.agg(F.max("yr").alias("max_yr"))
+    per_year = (
+        joined.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(
+                F.expr("cast(rev_next_c is not null as bigint)")
+            ).alias("n_retained"),
+            F.sum("rev_c").alias("rev_base_c"),
+            F.sum(F.expr("coalesce(rev_next_c, 0)")).alias("rev_next_c"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .filter("yr < max_yr")
+    )
+    return per_year.selectExpr(
+        "yr",
+        "n_base",
+        "n_retained",
+        "rev_base_c",
+        "rev_next_c",
+        "cast(cast(rev_next_c as decimal(38,0)) * 1000000"
+        " div greatest(rev_base_c, 1) as bigint) AS ndr_ppm",
+        "cast(cast(n_retained as decimal(38,0)) * 1000000"
+        " div greatest(n_base, 1) as bigint) AS logo_ppm",
+    ).orderBy("yr")
+
+
+ORACLE["q_ndr"] = f"""
+  WITH grid AS (
+    SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+           CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1, 2
+  ),
+  joined AS (
+    SELECT g.yr, g.rev_c, n.rev_c AS rev_next_c
+    FROM grid g LEFT JOIN grid n
+      ON n.o_custkey = g.o_custkey AND n.yr = g.yr + 1
+  ),
+  horizon AS (SELECT MAX(yr) AS max_yr FROM grid),
+  per_year AS (
+    SELECT yr, COUNT(*) AS n_base,
+           CAST(SUM(CAST(rev_next_c IS NOT NULL AS BIGINT)) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_base_c,
+           CAST(SUM(COALESCE(rev_next_c, 0)) AS BIGINT) AS rev_next_c
+    FROM joined, horizon WHERE yr < max_yr GROUP BY yr
+  )
+  SELECT CAST(yr AS BIGINT) AS yr, CAST(n_base AS BIGINT) AS n_base,
+         n_retained, rev_base_c, rev_next_c,
+         CAST(CAST(rev_next_c AS HUGEINT) * 1000000
+              // GREATEST(rev_base_c, 1) AS BIGINT) AS ndr_ppm,
+         CAST(CAST(n_retained AS HUGEINT) * 1000000
+              // GREATEST(n_base, 1) AS BIGINT) AS logo_ppm
+  FROM per_year ORDER BY yr
+"""
