@@ -2378,9 +2378,17 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shapley_state(events: DataFrame) -> DataFrame:
     """The (mask, users, convs) coalition grid — 2^k rows forever,
-    per-mask plain-sum monoids.  NOTE for streaming: the per-user
-    mask/conv row is itself a (min, OR) merge, so the live maintainer
-    keys on user and re-grids (the mcnemar_state device)."""
+    per-mask plain-sum monoids.  The per-user first-touch row is
+    itself an idempotent MIN merge, so the live maintainer
+    (``stream_shapley``) keys on user over ``shapley_user_state`` and
+    re-grids at read time via ``shapley_grid``."""
+    return shapley_grid(shapley_user_state(events))
+
+
+def shapley_user_state(events: DataFrame) -> DataFrame:
+    """The KEYED per-user (conv_us, t{{i}}_us) first-touch row — all
+    columns idempotent MIN monoids (null = never touched; MIN ignores
+    nulls, so out-of-order chunks merge exactly)."""
     per_user = events.groupBy("user_id").agg(
         F.min(
             F.expr(
@@ -2396,6 +2404,12 @@ def shapley_state(events: DataFrame) -> DataFrame:
             for i, ch in enumerate(SHAPLEY_CHANNELS)
         ],
     )
+    return per_user
+
+
+def shapley_grid(per_user: DataFrame) -> DataFrame:
+    """Row-local mask projection + bounded re-grid over any keyed
+    per-user first-touch state."""
     mask_expr = " + ".join(
         f"(case when t{i}_us is not null"
         f" and (conv_us is null or t{i}_us < conv_us)"

@@ -1781,6 +1781,12 @@ def bass_state(orders: DataFrame) -> DataFrame:
     """The per-week adopters grid (wi, adopters) from each customer's
     FIRST order week — the per-customer MIN is the live state
     (idempotent), the grid its bounded projection."""
+    return bass_grid(bass_firsts(orders))
+
+
+def bass_firsts(orders: DataFrame) -> DataFrame:
+    """The KEYED per-customer first-order week — an idempotent MIN
+    monoid (``stream_bass`` merges per-batch firsts by customer)."""
     day = sql_epoch_day(orders, "o_orderdate")
     return (
         orders.select(
@@ -1793,8 +1799,13 @@ def bass_state(orders: DataFrame) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(F.min("wi").alias("first_wi"))
-        .groupBy(F.col("first_wi").alias("wi"))
-        .agg(F.count(F.lit(1)).alias("adopters"))
+    )
+
+
+def bass_grid(firsts: DataFrame) -> DataFrame:
+    """Bounded adopters re-grid over any keyed first-week state."""
+    return firsts.groupBy(F.col("first_wi").alias("wi")).agg(
+        F.count(F.lit(1)).alias("adopters")
     )
 
 

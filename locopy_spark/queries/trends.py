@@ -1419,11 +1419,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_report(cuped_state(load_table(spark, sf_dir, "orders")))
 
 
-def cuped_state(orders: DataFrame) -> DataFrame:
-    """The per-customer (treat, pre_c, post_c) cent grid over the two
-    experiment years — per-key plain-sum monoids (late chunks add
-    in).  Shared by ``q_cuped`` and ``streaming.stateful
-    .stream_cuped``."""
+def cuped_grid(orders: DataFrame) -> DataFrame:
+    """The KEYED per-customer (o_custkey, pre_c, post_c) cent grid
+    over the two experiment years — per-key plain-sum monoids (late
+    chunks add in; ``stream_cuped`` merges per-batch grids by
+    customer)."""
     return (
         orders.filter(
             F.expr(
@@ -1447,11 +1447,21 @@ def cuped_state(orders: DataFrame) -> DataFrame:
                 )
             ).alias("post_c"),
         )
-        .select(
-            F.expr("cast(o_custkey % 2 as int)").alias("treat"),
-            "pre_c",
-            "post_c",
-        )
+    )
+
+
+def cuped_state(orders: DataFrame) -> DataFrame:
+    """The (treat, pre_c, post_c) projection of ``cuped_grid`` the
+    report closes over (treat = custkey % 2, the q_ab_test split)."""
+    return cuped_treat(cuped_grid(orders))
+
+
+def cuped_treat(grid: DataFrame) -> DataFrame:
+    """Row-local treat projection over any keyed customer grid."""
+    return grid.select(
+        F.expr("cast(o_custkey % 2 as int)").alias("treat"),
+        "pre_c",
+        "post_c",
     )
 
 

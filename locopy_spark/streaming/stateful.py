@@ -3031,3 +3031,309 @@ def stream_levene(
         .queryName(f"levene_{state_view}")
         .start()
     )
+
+
+def stream_cuped(
+    orders: DataFrame,
+    state_view: str = "cuped_state",
+):
+    """Continuously-maintained CUPED customer grid: each micro-batch's
+    orders collapse to per-customer (pre_c, post_c) cent sums
+    (``queries.trends.cuped_grid`` — plain-sum monoids keyed by
+    customer) and ADD into the state. The variance-reduced experiment
+    panel (``cuped_report`` over the ``cuped_treat`` projection)
+    closes at read time — θ and the adjusted difference keep moving
+    as orders arrive. The live experiment dashboard; batch twin:
+    ``q_cuped``."""
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_custkey long, pre_c bigint, post_c bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.trends import cuped_grid
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(cuped_grid(batch_df))
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("pre_c").alias("pre_c"),
+                F.sum("post_c").alias("post_c"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"cuped_{state_view}")
+        .start()
+    )
+
+
+def stream_loyalty(
+    orders: DataFrame,
+    state_view: str = "loyalty_state",
+):
+    """Continuously-maintained loyalty year-pair grid: per-customer
+    (n1, rev1_c, n2, rev2_c) plain-sum monoids
+    (``queries.tpch_ext.loyalty_state``) merged by customer each
+    micro-batch. Tiers are RULE-based (row-local CASE), so the
+    migration matrix (``loyalty_report``) closes at read time and a
+    customer silently upgrades tier as late orders land. The live
+    customer-base flow dashboard; batch twin:
+    ``q_loyalty_migration``."""
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "o_custkey long, n1 bigint, rev1_c bigint,"
+        " n2 bigint, rev2_c bigint",
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.tpch_ext import loyalty_state
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(loyalty_state(batch_df))
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("n1").alias("n1"),
+                F.sum("rev1_c").alias("rev1_c"),
+                F.sum("n2").alias("n2"),
+                F.sum("rev2_c").alias("rev2_c"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"loyalty_{state_view}")
+        .start()
+    )
+
+
+def stream_ndr(
+    orders: DataFrame,
+    state_view: str = "ndr_state",
+):
+    """Continuously-maintained per-(customer, year) revenue grid
+    (``queries.timeseries.ndr_state`` — a plain-sum monoid). The NDR
+    panel (``ndr_report``) closes at read time: the grid self-join on
+    (customer, year+1) happens at close, so a cohort's NDR keeps
+    moving as its next-year orders arrive. The live retention
+    dashboard; batch twin: ``q_ndr``."""
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_custkey long, yr int, rev_c bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.timeseries import ndr_state
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(ndr_state(batch_df))
+            .groupBy("o_custkey", "yr")
+            .agg(F.sum("rev_c").alias("rev_c"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"ndr_{state_view}")
+        .start()
+    )
+
+
+def stream_bass(
+    orders: DataFrame,
+    state_view: str = "bass_state",
+):
+    """Continuously-maintained first-purchase state: per-customer
+    first order week (``queries.timeseries.bass_firsts`` — an
+    IDEMPOTENT MIN monoid, so replays and out-of-order chunks merge
+    exactly). The diffusion fit (``bass_report`` over ``bass_grid``)
+    closes at read time — p/q/m̂ keep re-fitting as adopters arrive.
+    The live product-diffusion dashboard; batch twin:
+    ``q_bass_diffusion``."""
+    spark = orders.sparkSession
+    empty = spark.createDataFrame([], "o_custkey long, first_wi int")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.timeseries import bass_firsts
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(bass_firsts(batch_df))
+            .groupBy("o_custkey")
+            .agg(F.min("first_wi").alias("first_wi"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"bass_{state_view}")
+        .start()
+    )
+
+
+def stream_shapley(
+    events: DataFrame,
+    state_view: str = "shapley_state",
+):
+    """Continuously-maintained Shapley attribution state: per-user
+    first-touch times (``queries.events_ext.shapley_user_state`` —
+    every column an IDEMPOTENT MIN monoid; a user's mask can only
+    gain bits as touches arrive, and an early purchase retroactively
+    excludes later touches exactly as in batch). The coalition grid
+    and exact φ panel (``shapley_grid`` + ``shapley_report``) close
+    at read time. The live attribution dashboard; batch twin:
+    ``q_attribution_shapley``."""
+    from locopy_spark.queries.events_ext import SHAPLEY_CHANNELS
+
+    spark = events.sparkSession
+    cols = ", ".join(
+        f"t{i}_us bigint" for i in range(len(SHAPLEY_CHANNELS))
+    )
+    empty = spark.createDataFrame(
+        [], f"user_id long, conv_us bigint, {cols}"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.events_ext import shapley_user_state
+
+        mins = [F.min("conv_us").alias("conv_us")] + [
+            F.min(f"t{i}_us").alias(f"t{i}_us")
+            for i in range(len(SHAPLEY_CHANNELS))
+        ]
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(shapley_user_state(batch_df))
+            .groupBy("user_id")
+            .agg(*mins)
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"shapley_{state_view}")
+        .start()
+    )
+
+
+def stream_sprt(
+    events: DataFrame,
+    state_view: str = "sprt_state",
+):
+    """Continuously-maintained SPRT observation grid: the variant
+    arm's per-(day, user) activity rows with an OR-monoid converted
+    flag (``queries.trends.sprt_state`` — idempotent, so replays
+    merge exactly). The sequential monitor (``sprt_report``) closes
+    at read time — the cumulative LLR trajectory and its Wald
+    decision re-derive from exact integers as days fill in. The live
+    always-valid experiment monitor; batch twin: ``q_sprt``."""
+    spark = events.sparkSession
+    empty = spark.createDataFrame(
+        [], "day int, user_id long, conv int"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.trends import sprt_state
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(sprt_state(batch_df))
+            .groupBy("day", "user_id")
+            .agg(F.max("conv").alias("conv"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"sprt_{state_view}")
+        .start()
+    )
+
+
+def stream_funnel_sig(
+    events: DataFrame,
+    state_view: str = "funnel_sig_state",
+):
+    """Continuously-maintained funnel-significance state: per-user
+    (variant, first-view, first-click, first-purchase) conditional
+    mins (``queries.events_ext.funnel_sig_state`` — idempotent MIN
+    monoids; the variant is a pure key function, merged with MAX).
+    The per-transition z panel (``funnel_sig_report``) closes at read
+    time — a user's ordered-stage flags can flip as earlier events
+    arrive, exactly as in batch. The live per-stage experiment
+    dashboard; batch twin: ``q_funnel_sig``."""
+    spark = events.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, variant int, v_us bigint, c_us bigint, p_us bigint",
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.queries.events_ext import funnel_sig_state
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(funnel_sig_state(batch_df))
+            .groupBy("user_id")
+            .agg(
+                F.max("variant").alias("variant"),
+                F.min("v_us").alias("v_us"),
+                F.min("c_us").alias("c_us"),
+                F.min("p_us").alias("p_us"),
+            )
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"funnel_sig_{state_view}")
+        .start()
+    )

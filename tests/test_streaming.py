@@ -1756,6 +1756,17 @@ def test_stream_anova_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_anova(spark, sf_dir).collect()]
     assert got and got == want
+    # second finisher over the SAME live state: the Bonferroni
+    # pairwise panel (q_posthoc_pairs) — one state, an omnibus F AND
+    # the which-pairs-differ read
+    from locopy_spark.queries.stats import posthoc_report, q_posthoc_pairs
+
+    got_ph = [
+        tuple(r)
+        for r in posthoc_report(spark.table("global_temp.anova_t")).collect()
+    ]
+    want_ph = [tuple(r) for r in q_posthoc_pairs(spark, sf_dir).collect()]
+    assert got_ph and got_ph == want_ph
 
 
 def test_stream_backlog_matches_batch(spark, sf_dir, tmp_path):
@@ -2682,4 +2693,271 @@ def test_stream_levene_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     ]
     want = [tuple(r) for r in q_levene(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_cuped_matches_batch(spark, sf_dir, tmp_path):
+    """Per-customer (pre, post) cent sums are plain-sum monoids;
+    chunking by ORDER key splits one customer's two years across
+    out-of-order batches so the per-key merge is genuinely exercised;
+    state + the θ/adjusted-diff finisher equals batch q_cuped exactly
+    (same fixed-order double chain over identical exact moments)."""
+    from locopy_spark.queries.trends import cuped_report, cuped_treat, q_cuped
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cuped
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cupchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cupchunk*"))
+    )
+    q = stream_cuped(stream, state_view="cuped_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in cuped_report(
+            cuped_treat(spark.table("global_temp.cuped_t"))
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_cuped(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_loyalty_matches_batch(spark, sf_dir, tmp_path):
+    """Per-customer year-pair sums are plain-sum monoids and tiers are
+    row-local CASE rules, so a customer crossing a tier boundary
+    mid-stream (orders split across chunks) lands in the right cell;
+    state + the matrix finisher equals batch q_loyalty_migration."""
+    from locopy_spark.queries.tpch_ext import (
+        loyalty_report,
+        q_loyalty_migration,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_loyalty
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["3", "1", "0", "2"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"loychunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "loychunk*"))
+    )
+    q = stream_loyalty(stream, state_view="loyalty_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in loyalty_report(
+            spark.table("global_temp.loyalty_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_loyalty_migration(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_ndr_matches_batch(spark, sf_dir, tmp_path):
+    """The (customer, year) revenue grid is a plain-sum monoid and the
+    year+1 self-join happens only at close, so a cohort's next-year
+    revenue arriving in a later chunk moves its NDR exactly as batch;
+    4 out-of-order ORDER-keyed chunks."""
+    from locopy_spark.queries.timeseries import ndr_report, q_ndr
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_ndr
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "2", "3", "0"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ndrchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ndrchunk*"))
+    )
+    q = stream_ndr(stream, state_view="ndr_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in ndr_report(spark.table("global_temp.ndr_t")).collect()
+    ]
+    want = [tuple(r) for r in q_ndr(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_bass_matches_batch(spark, sf_dir, tmp_path):
+    """The per-customer first week is an IDEMPOTENT MIN monoid; the
+    four chunks OVERLAP (every order delivered twice) so idempotent
+    absorption is genuinely exercised — a re-delivered first order
+    must not move the adoption curve; state + the diffusion fit
+    equals batch q_bass_diffusion exactly."""
+    from locopy_spark.queries.timeseries import (
+        bass_grid,
+        bass_report,
+        q_bass_diffusion,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_bass
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, (p1, p2) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        o.filter(
+            f"pmod(o_orderkey, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"basschunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "basschunk*"))
+    )
+    q = stream_bass(stream, state_view="bass_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in bass_report(
+            bass_grid(spark.table("global_temp.bass_t")), spark
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_bass_diffusion(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_shapley_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user first-touch times are IDEMPOTENT MIN monoids; the
+    four chunks OVERLAP (every event delivered twice) AND are keyed
+    by EVENT id so one user's purchase and touches arrive in
+    different batches — the mask must converge to the batch mask
+    regardless; state + grid + φ panel equals batch exactly, and the
+    Shapley efficiency identity Σφ·k! = k!·(v(full) − v(∅)) holds."""
+    from locopy_spark.queries.events_ext import (
+        q_attribution_shapley,
+        shapley_grid,
+        shapley_report,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_shapley
+
+    e = load_table(spark, sf_dir, "events")
+    for i, (p1, p2) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        e.filter(
+            f"pmod(event_id, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"shapchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "shapchunk0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "shapchunk*"))
+    )
+    q = stream_shapley(stream, state_view="shapley_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_rows = shapley_report(
+        shapley_grid(spark.table("global_temp.shapley_t")), spark
+    ).collect()
+    got = [tuple(r) for r in got_rows]
+    want = [tuple(r) for r in q_attribution_shapley(spark, sf_dir).collect()]
+    assert got and got == want
+    # efficiency identity: Σφ·k! = k!·(v(full) − v(∅))
+    v_full, v_empty = got_rows[0].v_full, got_rows[0].v_empty
+    assert sum(r.phi_x24 for r in got_rows) == 24 * (v_full - v_empty)
+
+
+def test_stream_sprt_matches_batch(spark, sf_dir, tmp_path):
+    """The (day, user) activity grid is an idempotent OR monoid; the
+    four chunks OVERLAP so re-delivered conversions must not move the
+    LLR; state + the sequential monitor equals batch q_sprt exactly
+    (same integer constants, same prefix sum)."""
+    from locopy_spark.queries.trends import q_sprt, sprt_report
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_sprt
+
+    e = load_table(spark, sf_dir, "events")
+    for i, (p1, p2) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        e.filter(
+            f"pmod(event_id, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"sprtchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "sprtchunk0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "sprtchunk*"))
+    )
+    q = stream_sprt(stream, state_view="sprt_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in sprt_report(spark.table("global_temp.sprt_t")).collect()
+    ]
+    want = [tuple(r) for r in q_sprt(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_funnel_sig_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user conditional mins are idempotent MIN monoids; the four
+    chunks OVERLAP and are EVENT-keyed, so a user's view can arrive
+    after their click and flip the ordered-stage flag exactly as in
+    batch; state + the z panel equals batch q_funnel_sig exactly."""
+    from locopy_spark.queries.events_ext import (
+        funnel_sig_report,
+        q_funnel_sig,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_funnel_sig
+
+    e = load_table(spark, sf_dir, "events")
+    for i, (p1, p2) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        e.filter(
+            f"pmod(event_id, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"fschunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "fschunk0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "fschunk*"))
+    )
+    q = stream_funnel_sig(stream, state_view="funnel_sig_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in funnel_sig_report(
+            spark.table("global_temp.funnel_sig_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_funnel_sig(spark, sf_dir).collect()]
     assert got and got == want
