@@ -2432,16 +2432,22 @@ def shapley_grid(per_user: DataFrame) -> DataFrame:
 def shapley_report(grid: DataFrame, spark: SparkSession) -> DataFrame:
     """Close the per-channel Shapley panel over any (mask, users,
     convs) coalition grid."""
+    from locopy_spark.functions.cache import managed_persist
+
     k = len(SHAPLEY_CHANNELS)
     n_masks = 1 << k
-    # v(S): zeta transform over the bounded lattice (broadcast join)
+    # v(S): zeta transform over the bounded lattice (broadcast join).
+    # v fans out to FOUR consumers (two marginal arms + two totals) —
+    # persist the 2^k-row result so the data-sized per-user aggregate
+    # beneath it runs ONCE, not once per consumer subtree.
     subsets = spark.range(n_masks).select(F.col("id").cast("int").alias("s"))
-    v = (
+    v = managed_persist(
         F.broadcast(grid)
         .crossJoin(subsets)
         .filter(F.expr("(mask | s) = s"))
         .groupBy("s")
-        .agg(F.sum("convs").alias("v"))
+        .agg(F.sum("convs").alias("v")),
+        "shapley",
     )
     w_case = "CASE bit_count(s) " + " ".join(
         f"WHEN {sz} THEN {w}" for sz, w in _SHAPLEY_W.items()

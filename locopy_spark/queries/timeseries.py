@@ -2044,7 +2044,11 @@ def ndr_state(orders: DataFrame) -> DataFrame:
 
 def ndr_report(grid: DataFrame) -> DataFrame:
     """Close the per-year NDR panel over any (o_custkey, yr, rev_c)
-    grid."""
+    grid.  The grid feeds THREE consumers (base side, shifted side,
+    horizon) — persist it so the orders aggregate runs ONCE."""
+    from locopy_spark.functions.cache import managed_persist
+
+    grid = managed_persist(grid, "ndr")
     nxt = grid.select(
         "o_custkey",
         F.expr("yr - 1").alias("yr"),

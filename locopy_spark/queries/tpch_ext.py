@@ -3527,8 +3527,12 @@ def loyalty_state(orders: DataFrame) -> DataFrame:
 
 
 def loyalty_report(state: DataFrame) -> DataFrame:
-    """Close the migration matrix over any per-customer year pair."""
-    cells = (
+    """Close the migration matrix over any per-customer year pair.
+    The ≤16-row cell matrix feeds both the total and the output —
+    persist it so the data-sized customer aggregate runs ONCE."""
+    from locopy_spark.functions.cache import managed_persist
+
+    cells = managed_persist(
         state.select(
             F.expr(_LOY_TIER.format(n="n1")).alias("tier_from"),
             F.expr(_LOY_TIER.format(n="n2")).alias("tier_to"),
@@ -3540,7 +3544,8 @@ def loyalty_report(state: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("rev1_c").alias("rev_from_c"),
             F.sum("rev2_c").alias("rev_to_c"),
-        )
+        ),
+        "loyalty",
     )
     tot = cells.agg(F.sum("n_customers").alias("n_total"))
     return (
