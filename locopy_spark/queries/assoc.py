@@ -159,12 +159,18 @@ ORACLE["q_mann_kendall"] = f"""
 # tau_b = (C − D) / (sqrt((n(n−1) − Σtx(tx−1))/2) · sqrt(... ty ...));
 # every operand is an exact bigint < 2^53 at gate SFs, the doubled tie
 # sums avoid /2 until inside the sqrt
+# An ALL-tied variable (possible mid-stream: constant column) zeroes
+# its tie-adjusted pair count — NULL, not an ANSI divide crash.
 _TAU_B = (
-    "CAST(concordant - discordant AS DOUBLE)"
+    "CASE WHEN n <= 1"
+    " OR CAST(n1x2 AS DOUBLE) = CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    " OR CAST(n1y2 AS DOUBLE) = CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    " THEN CAST(NULL AS DOUBLE) ELSE"
+    " CAST(concordant - discordant AS DOUBLE)"
     " / (sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
     " - CAST(n1x2 AS DOUBLE)) / 2.0)"
     " * sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
-    " - CAST(n1y2 AS DOUBLE)) / 2.0))"
+    " - CAST(n1y2 AS DOUBLE)) / 2.0)) END"
 )
 
 
@@ -339,9 +345,15 @@ def _cv_term(fd: str, wide: str) -> str:
     )
 
 
+# A contingency table collapsed to one row or column (constant
+# attribute, possible mid-stream) has zero degrees of freedom — NULL,
+# not an ANSI divide crash.
 _CV_V = (
-    "sqrt((CAST(chi2_ppb AS DOUBLE) / 1.0e9)"
+    "CASE WHEN n = 0 OR least(n_rows, n_cols) <= 1"
+    " THEN CAST(NULL AS DOUBLE) ELSE"
+    " sqrt((CAST(chi2_ppb AS DOUBLE) / 1.0e9)"
     " / (CAST(n AS DOUBLE) * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))"
+    " END"
 )
 
 
@@ -891,15 +903,23 @@ def _kw_h_terms() -> str:
     return " + ".join(terms)
 
 
+# Degenerate guards (possible mid-stream, never on the gated tables):
+# n = 0 has no ranks, and an ALL-tied pooled sample saturates the tie
+# correction (T = n³ − n), zeroing its denominator — NULL, not an
+# ANSI divide-by-zero crash (shared text, so both engines agree).
 _KW_H = (
-    f"12.0 * ({_kw_h_terms()})"
+    "CASE WHEN n <= 0 THEN CAST(NULL AS DOUBLE) ELSE"
+    f" 12.0 * ({_kw_h_terms()})"
     " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
-    " - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1.0) END"
 )
 _KW_HC = (
-    "h / (1.0 - CAST(ties_t AS DOUBLE)"
+    "CASE WHEN h IS NULL OR CAST(ties_t AS DOUBLE)"
+    " = CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE) THEN CAST(NULL AS DOUBLE) ELSE"
+    " h / (1.0 - CAST(ties_t AS DOUBLE)"
     " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE)))"
+    " - CAST(n AS DOUBLE))) END"
 )
 
 

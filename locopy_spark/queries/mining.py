@@ -281,11 +281,18 @@ ORACLE["q_mom_growth"] = f"""
 
 # -- A/B test ---------------------------------------------------------------
 
+# Degenerate cells (an empty arm, zero conversions, or 100%
+# conversion — all possible mid-stream) zero the pooled variance:
+# NULL, not an ANSI divide-by-zero crash.  Guarded at the TEMPLATE
+# level so every call site (q_ab_test, q_funnel_sig) and both engines
+# agree.
 _Z = (
-    "(CAST({c1} AS DOUBLE) / {n1} - CAST({c0} AS DOUBLE) / {n0})"
+    "CASE WHEN {n0} = 0 OR {n1} = 0 OR ({c0} + {c1}) = 0"
+    " OR ({c0} + {c1}) = ({n0} + {n1}) THEN CAST(NULL AS DOUBLE) ELSE"
+    " (CAST({c1} AS DOUBLE) / {n1} - CAST({c0} AS DOUBLE) / {n0})"
     " / sqrt((CAST({c0} + {c1} AS DOUBLE) / ({n0} + {n1}))"
     " * (1.0 - CAST({c0} + {c1} AS DOUBLE) / ({n0} + {n1}))"
-    " * (1.0 / {n0} + 1.0 / {n1}))"
+    " * (1.0 / {n0} + 1.0 / {n1})) END"
 )
 
 

@@ -23,14 +23,23 @@ from locopy_spark.sources.tables import load_table
 # engine: every operand is an exact integer (bigint n, decimal/hugeint
 # power sums) cast to double at the same points, so the IEEE result is
 # bit-identical.
+# Zero-variance input (a constant column — possible mid-stream) or a
+# single observation zeroes a denominator: NULL, not an ANSI
+# divide-by-zero crash.  Guarded at the TEMPLATE level so every call
+# site (Pearson, autocorr, brand xcorr) and both engines agree.
 _CORR = (
-    "({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+    "CASE WHEN {n} <= 1"
+    " OR ({n} * CAST({sx2} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE)) <= 0.0"
+    " OR ({n} * CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)) <= 0.0"
+    " THEN CAST(NULL AS DOUBLE) ELSE"
+    " ({n} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
     " / (sqrt({n} * CAST({sx2} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
-    " * sqrt({n} * CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+    " * sqrt({n} * CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE))) END"
 )
 _COV = (
-    "(CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})"
-    " / ({n} - 1)"
+    "CASE WHEN {n} <= 1 THEN CAST(NULL AS DOUBLE) ELSE"
+    " (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})"
+    " / ({n} - 1) END"
 )
 
 
@@ -1312,8 +1321,10 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sxy",
         F.expr(
-            "CAST(sxy AS DOUBLE)"
-            " / (sqrt(CAST(sx2 AS DOUBLE)) * sqrt(CAST(sy2 AS DOUBLE)))"
+            # constant column (possible mid-stream): NULL, not a crash
+            "CASE WHEN sx2 = 0 OR sy2 = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+            " CAST(sxy AS DOUBLE)"
+            " / (sqrt(CAST(sx2 AS DOUBLE)) * sqrt(CAST(sy2 AS DOUBLE))) END"
         ).alias("rho"),
     )
 
@@ -1352,9 +1363,10 @@ ORACLE["q_spearman"] = f"""
     FROM c GROUP BY n
   )
   SELECT n, sxy,
-         CAST(sxy AS DOUBLE)
+         CASE WHEN sx2 = 0 OR sy2 = 0 THEN CAST(NULL AS DOUBLE) ELSE
+           CAST(sxy AS DOUBLE)
            / (sqrt(CAST(sx2 AS DOUBLE)) * sqrt(CAST(sy2 AS DOUBLE)))
-           AS rho
+         END AS rho
   FROM agg
 """
 
@@ -1402,12 +1414,19 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS BIGINT)"
         ).alias("ties_t"),
     )
+    # no scoreable pairs, or a tie structure that zeroes the variance
+    # (possible mid-stream): NULL, not an ANSI divide crash
     z_expr = (
-        "(CAST(w_plus_x2 AS DOUBLE) / 2.0"
+        "CASE WHEN n_pairs = 0"
+        " OR CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)"
+        " * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0"
+        " - CAST(ties_t AS DOUBLE) / 48.0 <= 0.0"
+        " THEN CAST(NULL AS DOUBLE) ELSE"
+        " (CAST(w_plus_x2 AS DOUBLE) / 2.0"
         " - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)"
         " / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)"
         " * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0"
-        " - CAST(ties_t AS DOUBLE) / 48.0)"
+        " - CAST(ties_t AS DOUBLE) / 48.0) END"
     )
     return agg.select(
         "n_pairs", "w_plus_x2", "ties_t", F.expr(z_expr).alias("z")
@@ -1445,12 +1464,17 @@ ORACLE["q_wilcoxon"] = f"""
     FROM cum
   )
   SELECT n_pairs, w_plus_x2, ties_t,
-         (CAST(w_plus_x2 AS DOUBLE) / 2.0
-          - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
-         / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+         CASE WHEN n_pairs = 0
+           OR CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+           * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+           - CAST(ties_t AS DOUBLE) / 48.0 <= 0.0
+           THEN CAST(NULL AS DOUBLE) ELSE
+           (CAST(w_plus_x2 AS DOUBLE) / 2.0
+           - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+           / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
            * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
            - CAST(ties_t AS DOUBLE) / 48.0)
-           AS z
+         END AS z
   FROM agg
 """
 
@@ -1618,15 +1642,20 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(above as bigint)")).alias("n_above"),
         F.sum(F.expr("cast(not above as bigint)")).alias("n_below"),
     )
+    # a one-sided series (every day above or every day below the
+    # median — constant input, possible mid-stream) zeroes the
+    # variance: NULL, not an ANSI divide crash
     z_expr = (
-        "(CAST(runs AS DOUBLE)"
+        "CASE WHEN n_days <= 1 OR n_above = 0 OR n_below = 0"
+        " THEN CAST(NULL AS DOUBLE) ELSE"
+        " (CAST(runs AS DOUBLE)"
         " - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
         " / CAST(n_days AS DOUBLE) + 1.0))"
         " / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
         " * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
         " - CAST(n_days AS DOUBLE))"
         " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
-        " * (CAST(n_days AS DOUBLE) - 1.0)))"
+        " * (CAST(n_days AS DOUBLE) - 1.0))) END"
     )
     return (
         counts.crossJoin(F.broadcast(switches))
@@ -1670,15 +1699,17 @@ ORACLE["q_runs_test"] = """
     FROM seq
   )
   SELECT n_days, n_above, n_below, runs,
-         (CAST(runs AS DOUBLE)
-          - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
-          / CAST(n_days AS DOUBLE) + 1.0))
-         / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+         CASE WHEN n_days <= 1 OR n_above = 0 OR n_below = 0
+           THEN CAST(NULL AS DOUBLE) ELSE
+           (CAST(runs AS DOUBLE)
+           - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           / CAST(n_days AS DOUBLE) + 1.0))
+           / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
            * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
            - CAST(n_days AS DOUBLE))
            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
            * (CAST(n_days AS DOUBLE) - 1.0)))
-           AS z
+         END AS z
   FROM agg
 """
 

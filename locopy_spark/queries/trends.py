@@ -79,15 +79,24 @@ def _ols_formulas(fd: str, wide: str) -> dict[str, str]:
         f"(CAST({_OLS_NUM_S} * {_OLS_NUM_S} {fd} {_OLS_DEN_T}"
         f" AS {wide}) * 1000000000 {fd} {_OLS_NUM_Y})"
     )
+    # single-day / constant-y groups (possible mid-stream) zero the
+    # den_t / num_y divisors: NULL, not an ANSI divide crash — the
+    # guard wraps BOTH engines' text identically via this generator
     return {
         # micro-cents/day → dollars/day
         "slope_dollars_per_day": (
-            f"CAST(CAST({slope_micro} AS BIGINT) AS DOUBLE) / 100000000.0"
+            f"CASE WHEN {_OLS_DEN_T} = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+            f" CAST(CAST({slope_micro} AS BIGINT) AS DOUBLE) / 100000000.0 END"
         ),
         "intercept_dollars": (
-            f"CAST(CAST({icpt_micro} AS BIGINT) AS DOUBLE) / 100000000.0"
+            f"CASE WHEN {_OLS_DEN_T} = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+            f" CAST(CAST({icpt_micro} AS BIGINT) AS DOUBLE) / 100000000.0 END"
         ),
-        "r2": f"CAST(CAST({r2_ppb} AS BIGINT) AS DOUBLE) / 1000000000.0",
+        "r2": (
+            f"CASE WHEN {_OLS_DEN_T} = 0 OR {_OLS_NUM_Y} = 0"
+            " THEN CAST(NULL AS DOUBLE) ELSE"
+            f" CAST(CAST({r2_ppb} AS BIGINT) AS DOUBLE) / 1000000000.0 END"
+        ),
     }
 
 
