@@ -108,19 +108,26 @@ def quality_score_expr(toks: str = "toks", text: str = "text") -> str:
     (t_quality_score's column pipeline, p_curriculum_stages' ranking,
     d_dedup_keep_best's survivor pick). Identical double arithmetic to
     :func:`sql_quality_score`, so scores are bit-equal cross-engine."""
+    # empty / whitespace-only documents (zero tokens or zero chars —
+    # real at corpus scale) score NULL, not an ANSI divide crash;
+    # guarded here at the single source of truth for every consumer
     return (
-        f"CAST({stopword_count_expr(toks)} AS DOUBLE) / size({toks})"
+        f"CASE WHEN size({toks}) = 0 OR length({text}) = 0"
+        " THEN CAST(NULL AS DOUBLE) ELSE"
+        f" CAST({stopword_count_expr(toks)} AS DOUBLE) / size({toks})"
         f" - CAST(regexp_count({text}, '{PUNCT_CLASS}') AS DOUBLE)"
         f" / length({text})"
-        f" + CAST(least(size({toks}), 100) AS DOUBLE) / 1000"
+        f" + CAST(least(size({toks}), 100) AS DOUBLE) / 1000 END"
     )
 
 
 def sql_quality_score(toks: str = "toks", text: str = "text") -> str:
     """DuckDB twin of :func:`quality_score_expr`."""
     return (
-        f"CAST({sql_stopword_count(toks)} AS DOUBLE) / len({toks})"
+        f"CASE WHEN len({toks}) = 0 OR length({text}) = 0"
+        " THEN CAST(NULL AS DOUBLE) ELSE"
+        f" CAST({sql_stopword_count(toks)} AS DOUBLE) / len({toks})"
         f" - CAST(len(regexp_extract_all({text}, '{PUNCT_CLASS}')) AS DOUBLE)"
         f" / length({text})"
-        f" + CAST(least(len({toks}), 100) AS DOUBLE) / 1000"
+        f" + CAST(least(len({toks}), 100) AS DOUBLE) / 1000 END"
     )

@@ -37,9 +37,19 @@ def sql_fixed_dot(a: str, b: str) -> str:
 
 def cosine_from_fixed(dot: str, na: str, nb: str) -> str:
     """Cosine from fixed-point dot + squared norms — identical SQL text
-    for both engines (bigint→double conversion exact below 2^53)."""
+    for both engines (bigint→double conversion exact below 2^53).
+
+    A ZERO-NORM vector (all-zero embedding — a real failure mode in
+    upstream encoders, and possible mid-stream) has no direction:
+    cosine is NULL, never an ANSI divide-by-zero crash.  Guarded here
+    at the single shared helper so every caller (brute-force / LSH /
+    IVF / int8 / PQ / dedup / drift) and both engines agree; NULL
+    cosines then fall out of >= threshold filters on both sides."""
     return (
-        f"CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))"
+        f"CASE WHEN CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE) = 0.0"
+        " THEN CAST(NULL AS DOUBLE) ELSE"
+        f" CAST({dot} AS DOUBLE)"
+        f" / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)) END"
     )
 
 

@@ -71,8 +71,13 @@ def frame_sample(
     chunking is the plumbing contract.
     """
     nf = f"(octet_length(payload) + {frame_bytes - 1}) div {frame_bytes}"
+    # an EMPTY payload has zero frames: Spark's sequence(0, -1, step)
+    # raises on the inverted bounds, so clamp the upper bound and drop
+    # the resulting zero-length placeholder frame — matching DuckDB's
+    # range(0, 0, step) which is simply empty
     frames = (
-        f"transform(sequence(0, cast({nf} as int) - 1, {step}), i -> "
+        f"transform(sequence(0, greatest(cast({nf} as int) - 1, 0), {step}),"
+        " i -> "
         f"named_struct("
         f"'frame_idx', i, "
         f"'frame_md5', md5(substring(payload, i * {frame_bytes} + 1, {frame_bytes})), "
@@ -86,6 +91,7 @@ def frame_sample(
             F.col("f.frame_md5").alias("frame_md5"),
             F.col("f.frame_len").alias("frame_len"),
         )
+        .filter("frame_len > 0")
     )
 
 

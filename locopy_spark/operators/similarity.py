@@ -651,9 +651,14 @@ def with_int8_codes(
     ranks by quantized cosine with no dequantization.
     """
     amax = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    # an all-zero vector has amax = 0 (no scale): its codes are the
+    # zero vector, not an ANSI divide-by-zero crash — downstream the
+    # zero code_norm yields NULL quantized cosine (cosine_from_fixed
+    # convention) and the vector drops out of every shortlist
     codes = (
-        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
-        f" / {amax} * 127 + 0.5) as int))"
+        f"CASE WHEN {amax} = 0.0 THEN transform({vec_col}, x -> 0) ELSE"
+        f" transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" / {amax} * 127 + 0.5) as int)) END"
     )
     return emb.withColumn("codes", F.expr(codes)).withColumn(
         "code_norm", F.expr(_int_dot("codes", "codes"))
@@ -708,9 +713,14 @@ def knn_int8(
         .withColumn("idot", F.expr(_int_dot("q_codes", "n_codes")))
         .withColumn(
             "qcos",
+            # zero-norm int8 code (all-zero embedding): NULL, not an
+            # ANSI divide crash (the cosine_from_fixed convention)
             F.expr(
-                "CAST(idot AS DOUBLE)"
+                "CASE WHEN CAST(q_cnorm AS DOUBLE) * CAST(n_cnorm AS DOUBLE)"
+                " = 0.0 THEN CAST(NULL AS DOUBLE) ELSE"
+                " CAST(idot AS DOUBLE)"
                 " / (sqrt(CAST(q_cnorm AS DOUBLE)) * sqrt(CAST(n_cnorm AS DOUBLE)))"
+                " END"
             ),
         )
     )

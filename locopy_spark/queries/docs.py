@@ -295,13 +295,27 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(token_len_sum_expr("toks")).alias("tok_chars"),
         )
         .withColumn(
-            "punct_ratio", F.expr("CAST(n_punct AS DOUBLE) / n_chars")
+            # empty / whitespace-only documents (real at corpus scale)
+            # have zero chars/tokens: NULL ratios, not an ANSI crash
+            "punct_ratio",
+            F.expr(
+                "CASE WHEN n_chars = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(n_punct AS DOUBLE) / n_chars END"
+            ),
         )
         .withColumn(
-            "stop_ratio", F.expr("CAST(n_stop AS DOUBLE) / n_tokens")
+            "stop_ratio",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(n_stop AS DOUBLE) / n_tokens END"
+            ),
         )
         .withColumn(
-            "mean_word_len", F.expr("CAST(tok_chars AS DOUBLE) / n_tokens")
+            "mean_word_len",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(tok_chars AS DOUBLE) / n_tokens END"
+            ),
         )
         .withColumn(
             "quality_score",
@@ -635,11 +649,16 @@ ORACLE: dict[str, str] = {
         FROM t
       )
       SELECT doc_id, n_chars, n_tokens, n_punct, n_stop, tok_chars,
-             CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-             CAST(tok_chars AS DOUBLE) / n_tokens AS mean_word_len,
-             CAST(n_stop AS DOUBLE) / n_tokens
-               - CAST(n_punct AS DOUBLE) / n_chars
+             CASE WHEN n_chars = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+             CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+             CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(tok_chars AS DOUBLE) / n_tokens END AS mean_word_len,
+             CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(n_stop AS DOUBLE) / n_tokens END
+               - CASE WHEN n_chars = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(n_punct AS DOUBLE) / n_chars END
                + CAST(least(n_tokens, 100) AS DOUBLE) / 1000 AS quality_score
       FROM m ORDER BY doc_id
     """,

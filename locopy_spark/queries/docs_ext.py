@@ -1708,8 +1708,12 @@ def d_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.expr(
-                "CAST(dot AS DOUBLE)"
-                " / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))"
+                # zero-norm half-centroid (possible mid-stream):
+                # NULL drift, not an ANSI divide crash
+                "CASE WHEN CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE) = 0.0"
+                " THEN CAST(NULL AS DOUBLE) ELSE"
+                " CAST(dot AS DOUBLE)"
+                " / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) END"
             ).alias("drift_cos"),
         )
         .orderBy("label")
@@ -1740,10 +1744,13 @@ ORACLE["d_centroid_drift"] = f"""
   SELECT label,
          CAST(MAX(n_a) AS BIGINT) AS n_a,
          CAST(MAX(n_b) AS BIGINT) AS n_b,
-         CAST(SUM(CAST(FLOOR(ca * cb * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+         CASE WHEN CAST(SUM(CAST(FLOOR(ca * ca * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+                * CAST(SUM(CAST(FLOOR(cb * cb * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE) = 0.0
+           THEN CAST(NULL AS DOUBLE) ELSE
+           CAST(SUM(CAST(FLOOR(ca * cb * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
            / sqrt(CAST(SUM(CAST(FLOOR(ca * ca * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
                 * CAST(SUM(CAST(FLOOR(cb * cb * {DRIFT_DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE))
-           AS drift_cos
+           END AS drift_cos
   FROM j GROUP BY label ORDER BY label
 """
 
@@ -4032,8 +4039,10 @@ def _sql_mrr_eval() -> str:
   ),
   c1 AS (
     SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(FLOOR(x::DOUBLE / amax * 127 + 0.5) AS INT)) AS codes
+           CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0) ELSE
+             list_transform(embedding,
+               x -> CAST(FLOOR(x::DOUBLE / amax * 127 + 0.5) AS INT))
+           END AS codes
     FROM c0
   ),
   cn AS (SELECT vec_id, codes, {selfdot} AS code_norm FROM c1),
@@ -4227,8 +4236,10 @@ def _sql_ndcg_eval() -> str:
   ),
   c1 AS (
     SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(FLOOR(x::DOUBLE / amax * 127 + 0.5) AS INT)) AS codes
+           CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0) ELSE
+             list_transform(embedding,
+               x -> CAST(FLOOR(x::DOUBLE / amax * 127 + 0.5) AS INT))
+           END AS codes
     FROM c0
   ),
   cn AS (SELECT vec_id, codes, {selfdot} AS code_norm FROM c1),
@@ -4293,7 +4304,10 @@ def _assign_cells(emb: DataFrame) -> DataFrame:
         "label",
         "clabel",
         F.expr(
-            "CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))"
+            # a zero-norm centroid (all members zero vectors, possible
+            # mid-stream) scores NULL, not an ANSI divide crash
+            "CASE WHEN n2 = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+            " CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END"
         ).alias("score"),
     )
     assigned = scored.groupBy("vec_id", "label").agg(
@@ -4368,7 +4382,8 @@ def _sql_assign_cells() -> str:
   ),
   scored AS (
     SELECT d.vec_id, d.label, d.clabel,
-           CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS score
+           CASE WHEN n2 = 0 THEN CAST(NULL AS DOUBLE) ELSE
+             CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END AS score
     FROM dots d JOIN n2t USING (clabel)
   ),
   assigned AS (

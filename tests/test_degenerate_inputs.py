@@ -98,3 +98,54 @@ def test_constant_inputs_do_not_crash(spark, constant_star, key):
 
     # must not raise (ANSI divide-by-zero etc.); NULL metrics are fine
     entrymod.queries()[key](spark, constant_star).collect()
+
+
+# -- degenerate documents / embeddings ----------------------------------------------
+#
+# The docs-side analogue: EMPTY and whitespace-only documents (zero
+# tokens / zero chars) and ALL-ZERO embeddings (no direction — a real
+# upstream-encoder failure mode).  The round-9 sweep found 22 latent
+# ANSI DIVIDE_BY_ZERO crashes here (zero-norm cosine through the
+# shared cosine_from_fixed helper, the int8 quantization scale, the
+# quality-score template, centroid scores, frame sampling on empty
+# payloads); every t_/d_/s_/p_/m_ key must now RUN.
+
+
+@pytest.fixture(scope="module")
+def degenerate_corpus(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("degenerate_corpus")
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"{name}.parquet"))
+
+    docs = [(i, "same same same", "en", "src0", 14) for i in range(30)]
+    docs.append((30, "", "en", "src0", 0))          # EMPTY text
+    docs.append((31, "   ", "en", "src0", 3))       # whitespace-only
+    w(
+        "documents", docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    emb = [(i, [0.0] * 64, 0) for i in range(40)]   # zero-norm vectors
+    emb += [(40, [1.0] * 64, 1), (41, [1.0] * 64, 1)]
+    w("embeddings", emb, "vec_id long, embedding array<float>, label int")
+    return str(tmp)
+
+
+def _corpus_keys():
+    import __spark_entry__ as entrymod
+
+    return [
+        k
+        for k in entrymod.queries()
+        if k.split("_")[0] in ("t", "d", "s", "p", "m")
+    ]
+
+
+@pytest.mark.parametrize("key", _corpus_keys())
+def test_degenerate_corpus_does_not_crash(spark, degenerate_corpus, key):
+    import __spark_entry__ as entrymod
+
+    entrymod.queries()[key](spark, degenerate_corpus).collect()
