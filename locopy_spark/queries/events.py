@@ -62,7 +62,12 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON-path both engines evaluate identically.
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    # try_cast, not cast: a props blob without "k" extracts '' and a
+    # plain ANSI cast would CRASH on it — malformed/missing JSON is a
+    # routine mid-stream reality (the oracle already uses TRY_CAST)
+    k = F.expr(
+        "try_cast(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) as bigint)"
+    )
     return (
         e.withColumn("k", k)
         .groupBy("event_type")

@@ -653,11 +653,15 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
             "cum_pos",
             F.expr(
-                "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
-                " / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))"
+                # zero positives anywhere (constant class, possible
+                # mid-stream): NULL, not an ANSI divide crash
+                "CASE WHEN n = 0 OR tot_pos = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+                " / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) END"
             ).alias("lift"),
             F.expr(
-                "CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)"
+                "CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END"
             ).alias("cum_gain"),
         )
         .orderBy("decile")
@@ -689,9 +693,11 @@ ORACLE["q_decile_lift"] = f"""
     FROM per
   )
   SELECT decile, n, n_pos, cum_pos,
-         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
-           / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift,
-         CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS cum_gain
+         CASE WHEN n = 0 OR tot_pos = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+           / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift,
+         CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END AS cum_gain
   FROM cum ORDER BY decile
 """
 

@@ -428,7 +428,10 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_intervals",
             F.expr(
-                f"CAST(integral_fix AS DOUBLE) / span_us / {SCALE}.0"
+                # all observations at one instant (zero total span —
+                # possible mid-stream): NULL, not an ANSI divide crash
+                "CASE WHEN span_us = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+                f" CAST(integral_fix AS DOUBLE) / span_us / {SCALE}.0 END"
             ).alias("twap"),
         )
         .orderBy("event_type")
@@ -498,7 +501,7 @@ ORACLE["q_time_weighted_avg"] = f"""
   )
   SELECT event_type, COUNT(*) AS n_intervals,
          CAST(SUM(CAST(v_fix AS HUGEINT) * (next_us - ts_us)) AS DOUBLE)
-           / CAST(SUM(next_us - ts_us) AS BIGINT) / {SCALE}.0 AS twap
+           / NULLIF(CAST(SUM(next_us - ts_us) AS BIGINT), 0) / {SCALE}.0 AS twap
   FROM s WHERE next_us IS NOT NULL
   GROUP BY event_type ORDER BY event_type
 """
