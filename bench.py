@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_loyalty_migration",
     "q_ndr",
     "q_funnel_sig",
+    "m_phash_near_dup",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

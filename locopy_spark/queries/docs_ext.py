@@ -4699,3 +4699,153 @@ ORACLE["m_payload_dedup"] = """
   FROM p GROUP BY digest HAVING COUNT(*) > 1
   ORDER BY keeper
 """
+
+
+# -- perceptual-hash near-duplicate detection (multimodal) ---------------------------
+
+PHASH_CELLS = 64          # 8×8 thumbnail cells → one bit each
+PHASH_BANDS = 4           # 4 × 16-bit bands for the LSH candidate join
+PHASH_MAX_HD = 10         # near-dup verification threshold (of 64 bits)
+
+
+def m_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads —
+    the image-dedup pipeline shape (thumbnail → aHash bits → banded
+    LSH join → Hamming verify), with the decode stage the usual
+    deterministic stand-in (no codec libs in this container: the
+    "thumbnail" samples {PHASH_CELLS} payload bytes; a real deployment
+    replaces ONLY that projection with pixel averaging).
+
+    Scale shape: the hash is row-local whole-stage codegen (sampled
+    bytes → mean-threshold bits → {PHASH_BANDS}×16-bit band ints — no
+    Python, no shuffle); candidate pairs come ONLY through equal
+    (band_idx, band_val) buckets (the d_minhash_lsh/SimHash banding
+    device — never all-pairs), and verification is a row-local
+    bit_count(xor) sum over the band arrays both sides carry into the
+    join.  Exactness: the mean threshold is the integer cross-multiply
+    cell·{PHASH_CELLS} > Σcells (no division), so bits, bands and
+    Hamming distances are bit-identical cross-engine; empty payloads
+    have no thumbnail and are filtered, not crashed.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's multimodal family
+    (m_payload_dedup finds EXACT payload copies; this finds
+    perceptually NEAR ones).
+    """
+    from locopy_spark.operators.multimodal import attach_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = phash_bands(attach_payload(docs))
+    return phash_pairs(bands)
+
+
+def phash_bands(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Row-local aHash band projection: (doc_id, bands array<int>) —
+    an idempotent per-key map (``stream_phash`` maintains it live)."""
+    n, nb = PHASH_CELLS, PHASH_BANDS
+    per_band = n // nb
+    # sampled-byte thumbnail cell i over the ASCII payload text
+    cell = (
+        f"ascii(substring(text, 1 + cast(i * (length(text) - 1) AS INT)"
+        f" div {n - 1}, 1))"
+    )
+    cells = f"transform(sequence(0, {n - 1}), i -> {cell})"
+    band_val = (
+        f"aggregate(sequence(0, {per_band - 1}), 0, (acc, j) ->"
+        f" acc * 2 + (case when element_at(cells, b * {per_band} + j + 1)"
+        f" * {n} > csum then 1 else 0 end))"
+    )
+    return (
+        media.filter("length(text) > 0")
+        .selectExpr(id_col, f"{cells} AS cells")
+        .selectExpr(
+            id_col,
+            "cells",
+            "aggregate(cells, 0, (acc, x) -> acc + x) AS csum",
+        )
+        .selectExpr(
+            id_col,
+            f"transform(sequence(0, {nb - 1}), b -> {band_val}) AS bands",
+        )
+    )
+
+
+def phash_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded candidate join + Hamming verification over any (doc_id,
+    bands) hash table."""
+    nb = PHASH_BANDS
+    exploded = bands.selectExpr(
+        id_col, "bands", "posexplode(bands) AS (band_idx, band_val)"
+    )
+    a = exploded.selectExpr(
+        f"{id_col} AS doc_a", "bands AS bands_a", "band_idx", "band_val"
+    )
+    b = exploded.selectExpr(
+        f"{id_col} AS doc_b", "bands AS bands_b", "band_idx", "band_val"
+    )
+    hamming = " + ".join(
+        f"bit_count(cast(element_at(bands_a, {i + 1}) as bigint)"
+        f" ^ element_at(bands_b, {i + 1}))"
+        for i in range(nb)
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter("doc_a < doc_b")
+        .select("doc_a", "doc_b", "bands_a", "bands_b")
+        .distinct()
+        .selectExpr("doc_a", "doc_b", f"cast({hamming} as int) AS hamming")
+        .filter(f"hamming <= {PHASH_MAX_HD}")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_phash_final() -> str:
+    n, nb = PHASH_CELLS, PHASH_BANDS
+    per_band = n // nb
+    cell = (
+        f"ord(substr(text, 1 + (i * (length(text) - 1)) // {n - 1}, 1))"
+    )
+    band_val = (
+        f"list_reduce(list_prepend(0, list_transform(range({per_band}),"
+        f" j -> CASE WHEN cells[b * {per_band} + j + 1] * {n} > csum"
+        " THEN 1 ELSE 0 END)), (acc, x) -> acc * 2 + x)"
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(bands_a[{i + 1}] AS BIGINT),"
+        f" CAST(bands_b[{i + 1}] AS BIGINT)))"
+        for i in range(nb)
+    )
+    return f"""
+  WITH t AS (
+    SELECT doc_id,
+           list_transform(range({n}), i -> {cell}) AS cells
+    FROM documents WHERE length(text) > 0
+  ),
+  s AS (SELECT doc_id, cells, list_sum(cells) AS csum FROM t),
+  h AS (
+    SELECT doc_id,
+           list_transform(range({nb}), b -> {band_val}) AS bands
+    FROM s
+  ),
+  e AS (
+    SELECT doc_id, bands, UNNEST(range({nb})) AS band_idx FROM h
+  ),
+  e2 AS (
+    SELECT doc_id, bands, band_idx, bands[band_idx + 1] AS band_val
+    FROM e
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.bands AS bands_a, b.bands AS bands_b
+    FROM e2 a JOIN e2 b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b, CAST({hamming} AS INT) AS hamming
+  FROM cand
+  WHERE {hamming} <= {PHASH_MAX_HD}
+  ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE["m_phash_near_dup"] = _sql_phash_final()

@@ -3337,3 +3337,44 @@ def stream_funnel_sig(
         .queryName(f"funnel_sig_{state_view}")
         .start()
     )
+
+
+def stream_phash(
+    docs: DataFrame,
+    state_view: str = "phash_state",
+):
+    """Continuously-maintained perceptual-hash table: each
+    micro-batch's documents project row-locally to their aHash band
+    arrays (``queries.docs_ext.phash_bands`` — an IDEMPOTENT per-key
+    map: a re-delivered document recomputes the identical hash, so
+    the merge is keep-any).  The banded candidate join + Hamming
+    verification (``phash_pairs``) closes at read time — a new
+    document's near-dup pairs appear the moment its bands land in a
+    shared bucket.  The live media-dedup index; batch twin:
+    ``m_phash_near_dup``."""
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, bands array<int>")
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        from locopy_spark.operators.multimodal import attach_payload
+        from locopy_spark.queries.docs_ext import phash_bands
+
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(phash_bands(attach_payload(batch_df)))
+            .groupBy("doc_id")
+            .agg(F.first("bands").alias("bands"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"phash_{state_view}")
+        .start()
+    )

@@ -2961,3 +2961,37 @@ def test_stream_funnel_sig_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_funnel_sig(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_phash_matches_batch(spark, sf_dir, tmp_path):
+    """The per-document hash is an idempotent row-local map; the four
+    chunks OVERLAP (every document delivered twice) so the keep-any
+    merge is genuinely exercised; state + the banded pair finisher
+    equals batch m_phash_near_dup exactly."""
+    from locopy_spark.queries.docs_ext import m_phash_near_dup, phash_pairs
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_phash
+
+    d = load_table(spark, sf_dir, "documents")
+    for i, (p1, p2) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        d.filter(
+            f"pmod(doc_id, 4) IN ({p1}, {p2})"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"phchunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "phchunk*"))
+    )
+    q = stream_phash(stream, state_view="phash_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in phash_pairs(spark.table("global_temp.phash_t")).collect()
+    ]
+    want = [tuple(r) for r in m_phash_near_dup(spark, sf_dir).collect()]
+    assert got and got == want
