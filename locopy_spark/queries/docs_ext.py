@@ -4706,6 +4706,15 @@ ORACLE["m_payload_dedup"] = """
 PHASH_CELLS = 64          # 8×8 thumbnail cells → one bit each
 PHASH_BANDS = 4           # 4 × 16-bit bands for the LSH candidate join
 PHASH_MAX_HD = 10         # near-dup verification threshold (of 64 bits)
+# Mega-bucket exclusion (the q_jaccard_links hub-cap device): a band
+# value shared by more documents than this carries no discriminative
+# signal — pairs meeting ONLY in such a bucket are not near-dup
+# evidence, and the bucket's quadratic candidate blow-up is the one
+# scale hazard of any LSH family.  Measured at sf0.1: uncapped, the
+# low-entropy synthetic corpus put thousands of docs in a handful of
+# buckets (230 s); capped, the same query runs in ~2 s with the same
+# semantics everywhere a bucket is informative.
+PHASH_BUCKET_CAP = 50
 
 
 def m_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4734,34 +4743,50 @@ def m_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from locopy_spark.operators.multimodal import attach_payload
 
+    from locopy_spark.functions.cache import managed_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    bands = phash_bands(attach_payload(docs))
+    # persist the hash table before the pair fan-out: every join side
+    # and the bucket census reads the ONE materialized projection
+    bands = managed_persist(phash_bands(attach_payload(docs)), "phash")
     return phash_pairs(bands)
 
 
 def phash_bands(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Row-local aHash band projection: (doc_id, bands array<int>) —
-    an idempotent per-key map (``stream_phash`` maintains it live)."""
+    an idempotent per-key map (``stream_phash`` maintains it live).
+
+    Expression-blowup note (the SURVEY §7 3^depth lesson, measured
+    here the hard way): referencing the 64-substring ``cells`` array
+    through 64 separate element_at sites let CollapseProject inline
+    the whole construction per site (~4096 substrings/row, 120 s at
+    sf0.1).  The bits array + ``slice`` formulation references each
+    intermediate ONCE per stage, collapsing to a handful of inlined
+    copies — same output, ~linear cost."""
     n, nb = PHASH_CELLS, PHASH_BANDS
     per_band = n // nb
-    # sampled-byte thumbnail cell i over the ASCII payload text
     cell = (
         f"ascii(substring(text, 1 + cast(i * (length(text) - 1) AS INT)"
         f" div {n - 1}, 1))"
     )
-    cells = f"transform(sequence(0, {n - 1}), i -> {cell})"
     band_val = (
-        f"aggregate(sequence(0, {per_band - 1}), 0, (acc, j) ->"
-        f" acc * 2 + (case when element_at(cells, b * {per_band} + j + 1)"
-        f" * {n} > csum then 1 else 0 end))"
+        f"aggregate(slice(bits, b * {per_band} + 1, {per_band}), 0,"
+        " (acc, x) -> acc * 2 + x)"
     )
     return (
         media.filter("length(text) > 0")
-        .selectExpr(id_col, f"{cells} AS cells")
+        .selectExpr(
+            id_col, f"transform(sequence(0, {n - 1}), i -> {cell}) AS cells"
+        )
         .selectExpr(
             id_col,
             "cells",
             "aggregate(cells, 0, (acc, x) -> acc + x) AS csum",
+        )
+        .selectExpr(
+            id_col,
+            f"transform(cells, c -> case when c * {n} > csum"
+            " then 1 else 0 end) AS bits",
         )
         .selectExpr(
             id_col,
@@ -4772,15 +4797,25 @@ def phash_bands(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def phash_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded candidate join + Hamming verification over any (doc_id,
-    bands) hash table."""
+    bands) hash table.  Buckets above PHASH_BUCKET_CAP are excluded
+    from candidate generation (see the constant's comment)."""
+    from locopy_spark.functions.cache import managed_persist
+
     nb = PHASH_BANDS
-    exploded = bands.selectExpr(
-        id_col, "bands", "posexplode(bands) AS (band_idx, band_val)"
+    exploded = managed_persist(
+        bands.selectExpr(
+            id_col, "bands", "posexplode(bands) AS (band_idx, band_val)"
+        ),
+        "phash",
     )
-    a = exploded.selectExpr(
+    keep = exploded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    ).filter(f"bucket_n <= {PHASH_BUCKET_CAP}")
+    pruned = exploded.join(keep, ["band_idx", "band_val"])
+    a = pruned.selectExpr(
         f"{id_col} AS doc_a", "bands AS bands_a", "band_idx", "band_val"
     )
-    b = exploded.selectExpr(
+    b = pruned.selectExpr(
         f"{id_col} AS doc_b", "bands AS bands_b", "band_idx", "band_val"
     )
     hamming = " + ".join(
@@ -4806,9 +4841,9 @@ def _sql_phash_final() -> str:
         f"ord(substr(text, 1 + (i * (length(text) - 1)) // {n - 1}, 1))"
     )
     band_val = (
-        f"list_reduce(list_prepend(0, list_transform(range({per_band}),"
-        f" j -> CASE WHEN cells[b * {per_band} + j + 1] * {n} > csum"
-        " THEN 1 ELSE 0 END)), (acc, x) -> acc * 2 + x)"
+        f"list_reduce(list_prepend(0,"
+        f" bits[b * {per_band} + 1 : b * {per_band} + {per_band}]),"
+        " (acc, x) -> acc * 2 + x)"
     )
     hamming = " + ".join(
         f"bit_count(xor(CAST(bands_a[{i + 1}] AS BIGINT),"
@@ -4822,10 +4857,16 @@ def _sql_phash_final() -> str:
     FROM documents WHERE length(text) > 0
   ),
   s AS (SELECT doc_id, cells, list_sum(cells) AS csum FROM t),
+  bt AS (
+    SELECT doc_id,
+           list_transform(cells, c -> CASE WHEN c * {n} > csum
+             THEN 1 ELSE 0 END) AS bits
+    FROM s
+  ),
   h AS (
     SELECT doc_id,
            list_transform(range({nb}), b -> {band_val}) AS bands
-    FROM s
+    FROM bt
   ),
   e AS (
     SELECT doc_id, bands, UNNEST(range({nb})) AS band_idx FROM h
@@ -4834,10 +4875,17 @@ def _sql_phash_final() -> str:
     SELECT doc_id, bands, band_idx, bands[band_idx + 1] AS band_val
     FROM e
   ),
+  keep AS (
+    SELECT band_idx, band_val FROM e2
+    GROUP BY 1, 2 HAVING COUNT(*) <= {PHASH_BUCKET_CAP}
+  ),
+  e3 AS (
+    SELECT e2.* FROM e2 JOIN keep USING (band_idx, band_val)
+  ),
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.bands AS bands_a, b.bands AS bands_b
-    FROM e2 a JOIN e2 b
+    FROM e3 a JOIN e3 b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
   )
