@@ -4722,8 +4722,10 @@ def m_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the image-dedup pipeline shape (thumbnail → aHash bits → banded
     LSH join → Hamming verify), with the decode stage the usual
     deterministic stand-in (no codec libs in this container: the
-    "thumbnail" samples {PHASH_CELLS} payload bytes; a real deployment
-    replaces ONLY that projection with pixel averaging).
+    "thumbnail" samples {PHASH_CELLS} evenly-spaced ``text``
+    characters — both engines sample the same column identically; a
+    real deployment replaces ONLY that projection with pixel
+    averaging over a decoded payload).
 
     Scale shape: the hash is row-local whole-stage codegen (sampled
     bytes → mean-threshold bits → {PHASH_BANDS}×16-bit band ints — no
@@ -4741,14 +4743,12 @@ def m_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m_payload_dedup finds EXACT payload copies; this finds
     perceptually NEAR ones).
     """
-    from locopy_spark.operators.multimodal import attach_payload
-
     from locopy_spark.functions.cache import managed_persist
 
     docs = load_table(spark, sf_dir, "documents")
     # persist the hash table before the pair fan-out: every join side
     # and the bucket census reads the ONE materialized projection
-    bands = managed_persist(phash_bands(attach_payload(docs)), "phash")
+    bands = managed_persist(phash_bands(docs), "phash")
     return phash_pairs(bands)
 
 

@@ -1983,7 +1983,7 @@ MA_ITERS = 16  # fixed value-iteration rounds = fixed plan/CTE depth
 
 
 def attribution_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The augmented journey transition matrix behind
+    r"""The augmented journey transition matrix behind
     q_attribution_markov: per-user event streams split into JOURNEYS
     at each purchase (the purchase becomes the absorbing CONV token,
     the next event starts a new journey), START prepended, and
@@ -2036,7 +2036,7 @@ def attribution_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov removal-effect attribution over user journeys — the
+    r"""Markov removal-effect attribution over user journeys — the
     data-driven alternative to q_first_touch / q_attribution_linear's
     positional rules: a channel's credit is how much the journey
     conversion probability DROPS when every path through that channel
@@ -2441,12 +2441,18 @@ def shapley_report(grid: DataFrame, spark: SparkSession) -> DataFrame:
     # persist the 2^k-row result so the data-sized per-user aggregate
     # beneath it runs ONCE, not once per consumer subtree.
     subsets = spark.range(n_masks).select(F.col("id").cast("int").alias("s"))
+    # TOTAL zeta transform: LEFT JOIN from the full 2^k lattice so every
+    # v(S) row exists even when no user's mask is a subset of S (e.g. no
+    # mask-0 user because every converter touched a channel first) —
+    # v(S)=0 then, and the marginal/total consumers below stay correct
+    # on ANY grid, including degenerate mid-stream states.  An inner
+    # join here silently dropped those coalitions (ADVICE r9, high).
     v = managed_persist(
-        F.broadcast(grid)
-        .crossJoin(subsets)
-        .filter(F.expr("(mask | s) = s"))
+        subsets.join(F.broadcast(grid), F.expr("(mask | s) = s"), "left")
         .groupBy("s")
-        .agg(F.sum("convs").alias("v")),
+        .agg(
+            F.coalesce(F.sum("convs"), F.lit(0)).cast("bigint").alias("v")
+        ),
         "shapley",
     )
     w_case = "CASE bit_count(s) " + " ".join(
@@ -2523,8 +2529,10 @@ def _sql_shapley() -> str:
     FROM per_user GROUP BY 1
   ),
   v AS (
-    SELECT t.s, CAST(SUM(g.convs) AS BIGINT) AS v
-    FROM range({n_masks}) AS t(s) JOIN grid g ON (g.mask | t.s) = t.s
+    -- TOTAL zeta transform (matches the Spark LEFT JOIN): every v(S)
+    -- row exists with v(S)=0 when no mask is a subset of S
+    SELECT t.s, CAST(COALESCE(SUM(g.convs), 0) AS BIGINT) AS v
+    FROM range({n_masks}) AS t(s) LEFT JOIN grid g ON (g.mask | t.s) = t.s
     GROUP BY 1
   ),
   channels AS (SELECT * FROM (VALUES {chans}) AS c(channel, bit)),

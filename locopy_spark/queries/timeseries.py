@@ -908,7 +908,7 @@ DRAWDOWN_BANDS = 10  # 10%-wide drawdown bands
 
 
 def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-revenue drawdown profile: each day's shortfall against the
+    r"""Daily-revenue drawdown profile: each day's shortfall against the
     running PEAK daily revenue so far, as a 10-band histogram plus the
     maximum drawdown and the longest under-peak streak — the
     peak-to-trough read (finance drawdown applied to the revenue
@@ -1651,9 +1651,10 @@ def growth_grid(events: DataFrame) -> DataFrame:
     epoch day // 7 (integer week index, so gap arithmetic is plain
     subtraction) — an idempotent SET monoid (merge = union+distinct),
     |users × weeks| rows forever.  The week division floors toward
-    negative infinity (same remainder trick as ``sql_epoch_day``),
-    matching DuckDB ``//`` for pre-1970 timestamps; plain ``div``
-    would truncate toward zero and widen the week-0 bin."""
+    negative infinity (same remainder trick as ``sql_epoch_day``);
+    the DuckDB oracle carries the IDENTICAL floor form because plain
+    ``//`` there truncates toward zero on pre-1970 days (-8 // 7 =
+    -1, not -2) and would widen the week-0 bin (ADVICE r9)."""
     day = sql_epoch_day(events, "ts")
     return (
         events.select(
@@ -1710,10 +1711,13 @@ def growth_report(grid: DataFrame) -> DataFrame:
 
 ORACLE["q_growth_accounting"] = """
   WITH grid AS (
+    -- floored week index, NOT plain // (which truncates toward zero
+    -- on pre-1970 days); identical form to the Spark side
     SELECT DISTINCT user_id,
-           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
-             AS wi
-    FROM events
+           (d - ((d % 7) + 7) % 7) // 7 AS wi
+    FROM (SELECT user_id,
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+          FROM events)
   ),
   seq AS (
     SELECT user_id, wi,
@@ -1936,10 +1940,13 @@ def _sql_bass() -> str:
              " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))")
     return f"""
   WITH firsts AS (
+    -- floored week index (matches Spark; plain // truncates pre-1970)
     SELECT o_custkey,
-           MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-               // 7) AS wi
-    FROM orders GROUP BY 1
+           MIN((d - ((d % 7) + 7) % 7) // 7) AS wi
+    FROM (SELECT o_custkey,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS d
+          FROM orders) GROUP BY 1
   ),
   grid AS (
     SELECT wi, COUNT(*) AS adopters FROM firsts GROUP BY 1

@@ -469,7 +469,7 @@ ORACLE: dict[str, str] = {
 
 
 def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Units-per-transaction distribution: how many line items do
+    r"""Units-per-transaction distribution: how many line items do
     orders carry, with exact ppm shares and the average order value
     per basket size — the assortment/bundling read next to
     q_market_basket's pair affinities (sizes say WHETHER baskets are

@@ -1824,7 +1824,7 @@ ORACLE["q_backlog_aging"] = f"""
 
 
 def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-to-first-ship lead-time distribution per order priority:
+    r"""Order-to-first-ship lead-time distribution per order priority:
     days from order date to the EARLIEST line shipment, as a per-
     priority day histogram with exact ppm shares — the fulfillment-SLA
     read next to q12's late/on-time split (does URGENT actually ship
@@ -2043,7 +2043,7 @@ SVL_MAX_BAND = 20
 
 
 def q_street_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Street-vs-list price audit per brand: the distribution of
+    r"""Street-vs-list price audit per brand: the distribution of
     realized unit price as a share of the part's list (retail) price,
     in 10%-wide ppm bands — the pricing-integrity read that catches a
     brand quietly selling far under list (channel leakage) or over it

@@ -3360,12 +3360,11 @@ def stream_phash(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        from locopy_spark.operators.multimodal import attach_payload
         from locopy_spark.queries.docs_ext import phash_bands
 
         merged = (
             s.table(f"global_temp.{state_view}")
-            .unionByName(phash_bands(attach_payload(batch_df)))
+            .unionByName(phash_bands(batch_df))
             .groupBy("doc_id")
             .agg(F.first("bands").alias("bands"))
             .localCheckpoint()

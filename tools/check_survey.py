@@ -77,10 +77,17 @@ def latest_driver_round() -> dict[str, int]:
 # inside the current first-50 window, i.e. be about to get a fresh
 # row this round.  Before this, the ceiling was comment-discipline —
 # and the r1-era block proved discipline slips when the window fills.
-# CEILING is 6 for round 9 because the inherited backlog (9 r1-era +
-# 41 r3-era keys) plus the two refactor pins exceeds one 50-slot
-# window, so 2 r3 keys must wait one extra round just past the
-# cutoff; ratchet to 5 in round 10 once the r3 block clears.
+#
+# Window-capacity math (why CEILING=6 is permanent, not a waypoint):
+# the driver gates 50 keys per round, so a surface of N keys needs
+# ceil(N / 50) rounds for a full re-check cycle.  At N=298 that is 6
+# rounds — a key re-checked the round after it ages out is at most 6
+# rounds old, so CEILING=6 is exactly tight and sustainable forever.
+# CEILING=5 would require cycling 298 keys through 5*50 = 250 slots
+# and is permanently infeasible (the round-9 plan to "ratchet to 5"
+# was arithmetically wrong; see test_contract_checks.py's
+# window-capacity pin).  Only shrinking the surface or widening the
+# window could lower the ceiling.
 STALENESS_CEILING = 6
 
 
