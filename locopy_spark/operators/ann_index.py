@@ -1,0 +1,160 @@
+"""Materialized ANN index: the amortized 100-TB similarity-search shape.
+
+The oracle-gated s_knn_* queries rebuild their structures per query by
+contract (signatures, centroid lists, quantization codes — all derived
+from the embedding table on every call).  At scale that is the wrong
+deal: the index derivations are corpus-sized scans (the LSH plane-bank
+matmul, the IVF nearest-centroid assignment with its |corpus| window
+shuffle, the int8 quantization fold), while each QUERY touches only
+buckets/probed lists.  This module pays the derivations ONCE into
+bucketed managed tables (the graph family's ``graph_edges_materialize``
+device, sources/bucketed.py) and the knn operators accept the tables
+via their ``postings`` / ``base_lists`` / ``centroids`` parameters —
+the query path then reads pre-partitioned storage and does zero
+corpus-sized rebuild work.
+
+Tables written by :func:`materialize_ann_index` (prefix-qualified):
+
+- ``<p>_base``    (vec_id, embedding, norm_fix, codes, code_norm),
+  bucketed+sorted by vec_id: exact-rescore joins on neighbor_id read
+  it pre-partitioned (no exchange, no sort on the corpus side), and
+  ``with_fixed_norm`` / ``with_int8_codes`` pass it through untouched
+  (both are idempotent on their output columns).
+- ``<p>_postings`` (vec_id, table, bucket), bucketed by bucket: the
+  multi-table LSH signature rows — the per-query candidate join
+  broadcasts the query side, so reading postings is a narrow scan.
+- ``<p>_ivf_lists`` (centroid_id, n_id, n_emb, n_norm), bucketed by
+  centroid_id: each vector's ONE inverted-list assignment — the
+  |corpus| window shuffle of ``_ivf_assign`` paid at build time.
+- ``<p>_ivf_centroids`` (centroid_id, c_emb, c_norm): the tiny coarse
+  quantizer, so the query path never re-derives it from the corpus.
+
+Reference parity note: the reference (capitalone/locopy) ships no
+analytics; this is the serving-shape complement of the engine's ANN
+family (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from locopy_spark.operators import similarity
+from locopy_spark.sources.bucketed import write_bucketed
+
+ANN_TABLES = ("base", "postings", "ivf_lists", "ivf_centroids")
+
+
+def ann_table_names(prefix: str = "ann_index") -> dict[str, str]:
+    return {t: f"{prefix}_{t}" for t in ANN_TABLES}
+
+
+def materialize_ann_index(
+    emb: DataFrame,
+    prefix: str = "ann_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_buckets: int = 8,
+) -> dict[str, DataFrame]:
+    """Build the four index tables from ``emb`` and return them as
+    {short_name: DataFrame} reading the managed tables.
+
+    Derivations are bit-identical to what the standalone knn operators
+    compute live (same plane bank, same deterministic md5 centroid
+    pick, same quantization expressions), so injecting these tables is
+    result-identical — pytest-asserted in tests/test_similarity.py.
+    """
+    spark = emb.sparkSession
+    names = ann_table_names(prefix)
+    base = similarity.with_int8_codes(
+        similarity.with_fixed_norm(emb, vec_col), vec_col
+    )
+    write_bucketed(
+        base, names["base"], id_col, n_buckets=n_buckets, sort_cols=[id_col]
+    )
+    base_t = spark.table(names["base"])
+    write_bucketed(
+        similarity.lsh_signatures_arrow(
+            base_t, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, dim=dim,
+        ),
+        names["postings"],
+        "bucket",
+        n_buckets=n_buckets,
+        sort_cols=["table", "bucket"],
+    )
+    cent = similarity._ivf_centroids(base_t, id_col, vec_col, n_centroids)
+    # 16 rows — one bucket; write_bucketed for its stale-location
+    # cleanup (saveAsTable alone fails on a directory a previous
+    # session left behind)
+    write_bucketed(cent, names["ivf_centroids"], "centroid_id", n_buckets=1)
+    cent_t = spark.table(names["ivf_centroids"])
+    vecs = base_t.select(
+        base_t[id_col].alias("n_id"),
+        base_t[vec_col].alias("n_emb"),
+        base_t["norm_fix"].alias("n_norm"),
+    )
+    write_bucketed(
+        similarity._ivf_assign(vecs, "n", 1, cent_t),
+        names["ivf_lists"],
+        "centroid_id",
+        n_buckets=n_buckets,
+        sort_cols=["centroid_id"],
+    )
+    return {t: spark.table(names[t]) for t in ANN_TABLES}
+
+
+def knn_lsh_indexed(
+    spark: SparkSession,
+    query_ids: list[int] | None,
+    k: int,
+    prefix: str = "ann_index",
+) -> DataFrame:
+    """knn_lsh served from the materialized index: postings + base,
+    zero signature recomputation."""
+    names = ann_table_names(prefix)
+    return similarity.knn_lsh(
+        spark.table(names["base"]),
+        query_ids=query_ids,
+        k=k,
+        postings=spark.table(names["postings"]),
+    )
+
+
+def knn_ivf_indexed(
+    spark: SparkSession,
+    query_ids: list[int] | None,
+    k: int,
+    n_probe: int = 4,
+    prefix: str = "ann_index",
+) -> DataFrame:
+    """knn_ivf served from the materialized index: lists + centroids,
+    zero corpus-sized assignment work per query."""
+    names = ann_table_names(prefix)
+    return similarity.knn_ivf(
+        spark.table(names["base"]),
+        query_ids=query_ids,
+        k=k,
+        n_probe=n_probe,
+        base_lists=spark.table(names["ivf_lists"]),
+        centroids=spark.table(names["ivf_centroids"]),
+    )
+
+
+def knn_int8_indexed(
+    spark: SparkSession,
+    query_ids: list[int] | None,
+    k: int,
+    prefix: str = "ann_index",
+) -> DataFrame:
+    """knn_int8 served from the materialized index: the base table
+    already carries codes + code_norm + norm_fix, so the idempotent
+    ``with_int8_codes`` / ``with_fixed_norm`` stages pass through and
+    the query is two broadcast joins over stored columns."""
+    names = ann_table_names(prefix)
+    return similarity.knn_int8(
+        spark.table(names["base"]), query_ids=query_ids, k=k
+    )

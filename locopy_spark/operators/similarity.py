@@ -246,6 +246,7 @@ def knn_lsh(
     n_tables: int = 8,
     dim: int = 64,
     signatures: str = "arrow",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -262,12 +263,24 @@ def knn_lsh(
     bank; near-zero projections can land in a different bucket
     (recall-neutral, candidates are exactly rescored). ``'fold'``
     keeps the pure-SQL signature path.
+
+    ``postings``: a pre-computed (ideally a materialized bucketed
+    table — see :mod:`locopy_spark.operators.ann_index`) signature
+    table with the SAME (id_col, n_planes, n_tables, dim) — the
+    100-TB deployment shape, where the signature scan is paid once
+    at index-build time and every query reads the postings instead
+    of re-projecting the plane bank over the corpus.
     """
-    sig_fn = lsh_signatures_arrow if signatures == "arrow" else lsh_signatures
-    sigs = sig_fn(
-        emb, id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, n_tables=n_tables, dim=dim,
-    )
+    if postings is not None:
+        sigs = postings
+    else:
+        sig_fn = (
+            lsh_signatures_arrow if signatures == "arrow" else lsh_signatures
+        )
+        sigs = sig_fn(
+            emb, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, dim=dim,
+        )
     q_sigs = sigs.withColumnRenamed(id_col, "query_id")
     if query_ids is not None:
         q_sigs = q_sigs.filter(F.col("query_id").isin(query_ids))
@@ -378,6 +391,7 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     base_lists: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -394,9 +408,20 @@ def knn_ivf(
     :func:`ivf_base_lists` result for the SAME (emb, n_centroids) —
     lets an n_probe sweep share the one probe-independent assignment
     pass instead of replaying it per setting.
+
+    ``centroids``: a pre-computed :func:`_ivf_centroids` result
+    (centroid_id, c_emb, c_norm) for the SAME (emb, n_centroids) —
+    with ``base_lists`` this makes the query path index-only: probe
+    assignment against the tiny materialized centroid set plus one
+    equi-join into the materialized lists, zero corpus-sized rebuild
+    work per query (see :mod:`locopy_spark.operators.ann_index`).
     """
     base = with_fixed_norm(emb, vec_col)
-    cent = _ivf_centroids(base, id_col, vec_col, n_centroids)
+    cent = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(base, id_col, vec_col, n_centroids)
+    )
 
     def assign(df: DataFrame, side: str, probes: int) -> DataFrame:
         return _ivf_assign(df, side, probes, cent)
@@ -649,7 +674,13 @@ def with_int8_codes(
     byte reduction is the point at 100 TB; in-plan they are int). The
     per-vector scale cancels in the cosine proxy, so the shortlist
     ranks by quantized cosine with no dequantization.
+
+    Idempotent (the ``with_fixed_norm`` convention): a frame already
+    carrying ``codes`` — e.g. a materialized ANN base table — passes
+    through untouched, so the quantization fold isn't recomputed.
     """
+    if "codes" in emb.columns:
+        return emb
     amax = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
     # an all-zero vector has amax = 0 (no scale): its codes are the
     # zero vector, not an ANSI divide-by-zero crash — downstream the

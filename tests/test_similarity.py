@@ -236,3 +236,38 @@ def test_knn_pq_arrow_equals_sql_spec(spark, sf_dir):
         map(tuple, knn_pq(emb, arrow_encode=False, **kw).collect())
     )
     assert a == b
+
+
+def test_ann_index_served_results_identical(spark, sf_dir):
+    """The materialized-index serving path (the bench's *_shared shape,
+    operators/ann_index.py) must be result-identical to the standalone
+    operators: same plane bank, same deterministic centroid pick, same
+    quantization — stored vs recomputed can differ only by a bug."""
+    from locopy_spark.operators import ann_index, similarity
+    from locopy_spark.queries.docs import KNN_K, KNN_QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann_index.materialize_ann_index(emb, prefix="test_ann_index")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        ann_index.knn_lsh_indexed(
+            spark, KNN_QUERY_IDS, KNN_K, prefix="test_ann_index"
+        )
+    ) == rows(similarity.knn_lsh(emb, query_ids=KNN_QUERY_IDS, k=KNN_K))
+    assert rows(
+        ann_index.knn_ivf_indexed(
+            spark, [0, 1, 2, 3, 4], 5, n_probe=4, prefix="test_ann_index"
+        )
+    ) == rows(
+        similarity.knn_ivf(
+            emb, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=4
+        )
+    )
+    assert rows(
+        ann_index.knn_int8_indexed(
+            spark, [0, 1, 2, 3, 4], 5, prefix="test_ann_index"
+        )
+    ) == rows(similarity.knn_int8(emb, query_ids=[0, 1, 2, 3, 4], k=5))
