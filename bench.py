@@ -476,6 +476,8 @@ def _ann_shared_queries():
 
 
 _EDGES_TABLE = "bench_copurchase_edges"
+_DEG_TABLE = "bench_copurchase_deg"
+_EDGES_DEG_TABLE = "bench_copurchase_edges_deg"
 
 
 def _graph_shared_queries():
@@ -515,6 +517,36 @@ def _graph_shared_queries():
             n_buckets=8,
             sort_cols=["a", "b"],
         )
+        # round 10: the degree table and the dst-partitioned degree-
+        # annotated directed doubling are index-time artifacts too —
+        # every consumer re-derived them per query (one |2E| endpoint
+        # shuffle each; pagerank additionally its build join).  Write
+        # them once: (v, d) bucketed by v, and (src, dst, d) bucketed
+        # by dst so pagerank's per-iteration groupBy(dst) aggregates
+        # exchange-free straight off storage.
+        e = spark.table(_EDGES_TABLE).select("a", "b")
+        und = e.selectExpr("a AS src", "b AS dst").unionByName(
+            e.selectExpr("b AS src", "a AS dst")
+        )
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        write_bucketed(
+            deg.selectExpr("src AS v", "d"),
+            _DEG_TABLE,
+            "v",
+            n_buckets=8,
+            sort_cols=["v"],
+        )
+        # no sort_cols: the consumer (pagerank's groupBy(dst)) needs
+        # only the bucket partitioning, and sorting 2|E| rows at write
+        # time buys nothing a hash aggregate can use
+        write_bucketed(
+            und.join(
+                spark.table(_DEG_TABLE).selectExpr("v AS src", "d"), "src"
+            ),
+            _EDGES_DEG_TABLE,
+            "dst",
+            n_buckets=8,
+        )
         return spark.table(_EDGES_TABLE)
 
     def _shared(fn):
@@ -525,6 +557,23 @@ def _graph_shared_queries():
             )
 
         return run
+
+    def _shared_deg(fn):
+        def run(spark, sf_dir):
+            return fn(
+                spark, sf_dir,
+                edges=spark.table(_EDGES_TABLE).select("a", "b"),
+                degrees=spark.table(_DEG_TABLE),
+            )
+
+        return run
+
+    def _pagerank_shared(spark, sf_dir):
+        return mining.q_pagerank(
+            spark, sf_dir,
+            edges_deg=spark.table(_EDGES_DEG_TABLE),
+            degrees=spark.table(_DEG_TABLE),
+        )
 
     def _shared_sparse(fn):
         def run(spark, sf_dir):
@@ -539,14 +588,14 @@ def _graph_shared_queries():
 
     return {
         "graph_edges_materialize": materialize,
-        "q_graph_triangles_shared": _shared(mining.q_graph_triangles),
-        "q_pagerank_shared": _shared(mining.q_pagerank),
+        "q_graph_triangles_shared": _shared_deg(mining.q_graph_triangles),
+        "q_pagerank_shared": _pagerank_shared,
         "q_graph_reach_shared": _shared(mining.q_graph_reach),
-        "q_assortativity_shared": _shared(mining.q_assortativity),
-        "q_degree_dist_shared": _shared(mining.q_degree_dist),
-        "q_kcore_shared": _shared(mining.q_kcore),
-        "q_jaccard_links_shared": _shared(mining.q_jaccard_links),
-        "q_clustering_coef_shared": _shared(mining.q_clustering_coef),
+        "q_assortativity_shared": _shared_deg(mining.q_assortativity),
+        "q_degree_dist_shared": _shared_deg(mining.q_degree_dist),
+        "q_kcore_shared": _shared_deg(mining.q_kcore),
+        "q_jaccard_links_shared": _shared_deg(mining.q_jaccard_links),
+        "q_clustering_coef_shared": _shared_deg(mining.q_clustering_coef),
         "q_lpa_communities_shared": _shared_sparse(mining.q_lpa_communities),
     }
 

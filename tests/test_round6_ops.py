@@ -253,12 +253,66 @@ def test_graph_queries_accept_injected_edges(spark, sf_dir):
         q_jaccard_links,
     )
 
+    from pyspark.sql import functions as F
+
     e = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
     for fn in (q_assortativity, q_degree_dist, q_jaccard_links,
                q_clustering_coef):
         a = [tuple(r) for r in fn(spark, sf_dir).collect()]
         b = [tuple(r) for r in fn(spark, sf_dir, edges=e).collect()]
         assert a == b, fn.__name__
+        # round 10: the degree table is an index-time artifact too —
+        # injecting it with the edges must stay result-identical
+        c = [tuple(r) for r in fn(spark, sf_dir, edges=e, degrees=deg).collect()]
+        assert a == c, f"{fn.__name__} (degrees=)"
+
+
+def test_pagerank_and_census_accept_injected_index(spark, sf_dir):
+    """q_pagerank served from the materialized (src, dst, d) table +
+    degree table (the bench's round-10 shared shape) and the census
+    with an injected degree table must match the standalone builds
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.queries.mining import (
+        copurchase_edges,
+        q_graph_triangles,
+        q_kcore,
+        q_pagerank,
+    )
+
+    e = copurchase_edges(spark, sf_dir).localCheckpoint()
+    und = e.selectExpr("a AS src", "b AS dst").unionByName(
+        e.selectExpr("b AS src", "a AS dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = und.join(deg, "src").repartition("dst").localCheckpoint()
+    degv = deg.selectExpr("src AS v", "d").localCheckpoint()
+    a = [tuple(r) for r in q_pagerank(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in q_pagerank(
+            spark, sf_dir, edges_deg=edges_deg, degrees=degv
+        ).collect()
+    ]
+    assert a == b
+    # edges_deg without degrees (the dropDuplicates fallback)
+    c = [
+        tuple(r)
+        for r in q_pagerank(spark, sf_dir, edges_deg=edges_deg).collect()
+    ]
+    assert a == c
+    for fn in (q_graph_triangles, q_kcore):
+        x = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        y = [tuple(r) for r in fn(spark, sf_dir, edges=e, degrees=degv).collect()]
+        assert x == y, fn.__name__
 
 
 def test_lpa_accepts_injected_sparsified_edges(spark, sf_dir):
