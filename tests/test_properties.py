@@ -654,3 +654,146 @@ def test_two_sample_panel_empty_side_yields_null_ratios(spark):
     assert (mw.n_a, mw.n_b, mw.u_a_x2) == (5, 0, 0)
     cl = cliffs_report(grid).collect()[0]
     assert (cl.n_a, cl.n_b, cl.n_gt, cl.n_eq) == (5, 0, 0, 0)
+
+
+# -- streaming monoid states: stream_shapley / stream_ndr --------------------
+#
+# The two subtlest merge rules in the streaming surface (VERDICT r9
+# task 7): stream_shapley's per-user MIN state realizes RETROACTIVE
+# EXCLUSION at read time (an early purchase arriving in a LATER chunk
+# must exclude touches whose mins are already merged — the mask
+# projection compares merged mins, so ordering must not matter), and
+# stream_ndr's plain-sum grid feeds a (customer, year+1) self-join at
+# close (a cohort's NDR keeps moving as next-year orders stream in).
+# These properties drive the REAL maintainer merge formula over
+# hypothesis-random chunkings/orderings and assert that after EVERY
+# chunk prefix the merged state equals the batch state of exactly the
+# events seen so far — the definition of lockstep.
+
+from datetime import datetime as _dt  # noqa: E402
+
+
+def _shapley_merge(spark, state, chunk_df):
+    from pyspark.sql import functions as F
+
+    from locopy_spark.queries.events_ext import (
+        SHAPLEY_CHANNELS,
+        shapley_user_state,
+    )
+
+    mins = [F.min("conv_us").alias("conv_us")] + [
+        F.min(f"t{i}_us").alias(f"t{i}_us")
+        for i in range(len(SHAPLEY_CHANNELS))
+    ]
+    return (
+        state.unionByName(shapley_user_state(chunk_df))
+        .groupBy("user_id")
+        .agg(*mins)
+        .localCheckpoint()
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                  # user
+            st.integers(0, 4),                  # 0-3 = channel, 4 = purchase
+            st.integers(1, 12),                 # day
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=8, deadline=None)
+def test_stream_shapley_state_chunking_invariant(spark, evs, rnd):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from locopy_spark.queries.events_ext import (
+        SHAPLEY_CHANNELS,
+        shapley_user_state,
+    )
+
+    kinds = SHAPLEY_CHANNELS + ["purchase"]
+    rows = [
+        (i + 1, _dt(2000, 1, day), uid, kinds[kind], 1.0, "{}")
+        for i, (uid, kind, day) in enumerate(evs)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # adversarial ordering: shuffle, then split into 1-4 chunks — a
+    # purchase can land chunks after the touches it must exclude, and
+    # duplicates of a row across chunks exercise MIN idempotence
+    rnd.shuffle(rows)
+    if len(rows) > 1 and rnd.random() < 0.5:
+        rows.append(rows[0])  # re-delivery
+    n_chunks = rnd.randrange(1, 5)
+    chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+
+    cols = ", ".join(f"t{i}_us bigint" for i in range(len(SHAPLEY_CHANNELS)))
+    state = spark.createDataFrame([], f"user_id long, conv_us bigint, {cols}")
+    seen = []
+    for c in chunks:
+        seen.extend(c)
+        state = _shapley_merge(spark, state, spark.createDataFrame(c, schema))
+        want = sorted(
+            tuple(r)
+            for r in shapley_user_state(
+                spark.createDataFrame(seen, schema)
+            ).collect()
+        )
+        got = sorted(tuple(r) for r in state.collect())
+        assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                  # customer
+            st.integers(0, 4),                  # year offset from 1994
+            st.integers(1, 9999),               # price cents-ish
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=8, deadline=None)
+def test_stream_ndr_report_chunking_invariant(spark, ords, rnd):
+    from pyspark.sql import functions as F
+
+    from locopy_spark.queries.timeseries import ndr_report, ndr_state
+
+    rows = [
+        (cust, _dt(1994 + yr, 6, 15), price / 100.0)
+        for cust, yr, price in ords
+    ]
+    schema = "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    rnd.shuffle(rows)
+    n_chunks = rnd.randrange(1, 5)
+    chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+
+    state = spark.createDataFrame([], "o_custkey long, yr int, rev_c bigint")
+    seen = []
+    for c in chunks:
+        seen.extend(c)
+        state = (
+            state.unionByName(ndr_state(spark.createDataFrame(c, schema)))
+            .groupBy("o_custkey", "yr")
+            .agg(F.sum("rev_c").alias("rev_c"))
+            .localCheckpoint()
+        )
+        # the close (grid self-join on year+1 + horizon guard) over the
+        # merged state must equal batch over exactly the orders so far
+        want = sorted(
+            tuple(r)
+            for r in ndr_report(
+                ndr_state(spark.createDataFrame(seen, schema))
+            ).collect()
+        )
+        got = sorted(tuple(r) for r in ndr_report(state).collect())
+        assert got == want
