@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "q_ndr",
     "q_funnel_sig",
     "m_phash_near_dup",
+    # round 10: new operators
+    "q_jarque_bera",
+    "q_cochran_q",
     "q_event_transitions",
     "q_events_variant",
     "q_user_streaks",

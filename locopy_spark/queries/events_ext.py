@@ -2690,3 +2690,162 @@ def _sql_funnel_sig() -> str:
 
 
 ORACLE["q_funnel_sig"] = _sql_funnel_sig()
+
+
+# -- Cochran's Q marginal-homogeneity test --------------------------------------------
+
+# chi-square(k-1 = 3) 0.95 quantile — the Q rejection bound, a shared
+# literal in both engines
+_CQ_CRIT_95 = "7.814727903251179"
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test across the four marketing channels on
+    PRE-CONVERSION journeys: do the channels appear in users' paths
+    to (first) purchase at the same rate, or do their touch rates
+    differ significantly? — the k-treatment generalization of
+    q_mcnemar (k = 2 reduces to it), on matched binary outcomes
+    x_uj = "channel j was in user u's pre-purchase window" (all
+    touches count for never-converters — exactly the
+    q_attribution_shapley mask).  Q = (k−1)·(k·ΣCj² − N²)
+    / (k·N − ΣRi²) ~ chi-square(k−1), with Cj the channel touch
+    counts, Ri the per-user touched-channel counts, N = ΣRi.
+
+    Exactness & streaming: SECOND read-time finisher on the keyed
+    per-user first-touch state ``shapley_user_state`` (idempotent MIN
+    monoid — ``stream_cochran_q`` maintains it live with the same
+    merge as stream_shapley), and the 2^k coalition grid it closes
+    over is LITERALLY ``shapley_grid``: Cj/Ri sums are exact bigint
+    sums over its 16 rows, and Q is one shared double expression over
+    exact integers.  All-or-nothing users (Ri = 0 or Ri = k)
+    contribute zero to both effect and dispersion exactly as the
+    textbook form implies; a degenerate state where EVERY user is
+    all-or-nothing zeroes the denominator and yields NULL via an
+    exact integer guard, never a divide crash.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's experiment-analysis family
+    (q_mcnemar / q_friedman / q_posthoc_pairs).
+    """
+    return cochran_report(
+        shapley_user_state(load_table(spark, sf_dir, "events"))
+    )
+
+
+def _cq_close_expr() -> str:
+    """The shared Q closure over (k, n_touch = N, sum_r2 = ΣRi²,
+    sum_c2 = ΣCj²) — identical text on both engines."""
+    k = len(SHAPLEY_CHANNELS)
+    num = (
+        f"CAST({k - 1} AS DOUBLE) * ({k}.0 * CAST(sum_c2 AS DOUBLE)"
+        " - CAST(n_touch AS DOUBLE) * CAST(n_touch AS DOUBLE))"
+    )
+    den = f"({k}.0 * CAST(n_touch AS DOUBLE) - CAST(sum_r2 AS DOUBLE))"
+    guard = f"{k} * n_touch > sum_r2"
+    return (
+        f"CASE WHEN {guard} THEN ({num}) / ({den}) END"
+    )
+
+
+def cochran_report(per_user: DataFrame) -> DataFrame:
+    """Close Cochran's Q over any keyed per-user first-touch state —
+    via the SAME 2^k pre-conversion coalition grid the Shapley panel
+    closes over (``shapley_grid``)."""
+    k = len(SHAPLEY_CHANNELS)
+    grid = shapley_grid(per_user)
+    c_sums = [
+        F.sum(
+            F.expr(f"case when (mask & {1 << j}) > 0 then users"
+                   " else 0 end")
+        ).alias(f"c{j}")
+        for j in range(k)
+    ]
+    agg = grid.agg(
+        F.sum("users").alias("n_users"),
+        F.expr("CAST(SUM(users * bit_count(mask)) AS BIGINT)").alias(
+            "n_touch"
+        ),
+        F.expr(
+            "CAST(SUM(users * bit_count(mask) * bit_count(mask))"
+            " AS BIGINT)"
+        ).alias("sum_r2"),
+        *c_sums,
+    )
+    c2 = " + ".join(f"c{j} * c{j}" for j in range(k))
+    q_expr = _cq_close_expr()
+    return agg.selectExpr(
+        "n_users",
+        *[
+            f"CAST(c{j} AS BIGINT) AS n_{ch}"
+            for j, ch in enumerate(SHAPLEY_CHANNELS)
+        ],
+        f"CAST(({c2}) AS BIGINT) AS sum_c2",
+        "n_touch",
+        "sum_r2",
+    ).selectExpr(
+        "n_users",
+        *[f"n_{ch}" for ch in SHAPLEY_CHANNELS],
+        f"{q_expr} AS q",
+        f"CASE WHEN ({q_expr}) IS NOT NULL"
+        f" THEN ({q_expr}) > {_CQ_CRIT_95} END AS reject_95",
+    )
+
+
+def _sql_cochran_q() -> str:
+    k = len(SHAPLEY_CHANNELS)
+    mins = ",\n           ".join(
+        f"MIN(CASE WHEN event_type = '{ch}'"
+        f" THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t{i}_us"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    mask_expr = " + ".join(
+        f"(CASE WHEN t{i}_us IS NOT NULL"
+        f" AND (conv_us IS NULL OR t{i}_us < conv_us)"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(k)
+    )
+    cs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN (mask & {1 << j}) > 0 THEN users"
+        f" ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(k)
+    )
+    c2 = " + ".join(f"c{j} * c{j}" for j in range(k))
+    q_expr = _cq_close_expr()
+    names = ", ".join(
+        f"c{j} AS n_{ch}" for j, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    return f"""
+  WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS conv_us,
+           {mins}
+    FROM events GROUP BY 1
+  ),
+  grid AS (
+    SELECT CAST({mask_expr} AS INT) AS mask, COUNT(*) AS users
+    FROM per_user GROUP BY 1
+  ),
+  agg AS (
+    SELECT CAST(SUM(users) AS BIGINT) AS n_users,
+           CAST(SUM(users * bit_count(CAST(mask AS BIT)))
+                AS BIGINT) AS n_touch,
+           CAST(SUM(users * bit_count(CAST(mask AS BIT))
+                    * bit_count(CAST(mask AS BIT))) AS BIGINT) AS sum_r2,
+           {cs}
+    FROM grid
+  ),
+  named AS (
+    SELECT n_users, {names},
+           CAST(({c2}) AS BIGINT) AS sum_c2, n_touch, sum_r2
+    FROM agg
+  )
+  SELECT n_users, {", ".join(f"n_{ch}" for ch in SHAPLEY_CHANNELS)},
+         {q_expr} AS q,
+         CASE WHEN ({q_expr}) IS NOT NULL
+              THEN ({q_expr}) > {_CQ_CRIT_95} END AS reject_95
+  FROM named
+"""
+
+
+ORACLE["q_cochran_q"] = _sql_cochran_q()

@@ -2679,3 +2679,129 @@ def _sql_posthoc() -> str:
 
 
 ORACLE["q_posthoc_pairs"] = _sql_posthoc()
+
+
+# -- Jarque-Bera normality panel ------------------------------------------------------
+
+# chi-square(2) 0.95 quantile — the JB rejection bound, a shared
+# literal in both engines
+_JB_CRIT_95 = "5.991464547107979"
+
+
+def _jb_close_exprs() -> dict[str, str]:
+    """The shared close: central moments, skewness, excess kurtosis and
+    JB from the exact raw power sums (n, s1..s4) — ONE double
+    expression per output with IDENTICAL text on both engines, so the
+    IEEE operation order (and therefore every bit) matches.  The
+    zero-variance guard is exact integer cross-multiplication
+    (n·s2 > s1²) — a constant group yields NULLs, never Inf/NaN."""
+    mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    m2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - 3.0 * {mean} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" + 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - 4.0 * {mean} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" + 6.0 * {mean} * {mean} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" - 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    guard = "CAST(n AS DECIMAL(38,0)) * s2 > CAST(s1 AS DECIMAL(38,0)) * s1"
+    skew = f"({m3} / sqrt({m2} * {m2} * {m2}))"
+    kurt = f"({m4} / ({m2} * {m2}) - 3.0)"
+    jb = (
+        f"(CAST(n AS DOUBLE) / 6.0"
+        f" * ({skew} * {skew} + {kurt} * {kurt} / 4.0))"
+    )
+    return {
+        "skew": f"CASE WHEN {guard} THEN {skew} END",
+        "kurt_excess": f"CASE WHEN {guard} THEN {kurt} END",
+        "jb": f"CASE WHEN {guard} THEN {jb} END",
+        "reject_95": f"CASE WHEN {guard} THEN {jb} > {_JB_CRIT_95} END",
+    }
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order values per priority — the
+    distribution-shape guard that complements q_levene's spread
+    check in front of q_anova (the F test assumes within-group
+    normality; JB tests exactly that via sample skewness and excess
+    kurtosis: JB = n/6·(S² + K²/4) ~ chi-square(2) under normality).
+
+    Exactness & streaming: FOURTH consumer of the shared (priority,
+    whole-dollar value) grid ``levene_state`` (a plain-sum monoid
+    bounded by the value domain; ``stream_jarque_bera`` maintains it
+    live) — raw power sums s1..s4 are cnt-weighted exact
+    DECIMAL(38)/HUGEINT grid sums (v ≤ 10⁶ dollars keeps v⁴·rows
+    < 10³⁸ beyond 10¹³ orders), and every double output closes as
+    one shared expression over those exact integers (identical text
+    both engines — bit-for-bit).  A constant group yields NULLs via
+    the exact integer variance guard, never an IEEE Inf.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family
+    (stats.py:q_anova / q_levene / q_stats_moments).
+    """
+    return jb_report(levene_state(load_table(spark, sf_dir, "orders")))
+
+
+def jb_report(grid: DataFrame) -> DataFrame:
+    """Close the per-priority JB panel over any (o_orderpriority, v,
+    cnt) grid — one grid-sized aggregate to |priorities| rows of
+    exact power sums, then row-local shared double expressions."""
+    close = _jb_close_exprs()
+    sums = grid.groupBy("o_orderpriority").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
+        F.expr("SUM(CAST(v AS DECIMAL(38,0)) * cnt)").alias("s1"),
+        F.expr(
+            "SUM(CAST(v AS DECIMAL(38,0)) * v * cnt)"
+        ).alias("s2"),
+        F.expr(
+            "SUM(CAST(v AS DECIMAL(38,0)) * v * v * cnt)"
+        ).alias("s3"),
+        F.expr(
+            "SUM(CAST(v AS DECIMAL(38,0)) * v * v * v * cnt)"
+        ).alias("s4"),
+    )
+    return sums.select(
+        "o_orderpriority",
+        "n",
+        F.expr(close["skew"]).alias("skew"),
+        F.expr(close["kurt_excess"]).alias("kurt_excess"),
+        F.expr(close["jb"]).alias("jb"),
+        F.expr(close["reject_95"]).alias("reject_95"),
+    ).orderBy("o_orderpriority")
+
+
+def _sql_jarque_bera() -> str:
+    close = _jb_close_exprs()
+    return f"""
+  WITH vals0 AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  grid AS (
+    SELECT o_orderpriority, v, COUNT(*) AS cnt FROM vals0 GROUP BY 1, 2
+  ),
+  sums AS (
+    SELECT o_orderpriority,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           SUM(CAST(v AS HUGEINT) * cnt) AS s1,
+           SUM(CAST(v AS HUGEINT) * v * cnt) AS s2,
+           SUM(CAST(v AS HUGEINT) * v * v * cnt) AS s3,
+           SUM(CAST(v AS HUGEINT) * v * v * v * cnt) AS s4
+    FROM grid GROUP BY 1
+  )
+  SELECT o_orderpriority, n,
+         {close["skew"].replace("DECIMAL(38,0)", "HUGEINT")} AS skew,
+         {close["kurt_excess"].replace("DECIMAL(38,0)", "HUGEINT")} AS kurt_excess,
+         {close["jb"].replace("DECIMAL(38,0)", "HUGEINT")} AS jb,
+         {close["reject_95"].replace("DECIMAL(38,0)", "HUGEINT")} AS reject_95
+  FROM sums ORDER BY o_orderpriority
+"""
+
+
+ORACLE["q_jarque_bera"] = _sql_jarque_bera()

@@ -3377,3 +3377,95 @@ def stream_phash(
         .queryName(f"phash_{state_view}")
         .start()
     )
+
+
+def stream_jarque_bera(
+    orders: DataFrame,
+    state_view: str = "jb_state",
+):
+    """Continuously-maintained (priority, whole-dollar value) grid
+    (``queries.stats.levene_state`` — the SAME plain-sum monoid
+    stream_levene keeps, bounded by |priorities|·|dollar values|).
+    The Jarque-Bera finisher (``queries.stats.jb_report``) closes at
+    read time — power sums, skewness, kurtosis and the normality
+    verdict keep moving as orders arrive.  The live distribution-shape
+    guard next to stream_levene's spread guard; batch twin:
+    ``q_jarque_bera``."""
+    from locopy_spark.queries.stats import levene_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, v bigint, cnt bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(levene_state(batch_df))
+            .groupBy("o_orderpriority", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"jb_{state_view}")
+        .start()
+    )
+
+
+def stream_cochran_q(
+    events: DataFrame,
+    state_view: str = "cochran_state",
+):
+    """Continuously-maintained per-user first-touch state
+    (``queries.events_ext.shapley_user_state`` — the SAME idempotent
+    MIN monoid stream_shapley keeps; an early purchase retroactively
+    excludes later touches at read time).  The Cochran's Q finisher
+    (``queries.events_ext.cochran_report``) closes at read time over
+    the live coalition grid — the channel-balance significance read
+    next to the live Shapley attribution.  Batch twin:
+    ``q_cochran_q``."""
+    from locopy_spark.queries.events_ext import (
+        SHAPLEY_CHANNELS,
+        shapley_user_state,
+    )
+
+    spark = events.sparkSession
+    cols = ", ".join(
+        f"t{i}_us bigint" for i in range(len(SHAPLEY_CHANNELS))
+    )
+    empty = spark.createDataFrame(
+        [], f"user_id long, conv_us bigint, {cols}"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        mins = [F.min("conv_us").alias("conv_us")] + [
+            F.min(f"t{i}_us").alias(f"t{i}_us")
+            for i in range(len(SHAPLEY_CHANNELS))
+        ]
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(shapley_user_state(batch_df))
+            .groupBy("user_id")
+            .agg(*mins)
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"cochran_{state_view}")
+        .start()
+    )

@@ -2995,3 +2995,73 @@ def test_stream_phash_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in m_phash_near_dup(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_jarque_bera_matches_batch(spark, sf_dir, tmp_path):
+    """The JB finisher shares stream_levene's (priority, value) grid
+    monoid; chunking by ORDER key spreads every cell across
+    out-of-order batches (group power sums move between batches);
+    state + finisher equals batch q_jarque_bera exactly — the shared
+    double closures run over identical exact integer sums."""
+    from locopy_spark.queries.stats import jb_report, q_jarque_bera
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_jarque_bera
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["0", "3", "1", "2"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"jbchunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "jbchunk*"))
+    )
+    q = stream_jarque_bera(stream, state_view="jb_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in jb_report(spark.table("global_temp.jb_t")).collect()
+    ]
+    want = [tuple(r) for r in q_jarque_bera(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_cochran_q_matches_batch(spark, sf_dir, tmp_path):
+    """Cochran's Q shares stream_shapley's per-user MIN state; chunking
+    by EVENT key splits a user's touches and purchase across
+    out-of-order batches (a purchase can arrive before/after the
+    touches it retroactively excludes); state + finisher equals batch
+    q_cochran_q exactly."""
+    from locopy_spark.queries.events_ext import cochran_report, q_cochran_q
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_cochran_q
+
+    e = load_table(spark, sf_dir, "events").drop("ts_ns")
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        e.filter(f"pmod(event_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"cqchunk{i}"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "cqchunk0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cqchunk*"))
+    )
+    q = stream_cochran_q(stream, state_view="cochran_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in cochran_report(
+            spark.table("global_temp.cochran_t")
+        ).collect()
+    ]
+    want = [tuple(r) for r in q_cochran_q(spark, sf_dir).collect()]
+    assert got and got == want
