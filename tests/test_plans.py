@@ -1480,3 +1480,71 @@ def test_capture_recapture_one_state_pass(spark, sf_dir):
     df = _q(spark, sf_dir, "q_capture_recapture")
     assert not audit.has_cartesian(df)
     assert audit.shuffle_count(df) <= 2
+
+
+def test_pagerank_iterations_zero_exchange_above_cache(spark, sf_dir):
+    """The round-10 pagerank shape: the persisted edge state is
+    repartitioned by dst, the broadcast rank join preserves that
+    partitioning, and the per-iteration groupBy(dst) aggregates with
+    ZERO exchanges above the cache — all iteration shuffles collapsed
+    into the one build shuffle.  Without the repartition the same
+    subplan carries one exchange per iteration (asserted as the
+    contrast so the test fails loudly if Spark's partitioning
+    propagation ever changes)."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.plans import audit
+    from locopy_spark.queries.mining import PR_SCALE, copurchase_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    und = e.selectExpr("a AS src", "b AS dst").unionByName(
+        e.selectExpr("b AS src", "a AS dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        "src", F.lit(PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint()
+
+    def iteration_exchanges(ed0):
+        ed = ed0.persist()
+        try:
+            ed.count()
+            contrib = ed.join(F.broadcast(ranks), "src").select(
+                "dst", F.expr("r div d").alias("c")
+            )
+            nxt = contrib.groupBy(F.col("dst").alias("src")).agg(
+                F.sum("c").alias("r")
+            )
+            above = audit.simple_plan(nxt).split("InMemoryTableScan")[0]
+            return above.count("Exchange hashpartitioning")
+        finally:
+            ed.unpersist()
+
+    assert iteration_exchanges(und.join(deg, "src").repartition("dst")) == 0
+    assert iteration_exchanges(und.join(deg, "src")) == 1
+
+
+def test_ann_indexed_serving_reads_bucketed_storage(spark, sf_dir):
+    """The materialized ANN index serving path must actually read
+    bucketed tables (the scan reports Bucketed: true) and stay
+    narrow: the LSH path's only exchanges are the candidate distinct
+    + rescore-side shuffle (the bucketed base side plans without its
+    own exchange), and the IVF path is one exchange."""
+    from locopy_spark.operators import ann_index
+    from locopy_spark.plans import audit
+    from locopy_spark.queries.docs import KNN_K, KNN_QUERY_IDS
+    from locopy_spark.sources.tables import load_table
+
+    ann_index.materialize_ann_index(
+        load_table(spark, sf_dir, "embeddings"), prefix="plans_ann"
+    )
+    lsh = ann_index.knn_lsh_indexed(
+        spark, KNN_QUERY_IDS, KNN_K, prefix="plans_ann"
+    )
+    assert audit.formatted_plan(lsh).count("Bucketed: true") >= 3
+    assert audit.shuffle_count(lsh) <= 2
+    ivf = ann_index.knn_ivf_indexed(
+        spark, [0, 1, 2, 3, 4], 5, prefix="plans_ann"
+    )
+    assert audit.formatted_plan(ivf).count("Bucketed: true") >= 2
+    assert audit.shuffle_count(ivf) <= 1
