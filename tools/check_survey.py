@@ -80,14 +80,15 @@ def latest_driver_round() -> dict[str, int]:
 #
 # Window-capacity math (why CEILING=6 is permanent, not a waypoint):
 # the driver gates 50 keys per round, so a surface of N keys needs
-# ceil(N / 50) rounds for a full re-check cycle.  At N=298 that is 6
-# rounds — a key re-checked the round after it ages out is at most 6
-# rounds old, so CEILING=6 is exactly tight and sustainable forever.
-# CEILING=5 would require cycling 298 keys through 5*50 = 250 slots
-# and is permanently infeasible (the round-9 plan to "ratchet to 5"
-# was arithmetically wrong; see test_contract_checks.py's
-# window-capacity pin).  Only shrinking the surface or widening the
-# window could lower the ceiling.
+# ceil(N / 50) rounds for a full re-check cycle.  At N=300 (round 10)
+# that is 6 rounds — a key re-checked the round after it ages out is
+# at most 6 rounds old, so CEILING=6 is exactly tight and sustainable,
+# and 300 keys is the LARGEST surface this ceiling supports: key 301
+# fails test_contract_checks.py's capacity pin until the ceiling is
+# consciously raised to 7.  CEILING=5 would require cycling the
+# surface through 5*50 = 250 slots and is permanently infeasible (the
+# round-9 plan to "ratchet to 5" was arithmetically wrong).  Only
+# shrinking the surface or widening the window could lower it.
 STALENESS_CEILING = 6
 
 
