@@ -3469,3 +3469,56 @@ def stream_cochran_q(
         .queryName(f"cochran_{state_view}")
         .start()
     )
+
+
+def stream_ann_postings(
+    emb: DataFrame,
+    state_view: str = "ann_postings_state",
+    signatures: str = "arrow",
+):
+    """Continuously-maintained LSH postings table — the INCREMENTAL arm
+    of the materialized ANN index (operators/ann_index.py): as new
+    embeddings stream in, each batch's signatures append to the
+    postings state, so the serving path (``knn_lsh(postings=...)``)
+    reads a live index instead of waiting for the next batch rebuild.
+    Merge is idempotent per (vec_id, table): a vector's buckets are a
+    deterministic function of its embedding, so re-delivered rows
+    dedupe to the identical posting.
+
+    ``signatures``: 'arrow' (default — the production path; numpy's
+    batch-shaped BLAS kernels can flip a NEAR-ZERO projection's sign
+    across different batch splits, which perturbs bucket membership
+    only and never scored pair values) or 'fold' (the pure-SQL
+    per-row fold — bit-deterministic for ANY chunking; the lockstep
+    test uses it so stream == batch is exact).  Batch twin:
+    ``operators.similarity.lsh_signatures*`` over the full table —
+    the postings arm of the s_knn_lsh serving path.
+    """
+    from locopy_spark.operators.similarity import (
+        lsh_signatures,
+        lsh_signatures_arrow,
+    )
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame([], "vec_id long, table int, bucket long")
+    empty.createOrReplaceGlobalTempView(state_view)
+    sig_fn = lsh_signatures_arrow if signatures == "arrow" else lsh_signatures
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(sig_fn(batch_df))
+            .dropDuplicates(["vec_id", "table"])
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        emb.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"ann_postings_{state_view}")
+        .start()
+    )

@@ -3065,3 +3065,51 @@ def test_stream_cochran_q_matches_batch(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in q_cochran_q(spark, sf_dir).collect()]
     assert got and got == want
+
+
+def test_stream_ann_postings_matches_batch(spark, sf_dir, tmp_path):
+    """The live postings state must equal the batch signature table for
+    any chunking (fold signatures — bit-deterministic per row), and
+    serving knn_lsh THROUGH the streamed postings must equal the
+    batch fold-signature serving path exactly."""
+    from locopy_spark.operators.similarity import knn_lsh, lsh_signatures
+    from locopy_spark.queries.docs import KNN_K, KNN_QUERY_IDS
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_ann_postings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        emb.filter(f"pmod(vec_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"annchunk{i}"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "annchunk*"))
+    )
+    q = stream_ann_postings(stream, state_view="annp_t", signatures="fold")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.table("global_temp.annp_t").collect()
+    )
+    want = sorted(tuple(r) for r in lsh_signatures(emb).collect())
+    assert got and got == want
+    served = sorted(
+        tuple(r)
+        for r in knn_lsh(
+            emb,
+            query_ids=KNN_QUERY_IDS,
+            k=KNN_K,
+            postings=spark.table("global_temp.annp_t"),
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in knn_lsh(
+            emb, query_ids=KNN_QUERY_IDS, k=KNN_K, signatures="fold"
+        ).collect()
+    )
+    assert served == batch
