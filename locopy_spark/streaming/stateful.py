@@ -3522,3 +3522,61 @@ def stream_ann_postings(
         .queryName(f"ann_postings_{state_view}")
         .start()
     )
+
+
+def stream_ann_lists(
+    emb: DataFrame,
+    centroids: DataFrame,
+    state_view: str = "ann_lists_state",
+):
+    """Continuously-maintained IVF inverted lists against a FROZEN
+    coarse quantizer — the other incremental arm of the materialized
+    ANN index: production IVF freezes the centroid set at index-build
+    time and appends new vectors to their nearest list as they arrive
+    (re-centroiding is a rebuild, not maintenance).  Each batch runs
+    the same broadcast nearest-centroid assignment as
+    ``operators.similarity.ivf_base_lists``; merge is idempotent per
+    vector (the assignment is a deterministic function of the
+    embedding and the frozen centroids, so re-deliveries dedupe to
+    the identical row).  The serving path
+    (``knn_ivf(base_lists=..., centroids=...)``) reads a live index.
+    Batch twin: ``ivf_base_lists`` over the full table with the same
+    centroids — the lists arm of the s_knn_ivf serving path.
+    """
+    from locopy_spark.operators.similarity import (
+        _ivf_assign,
+        with_fixed_norm,
+    )
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "centroid_id long, n_id long, n_emb array<float>, n_norm bigint",
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+    cent = centroids.localCheckpoint()
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        base = with_fixed_norm(batch_df)
+        vecs = base.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("norm_fix").alias("n_norm"),
+        )
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(_ivf_assign(vecs, "n", 1, cent))
+            .dropDuplicates(["n_id"])
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        emb.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"ann_lists_{state_view}")
+        .start()
+    )

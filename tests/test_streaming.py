@@ -3113,3 +3113,68 @@ def test_stream_ann_postings_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert served == batch
+
+
+def test_stream_ann_lists_matches_batch(spark, sf_dir, tmp_path):
+    """Live IVF lists against frozen centroids must equal the batch
+    assignment for any chunking, and serving knn_ivf THROUGH the
+    streamed lists + the same centroids must equal batch s_knn_ivf's
+    deployable plan exactly (assignment is per-row deterministic, so
+    unlike the LSH arrow path there is no batch-shape caveat)."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_base_lists,
+        knn_ivf,
+        with_fixed_norm,
+    )
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_ann_lists
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(
+        with_fixed_norm(emb), "vec_id", "embedding", 16
+    ).localCheckpoint()
+    for i, pred in enumerate(["2", "0", "3", "1"]):
+        emb.filter(f"pmod(vec_id, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ivfchunk{i}"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ivfchunk*"))
+    )
+    q = stream_ann_lists(stream, cent, state_view="annl_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.table("global_temp.annl_t")
+    got = sorted(
+        (r.centroid_id, r.n_id, r.n_norm) for r in state.collect()
+    )
+    want = sorted(
+        (r.centroid_id, r.n_id, r.n_norm)
+        for r in ivf_base_lists(emb).collect()
+    )
+    assert got and got == want
+    served = sorted(
+        tuple(r)
+        for r in knn_ivf(
+            emb,
+            query_ids=[0, 1, 2, 3, 4],
+            k=5,
+            n_centroids=16,
+            n_probe=4,
+            base_lists=state,
+            centroids=cent,
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in knn_ivf(
+            emb, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=4
+        ).collect()
+    )
+    assert served == batch
