@@ -360,6 +360,7 @@ BENCH_QUERIES = [
     "s_knn_lsh_shared",
     "s_knn_ivf_shared",
     "s_knn_int8_shared",
+    "s_pq_knn_shared",
 ]
 
 # Machine-readable exclusion manifest: queries() keys NOT benched, with
@@ -470,11 +471,17 @@ def _ann_shared_queries():
             spark, [0, 1, 2, 3, 4], 5, prefix=_ANN_PREFIX
         )
 
+    def pq(spark, sf_dir):
+        return ann_index.knn_pq_indexed(
+            spark, KNN_QUERY_IDS, KNN_K, prefix=_ANN_PREFIX
+        )
+
     return {
         "ann_index_materialize": materialize,
         "s_knn_lsh_shared": lsh,
         "s_knn_ivf_shared": ivf,
         "s_knn_int8_shared": int8,
+        "s_pq_knn_shared": pq,
     }
 
 

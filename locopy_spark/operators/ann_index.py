@@ -41,7 +41,14 @@ from pyspark.sql import DataFrame, SparkSession
 from locopy_spark.operators import similarity
 from locopy_spark.sources.bucketed import write_bucketed
 
-ANN_TABLES = ("base", "postings", "ivf_lists", "ivf_centroids")
+ANN_TABLES = (
+    "base",
+    "postings",
+    "ivf_lists",
+    "ivf_centroids",
+    "pq_codes",
+    "pq_codebook",
+)
 
 
 def ann_table_names(prefix: str = "ann_index") -> dict[str, str]:
@@ -58,6 +65,8 @@ def materialize_ann_index(
     dim: int = 64,
     n_centroids: int = 16,
     n_buckets: int = 8,
+    pq_n_sub: int = 16,
+    pq_n_codewords: int = 32,
 ) -> dict[str, DataFrame]:
     """Build the four index tables from ``emb`` and return them as
     {short_name: DataFrame} reading the managed tables.
@@ -104,6 +113,27 @@ def materialize_ann_index(
         n_buckets=n_buckets,
         sort_cols=["centroid_id"],
     )
+    # PQ: the 1-row codebook + the data-sized encode pass, both paid
+    # here (codes at rest are n_sub small ints/vector — the 100-TB
+    # scan-byte story; dim inferred = the ANN family's fixed 64)
+    cb_df = similarity.pq_codebook(base_t, id_col, vec_col, pq_n_codewords)
+    write_bucketed(cb_df, names["pq_codebook"], "cb", n_buckets=0)
+    cb_rows = spark.table(names["pq_codebook"]).collect()
+    write_bucketed(
+        similarity.pq_codes_arrow(
+            base_t,
+            [list(v) for v in cb_rows[0].cb],
+            id_col,
+            vec_col,
+            dim,
+            pq_n_sub,
+            pq_n_codewords,
+        ).withColumnRenamed(id_col, "neighbor_id"),
+        names["pq_codes"],
+        "neighbor_id",
+        n_buckets=n_buckets,
+        sort_cols=["neighbor_id"],
+    )
     return {t: spark.table(names[t]) for t in ANN_TABLES}
 
 
@@ -141,6 +171,31 @@ def knn_ivf_indexed(
         n_probe=n_probe,
         base_lists=spark.table(names["ivf_lists"]),
         centroids=spark.table(names["ivf_centroids"]),
+    )
+
+
+def knn_pq_indexed(
+    spark: SparkSession,
+    query_ids: list[int] | None,
+    k: int,
+    prefix: str = "ann_index",
+    n_sub: int = 16,
+    n_codewords: int = 32,
+    oversample: int = 4,
+) -> DataFrame:
+    """knn_pq served from the materialized index: stored codes +
+    codebook, zero encode work per query (ADC tables are per-query
+    and tiny by construction)."""
+    names = ann_table_names(prefix)
+    return similarity.knn_pq(
+        spark.table(names["base"]),
+        query_ids=query_ids,
+        k=k,
+        n_sub=n_sub,
+        n_codewords=n_codewords,
+        oversample=oversample,
+        coded=spark.table(names["pq_codes"]),
+        codebook=spark.table(names["pq_codebook"]),
     )
 
 

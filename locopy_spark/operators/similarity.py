@@ -953,6 +953,8 @@ def knn_pq(
     n_codewords: int = 16,
     oversample: int = 4,
     arrow_encode: bool = True,
+    coded: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine via product quantization + exact rerank.
 
@@ -971,6 +973,12 @@ def knn_pq(
     integer-deterministic, so unlike the LSH/int8 tripwires the
     DuckDB oracle rebuilds codes, tables, shortlist, and rerank
     bit-for-bit.
+
+    ``coded`` / ``codebook``: pre-computed (neighbor_id, codes) table
+    and 1-row codebook for the SAME (emb, dim, n_sub, n_codewords) —
+    the materialized-index serving shape
+    (:mod:`locopy_spark.operators.ann_index`): the data-sized encode
+    pass and the codebook sample scan are paid at index-build time.
     """
     from locopy_spark.functions.vectors import (
         pq_adc_expr,
@@ -981,10 +989,16 @@ def knn_pq(
     # materialize the one-row codebook (K×dim floats — a bounded
     # collect like the k-means centroid rows) so the coded and qtab
     # branches don't each re-run the sample scan
-    cb_df = pq_codebook(emb, id_col, vec_col, n_codewords)
+    cb_df = (
+        codebook
+        if codebook is not None
+        else pq_codebook(emb, id_col, vec_col, n_codewords)
+    )
     cb_rows = cb_df.collect()
     cb = emb.sparkSession.createDataFrame(cb_rows, schema=cb_df.schema)
-    if arrow_encode:
+    if coded is not None:
+        pass
+    elif arrow_encode:
         # bit-identical Arrow kernel (see pq_codes_arrow); the SQL
         # expression below is the spec twin, kept live for the
         # equality test and the oracle
@@ -1004,6 +1018,7 @@ def knn_pq(
                 pq_encode_expr(vec_col, "cb", dim, n_sub, n_codewords)
             ).alias("codes"),
         )
+    coded = coded.select("neighbor_id", "codes")
     q = emb
     if query_ids is not None:
         q = q.filter(F.col(id_col).isin(query_ids))

@@ -77,9 +77,15 @@ def write_bucketed(
             location = os.path.join(warehouse, sub) if warehouse else None
         if location and os.path.isdir(location):
             shutil.rmtree(location, ignore_errors=True)
-    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
+    # n_buckets=0: plain managed table (no bucket spec) — for tiny /
+    # complex-typed artifacts (a 1-row codebook) that still want the
+    # stale-location cleanup above
+    if n_buckets:
+        writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+    else:
+        writer = df.write.mode(mode)
     writer.saveAsTable(table)
 
 

@@ -271,3 +271,17 @@ def test_ann_index_served_results_identical(spark, sf_dir):
             spark, [0, 1, 2, 3, 4], 5, prefix="test_ann_index"
         )
     ) == rows(similarity.knn_int8(emb, query_ids=[0, 1, 2, 3, 4], k=5))
+    assert rows(
+        ann_index.knn_pq_indexed(
+            spark, KNN_QUERY_IDS, KNN_K, prefix="test_ann_index"
+        )
+    ) == rows(
+        similarity.knn_pq(
+            emb,
+            query_ids=KNN_QUERY_IDS,
+            k=KNN_K,
+            n_sub=16,
+            n_codewords=32,
+            oversample=4,
+        )
+    )
