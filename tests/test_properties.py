@@ -797,3 +797,42 @@ def test_stream_ndr_report_chunking_invariant(spark, ords, rnd):
         )
         got = sorted(tuple(r) for r in ndr_report(state).collect())
         assert got == want
+
+
+def test_stream_shapley_purchase_first_retroactive_exclusion(spark):
+    """Deterministic pin of the canonical adversarial ordering: the
+    PURCHASE arrives in an earlier chunk than the touches it must
+    exclude, one pre-purchase touch arrives last, and one row is
+    re-delivered.  The merged state must equal the batch state and
+    the read-time mask must exclude exactly the post-purchase
+    touches."""
+    from locopy_spark.queries.events_ext import (
+        SHAPLEY_CHANNELS,
+        shapley_grid,
+        shapley_user_state,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    purchase = (1, _dt(2000, 1, 10), 7, "purchase", 1.0, "{}")
+    late_touch = (2, _dt(2000, 1, 12), 7, SHAPLEY_CHANNELS[0], 1.0, "{}")
+    early_touch = (3, _dt(2000, 1, 3), 7, SHAPLEY_CHANNELS[1], 1.0, "{}")
+    chunks = [[purchase], [late_touch, purchase], [early_touch]]
+
+    cols = ", ".join(f"t{i}_us bigint" for i in range(len(SHAPLEY_CHANNELS)))
+    state = spark.createDataFrame([], f"user_id long, conv_us bigint, {cols}")
+    for c in chunks:
+        state = _shapley_merge(spark, state, spark.createDataFrame(c, schema))
+    allrows = [purchase, late_touch, early_touch]
+    want = sorted(
+        tuple(r)
+        for r in shapley_user_state(
+            spark.createDataFrame(allrows, schema)
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in state.collect()) == want
+    # read-time mask: ONLY the pre-purchase channel-1 touch counts
+    grid = {r.mask: (r.users, r.convs) for r in shapley_grid(state).collect()}
+    assert grid == {2: (1, 1)}
