@@ -72,13 +72,25 @@ def _ols_formulas(fd: str, wide: str) -> dict[str, str]:
         10**6,
         fd,
     )
-    # the inner div result re-widens before the ppb scaling: Spark's
-    # ``div`` returns BIGINT, and bigint · 1e9 wraps (ANSI:
-    # ARITHMETIC_OVERFLOW) once num_s²/den_t passes ~9e9
-    r2_ppb = (
-        f"(CAST({_OLS_NUM_S} * {_OLS_NUM_S} {fd} {_OLS_DEN_T}"
-        f" AS {wide}) * 1000000000 {fd} {_OLS_NUM_Y})"
-    )
+    # the inner quotient num_s²/den_t can pass 2^63 (measured at
+    # sf0.1: ~6.5e19), and Spark's ``div`` returns BIGINT — it WRAPPED
+    # silently there (round-10 sf0.1 sweep caught it; the sf0.01 gate
+    # never could, the quotient scales ~sf³).  On the Spark side the
+    # inner floor division therefore runs entirely in DECIMAL via the
+    # subtract-remainder identity a div b = (a − a % b) / b — the
+    # subtraction makes the dividend an exact multiple, so the scale-6
+    # decimal division is exact and the DECIMAL(38,0) cast loses
+    # nothing (operands non-negative: num_s² ≥ 0, den_t > 0 guarded).
+    # DuckDB's ``//`` stays on HUGEINT, exact as before.
+    ns2 = f"({_OLS_NUM_S} * {_OLS_NUM_S})"
+    if fd == "div":
+        inner = (
+            f"CAST(({ns2} - ({ns2} % {_OLS_DEN_T})) / {_OLS_DEN_T}"
+            f" AS {wide})"
+        )
+    else:
+        inner = f"CAST({ns2} {fd} {_OLS_DEN_T} AS {wide})"
+    r2_ppb = f"({inner} * 1000000000 {fd} {_OLS_NUM_Y})"
     # single-day / constant-y groups (possible mid-stream) zero the
     # den_t / num_y divisors: NULL, not an ANSI divide crash — the
     # guard wraps BOTH engines' text identically via this generator

@@ -177,3 +177,45 @@ def test_bass_diffusion_pre1970_weeks_match(spark, tmp_path):
     finally:
         duck.close()
     _cmp_engines(got, odf)
+
+
+def test_ols_r2_no_bigint_wrap_at_warehouse_scale(spark):
+    """The r2 inner quotient num_s²/den_t passes 2^63 at warehouse
+    scale (measured ~6.5e19 at sf0.1) and Spark's ``div`` silently
+    WRAPPED it — caught by the round-10 full-surface sf0.1 sweep, the
+    only cross-engine mismatch in 295 keys.  The fix floors the inner
+    division entirely in DECIMAL via a − a%b.  This pin feeds
+    ols_report a daily table with sf0.1-scale magnitudes and checks
+    r2 against exact Python integer arithmetic."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from locopy_spark.queries.trends import OLS_EPOCH, ols_report
+
+    import datetime
+
+    epoch = datetime.date(1992, 1, 1)
+    # y ~ 3e8 cents/day over 2400 days with a trend + wobble: num_s²
+    # / den_t lands well past 2^63, like the real sf0.1 data
+    rows = []
+    for t in range(2400):
+        y = 300_000_000 + 40_000 * t + (t % 97) * 1_000_003
+        rows.append(("1-URGENT", epoch + datetime.timedelta(days=t), y))
+    daily = spark.createDataFrame(
+        rows, "o_orderpriority string, day date, y long"
+    )
+    got = ols_report(daily).collect()[0]
+    n = len(rows)
+    ts = [t for t in range(2400)]
+    ys = [y for _, _, y in rows]
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sy, sty, syy = (
+        sum(ys),
+        sum(t * y for t, y in zip(ts, ys)),
+        sum(y * y for y in ys),
+    )
+    num_s = n * sty - st * sy
+    den_t = n * stt - st * st
+    num_y = n * syy - sy * sy
+    assert num_s * num_s // den_t > 2**63  # the wrap regime
+    want_ppb = (num_s * num_s // den_t) * 10**9 // num_y
+    assert got.r2 == want_ppb / 1e9
