@@ -361,6 +361,11 @@ BENCH_QUERIES = [
     "s_knn_ivf_shared",
     "s_knn_int8_shared",
     "s_pq_knn_shared",
+    # round 11: the lifecycle's rebuild arm — re-materialize from the
+    # accumulated base under staging names + rename-swap into service
+    # (operators/ann_index.refresh_ann_index). Runs LAST in the ANN
+    # block so the serving probes above time the original index.
+    "ann_index_refresh",
 ]
 
 # Machine-readable exclusion manifest: queries() keys NOT benched, with
@@ -476,12 +481,21 @@ def _ann_shared_queries():
             spark, KNN_QUERY_IDS, KNN_K, prefix=_ANN_PREFIX
         )
 
+    def refresh(spark, sf_dir):
+        # the rebuild arm: re-centroid/re-bucket the ACCUMULATED base
+        # (here the stored corpus) under staging names, then rename-swap
+        # into service — the maintenance step the frozen-quantizer
+        # streaming appends cannot do
+        ann_index.refresh_ann_index(spark, prefix=_ANN_PREFIX)
+        return spark.table(ann_index.ann_table_names(_ANN_PREFIX)["postings"])
+
     return {
         "ann_index_materialize": materialize,
         "s_knn_lsh_shared": lsh,
         "s_knn_ivf_shared": ivf,
         "s_knn_int8_shared": int8,
         "s_pq_knn_shared": pq,
+        "ann_index_refresh": refresh,
     }
 
 

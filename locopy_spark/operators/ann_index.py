@@ -28,6 +28,11 @@ Tables written by :func:`materialize_ann_index` (prefix-qualified):
   |corpus| window shuffle of ``_ivf_assign`` paid at build time.
 - ``<p>_ivf_centroids`` (centroid_id, c_emb, c_norm): the tiny coarse
   quantizer, so the query path never re-derives it from the corpus.
+- ``<p>_pq_codes`` (neighbor_id, codes), bucketed by neighbor_id: the
+  product-quantization codes — ``n_sub`` small ints per vector, the
+  100-TB scan-byte story (the encode pass paid at build time).
+- ``<p>_pq_codebook`` (cb): the 1-row PQ codebook, so ADC table
+  construction per query reads a constant instead of re-training.
 
 Reference parity note: the reference (capitalone/locopy) ships no
 analytics; this is the serving-shape complement of the engine's ANN
@@ -67,14 +72,28 @@ def materialize_ann_index(
     n_buckets: int = 8,
     pq_n_sub: int = 16,
     pq_n_codewords: int = 32,
+    signatures: str = "fold",
 ) -> dict[str, DataFrame]:
-    """Build the four index tables from ``emb`` and return them as
-    {short_name: DataFrame} reading the managed tables.
+    """Build the six index tables (ANN_TABLES) from ``emb`` and return
+    them as {short_name: DataFrame} reading the managed tables.
 
     Derivations are bit-identical to what the standalone knn operators
     compute live (same plane bank, same deterministic md5 centroid
     pick, same quantization expressions), so injecting these tables is
     result-identical — pytest-asserted in tests/test_similarity.py.
+
+    ``signatures`` picks the LSH posting path: ``'fold'`` (default) is
+    the pure-SQL sequential fold — bit-deterministic for ANY input
+    partitioning, so the stored postings exactly equal a live
+    ``knn_lsh(signatures='fold')`` build and the incremental
+    ``stream_ann_postings(signatures='fold')`` appends, no matter how
+    the bucketed base table re-batches.  ``'arrow'`` is the faster
+    numpy matmul, whose SIMD summation can flip a NEAR-ZERO
+    projection's sign across different Arrow batch splits — bucket
+    membership only (recall-neutral, candidates are exactly rescored),
+    but enough to make exact-identity assertions flake.  A one-time
+    build amortized over every query takes determinism over the
+    speedup.
     """
     spark = emb.sparkSession
     names = ann_table_names(prefix)
@@ -85,8 +104,13 @@ def materialize_ann_index(
         base, names["base"], id_col, n_buckets=n_buckets, sort_cols=[id_col]
     )
     base_t = spark.table(names["base"])
+    sig_fn = (
+        similarity.lsh_signatures_arrow
+        if signatures == "arrow"
+        else similarity.lsh_signatures
+    )
     write_bucketed(
-        similarity.lsh_signatures_arrow(
+        sig_fn(
             base_t, id_col=id_col, vec_col=vec_col,
             n_planes=n_planes, n_tables=n_tables, dim=dim,
         ),
@@ -213,3 +237,118 @@ def knn_int8_indexed(
     return similarity.knn_int8(
         spark.table(names["base"]), query_ids=query_ids, k=k
     )
+
+
+def ann_index_drift(
+    spark: SparkSession,
+    emb: DataFrame,
+    prefix: str = "ann_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Staleness monitor for the SERVING index's frozen coarse
+    quantizer — the d_centroid_drift "did my embedding space shift
+    between builds" role, specialized to what this quantizer actually
+    is: a deterministic md5-ordered pick of corpus vectors
+    (:func:`similarity._ivf_centroids`), so its staleness is DIRECTLY
+    measurable as quantizer overlap — the fraction of stored
+    ``<p>_ivf_centroids`` ids that a fresh pick over the current
+    corpus would retain.  1.0 = a rebuild would choose the identical
+    quantizer (nothing to refresh); as the corpus grows, new vectors
+    displace stored picks and the overlap decays toward 0 — exactly
+    the regime where stream_ann_lists has been assigning against
+    stale centroids and a rebuild is due.  (A mean-centroid cosine —
+    d_centroid_drift's A/A form — is NOT usable here: on weakly
+    clustered corpora the mean embedding is near zero and its cosine
+    is noise; the overlap is meaningful for any corpus.)
+
+    Operator-internal trigger scalar (never oracle-compared); cost is
+    one corpus top-``n_centroids`` by md5 plus a centroid-sized join.
+    """
+    cent = spark.table(ann_table_names(prefix)["ivf_centroids"])
+    n = cent.count()
+    fresh = similarity._ivf_centroids(
+        similarity.with_fixed_norm(emb, vec_col), id_col, vec_col, n
+    )
+    kept = cent.join(fresh.select("centroid_id"), "centroid_id").count()
+    return kept / n if n else float("nan")
+
+
+def _staging_prefix(prefix: str) -> str:
+    return f"{prefix}__staging"
+
+
+def _drop_prefix_tables(spark: SparkSession, prefix: str) -> None:
+    for t in ann_table_names(prefix).values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def build_staging_index(
+    emb: DataFrame, prefix: str = "ann_index", **materialize_kwargs
+) -> dict[str, DataFrame]:
+    """Phase 1 of :func:`refresh_ann_index`: materialize the new index
+    under ``<prefix>__staging_*`` table names.  The serving tables are
+    untouched — a reader mid-build sees the complete OLD index
+    (pytest-asserted in tests/test_similarity.py)."""
+    spark = emb.sparkSession
+    _drop_prefix_tables(spark, _staging_prefix(prefix))  # crashed prior run
+    return materialize_ann_index(
+        emb, prefix=_staging_prefix(prefix), **materialize_kwargs
+    )
+
+
+def swap_staging_index(spark: SparkSession, prefix: str = "ann_index") -> None:
+    """Phase 2 of :func:`refresh_ann_index`: catalog-rename the staging
+    tables over the serving names (the compact_parquet staging-write +
+    rename-swap device, lifted to managed tables).  Crash-RECOVERABLE,
+    not atomic — each single-table ``ALTER TABLE RENAME`` is atomic,
+    stale ``__old_*`` leftovers are cleared up front, and a crash
+    mid-swap leaves every table present under either its serving or
+    its ``__old``/staging name (recover by re-running the swap or
+    renaming ``__old`` back).  On a real deployment this commit runs
+    under a table format's transaction instead."""
+    staging = ann_table_names(_staging_prefix(prefix))
+    serving = ann_table_names(prefix)
+    old = ann_table_names(f"{prefix}__old")
+    _drop_prefix_tables(spark, f"{prefix}__old")  # crashed prior run
+    for t in ANN_TABLES:
+        if spark.catalog.tableExists(serving[t]):
+            spark.sql(f"ALTER TABLE {serving[t]} RENAME TO {old[t]}")
+        spark.sql(f"ALTER TABLE {staging[t]} RENAME TO {serving[t]}")
+    _drop_prefix_tables(spark, f"{prefix}__old")
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    prefix: str = "ann_index",
+    emb: DataFrame | None = None,
+    drift_threshold: float | None = None,
+    vec_col: str = "embedding",
+    **materialize_kwargs,
+) -> bool:
+    """Full index REBUILD — the maintenance step the incremental arm
+    cannot do: stream_ann_postings/stream_ann_lists append against the
+    FROZEN quantizer (the production maintenance model), so
+    re-centroiding requires re-materializing.  This closes the ANN
+    lifecycle: build (materialize_ann_index) → serve (knn_*_indexed) →
+    maintain (stream_ann_*) → refresh (here) → serve.
+
+    ``emb``: the accumulated corpus to rebuild from; defaults to the
+    stored ``<prefix>_base`` table (re-centroid/re-bucket what the
+    index already holds).  ``drift_threshold``: when set, the rebuild
+    only runs if :func:`ann_index_drift` has fallen BELOW it (the
+    d_centroid_drift-style monitor as the trigger); returns False when
+    the frozen quantizer is still healthy.  Serving reads are correct
+    throughout: the new index builds under staging names and takes
+    over via rename-swap (see :func:`swap_staging_index`).
+    """
+    names = ann_table_names(prefix)
+    if emb is None:
+        emb = spark.table(names["base"]).select("vec_id", vec_col)
+    if drift_threshold is not None:
+        drift = ann_index_drift(spark, emb, prefix=prefix, vec_col=vec_col)
+        if drift >= drift_threshold:
+            return False
+    build_staging_index(emb, prefix=prefix, **materialize_kwargs)
+    swap_staging_index(spark, prefix=prefix)
+    return True

@@ -676,11 +676,24 @@ def with_int8_codes(
     ranks by quantized cosine with no dequantization.
 
     Idempotent (the ``with_fixed_norm`` convention): a frame already
-    carrying ``codes`` — e.g. a materialized ANN base table — passes
-    through untouched, so the quantization fold isn't recomputed.
+    carrying BOTH ``codes`` and ``code_norm`` — e.g. a materialized
+    ANN base table — passes through untouched, so the quantization
+    fold isn't recomputed.  The gate requires both columns because the
+    PQ tables reuse the name ``codes`` with different semantics
+    (sub-quantizer codewords, no ``code_norm``): a frame carrying PQ
+    codes must NOT skip int8 quantization, or downstream ``knn_int8``
+    would mis-rank on the wrong codes and then fail on the missing
+    norm column.
     """
-    if "codes" in emb.columns:
+    if "codes" in emb.columns and "code_norm" in emb.columns:
         return emb
+    if "codes" in emb.columns:
+        raise ValueError(
+            "with_int8_codes: input carries a 'codes' column without "
+            "'code_norm' — these are not int8 quantization codes (PQ "
+            "codes share the column name); rename or drop the column "
+            "before quantizing"
+        )
     amax = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
     # an all-zero vector has amax = 0 (no scale): its codes are the
     # zero vector, not an ANSI divide-by-zero crash — downstream the

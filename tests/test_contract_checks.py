@@ -26,52 +26,114 @@ def test_check_survey_passes():
 
 
 def test_window_capacity_math():
-    """Pin the staleness-ceiling arithmetic (VERDICT r9 task 2).
+    """Pin the staleness-ceiling arithmetic (VERDICT r10 task 1).
 
     The driver gates WINDOW=50 keys per round, so a surface of N keys
     cycles fully in ceil(N / 50) rounds; the ceiling must be at least
     that or the checker is permanently unsatisfiable (the round-9 plan
-    to ratchet CEILING 6 -> 5 failed exactly this: 298 keys need 6
-    rounds of 50).  Also pin that the CURRENT window discharges every
-    ceiling obligation: assuming this round's first-50 get fresh
-    driver rows, no key outside the window is past the ceiling next
-    round — i.e. the rotation plan is feasible, not just green today.
+    to ratchet CEILING 6 -> 5 failed exactly this).  The round-10
+    version of this test then demanded all future-overdue keys fit ONE
+    window — too strict: a key re-checked in round N stops being
+    overdue for round N+1, so the ROLLING schedule is what must be
+    feasible.  Model it directly: starting from the actual driver
+    record, simulate two full cycles of rounds where each round's
+    window seats NEW_PER_ROUND fresh keys (first-exposure rule) plus
+    the most-overdue existing keys, and assert no key ever ages past
+    the ceiling outside its window.  NEW_PER_ROUND=4 pins the slack
+    VERDICT r10 asked for: the rotation must absorb +4 keys/round
+    without tripping.
     """
     sys.path.insert(0, REPO)
-    import glob
-    import json
     import math
-    import re
 
     import __spark_entry__ as entrymod
-    from tools.check_survey import STALENESS_CEILING
+    from tools.check_survey import STALENESS_CEILING, latest_driver_round
 
     qs = list(entrymod.queries())
-    window = set(qs[:50])
     assert STALENESS_CEILING >= math.ceil(len(qs) / 50), (
         f"ceiling {STALENESS_CEILING} < full-cycle length "
         f"{math.ceil(len(qs) / 50)} rounds: permanently unsatisfiable"
     )
-    latest: dict[str, int] = {}
-    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        r = int(re.search(r"r(\d+)\.json$", p).group(1))
-        for k in json.load(open(p)):
-            latest[k] = max(latest.get(k, 0), r)
+    latest = {k: r for k, r in latest_driver_round().items() if k in set(qs)}
+    for k in qs:
+        latest.setdefault(k, max(latest.values(), default=0))  # new keys seat now
     if not latest:
         return
+    NEW_PER_ROUND = 4
+    WINDOW = 50
     this_round = max(latest.values()) + 1
-    # project: window keys get a row this round, then the next round's
-    # checker runs with current = this_round + 1
-    projected = {k: (this_round if k in window else r) for k, r in latest.items()}
-    overdue_next = [
+    # Round `this_round` uses the COMMITTED window (the real rotation);
+    # subsequent simulated rounds use the oldest-first policy the
+    # rotation discipline follows.
+    committed = list(qs)[:WINDOW]
+    n_new = 0
+    for r in range(this_round, this_round + 2 * math.ceil(len(qs) / 50) + 1):
+        if r == this_round:
+            window = list(committed)
+        else:
+            n_new += NEW_PER_ROUND
+            synth = [f"__synthetic_{r}_{i}" for i in range(NEW_PER_ROUND)]
+            for k in synth:
+                latest[k] = r  # seated in-window on arrival
+            backlog = sorted(latest, key=lambda k: (latest[k], k))
+            window = synth + [k for k in backlog if k not in synth][
+                : WINDOW - NEW_PER_ROUND
+            ]
+        for k in window:
+            latest[k] = r
+        # the checker for round r+1 runs with current = r + 1
+        overdue = [k for k, lr in latest.items() if (r + 1) - lr > STALENESS_CEILING]
+        assert not overdue, (
+            f"simulated round {r}: {len(overdue)} keys past the ceiling "
+            f"outside any window (first: {sorted(overdue)[:5]}) — "
+            "rotation schedule infeasible"
+        )
+
+
+def test_contract_green_after_driver_writes_next_round(tmp_path):
+    """The recurring failure mode rounds 9 and 10 both hit: the driver
+    drops CORRECTNESS_r{N}.json AFTER the builder closes, `current`
+    increments, and the staleness checker trips on the not-yet-rotated
+    window.  Simulate that exact post-driver state (VERDICT r10 task
+    1's done-criterion): copy the driver record into a tmp dir, add a
+    fake next-round file covering the current first-50 window, and
+    assert ZERO staleness violations with the window UNCHANGED.
+    """
+    sys.path.insert(0, REPO)
+    import glob
+    import json
+    import re
+    import shutil
+
+    import __spark_entry__ as entrymod
+    from tools.check_survey import STALENESS_CEILING, latest_driver_round
+
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    real_latest = latest_driver_round()
+    next_round = max(real_latest.values()) + 1
+    qs = list(entrymod.queries())
+    window = qs[:50]
+    fake = {
+        k: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for k in window
+    }
+    (tmp_path / f"CORRECTNESS_r{next_round}.json").write_text(json.dumps(fake))
+    latest = latest_driver_round(str(tmp_path))
+    current = max(latest.values()) + 1
+    violations = [
         k
-        for k, r in projected.items()
-        if k in set(qs) and (this_round + 1) - r > STALENESS_CEILING
+        for k, r in latest.items()
+        if k in set(qs) and current - r > STALENESS_CEILING and k not in set(window)
     ]
-    assert len(overdue_next) <= 50, (
-        f"{len(overdue_next)} keys will exceed the ceiling next round — "
-        "more than one window can seat: rotation plan infeasible"
+    assert not violations, (
+        f"post-driver state (r{next_round} present) trips the staleness "
+        f"ceiling on {violations} — the rotation left them both stale and "
+        "outside the window"
     )
+    # first-exposure also survives: no never-checked key outside the window
+    unexposed = [k for k in qs if k not in latest and k not in set(window)]
+    assert not unexposed
 
 
 def test_bench_manifest_covers_every_key():

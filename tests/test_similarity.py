@@ -252,11 +252,21 @@ def test_ann_index_served_results_identical(spark, sf_dir):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
+    # LSH identity is asserted against the fold signature path on BOTH
+    # sides: materialize_ann_index defaults to 'fold' precisely so the
+    # stored postings are bit-deterministic w.r.t. partitioning (the
+    # arrow matmul can flip a near-zero projection's sign across batch
+    # splits — recall-neutral, but enough to flake an exact-equality
+    # assertion; VERDICT r10 advice item).
     assert rows(
         ann_index.knn_lsh_indexed(
             spark, KNN_QUERY_IDS, KNN_K, prefix="test_ann_index"
         )
-    ) == rows(similarity.knn_lsh(emb, query_ids=KNN_QUERY_IDS, k=KNN_K))
+    ) == rows(
+        similarity.knn_lsh(
+            emb, query_ids=KNN_QUERY_IDS, k=KNN_K, signatures="fold"
+        )
+    )
     assert rows(
         ann_index.knn_ivf_indexed(
             spark, [0, 1, 2, 3, 4], 5, n_probe=4, prefix="test_ann_index"
@@ -285,3 +295,64 @@ def test_ann_index_served_results_identical(spark, sf_dir):
             oversample=4,
         )
     )
+
+
+def test_ann_index_refresh_serves_old_until_swap(spark, sf_dir):
+    """The refresh lifecycle (VERDICT r10 task 3): rebuild under
+    staging names, rename-swap into service.  Mid-refresh (staging
+    built, swap not yet run) serving must read the complete OLD index;
+    after the swap it must equal a fresh live build over the new
+    corpus.  Plus the drift trigger: a healthy frozen quantizer skips
+    the rebuild."""
+    from locopy_spark.operators import ann_index, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old_corpus = emb.filter("vec_id % 2 = 0")
+    prefix = "test_ann_refresh"
+    ann_index.materialize_ann_index(old_corpus, prefix=prefix)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    qids = [r.vec_id for r in old_corpus.select("vec_id").limit(3).collect()]
+    v1 = rows(ann_index.knn_lsh_indexed(spark, qids, 5, prefix=prefix))
+    assert v1 == rows(
+        similarity.knn_lsh(old_corpus, query_ids=qids, k=5, signatures="fold")
+    )
+
+    # phase 1: build staging over the GROWN corpus — serving unchanged
+    ann_index.build_staging_index(emb, prefix=prefix)
+    assert rows(ann_index.knn_lsh_indexed(spark, qids, 5, prefix=prefix)) == v1
+
+    # phase 2: swap — serving now equals a live build over the new corpus
+    ann_index.swap_staging_index(spark, prefix=prefix)
+    v2 = rows(ann_index.knn_lsh_indexed(spark, qids, 5, prefix=prefix))
+    assert v2 == rows(
+        similarity.knn_lsh(emb, query_ids=qids, k=5, signatures="fold")
+    )
+    assert v2 != v1  # the grown corpus actually changed the answers
+    # IVF serving reads the refreshed (re-centroided) lists too
+    assert rows(
+        ann_index.knn_ivf_indexed(spark, qids, 5, n_probe=4, prefix=prefix)
+    ) == rows(
+        similarity.knn_ivf(emb, query_ids=qids, k=5, n_centroids=16, n_probe=4)
+    )
+    # no staging/old leftovers after a clean swap
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith((f"{prefix}__staging", f"{prefix}__old"))
+    ]
+    assert leftovers == []
+
+    # drift trigger: index just rebuilt over this exact corpus — the
+    # monitor reads ~1.0 and the threshold gate skips the rebuild
+    drift = ann_index.ann_index_drift(spark, emb, prefix=prefix)
+    assert drift > 0.99
+    assert (
+        ann_index.refresh_ann_index(spark, prefix=prefix, drift_threshold=0.5)
+        is False
+    )
+    # and the unconditional form rebuilds from the stored base
+    assert ann_index.refresh_ann_index(spark, prefix=prefix) is True
+    assert rows(ann_index.knn_lsh_indexed(spark, qids, 5, prefix=prefix)) == v2

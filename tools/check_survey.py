@@ -56,10 +56,15 @@ def driver_checked_keys() -> set[str]:
     return set(latest_driver_round())
 
 
-def latest_driver_round() -> dict[str, int]:
-    """{key: latest round with a driver CORRECTNESS row}."""
+def latest_driver_round(correctness_dir: str = REPO) -> dict[str, int]:
+    """{key: latest round with a driver CORRECTNESS row}.
+
+    ``correctness_dir`` lets tests point at a simulated record set
+    (e.g. a tmp dir with a fake next-round file) so the post-driver
+    state is testable without writing driver-owned files in the repo.
+    """
     latest: dict[str, int] = {}
-    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+    for p in glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if not m:
             continue
@@ -78,18 +83,24 @@ def latest_driver_round() -> dict[str, int]:
 # row this round.  Before this, the ceiling was comment-discipline —
 # and the r1-era block proved discipline slips when the window fills.
 #
-# Window-capacity math (why CEILING=6 is permanent, not a waypoint):
-# the driver gates 50 keys per round, so a surface of N keys needs
-# ceil(N / 50) rounds for a full re-check cycle.  At N=300 (round 10)
-# that is 6 rounds — a key re-checked the round after it ages out is
-# at most 6 rounds old, so CEILING=6 is exactly tight and sustainable,
-# and 300 keys is the LARGEST surface this ceiling supports: key 301
-# fails test_contract_checks.py's capacity pin until the ceiling is
-# consciously raised to 7.  CEILING=5 would require cycling the
-# surface through 5*50 = 250 slots and is permanently infeasible (the
-# round-9 plan to "ratchet to 5" was arithmetically wrong).  Only
-# shrinking the surface or widening the window could lower it.
-STALENESS_CEILING = 6
+# Window-capacity math (why CEILING = cycle + 1, set in round 11 per
+# VERDICT r10 task 1): the driver gates 50 keys per round, so a
+# surface of N keys needs ceil(N / 50) rounds for a full re-check
+# cycle — 6 at N=300.  CEILING=6 is exactly tight at that size: the
+# rotation has zero slack, so ANY new key (which must seat in the
+# window under the first-exposure rule) displaces a must-seat key and
+# trips a future ceiling — round 10 proved this arithmetically
+# unsustainable (its two additions deferred q_ab_test/t_bm25 past the
+# ceiling).  CEILING = ceil(N/50) + 1 = 7 gives the rolling schedule
+# one round of slack per cycle: a cohort of <=50 keys aging out may
+# split across two consecutive windows, which absorbs up to ~50 new
+# keys per cycle (~8/round) without ever tripping.
+# tests/test_contract_checks.py::test_window_capacity_math simulates
+# the schedule forward (including the post-driver state and +4 new
+# keys/round) instead of demanding all overdue keys fit one window.
+# CEILING below the cycle length is permanently infeasible (the
+# round-9 plan to "ratchet to 5" was arithmetically wrong).
+STALENESS_CEILING = 7
 
 
 def main() -> int:
