@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "t_bpe_pairs",
     "d_span_overlap",
     "p_dedup_corpus",
+    "d_dedup_eval",
     # d_semantic_dedup (gated) is excluded like the other all-pairs
     # verification baselines: its oracle side IS the quadratic
     # baseline. The production path is benched:

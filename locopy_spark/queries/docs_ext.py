@@ -4897,3 +4897,181 @@ def _sql_phash_final() -> str:
 
 
 ORACLE["m_phash_near_dup"] = _sql_phash_final()
+
+
+# --------------------------------------------------------------------------
+# d_dedup_eval: planted-truth precision/recall for the dedup pipeline
+# --------------------------------------------------------------------------
+
+# Planted mutants get ids offset far above any real doc_id so the
+# keep-min representative convention always prefers the source side.
+DEDUP_EVAL_OFFSET = 1_000_000_000
+
+# Mutation band per doc via md5(doc_id) first hex digit: drop every
+# k-th token (1-indexed positions divisible by k).  With 3-token
+# shingles a dropped token destroys ~3 shingles, so the bands sit at
+# decreasing true Jaccard: k=24 ≈ 0.7-1.0 (short docs mutate to exact
+# dups), k=12 ≈ 0.7, k=6 ≈ 0.45 (straddles MINHASH_EST_T=0.5), k=3
+# destroys every shingle window (J ≈ 0 — the designed-miss band that
+# anchors the curve's floor).
+_DEDUP_EVAL_DIGIT = "substring(md5(cast(doc_id as string)), 1, 1)"
+_DEDUP_EVAL_KDROP = (
+    f"CASE WHEN {_DEDUP_EVAL_DIGIT} IN ('0','1','2','3') THEN 24 "
+    f"WHEN {_DEDUP_EVAL_DIGIT} IN ('4','5','6','7') THEN 12 "
+    f"WHEN {_DEDUP_EVAL_DIGIT} IN ('8','9','a','b') THEN 6 "
+    "ELSE 3 END"
+)
+
+
+def d_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded end-to-end eval of the near-dedup pipeline against
+    PLANTED ground truth — the score a 100-TB dedup run is judged by
+    (VERDICT r10 task 4; the yield-side complement of
+    d_lsh_calibration's estimator curve).
+
+    Plant one deterministic mutant per document (md5-banded
+    drop-every-k-th-token mutations at four known-Jaccard levels, ids
+    offset by DEDUP_EVAL_OFFSET), push source+mutant through the REAL
+    pipeline — minhash_lsh_pairs → connected_components → keep-min —
+    and report per band, in exact integer ppm:
+
+    - ``recall_ppm``    = detected / planted (mutant shares its
+      source's cluster),
+    - ``precision_ppm`` = detected / claimed (mutant landed in ANY
+      cluster; a mutant clustered away from its source is the false
+      pairing a dedup run pays for),
+    - ``f1_ppm``        = 2·detected / (claimed + planted) — the
+      harmonic mean computed directly from counts, no float P/R
+      intermediates,
+    - ``leaked_ppm``    = mutants SURVIVING keep-best (unclustered, or
+      their cluster's own min-id) / planted — the duplicate mass that
+      would reach training.
+
+    Scale shape: planting is a stateless map (zero shuffle — the
+    corpus doubles but only through the already-priced minhash
+    pipeline); scoring is two |clustered-docs|-sized broadcast joins
+    plus a 4-row aggregate.  All arithmetic is bigint (counts and
+    ``div``-floored ppm), so DuckDB reproduces every byte.  Organic
+    base-corpus pairs never pollute the score: only mutant rows are
+    graded, and a mutant organically matching a non-source doc counts
+    against precision by design (the pipeline DID claim a pairing the
+    truth set denies).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    mut_text = (
+        f"array_join(filter({toks}, "
+        f"(t, i) -> (i + 1) % ({_DEDUP_EVAL_KDROP}) != 0), ' ')"
+    )
+    mutants = docs.select(
+        (F.col("doc_id") + F.lit(DEDUP_EVAL_OFFSET)).alias("doc_id"),
+        F.expr(mut_text).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(mutants)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+    )
+    comp = cluster.connected_components(pairs)  # (node, cluster_id)
+    mut_cl = comp.filter(F.col("node") >= DEDUP_EVAL_OFFSET).select(
+        (F.col("node") - DEDUP_EVAL_OFFSET).alias("doc_id"),
+        F.col("cluster_id").alias("mut_cl"),
+    )
+    src_cl = comp.filter(F.col("node") < DEDUP_EVAL_OFFSET).select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id").alias("src_cl"),
+    )
+    scored = (
+        docs.select("doc_id", F.expr(_DEDUP_EVAL_KDROP).alias("band_drop"))
+        .join(F.broadcast(mut_cl), "doc_id", "left")
+        .join(F.broadcast(src_cl), "doc_id", "left")
+    )
+    detected = F.expr(
+        "mut_cl IS NOT NULL AND src_cl IS NOT NULL AND mut_cl = src_cl"
+    )
+    leaked = F.expr(
+        f"mut_cl IS NULL OR mut_cl = doc_id + {DEDUP_EVAL_OFFSET}"
+    )
+    agg = scored.groupBy("band_drop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum(F.col("mut_cl").isNotNull().cast("long")).alias("n_claimed"),
+        F.sum(detected.cast("long")).alias("n_detected"),
+        F.sum(leaked.cast("long")).alias("n_leaked"),
+    )
+    return agg.select(
+        F.col("band_drop").cast("int").alias("band_drop"),
+        "n_planted",
+        "n_claimed",
+        "n_detected",
+        F.expr(
+            "CASE WHEN n_claimed = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE (1000000 * n_detected) div n_claimed END"
+        ).alias("precision_ppm"),
+        F.expr("(1000000 * n_detected) div n_planted").alias("recall_ppm"),
+        F.expr(
+            "(2000000 * n_detected) div (n_claimed + n_planted)"
+        ).alias("f1_ppm"),
+        F.expr("(1000000 * n_leaked) div n_planted").alias("leaked_ppm"),
+    ).orderBy("band_drop")
+
+
+def _oracle_dedup_eval() -> str:
+    return f"""
+      WITH RECURSIVE
+      bandk AS (
+        SELECT doc_id, text, CAST({_DEDUP_EVAL_KDROP} AS INT) AS kdrop
+        FROM documents
+      ),
+      mut AS (
+        SELECT doc_id + {DEDUP_EVAL_OFFSET} AS doc_id,
+               array_to_string(list_filter({sql_tokens('text')},
+                 (x, i) -> i % kdrop <> 0), ' ') AS text
+        FROM bandk
+      ),
+      aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM mut
+      ),
+      {sql_minhash_pair_ctes('aug')},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      comp AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+      ),
+      scored AS (
+        SELECT b.kdrop AS band_drop, b.doc_id,
+               mc.cluster_id AS mut_cl, sc.cluster_id AS src_cl
+        FROM bandk b
+        LEFT JOIN comp mc ON mc.node = b.doc_id + {DEDUP_EVAL_OFFSET}
+        LEFT JOIN comp sc ON sc.node = b.doc_id
+      ),
+      agg AS (
+        SELECT band_drop,
+               CAST(COUNT(*) AS BIGINT) AS n_planted,
+               CAST(SUM(CASE WHEN mut_cl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+               CAST(SUM(CASE WHEN mut_cl IS NOT NULL AND src_cl IS NOT NULL
+                             AND mut_cl = src_cl THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+               CAST(SUM(CASE WHEN mut_cl IS NULL
+                             OR mut_cl = doc_id + {DEDUP_EVAL_OFFSET}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        FROM scored GROUP BY 1
+      )
+      SELECT band_drop, n_planted, n_claimed, n_detected,
+             CASE WHEN n_claimed = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST((1000000 * n_detected) // n_claimed AS BIGINT) END AS precision_ppm,
+             CAST((1000000 * n_detected) // n_planted AS BIGINT) AS recall_ppm,
+             CAST((2000000 * n_detected) // (n_claimed + n_planted) AS BIGINT) AS f1_ppm,
+             CAST((1000000 * n_leaked) // n_planted AS BIGINT) AS leaked_ppm
+      FROM agg ORDER BY band_drop
+    """
+
+
+ORACLE["d_dedup_eval"] = _oracle_dedup_eval()

@@ -3987,3 +3987,113 @@ def test_capture_recapture_vs_textbook(spark, tmp_path):
     assert got == [(n1, n2, m, obs, lp, ch, cov)]
     assert abs(lp - 120) <= 30 and abs(ch - 120) <= 30
     assert cov < 1_000_000  # two captures did not see everyone
+
+
+def test_dedup_eval_vs_naive_union_find(spark, sf_dir):
+    """d_dedup_eval re-derived naively (VERDICT r10 task 4): the
+    Spark-side mutation expression is checked token-by-token against a
+    plain Python mutation, then the pipeline's own LSH pairs are
+    resolved with a driver-side union-find and scored with plain
+    Python integer arithmetic — independently re-deriving the CC,
+    scoring, and ppm layers the query adds on top of the (separately
+    naive-tested and DuckDB-oracled) minhash pair generator."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from locopy_spark.operators import dedup
+    from locopy_spark.queries.docs import MINHASH_EST_T, SHINGLE_K
+    from locopy_spark.queries.docs_ext import (
+        _DEDUP_EVAL_KDROP,
+        DEDUP_EVAL_OFFSET,
+        d_dedup_eval,
+    )
+    from locopy_spark.queries.docs_ext import tokens_expr
+    from locopy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def kdrop(doc_id):
+        d = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return {True: 24}.get(d in "0123") or (
+            12 if d in "4567" else 6 if d in "89ab" else 3
+        )
+
+    def mutate(text, k):
+        toks = text.strip().lower().split()
+        return " ".join(t for i, t in enumerate(toks) if (i + 1) % k != 0)
+
+    # 1. the Spark mutation expression == the plain-Python mutation
+    mut_text = (
+        f"array_join(filter({tokens_expr('text')}, "
+        f"(t, i) -> (i + 1) % ({_DEDUP_EVAL_KDROP}) != 0), ' ')"
+    )
+    got_mut = {
+        r.doc_id: r.m
+        for r in docs.select("doc_id", F.expr(mut_text).alias("m")).collect()
+    }
+    base = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in base.items():
+        assert got_mut[doc_id] == mutate(text, kdrop(doc_id))
+
+    # 2. union-find over the pipeline's own pairs, then naive scoring
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(DEDUP_EVAL_OFFSET)).alias("doc_id"),
+            F.expr(mut_text).alias("text"),
+        )
+    )
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            aug, k=SHINGLE_K, est_threshold=MINHASH_EST_T
+        ).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    comp = {x: find(x) for x in parent}
+    expected = {}
+    for doc_id in base:
+        k = kdrop(doc_id)
+        mid = doc_id + DEDUP_EVAL_OFFSET
+        st = expected.setdefault(k, [0, 0, 0, 0])  # planted/claimed/det/leak
+        st[0] += 1
+        claimed = mid in comp
+        det = claimed and doc_id in comp and comp[mid] == comp[doc_id]
+        st[1] += int(claimed)
+        st[2] += int(det)
+        st[3] += int((not claimed) or comp[mid] == mid)
+    got = {r.band_drop: r for r in d_dedup_eval(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for k, (planted, claimed, det, leak) in expected.items():
+        r = got[k]
+        assert (r.n_planted, r.n_claimed, r.n_detected) == (
+            planted,
+            claimed,
+            det,
+        )
+        assert r.recall_ppm == (1_000_000 * det) // planted
+        assert r.f1_ppm == (2_000_000 * det) // (claimed + planted)
+        assert r.leaked_ppm == (1_000_000 * leak) // planted
+        if claimed:
+            assert r.precision_ppm == (1_000_000 * det) // claimed
+        else:
+            assert r.precision_ppm is None
+        # structure: detected mutants never survive keep-min (source
+        # id is always smaller), so leakage is bounded by the misses
+        assert det <= claimed <= planted
+        assert leak <= planted - det
