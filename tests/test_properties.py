@@ -836,3 +836,152 @@ def test_stream_shapley_purchase_first_retroactive_exclusion(spark):
     # read-time mask: ONLY the pre-purchase channel-1 touch counts
     grid = {r.mask: (r.users, r.convs) for r in shapley_grid(state).collect()}
     assert grid == {2: (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# ANN maintenance chunking invariance (VERDICT r10 task 7): the
+# idempotent-merge claims of stream_ann_postings / stream_ann_lists,
+# hypothesis-driven the way stream_shapley/stream_ndr are — random
+# splits, shuffles, and re-deliveries; postings/lists equality vs the
+# batch twin after EVERY prefix (table equality implies serving
+# equality: knn reads nothing else).
+# ---------------------------------------------------------------------------
+
+_ANN_PROP_DIM = 16
+_ANN_PROP_PLANES = 4
+_ANN_PROP_TABLES = 4
+
+
+def _ann_prop_vec(rnd_ints):
+    # quarter-integers: exactly representable floats, so fixed-point
+    # norms and fold signatures are bit-stable everywhere
+    return [v / 4.0 for v in rnd_ints]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(-3, 3), min_size=_ANN_PROP_DIM, max_size=_ANN_PROP_DIM
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=6, deadline=None)
+def test_stream_ann_postings_chunking_invariant(spark, vecs, rnd):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from locopy_spark.operators.similarity import lsh_signatures
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [(i, _ann_prop_vec(v)) for i, v in enumerate(vecs)]
+    deliveries = list(rows)
+    rnd.shuffle(deliveries)
+    if rnd.random() < 0.5:
+        deliveries.append(deliveries[0])  # re-delivery across chunks
+    n_chunks = rnd.randrange(1, 5)
+    chunks = [c for c in (deliveries[i::n_chunks] for i in range(n_chunks)) if c]
+
+    def sigs(df):
+        return lsh_signatures(
+            df,
+            n_planes=_ANN_PROP_PLANES,
+            n_tables=_ANN_PROP_TABLES,
+            dim=_ANN_PROP_DIM,
+        )
+
+    # the stream_ann_postings merge step, verbatim (union + dedup on
+    # the idempotence key), at the property's small geometry
+    state = spark.createDataFrame([], "vec_id long, table int, bucket long")
+    seen_ids = set()
+    for c in chunks:
+        seen_ids.update(i for i, _ in c)
+        state = (
+            state.unionByName(sigs(spark.createDataFrame(c, schema)))
+            .dropDuplicates(["vec_id", "table"])
+            .localCheckpoint()
+        )
+        want = sorted(
+            tuple(r)
+            for r in sigs(
+                spark.createDataFrame(
+                    [r for r in rows if r[0] in seen_ids], schema
+                )
+            ).collect()
+        )
+        assert sorted(tuple(r) for r in state.collect()) == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(-3, 3), min_size=_ANN_PROP_DIM, max_size=_ANN_PROP_DIM
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=6, deadline=None)
+def test_stream_ann_lists_chunking_invariant(spark, vecs, rnd):
+    from pyspark.sql import functions as F
+
+    from locopy_spark.operators.similarity import _ivf_assign, with_fixed_norm
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [(i, _ann_prop_vec(v)) for i, v in enumerate(vecs)]
+    # FROZEN quantizer: three fixed centroids independent of arrival
+    cent_rows = [
+        (100, [1.0] + [0.0] * (_ANN_PROP_DIM - 1)),
+        (101, [0.0, -1.0] + [0.0] * (_ANN_PROP_DIM - 2)),
+        (102, [0.25] * _ANN_PROP_DIM),
+    ]
+    cent = with_fixed_norm(
+        spark.createDataFrame(cent_rows, "centroid_id long, c_emb array<float>"),
+        "c_emb",
+    ).select("centroid_id", "c_emb", F.col("norm_fix").alias("c_norm"))
+    cent = cent.localCheckpoint()
+
+    deliveries = list(rows)
+    rnd.shuffle(deliveries)
+    if rnd.random() < 0.5:
+        deliveries.append(deliveries[-1])
+    n_chunks = rnd.randrange(1, 5)
+    chunks = [c for c in (deliveries[i::n_chunks] for i in range(n_chunks)) if c]
+
+    def assign(df):
+        base = with_fixed_norm(df)
+        vecs_df = base.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("norm_fix").alias("n_norm"),
+        )
+        return _ivf_assign(vecs_df, "n", 1, cent)
+
+    # the stream_ann_lists merge step, verbatim (union + dedup per
+    # vector against the frozen quantizer)
+    state = spark.createDataFrame(
+        [], "centroid_id long, n_id long, n_emb array<float>, n_norm bigint"
+    )
+    seen_ids = set()
+    for c in chunks:
+        seen_ids.update(i for i, _ in c)
+        state = (
+            state.unionByName(assign(spark.createDataFrame(c, schema)))
+            .dropDuplicates(["n_id"])
+            .localCheckpoint()
+        )
+        want = sorted(
+            (r.centroid_id, r.n_id, tuple(r.n_emb), r.n_norm)
+            for r in assign(
+                spark.createDataFrame(
+                    [r for r in rows if r[0] in seen_ids], schema
+                )
+            ).collect()
+        )
+        got = sorted(
+            (r.centroid_id, r.n_id, tuple(r.n_emb), r.n_norm)
+            for r in state.collect()
+        )
+        assert got == want
