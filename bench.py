@@ -503,6 +503,7 @@ def _ann_shared_queries():
 _EDGES_TABLE = "bench_copurchase_edges"
 _DEG_TABLE = "bench_copurchase_deg"
 _EDGES_DEG_TABLE = "bench_copurchase_edges_deg"
+_ADJ_CAP_TABLE = "bench_copurchase_adj_cap"
 
 
 def _graph_shared_queries():
@@ -572,6 +573,23 @@ def _graph_shared_queries():
             "dst",
             n_buckets=8,
         )
+        # round 11: the CAPPED adjacency (middles of degree <= LP_DEGCAP)
+        # is the wedge source BOTH q_jaccard_links and q_clustering_coef
+        # re-derived per query (one |2E| join each); bucketed+sorted by
+        # v, their wedge self-joins read it pre-partitioned with zero
+        # exchange on either side.
+        write_bucketed(
+            und.selectExpr("src AS v", "dst AS n").join(
+                spark.table(_DEG_TABLE).filter(
+                    f"d <= {mining.LP_DEGCAP}"
+                ).select("v"),
+                "v",
+            ),
+            _ADJ_CAP_TABLE,
+            "v",
+            n_buckets=8,
+            sort_cols=["v"],
+        )
         return spark.table(_EDGES_TABLE)
 
     def _shared(fn):
@@ -600,6 +618,17 @@ def _graph_shared_queries():
             degrees=spark.table(_DEG_TABLE),
         )
 
+    def _shared_adj(fn):
+        def run(spark, sf_dir):
+            return fn(
+                spark, sf_dir,
+                edges=spark.table(_EDGES_TABLE).select("a", "b"),
+                degrees=spark.table(_DEG_TABLE),
+                adjacency=spark.table(_ADJ_CAP_TABLE),
+            )
+
+        return run
+
     def _shared_sparse(fn):
         def run(spark, sf_dir):
             return fn(
@@ -619,8 +648,8 @@ def _graph_shared_queries():
         "q_assortativity_shared": _shared_deg(mining.q_assortativity),
         "q_degree_dist_shared": _shared_deg(mining.q_degree_dist),
         "q_kcore_shared": _shared_deg(mining.q_kcore),
-        "q_jaccard_links_shared": _shared_deg(mining.q_jaccard_links),
-        "q_clustering_coef_shared": _shared_deg(mining.q_clustering_coef),
+        "q_jaccard_links_shared": _shared_adj(mining.q_jaccard_links),
+        "q_clustering_coef_shared": _shared_adj(mining.q_clustering_coef),
         "q_lpa_communities_shared": _shared_sparse(mining.q_lpa_communities),
     }
 

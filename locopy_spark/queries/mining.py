@@ -1861,6 +1861,7 @@ def q_jaccard_links(
     sf_dir: str,
     edges: DataFrame | None = None,
     degrees: DataFrame | None = None,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard link prediction on the co-purchase graph: the top
     {LP_TOPK} NON-adjacent part pairs ranked by common-neighbor
@@ -1881,6 +1882,12 @@ def q_jaccard_links(
     score); ties break (cn, u, w)-deterministically; top-K is a
     TakeOrdered, never a global sort.
 
+    ``adjacency``: a pre-built (v, n) capped-adjacency table (degree
+    of v ≤ {LP_DEGCAP}) — the index-time artifact this query shares
+    with q_clustering_coef (both wedge streams enumerate neighbor
+    pairs of exactly these middles); bucketed by ``v`` the wedge
+    self-join reads it pre-partitioned with zero exchange.
+
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's graph-mining family.
     """
@@ -1888,18 +1895,23 @@ def q_jaccard_links(
         edges if edges is not None else copurchase_edges(spark, sf_dir),
         "jaccard_links",
     )
-    nbr = e.selectExpr("a AS v", "b AS n").unionAll(
-        e.selectExpr("b AS v", "a AS n")
-    )
-    deg = (
-        degrees
-        if degrees is not None
-        else nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    )
-    mid = (
-        nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v")
-        .select("v", "n")
-    )
+    if degrees is not None:
+        deg = degrees
+    else:
+        nbr_d = e.selectExpr("a AS v", "b AS n").unionAll(
+            e.selectExpr("b AS v", "a AS n")
+        )
+        deg = nbr_d.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    if adjacency is not None:
+        mid = adjacency.select("v", "n")
+    else:
+        nbr = e.selectExpr("a AS v", "b AS n").unionAll(
+            e.selectExpr("b AS v", "a AS n")
+        )
+        mid = (
+            nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v")
+            .select("v", "n")
+        )
     wedges = (
         mid.alias("x")
         .join(mid.alias("y"), "v")
@@ -1984,6 +1996,7 @@ def q_clustering_coef(
     sf_dir: str,
     edges: DataFrame | None = None,
     degrees: DataFrame | None = None,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering-coefficient profile of the co-purchase graph:
     for every part of degree 2..{LP_DEGCAP}, the fraction of its
@@ -2002,6 +2015,13 @@ def q_clustering_coef(
     re-enter by left join. cc and band are exact ppm floor divisions;
     the result is |bands|-sized.
 
+    ``adjacency``: the same pre-built (v, n) capped-adjacency table
+    q_jaccard_links shares (degree of v ≤ {LP_DEGCAP}) — usable
+    verbatim as the wedge source because the only rows it carries
+    beyond the centers are degree-1 middles, which produce zero
+    neighbor PAIRS in the self-join (and degree-1 vertices are
+    excluded from the center denominators regardless).
+
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's graph-mining family.
     """
@@ -2009,16 +2029,21 @@ def q_clustering_coef(
         edges if edges is not None else copurchase_edges(spark, sf_dir),
         "clustering_coef",
     )
-    nbr = e.selectExpr("a AS v", "b AS n").unionAll(
-        e.selectExpr("b AS v", "a AS n")
-    )
-    deg = (
-        degrees
-        if degrees is not None
-        else nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    )
+    if degrees is not None:
+        deg = degrees
+    else:
+        nbr_d = e.selectExpr("a AS v", "b AS n").unionAll(
+            e.selectExpr("b AS v", "a AS n")
+        )
+        deg = nbr_d.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     centers = deg.filter(f"d >= 2 AND d <= {LP_DEGCAP}")
-    mid = nbr.join(centers.select("v"), "v")
+    if adjacency is not None:
+        mid = adjacency.select("v", "n")
+    else:
+        nbr = e.selectExpr("a AS v", "b AS n").unionAll(
+            e.selectExpr("b AS v", "a AS n")
+        )
+        mid = nbr.join(centers.select("v"), "v")
     wedges = (
         mid.alias("x")
         .join(mid.alias("y"), "v")
