@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q_stickiness",
     "q_changepoint",
     "q_levene",
+    "q_welch_anova",
+    "q_moods_median",
     "s_kappa",
     "s_ndcg_eval",
     "q_abc_xyz",

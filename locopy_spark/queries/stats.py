@@ -2016,6 +2016,320 @@ def _sql_levene() -> str:
 ORACLE["q_levene"] = _sql_levene()
 
 
+# -- Welch heteroscedastic ANOVA -----------------------------------------------
+
+
+def _welch_layers() -> tuple[list[str], list[str], list[str], list[str], list[str]]:
+    """The Welch F closure as five SELECT layers of FIXED-ORDER
+    expression text, shared verbatim by the Spark selectExpr chain and
+    the DuckDB CTE chain (the _anova_fixed_terms convention, layered
+    because Welch's weighted grand mean feeds later terms).  Inputs
+    are the exact per-group power sums (n_i, s_i, sq_i); every double
+    op downstream runs on identical text ⇒ identical IEEE results.
+
+    Group eligibility is structural: a group enters k (and every sum)
+    only with n_i > 1 AND positive sample variance — Welch weights
+    w_i = n_i/s²_i are undefined otherwise, and the CASE gates zero
+    those groups out of every fixed-order chain.
+    """
+    idx = list(range(1, len(ANOVA_GROUPS) + 1))
+    l1: list[str] = ["n"]
+    for i in idx:
+        var = (
+            f"(CAST(sq{i} AS DOUBLE) - (CAST(s{i} AS DOUBLE) / n{i})"
+            f" * CAST(s{i} AS DOUBLE))"
+        )
+        elig = f"(n{i} > 1 AND {var} > 0.0)"
+        l1 += [
+            f"n{i}",
+            f"CAST({elig} AS INT) AS k{i}",
+            f"CASE WHEN {elig} THEN (CAST(n{i} AS DOUBLE) * (n{i} - 1))"
+            f" / {var} ELSE 0.0 END AS w{i}",
+            f"CASE WHEN {elig} THEN CAST(s{i} AS DOUBLE) / n{i}"
+            f" ELSE 0.0 END AS m{i}",
+        ]
+    carry = ["n"] + [c for i in idx for c in (f"n{i}", f"k{i}", f"w{i}", f"m{i}")]
+    l2 = carry + [
+        "(" + " + ".join(f"k{i}" for i in idx) + ") AS k",
+        "(" + " + ".join(f"w{i}" for i in idx) + ") AS sw",
+        "(" + " + ".join(f"w{i} * m{i}" for i in idx) + ") AS swm",
+    ]
+    l3 = carry + [
+        "k",
+        "sw",
+        "CASE WHEN sw > 0.0 THEN swm / sw ELSE 0.0 END AS mbar",
+    ]
+    l4 = [
+        "n",
+        "k",
+        "sw",
+        "("
+        + " + ".join(f"w{i} * (m{i} - mbar) * (m{i} - mbar)" for i in idx)
+        + ") AS ssb_w",
+        "("
+        + " + ".join(
+            f"(CASE WHEN k{i} = 1 THEN ((1.0 - w{i} / sw)"
+            f" * (1.0 - w{i} / sw)) / (n{i} - 1) ELSE 0.0 END)"
+            for i in idx
+        )
+        + ") AS c",
+    ]
+    l5 = [
+        "n",
+        "CAST(k AS BIGINT) AS k",
+        "CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT)"
+        " ELSE CAST(NULL AS BIGINT) END AS df1",
+        "CASE WHEN k > 1 THEN (ssb_w / (k - 1))"
+        " / (1.0 + (2.0 * (k - 2) * c) / ((CAST(k AS DOUBLE) * k) - 1.0))"
+        " ELSE CAST(NULL AS DOUBLE) END AS welch_f",
+        "CASE WHEN k > 1 AND c > 0.0"
+        " THEN ((CAST(k AS DOUBLE) * k) - 1.0) / (3.0 * c)"
+        " ELSE CAST(NULL AS DOUBLE) END AS df2",
+    ]
+    return l1, l2, l3, l4, l5
+
+
+def welch_state(orders: DataFrame) -> DataFrame:
+    """The 1-row additive Welch state: n plus per-group (n_i, Σv_i,
+    Σv_i²) — q_anova's state EXTENDED with per-group sums of squares
+    (Welch needs per-group variances, pooled ANOVA only the global
+    Σv²).  Every column a plain sum (commutative monoid), so a
+    streaming maintainer merges per-batch rows and the F finisher
+    closes over the merged row."""
+    v = orders.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice + 0.5) as bigint)").alias("v"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, g in enumerate(ANOVA_GROUPS, 1):
+        aggs += [
+            F.sum(
+                F.expr(f"case when o_orderpriority = '{g}' then 1 else 0 end")
+            ).alias(f"n{i}"),
+            F.sum(
+                F.expr(
+                    f"cast(case when o_orderpriority = '{g}' then v"
+                    " else 0 end as decimal(38,0))"
+                )
+            ).alias(f"s{i}"),
+            F.sum(
+                F.expr(
+                    f"cast(case when o_orderpriority = '{g}' then v * v"
+                    " else 0 end as decimal(38,0))"
+                )
+            ).alias(f"sq{i}"),
+        ]
+    return v.agg(*aggs)
+
+
+def welch_report(state: DataFrame) -> DataFrame:
+    """Close Welch's F over the exact state via the five shared
+    layers (identical text on both engines)."""
+    l1, l2, l3, l4, l5 = _welch_layers()
+    return (
+        state.selectExpr(*l1)
+        .selectExpr(*l2)
+        .selectExpr(*l3)
+        .selectExpr(*l4)
+        .selectExpr(*l5)
+    )
+
+
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedasticity-robust one-way ANOVA of order value
+    across priorities — the F you run INSTEAD of q_anova when
+    q_levene (Brown–Forsythe) rejects variance homogeneity: groups
+    weight by n_i/s²_i, so a high-variance group no longer drowns the
+    pooled denominator, and df2 comes from the Welch–Satterthwaite
+    approximation instead of n−k.
+
+    Exactness: the same whole-dollar bigint values and DECIMAL(38)
+    power sums as q_anova, extended per group with Σv² (welch_state);
+    the closure is five SELECT layers of fixed-order expression text
+    shared verbatim with the DuckDB twin, so F and df2 are bit-stable
+    cross-engine.  Scale shape: ONE conditional-aggregate pass over
+    orders to a 1-row state (additive monoid — streaming-ready), then
+    row-local arithmetic.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    return welch_report(welch_state(load_table(spark, sf_dir, "orders")))
+
+
+def _sql_welch() -> str:
+    l1, l2, l3, l4, l5 = _welch_layers()
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN g = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
+        f"           SUM(CASE WHEN g = '{g}' THEN v ELSE 0 END) AS s{i},\n"
+        f"           SUM(CASE WHEN g = '{g}' THEN v * v ELSE 0 END) AS sq{i}"
+        for i, g in enumerate(ANOVA_GROUPS, 1)
+    )
+    return f"""
+  WITH vals AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  agg AS (
+    SELECT COUNT(*) AS n,
+           {cases}
+    FROM vals
+  ),
+  l1 AS (SELECT {", ".join(l1)} FROM agg),
+  l2 AS (SELECT {", ".join(l2)} FROM l1),
+  l3 AS (SELECT {", ".join(l3)} FROM l2),
+  l4 AS (SELECT {", ".join(l4)} FROM l3)
+  SELECT {", ".join(l5)} FROM l4
+"""
+
+
+ORACLE["q_welch_anova"] = _sql_welch()
+
+
+# -- Mood's median test ---------------------------------------------------------
+
+
+def _moods_layers() -> tuple[list[str], list[str], list[str]]:
+    """Mood's median chi-square closure as three SELECT layers of
+    fixed-order text shared by both engines.  Inputs: med_v plus the
+    per-group above/at-or-below counts (a_i, b_i) — all exact
+    bigints; the expected-cell and chi-square terms are the only
+    doubles and run on identical text."""
+    idx = list(range(1, len(ANOVA_GROUPS) + 1))
+    carry = ["med_v"] + [c for i in idx for c in (f"a{i}", f"b{i}")]
+    l1 = carry + [
+        "(" + " + ".join(f"a{i}" for i in idx) + ") AS aa",
+        "(" + " + ".join(f"b{i}" for i in idx) + ") AS bb",
+        "("
+        + " + ".join(f"CAST(a{i} + b{i} > 0 AS INT)" for i in idx)
+        + ") AS k",
+    ]
+    l2 = carry + ["aa", "bb", "k", "(aa + bb) AS n"]
+    for i in idx:
+        gate = f"a{i} + b{i} > 0 AND aa > 0 AND bb > 0"
+        l2 += [
+            f"CASE WHEN {gate} THEN (CAST(a{i} + b{i} AS DOUBLE) * aa)"
+            f" / (aa + bb) ELSE 0.0 END AS ea{i}",
+            f"CASE WHEN {gate} THEN (CAST(a{i} + b{i} AS DOUBLE) * bb)"
+            f" / (aa + bb) ELSE 0.0 END AS eb{i}",
+        ]
+    chi_terms = " + ".join(
+        f"(CASE WHEN ea{i} > 0.0 THEN ((CAST(a{i} AS DOUBLE) - ea{i})"
+        f" * (CAST(a{i} AS DOUBLE) - ea{i})) / ea{i} ELSE 0.0 END)"
+        f" + (CASE WHEN eb{i} > 0.0 THEN ((CAST(b{i} AS DOUBLE) - eb{i})"
+        f" * (CAST(b{i} AS DOUBLE) - eb{i})) / eb{i} ELSE 0.0 END)"
+        for i in idx
+    )
+    l3 = [
+        "med_v",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(aa AS BIGINT) AS n_above",
+        "CAST(k AS BIGINT) AS k",
+        "CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT)"
+        " ELSE CAST(NULL AS BIGINT) END AS df",
+        f"CASE WHEN k > 1 AND aa > 0 AND bb > 0 THEN ({chi_terms})"
+        " ELSE CAST(NULL AS DOUBLE) END AS chi2",
+    ]
+    return l1, l2, l3
+
+
+def q_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of order value across priorities — the
+    crudest, most outlier-proof member of the k-sample family next to
+    q_kruskal_wallis (ranks) and q_anova/q_welch_anova (moments): does
+    each priority put the same share of orders above the GRAND median?
+    Counts above/at-or-below the global median form a k×2 contingency
+    table; chi² with k−1 df.  SciPy's ``median_test`` convention with
+    ties in the at-or-below row.
+
+    Exactness + shape: the q_levene value grid verbatim (bounded by
+    \\|priorities\\|·\\|whole-dollar values\\| regardless of volume), its
+    global median via ONE exact distributed prefix sum over the
+    value-collapsed grid (operators.ranking.global_running_sum — no
+    one-partition window), per-group above/below counts as ONE
+    grid-sized conditional aggregate to a 1-row state, and a chi²
+    closure in fixed-order text shared with the DuckDB twin.  The
+    oracle affords a plain window cumsum — engine-local device choice,
+    identical median by construction.
+
+    Reference parity note: the reference (capitalone/locopy) ships no
+    analytics; this extends the engine's statistics family.
+    """
+    from locopy_spark.functions.cache import managed_persist
+    from locopy_spark.operators.ranking import global_running_sum
+
+    grid = managed_persist(
+        levene_state(load_table(spark, sf_dir, "orders")), "moods_grid"
+    )
+    vgrid = grid.groupBy("v").agg(F.sum("cnt").alias("cv"))
+    run = global_running_sum(vgrid, ["v"], "cv", out_col="cum_ex")
+    tot = vgrid.agg(F.sum("cv").alias("n_tot"))
+    med = (
+        run.crossJoin(F.broadcast(tot))
+        .filter("cum_ex + cv >= (n_tot + 1) div 2")
+        .agg(F.min("v").alias("med_v"))
+    )
+    aggs = [F.max("med_v").alias("med_v")]
+    for i, g in enumerate(ANOVA_GROUPS, 1):
+        aggs += [
+            F.sum(
+                F.expr(
+                    f"case when o_orderpriority = '{g}' and v > med_v"
+                    " then cnt else 0 end"
+                )
+            ).alias(f"a{i}"),
+            F.sum(
+                F.expr(
+                    f"case when o_orderpriority = '{g}' and v <= med_v"
+                    " then cnt else 0 end"
+                )
+            ).alias(f"b{i}"),
+        ]
+    state = grid.crossJoin(F.broadcast(med)).agg(*aggs)
+    l1, l2, l3 = _moods_layers()
+    return state.selectExpr(*l1).selectExpr(*l2).selectExpr(*l3)
+
+
+def _sql_moods() -> str:
+    l1, l2, l3 = _moods_layers()
+    cases = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN g = '{g}' AND v > med_v THEN cnt ELSE 0 END)"
+        f" AS BIGINT) AS a{i},\n"
+        f"           CAST(SUM(CASE WHEN g = '{g}' AND v <= med_v"
+        f" THEN cnt ELSE 0 END) AS BIGINT) AS b{i}"
+        for i, g in enumerate(ANOVA_GROUPS, 1)
+    )
+    return f"""
+  WITH vals0 AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+    FROM orders
+  ),
+  grid AS (SELECT g, v, COUNT(*) AS cnt FROM vals0 GROUP BY 1, 2),
+  vgrid AS (SELECT v, SUM(cnt) AS cv FROM grid GROUP BY 1),
+  cum AS (
+    SELECT v, cv, SUM(cv) OVER (ORDER BY v) AS cum_in FROM vgrid
+  ),
+  tot AS (SELECT SUM(cv) AS n_tot FROM vgrid),
+  med AS (
+    SELECT MIN(v) AS med_v FROM cum, tot
+    WHERE cum_in >= (n_tot + 1) // 2
+  ),
+  st AS (
+    SELECT MAX(med_v) AS med_v,
+           {cases}
+    FROM grid, med
+  ),
+  l1 AS (SELECT {", ".join(l1)} FROM st),
+  l2 AS (SELECT {", ".join(l2)} FROM l1)
+  SELECT {", ".join(l3)} FROM l2
+"""
+
+
+ORACLE["q_moods_median"] = _sql_moods()
+
+
 # -- weekly seasonality strength -----------------------------------------------
 
 

@@ -36,12 +36,20 @@ def test_window_capacity_math():
     window — too strict: a key re-checked in round N stops being
     overdue for round N+1, so the ROLLING schedule is what must be
     feasible.  Model it directly: starting from the actual driver
-    record, simulate two full cycles of rounds where each round's
-    window seats NEW_PER_ROUND fresh keys (first-exposure rule) plus
-    the most-overdue existing keys, and assert no key ever ages past
-    the ceiling outside its window.  NEW_PER_ROUND=4 pins the slack
-    VERDICT r10 asked for: the rotation must absorb +4 keys/round
-    without tripping.
+    record, simulate every remaining round of the 20-round engagement
+    where each round's window seats NEW_PER_ROUND fresh keys
+    (first-exposure rule) plus the most-overdue existing keys, and
+    assert no key ever ages past the ceiling outside its window.
+    NEW_PER_ROUND=4 pins the slack VERDICT r10 asked for: the
+    rotation must absorb +4 keys/round without tripping.
+
+    The horizon is bounded on purpose: a 50-slot window with ceiling
+    C supports at most 50*C keys, so ANY per-round growth rate is
+    eventually infeasible — the meaningful claims are (a) the
+    schedule stays green through the final round at +4/round, and
+    (b) the capacity headroom covers that growth explicitly (the
+    second assert), so a future surface size that outgrows the
+    ceiling fails loudly here before the checker ever trips.
     """
     sys.path.insert(0, REPO)
     import math
@@ -61,13 +69,25 @@ def test_window_capacity_math():
         return
     NEW_PER_ROUND = 4
     WINDOW = 50
+    FINAL_ROUND = 20
     this_round = max(latest.values()) + 1
+    # capacity headroom: the ceiling supports WINDOW*CEILING keys, and
+    # the surface must fit even after +4/round through the final round
+    assert (
+        len(qs) + NEW_PER_ROUND * max(0, FINAL_ROUND - this_round)
+        <= WINDOW * STALENESS_CEILING
+    ), (
+        f"{len(qs)} keys + {NEW_PER_ROUND}/round growth through round "
+        f"{FINAL_ROUND} exceeds the {WINDOW * STALENESS_CEILING}-key "
+        f"capacity of ceiling {STALENESS_CEILING} — raise the ceiling "
+        "or freeze the surface"
+    )
     # Round `this_round` uses the COMMITTED window (the real rotation);
     # subsequent simulated rounds use the oldest-first policy the
     # rotation discipline follows.
     committed = list(qs)[:WINDOW]
     n_new = 0
-    for r in range(this_round, this_round + 2 * math.ceil(len(qs) / 50) + 1):
+    for r in range(this_round, FINAL_ROUND + 1):
         if r == this_round:
             window = list(committed)
         else:

@@ -80,3 +80,154 @@ def test_shared_adjacency_wedge_join_zero_exchange(spark, sf_dir):
         assert plain.count("Exchange") >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 k-sample additions: Welch's ANOVA + Mood's median test —
+# textbook re-derivations in plain Python on hand-built data, plus the
+# degenerate states the gated data never hits (the round-10 pattern).
+# ---------------------------------------------------------------------------
+
+import random
+from datetime import datetime
+
+import pytest
+
+SEED = 20260817
+
+
+def _write(spark, path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(path / f"{name}.parquet")
+    )
+
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_orderpriority string, o_totalprice double,"
+    " o_orderdate timestamp"
+)
+
+
+def test_welch_anova_matches_textbook(spark, tmp_path):
+    """Welch's F and Welch–Satterthwaite df2 from the raw definition
+    (per-group means/variances, weights w=n/s²) must match the
+    engine's layered fixed-order closure."""
+    from locopy_spark.queries.stats import q_welch_anova
+
+    r = random.Random(SEED)
+    groups = {
+        "1-URGENT": [r.randrange(1, 200) for _ in range(80)],
+        "2-HIGH": [r.randrange(100, 1000) for _ in range(50)],
+        "3-MEDIUM": [r.randrange(1, 3000) for _ in range(120)],
+    }
+    rows = [
+        (i, pri, float(v), datetime(1995, 3, 1))
+        for i, (pri, v) in enumerate(
+            (p, v) for p, xs in groups.items() for v in xs
+        )
+    ]
+    _write(spark, tmp_path, "orders", rows, _ORDERS_SCHEMA)
+    got = q_welch_anova(spark, str(tmp_path)).collect()[0]
+
+    stats = []
+    for xs in groups.values():
+        n = len(xs)
+        m = sum(xs) / n
+        s2 = sum((x - m) ** 2 for x in xs) / (n - 1)
+        stats.append((n, m, s2))
+    k = len(stats)
+    w = [n / s2 for n, m, s2 in stats]
+    sw = sum(w)
+    mbar = sum(wi * m for wi, (n, m, s2) in zip(w, stats)) / sw
+    a = sum(wi * (m - mbar) ** 2 for wi, (n, m, s2) in zip(w, stats)) / (
+        k - 1
+    )
+    c = sum(
+        (1 - wi / sw) ** 2 / (n - 1) for wi, (n, m, s2) in zip(w, stats)
+    )
+    f = a / (1 + 2 * (k - 2) * c / (k * k - 1))
+    df2 = (k * k - 1) / (3 * c)
+    assert got.n == sum(n for n, _, _ in stats)
+    assert got.k == k
+    assert got.df1 == k - 1
+    assert got.welch_f == pytest.approx(f, rel=1e-9)
+    assert got.df2 == pytest.approx(df2, rel=1e-9)
+
+
+def test_welch_anova_degenerate_groups(spark, tmp_path):
+    """A zero-variance group and an n=1 group are structurally gated
+    out of k and every sum; with only one eligible group the F and
+    both dfs are NULL."""
+    from locopy_spark.queries.stats import q_welch_anova
+
+    rows = (
+        [(i, "1-URGENT", 500.0, datetime(1995, 3, 1)) for i in range(20)]
+        + [(100, "2-HIGH", 777.0, datetime(1995, 3, 1))]
+        + [
+            (200 + i, "3-MEDIUM", float(100 + 7 * i), datetime(1995, 3, 1))
+            for i in range(15)
+        ]
+    )
+    _write(spark, tmp_path, "orders", rows, _ORDERS_SCHEMA)
+    got = q_welch_anova(spark, str(tmp_path)).collect()[0]
+    assert got.n == 36
+    assert got.k == 1  # only 3-MEDIUM is eligible
+    assert got.df1 is None and got.welch_f is None and got.df2 is None
+
+
+def test_moods_median_matches_textbook(spark, tmp_path):
+    """Grand median, the k×2 above/at-or-below table, and chi² from
+    the raw definition must match the engine's grid + prefix-sum +
+    fixed-order closure (SciPy median_test ties='below')."""
+    from locopy_spark.queries.stats import q_moods_median
+
+    r = random.Random(SEED + 1)
+    groups = {
+        "1-URGENT": [r.randrange(1, 100) for _ in range(70)],
+        "2-HIGH": [r.randrange(50, 150) for _ in range(90)],
+        "4-NOT SPECIFIED": [r.randrange(1, 200) for _ in range(41)],
+    }
+    rows = [
+        (i, pri, float(v), datetime(1995, 3, 1))
+        for i, (pri, v) in enumerate(
+            (p, v) for p, xs in groups.items() for v in xs
+        )
+    ]
+    _write(spark, tmp_path, "orders", rows, _ORDERS_SCHEMA)
+    got = q_moods_median(spark, str(tmp_path)).collect()[0]
+
+    allv = sorted(v for xs in groups.values() for v in xs)
+    n = len(allv)
+    med = allv[(n + 1) // 2 - 1]  # type-1 lower median, cum >= ceil(n/2)
+    assert got.med_v == med
+    a = {p: sum(1 for v in xs if v > med) for p, xs in groups.items()}
+    b = {p: sum(1 for v in xs if v <= med) for p, xs in groups.items()}
+    aa, bb = sum(a.values()), sum(b.values())
+    chi2 = 0.0
+    for p in groups:
+        npi = a[p] + b[p]
+        ea, eb = npi * aa / n, npi * bb / n
+        chi2 += (a[p] - ea) ** 2 / ea + (b[p] - eb) ** 2 / eb
+    assert got.n == n
+    assert got.n_above == aa
+    assert got.k == len(groups)
+    assert got.df == len(groups) - 1
+    assert got.chi2 == pytest.approx(chi2, rel=1e-9)
+
+
+def test_moods_median_degenerate_constant_values(spark, tmp_path):
+    """All values equal: the grand median equals that value, every
+    count lands at-or-below (n_above = 0), and chi² is NULL instead
+    of a divide-by-zero."""
+    from locopy_spark.queries.stats import q_moods_median
+
+    rows = [
+        (i, pri, 42.0, datetime(1995, 3, 1))
+        for i, pri in enumerate(["1-URGENT"] * 10 + ["2-HIGH"] * 10)
+    ]
+    _write(spark, tmp_path, "orders", rows, _ORDERS_SCHEMA)
+    got = q_moods_median(spark, str(tmp_path)).collect()[0]
+    assert got.med_v == 42
+    assert got.n_above == 0
+    assert got.k == 2
+    assert got.chi2 is None
