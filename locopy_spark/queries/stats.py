@@ -2257,11 +2257,22 @@ def q_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics; this extends the engine's statistics family.
     """
     from locopy_spark.functions.cache import managed_persist
+
+    return moods_report(
+        managed_persist(
+            levene_state(load_table(spark, sf_dir, "orders")), "moods_grid"
+        )
+    )
+
+
+def moods_report(grid: DataFrame) -> DataFrame:
+    """Close Mood's median test over any (o_orderpriority, v, cnt)
+    grid — the q_levene grid monoid verbatim, so a streaming
+    maintainer (stream_moods) merges grids and this finisher runs at
+    read time (the grand median, hence every cell, keeps moving; only
+    the grid is a monoid)."""
     from locopy_spark.operators.ranking import global_running_sum
 
-    grid = managed_persist(
-        levene_state(load_table(spark, sf_dir, "orders")), "moods_grid"
-    )
     vgrid = grid.groupBy("v").agg(F.sum("cnt").alias("cv"))
     run = global_running_sum(vgrid, ["v"], "cv", out_col="cum_ex")
     tot = vgrid.agg(F.sum("cv").alias("n_tot"))

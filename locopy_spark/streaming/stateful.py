@@ -3033,6 +3033,94 @@ def stream_levene(
     )
 
 
+def stream_welch(
+    orders: DataFrame,
+    state_view: str = "welch_state",
+):
+    """Continuously-maintained Welch-ANOVA state: each micro-batch
+    reduces to ONE additive row (n, per-priority n_g/Σv_g/Σv²_g —
+    ``queries.stats.welch_state``; every column a plain sum), merged
+    by summation into 1-row state forever — stream_anova's model with
+    the per-group sums of squares Welch needs.  The finisher
+    (``welch_report``) closes the layered fixed-order F/df2 chain on
+    demand: the live heteroscedasticity-robust companion that stays
+    valid when stream_levene's guard rejects variance homogeneity.
+    Batch twin: ``q_welch_anova``."""
+    from locopy_spark.queries.stats import ANOVA_GROUPS, welch_state
+
+    spark = orders.sparkSession
+    cols = ["n bigint"]
+    for i in range(1, len(ANOVA_GROUPS) + 1):
+        cols += [
+            f"n{i} bigint",
+            f"s{i} decimal(38,0)",
+            f"sq{i} decimal(38,0)",
+        ]
+    empty = spark.createDataFrame([], ", ".join(cols))
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        sums = [F.sum(c.split(" ")[0]).alias(c.split(" ")[0]) for c in cols]
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(welch_state(batch_df))
+            .agg(*sums)
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"welch_{state_view}")
+        .start()
+    )
+
+
+def stream_moods(
+    orders: DataFrame,
+    state_view: str = "moods_state",
+):
+    """Continuously-maintained value grid for Mood's median test —
+    the SAME (priority, whole-dollar value) grid monoid stream_levene
+    maintains (``queries.stats.levene_state``), kept under its own
+    view so the two monitors advance independently.  The finisher
+    (``queries.stats.moods_report``) closes at read time: the grand
+    median, and therefore every k×2 cell, keeps moving as orders
+    arrive, so only the grid is a monoid.  Batch twin:
+    ``q_moods_median``."""
+    from locopy_spark.queries.stats import levene_state
+
+    spark = orders.sparkSession
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, v bigint, cnt bigint"
+    )
+    empty.createOrReplaceGlobalTempView(state_view)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(levene_state(batch_df))
+            .groupBy("o_orderpriority", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .queryName(f"moods_{state_view}")
+        .start()
+    )
+
+
 def stream_cuped(
     orders: DataFrame,
     state_view: str = "cuped_state",

@@ -3178,3 +3178,68 @@ def test_stream_ann_lists_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert served == batch
+
+
+def test_stream_welch_matches_batch(spark, sf_dir, tmp_path):
+    """Welch's state is one plain-sum row (n, per-group n/Σv/Σv²);
+    out-of-order ORDER-keyed chunks merge by summation and the
+    layered fixed-order F/df2 finisher over the merged row equals
+    batch q_welch_anova exactly."""
+    from locopy_spark.queries.stats import q_welch_anova, welch_report
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_welch
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["1", "3", "0", "2"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"wechunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "wechunk*"))
+    )
+    q = stream_welch(stream, state_view="welch_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in welch_report(spark.table("global_temp.welch_t")).collect()
+    ]
+    want = [tuple(r) for r in q_welch_anova(spark, sf_dir).collect()]
+    assert got and got == want
+
+
+def test_stream_moods_matches_batch(spark, sf_dir, tmp_path):
+    """The Mood's grid is the stream_levene monoid under its own view;
+    ORDER-keyed chunks move the grand median between batches, and the
+    grid + moods_report finisher equals batch q_moods_median exactly
+    (same prefix-sum median, same fixed-order chi² text over
+    identical exact counts)."""
+    from locopy_spark.queries.stats import moods_report, q_moods_median
+    from locopy_spark.sources.tables import load_table
+    from locopy_spark.streaming.stateful import stream_moods
+
+    o = load_table(spark, sf_dir, "orders")
+    for i, pred in enumerate(["3", "1", "2", "0"]):
+        o.filter(f"pmod(o_orderkey, 4) = {pred}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"mochunk{i}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "mochunk*"))
+    )
+    q = stream_moods(stream, state_view="moods_t")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        tuple(r)
+        for r in moods_report(spark.table("global_temp.moods_t")).collect()
+    ]
+    want = [tuple(r) for r in q_moods_median(spark, sf_dir).collect()]
+    assert got and got == want
