@@ -369,6 +369,13 @@ BENCH_QUERIES = [
     # (operators/ann_index.refresh_ann_index). Runs LAST in the ANN
     # block so the serving probes above time the original index.
     "ann_index_refresh",
+    # round 11: the retrieval family's instance of the same device —
+    # the corpus tokenize + vocab df aggregate paid once into bucketed
+    # tables (materialize_lexical_index); the *_shared twins serve the
+    # lexical arm from storage. Materialize precedes the consumers.
+    "lexical_index_materialize",
+    "s_rrf_fusion_shared",
+    "s_prf_expand_shared",
 ]
 
 # Machine-readable exclusion manifest: queries() keys NOT benched, with
@@ -499,6 +506,42 @@ def _ann_shared_queries():
         "s_knn_int8_shared": int8,
         "s_pq_knn_shared": pq,
         "ann_index_refresh": refresh,
+    }
+
+
+_LEX_PREFIX = "bench_lex_index"
+
+
+def _lex_shared_queries():
+    """The amortized lexical-retrieval shape: materialize_lexical_index
+    pays the corpus tokenize/explode + the vocabulary df aggregate once
+    into bucketed managed tables; the *_shared twins serve s_rrf_fusion
+    and s_prf_expand's lexical arms from storage (zero re-tokenize).
+    Result-identity vs the standalone queries is pytest-asserted
+    (tests/test_round11_ops.py)."""
+    from locopy_spark.queries import docs_ext
+    from locopy_spark.sources.tables import load_table
+
+    def materialize(spark, sf_dir):
+        tables = docs_ext.materialize_lexical_index(
+            load_table(spark, sf_dir, "documents"), prefix=_LEX_PREFIX
+        )
+        return tables["postings"]
+
+    def _tables(spark):
+        names = docs_ext.lexical_table_names(_LEX_PREFIX)
+        return {t: spark.table(n) for t, n in names.items()}
+
+    def rrf(spark, sf_dir):
+        return docs_ext.s_rrf_fusion(spark, sf_dir, lex_tables=_tables(spark))
+
+    def prf(spark, sf_dir):
+        return docs_ext.s_prf_expand(spark, sf_dir, lex_tables=_tables(spark))
+
+    return {
+        "lexical_index_materialize": materialize,
+        "s_rrf_fusion_shared": rrf,
+        "s_prf_expand_shared": prf,
     }
 
 
@@ -664,6 +707,7 @@ def main() -> int:
         **_ann_prod_queries(),
         **_graph_shared_queries(),
         **_ann_shared_queries(),
+        **_lex_shared_queries(),
     }
     timings: dict[str, float] = {}
     # warm the JVM + file listing so q1 isn't charged for session startup

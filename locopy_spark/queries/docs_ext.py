@@ -2986,20 +2986,85 @@ def doc_postings(docs: DataFrame) -> DataFrame:
     )
 
 
+LEX_TABLES = ("postings", "dfs", "ntot")
+
+
+def lexical_table_names(prefix: str = "lex_index") -> dict[str, str]:
+    return {t: f"{prefix}_{t}" for t in LEX_TABLES}
+
+
+def materialize_lexical_index(
+    docs: DataFrame, prefix: str = "lex_index", n_buckets: int = 8
+) -> dict[str, DataFrame]:
+    """Materialized lexical (inverted) index — the retrieval family's
+    instance of the graph/ANN amortization device: the corpus-sized
+    work every lexical query pays per call (tokenize + explode the
+    whole documents table, then the vocabulary-wide document-frequency
+    aggregate) is paid ONCE into bucketed managed tables, and the
+    consumers (s_rrf_fusion / s_prf_expand via ``lexical_arm``'s
+    injection parameters) serve from storage with zero re-tokenize
+    work.  ``stream_lexical_index`` is this index's incremental arm —
+    its live state IS the postings set.
+
+    Tables (prefix-qualified): ``<p>_postings`` (doc_id, term;
+    row-local-deduped set semantics) bucketed+sorted by term,
+    ``<p>_dfs`` (term, df; vocabulary-bounded) bucketed by term, and
+    the 1-row ``<p>_ntot`` doc count.
+    """
+    from locopy_spark.sources.bucketed import write_bucketed
+
+    spark = docs.sparkSession
+    names = lexical_table_names(prefix)
+    write_bucketed(
+        doc_postings(docs),
+        names["postings"],
+        "term",
+        n_buckets=n_buckets,
+        sort_cols=["term"],
+    )
+    tok = spark.table(names["postings"])
+    write_bucketed(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+        names["dfs"],
+        "term",
+        n_buckets=n_buckets,
+        sort_cols=["term"],
+    )
+    write_bucketed(
+        docs.agg(F.count(F.lit(1)).alias("n_docs")),
+        names["ntot"],
+        "n_docs",
+        n_buckets=0,
+    )
+    return {t: spark.table(names[t]) for t in LEX_TABLES}
+
+
 def lexical_arm(
     docs: DataFrame,
     query_ids: list[int],
     pool: int,
     scope: str,
+    tok: DataFrame | None = None,
+    dfs: DataFrame | None = None,
+    ntot: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The ONE copy of the lexical-retrieval scaffolding shared by
     s_rrf_fusion and s_prf_expand: row-local-deduped (doc, term)
     postings (persisted under ``scope``), vocab-bounded document
     frequencies, the broadcast query-term table, and the exact
-    rational-idf overlap top-``pool`` per query."""
-    tok = managed_persist(doc_postings(docs), scope)
-    ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    return lexical_from_postings(tok, ntot, query_ids, pool)
+    rational-idf overlap top-``pool`` per query.
+
+    ``tok``/``dfs``/``ntot``: pre-built index tables (ideally the
+    bucketed managed tables of :func:`materialize_lexical_index`) —
+    the 100-TB serving shape, where the corpus tokenize and the vocab
+    df aggregate are paid at index-build time and every query reads
+    storage.  Injected tables are used as-is (no re-persist: reading
+    pre-partitioned storage several times IS the serving plan)."""
+    if tok is None:
+        tok = managed_persist(doc_postings(docs), scope)
+    if ntot is None:
+        ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return lexical_from_postings(tok, ntot, query_ids, pool, dfs=dfs)
 
 
 def lexical_from_postings(
@@ -3007,14 +3072,17 @@ def lexical_from_postings(
     ntot: DataFrame,
     query_ids: list[int],
     pool: int,
+    dfs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Lexical-arm tables from an existing postings set + 1-row doc
     count — the entry point the streaming index twin shares with the
-    batch queries (its state IS the postings table)."""
+    batch queries (its state IS the postings table).  ``dfs``: a
+    pre-aggregated (term, df) table, else derived here."""
     from pyspark.sql import Window as W
 
     # tok is distinct per (doc_id, term), so COUNT(*) is document freq
-    dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if dfs is None:
+        dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qt = tok.filter(F.col("doc_id").isin(query_ids)).select(
         F.col("doc_id").alias("query_id"), "term"
     )
@@ -3045,7 +3113,11 @@ def lexical_from_postings(
     return {"tok": tok, "dfs": dfs, "ntot": ntot, "qt": qt, "lex": lex}
 
 
-def s_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s_rrf_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    lex_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Hybrid retrieval over the aligned documents/embeddings pair
     (doc_id == vec_id): a lexical arm (sum of exact rational idf over
     DISTINCT shared terms with the query document — the t_bm25 idf
@@ -3068,7 +3140,11 @@ def s_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    t = lexical_arm(d, KNN_QUERY_IDS, RRF_POOL, scope="rrf_fusion")
+    lt = lex_tables or {}
+    t = lexical_arm(
+        d, KNN_QUERY_IDS, RRF_POOL, scope="rrf_fusion",
+        tok=lt.get("postings"), dfs=lt.get("dfs"), ntot=lt.get("ntot"),
+    )
     lex = t["lex"]
     vec = knn_bruteforce(emb, query_ids=KNN_QUERY_IDS, k=RRF_POOL).select(
         "query_id", F.col("neighbor_id").alias("cand"),
@@ -3410,7 +3486,11 @@ PRF_FB = 5  # feedback depth: top lexical docs per query
 PRF_TERMS = 5  # expansion terms kept per query
 
 
-def s_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s_prf_expand(
+    spark: SparkSession,
+    sf_dir: str,
+    lex_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Pseudo-relevance-feedback expansion (RM1/Rocchio-lite): take
     each query document's top-``PRF_FB`` lexical matches, collect
     terms those feedback docs contain but the query doc does NOT, and
@@ -3427,7 +3507,13 @@ def s_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locopy_spark.queries.docs import KNN_QUERY_IDS
 
     d = load_table(spark, sf_dir, "documents")
-    return prf_report(lexical_arm(d, KNN_QUERY_IDS, PRF_FB, scope="prf_expand"))
+    lt = lex_tables or {}
+    return prf_report(
+        lexical_arm(
+            d, KNN_QUERY_IDS, PRF_FB, scope="prf_expand",
+            tok=lt.get("postings"), dfs=lt.get("dfs"), ntot=lt.get("ntot"),
+        )
+    )
 
 
 def prf_report(t: dict[str, DataFrame]) -> DataFrame:

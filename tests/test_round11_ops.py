@@ -231,3 +231,34 @@ def test_moods_median_degenerate_constant_values(spark, tmp_path):
     assert got.n_above == 0
     assert got.k == 2
     assert got.chi2 is None
+
+
+def test_lexical_index_served_results_identical(spark, sf_dir):
+    """The materialized lexical index (round-11's third instance of
+    the materialize-and-serve device, after graph and ANN): serving
+    s_rrf_fusion / s_prf_expand from the bucketed postings/dfs/ntot
+    tables must be result-identical to the standalone builds, and the
+    served lexical arm must plan with ZERO scans of the documents
+    table (the corpus tokenize is paid at build time; the only
+    documents read left in rrf is none — its vector arm reads
+    embeddings)."""
+    from locopy_spark.plans import audit
+    from locopy_spark.queries import docs_ext
+    from locopy_spark.sources.tables import load_table
+
+    docs_ext.materialize_lexical_index(
+        load_table(spark, sf_dir, "documents"), prefix="t_r11_lex"
+    )
+    names = docs_ext.lexical_table_names("t_r11_lex")
+    tables = {t: spark.table(n) for t, n in names.items()}
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    for fn in (docs_ext.s_rrf_fusion, docs_ext.s_prf_expand):
+        a = rows(fn(spark, sf_dir))
+        b = rows(fn(spark, sf_dir, lex_tables=tables))
+        assert a == b, fn.__name__
+    served = docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables)
+    assert "documents.parquet" not in audit.formatted_plan(served)
+    assert audit.formatted_plan(served).count("Bucketed:") >= 1
