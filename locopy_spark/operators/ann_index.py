@@ -299,23 +299,17 @@ def build_staging_index(
 
 def swap_staging_index(spark: SparkSession, prefix: str = "ann_index") -> None:
     """Phase 2 of :func:`refresh_ann_index`: catalog-rename the staging
-    tables over the serving names (the compact_parquet staging-write +
-    rename-swap device, lifted to managed tables).  Crash-RECOVERABLE,
-    not atomic — each single-table ``ALTER TABLE RENAME`` is atomic,
-    stale ``__old_*`` leftovers are cleared up front, and a crash
-    mid-swap leaves every table present under either its serving or
-    its ``__old``/staging name (recover by re-running the swap or
-    renaming ``__old`` back).  On a real deployment this commit runs
-    under a table format's transaction instead."""
-    staging = ann_table_names(_staging_prefix(prefix))
-    serving = ann_table_names(prefix)
-    old = ann_table_names(f"{prefix}__old")
-    _drop_prefix_tables(spark, f"{prefix}__old")  # crashed prior run
-    for t in ANN_TABLES:
-        if spark.catalog.tableExists(serving[t]):
-            spark.sql(f"ALTER TABLE {serving[t]} RENAME TO {old[t]}")
-        spark.sql(f"ALTER TABLE {staging[t]} RENAME TO {serving[t]}")
-    _drop_prefix_tables(spark, f"{prefix}__old")
+    tables over the serving names via the shared staging-swap device
+    (:func:`locopy_spark.sources.bucketed.swap_staging_tables` — see
+    there for the crash-recovery contract)."""
+    from locopy_spark.sources.bucketed import swap_staging_tables
+
+    swap_staging_tables(
+        spark,
+        ann_table_names(_staging_prefix(prefix)),
+        ann_table_names(prefix),
+        ann_table_names(f"{prefix}__old"),
+    )
 
 
 def refresh_ann_index(

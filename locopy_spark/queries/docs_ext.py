@@ -5161,3 +5161,39 @@ def _oracle_dedup_eval() -> str:
 
 
 ORACLE["d_dedup_eval"] = _oracle_dedup_eval()
+
+
+def refresh_lexical_index(
+    spark: SparkSession,
+    prefix: str = "lex_index",
+    docs: DataFrame | None = None,
+    n_buckets: int = 8,
+) -> bool:
+    """Rebuild arm of the lexical index — the same
+    build-under-staging + rename-swap lifecycle as
+    ``operators.ann_index.refresh_ann_index`` (shared device:
+    ``sources.bucketed.swap_staging_tables``): re-tokenize the given
+    corpus (or re-derive from the stored postings' doc ids when the
+    caller has no fresh corpus handle — a pure re-bucket/re-count),
+    write postings/dfs/ntot under ``<prefix>__staging_*``, and
+    rename-swap into service.  Serving reads see the complete old
+    index until the swap."""
+    if docs is None:
+        raise ValueError(
+            "refresh_lexical_index needs the current corpus: postings"
+            " store tokens, not text, so a rebuild cannot re-derive"
+            " documents from the index alone"
+        )
+    staging_prefix = f"{prefix}__staging"
+    for t in lexical_table_names(staging_prefix).values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")  # crashed prior run
+    materialize_lexical_index(docs, prefix=staging_prefix, n_buckets=n_buckets)
+    from locopy_spark.sources.bucketed import swap_staging_tables
+
+    swap_staging_tables(
+        spark,
+        lexical_table_names(staging_prefix),
+        lexical_table_names(prefix),
+        lexical_table_names(f"{prefix}__old"),
+    )
+    return True

@@ -96,3 +96,35 @@ def bucketed_join(
     bucket specs Catalyst plans a SortMergeJoin with no Exchange on
     either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def swap_staging_tables(
+    spark: SparkSession,
+    staging: dict[str, str],
+    serving: dict[str, str],
+    old: dict[str, str],
+) -> None:
+    """Catalog-rename a set of staging tables over their serving names
+    — the compact_parquet staging-write + rename-swap device lifted to
+    managed tables, shared by the ANN and lexical index refresh arms
+    (operators/ann_index.py, queries/docs_ext.refresh_lexical_index).
+
+    Crash-RECOVERABLE, not atomic: each single-table ``ALTER TABLE
+    RENAME`` is atomic, stale ``old`` leftovers are cleared up front,
+    and a crash mid-swap leaves every table present under either its
+    serving, old, or staging name (recover by re-running the swap or
+    renaming ``old`` back).  On a real deployment this commit runs
+    under a table format's transaction instead.  Readers resolve
+    serving names at call time, so a reader mid-build sees the
+    complete old index and a reader post-swap the complete new one.
+    """
+    for t in old.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for key in staging:
+        if spark.catalog.tableExists(serving[key]):
+            spark.sql(
+                f"ALTER TABLE {serving[key]} RENAME TO {old[key]}"
+            )
+        spark.sql(f"ALTER TABLE {staging[key]} RENAME TO {serving[key]}")
+    for t in old.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -262,3 +262,43 @@ def test_lexical_index_served_results_identical(spark, sf_dir):
     served = docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables)
     assert "documents.parquet" not in audit.formatted_plan(served)
     assert audit.formatted_plan(served).count("Bucketed:") >= 1
+
+
+def test_lexical_index_refresh_serves_old_until_swap(spark, sf_dir):
+    """The lexical refresh arm rides the shared staging-swap device:
+    mid-refresh serving reads the old index; post-swap it equals a
+    fresh build over the new corpus."""
+    from locopy_spark.queries import docs_ext
+    from locopy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.filter("doc_id % 2 = 0")
+    prefix = "t_r11_lex_refresh"
+    docs_ext.materialize_lexical_index(half, prefix=prefix)
+    names = docs_ext.lexical_table_names(prefix)
+
+    def tables():
+        return {t: spark.table(n) for t, n in names.items()}
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    v1 = rows(docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables()))
+    # build staging over the full corpus: serving unchanged until swap
+    staging = f"{prefix}__staging"
+    docs_ext.materialize_lexical_index(docs, prefix=staging)
+    assert rows(docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables())) == v1
+    from locopy_spark.sources.bucketed import swap_staging_tables
+
+    swap_staging_tables(
+        spark,
+        docs_ext.lexical_table_names(staging),
+        names,
+        docs_ext.lexical_table_names(f"{prefix}__old"),
+    )
+    v2 = rows(docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables()))
+    assert v2 == rows(docs_ext.s_prf_expand(spark, sf_dir))
+    assert v2 != v1
+    # the one-call form is equivalent end-to-end
+    assert docs_ext.refresh_lexical_index(spark, prefix=prefix, docs=docs)
+    assert rows(docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables())) == v2
