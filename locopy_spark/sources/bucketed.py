@@ -109,22 +109,36 @@ def swap_staging_tables(
     managed tables, shared by the ANN and lexical index refresh arms
     (operators/ann_index.py, queries/docs_ext.refresh_lexical_index).
 
-    Crash-RECOVERABLE, not atomic: each single-table ``ALTER TABLE
-    RENAME`` is atomic, stale ``old`` leftovers are cleared up front,
-    and a crash mid-swap leaves every table present under either its
-    serving, old, or staging name (recover by re-running the swap or
-    renaming ``old`` back).  On a real deployment this commit runs
-    under a table format's transaction instead.  Readers resolve
-    serving names at call time, so a reader mid-build sees the
-    complete old index and a reader post-swap the complete new one.
+    Crash-RECOVERABLE, not atomic (no portable multi-table atomic
+    commit exists outside a table format): each single-table ``ALTER
+    TABLE RENAME`` is atomic, and **re-running this function is the
+    universal recovery action** — every key is handled by its
+    observable state, so a crash at ANY point leaves a state a re-run
+    completes:
+
+    - staging present → normal swap for that key (current serving, if
+      any, rotates through its ``old`` name and is dropped after);
+    - staging absent, serving present → that key already swapped by a
+      prior run: no-op;
+    - staging absent, serving absent, old present → the prior run
+      died between its two renames: roll the old table back into
+      service (the staged copy for that key is gone; a subsequent
+      rebuild re-creates it).
+
+    On a real deployment this commit runs under a table format's
+    transaction instead.  Readers resolve serving names at call time,
+    so a reader mid-build sees the complete old index and a reader
+    post-swap the complete new one.
     """
-    for t in old.values():
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
     for key in staging:
-        if spark.catalog.tableExists(serving[key]):
-            spark.sql(
-                f"ALTER TABLE {serving[key]} RENAME TO {old[key]}"
-            )
-        spark.sql(f"ALTER TABLE {staging[key]} RENAME TO {serving[key]}")
-    for t in old.values():
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        st, sv, ol = staging[key], serving[key], old[key]
+        if spark.catalog.tableExists(st):
+            if spark.catalog.tableExists(sv):
+                spark.sql(f"DROP TABLE IF EXISTS {ol}")
+                spark.sql(f"ALTER TABLE {sv} RENAME TO {ol}")
+            spark.sql(f"ALTER TABLE {st} RENAME TO {sv}")
+            spark.sql(f"DROP TABLE IF EXISTS {ol}")
+        elif not spark.catalog.tableExists(sv) and spark.catalog.tableExists(
+            ol
+        ):
+            spark.sql(f"ALTER TABLE {ol} RENAME TO {sv}")

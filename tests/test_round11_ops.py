@@ -302,3 +302,65 @@ def test_lexical_index_refresh_serves_old_until_swap(spark, sf_dir):
     # the one-call form is equivalent end-to-end
     assert docs_ext.refresh_lexical_index(spark, prefix=prefix, docs=docs)
     assert rows(docs_ext.s_prf_expand(spark, sf_dir, lex_tables=tables())) == v2
+
+
+def test_swap_staging_tables_rerun_recovers_any_crash_point(spark):
+    """Re-running swap_staging_tables is the universal recovery action:
+    simulate a crash at every point of a two-table swap (after the
+    serving→old rename, after one key's full swap, and mid-key between
+    the two renames) and assert a re-run always converges to a state
+    where every serving name resolves and holds a complete copy."""
+    from locopy_spark.sources.bucketed import (
+        swap_staging_tables,
+        write_bucketed,
+    )
+
+    def build(n):
+        names = {
+            "a": f"t_swap_a_{n}",
+            "b": f"t_swap_b_{n}",
+        }
+        stg = {k: f"{v}__staging" for k, v in names.items()}
+        old = {k: f"{v}__old" for k, v in names.items()}
+        for k in names:
+            write_bucketed(
+                spark.range(2).selectExpr("id", "'old' AS gen"),
+                names[k], "id", n_buckets=1,
+            )
+            write_bucketed(
+                spark.range(3).selectExpr("id", "'new' AS gen"),
+                stg[k], "id", n_buckets=1,
+            )
+        return names, stg, old
+
+    def serving_gens(names):
+        return {
+            k: spark.table(v).select("gen").distinct().collect()[0].gen
+            for k, v in names.items()
+        }
+
+    # crash point 1: key "a" fully swapped, key "b" untouched
+    names, stg, old = build(1)
+    spark.sql(f"ALTER TABLE {names['a']} RENAME TO {old['a']}")
+    spark.sql(f"ALTER TABLE {stg['a']} RENAME TO {names['a']}")
+    swap_staging_tables(spark, stg, names, old)
+    assert serving_gens(names) == {"a": "new", "b": "new"}
+
+    # crash point 2: key "a" mid-swap — serving renamed away, staging
+    # not yet renamed in (both renames pending for "b")
+    names, stg, old = build(2)
+    spark.sql(f"ALTER TABLE {names['a']} RENAME TO {old['a']}")
+    swap_staging_tables(spark, stg, names, old)
+    assert serving_gens(names) == {"a": "new", "b": "new"}
+
+    # crash point 3: key "a" died between renames AND its staging copy
+    # was lost (dropped) — the old table must roll back into service
+    names, stg, old = build(3)
+    spark.sql(f"ALTER TABLE {names['a']} RENAME TO {old['a']}")
+    spark.sql(f"DROP TABLE {stg['a']}")
+    swap_staging_tables(spark, stg, names, old)
+    assert serving_gens(names) == {"a": "old", "b": "new"}
+
+    # idempotence: a second re-run after convergence is a no-op
+    swap_staging_tables(spark, stg, names, old)
+    assert serving_gens(names) == {"a": "old", "b": "new"}
