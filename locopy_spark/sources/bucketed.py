@@ -59,24 +59,10 @@ def write_bucketed(
             # pin its blocks before dropping the old files
             df = df.localCheckpoint(eager=True)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if location is None:
-            # table absent from the catalog — clean a stray directory
-            # from a previous session at the managed location
-            warehouse = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir")
-            ).path
-            if "." in table:
-                db, tbl = table.rsplit(".", 1)
-            else:
-                db, tbl = spark.catalog.currentDatabase(), table
-            sub = (
-                tbl.lower()
-                if db == "default"
-                else os.path.join(f"{db.lower()}.db", tbl.lower())
-            )
-            location = os.path.join(warehouse, sub) if warehouse else None
         if location and os.path.isdir(location):
             shutil.rmtree(location, ignore_errors=True)
+        else:
+            clear_stale_location(spark, table)
     # n_buckets=0: plain managed table (no bucket spec) — for tiny /
     # complex-typed artifacts (a 1-row codebook) that still want the
     # stale-location cleanup above
@@ -87,6 +73,36 @@ def write_bucketed(
     else:
         writer = df.write.mode(mode)
     writer.saveAsTable(table)
+
+
+def clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove a CATALOG-ABSENT managed-table directory left behind by
+    a previous session (the in-memory catalog forgets tables on exit;
+    their warehouse directories persist).  Both ``saveAsTable`` and
+    ``ALTER TABLE ... RENAME TO`` fail with LOCATION_ALREADY_EXISTS on
+    such residue, so every path that creates or renames INTO a managed
+    name clears it first.  No-op when the table exists in the catalog
+    (a live table's location is owned by the catalog, not stale)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not warehouse:
+        return
+    if "." in table:
+        db, tbl = table.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table
+    sub = (
+        tbl.lower()
+        if db == "default"
+        else os.path.join(f"{db.lower()}.db", tbl.lower())
+    )
+    location = os.path.join(warehouse, sub)
+    if os.path.isdir(location):
+        shutil.rmtree(location, ignore_errors=True)
 
 
 def bucketed_join(
@@ -135,10 +151,16 @@ def swap_staging_tables(
         if spark.catalog.tableExists(st):
             if spark.catalog.tableExists(sv):
                 spark.sql(f"DROP TABLE IF EXISTS {ol}")
+                clear_stale_location(spark, ol)  # dead-session residue
                 spark.sql(f"ALTER TABLE {sv} RENAME TO {ol}")
+            else:
+                clear_stale_location(spark, sv)
             spark.sql(f"ALTER TABLE {st} RENAME TO {sv}")
             spark.sql(f"DROP TABLE IF EXISTS {ol}")
-        elif not spark.catalog.tableExists(sv) and spark.catalog.tableExists(
-            ol
-        ):
+        elif spark.catalog.tableExists(sv):
+            # already swapped by a prior (crashed) run — drop its
+            # leftover old copy so the device leaves no residue
+            spark.sql(f"DROP TABLE IF EXISTS {ol}")
+        elif spark.catalog.tableExists(ol):
+            clear_stale_location(spark, sv)
             spark.sql(f"ALTER TABLE {ol} RENAME TO {sv}")

@@ -315,6 +315,8 @@ def test_swap_staging_tables_rerun_recovers_any_crash_point(spark):
         write_bucketed,
     )
 
+    from locopy_spark.sources.bucketed import clear_stale_location
+
     def build(n):
         names = {
             "a": f"t_swap_a_{n}",
@@ -322,6 +324,13 @@ def test_swap_staging_tables_rerun_recovers_any_crash_point(spark):
         }
         stg = {k: f"{v}__staging" for k, v in names.items()}
         old = {k: f"{v}__old" for k, v in names.items()}
+        # clear residue (tables AND dead-session directories) from any
+        # previous run of this test — the manual renames below stand in
+        # for a crashing swap, whose own run would have cleared these
+        for k in names:
+            for t in (names[k], stg[k], old[k]):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                clear_stale_location(spark, t)
         for k in names:
             write_bucketed(
                 spark.range(2).selectExpr("id", "'old' AS gen"),
