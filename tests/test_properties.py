@@ -985,3 +985,115 @@ def test_stream_ann_lists_chunking_invariant(spark, vecs, rnd):
             for r in state.collect()
         )
         assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),                  # priority index
+            st.integers(1, 9999),               # whole-dollar value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=8, deadline=None)
+def test_stream_welch_state_chunking_invariant(spark, vals, rnd):
+    """Welch's 1-row state is a plain-sum monoid: ANY shuffle/split of
+    the orders merges to the batch state, and the layered F closure
+    over the merged row equals the batch report bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.queries.stats import (
+        ANOVA_GROUPS,
+        welch_report,
+        welch_state,
+    )
+
+    rows = [
+        (i, ANOVA_GROUPS[g], float(v), _dt(1995, 3, 1))
+        for i, (g, v) in enumerate(vals)
+    ]
+    schema = (
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp"
+    )
+    rnd.shuffle(rows)
+    n_chunks = rnd.randrange(1, 5)
+    chunks = [c for c in (rows[i::n_chunks] for i in range(n_chunks)) if c]
+    state = None
+    seen = []
+    for c in chunks:
+        seen.extend(c)
+        part = welch_state(spark.createDataFrame(c, schema))
+        state = part if state is None else (
+            state.unionByName(part).agg(
+                *[F.sum(col).alias(col) for col in part.columns]
+            )
+        )
+        state = state.localCheckpoint()
+        got = [tuple(r) for r in welch_report(state).collect()]
+        want = [
+            tuple(r)
+            for r in welch_report(
+                welch_state(spark.createDataFrame(seen, schema))
+            ).collect()
+        ]
+        assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),                  # priority index
+            st.integers(1, 500),                # value (dense: real ties)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=8, deadline=None)
+def test_stream_moods_grid_chunking_invariant(spark, vals, rnd):
+    """The Mood's grid is a plain-sum monoid; the grand median (and
+    every k×2 cell) moves between chunks, and the chi² finisher over
+    the merged grid equals the batch report after every prefix."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.queries.stats import (
+        ANOVA_GROUPS,
+        levene_state,
+        moods_report,
+    )
+
+    rows = [
+        (i, ANOVA_GROUPS[g], float(v), _dt(1995, 3, 1))
+        for i, (g, v) in enumerate(vals)
+    ]
+    schema = (
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp"
+    )
+    rnd.shuffle(rows)
+    n_chunks = rnd.randrange(1, 5)
+    chunks = [c for c in (rows[i::n_chunks] for i in range(n_chunks)) if c]
+    grid = None
+    seen = []
+    for c in chunks:
+        seen.extend(c)
+        part = levene_state(spark.createDataFrame(c, schema))
+        grid = part if grid is None else (
+            grid.unionByName(part)
+            .groupBy("o_orderpriority", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        grid = grid.localCheckpoint()
+        got = [tuple(r) for r in moods_report(grid).collect()]
+        want = [
+            tuple(r)
+            for r in moods_report(
+                levene_state(spark.createDataFrame(seen, schema))
+            ).collect()
+        ]
+        assert got == want
