@@ -49,7 +49,6 @@ def triangle_census(
     |2E| endpoint shuffle; must be exactly the degrees of ``e`` or
     the orientation (and the count) is silently wrong.
     """
-    spark = e.sparkSession
     deg = (
         degrees
         if degrees is not None
@@ -81,22 +80,22 @@ def triangle_census(
         F.sort_array(F.collect_list("w")).alias("nbrs"),
         F.count(F.lit(1)).alias("outd"),
     )
-    # ONE action for the three degree-derived stats (node count,
-    # edge count = Σd/2, undirected wedge count) — previously three
-    # separate jobs each replaying the deg shuffle (A/B at sf0.1:
-    # 7.7 s → 5.4 s best-of-3)
+    # ONE lazy plan for the whole census (r11): the degree-derived
+    # stats (node count, edge count = Σd/2, undirected wedge count)
+    # and the triangle sum close as two 1-row aggregates cross-joined
+    # — the pre-r11 form collected each to the driver (two synchronous
+    # jobs before the caller's own action) and re-created a local
+    # DataFrame; folding them into the returned plan lets the caller's
+    # single action compute both subtrees in one job.
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum("d").alias("two_m"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("w"),
-    ).collect()[0]
-    n_nodes = stats["n_nodes"]
-    n_edges = int(stats["two_m"] or 0) // 2
-    n_wedges = stats["w"]
+        F.expr("coalesce(sum(d), 0) div 2").alias("n_edges"),
+        F.expr("coalesce(sum(d * (d - 1) div 2), 0)").alias("n_wedges"),
+    )
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     aw = adj.select(F.col("u").alias("w"), F.col("nbrs").alias("nw"))
     bc = F.broadcast if broadcast_adj else (lambda df: df)
-    n_tri = (
+    tri = (
         o.join(bc(au), "u")
         .join(bc(aw), "w", "left")
         .select(
@@ -107,19 +106,18 @@ def triangle_census(
                 )
             ).alias("t")
         )
-        .agg(F.sum("t").alias("t"))
-        .collect()[0]["t"]
+        .agg(F.expr("coalesce(sum(t), 0)").alias("n_triangles"))
     )
-    return spark.createDataFrame(
-        [
-            (
-                n_nodes,
-                n_edges,
-                int(n_wedges or 0),
-                int(n_tri or 0),
-                3.0 * float(n_tri or 0) / float(n_wedges) if n_wedges else 0.0,
-            )
-        ],
-        "n_nodes long, n_edges long, n_wedges long, n_triangles long,"
-        " clustering_coeff double",
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        # 0.0 (not NULL) on a wedge-free graph — the pre-r11 driver-side
+        # finisher's convention, pinned by the degenerate-input tests
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN 0.0 ELSE"
+            " 3.0 * CAST(n_triangles AS DOUBLE)"
+            " / CAST(n_wedges AS DOUBLE) END"
+        ).alias("clustering_coeff"),
     )

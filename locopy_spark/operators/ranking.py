@@ -3,10 +3,23 @@
 Spark's ``Window.orderBy`` with no partition key moves the whole table
 to ONE partition — a non-starter at scale. The classic fix: range
 partition on the sort key, rank locally inside each (sorted) range,
-then add each partition's global offset (prefix sum of partition
-counts — P numbers through the driver, not rows). Total cost: one
-range-partitioning sort shuffle + one tiny count job; every partition
-ranks in parallel.
+then add each partition's global offset (exclusive prefix sum of
+per-partition counts — P numbers, metadata). Total cost: one
+range-partitioning sort shuffle; every partition ranks in parallel.
+
+Offsets are computed IN-PLAN (r11): the per-partition counts are a
+P-row aggregate, their exclusive prefix sum a window over those P rows
+(one task over metadata, never data), broadcast-joined back. The
+pre-r11 form collected the counts to the driver and re-broadcast them,
+which cost every call two extra synchronous jobs (the eager checkpoint
+materialization + the collect) before the caller's own action; the
+lazy form folds the whole device into the caller's single job. The
+``localCheckpoint(eager=False)`` is still required: the ranged frame
+feeds both the counts subtree and the ranking subtree, and
+``repartitionByRange`` boundaries come from a sample, so two
+independent materializations could disagree on partition assignment
+(wrong offsets). The lazy checkpoint pins ONE RDD (one boundary
+sample) that both subtrees read.
 """
 
 from __future__ import annotations
@@ -14,6 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _ranged(df: DataFrame, keys: list[str], num_partitions: int | None):
+    """Range-partition ``df`` on ``keys`` and pin the partitioning:
+    one RDD (one boundary sample) that every consumer subtree reads."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartitionByRange(parts, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+
+def _w_pid():
+    """Exclusive prefix over partition ids — P rows of metadata, one
+    task.  Built per call: WindowSpec construction needs a live
+    SparkContext, so a module-level constant would break imports that
+    precede session startup."""
+    return Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
 
 
 def global_row_number(
@@ -26,40 +58,27 @@ def global_row_number(
     """Exact 1-based global row number under ``order_cols`` (which must
     be a total order for a deterministic result).
 
-    ``_return_total=True`` additionally returns the total row count —
-    already known from the partition-count round-trip, so callers that
-    need it (``global_ntile``) don't replay the rank plan to count."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # materialize ONCE: the ranged frame feeds both the counts job and
-    # the ranking plan; repartitionByRange boundaries come from a
-    # sample, so two independent computations could disagree on
-    # partition assignment (wrong offsets)
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # P-row driver round-trip: partition counts → exclusive prefix sums
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-        )
+    ``_return_total=True`` additionally returns a ONE-ROW DataFrame
+    carrying the total row count as ``__total`` — derived from the same
+    per-partition counts, so callers that need it (``global_ntile``,
+    percentile thresholds) don't replay the rank plan to count, and
+    nothing round-trips through the driver."""
+    ranged = _ranged(df, order_cols, num_partitions)
+    cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    off = cnts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(_w_pid()), F.lit(0)).alias("__off"),
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     out = (
-        ranged.join(off_df, "__pid")
+        ranged.join(F.broadcast(off), "__pid")
         .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
-    return (out, acc) if _return_total else out
+    if _return_total:
+        total = cnts.agg(F.sum("__cnt").alias("__total"))
+        return out, total
+    return out
 
 
 def global_ntile(
@@ -73,19 +92,27 @@ def global_ntile(
     ranked, total = global_row_number(
         df, order_cols, out_col="__grn", _return_total=True
     )
-    base, rem = divmod(total, n)
-    # rank r (1-based) → tile: the first `rem` tiles hold base+1 rows
-    cut = rem * (base + 1)
+    # tile arithmetic rides as columns off the 1-row total (broadcast
+    # cross join) — the same integer/double expressions the driver-side
+    # literals produced, now fully lazy
+    withtot = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "__base", F.expr(f"__total div {n}")
+    ).withColumn("__rem", F.expr(f"__total % {n}"))
+    cut = F.col("__rem") * (F.col("__base") + 1)
     tile = F.when(
         F.col("__grn") <= cut,
-        ((F.col("__grn") - 1) / (base + 1)).cast("bigint") + 1,
+        ((F.col("__grn") - 1) / (F.col("__base") + 1)).cast("bigint") + 1,
     ).otherwise(
         F.when(
-            F.lit(base) > 0,
-            ((F.col("__grn") - cut - 1) / base).cast("bigint") + rem + 1,
+            F.col("__base") > 0,
+            ((F.col("__grn") - cut - 1) / F.col("__base")).cast("bigint")
+            + F.col("__rem")
+            + 1,
         ).otherwise(F.lit(None))
     )
-    return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")
+    return withtot.withColumn(out_col, tile.cast("int")).drop(
+        "__grn", "__total", "__base", "__rem"
+    )
 
 
 def grouped_global_row_number(
@@ -103,59 +130,34 @@ def grouped_global_row_number(
     languages, market segments …) where a partitioned window serializes:
     range-partition on (group, order) so every partition holds a
     contiguous slice of one-or-more groups' sort order, rank locally,
-    then add per-(partition, group) offsets (≤ P + G - 1 numbers through
-    the driver — the ranges overlap at most G-1 group boundaries).
+    then add per-(partition, group) offsets (≤ P + G - 1 rows of
+    metadata — the ranges overlap at most G-1 group boundaries).
     ``size_col`` additionally attaches the group's total row count
     (broadcast G-row join), enabling percent_rank/cume_dist arithmetic.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keys = [*group_cols, *order_cols]
-    ranged = (
-        df.repartitionByRange(parts, *keys)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = _ranged(df, [*group_cols, *order_cols], num_partitions)
+    cnts = ranged.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
-    cnt_rows = (
-        ranged.groupBy("__pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    w_grp = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    per_group: dict[tuple, list] = {}
-    for r in cnt_rows:
-        per_group.setdefault(tuple(r[g] for g in group_cols), []).append(
-            (r["__pid"], r["cnt"])
-        )
-    off_rows, size_rows = [], []
-    for gk, lst in per_group.items():
-        acc = 0
-        for pid, cnt in sorted(lst):
-            off_rows.append((*gk, pid, acc))
-            acc += cnt
-        size_rows.append((*gk, acc))
-    spark = df.sparkSession
-    # off_rows tuples are in group_cols order — the schema must match it,
-    # not df.schema order (they differ when the caller reorders keys)
-    gfields = [df.schema[c] for c in group_cols]
-    from pyspark.sql import types as T
-
-    off_schema = T.StructType(
-        gfields
-        + [T.StructField("__pid", T.IntegerType()), T.StructField("__off", T.LongType())]
+    off_df = cnts.select(
+        *group_cols,
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_grp), F.lit(0)).alias("__off"),
     )
-    off_df = F.broadcast(spark.createDataFrame(off_rows, off_schema))
     w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     out = (
-        ranged.join(off_df, ["__pid", *group_cols])
+        ranged.join(F.broadcast(off_df), ["__pid", *group_cols])
         .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
     if size_col:
-        size_schema = T.StructType(
-            gfields + [T.StructField(size_col, T.LongType())]
-        )
-        out = out.join(
-            F.broadcast(spark.createDataFrame(size_rows, size_schema)), group_cols
-        )
+        sizes = cnts.groupBy(*group_cols).agg(F.sum("__cnt").alias(size_col))
+        out = out.join(F.broadcast(sizes), group_cols)
     return out
 
 
@@ -171,45 +173,18 @@ def global_running_sum(
     window.
 
     Same shape as :func:`global_row_number`: range-partition on the
-    order, one tiny driver round-trip of per-partition SUMS → exclusive
-    offsets, then a per-partition running sum plus the offset. Powers
+    order, per-partition SUMS → exclusive offsets (a P-row window over
+    metadata), then a per-partition running sum plus the offset. Powers
     order-dependent assignment at scale — sequence packing, quota
     fills, cumulative budgets.  ``out_col`` excludes the current row
     (sum of everything strictly before it).
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sums_df = ranged.groupBy("__pid").agg(F.sum(value_col).alias("s"))
-    sum_type = sums_df.schema["s"].dataType  # long/double/decimal per input
-    sums = {r["__pid"]: r["s"] for r in sums_df.collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid] or 0
-    from pyspark.sql import types as T
-
-    off_schema = T.StructType(
-        [
-            T.StructField("__pid", T.IntegerType()),
-            T.StructField("__off", sum_type),
-        ]
-    )
-    if isinstance(sum_type, T.DoubleType):
-        coerce = float
-    elif isinstance(sum_type, T.DecimalType):
-        from decimal import Decimal
-
-        coerce = Decimal
-    else:
-        coerce = int
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, coerce(off)) for pid, off in offsets.items()], off_schema
-        )
+    ranged = _ranged(df, order_cols, num_partitions)
+    sums = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
+    zero = F.lit(0).cast(sums.schema["__s"].dataType)
+    off_df = sums.select(
+        "__pid",
+        F.coalesce(F.sum("__s").over(_w_pid()), zero).alias("__off"),
     )
     w = (
         Window.partitionBy("__pid")
@@ -217,10 +192,10 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        ranged.join(off_df, "__pid")
+        ranged.join(F.broadcast(off_df), "__pid")
         .withColumn(
             out_col,
-            F.coalesce(F.sum(value_col).over(w), F.lit(0)) + F.col("__off"),
+            F.coalesce(F.sum(value_col).over(w), zero) + F.col("__off"),
         )
         .drop("__pid", "__off")
     )
@@ -241,68 +216,41 @@ def grouped_global_running_sum(
     :func:`global_running_sum`.
 
     Same shape: range-partition on (group, order) so every partition
-    holds a contiguous slice of one-or-more groups' order, one driver
-    round-trip of per-(partition, group) weight sums (≤ P + G - 1
-    bigints) → exclusive offsets, then a per-partition running sum
-    plus the offset. ``total_col`` attaches each group's total weight
+    holds a contiguous slice of one-or-more groups' order, per-
+    (partition, group) weight sums (≤ P + G - 1 rows of metadata) →
+    exclusive offsets, then a per-partition running sum plus the
+    offset. ``total_col`` attaches each group's total weight
     (broadcast G-row join) — together they power weighted quantiles /
     cumulative-share arithmetic without a one-task-per-group window.
     Weights must be bigint (exactness contract).
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keys = [*group_cols, *order_cols]
-    ranged = (
-        df.repartitionByRange(parts, *keys)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = _ranged(df, [*group_cols, *order_cols], num_partitions)
+    sums = ranged.groupBy("__pid", *group_cols).agg(
+        F.coalesce(F.sum(weight_col), F.lit(0)).alias("__s")
     )
-    sum_rows = (
-        ranged.groupBy("__pid", *group_cols)
-        .agg(F.sum(weight_col).alias("s"))
-        .collect()
+    w_grp = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    per_group: dict[tuple, list] = {}
-    for r in sum_rows:
-        per_group.setdefault(tuple(r[g] for g in group_cols), []).append(
-            (r["__pid"], r["s"] or 0)
-        )
-    off_rows, tot_rows = [], []
-    for gk, lst in per_group.items():
-        acc = 0
-        for pid, s in sorted(lst):
-            off_rows.append((*gk, pid, acc))
-            acc += s
-        tot_rows.append((*gk, acc))
-    spark = df.sparkSession
-    from pyspark.sql import types as T
-
-    gfields = [df.schema[c] for c in group_cols]
-    off_schema = T.StructType(
-        gfields
-        + [
-            T.StructField("__pid", T.IntegerType()),
-            T.StructField("__off", T.LongType()),
-        ]
+    off_df = sums.select(
+        *group_cols,
+        "__pid",
+        F.coalesce(F.sum("__s").over(w_grp), F.lit(0)).alias("__off"),
     )
-    off_df = F.broadcast(spark.createDataFrame(off_rows, off_schema))
     w = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
-        ranged.join(off_df, ["__pid", *group_cols])
+        ranged.join(F.broadcast(off_df), ["__pid", *group_cols])
         .withColumn(out_col, F.sum(weight_col).over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
     if total_col:
-        tot_schema = T.StructType(
-            gfields + [T.StructField(total_col, T.LongType())]
-        )
-        out = out.join(
-            F.broadcast(spark.createDataFrame(tot_rows, tot_schema)),
-            group_cols,
-        )
+        tots = sums.groupBy(*group_cols).agg(F.sum("__s").alias(total_col))
+        out = out.join(F.broadcast(tots), group_cols)
     return out
 
 
@@ -315,38 +263,25 @@ def global_rank_and_running_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """:func:`global_row_number` AND :func:`global_running_sum` from
-    ONE range-partitioned pass: a single ranged materialization, one
-    P-row driver round-trip carrying (count, sum) per partition, then
-    both local windows add their offsets.  Callers that need the rank
-    and the exclusive prefix sum together (change-point scans, Lorenz
+    ONE range-partitioned pass: a single ranged frame, one P-row
+    metadata aggregate carrying (count, sum) per partition, then both
+    local windows add their offsets.  Callers that need the rank and
+    the exclusive prefix sum together (change-point scans, Lorenz
     tails) pay one shuffle instead of two."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = _ranged(df, order_cols, num_partitions)
+    per = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("__s"),
     )
-    per = {
-        r["__pid"]: (r["cnt"], r["s"] or 0)
-        for r in ranged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets, acc_n, acc_s = {}, 0, 0
-    for pid in sorted(per):
-        offsets[pid] = (acc_n, acc_s)
-        acc_n += per[pid][0]
-        acc_s += per[pid][1]
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, n, int(s)) for pid, (n, s) in offsets.items()],
-            "__pid int, __offn long, __offs long",
-        )
+    off_df = per.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(_w_pid()), F.lit(0)).alias("__offn"),
+        F.coalesce(F.sum("__s").over(_w_pid()), F.lit(0)).alias("__offs"),
     )
     wr = Window.partitionBy("__pid").orderBy(*order_cols)
     ws = wr.rowsBetween(Window.unboundedPreceding, -1)
     return (
-        ranged.join(off_df, "__pid")
+        ranged.join(F.broadcast(off_df), "__pid")
         .withColumn(rank_col, F.row_number().over(wr) + F.col("__offn"))
         .withColumn(
             sum_col,

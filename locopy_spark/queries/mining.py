@@ -989,6 +989,18 @@ def q_graph_triangles(
         edges if edges is not None else copurchase_edges(spark, sf_dir),
         "graph_triangles",
     )
+    # derive + persist the degree table HERE (same scope as the edge
+    # persist): the census reads it three times (orientation joins +
+    # the stats aggregate), and un-persisted each read would replay
+    # the |2E| endpoint shuffle (r11)
+    if degrees is None:
+        degrees = managed_persist(
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d")),
+            "graph_triangles",
+        )
     return triangle_census(e, degrees=degrees)
 
 
@@ -1156,7 +1168,16 @@ def q_pagerank(
             else edges_deg.select("src", "d").dropDuplicates(["src"])
         )
     else:
-        e = edges if edges is not None else copurchase_edges(spark, sf_dir)
+        # persist the standalone edge build (r11): und reads it twice
+        # (both orientations) and the degree table once more — without
+        # the persist, the basket→pair→distinct pipeline replays per
+        # subtree (the rank init below reads deg AGAIN, so the whole
+        # build ran up to three times pre-r11)
+        e = (
+            edges
+            if edges is not None
+            else managed_persist(copurchase_edges(spark, sf_dir), "pagerank")
+        )
         und = e.select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         ).unionByName(
@@ -1165,7 +1186,10 @@ def q_pagerank(
         deg = (
             degrees.select(F.col("v").alias("src"), "d")
             if degrees is not None
-            else und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            else managed_persist(
+                und.groupBy("src").agg(F.count(F.lit(1)).alias("d")),
+                "pagerank",
+            )
         )
         # degree rides WITH the edge, joined once, REPARTITIONED BY dst
         # and persisted — the broadcast rank join preserves that
@@ -1175,9 +1199,13 @@ def q_pagerank(
         # identical ranks)
         ed = und.join(deg, "src").repartition("dst")
     edges_deg = managed_persist(ed, "pagerank")
+    # LAZY checkpoints (r11): each round's frame still truncates the
+    # plan to O(1) lineage, but materialization folds into the final
+    # action — the eager form paid one synchronous job per round
+    # (7 jobs before the caller's own action at PR_ITERS=6)
     ranks = deg.select(
         "src", F.lit(PR_SCALE).cast("long").alias("r")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     teleport = 15 * PR_SCALE // 100
     for _ in range(PR_ITERS):
         contrib = edges_deg.join(bc(ranks), "src").select(
@@ -1197,7 +1225,7 @@ def q_pagerank(
                     " decimal(38,0)))) div 100 as bigint)"
                 ).alias("r")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.select(F.col("src").alias("part"), F.col("r").alias("rank_fix"))
@@ -1287,9 +1315,12 @@ def q_graph_reach(
     seeds = (
         und.select("src").distinct().orderBy("src").limit(REACH_SEEDS)
     )
+    # LAZY checkpoints throughout the hop loop (r11): same O(1)
+    # lineage, but the per-hop materialization jobs fold into the
+    # caller's single action (the eager form paid 2 jobs per hop)
     visited = seeds.select(
         "src", F.lit(0).cast("int").alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     frontier = visited
     # frontier and visited are |V|-bounded: broadcast them into the
     # |E|-sized probe so each hop is one edge-table scan with NO edge
@@ -1304,9 +1335,9 @@ def q_graph_reach(
             .distinct()
             .join(bc(visited.select("src")), "src", "left_anti")
             .select("src", F.lit(hop).cast("int").alias("d"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(frontier).localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     return (
         visited.groupBy("d")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -1380,36 +1411,61 @@ def q_assortativity(
     (zero degree variance) yields NULL via an exact integer CASE
     guard rather than an ANSI divide-by-zero.
     """
-    e = edges if edges is not None else copurchase_edges(spark, sf_dir)
+    # persist the standalone edge build: the degree derivation reads it
+    # twice (both endpoints) and the pair join once more — un-persisted,
+    # Catalyst would replay the whole basket→pair→distinct pipeline per
+    # subtree (measured 50 Exchange nodes in the pre-r11 plan)
+    e = (
+        edges
+        if edges is not None
+        else managed_persist(copurchase_edges(spark, sf_dir), "assortativity")
+    )
     deg = (
         degrees
         if degrees is not None
-        else (
+        else managed_persist(
             e.select(F.col("a").alias("v"))
             .unionAll(e.select(F.col("b").alias("v")))
             .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.count(F.lit(1)).alias("d")),
+            "assortativity",
         )
     )
     pairs = e.join(
-        deg.select(F.col("v").alias("a"), F.col("d").alias("dx")), "a"
-    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("dy")), "b")
-    both = pairs.select("dx", "dy").unionAll(
-        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+        F.broadcast(
+            deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+        ),
+        "a",
+    ).join(
+        F.broadcast(
+            deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+        ),
+        "b",
     )
-    agg = both.agg(
-        F.count(F.lit(1)).alias("n_dir"),
-        F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS BIGINT)").alias("sx"),
-        F.expr("CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS BIGINT)").alias("sy"),
-        F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS BIGINT)").alias(
-            "sxy"
-        ),
-        F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS BIGINT)").alias(
-            "sx2"
-        ),
-        F.expr("CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS BIGINT)").alias(
-            "sy2"
-        ),
+    # the directed doubling is SYMMETRIC, so its moments fold out of
+    # ONE pass over the undirected pairs: n_dir = 2·n, Σdx = Σdy =
+    # Σ(dx+dy), Σdx·dy doubles, Σdx² = Σdy² = Σ(dx²+dy²) — identical
+    # exact integers to the unioned two-pass form (r11; the union
+    # shape scanned the |E| pair join twice)
+    agg = pairs.agg(
+        (F.count(F.lit(1)) * 2).alias("n_dir"),
+        F.expr(
+            "CAST(SUM(CAST(dx AS DECIMAL(38,0)) + dy) AS BIGINT)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(SUM(CAST(dx AS DECIMAL(38,0)) + dy) AS BIGINT)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(2 * SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS BIGINT)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dx"
+            " + CAST(dy AS DECIMAL(38,0)) * dy) AS BIGINT)"
+        ).alias("sx2"),
+        F.expr(
+            "CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dx"
+            " + CAST(dy AS DECIMAL(38,0)) * dy) AS BIGINT)"
+        ).alias("sy2"),
     )
     corr = (
         "(CAST(n_dir AS DOUBLE) * CAST(sxy AS DOUBLE)"
@@ -1606,13 +1662,15 @@ def q_kcore(
         ),
         "kcore",
     )
-    ranked, n_v = global_row_number(
+    ranked, total = global_row_number(
         deg0, ["d", "v"], out_col="rn", _return_total=True
     )
+    # the percentile rank rides as a column off the 1-row total (no
+    # driver round-trip): rank ceil(n/10) = (n + 9) div 10, exact
     kdf = managed_persist(
-        ranked.filter(F.col("rn") == (n_v + 9) // 10).select(
-            F.col("d").alias("k")
-        ),
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("rn") == F.expr("(__total + 9) div 10"))
+        .select(F.col("d").alias("k")),
         "kcore",
     )
     rows = (
@@ -1637,12 +1695,12 @@ def q_kcore(
             degi.crossJoin(F.broadcast(kdf))
             .filter(F.col("d") >= F.col("k"))
             .select("v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = (
             cur.join(surv.select(F.col("v").alias("a")), "a", "semi")
             .join(surv.select(F.col("v").alias("b")), "b", "semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         rows = rows.unionAll(
             surv.agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -1799,7 +1857,7 @@ def q_lpa_communities(
             .filter(F.col("c") == F.col("mc"))
             .groupBy("v")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
     return (
@@ -1898,19 +1956,26 @@ def q_jaccard_links(
     if degrees is not None:
         deg = degrees
     else:
+        # persisted (r11): read four ways below (mid gate + both
+        # endpoint joins) — un-persisted, each read replays the |2E|
+        # endpoint shuffle over the edge table
         nbr_d = e.selectExpr("a AS v", "b AS n").unionAll(
             e.selectExpr("b AS v", "a AS n")
         )
-        deg = nbr_d.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        deg = managed_persist(
+            nbr_d.groupBy("v").agg(F.count(F.lit(1)).alias("d")),
+            "jaccard_links",
+        )
     if adjacency is not None:
         mid = adjacency.select("v", "n")
     else:
+        # persisted (r11): both sides of the wedge self-join read it
         nbr = e.selectExpr("a AS v", "b AS n").unionAll(
             e.selectExpr("b AS v", "a AS n")
         )
-        mid = (
-            nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v")
-            .select("v", "n")
+        mid = managed_persist(
+            nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v").select("v", "n"),
+            "jaccard_links",
         )
     wedges = (
         mid.alias("x")
@@ -2032,18 +2097,27 @@ def q_clustering_coef(
     if degrees is not None:
         deg = degrees
     else:
+        # persisted (r11): centers gate + the cc left join both read
+        # it — un-persisted, each read replays the |2E| endpoint
+        # shuffle over the edge table
         nbr_d = e.selectExpr("a AS v", "b AS n").unionAll(
             e.selectExpr("b AS v", "a AS n")
         )
-        deg = nbr_d.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        deg = managed_persist(
+            nbr_d.groupBy("v").agg(F.count(F.lit(1)).alias("d")),
+            "clustering_coef",
+        )
     centers = deg.filter(f"d >= 2 AND d <= {LP_DEGCAP}")
     if adjacency is not None:
         mid = adjacency.select("v", "n")
     else:
+        # persisted (r11): both sides of the wedge self-join read it
         nbr = e.selectExpr("a AS v", "b AS n").unionAll(
             e.selectExpr("b AS v", "a AS n")
         )
-        mid = nbr.join(centers.select("v"), "v")
+        mid = managed_persist(
+            nbr.join(centers.select("v"), "v"), "clustering_coef"
+        )
     wedges = (
         mid.alias("x")
         .join(mid.alias("y"), "v")
