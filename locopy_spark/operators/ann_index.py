@@ -104,60 +104,88 @@ def materialize_ann_index(
         base, names["base"], id_col, n_buckets=n_buckets, sort_cols=[id_col]
     )
     base_t = spark.table(names["base"])
-    sig_fn = (
-        similarity.lsh_signatures_arrow
-        if signatures == "arrow"
-        else similarity.lsh_signatures
-    )
-    write_bucketed(
-        sig_fn(
-            base_t, id_col=id_col, vec_col=vec_col,
-            n_planes=n_planes, n_tables=n_tables, dim=dim,
-        ),
-        names["postings"],
-        "bucket",
-        n_buckets=n_buckets,
-        sort_cols=["table", "bucket"],
-    )
-    cent = similarity._ivf_centroids(base_t, id_col, vec_col, n_centroids)
-    # 16 rows — one bucket; write_bucketed for its stale-location
-    # cleanup (saveAsTable alone fails on a directory a previous
-    # session left behind)
-    write_bucketed(cent, names["ivf_centroids"], "centroid_id", n_buckets=1)
-    cent_t = spark.table(names["ivf_centroids"])
-    vecs = base_t.select(
-        base_t[id_col].alias("n_id"),
-        base_t[vec_col].alias("n_emb"),
-        base_t["norm_fix"].alias("n_norm"),
-    )
-    write_bucketed(
-        similarity._ivf_assign(vecs, "n", 1, cent_t),
-        names["ivf_lists"],
-        "centroid_id",
-        n_buckets=n_buckets,
-        sort_cols=["centroid_id"],
-    )
-    # PQ: the 1-row codebook + the data-sized encode pass, both paid
-    # here (codes at rest are n_sub small ints/vector — the 100-TB
-    # scan-byte story; dim inferred = the ANN family's fixed 64)
-    cb_df = similarity.pq_codebook(base_t, id_col, vec_col, pq_n_codewords)
-    write_bucketed(cb_df, names["pq_codebook"], "cb", n_buckets=0)
-    cb_rows = spark.table(names["pq_codebook"]).collect()
-    write_bucketed(
-        similarity.pq_codes_arrow(
-            base_t,
-            [list(v) for v in cb_rows[0].cb],
-            id_col,
-            vec_col,
-            dim,
-            pq_n_sub,
-            pq_n_codewords,
-        ).withColumnRenamed(id_col, "neighbor_id"),
-        names["pq_codes"],
-        "neighbor_id",
-        n_buckets=n_buckets,
-        sort_cols=["neighbor_id"],
-    )
+
+    # The three derivation chains below (LSH postings / IVF centroids→
+    # lists / PQ codebook→codes) are INDEPENDENT once the base table
+    # is written — overlap them from a small thread pool (guide-style
+    # concurrent jobs: each chain's write back-fills executors the
+    # others' stage tails leave idle; job descriptions and catalog
+    # table names are disjoint, so the writes cannot collide).
+    def _postings():
+        # 'fold' uses the Arrow twin with the SQL fold's exact IEEE
+        # accumulation order (r11) — bit-identical postings to a live
+        # lsh_signatures build (the serving-identity tests assert it),
+        # at numpy speed instead of n_tables·n_planes·dim interpreted
+        # lambda calls per row
+        sig_fn = (
+            similarity.lsh_signatures_arrow
+            if signatures == "arrow"
+            else similarity.lsh_signatures_fold_arrow
+        )
+        write_bucketed(
+            sig_fn(
+                base_t, id_col=id_col, vec_col=vec_col,
+                n_planes=n_planes, n_tables=n_tables, dim=dim,
+            ),
+            names["postings"],
+            "bucket",
+            n_buckets=n_buckets,
+            sort_cols=["table", "bucket"],
+        )
+
+    def _ivf():
+        cent = similarity._ivf_centroids(
+            base_t, id_col, vec_col, n_centroids
+        )
+        # 16 rows — one bucket; write_bucketed for its stale-location
+        # cleanup (saveAsTable alone fails on a directory a previous
+        # session left behind)
+        write_bucketed(
+            cent, names["ivf_centroids"], "centroid_id", n_buckets=1
+        )
+        cent_t = spark.table(names["ivf_centroids"])
+        vecs = base_t.select(
+            base_t[id_col].alias("n_id"),
+            base_t[vec_col].alias("n_emb"),
+            base_t["norm_fix"].alias("n_norm"),
+        )
+        write_bucketed(
+            similarity._ivf_assign(vecs, "n", 1, cent_t),
+            names["ivf_lists"],
+            "centroid_id",
+            n_buckets=n_buckets,
+            sort_cols=["centroid_id"],
+        )
+
+    def _pq():
+        # PQ: the 1-row codebook + the data-sized encode pass, both
+        # paid here (codes at rest are n_sub small ints/vector — the
+        # 100-TB scan-byte story; dim inferred = the family's fixed 64)
+        cb_df = similarity.pq_codebook(base_t, id_col, vec_col, pq_n_codewords)
+        write_bucketed(cb_df, names["pq_codebook"], "cb", n_buckets=0)
+        cb_rows = spark.table(names["pq_codebook"]).collect()
+        write_bucketed(
+            similarity.pq_codes_arrow(
+                base_t,
+                [list(v) for v in cb_rows[0].cb],
+                id_col,
+                vec_col,
+                dim,
+                pq_n_sub,
+                pq_n_codewords,
+            ).withColumnRenamed(id_col, "neighbor_id"),
+            names["pq_codes"],
+            "neighbor_id",
+            n_buckets=n_buckets,
+            sort_cols=["neighbor_id"],
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(fn) for fn in (_postings, _ivf, _pq)]
+        for f in futures:
+            f.result()  # surface the first failure, if any
     return {t: spark.table(names[t]) for t in ANN_TABLES}
 
 

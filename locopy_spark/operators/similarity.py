@@ -173,6 +173,84 @@ def lsh_signatures(
     )
 
 
+def lsh_signatures_fold_arrow(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`lsh_signatures` with BIT-IDENTICAL
+    output: the projection accumulates LEFT-TO-RIGHT one element at a
+    time (``dim`` vectorized adds over the batch), reproducing the SQL
+    fold's IEEE addition order exactly — so unlike the matmul path
+    (:func:`lsh_signatures_arrow`, whose SIMD summation can flip a
+    near-zero projection), stored postings built here equal a live
+    ``lsh_signatures`` build bit-for-bit for ANY batching
+    (pytest-asserted via the serving-identity tests).  The fold
+    evaluates ``n_tables·n_planes·dim`` interpreted lambda calls per
+    row; this pays ``dim`` numpy ops per batch instead."""
+    import numpy as np
+    import pyarrow as pa
+
+    # (dim, n_tables*n_planes), same deterministic bank as the fold
+    bank = np.array(
+        [
+            row
+            for t in range(n_tables)
+            for row in hyperplane_signs(n_planes, dim, t)
+        ],
+        dtype=np.float64,
+    ).T
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    n_proj = n_tables * n_planes
+
+    def gen(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column(id_col).to_numpy()
+            n = len(ids)
+            if n == 0:
+                continue
+            flat = (
+                tbl.column(vec_col)
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            v = flat.reshape(n, dim)
+            # left-to-right accumulation: (((0 + x_1) + x_2) + ...) —
+            # the SQL fold's exact IEEE order, vectorized over the batch
+            acc = np.zeros((n, n_proj), dtype=np.float64)
+            for i in range(dim):
+                acc += v[:, i : i + 1] * bank[i][None, :]
+            bits = (acc > 0).reshape(n, n_tables, n_planes)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)
+            yield pa.record_batch(
+                {
+                    id_col: pa.array(
+                        np.repeat(ids, n_tables), type=pa.int64()
+                    ),
+                    "table": pa.array(
+                        np.tile(
+                            np.arange(n_tables, dtype=np.int32), n
+                        ),
+                        type=pa.int32(),
+                    ),
+                    "bucket": pa.array(
+                        buckets.reshape(-1).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        gen, f"{id_col} long, table int, bucket long"
+    )
+
+
 def lsh_signatures_arrow(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -338,10 +416,20 @@ def _ivf_centroids(
 
 
 def _ivf_assign(
-    df: DataFrame, side: str, probes: int, cent: DataFrame
+    df: DataFrame,
+    side: str,
+    probes: int,
+    cent: DataFrame,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Nearest-``probes`` centroid assignment (broadcast nested-loop
-    against the tiny centroid set — map-side, no shuffle)."""
+    against the tiny centroid set — map-side, no shuffle).
+
+    ``keep_rank`` retains the assignment rank column ``crk`` (1 =
+    nearest list): probe sets are NESTED in the rank, so a sweep over
+    n_probe settings can assign once at the widest setting and slice
+    ``crk <= n_probe`` per arm instead of re-assigning (s_ivf_tuning).
+    """
     scored = df.crossJoin(F.broadcast(cent)).withColumn(
         "c_cos",
         F.expr(
@@ -355,10 +443,13 @@ def _ivf_assign(
     w = W.partitionBy(f"{side}_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )
+    drops = ["c_emb", "c_norm", "c_cos"]
+    if not keep_rank:
+        drops.append("crk")
     return (
         scored.withColumn("crk", F.row_number().over(w))
         .filter(F.col("crk") <= probes)
-        .drop("c_emb", "c_norm", "c_cos", "crk")
+        .drop(*drops)
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from locopy_spark.functions.cache import managed_persist
 from locopy_spark.functions.numeric import SCALE
 from locopy_spark.sources.tables import load_table
 
@@ -230,6 +231,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     gl = g.select(
         "x",
         "y",
+        "n",
         F.coalesce(
             F.sum("sgt").over(wx.rowsBetween(1, Window.unboundedFollowing)),
             F.lit(0),
@@ -239,20 +241,24 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("lt"),
     )
-    cd = (
-        cells.join(gl, ["x", "y"])
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST(n AS DECIMAL(38,0)) * gt) AS BIGINT)"
-            ).alias("concordant"),
-            F.expr(
-                "CAST(SUM(CAST(n AS DECIMAL(38,0)) * lt) AS BIGINT)"
-            ).alias("discordant"),
-        )
+    # no cells⋈gl join (r11): the cell count n rides THROUGH the
+    # prefix-sum device, and zero-filled grid points contribute 0·gt =
+    # 0 to both sums — identical bigints to the joined form, minus a
+    # |grid|-sized shuffle join
+    cd = gl.agg(
+        F.expr(
+            "CAST(SUM(CAST(n AS DECIMAL(38,0)) * gt) AS BIGINT)"
+        ).alias("concordant"),
+        F.expr(
+            "CAST(SUM(CAST(n AS DECIMAL(38,0)) * lt) AS BIGINT)"
+        ).alias("discordant"),
     )
+    # tie terms fold out of the cell aggregate (r11): Σ_y n per x IS
+    # the per-x row count — identical bigints to the pre-r11 form,
+    # which re-counted base (replaying the orders⋈lineitem join twice)
     tx = (
-        base.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("t"))
         .agg(
             F.sum("t").alias("n"),
             F.expr(
@@ -261,8 +267,8 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ty = (
-        base.groupBy("y")
-        .agg(F.count(F.lit(1)).alias("t"))
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("t"))
         .agg(
             F.expr(
                 "CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS BIGINT)"

@@ -2002,15 +2002,54 @@ def s_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ivf_base_lists(emb, n_centroids=IVF_TUNE_CENTROIDS),
         "ivf_tuning",
     )
+    # ONE scoring pass for every probe setting (r11): probe sets are
+    # NESTED in the centroid-assignment rank, so assign the queries
+    # once at the widest setting (keep_rank), score every (query,
+    # candidate) pair once against the persisted lists, and slice each
+    # arm as ``crk <= n_probe`` — bit-identical candidates and scores
+    # to per-arm knn_ivf calls (same assignment window, same fixed-
+    # point dots), at 1/Σ(nᵢ/N) ≈ ⅓ the scoring work and one plan
+    # stack instead of five.  Each arm still ranks its own top-k; the
+    # brute-force reference arm stays an INDEPENDENT scoring path, so
+    # the exhaustive-equals-brute-force tripwire keeps its teeth.
+    cent = similarity._ivf_centroids(
+        emb, "vec_id", "embedding", IVF_TUNE_CENTROIDS
+    )
+    q = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fix").alias("q_norm"),
+    )
+    probes = similarity._ivf_assign(
+        q, "q", max(IVF_TUNE_PROBES), cent, keep_rank=True
+    )
+    scored = managed_persist(
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "dot_fix",
+            F.expr(similarity.fixed_dot_expr("q_emb", "n_emb")),
+        )
+        .withColumn(
+            "cosine",
+            F.expr(
+                similarity.cosine_from_fixed("dot_fix", "q_norm", "n_norm")
+            ),
+        )
+        .select("q_id", "n_id", "cosine", "crk"),
+        "ivf_tuning",
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     per = None
     for np_ in IVF_TUNE_PROBES:
-        a = similarity.knn_ivf(
-            emb,
-            query_ids=KNN_QUERY_IDS,
-            k=KNN_K,
-            n_centroids=IVF_TUNE_CENTROIDS,
-            n_probe=np_,
-            base_lists=lists,
+        a = (
+            scored.filter(F.col("crk") <= np_)
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= KNN_K)
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("n_id").alias("neighbor_id"),
+            )
         )
         h = (
             a.join(exact, ["query_id", "neighbor_id"])
