@@ -1282,6 +1282,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the y-side rank table is |distinct counts|-sized → broadcast);
     nothing all-pairs, no one-partition window.
     """
+    from locopy_spark.functions.cache import managed_persist
     from locopy_spark.operators.ranking import global_running_sum
 
     o = load_table(spark, sf_dir, "orders")
@@ -1289,12 +1290,18 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.count(F.lit(1)).alias("y")
     )
-    base = o.select(
-        "o_orderkey",
-        F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)").alias(
-            "x"
-        ),
-    ).join(cnt, "o_orderkey")
+    # persisted (r11): four subtrees read it (both rank tables, the
+    # row total, the centered join) — un-persisted, each replayed the
+    # orders⋈lineitem join
+    base = managed_persist(
+        o.select(
+            "o_orderkey",
+            F.expr(
+                f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+            ).alias("x"),
+        ).join(cnt, "o_orderkey"),
+        "spearman",
+    )
 
     def doubled_ranks(col: str, out: str) -> DataFrame:
         g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))

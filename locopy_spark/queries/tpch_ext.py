@@ -18,6 +18,7 @@ from locopy_spark.functions.numeric import (
     sql_exact_avg,
     sql_exact_sum,
 )
+from locopy_spark.functions.cache import managed_persist
 from locopy_spark.sources.tables import load_table
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -2453,14 +2454,21 @@ def abc_xyz_report(pm: DataFrame) -> DataFrame:
         "       - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"
         " div (CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) END"
     )
-    xyz = per_part.crossJoin(F.broadcast(nm)).select(
-        "l_partkey",
-        "r",
-        F.expr(
-            f"CASE WHEN ({cv2}) <= {XYZ_X_PPM} THEN 'X'"
-            f" WHEN ({cv2}) <= {XYZ_Y_PPM} THEN 'Y'"
-            " ELSE 'Z' END"
-        ).alias("xyz_class"),
+    # persisted (r11): the |parts|-sized class table feeds THREE
+    # consumers (the revenue total, the prefix-sum device input AND its
+    # range-boundary sampling pass) — un-persisted, each replayed the
+    # whole lineitem→grid→per-part chain
+    xyz = managed_persist(
+        per_part.crossJoin(F.broadcast(nm)).select(
+            "l_partkey",
+            "r",
+            F.expr(
+                f"CASE WHEN ({cv2}) <= {XYZ_X_PPM} THEN 'X'"
+                f" WHEN ({cv2}) <= {XYZ_Y_PPM} THEN 'Y'"
+                " ELSE 'Z' END"
+            ).alias("xyz_class"),
+        ),
+        "abc_xyz",
     )
     tot = xyz.agg(
         F.sum("r").alias("tot"), F.count(F.lit(1)).alias("n_parts_all")
