@@ -151,3 +151,39 @@ def sql_pq_adc(qtab: str, codes: str, n_sub: int) -> str:
         f"CAST(list_sum(list_transform(generate_series(0, {n_sub - 1}), "
         f"m -> {qtab}[m + 1][{codes}[m + 1] + 1])) AS BIGINT)"
     )
+
+
+def fixed_dot_pandas():
+    """Vectorized (Arrow) twin of :func:`fixed_dot_expr` — BIT-IDENTICAL
+    by construction: each per-element product is the same IEEE double
+    multiply, the ×FIXED_SCALE, +0.5, floor, int64 cast are the same
+    correctly-rounded double ops, and the final sum is an INT64 sum —
+    order-independent, so numpy's batch layout cannot perturb it
+    (unlike a float matmul).  Use for broadcast-scan scorers whose pair
+    volume makes the interpreted per-element SQL fold the bottleneck
+    (knn/mips brute force, hubness); the SQL form stays the right tool
+    for small candidate sets where a Python round-trip would dominate.
+
+    Returns a pandas UDF (long); construct once per query plan.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        va = np.stack(a.to_numpy()).astype(np.float64)
+        vb = np.stack(b.to_numpy()).astype(np.float64)
+        d = (
+            np.floor(va * vb * FIXED_SCALE + 0.5)
+            .astype(np.int64)
+            .sum(axis=1)
+        )
+        return pd.Series(d, dtype="int64")
+
+    # real type objects, not strings: this module's `from __future__
+    # import annotations` would otherwise stringify the hints and
+    # pandas_udf cannot resolve them
+    dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(dot, "long")

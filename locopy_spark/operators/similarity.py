@@ -56,11 +56,17 @@ def knn_bruteforce(
     )
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin(query_ids))
-    dot = fixed_dot_expr("q_emb", "n_emb")
+    # |queries|×n pair volume makes the interpreted per-element SQL
+    # fold the bottleneck here — score through the Arrow kernel
+    # (bit-identical: int64 sums are order-independent; see
+    # functions.vectors.fixed_dot_pandas)
+    from locopy_spark.functions.vectors import fixed_dot_pandas
+
+    dot = fixed_dot_pandas()
     scored = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot_fix", F.expr(dot))
+        .withColumn("dot_fix", dot("q_emb", "n_emb"))
         .withColumn(
             "cosine", F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm"))
         )
@@ -99,10 +105,12 @@ def mips_bruteforce(
     q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin(query_ids))
+    from locopy_spark.functions.vectors import fixed_dot_pandas
+
     scored = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+        .withColumn("dot_fix", fixed_dot_pandas()("q_emb", "n_emb"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("dot_fix"), F.asc("neighbor_id")

@@ -3987,10 +3987,14 @@ def s_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm_fix").alias("q_norm"),
         )
     )
+    # |sample|×n pair volume: score through the Arrow kernel (bit-
+    # identical to fixed_dot_expr — int64 sums are order-independent)
+    from locopy_spark.functions.vectors import fixed_dot_pandas
+
     scored = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot_fix", F.expr(fixed_dot_expr("q_emb", "n_emb")))
+        .withColumn("dot_fix", fixed_dot_pandas()("q_emb", "n_emb"))
         .withColumn(
             "cosine",
             F.expr(cosine_from_fixed("dot_fix", "q_norm", "n_norm")),
