@@ -607,34 +607,49 @@ def _graph_shared_queries():
             n_buckets=8,
             sort_cols=["v"],
         )
-        # no sort_cols: the consumer (pagerank's groupBy(dst)) needs
-        # only the bucket partitioning, and sorting 2|E| rows at write
-        # time buys nothing a hash aggregate can use
-        write_bucketed(
-            und.join(
-                spark.table(_DEG_TABLE).selectExpr("v AS src", "d"), "src"
-            ),
-            _EDGES_DEG_TABLE,
-            "dst",
-            n_buckets=8,
-        )
-        # round 11: the CAPPED adjacency (middles of degree <= LP_DEGCAP)
-        # is the wedge source BOTH q_jaccard_links and q_clustering_coef
-        # re-derived per query (one |2E| join each); bucketed+sorted by
-        # v, their wedge self-joins read it pre-partitioned with zero
-        # exchange on either side.
-        write_bucketed(
-            und.selectExpr("src AS v", "dst AS n").join(
-                spark.table(_DEG_TABLE).filter(
-                    f"d <= {mining.LP_DEGCAP}"
-                ).select("v"),
+        # the two remaining writes depend only on the degree table just
+        # landed — run them concurrently (the ann_index materialize
+        # device): each back-fills executors the other's stage tail
+        # leaves idle; table names are disjoint so the writes cannot
+        # collide
+        def _edges_deg():
+            # no sort_cols: the consumer (pagerank's groupBy(dst))
+            # needs only the bucket partitioning, and sorting 2|E|
+            # rows at write time buys nothing a hash aggregate can use
+            write_bucketed(
+                und.join(
+                    spark.table(_DEG_TABLE).selectExpr("v AS src", "d"),
+                    "src",
+                ),
+                _EDGES_DEG_TABLE,
+                "dst",
+                n_buckets=8,
+            )
+
+        def _adj_cap():
+            # round 11: the CAPPED adjacency (middles of degree <=
+            # LP_DEGCAP) is the wedge source BOTH q_jaccard_links and
+            # q_clustering_coef re-derived per query (one |2E| join
+            # each); bucketed+sorted by v, their wedge self-joins read
+            # it pre-partitioned with zero exchange on either side.
+            write_bucketed(
+                und.selectExpr("src AS v", "dst AS n").join(
+                    spark.table(_DEG_TABLE).filter(
+                        f"d <= {mining.LP_DEGCAP}"
+                    ).select("v"),
+                    "v",
+                ),
+                _ADJ_CAP_TABLE,
                 "v",
-            ),
-            _ADJ_CAP_TABLE,
-            "v",
-            n_buckets=8,
-            sort_cols=["v"],
-        )
+                n_buckets=8,
+                sort_cols=["v"],
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(fn) for fn in (_edges_deg, _adj_cap)]:
+                f.result()
         return spark.table(_EDGES_TABLE)
 
     def _shared(fn):

@@ -388,7 +388,10 @@ def simhash_pairs(
     hamming ≤ 4 pairs almost always share a byte; exact recall for
     hamming ≤ 3 with 4 blocks) — equi-join, never all-pairs.
     """
-    h = simhash(docs, id_col, text_col)
+    # persisted (r11): both sides of the byte-bucket self-join read the
+    # hash table — un-persisted, the token-explode + 32-vote aggregate
+    # ran TWICE (once per join side)
+    h = managed_persist(simhash(docs, id_col, text_col), "simhash")
     bucketed = h.select(
         "doc_id",
         "simhash",
@@ -459,12 +462,16 @@ def prefix_filter_jaccard_pairs(
     w_sh = W.partitionBy("sh")
     w_doc = W.partitionBy("doc_id")
     w_rank = W.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = (
+    # persisted (r11): both candidate-join sides read the prefix table
+    # — un-persisted, the two window shuffles (df by shingle, size+rank
+    # by doc) ran twice, once per side
+    prefix = managed_persist(
         sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
         .withColumn("n", F.count(F.lit(1)).over(w_doc))
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.expr(f"rn <= floor(({1000 - t_milli}) * n / 1000) + 1"))
-        .select("doc_id", "sh", "n")
+        .select("doc_id", "sh", "n"),
+        "prefix_join",
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

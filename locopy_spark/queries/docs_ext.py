@@ -4885,6 +4885,53 @@ def phash_bands(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Row-local aHash band projection: (doc_id, bands array<int>) —
     an idempotent per-key map (``stream_phash`` maintains it live).
 
+    Arrow-batched since r11: the staged-selectExpr SQL form (kept
+    below as ``_phash_bands_sql`` — the formulation notes about
+    CollapseProject inlining live there) still re-evaluated the
+    64-cell construction several times per row after projection
+    collapse, and measured ~4 s of the query's ~5 s at sf0.1.  This
+    twin computes the identical integers per CHARACTER position —
+    ``ord(text[(i·(L−1)) div (n−1)])``, the integer cross-multiply
+    mean threshold, the bit fold — in one Python pass (integer
+    arithmetic only, so bit-identity with the SQL form and the DuckDB
+    oracle is exact; asserted by the oracle gate and the stream==batch
+    lockstep tests, which route both sides through this function)."""
+    import pandas as pd
+
+    n, nb = PHASH_CELLS, PHASH_BANDS
+    per_band = n // nb
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            ids, bands = [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                L = len(text)
+                cells = [
+                    ord(text[(i * (L - 1)) // (n - 1)]) for i in range(n)
+                ]
+                csum = sum(cells)
+                vals = []
+                for b in range(nb):
+                    acc = 0
+                    for c in cells[b * per_band : (b + 1) * per_band]:
+                        acc = acc * 2 + (1 if c * n > csum else 0)
+                    vals.append(acc)
+                ids.append(did)
+                bands.append(vals)
+            yield pd.DataFrame({id_col: ids, "bands": bands})
+
+    return (
+        media.filter("length(text) > 0")
+        .select(id_col, "text")
+        .mapInPandas(gen, f"{id_col} long, bands array<int>")
+    )
+
+
+def _phash_bands_sql(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pure-SQL twin of :func:`phash_bands` (pre-r11 production form,
+    kept as the cross-implementation reference the tests compare
+    against).
+
     Expression-blowup note (the SURVEY §7 3^depth lesson, measured
     here the hard way): referencing the 64-substring ``cells`` array
     through 64 separate element_at sites let CollapseProject inline

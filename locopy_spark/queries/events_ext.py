@@ -1350,14 +1350,23 @@ def q_sessions_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     s = session_stats(e, gap_minutes=30)
+    # both sweep deltas from ONE pass (r11): the unionAll form
+    # computed session_stats (a user-key shuffle + window) once per
+    # branch; the row-local explode emits the +1/−1 rows together
     deltas = s.select(
-        F.col("session_start_us").alias("eus"), F.lit(1).alias("d")
-    ).unionAll(
-        s.select(
-            (F.col("session_end_us") + 1).alias("eus"),
-            F.lit(-1).alias("d"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start_us").alias("eus"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    (F.col("session_end_us") + 1).alias("eus"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.eus", "x.d")
     nets = deltas.groupBy("eus").agg(F.sum("d").alias("net"))
     run = global_running_sum(nets, ["eus"], "net", out_col="carry_in")
     return (

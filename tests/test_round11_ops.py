@@ -373,3 +373,73 @@ def test_swap_staging_tables_rerun_recovers_any_crash_point(spark):
     # idempotence: a second re-run after convergence is a no-op
     swap_staging_tables(spark, stg, names, old)
     assert serving_gens(names) == {"a": "old", "b": "new"}
+
+
+# ---------------------------------------------------------------------------
+# r11 optimization pins: Arrow twins must equal the SQL forms they replace
+# bit-for-bit (the optimization changed operator internals, not semantics).
+# ---------------------------------------------------------------------------
+
+
+def test_phash_bands_arrow_equals_sql(spark, sf_dir):
+    """The mapInPandas phash_bands (r11) must reproduce the staged-
+    selectExpr SQL form exactly — same character probes, same integer
+    threshold, same bit fold."""
+    from locopy_spark.queries.docs_ext import _phash_bands_sql, phash_bands
+    from locopy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [
+        (r["doc_id"], list(r["bands"]))
+        for r in phash_bands(docs).orderBy("doc_id").collect()
+    ]
+    b = [
+        (r["doc_id"], list(r["bands"]))
+        for r in _phash_bands_sql(docs).orderBy("doc_id").collect()
+    ]
+    assert a == b and a
+
+
+def test_lsh_fold_arrow_equals_sql_fold(spark, sf_dir):
+    """The Arrow fold-order LSH signatures (r11, used by the
+    materialized index build) must equal the sequential SQL fold
+    bit-for-bit — the left-to-right accumulation reproduces its IEEE
+    addition order, so near-zero projections cannot flip."""
+    from locopy_spark.operators.similarity import (
+        lsh_signatures,
+        lsh_signatures_fold_arrow,
+    )
+    from locopy_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = lsh_signatures(emb).orderBy("vec_id", "table").collect()
+    b = lsh_signatures_fold_arrow(emb).orderBy("vec_id", "table").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+
+def test_fixed_dot_pandas_equals_expr(spark, sf_dir):
+    """The vectorized fixed-point dot (r11, brute-force scorers) must
+    equal fixed_dot_expr exactly — int64 sums are order-independent,
+    so this holds for any batch layout."""
+    from pyspark.sql import functions as F
+
+    from locopy_spark.functions.vectors import (
+        fixed_dot_expr,
+        fixed_dot_pandas,
+    )
+    from locopy_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    pairs = (
+        emb.selectExpr("vec_id AS qa", "embedding AS ea")
+        .crossJoin(
+            F.broadcast(
+                emb.selectExpr("vec_id AS qb", "embedding AS eb").limit(5)
+            )
+        )
+    )
+    out = pairs.select(
+        F.expr(fixed_dot_expr("ea", "eb")).alias("sql_dot"),
+        fixed_dot_pandas()("ea", "eb").alias("arrow_dot"),
+    ).collect()
+    assert out and all(r["sql_dot"] == r["arrow_dot"] for r in out)
