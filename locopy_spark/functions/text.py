@@ -37,6 +37,24 @@ def sql_tokens(col: str = "text") -> str:
     return f"string_split_regex(lower(trim({col})), '\\s+')"
 
 
+def top_freq_expr(toks: str = "toks") -> str:
+    """Max multiplicity of any element of a non-empty string array:
+    run-length max over the sorted array — O(n log n) and one lambda
+    pass, vs the O(distinct x n) ``array_max(transform(array_distinct(
+    a), t -> size(filter(a, x -> x = t))))`` form it replaces (r11;
+    bit-identical on every non-empty array, and ``split`` never
+    produces an empty one — NULL in, NULL out on both forms)."""
+    return (
+        f"aggregate(sort_array({toks}), "
+        "named_struct('best', 0, 'cur', 0, 'prev', cast(null as string)), "
+        "(acc, x) -> named_struct("
+        "'best', greatest(acc.best, if(x <=> acc.prev, acc.cur + 1, 1)), "
+        "'cur', if(x <=> acc.prev, acc.cur + 1, 1), "
+        "'prev', x), "
+        "acc -> acc.best)"
+    )
+
+
 def shingles_expr(toks: str = "toks", k: int = 3) -> str:
     """k-word shingles of a token array (Spark SQL). Empty when < k."""
     terms = ", ".join(f"element_at({toks}, i+{j + 1})" for j in range(k))

@@ -18,6 +18,7 @@ from locopy_spark.functions.text import (
     sql_shingles,
     sql_tokens,
     tokens_expr,
+    top_freq_expr,
 )
 from locopy_spark.operators import cluster, dedup, scrub, similarity
 from locopy_spark.queries.docs import (
@@ -106,10 +107,7 @@ def quality_metrics(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.expr("size(array_distinct(toks))").alias("n_distinct"),
-        F.expr(
-            "array_max(transform(array_distinct(toks),"
-            " t -> size(filter(toks, x -> x = t))))"
-        ).alias("top_freq"),
+        F.expr(top_freq_expr("toks")).alias("top_freq"),
     )
     return (
         m.withColumn(
@@ -432,10 +430,7 @@ def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.expr("size(array_distinct(toks))").alias("n_distinct"),
-        F.expr(
-            "array_max(transform(array_distinct(toks),"
-            " t -> size(filter(toks, x -> x = t))))"
-        ).alias("top_freq"),
+        F.expr(top_freq_expr("toks")).alias("top_freq"),
     )
     quality = m.filter(
         (F.col("n_tokens") >= QF_MIN_TOKENS)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from locopy_spark.queries.trends import _signed_ratio
-from locopy_spark.functions.text import sql_tokens, tokens_expr
+from locopy_spark.functions.text import sql_tokens, tokens_expr, top_freq_expr
 from locopy_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -191,17 +191,20 @@ def p_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_counts(docs: DataFrame) -> DataFrame:
     """The 1-row additive funnel state: doc/token counts surviving
     each cumulative gate prefix."""
-    toks = tokens_expr("text")
+    # project the token array ONCE (r11): the inlined form re-ran the
+    # split per metric — and inside the dominance lambda, once per
+    # distinct token — and the dominance count itself was O(d x n);
+    # top_freq_expr is the bit-identical sorted-run-max form
     per_doc = docs.select(
+        "n_chars", F.expr(tokens_expr("text")).alias("toks")
+    ).select(
         F.col("n_chars"),
-        F.expr(f"cast(size({toks}) as bigint)").alias("tok"),
+        F.expr("cast(size(toks) as bigint)").alias("tok"),
         F.expr(
-            f"cast(size(array_distinct({toks})) as bigint) * 1000000"
+            "cast(size(array_distinct(toks)) as bigint) * 1000000"
         ).alias("dst_sc"),
         F.expr(
-            f"cast(array_max(transform(array_distinct({toks}),"
-            f" d -> size(filter({toks}, t -> t = d)))) as bigint)"
-            " * 1000000"
+            f"cast({top_freq_expr('toks')} as bigint) * 1000000"
         ).alias("dom_sc"),
     ).select(
         # tok=0 makes g3/g4 NULL (zero divisor on both engines), but
