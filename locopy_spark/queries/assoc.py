@@ -946,16 +946,25 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from locopy_spark.operators.ranking import global_running_sum
 
+    from locopy_spark.functions.cache import managed_persist
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    base = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
-        o["o_custkey"] == F.col("c_custkey"),
-    ).select(
-        F.col("c_mktsegment").alias("seg"),
-        F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)").alias(
-            "v"
+    # persist the segmented value base (r11): the pooled value grid
+    # (rank device + tie term) and the per-(value, segment) cells all
+    # consume it — un-persisted, the orders scan + broadcast join
+    # replayed three times
+    base = managed_persist(
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == F.col("c_custkey"),
+        ).select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)"
+            ).alias("v"),
         ),
+        "kruskal_wallis",
     )
     pv = base.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
     cum = global_running_sum(pv, order_cols=["v"], value_col="t",

@@ -3339,7 +3339,7 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").alias("rank_vec"),
             F.expr(f"1000000 div ({RRF_K0} + rk)").alias("rel_ppm"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ne = with_fixed_norm(emb).select(
         F.col("vec_id").alias("cand"),
@@ -3372,7 +3372,7 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sim_ppm"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sel = (
         cands.filter(F.col("rank_vec") == 1)
@@ -3382,7 +3382,7 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("step"),
             (F.lit(MMR_REL_NUM) * F.col("rel_ppm")).alias("mmr_score"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for step in range(2, MMR_TOPK + 1):
         scores = (
@@ -3420,7 +3420,7 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "cand", F.lit(step).alias("step"), "mmr_score"
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         "query_id",
         F.col("cand").alias("doc_id"),

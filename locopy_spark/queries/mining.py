@@ -1680,11 +1680,18 @@ def q_kcore(
     )
     cur = e
     for i in range(1, KCORE_ITERS + 1):
+        # round 1's within-subgraph degree IS deg0 (cur == e), already
+        # aggregated and persisted for the percentile rank — reuse it
+        # instead of replaying the |2E| endpoint shuffle (r11)
         degi = (
-            cur.select(F.col("a").alias("v"))
-            .unionAll(cur.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
+            deg0
+            if i == 1
+            else (
+                cur.select(F.col("a").alias("v"))
+                .unionAll(cur.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
         )
         # localCheckpoint (not persist): each round references the
         # previous round's frames several times, so plain persist

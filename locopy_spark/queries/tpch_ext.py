@@ -1017,9 +1017,18 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select("o_orderkey", "o_orderpriority", v.alias("v"))
     from locopy_spark.operators.ranking import grouped_global_row_number
 
-    ranked = grouped_global_row_number(
-        base, ["o_orderpriority"], ["v", "o_orderkey"],
-        out_col="__rn", size_col="__n",
+    from locopy_spark.functions.cache import managed_persist
+
+    # persist the ranked table (r11): the extremes aggregate and the
+    # final projection both consume it, and un-persisted each replays
+    # the rank window over the checkpointed ranges (interleaved A/B at
+    # sf0.1: 1.46 -> 1.20 s best-of-4)
+    ranked = managed_persist(
+        grouped_global_row_number(
+            base, ["o_orderpriority"], ["v", "o_orderkey"],
+            out_col="__rn", size_col="__n",
+        ),
+        "window_funcs",
     )
     extremes = (
         ranked.filter(
