@@ -1622,6 +1622,7 @@ def q_kcore(
     sf_dir: str,
     edges: DataFrame | None = None,
     degrees: DataFrame | None = None,
+    broadcast_survivors: bool = True,
 ) -> DataFrame:
     """Median-degree core peeling of the co-purchase graph: ``K`` is
     the EXACT 10th-percentile degree (rank ceil(n/10) under the (d, v)
@@ -1635,7 +1636,15 @@ def q_kcore(
 
     Shares the ``copurchase_edges`` scaffolding (persisted once).
     Each round is one |E| endpoint aggregate + two semi joins against
-    the |V|-sized survivor set; the threshold rides as a 1-row
+    the |V|-sized survivor set — BROADCAST by default (r11, the
+    q_pagerank broadcast_ranks / q_graph_reach broadcast_frontier
+    scheme): the survivor set is |V|-bounded, so shipping it turns
+    both per-round semi joins into map-side filters over the
+    checkpointed edge table and leaves the endpoint aggregate as the
+    round's ONLY exchange (4 fewer exchanges per round). Past the
+    broadcast limit pass ``broadcast_survivors=False`` — the semi
+    joins degrade to |E|-shuffled sort-merge, identical results
+    (unit-tested). The threshold rides as a 1-row
     broadcast; per-round counts are 1-row aggregates unioned into the
     ``KCORE_ITERS + 1``-row report.  Survivors and the shrunken edge
     table localCheckpoint each round (the pagerank lineage rule:
@@ -1647,6 +1656,7 @@ def q_kcore(
     """
     from locopy_spark.operators.ranking import global_row_number
 
+    bc = F.broadcast if broadcast_survivors else (lambda df: df)
     e = managed_persist(
         edges if edges is not None else copurchase_edges(spark, sf_dir),
         "kcore",
@@ -1705,8 +1715,8 @@ def q_kcore(
             .localCheckpoint(eager=False)
         )
         cur = (
-            cur.join(surv.select(F.col("v").alias("a")), "a", "semi")
-            .join(surv.select(F.col("v").alias("b")), "b", "semi")
+            cur.join(bc(surv.select(F.col("v").alias("a"))), "a", "semi")
+            .join(bc(surv.select(F.col("v").alias("b"))), "b", "semi")
             .localCheckpoint(eager=False)
         )
         rows = rows.unionAll(
@@ -1813,7 +1823,10 @@ def repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lpa_communities(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Synchronous label-propagation communities over the repeat
     co-purchase graph — the community-detection read next to the
@@ -1831,9 +1844,16 @@ def q_lpa_communities(
     (the q_pagerank/q_kcore convention), labels localCheckpoint each
     round (the 3^depth analyzed-plan lesson, SURVEY §7 r6-late2).
     Scale shape: the basket pair-expansion aggregate dominates (the
-    market-basket shape); each round shuffles the |2E| neighbor-label
-    join and two |V|-sized aggregates — no adjacency ever
-    materializes per-row beyond the edge list.
+    market-basket shape); each round is ONE |2E| count shuffle plus a
+    |V|-sized argmax aggregate (r11): the label table is |V|-bounded
+    and BROADCAST into the neighbor join (the q_pagerank
+    broadcast_ranks scheme — past the broadcast limit pass
+    ``broadcast_labels=False`` for an |2E|-shuffled equi-join,
+    identical labels), and the most-frequent-min-label vote folds
+    into one ``max_by(lab, (c, -lab))`` aggregate instead of the
+    max-count self-join (argmax ordering has no ties: lab is unique
+    per (v, lab) row, so the fold is exactly the mx-join-min chain).
+    No adjacency ever materializes per-row beyond the edge list.
 
     ``edges`` injects the SPARSIFIED relation (the
     ``repeat_copurchase_edges`` output: support-filtered (a, b)
@@ -1852,18 +1872,17 @@ def q_lpa_communities(
         ),
         "lpa",
     )
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
     labels = und.select("v").distinct().select("v", F.col("v").alias("lab"))
     for _ in range(LPA_ITERS):
         nb = und.join(
-            labels.select(F.col("v").alias("u"), "lab"), "u"
+            bc(labels.select(F.col("v").alias("u"), "lab")), "u"
         ).select("v", "lab")
-        cand = nb.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
-        mx = cand.groupBy("v").agg(F.max("c").alias("mc"))
         labels = (
-            cand.join(mx, "v")
-            .filter(F.col("c") == F.col("mc"))
+            nb.groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("v")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
             .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
@@ -1976,19 +1995,25 @@ def q_jaccard_links(
     if adjacency is not None:
         mid = adjacency.select("v", "n")
     else:
-        # persisted (r11): both sides of the wedge self-join read it
         nbr = e.selectExpr("a AS v", "b AS n").unionAll(
             e.selectExpr("b AS v", "a AS n")
         )
-        mid = managed_persist(
-            nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v").select("v", "n"),
-            "jaccard_links",
-        )
+        mid = nbr.join(deg.filter(f"d <= {LP_DEGCAP}"), "v").select("v", "n")
+    # wedge stream via SORTED adjacency ARRAYS (r11): one groupBy(v)
+    # collects each capped middle's neighbor list (<= LP_DEGCAP long,
+    # so no skew), and the within-middle pair expansion runs JVM-side
+    # inside whole-stage codegen (the q_market_basket kernel) — the
+    # pre-r11 self-join shuffled the persisted mid table TWICE and
+    # sort-merge-probed it to produce the same pair multiset.  On the
+    # bucketed shared adjacency the groupBy reads pre-partitioned
+    # storage with zero exchange.
     wedges = (
-        mid.alias("x")
-        .join(mid.alias("y"), "v")
-        .filter(F.col("x.n") < F.col("y.n"))
-        .select(F.col("x.n").alias("u"), F.col("y.n").alias("w"))
+        mid.groupBy("v")
+        .agg(F.sort_array(F.collect_list("n")).alias("ns"))
+        .select(
+            F.explode(F.expr(basket_pairs_expr("ns", "u", "w"))).alias("p")
+        )
+        .select("p.u", "p.w")
     )
     cn = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
     cand = cn.join(
@@ -2118,18 +2143,24 @@ def q_clustering_coef(
     if adjacency is not None:
         mid = adjacency.select("v", "n")
     else:
-        # persisted (r11): both sides of the wedge self-join read it
         nbr = e.selectExpr("a AS v", "b AS n").unionAll(
             e.selectExpr("b AS v", "a AS n")
         )
-        mid = managed_persist(
-            nbr.join(centers.select("v"), "v"), "clustering_coef"
-        )
+        mid = nbr.join(centers.select("v"), "v")
+    # wedge stream via sorted adjacency arrays — the q_jaccard_links
+    # device (see there): one groupBy(v) + codegen pair expansion
+    # replaces the double-shuffled self-join; v rides in the struct so
+    # the triangle count still closes per center.  The d >= 2 bound is
+    # NOT re-applied here: degree-1 middles produce zero pairs, the
+    # same argument the shared-adjacency injection already relies on.
     wedges = (
-        mid.alias("x")
-        .join(mid.alias("y"), "v")
-        .filter(F.col("x.n") < F.col("y.n"))
-        .select("v", F.col("x.n").alias("u"), F.col("y.n").alias("w"))
+        mid.groupBy("v")
+        .agg(F.sort_array(F.collect_list("n")).alias("ns"))
+        .select(
+            "v",
+            F.explode(F.expr(basket_pairs_expr("ns", "u", "w"))).alias("p"),
+        )
+        .select("v", "p.u", "p.w")
     )
     tri = (
         wedges.join(e, (wedges["u"] == e["a"]) & (wedges["w"] == e["b"]))

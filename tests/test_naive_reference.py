@@ -609,6 +609,14 @@ def test_kcore_vs_naive_peeling(spark, tmp_path):
         cur = {(a, b) for a, b in cur if a in surv and b in surv}
         want.append((i, k, len(surv), len(cur)))
     assert got == want
+    # beyond-broadcast-limit escape hatch: identical cascade
+    got2 = [
+        tuple(x)
+        for x in q_kcore(
+            spark, str(tmp_path), broadcast_survivors=False
+        ).collect()
+    ]
+    assert got2 == want
 
 
 def test_pattern_negation_vs_naive_scan(spark, tmp_path):
@@ -1468,6 +1476,14 @@ def test_lpa_vs_naive_propagation(spark, tmp_path):
     # the planted structure must actually be found: some community
     # of size >= 5 exists (clusters), and the noise pairs never merge
     assert any(sz >= 5 for sz, _ in got)
+    # beyond-broadcast-limit escape hatch: identical histogram
+    got2 = {
+        (r2.community_size, r2.n_communities)
+        for r2 in q_lpa_communities(
+            spark, str(tmp_path), broadcast_labels=False
+        ).collect()
+    }
+    assert got2 == got
 
 
 def test_centroid_purity_vs_float_cosines(spark, tmp_path):

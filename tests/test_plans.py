@@ -824,9 +824,9 @@ def test_rrf_fusion_broadcast_query_sides(spark, sf_dir):
 
 
 def test_mmr_diversify_constant_rounds(spark, sf_dir):
-    # the greedy rounds run over the localCheckpointed |Q|xPOOL^2 sim
-    # table, so the final plan is O(TOPK) small unions — never a
-    # cartesian, and the heavy work (pool + sims) ran once up front
+    # the greedy rounds run inside ONE cogrouped Arrow task per query
+    # over the |Q|xPOOL^2 sim table — never a cartesian, and the heavy
+    # work (pool + sims) is computed once, distributed, up front
     df = _q(spark, sf_dir, "s_mmr_diversify")
     assert not audit.has_cartesian(df)
 

@@ -78,6 +78,13 @@ def test_shared_adjacency_wedge_join_zero_exchange(spark, sf_dir):
         # contrast: the same join over a non-bucketed copy shuffles
         plain = wedge_plan(adj.localCheckpoint())
         assert plain.count("Exchange") >= 1
+        # the r11 wedge consumers group the adjacency into sorted
+        # neighbor ARRAYS instead of self-joining it; that aggregate
+        # must be exchange-free off the bucketed table too
+        arrays = adj.groupBy("v").agg(
+            F.sort_array(F.collect_list("n")).alias("ns")
+        )
+        assert audit.simple_plan(arrays).count("Exchange") == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
