@@ -31,7 +31,16 @@ from pyspark.sql.window import Window
 
 def _ranged(df: DataFrame, keys: list[str], num_partitions: int | None):
     """Range-partition ``df`` on ``keys`` and pin the partitioning:
-    one RDD (one boundary sample) that every consumer subtree reads."""
+    one RDD (one boundary sample) that every consumer subtree reads.
+
+    NOTE (r11): ``repartitionByRange`` reads its input twice — the
+    range partitioner's boundary-sampling pass is a separate full-scan
+    job before the shuffle.  A blanket input persist here was A/B'd
+    and REJECTED (7 device-using keys interleaved at sf0.1: 5 slower —
+    persisting cheap inputs costs more than the sampler re-read
+    saves).  Callers whose device input is an expensive multi-join
+    subtree should persist it themselves (q_kendall_tau's grid is the
+    measured instance: −40%)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartitionByRange(parts, *keys)

@@ -212,12 +212,24 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
     )
     cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
-    grid = (
+    # the grid is PERSISTED (r11): the running-sum device range-
+    # partitions it, and the range partitioner's boundary-sampling
+    # pass is a separate JOB that would otherwise recompute the whole
+    # join->cells->crossjoin subtree before the shuffle reads it again
+    # (interleaved A/B at sf0.1: 4.8 -> 3.0 s min-of-3).  A cells-
+    # level persist was tried earlier in r11 and lost to in-plan
+    # exchange reuse; the cross-job sampler re-read is the one with no
+    # exchange to reuse.  A device-internal blanket persist was also
+    # A/B'd and rejected (cheap inputs lose) — see ranking._ranged.
+    from locopy_spark.functions.cache import managed_persist
+
+    grid = managed_persist(
         cells.select("x")
         .distinct()
         .crossJoin(F.broadcast(cells.select("y").distinct()))
         .join(cells, ["x", "y"], "left")
-        .select("x", "y", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .select("x", "y", F.coalesce(F.col("n"), F.lit(0)).alias("n")),
+        "kendall_tau",
     )
     g = grouped_global_running_sum(
         grid,
