@@ -571,10 +571,6 @@ def _graph_shared_queries():
         baskets = l.groupBy("l_orderkey").agg(
             F.sort_array(F.collect_set("l_partkey")).alias("ps")
         )
-        # persisted (r11): the pair aggregate feeds BOTH first-wave
-        # writes (edge table + degree table) — persisting it lets them
-        # run concurrently instead of the degree write waiting to
-        # re-read the just-written edge table
         annotated = (
             baskets.select(
                 F.explode(
@@ -584,7 +580,14 @@ def _graph_shared_queries():
             .select("p.a", "p.b")
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("sup"))
-        ).persist()
+        )
+        write_bucketed(
+            annotated,
+            _EDGES_TABLE,
+            "a",
+            n_buckets=8,
+            sort_cols=["a", "b"],
+        )
         # round 10: the degree table and the dst-partitioned degree-
         # annotated directed doubling are index-time artifacts too —
         # every consumer re-derived them per query (one |2E| endpoint
@@ -592,34 +595,23 @@ def _graph_shared_queries():
         # them once: (v, d) bucketed by v, and (src, dst, d) bucketed
         # by dst so pagerank's per-iteration groupBy(dst) aggregates
         # exchange-free straight off storage.
-        und = annotated.selectExpr("a AS src", "b AS dst").unionByName(
-            annotated.selectExpr("b AS src", "a AS dst")
+        e = spark.table(_EDGES_TABLE).select("a", "b")
+        und = e.selectExpr("a AS src", "b AS dst").unionByName(
+            e.selectExpr("b AS src", "a AS dst")
         )
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-
-        # two concurrent waves (the ann_index materialize device):
-        # wave 1 lands the edge + degree tables off the persisted pair
-        # aggregate; wave 2's tables depend on the degree table just
-        # landed.  Concurrent jobs back-fill each other's stage tails;
-        # table names are disjoint so the writes cannot collide.
-        def _edges():
-            write_bucketed(
-                annotated,
-                _EDGES_TABLE,
-                "a",
-                n_buckets=8,
-                sort_cols=["a", "b"],
-            )
-
-        def _deg():
-            write_bucketed(
-                deg.selectExpr("src AS v", "d"),
-                _DEG_TABLE,
-                "v",
-                n_buckets=8,
-                sort_cols=["v"],
-            )
-
+        write_bucketed(
+            deg.selectExpr("src AS v", "d"),
+            _DEG_TABLE,
+            "v",
+            n_buckets=8,
+            sort_cols=["v"],
+        )
+        # the two remaining writes depend only on the degree table just
+        # landed — run them concurrently (the ann_index materialize
+        # device): each back-fills executors the other's stage tail
+        # leaves idle; table names are disjoint so the writes cannot
+        # collide
         def _edges_deg():
             # no sort_cols: the consumer (pagerank's groupBy(dst))
             # needs only the bucket partitioning, and sorting 2|E|
@@ -638,8 +630,8 @@ def _graph_shared_queries():
             # round 11: the CAPPED adjacency (middles of degree <=
             # LP_DEGCAP) is the wedge source BOTH q_jaccard_links and
             # q_clustering_coef re-derived per query (one |2E| join
-            # each); bucketed by v, their array-collect groupBy reads
-            # it pre-partitioned with zero exchange.
+            # each); bucketed+sorted by v, their wedge self-joins read
+            # it pre-partitioned with zero exchange on either side.
             write_bucketed(
                 und.selectExpr("src AS v", "dst AS n").join(
                     spark.table(_DEG_TABLE).filter(
@@ -656,10 +648,8 @@ def _graph_shared_queries():
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for wave in ((_edges, _deg), (_edges_deg, _adj_cap)):
-                for f in [pool.submit(fn) for fn in wave]:
-                    f.result()
-        annotated.unpersist()
+            for f in [pool.submit(fn) for fn in (_edges_deg, _adj_cap)]:
+                f.result()
         return spark.table(_EDGES_TABLE)
 
     def _shared(fn):

@@ -1622,7 +1622,7 @@ def q_kcore(
     sf_dir: str,
     edges: DataFrame | None = None,
     degrees: DataFrame | None = None,
-    broadcast_survivors: bool = True,
+    broadcast_survivors: bool = False,
 ) -> DataFrame:
     """Median-degree core peeling of the co-purchase graph: ``K`` is
     the EXACT 10th-percentile degree (rank ceil(n/10) under the (d, v)
@@ -1636,15 +1636,14 @@ def q_kcore(
 
     Shares the ``copurchase_edges`` scaffolding (persisted once).
     Each round is one |E| endpoint aggregate + two semi joins against
-    the |V|-sized survivor set — BROADCAST by default (r11, the
-    q_pagerank broadcast_ranks / q_graph_reach broadcast_frontier
-    scheme): the survivor set is |V|-bounded, so shipping it turns
-    both per-round semi joins into map-side filters over the
-    checkpointed edge table and leaves the endpoint aggregate as the
-    round's ONLY exchange (4 fewer exchanges per round). Past the
-    broadcast limit pass ``broadcast_survivors=False`` — the semi
-    joins degrade to |E|-shuffled sort-merge, identical results
-    (unit-tested). The threshold rides as a 1-row
+    the |V|-sized survivor set.  ``broadcast_survivors=True`` ships
+    the survivor set into both semi joins (map-side filters, 4 fewer
+    exchanges per round) — measured SLOWER here (per-round broadcast
+    builds serialize the round DAGs: interleaved A/B 6.75 vs 7.52 s
+    min at sf0.1) and capped by the broadcast limit at scale, so the
+    shuffled sort-merge semi joins stay the default; the flag is the
+    opt-in for shuffle-dominated topologies (identical cascade,
+    unit-tested). The threshold rides as a 1-row
     broadcast; per-round counts are 1-row aggregates unioned into the
     ``KCORE_ITERS + 1``-row report.  Survivors and the shrunken edge
     table localCheckpoint each round (the pagerank lineage rule:
@@ -1826,7 +1825,7 @@ def q_lpa_communities(
     spark: SparkSession,
     sf_dir: str,
     edges: DataFrame | None = None,
-    broadcast_labels: bool = True,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation communities over the repeat
     co-purchase graph — the community-detection read next to the
@@ -1844,15 +1843,17 @@ def q_lpa_communities(
     (the q_pagerank/q_kcore convention), labels localCheckpoint each
     round (the 3^depth analyzed-plan lesson, SURVEY §7 r6-late2).
     Scale shape: the basket pair-expansion aggregate dominates (the
-    market-basket shape); each round is ONE |2E| count shuffle plus a
-    |V|-sized argmax aggregate (r11): the label table is |V|-bounded
-    and BROADCAST into the neighbor join (the q_pagerank
-    broadcast_ranks scheme — past the broadcast limit pass
-    ``broadcast_labels=False`` for an |2E|-shuffled equi-join,
-    identical labels), and the most-frequent-min-label vote folds
-    into one ``max_by(lab, (c, -lab))`` aggregate instead of the
-    max-count self-join (argmax ordering has no ties: lab is unique
-    per (v, lab) row, so the fold is exactly the mx-join-min chain).
+    market-basket shape); each round is the |2E| neighbor-label
+    equi-join plus ONE |V|-sized argmax aggregate (r11): the
+    most-frequent-min-label vote folds into ``max_by(lab, struct(c,
+    -lab))`` instead of the max-count self-join (argmax ordering has
+    no ties: lab is unique per (v, lab) row, so the fold is exactly
+    the mx-join-min chain).  ``broadcast_labels=True`` ships the
+    |V|-bounded label table into the join instead — measured SLOWER
+    here (per-round broadcast builds serialize the round DAGs:
+    interleaved A/B 3.0 vs 4.2 s min at sf0.1) and capped by the
+    broadcast limit at scale, so the shuffled join is the default;
+    the flag stays for topologies where rounds are shuffle-dominated.
     No adjacency ever materializes per-row beyond the edge list.
 
     ``edges`` injects the SPARSIFIED relation (the

@@ -609,11 +609,12 @@ def test_kcore_vs_naive_peeling(spark, tmp_path):
         cur = {(a, b) for a, b in cur if a in surv and b in surv}
         want.append((i, k, len(surv), len(cur)))
     assert got == want
-    # beyond-broadcast-limit escape hatch: identical cascade
+    # broadcast opt-in arm (shuffle-dominated topologies): identical
+    # cascade
     got2 = [
         tuple(x)
         for x in q_kcore(
-            spark, str(tmp_path), broadcast_survivors=False
+            spark, str(tmp_path), broadcast_survivors=True
         ).collect()
     ]
     assert got2 == want
@@ -1476,11 +1477,12 @@ def test_lpa_vs_naive_propagation(spark, tmp_path):
     # the planted structure must actually be found: some community
     # of size >= 5 exists (clusters), and the noise pairs never merge
     assert any(sz >= 5 for sz, _ in got)
-    # beyond-broadcast-limit escape hatch: identical histogram
+    # broadcast opt-in arm (shuffle-dominated topologies): identical
+    # histogram
     got2 = {
         (r2.community_size, r2.n_communities)
         for r2 in q_lpa_communities(
-            spark, str(tmp_path), broadcast_labels=False
+            spark, str(tmp_path), broadcast_labels=True
         ).collect()
     }
     assert got2 == got
