@@ -3386,6 +3386,12 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = dict(zip(cand_pdf["cand"], cand_pdf["rel_ppm"]))
         sim = {}
         for a, b, s in zip(sim_pdf["a"], sim_pdf["b"], sim_pdf["sim_ppm"]):
+            # NULL sim_ppm (zero-norm embedding -> NULL cosine) arrives
+            # as NaN through Arrow; SQL MAX ignores NULLs, so the row
+            # behaves exactly as if absent -- same path as the inner
+            # sims join's missing keys below
+            if pd.isna(s):
+                continue
             sim.setdefault(int(a), {})[int(b)] = int(s)
         seed_rows = cand_pdf[cand_pdf["rank_vec"] == 1]
         if seed_rows.empty:
