@@ -567,7 +567,11 @@ def _graph_shared_queries():
     def materialize(spark, sf_dir):
         from pyspark.sql import functions as F
 
-        l = mining.load_table(spark, sf_dir, "lineitem")
+        from locopy_spark.functions.parallel import ensure_group_parallelism
+
+        l = ensure_group_parallelism(
+            mining.load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+        )
         baskets = l.groupBy("l_orderkey").agg(
             F.sort_array(F.collect_set("l_partkey")).alias("ps")
         )
@@ -608,58 +612,66 @@ def _graph_shared_queries():
             .unionByName(e.selectExpr("b AS src", "a AS dst"))
             .persist()
         )
-        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        write_bucketed(
-            deg.selectExpr("src AS v", "d"),
-            _DEG_TABLE,
-            "v",
-            n_buckets=8,
-            sort_cols=["v"],
-        )
+        try:
+            deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            write_bucketed(
+                deg.selectExpr("src AS v", "d"),
+                _DEG_TABLE,
+                "v",
+                n_buckets=8,
+                sort_cols=["v"],
+            )
         # the two remaining writes depend only on the degree table just
         # landed — run them concurrently (the ann_index materialize
         # device): each back-fills executors the other's stage tail
         # leaves idle; table names are disjoint so the writes cannot
         # collide
-        def _edges_deg():
-            # no sort_cols: the consumer (pagerank's groupBy(dst))
-            # needs only the bucket partitioning, and sorting 2|E|
-            # rows at write time buys nothing a hash aggregate can use
-            write_bucketed(
-                und.join(
-                    spark.table(_DEG_TABLE).selectExpr("v AS src", "d"),
-                    "src",
-                ),
-                _EDGES_DEG_TABLE,
-                "dst",
-                n_buckets=8,
-            )
+            def _edges_deg():
+                # no sort_cols: the consumer (pagerank's groupBy(dst))
+                # needs only the bucket partitioning, and sorting 2|E|
+                # rows at write time buys nothing a hash aggregate can
+                # use
+                write_bucketed(
+                    und.join(
+                        spark.table(_DEG_TABLE).selectExpr(
+                            "v AS src", "d"
+                        ),
+                        "src",
+                    ),
+                    _EDGES_DEG_TABLE,
+                    "dst",
+                    n_buckets=8,
+                )
 
-        def _adj_cap():
-            # round 11: the CAPPED adjacency (middles of degree <=
-            # LP_DEGCAP) is the wedge source BOTH q_jaccard_links and
-            # q_clustering_coef re-derived per query (one |2E| join
-            # each); bucketed+sorted by v, their wedge self-joins read
-            # it pre-partitioned with zero exchange on either side.
-            write_bucketed(
-                und.selectExpr("src AS v", "dst AS n").join(
-                    spark.table(_DEG_TABLE).filter(
-                        f"d <= {mining.LP_DEGCAP}"
-                    ).select("v"),
+            def _adj_cap():
+                # round 11: the CAPPED adjacency (middles of degree <=
+                # LP_DEGCAP) is the wedge source BOTH q_jaccard_links
+                # and q_clustering_coef re-derived per query (one |2E|
+                # join each); bucketed+sorted by v, their wedge
+                # self-joins read it pre-partitioned with zero exchange
+                # on either side.
+                write_bucketed(
+                    und.selectExpr("src AS v", "dst AS n").join(
+                        spark.table(_DEG_TABLE).filter(
+                            f"d <= {mining.LP_DEGCAP}"
+                        ).select("v"),
+                        "v",
+                    ),
+                    _ADJ_CAP_TABLE,
                     "v",
-                ),
-                _ADJ_CAP_TABLE,
-                "v",
-                n_buckets=8,
-                sort_cols=["v"],
-            )
+                    n_buckets=8,
+                    sort_cols=["v"],
+                )
 
-        from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(fn) for fn in (_edges_deg, _adj_cap)]:
-                f.result()
-        und.unpersist()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(fn) for fn in (_edges_deg, _adj_cap)]:
+                    f.result()
+        finally:
+            # ADVICE r11: without the finally a failed write leaked
+            # the persisted doubling for the rest of the session
+            und.unpersist()
         return spark.table(_EDGES_TABLE)
 
     def _shared(fn):
@@ -795,6 +807,24 @@ def main() -> int:
             }
         )
     )
+    # r12 (VERDICT r11 item 8): the driver's bounded stdout tail kills
+    # its per-query comparison (n_common: 0 in PERF_r11).  Write the
+    # full per-key map UNCONDITIONALLY to a run-scoped sidecar on
+    # every full-set run — a separate file from the curated
+    # BENCH_local.json record, so foreign/contended runs never clobber
+    # the quiet-host record, and the compact contract line stays LAST
+    # on stdout (additions only).
+    if set(BENCH_QUERIES) == _FULL_SET:
+        try:
+            side = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_lastrun.json",
+            )
+            with open(side, "w") as fh:
+                json.dump(payload, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout line is still the contract
     # The full per-query record is persisted in-repo ONLY on explicit
     # opt-in (--record / SPARK_GRAFT_BENCH_RECORD=1): foreign re-runs
     # (the driver, contended hosts) must not overwrite the committed

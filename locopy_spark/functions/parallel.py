@@ -27,3 +27,26 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def ensure_group_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on the GROUP KEYS iff ``df`` has fewer
+    partitions than the session's default parallelism — the aggregate
+    variant of :func:`ensure_map_parallelism` for object-aggregate
+    groupBys (``collect_set``/``collect_list``) whose partial
+    aggregation is where the work lives: a few-row-group parquet
+    arrives as 2-3 splits and the whole ObjectHashAggregate build
+    serializes onto that many cores.  Repartitioning BY THE KEYS (not
+    round-robin) means the downstream ``groupBy(*keys)`` reuses the
+    exchange (guide §2.4: same keys, same partition count — no second
+    shuffle), so locally this MOVES the aggregate's shuffle below the
+    heavy build instead of adding one (r12 A/B on copurchase_edges at
+    sf0.1: 1.9 → 1.25 s min, 3.5 → 1.6 s mean).  Shuffle bytes are
+    ~unchanged: collect_set partial state retains every (group, item)
+    pair, so the map-side combine it forgoes was not reducing volume.
+    At 100 TB the input carries far more splits than cores and the
+    guard is a structural no-op."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, *keys)
+    return df

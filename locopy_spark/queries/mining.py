@@ -47,7 +47,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct co-purchase edge list (a < b): parts sharing an order.
     The ONE copy of the basket → pair-expansion → distinct scaffolding
     shared by q_graph_triangles, q_pagerank, and their tests."""
-    l = load_table(spark, sf_dir, "lineitem")
+    from locopy_spark.functions.parallel import ensure_group_parallelism
+
+    l = ensure_group_parallelism(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     baskets = l.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -77,7 +81,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order total rides in as a 1-row broadcast. Lift is computed in
     double from exact bigint supports via engine-identical text.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    from locopy_spark.functions.parallel import ensure_group_parallelism
+
+    l = ensure_group_parallelism(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     baskets = managed_persist(
         l.groupBy("l_orderkey").agg(
             F.sort_array(F.collect_set("l_partkey")).alias("ps")
@@ -1805,7 +1813,11 @@ def repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (3.5k edges at sf0.1). Shares the basket_pairs_expr kernel;
     support counting IS the pair aggregate, so the filter costs
     nothing extra."""
-    l = load_table(spark, sf_dir, "lineitem")
+    from locopy_spark.functions.parallel import ensure_group_parallelism
+
+    l = ensure_group_parallelism(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     baskets = l.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )

@@ -135,6 +135,13 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+    # r12: the single-task union-find arm (default below the edge cap)
+    # and the distributed Hash-Min loop emit identical rows
+    loop_arm = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, local_edge_cap=0).collect()
+    }
+    assert loop_arm == got
     kept = {
         r.doc_id for r in dedup_resolution(pairs).filter("is_kept").collect()
     }
@@ -362,11 +369,13 @@ def test_connected_components_nonconvergence_raises(spark):
     from locopy_spark.operators.cluster import connected_components
 
     # a 12-node chain needs several rounds; max_iter=1 cannot converge
+    # (local_edge_cap=0 forces the distributed loop — the single-task
+    # union-find arm has no convergence bound to trip)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, local_edge_cap=0)
 
 
 def test_grouped_global_row_number_matches_window(spark):
