@@ -711,6 +711,10 @@ def lifetime_risk_report(span: DataFrame) -> DataFrame:
     window). Feeds both survival finishers."""
     from locopy_spark.operators.ranking import global_running_sum
 
+    # r12 (the q_kendall_tau precedent, guide §5): mx + the prefix-sum
+    # device's sampler/shuffle passes re-read the orders aggregate
+    # ~3x per call without the persist; |customers| rows only.
+    span = managed_persist(span, "lifetime_risk")
     mx = span.agg(F.max("last_d").alias("mx"))
     life = span.crossJoin(F.broadcast(mx)).select(
         F.expr("datediff(last_d, first_d)").alias("t"),
@@ -1127,9 +1131,15 @@ def grouped_span_state(orders: DataFrame, customer: DataFrame) -> DataFrame:
 def logrank_report(state: DataFrame) -> DataFrame:
     """Close the log-rank panel over any (o_custkey, g1, first_d,
     last_d) grouped span state."""
+    from locopy_spark.functions.cache import managed_persist
     from locopy_spark.operators.ranking import global_running_sum
 
-    mx = state.agg(F.max("last_d").alias("mx"))
+    # r12 (the q_kendall_tau precedent, guide §5): four consumers read
+    # the span-state chain — mx, tot, and the first prefix-sum
+    # device's sampler + shuffle passes — so without the persist the
+    # orders aggregate + customer join runs ~4x per call.  The state
+    # is |customers| rows; the grid below it is |distinct lifetimes|.
+    state = managed_persist(state, "logrank_report")
     life = state.crossJoin(F.broadcast(mx)).select(
         F.expr("datediff(last_d, first_d)").alias("t"),
         F.expr(

@@ -9,6 +9,31 @@ from locopy_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Fast default tier (r12, VERDICT r11 item 1): the full suite outgrew
+# the driver's verify window (44-48 min, tail cut at ~78% in
+# VERIFY_r11), so heavyweight tests carry @pytest.mark.slow and are
+# DESELECTED (not skipped) by default.  Nothing is deleted: the full
+# gate runs with SPARK_GRAFT_FULL_TESTS=1 (the builder's verify
+# recipe does exactly that once per round), or any explicit -m
+# selection, which overrides the tier entirely.  The fast tier keeps
+# every compile/contract/plan pin, every focused operator test, and a
+# deterministic rotating sample of the per-query value/degenerate
+# gates, so a regression in any operator family still fails the
+# default run.
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection overrides the tier
+    selected, deselected = [], []
+    for item in items:
+        (deselected if "slow" in item.keywords else selected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
 
 @pytest.fixture(scope="session")
 def spark():
