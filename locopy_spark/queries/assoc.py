@@ -1140,6 +1140,7 @@ def logrank_report(state: DataFrame) -> DataFrame:
     # orders aggregate + customer join runs ~4x per call.  The state
     # is |customers| rows; the grid below it is |distinct lifetimes|.
     state = managed_persist(state, "logrank_report")
+    mx = state.agg(F.max("last_d").alias("mx"))
     life = state.crossJoin(F.broadcast(mx)).select(
         F.expr("datediff(last_d, first_d)").alias("t"),
         F.expr(

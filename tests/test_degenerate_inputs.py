@@ -108,7 +108,28 @@ def degenerate_star(spark, tmp_path_factory):
     return str(tmp)
 
 
-@pytest.mark.parametrize("key", _all_keys())
+def _fast_tier(key: str) -> bool:
+    """Fast default tier (r12): the driver's current 50-key window
+    plus a deterministic ~1/4 md5 sample (a DIFFERENT residue class
+    than the value gate's, so the two fast tiers jointly cover ~half
+    the surface); the full sweep runs with SPARK_GRAFT_FULL_TESTS=1
+    (builder's verify recipe, once per round)."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    if key in set(list(entrymod.queries())[:50]):
+        return True
+    return int(hashlib.md5(key.encode()).hexdigest(), 16) % 4 == 1
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        pytest.param(k, marks=[] if _fast_tier(k) else [pytest.mark.slow])
+        for k in _all_keys()
+    ],
+)
 def test_degenerate_star_does_not_crash(spark, degenerate_star, key):
     import __spark_entry__ as entrymod
 
