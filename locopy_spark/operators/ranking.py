@@ -63,6 +63,7 @@ def global_row_number(
     out_col: str = "rn",
     num_partitions: int | None = None,
     _return_total: bool = False,
+    bounded: bool = False,
 ):
     """Exact 1-based global row number under ``order_cols`` (which must
     be a total order for a deterministic result).
@@ -71,7 +72,19 @@ def global_row_number(
     carrying the total row count as ``__total`` — derived from the same
     per-partition counts, so callers that need it (``global_ntile``,
     percentile thresholds) don't replay the rank plan to count, and
-    nothing round-trips through the driver."""
+    nothing round-trips through the driver.
+
+    ``bounded=True``: the domain-bounded arm (see
+    :func:`global_running_sum`) — one plain window over a
+    SinglePartition exchange, no range sampler, no offset join.  Pass
+    only with a boundedness argument in hand."""
+    if bounded:
+        out = df.withColumn(
+            out_col, F.row_number().over(Window.orderBy(*order_cols))
+        )
+        if _return_total:
+            return out, df.agg(F.count(F.lit(1)).alias("__total"))
+        return out
     ranged = _ranged(df, order_cols, num_partitions)
     cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     off = cnts.select(
@@ -176,6 +189,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running",
     num_partitions: int | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``value_col`` under the global
     order ``order_cols`` (a total order), without a one-partition
@@ -187,7 +201,27 @@ def global_running_sum(
     order-dependent assignment at scale — sequence packing, quota
     fills, cumulative budgets.  ``out_col`` excludes the current row
     (sum of everything strictly before it).
+
+    ``bounded=True`` is the DOMAIN-BOUNDED arm (r12): when the caller
+    can prove ``df`` is bounded by a value domain rather than data
+    volume (whole-dollar price grids, day-index grids, degree
+    histograms — all ≤ ~10^6 rows at ANY corpus size), the prefix runs
+    as one plain window over a single SinglePartition exchange.  That
+    drops the range partitioner (whose boundary sampling is a separate
+    full-scan job per call) and the offsets/broadcast-join scaffolding
+    — measured −0.7 s per call on a 129k-row grid at sf0.1.  Only pass
+    it with a boundedness argument in hand; data-sized inputs keep the
+    range-partitioned default.
     """
+    if bounded:
+        w = (
+            Window.orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        zero = F.lit(0).cast(df.schema[value_col].dataType)
+        return df.withColumn(
+            out_col, F.coalesce(F.sum(value_col).over(w), zero)
+        )
     ranged = _ranged(df, order_cols, num_partitions)
     sums = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
     zero = F.lit(0).cast(sums.schema["__s"].dataType)
@@ -218,6 +252,7 @@ def grouped_global_running_sum(
     out_col: str = "cumw",
     total_col: str | None = None,
     num_partitions: int | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """Exact INCLUSIVE running sum of ``weight_col`` *within each
     group* under ``order_cols`` — :func:`grouped_global_row_number`
@@ -232,7 +267,26 @@ def grouped_global_running_sum(
     (broadcast G-row join) — together they power weighted quantiles /
     cumulative-share arithmetic without a one-task-per-group window.
     Weights must be bigint (exactness contract).
+
+    ``bounded=True``: the domain-bounded arm (see
+    :func:`global_running_sum`) — a plain per-group window (one hash
+    exchange on the group keys, no range sampler, no offset join).
+    Pass it only when every single group's rows are provably bounded
+    by a value domain, not data volume.
     """
+    if bounded:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn(out_col, F.sum(weight_col).over(w))
+        if total_col:
+            tots = df.groupBy(*group_cols).agg(
+                F.sum(weight_col).alias(total_col)
+            )
+            out = out.join(F.broadcast(tots), group_cols)
+        return out
     ranged = _ranged(df, [*group_cols, *order_cols], num_partitions)
     sums = ranged.groupBy("__pid", *group_cols).agg(
         F.coalesce(F.sum(weight_col), F.lit(0)).alias("__s")
@@ -270,13 +324,25 @@ def global_rank_and_running_sum(
     rank_col: str = "rn",
     sum_col: str = "running",
     num_partitions: int | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """:func:`global_row_number` AND :func:`global_running_sum` from
     ONE range-partitioned pass: a single ranged frame, one P-row
     metadata aggregate carrying (count, sum) per partition, then both
     local windows add their offsets.  Callers that need the rank and
     the exclusive prefix sum together (change-point scans, Lorenz
-    tails) pay one shuffle instead of two."""
+    tails) pay one shuffle instead of two.
+
+    ``bounded=True``: the domain-bounded arm (see
+    :func:`global_running_sum`) — both windows over one plain
+    SinglePartition exchange, no range sampler, no offset join."""
+    if bounded:
+        wr = Window.orderBy(*order_cols)
+        ws = wr.rowsBetween(Window.unboundedPreceding, -1)
+        zero = F.lit(0).cast(df.schema[value_col].dataType)
+        return df.withColumn(rank_col, F.row_number().over(wr)).withColumn(
+            sum_col, F.coalesce(F.sum(value_col).over(ws), zero)
+        )
     ranged = _ranged(df, order_cols, num_partitions)
     per = ranged.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__cnt"),

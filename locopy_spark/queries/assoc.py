@@ -727,8 +727,11 @@ def lifetime_risk_report(span: DataFrame) -> DataFrame:
         F.sum(F.expr("1 - ev")).alias("c"),
         F.count(F.lit(1)).alias("m"),
     )
+    # bounded arm (r12): per_t is the lifetime-day grid — <= |calendar
+    # days| rows at any volume, so the plain window beats the range
+    # device's sampler job.
     cum = global_running_sum(
-        per_t, order_cols=["t"], value_col="m", out_col="pre"
+        per_t, order_cols=["t"], value_col="m", out_col="pre", bounded=True
     )
     tot = per_t.agg(F.sum("m").alias("n_total"))
     return cum.crossJoin(F.broadcast(tot)).select(
@@ -877,8 +880,11 @@ def na_from_risk(risk: DataFrame) -> DataFrame:
     risk = risk.withColumn(
         "haz_ppb", F.expr("d * 1000000000 div n_risk")
     )
+    # bounded arm (r12): the at-risk table is |distinct lifetimes| <=
+    # |calendar days| rows at any volume.
     cum = global_running_sum(
-        risk, order_cols=["t"], value_col="haz_ppb", out_col="pre_h"
+        risk, order_cols=["t"], value_col="haz_ppb", out_col="pre_h",
+        bounded=True,
     )
     return cum.select(
         "t",
@@ -1154,10 +1160,13 @@ def logrank_report(state: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("m"),
         F.sum("g1").alias("m1"),
     )
+    # bounded arm (r12): per_t is the lifetime-day grid (<= |calendar
+    # days| rows at any volume); the two nested prefixes share ONE
+    # SinglePartition exchange instead of two range passes + samplers.
     cum = global_running_sum(
         global_running_sum(per_t, order_cols=["t"], value_col="m",
-                           out_col="pre_m"),
-        order_cols=["t"], value_col="m1", out_col="pre_m1",
+                           out_col="pre_m", bounded=True),
+        order_cols=["t"], value_col="m1", out_col="pre_m1", bounded=True,
     )
     tot = life.agg(
         F.count(F.lit(1)).alias("n_all"),

@@ -1656,13 +1656,12 @@ def q_kcore(
     ``KCORE_ITERS + 1``-row report.  Survivors and the shrunken edge
     table localCheckpoint each round (the pagerank lineage rule:
     every round's frames are referenced by three consumers, so plain
-    persist leaves an analyzed plan that grows 3^depth).  The percentile rank uses the
-    range-partitioned global rank (operators/ranking.py) — no
-    single-task global sort.  Fixed iteration count = fixed plan
-    depth, the q_pagerank convention for iterative graph work.
+    persist leaves an analyzed plan that grows 3^depth).  The
+    percentile threshold comes from the degree-histogram cumulative
+    (<= 2*sqrt(|E|) rows, see inline note) — never a rank over |V|
+    rows.  Fixed iteration count = fixed plan depth, the q_pagerank
+    convention for iterative graph work.
     """
-    from locopy_spark.operators.ranking import global_row_number
-
     bc = F.broadcast if broadcast_survivors else (lambda df: df)
     e = managed_persist(
         edges if edges is not None else copurchase_edges(spark, sf_dir),
@@ -1679,15 +1678,29 @@ def q_kcore(
         ),
         "kcore",
     )
-    ranked, total = global_row_number(
-        deg0, ["d", "v"], out_col="rn", _return_total=True
+    # Percentile threshold from the DEGREE HISTOGRAM (r12): the rank
+    # ceil(n/10) element of the (d, v) total order has d = the
+    # smallest degree whose cumulative count reaches the rank — the v
+    # tie-break orders rows WITHIN one d bucket and can never move the
+    # rank into a different bucket, so k is exact without ranking |V|
+    # rows.  Replaces the global_row_number device here (its range
+    # partitioner costs a separate boundary-sampling job + an |V|
+    # shuffle per call).  The one-task cumulative window is provably
+    # scale-safe: t distinct positive degree values sum to >= t(t+1)/2
+    # while summing to <= 2|E|, so the histogram is <= 2*sqrt(|E|)
+    # rows (~2M rows at |E| = 10^12).
+    hist = deg0.groupBy("d").agg(F.count(F.lit(1)).alias("__c"))
+    cum = hist.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
-    # the percentile rank rides as a column off the 1-row total (no
-    # driver round-trip): rank ceil(n/10) = (n + 9) div 10, exact
+    total = hist.agg(F.sum("__c").alias("__total"))
     kdf = managed_persist(
-        ranked.crossJoin(F.broadcast(total))
-        .filter(F.col("rn") == F.expr("(__total + 9) div 10"))
-        .select(F.col("d").alias("k")),
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("__cum") >= F.expr("(__total + 9) div 10"))
+        .agg(F.min("d").alias("k")),
         "kcore",
     )
     rows = (

@@ -1303,15 +1303,21 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spearman",
     )
 
-    def doubled_ranks(col: str, out: str) -> DataFrame:
+    def doubled_ranks(col: str, out: str, bounded: bool = False) -> DataFrame:
         g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
-        cum = global_running_sum(g, order_cols=[col], value_col="t", out_col="pre")
+        cum = global_running_sum(
+            g, order_cols=[col], value_col="t", out_col="pre",
+            bounded=bounded,
+        )
         return cum.select(col, F.expr("2 * pre + t + 1").alias(out))
 
     tot = base.agg(F.count(F.lit(1)).alias("n"))
     joined = (
         base.join(doubled_ranks("x", "rx2"), "x")
-        .join(F.broadcast(doubled_ranks("y", "ry2")), "y")
+        # y = lines-per-order counts: the rank grid is |max basket|-
+        # bounded (a handful of rows), so the bounded window arm skips
+        # the range sampler; x (scaled prices) stays on the device.
+        .join(F.broadcast(doubled_ranks("y", "ry2", bounded=True)), "y")
         .crossJoin(F.broadcast(tot))
         .select(
             "n",
@@ -1614,7 +1620,8 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything runs on the |days|-sized daily aggregate (whole
     currency units, ``q_anomaly_days`` convention). The lower median
     is the exact type-1 rank-select (value at rn = ⌈n/2⌉ under the
-    total order (x, day)) via one range-partitioned global row number;
+    total order (x, day)) via the bounded-window global row number
+    (the grid is |calendar days|-sized, so no range sampler);
     the above/not-above sign sequence's runs are counted by a
     rank-adjacency self-join (rn ↔ rn+1 — day gaps don't matter, rank
     order is the sequence), so no one-partition window touches
@@ -1632,7 +1639,10 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.expr("cast(floor(o_totalprice + 0.5) as bigint)")).alias("x")
     )
-    ranked = global_row_number(daily, ["x", "day"], out_col="vr")
+    # bounded arm (r12): daily is |calendar days|-sized at any volume,
+    # so both rank passes run as plain windows (no range sampler).
+    ranked = global_row_number(daily, ["x", "day"], out_col="vr",
+                               bounded=True)
     tot = ranked.agg(F.count(F.lit(1)).alias("n"))
     med = (
         ranked.crossJoin(F.broadcast(tot))
@@ -1643,7 +1653,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.crossJoin(F.broadcast(med))
         .select("day", F.expr("x > med").alias("above"))
     )
-    seq = global_row_number(signed, ["day"], out_col="rn")
+    seq = global_row_number(signed, ["day"], out_col="rn", bounded=True)
     prev = seq.select(
         F.expr("rn + 1").alias("rn"), F.col("above").alias("prev_above")
     )
@@ -2281,7 +2291,12 @@ def moods_report(grid: DataFrame) -> DataFrame:
     from locopy_spark.operators.ranking import global_running_sum
 
     vgrid = grid.groupBy("v").agg(F.sum("cnt").alias("cv"))
-    run = global_running_sum(vgrid, ["v"], "cv", out_col="cum_ex")
+    # bounded arm (r12): vgrid is the WHOLE-DOLLAR value histogram —
+    # <= |price domain| (~6e5) rows at any volume, so one plain window
+    # beats the range device's sampler job (A/B: 2.3 -> 1.6 s).
+    run = global_running_sum(
+        vgrid, ["v"], "cv", out_col="cum_ex", bounded=True
+    )
     tot = vgrid.agg(F.sum("cv").alias("n_tot"))
     med = (
         run.crossJoin(F.broadcast(tot))

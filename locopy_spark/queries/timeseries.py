@@ -1149,12 +1149,15 @@ def changepoint_report(state: DataFrame) -> DataFrame:
     state (|days|-bounded)."""
     from locopy_spark.operators.ranking import global_rank_and_running_sum
 
+    # bounded arm (r12): the daily-revenue state is |days|-sized at
+    # any volume.
     rn = global_rank_and_running_sum(
         state,
         order_cols=["day"],
         value_col="rev_c",
         rank_col="k",
         sum_col="pre",
+        bounded=True,
     )
     tot = state.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("sn")
@@ -1828,8 +1831,11 @@ def bass_report(grid: DataFrame, spark: SparkSession) -> DataFrame:
         weeks.join(grid, "wi", "left")
         .selectExpr("wi", "coalesce(adopters, 0) AS n_t")
     )
+    # bounded arm (r12): the filled adoption grid is |weeks|-sized at
+    # any volume.
     cum = global_running_sum(
-        filled, order_cols=["wi"], value_col="n_t", out_col="c_prev"
+        filled, order_cols=["wi"], value_col="n_t", out_col="c_prev",
+        bounded=True,
     )
     agg = cum.agg(
         F.count(F.lit(1)).alias("s0"),

@@ -1666,8 +1666,11 @@ def sprt_report(grid: DataFrame) -> DataFrame:
             f" * cast({SPRT_B_PPB} as bigint)"
         ).alias("llr_ppb"),
     )
+    # bounded arm (r12): the daily monitor grid is |days|-sized at any
+    # volume.
     cum = global_running_sum(
-        daily, order_cols=["day"], value_col="llr_ppb", out_col="pre"
+        daily, order_cols=["day"], value_col="llr_ppb", out_col="pre",
+        bounded=True,
     )
     return (
         cum.select(

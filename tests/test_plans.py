@@ -733,12 +733,15 @@ def test_hhi_broadcast_dims_single_state_shuffle(spark, sf_dir):
 
 
 def test_kaplan_meier_bounded_sequential_tail(spark, sf_dir):
-    # per-customer span aggregate + range-partitioned prefix sum; the
-    # sequential survival product is one Arrow task over the bounded
-    # per-lifetime table, never a cartesian
+    # per-customer span aggregate + bounded-window prefix sum (r12:
+    # the |calendar days| at-risk grid runs one plain window, no range
+    # sampler); the sequential survival product is one Arrow task over
+    # the bounded per-lifetime table, never a cartesian; the 1-row
+    # horizon still rides as a broadcast
     df = _q(spark, sf_dir, "q_kaplan_meier")
     assert not audit.has_cartesian(df)
-    assert audit.has_broadcast_join(df)
+    assert audit.has_window(df)
+    assert audit.has_broadcast_nested_loop(df)
 
 
 def test_kruskal_wallis_single_prefix_sum(spark, sf_dir):
