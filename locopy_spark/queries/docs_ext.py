@@ -3184,19 +3184,44 @@ def s_rrf_fusion(
         "query_id", F.col("neighbor_id").alias("cand"),
         F.col("rk").alias("rank_vec"),
     )
+    # fusion as union + groupBy (r12): the old full-outer equi-join
+    # CANNOT broadcast-hash (Spark's BHJ does not support FULL OUTER),
+    # so it sort-merge-joined two exchanges of the tiny per-query pool
+    # lists.  Each (query, cand) appears at most once per arm and
+    # ranks are >= 1, so 0-padding + MAX reproduces the outer join's
+    # coalesce exactly; one hash aggregate replaces SMJ + sort + one
+    # exchange.
     fused = (
-        lex.join(vec, ["query_id", "cand"], "full_outer")
+        lex.select(
+            "query_id", "cand",
+            F.col("rank_lex").cast("int").alias("rank_lex"),
+            F.lit(0).alias("rank_vec"),
+        )
+        .unionByName(
+            vec.select(
+                "query_id", "cand",
+                F.lit(0).alias("rank_lex"),
+                F.col("rank_vec").cast("int").alias("rank_vec"),
+            )
+        )
+        .groupBy("query_id", "cand")
+        .agg(
+            F.max("rank_lex").alias("rank_lex"),
+            F.max("rank_vec").alias("rank_vec"),
+        )
         .select(
             "query_id",
             "cand",
-            F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
-            F.coalesce("rank_vec", F.lit(0)).cast("int").alias("rank_vec"),
+            "rank_lex",
+            "rank_vec",
             (
-                F.coalesce(
-                    F.expr(f"1000000 div ({RRF_K0} + rank_lex)"), F.lit(0)
+                F.expr(
+                    f"CASE WHEN rank_lex > 0 THEN"
+                    f" 1000000 div ({RRF_K0} + rank_lex) ELSE 0 END"
                 )
-                + F.coalesce(
-                    F.expr(f"1000000 div ({RRF_K0} + rank_vec)"), F.lit(0)
+                + F.expr(
+                    f"CASE WHEN rank_vec > 0 THEN"
+                    f" 1000000 div ({RRF_K0} + rank_vec) ELSE 0 END"
                 )
             ).cast("long").alias("rrf_ppm"),
         )
