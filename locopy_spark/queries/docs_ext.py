@@ -4612,7 +4612,9 @@ def s_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = cube.filter("gl = 1 AND ga = 0").select(
         F.col("assigned").alias("k"), F.col("s").alias("c")
     )
-    sp = rows.join(cols, "k").agg(
+    # broadcast hint (r12, §3.1): both margin vectors are <=|labels|
+    # rows; the cube-derived estimates kept this join sort-merge
+    sp = rows.join(F.broadcast(cols), "k").agg(
         F.expr(
             "coalesce(SUM(CAST(r AS DECIMAL(38,0)) * c),"
             " CAST(0 AS DECIMAL(38,0)))"

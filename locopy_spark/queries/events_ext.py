@@ -699,13 +699,20 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=ATTR_WINDOW_US,
         keys=["user_id"],
     )
-    per_type = cands.groupBy("purchase_id", "value_fix", "touch_type").agg(
-        F.count(F.lit(1)).alias("n_type")
+    # one exchange for the whole closing device (r12, guide §2.4) —
+    # see q_attribution_decay: purchase_id pre-partitioning serves the
+    # grouped aggregate and the per-purchase total window, dropping
+    # the total-groupBy + data-sized sort-merge join
+    from pyspark.sql import Window as W
+
+    per_type = (
+        cands.repartition("purchase_id")
+        .groupBy("purchase_id", "value_fix", "touch_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
     )
-    totals = per_type.groupBy("purchase_id").agg(
-        F.sum("n_type").alias("n_total")
-    )
-    credited = per_type.join(totals, "purchase_id").select(
+    credited = per_type.withColumn(
+        "n_total", F.sum("n_type").over(W.partitionBy("purchase_id"))
+    ).select(
         "touch_type",
         "purchase_id",
         F.expr("value_fix * n_type div n_total").alias("credit_fix"),
@@ -981,14 +988,23 @@ def xcorr_report(counts: DataFrame) -> DataFrame:
     hours = bounds.select(
         F.explode(F.expr("sequence(h0, h1)")).alias("hour")
     )
+    # broadcast hints (r12, §3.1): every side here is |hours|-bounded
+    # (the docstring's span argument), but the estimates through the
+    # fact aggregate kept one join sort-merge
     series = (
         hours.join(
-            counts.filter("is_a").select("hour", F.col("c").alias("x")),
+            F.broadcast(
+                counts.filter("is_a").select("hour", F.col("c").alias("x"))
+            ),
             "hour",
             "left",
         )
         .join(
-            counts.filter("not is_a").select("hour", F.col("c").alias("y")),
+            F.broadcast(
+                counts.filter("not is_a").select(
+                    "hour", F.col("c").alias("y")
+                )
+            ),
             "hour",
             "left",
         )
@@ -1004,9 +1020,9 @@ def xcorr_report(counts: DataFrame) -> DataFrame:
     shifted = series.select("hour", "x").crossJoin(F.broadcast(lags)).select(
         "lag", "x", (F.col("hour") + F.col("lag")).alias("hour")
     )
-    pairs = shifted.join(series.select("hour", "y"), "hour").select(
-        "lag", "x", "y"
-    )
+    pairs = shifted.join(
+        F.broadcast(series.select("hour", "y")), "hour"
+    ).select("lag", "x", "y")
     agg = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -2284,13 +2300,23 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {DECAY_HALF_US}, 10) as int))"
         ),
     )
-    per_type = cands.groupBy("purchase_id", "value_fix", "touch_type").agg(
-        F.sum("w").alias("sw")
+    # one exchange for the whole closing device (r12, guide §2.4):
+    # hash-partitioning on purchase_id up front satisfies the grouped
+    # aggregate's clustering (purchase_id is a prefix of the key) AND
+    # the per-purchase total window, so the old total-groupBy +
+    # data-sized sort-merge join back disappears (3 exchanges + SMJ →
+    # 1 exchange + window; integer sums are order-independent, rows
+    # identical)
+    from pyspark.sql import Window as W
+
+    per_type = (
+        cands.repartition("purchase_id")
+        .groupBy("purchase_id", "value_fix", "touch_type")
+        .agg(F.sum("w").alias("sw"))
     )
-    totals = per_type.groupBy("purchase_id").agg(
-        F.sum("sw").alias("sw_total")
-    )
-    credited = per_type.join(totals, "purchase_id").select(
+    credited = per_type.withColumn(
+        "sw_total", F.sum("sw").over(W.partitionBy("purchase_id"))
+    ).select(
         "touch_type",
         "purchase_id",
         F.expr("value_fix * sw div sw_total").alias("credit_fix"),

@@ -1657,7 +1657,9 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = seq.select(
         F.expr("rn + 1").alias("rn"), F.col("above").alias("prev_above")
     )
-    switches = seq.join(prev, "rn").agg(
+    # broadcast hint (r12, §3.1): both adjacency sides are |days|-
+    # bounded; without the hint the rank self-join was sort-merge
+    switches = seq.join(F.broadcast(prev), "rn").agg(
         F.sum(F.expr("cast(above != prev_above as bigint)")).alias("n_switch")
     )
     counts = signed.agg(
@@ -2525,12 +2527,16 @@ def brand_xcorr_report(state: DataFrame, part: DataFrame) -> DataFrame:
     brands = grid.select("p_brand").distinct()
     months = grid.select("ym").distinct()
     spine = brands.crossJoin(F.broadcast(months))
-    filled = spine.join(grid, ["p_brand", "ym"], "left").select(
+    # broadcast hints (r12, §3.1): grid and filled are |brands×months|-
+    # bounded at any volume, but their size ESTIMATES (derived through
+    # the fact-scan aggregate) kept both joins sort-merge — 3 SMJs in
+    # the plan for joins whose build sides are a few thousand rows.
+    filled = spine.join(F.broadcast(grid), ["p_brand", "ym"], "left").select(
         "p_brand", "ym", F.expr("coalesce(q, 0)").alias("q")
     )
     a, b = filled.alias("a"), filled.alias("b")
     sums = (
-        a.join(b, F.expr("a.ym = b.ym AND a.p_brand < b.p_brand"))
+        a.join(F.broadcast(b), F.expr("a.ym = b.ym AND a.p_brand < b.p_brand"))
         .select(
             F.expr("a.p_brand").alias("brand_a"),
             F.expr("b.p_brand").alias("brand_b"),
@@ -2687,7 +2693,9 @@ def friedman_report(state: DataFrame) -> DataFrame:
         .join(F.broadcast(k_df), F.col("cnt") == F.col("k"))
         .select("ym", "k")
     )
-    complete = state.join(sized, "ym")
+    # broadcast hint (r12, §3.1): sized is |months|-bounded but its
+    # estimate (through the persisted grid) kept the join sort-merge
+    complete = state.join(F.broadcast(sized), "ym")
     ranked = complete.select(
         "prio",
         "k",

@@ -1698,15 +1698,47 @@ def growth_report(grid: DataFrame) -> DataFrame:
         .groupBy(F.expr("wi + 1").alias("wi"))
         .agg(F.count(F.lit(1)).alias("churned"))
     )
-    return (
-        flows.join(churn, "wi", "full_outer")
-        .selectExpr(
-            "wi * 7 AS week_start_day",
-            "coalesce(active, 0) AS active",
+    # union + SUM groupBy instead of a full-outer join (r12): BHJ
+    # cannot take FULL OUTER, so the two |weeks|-bounded grids paid a
+    # sort-merge join; each wi appears at most once per side, so
+    # 0-padding + SUM reproduces the outer join's coalesce exactly.
+    # (the inner coalesces also cover flows' own NULL sums: SUM of an
+    # all-NULL retained/resurrected group is NULL, which the old outer
+    # coalesce absorbed)
+    merged = (
+        flows.selectExpr(
+            "wi",
+            "active",
             "coalesce(new_users, 0) AS new_users",
             "coalesce(retained, 0) AS retained",
             "coalesce(resurrected, 0) AS resurrected",
-            "coalesce(churned, 0) AS churned",
+            "CAST(0 AS BIGINT) AS churned",
+        )
+        .unionByName(
+            churn.selectExpr(
+                "wi", "CAST(0 AS BIGINT) AS active",
+                "CAST(0 AS BIGINT) AS new_users",
+                "CAST(0 AS BIGINT) AS retained",
+                "CAST(0 AS BIGINT) AS resurrected", "churned",
+            )
+        )
+        .groupBy("wi")
+        .agg(
+            F.sum("active").alias("active"),
+            F.sum("new_users").alias("new_users"),
+            F.sum("retained").alias("retained"),
+            F.sum("resurrected").alias("resurrected"),
+            F.sum("churned").alias("churned"),
+        )
+    )
+    return (
+        merged.selectExpr(
+            "wi * 7 AS week_start_day",
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            "churned",
         )
         .orderBy("week_start_day")
     )

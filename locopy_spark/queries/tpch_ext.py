@@ -2193,12 +2193,28 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = by.crossJoin(F.broadcast(yrs)).filter("yr = y2").select(
         "p_brand", F.col("rev_c").alias("rev2_c"), F.col("qty").alias("q2")
     )
-    both = a.join(b, "p_brand", "full_outer").select(
-        "p_brand",
-        F.expr("coalesce(rev1_c, 0)").alias("rev1_c"),
-        F.expr("coalesce(q1, 0)").alias("q1"),
-        F.expr("coalesce(rev2_c, 0)").alias("rev2_c"),
-        F.expr("coalesce(q2, 0)").alias("q2"),
+    # union + SUM groupBy instead of a full-outer join (r12): BHJ
+    # cannot take FULL OUTER, so the two |brands|-bounded year slices
+    # paid a sort-merge join; each brand appears at most once per
+    # side, so 0-padding + SUM reproduces the coalesce exactly.
+    both = (
+        a.selectExpr(
+            "p_brand", "rev1_c", "q1",
+            "CAST(0 AS BIGINT) AS rev2_c", "CAST(0 AS BIGINT) AS q2",
+        )
+        .unionByName(
+            b.selectExpr(
+                "p_brand", "CAST(0 AS BIGINT) AS rev1_c",
+                "CAST(0 AS BIGINT) AS q1", "rev2_c", "q2",
+            )
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum("rev1_c").alias("rev1_c"),
+            F.sum("q1").alias("q1"),
+            F.sum("rev2_c").alias("rev2_c"),
+            F.sum("q2").alias("q2"),
+        )
     )
     return (
         both.selectExpr(
