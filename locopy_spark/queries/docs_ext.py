@@ -3370,7 +3370,13 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # qid (not query_id) on the sims side: sims derives from cands, so
     # the cogroup below would otherwise see one attribute id on both
-    # sides and fail the ambiguous-self-join check
+    # sides and fail the ambiguous-self-join check.
+    # NOTE (ADVICE r11): cands is deliberately NOT checkpointed or
+    # persisted, so the knn_bruteforce candidate subtree is evaluated
+    # independently on BOTH cogroup sides (cands and sims) — the
+    # measured net win at this POOL size (the r11 A/B kept it); if
+    # pool sizes grow enough that the double scan dominates, persist
+    # cands here.
     ce = cands.select(
         F.col("query_id").alias("qid"), "cand"
     ).join(ne, "cand")

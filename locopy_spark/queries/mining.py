@@ -1997,6 +1997,11 @@ def q_jaccard_links(
     with q_clustering_coef (both wedge streams enumerate neighbor
     pairs of exactly these middles); bucketed by ``v`` the wedge
     self-join reads it pre-partitioned with zero exchange.
+    CONTRACT: (v, n) rows must be DISTINCT — the positional pair
+    expansion over the collected array emits u==w self-pairs if a
+    neighbor repeats, where the old x.n < y.n self-join excluded
+    them (copurchase_edges is distinct by construction; a non-
+    distinct injection would silently inflate wedge counts).
 
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's graph-mining family.
@@ -2143,7 +2148,10 @@ def q_clustering_coef(
     verbatim as the wedge source because the only rows it carries
     beyond the centers are degree-1 middles, which produce zero
     neighbor PAIRS in the self-join (and degree-1 vertices are
-    excluded from the center denominators regardless).
+    excluded from the center denominators regardless).  Same
+    distinct-(v, n) CONTRACT as q_jaccard_links (see there): a
+    repeated neighbor would emit u==w self-pairs from the positional
+    array expansion.
 
     Reference parity note: the reference (capitalone/locopy) ships no
     analytics; this extends the engine's graph-mining family.
