@@ -711,10 +711,12 @@ def lifetime_risk_report(span: DataFrame) -> DataFrame:
     window). Feeds both survival finishers."""
     from locopy_spark.operators.ranking import global_running_sum
 
-    # r12 (the q_kendall_tau precedent, guide §5): mx + the prefix-sum
-    # device's sampler/shuffle passes re-read the orders aggregate
-    # ~3x per call without the persist; |customers| rows only.
-    span = managed_persist(span, "lifetime_risk")
+    # NO persist (r12 session 2): the session-1 span persist targeted
+    # the prefix-sum device's range-sampler re-read, which the bounded
+    # window arm below removed; re-A/B'd after that change the persist
+    # LOSES (q_kaplan_meier 1.73 -> 1.04 s min, q_nelson_aalen 1.03 ->
+    # 0.50 without it) — the remaining mx/per_t double read is cheaper
+    # than the cache-materialization barrier.
     mx = span.agg(F.max("last_d").alias("mx"))
     life = span.crossJoin(F.broadcast(mx)).select(
         F.expr("datediff(last_d, first_d)").alias("t"),
@@ -1137,15 +1139,13 @@ def grouped_span_state(orders: DataFrame, customer: DataFrame) -> DataFrame:
 def logrank_report(state: DataFrame) -> DataFrame:
     """Close the log-rank panel over any (o_custkey, g1, first_d,
     last_d) grouped span state."""
-    from locopy_spark.functions.cache import managed_persist
     from locopy_spark.operators.ranking import global_running_sum
 
-    # r12 (the q_kendall_tau precedent, guide §5): four consumers read
-    # the span-state chain — mx, tot, and the first prefix-sum
-    # device's sampler + shuffle passes — so without the persist the
-    # orders aggregate + customer join runs ~4x per call.  The state
-    # is |customers| rows; the grid below it is |distinct lifetimes|.
-    state = managed_persist(state, "logrank_report")
+    # NO persist (r12 session 2): the session-1 state persist targeted
+    # the prefix-sum device's sampler re-reads, which the bounded
+    # window arm below removed; re-A/B'd after that change the persist
+    # LOSES (1.37 vs 1.00 s min without) — mx/per_t/tot re-reads of
+    # the cheap span chain cost less than the cache barrier.
     mx = state.agg(F.max("last_d").alias("mx"))
     life = state.crossJoin(F.broadcast(mx)).select(
         F.expr("datediff(last_d, first_d)").alias("t"),

@@ -1424,7 +1424,6 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's floor-scaled bigints; the per-cell rollup is bounded at 64
     rows.
     """
-    from locopy_spark.functions.cache import managed_persist
     from locopy_spark.operators.ranking import global_ntile
 
     o = load_table(spark, sf_dir, "orders")
@@ -1437,10 +1436,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast(floor(o_totalprice * {SCALE} + 0.5) as bigint)")
         ).alias("monetary_fix"),
     )
-    # r12 (the q_kendall_tau precedent, guide §5): the first ntile
-    # device's range-sampler + shuffle each re-read the orders
-    # aggregate without the persist; |customers| rows only.
-    per_cust = managed_persist(per_cust, "rfm")
+    # NO persist here (r12 session 2): the session-1 persist was
+    # A/B'd against the plain form — persist min 2.52 s vs 2.23 s
+    # without — the cheap per-customer aggregate is exactly the
+    # "cheap inputs lose" case of the ranking._ranged adjudication
+    # (the cache-materialization barrier costs more than the ntile
+    # sampler's re-read saves).
     scored = global_ntile(
         per_cust, ["recency_day", "o_custkey"], 4, out_col="r_q"
     )
